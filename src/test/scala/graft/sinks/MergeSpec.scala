@@ -1,0 +1,90 @@
+package graft.sinks
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.catalog.{TableRef, Warehouse}
+
+class MergeSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("J1 CDC merge: newer wins, unmatched kept, new keys inserted") {
+    import spark.implicits._
+    val target = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 1.0),
+      ("B", ts("2024-01-01 00:00:00"), 2.0)).toDF("k", "t", "v")
+    val source = Seq(
+      ("A", ts("2024-02-01 00:00:00"), 10.0), // newer → update
+      ("C", ts("2024-01-15 00:00:00"), 3.0))  // new key → insert
+    .toDF("k", "t", "v")
+    val out = Merge.merge(target, source, Seq("k"), Some("t"))
+      .as[(String, Timestamp, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      ("A", ts("2024-02-01 00:00:00"), 10.0),
+      ("B", ts("2024-01-01 00:00:00"), 2.0),
+      ("C", ts("2024-01-15 00:00:00"), 3.0)))
+  }
+
+  test("J1 stale-row quirk: older source row is INSERTED (Delta edge, SURVEY §2.5)") {
+    import spark.implicits._
+    val target = Seq(("A", ts("2024-02-01 00:00:00"), 5.0)).toDF("k", "t", "v")
+    val source = Seq(("A", ts("2024-01-01 00:00:00"), 4.0)).toDF("k", "t", "v")
+    val out = Merge.merge(target, source, Seq("k"), Some("t"))
+      .as[(String, Timestamp, Double)].collect().sortBy(_._2).toSeq
+    // the stale row fails `new.t >= old.t`, matches nothing → inserted
+    assert(out === Seq(
+      ("A", ts("2024-01-01 00:00:00"), 4.0),
+      ("A", ts("2024-02-01 00:00:00"), 5.0)))
+  }
+
+  test("equal timestamps match (>= not >) and update wins") {
+    import spark.implicits._
+    val t0 = ts("2024-01-01 00:00:00")
+    val target = Seq(("A", t0, 1.0)).toDF("k", "t", "v")
+    val source = Seq(("A", t0, 9.0)).toDF("k", "t", "v")
+    val out = Merge.merge(target, source, Seq("k"), Some("t"))
+      .as[(String, Timestamp, Double)].collect().toSeq
+    assert(out === Seq(("A", t0, 9.0)))
+  }
+
+  test("multiple source rows for one target resolve to latest ts") {
+    import spark.implicits._
+    val target = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
+    val source = Seq(
+      ("A", ts("2024-03-01 00:00:00"), 30.0),
+      ("A", ts("2024-02-01 00:00:00"), 20.0)).toDF("k", "t", "v")
+    val out = Merge.merge(target, source, Seq("k"), Some("t"))
+      .as[(String, Timestamp, Double)].collect().toSeq
+    // latest (March) wins the update; February matched too (>= Jan) so it
+    // is NOT an insert — exactly one surviving row
+    assert(out === Seq(("A", ts("2024-03-01 00:00:00"), 30.0)))
+  }
+
+  test("J2 multi-key equi merge without ts: composite keys, bootstrap via MergeTable") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-merge"))
+    val ref = TableRef("silver", "checks", "aggregated_checks")
+    val mt = new MergeTable(spark, wh, ref, Seq("test_name", "table_name"), None)
+
+    // first run bootstraps (lib/checker_handler.py:173-177)
+    mt.upsert(Seq(("t1", "tab", 0.5), ("t2", "tab", 0.9)).toDF("test_name", "table_name", "total_score"))
+    assert(wh.read(ref).count() === 2)
+
+    // second run updates matched, inserts new
+    mt.upsert(Seq(("t1", "tab", 0.7), ("t3", "tab", 1.0)).toDF("test_name", "table_name", "total_score"))
+    val out = wh.read(ref).as[(String, String, Double)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(("t1", "tab", 0.7), ("t2", "tab", 0.9), ("t3", "tab", 1.0)))
+  }
+
+  test("merge idempotence: merging the same batch twice is a no-op") {
+    import spark.implicits._
+    val target = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
+    val batch = Seq(
+      ("A", ts("2024-02-01 00:00:00"), 10.0),
+      ("B", ts("2024-01-05 00:00:00"), 2.0)).toDF("k", "t", "v")
+    val once = Merge.merge(target, batch, Seq("k"), Some("t"))
+    val twice = Merge.merge(once, batch, Seq("k"), Some("t"))
+    assert(once.collect().toSet === twice.collect().toSet)
+  }
+}
