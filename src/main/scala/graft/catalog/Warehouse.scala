@@ -84,6 +84,22 @@ final class Warehouse(spark: SparkSession, val root: String) {
     ()
   }
 
+  /** Enumerate all tables as `$root/catalog/schema/table` directories
+    * (skipping in-flight `.tmp-`/`.old-` staging dirs).
+    */
+  def listTables(): Seq[TableRef] = {
+    val rootPath = new Path(root)
+    val filesystem = fs(rootPath)
+    if (!filesystem.exists(rootPath)) return Seq.empty
+    def dirs(p: Path) =
+      filesystem.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+    for {
+      cat <- dirs(rootPath)
+      sch <- dirs(cat)
+      tbl <- dirs(sch) if !tbl.getName.contains(".tmp-") && !tbl.getName.contains(".old-")
+    } yield TableRef(cat.getName, sch.getName, tbl.getName)
+  }
+
   /** S6-style view registration: `catalog.schema.table` →
     * temp view `catalog_schema_table` (OSS temp views are single-level).
     */
