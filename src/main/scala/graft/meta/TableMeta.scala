@@ -9,7 +9,8 @@ import org.apache.spark.sql.types._
 final case class TestSpec(
     testType: String,
     testName: String,
-    kwargs: Map[String, String])
+    kwargs: Map[String, String],
+    listKwargs: Map[String, Seq[String]] = Map.empty)
 
 /** Per-column metadata beyond the Spark type (SURVEY.md §1.2):
   * key / date_predicate / mandate / tests, which StructType can't carry.
@@ -83,14 +84,21 @@ object TableMeta {
   }
 
   private def parseTest(v: Yaml.Value): TestSpec = {
-    val kwargs = v.get("kwargs") match {
-      case Some(m: Yaml.YMap) => m.entries.map { case (k, vv) => k -> vv.asString }.toMap
-      case _ => Map.empty[String, String]
+    // scalar kwargs (threshold, expression, pattern) and list kwargs
+    // (expected_values) split into two maps — Spark-side consumers want
+    // typed access to each
+    val (scalars, lists) = v.get("kwargs") match {
+      case Some(m: Yaml.YMap) =>
+        val s = m.entries.collect { case (k, vv: Yaml.YStr) => k -> vv.value }
+        val l = m.entries.collect { case (k, vv: Yaml.YList) => k -> vv.items.map(_.asString) }
+        (s.toMap, l.toMap)
+      case _ => (Map.empty[String, String], Map.empty[String, Seq[String]])
     }
     TestSpec(
       testType = v.str("test_type").getOrElse(""),
       testName = v.str("test_name").getOrElse(""),
-      kwargs = kwargs)
+      kwargs = scalars,
+      listKwargs = lists)
   }
 
   /** Recursive YAML-type → Spark-type parser; same surface as

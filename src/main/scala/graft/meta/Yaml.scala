@@ -56,8 +56,17 @@ object Yaml {
   private def parseBlock(lines: Seq[Line]): Value = {
     val base = lines.head.indent
     if (lines.head.text.startsWith("- ") || lines.head.text == "-") parseList(lines, base)
+    else if (lines.length == 1 && isScalar(lines.head.text)) YStr(unquote(lines.head.text))
     else parseMap(lines, base)
   }
+
+  /** A lone block line with no `key:` shape is a scalar — the list-of-
+    * scalars case (`- 'Open'`). Quoted text is always scalar; unquoted
+    * text only if it carries no colon (a colon-bearing unquoted scalar
+    * like a URL must be quoted in the source).
+    */
+  private def isScalar(text: String): Boolean =
+    text.head == '\'' || text.head == '"' || !text.contains(':')
 
   private def parseList(lines: Seq[Line], base: Int): Value = {
     val items = Seq.newBuilder[Value]

@@ -1,0 +1,103 @@
+package graft.quality
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{TableRef, Warehouse}
+import graft.meta.TableMeta
+import graft.sinks.MergeTable
+
+/** One table to check: the reference's `table_info` dict
+  * (/root/reference/tests.ipynb cell-1 — dataframe + metadata + naming).
+  */
+final case class CheckTarget(layer: String, tableName: String,
+                             df: DataFrame, meta: TableMeta)
+
+/** The data-quality orchestrator (SURVEY.md §3.3;
+  * /root/reference/lib/checker_handler.py:13-221): annotate every target
+  * table, prefix (layer, table_name), union across tables, persist the
+  * per-row scorecard, aggregate to the 6-key summary, and merge-upsert
+  * the aggregate. Per-table failures are isolated (the reference logs
+  * and continues, checker_handler.py:87-99) but surfaced loudly at the
+  * end instead of silently producing partial output.
+  */
+final class CheckerHandler(
+    spark: SparkSession,
+    warehouse: Warehouse,
+    targets: Seq[CheckTarget],
+    runDate: LocalDate = LocalDate.now(),
+    singlePass: Boolean = true,
+    checksRef: TableRef = TableRef("silver", "checks", "column_checks"),
+    aggregatedRef: TableRef = TableRef("silver", "checks", "aggregated_checks")) {
+
+  /** Standard 10-column projection (checker_handler.py:57-66). */
+  val standardColumns: Seq[String] = Seq("layer", "table_name", "df_key",
+    "test_type", "test_name", "column", "mandate", "run_date",
+    "check_result", "check_score")
+
+  /** Annotate all targets and fold with unionByName (U1). */
+  def compileResults(): DataFrame = {
+    val (failures, frames) = targets.partitionMap { t =>
+      try Right(
+        new Checker(t.df, t.meta, runDate).annotate(singlePass)
+          .withColumn("layer", lit(t.layer))
+          .withColumn("table_name", lit(t.tableName))
+          .select(standardColumns.map(col): _*))
+      catch { case e: Exception => Left(s"${t.layer}.${t.tableName}: $e") }
+    }
+    if (failures.nonEmpty)
+      throw new RuntimeException(
+        s"checks failed for ${failures.size}/${targets.size} tables:\n" +
+          failures.mkString("\n"))
+    if (frames.isEmpty) throw new IllegalArgumentException("no tables to check")
+    frames.reduce(_ unionByName _)
+  }
+
+  /** Persist the per-row scorecard: truncate + overwrite with typed
+    * run_date/check_score (checker_handler.py:116-131; the TRUNCATE is
+    * redundant with overwrite — kept as overwrite only, SURVEY §2.2 K4).
+    */
+  def saveChecks(df: DataFrame): Unit =
+    warehouse.overwrite(checksRef, df
+      .withColumn("run_date", col("run_date").cast("date"))
+      .withColumn("check_score", col("check_score").cast("double")))
+
+  /** A1: the 6-key scorecard aggregate (checker_handler.py:139-154).
+    * Partial (map-side) aggregation collapses each task's rows to at
+    * most |tests|×|tables| groups before the shuffle — at 100 TB the
+    * shuffle moves kilobytes.
+    */
+  def aggregateResults(): DataFrame =
+    warehouse.read(checksRef)
+      .groupBy("test_name", "table_name", "test_type", "layer", "run_date", "mandate")
+      .agg(
+        avg("check_score").as("total_score"),
+        sum(lit(1)).as("columns_checked"),
+        sum(when(col("check_result") === "passed", 1).otherwise(0)).as("passing_cols"),
+        sum(when(col("check_result") === "passed", 0).otherwise(1)).as("failing_cols"))
+
+  /** K3: 6-column equi merge of the aggregate into the history table,
+    * bootstrapping on first run (checker_handler.py:158-194).
+    */
+  def upsertAggregated(df: DataFrame): Unit = {
+    val typed = df
+      .withColumn("run_date", col("run_date").cast("date"))
+      .withColumn("total_score", col("total_score").cast("double"))
+      .withColumn("columns_checked", col("columns_checked").cast("long"))
+      .withColumn("passing_cols", col("passing_cols").cast("long"))
+      .withColumn("failing_cols", col("failing_cols").cast("long"))
+    new MergeTable(spark, warehouse, aggregatedRef,
+      Seq("test_name", "table_name", "test_type", "layer", "run_date", "mandate"),
+      None).upsert(typed)
+  }
+
+  /** Full run (checker_handler.py:209-221). */
+  def execute(): DataFrame = {
+    saveChecks(compileResults())
+    val aggregated = aggregateResults()
+    upsertAggregated(aggregated)
+    aggregated
+  }
+}
