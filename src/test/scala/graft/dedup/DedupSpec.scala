@@ -1,0 +1,81 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.text.TextFunctions
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"), // case/ws variant of 1
+      (4L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup (1 token)
+      (5L, "completely different content about spark catalyst optimizer rules and physical plans"),
+      (6L, "completely different content about flink streaming state and watermarks tonight")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps lowest id per normalized content") {
+    import spark.implicits._
+    val kept = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1,2,3 collapse to 1 (fingerprint normalizes case+whitespace)
+    assert(kept === Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("minhash LSH finds the near-dup pair and skips unrelated docs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashCandidates(docs.filter($"doc_id".isin(1L, 4L, 5L, 6L)),
+        "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.contains((1L, 5L)))
+    assert(!pairs.contains((5L, 6L))) // same topic prefix but jaccard < threshold
+  }
+
+  test("jaccard matches hand-computed shingle overlap") {
+    import spark.implicits._
+    val j = Seq(("a b c d", "a b c e"))
+      .toDF("x", "y")
+      .select(Dedup.ngramJaccard(col("x"), col("y"), 3).as("j"))
+      .as[Double].collect()(0)
+    // shingles x: {a b c, b c d}; y: {a b c, b c e} → 1/3
+    assert(math.abs(j - 1.0 / 3) < 1e-9)
+  }
+
+  test("simhash: identical text → distance 0; near text → small; far text → large") {
+    import spark.implicits._
+    val sigs = docs.select($"doc_id",
+      Dedup.simhash(TextFunctions.tokens($"text")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 4L) < 12)   // one-token difference
+    assert(ham(1L, 5L) > 12)   // unrelated
+  }
+
+  test("simhashNearDups blocks and verifies") {
+    import spark.implicits._
+    val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)))
+    assert(out.contains((1L, 4L)))
+    assert(!out.contains((1L, 5L)))
+  }
+
+  test("minhash signature is deterministic and length-stable") {
+    import spark.implicits._
+    val sig = docs.limit(1).select(
+      Dedup.minhashSignature(TextFunctions.tokens($"text"), 3, 32).as("s"))
+      .as[Seq[Long]].collect()(0)
+    assert(sig.length === 32)
+    val again = docs.limit(1).select(
+      Dedup.minhashSignature(TextFunctions.tokens($"text"), 3, 32).as("s"))
+      .as[Seq[Long]].collect()(0)
+    assert(sig === again)
+  }
+}

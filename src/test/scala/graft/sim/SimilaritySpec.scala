@@ -1,0 +1,79 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // close to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.95f, 0.05f, 0.0f)), // close to 2
+      (4L, Seq(0.0f, 0.0f, 1.0f, 1.0f)),
+      (5L, Seq(0.0f, 0.0f, 0.0f, 0.0f))   // zero vector
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("cosine: orthogonal=0, identical=1, zero-vector safe") {
+    import spark.implicits._
+    val out = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect().toSeq
+    assert(out(0) === 0.0)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+    assert(out(2) === 0.0)
+  }
+
+  test("brute-force top-k returns ranked nearest neighbors") {
+    import spark.implicits._
+    val queries = vecs.filter($"vec_id".isin(0L, 2L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val out = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 2)
+      .select("query_id", "rank", "id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(out === Set((0L, 1, 0L), (0L, 2, 1L), (2L, 1, 2L), (2L, 2, 3L)))
+  }
+
+  test("IVF: centroids sampled, assignment total, probe search matches brute force top-1") {
+    import spark.implicits._
+    val corpus = vecs.filter($"vec_id" =!= 5L)
+    val centroids = Similarity.sampleCentroids(corpus, "vec_id", "embedding", nlist = 3)
+    assert(centroids.count() <= 3 && centroids.count() > 0)
+    val assigned = Similarity.assign(corpus, "vec_id", "embedding", centroids)
+    assert(assigned.count() === corpus.count()) // every row lands somewhere
+    assert(assigned.columns.contains("cid"))
+
+    val queries = Seq((100L, Seq(0.95f, 0.05f, 0.0f, 0.0f)))
+      .toDF("query_id", "qvec")
+    val ivf = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        queries, "query_id", "qvec", k = 1, nprobe = 3)
+      .select("id").as[Long].collect().toSeq
+    val bf = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(ivf === bf) // nprobe=nlist → exhaustive, must agree exactly
+  }
+
+  test("sign-LSH near-dups find close pairs, skip orthogonal ones") {
+    import spark.implicits._
+    val out = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
+        threshold = 0.9, planes = 12, bands = 3, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L)))
+    assert(out.contains((2L, 3L)))
+    assert(!out.exists { case (a, b) => Set(a, b) === Set(0L, 2L) })
+  }
+
+  test("hyperplanes are deterministic") {
+    assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
+    assert(Similarity.hyperplanes(4, 8).flatten.forall(v => v >= -1.0 && v <= 1.0))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def eval1[T](text: String, c: org.apache.spark.sql.Column): T = {
+    import spark.implicits._
+    Seq(text).toDF("t").select(c.as("out")).collect()(0).getAs[T]("out")
+  }
+
+  test("tokens and counts handle empties and runs of whitespace") {
+    assert(eval1[Int]("a  b\t c", TextFunctions.tokenCount(col("t"))) === 3)
+    assert(eval1[Int]("", TextFunctions.tokenCount(col("t"))) === 0)
+    assert(eval1[Int]("   ", TextFunctions.tokenCount(col("t"))) === 0)
+  }
+
+  test("bpe-ish token count: ~len/4 per word plus punctuation") {
+    // "hello world!" → ceil(5/4)+ceil(6/4)=2+2 pieces... world! is one
+    // whitespace token of length 6 → 2; plus 1 punct char
+    assert(eval1[Long]("hello world!", TextFunctions.bpeTokenCountApprox(col("t"))) === 5L)
+  }
+
+  test("punct and stopword ratios") {
+    assert(eval1[Double]("a, b.", TextFunctions.punctRatio(col("t"))) === 2.0 / 5)
+    assert(eval1[Double]("the cat sat", TextFunctions.stopwordRatio(col("t"), Stopwords.english))
+      === 1.0 / 3)
+    assert(eval1[Double]("", TextFunctions.stopwordRatio(col("t"), Stopwords.english)) === 0.0)
+  }
+
+  test("langId separates languages and falls back to und") {
+    assert(eval1[String]("the quick fox jumps over the lazy dog and it is fast",
+      TextFunctions.langId(col("t"))) === "en")
+    assert(eval1[String]("el gato que está en la casa es muy bonito y los perros",
+      TextFunctions.langId(col("t"))) === "es")
+    assert(eval1[String]("der Hund und die Katze sind nicht im Haus mit dem Mann",
+      TextFunctions.langId(col("t"))) === "de")
+    assert(eval1[String]("zzz qqq xxx", TextFunctions.langId(col("t"))) === "und")
+  }
+
+  test("quality score rewards normal prose, punishes degenerate text") {
+    val prose = "the quick brown fox jumps over the lazy dog and runs away to the forest"
+    val junk = "!!! ??? *** ### !!!"
+    val good = eval1[Double](prose, TextFunctions.qualityScore(col("t")))
+    val bad = eval1[Double](junk, TextFunctions.qualityScore(col("t")))
+    assert(good === 1.0)
+    assert(bad < 0.5)
+  }
+
+  test("fingerprint is whitespace/case insensitive, content sensitive") {
+    import spark.implicits._
+    val fps = Seq("Hello  World", "hello world", "hello worlds")
+      .toDF("t").select(TextFunctions.fingerprint(col("t")).as("f"))
+      .as[Long].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("shingles: distinct k-grams, empty under k tokens") {
+    import spark.implicits._
+    val sh = Seq("a b c d", "a b", "a b a b a b")
+      .toDF("t")
+      .select(Shingles.shingles(TextFunctions.tokens(col("t")), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(sh(0) === Seq("a b c", "b c d"))
+    assert(sh(1) === Seq.empty)
+    assert(sh(2) === Seq("a b a", "b a b")) // distinct
+  }
+}
