@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sinks.Merge
+
+/** SURVEY.md §2 operator rows not covered by CoreQueries: window
+  * duplicate-flagging (W2), joins (broadcast dim chain, large equi,
+  * semi/anti), generator explode (G1), scalar projection families
+  * (P4-P20), set ops (U1), and the native CDC merge (J1/K2) exercised
+  * as a pure DataFrame transform. Each query pairs with a DuckDB oracle
+  * in [[oracles]]; determinism rules follow CoreQueries (rounding,
+  * total orders, identical aliases).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** W2 (lib/checker.py:163-165): flag 2nd+ occurrence per key — the
+    * duplicate-annotation operator, not a filter.
+    */
+  def qW2DupFlags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+    Tables.load(spark, dir, "orders")
+      .withColumn("is_dup",
+        when(row_number().over(w) > 1, "failed").otherwise(lit("passed")))
+      .select($"o_orderkey", $"o_custkey", $"is_dup")
+  }
+
+  val qW2DupFlagsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CASE WHEN row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) > 1
+      |       THEN 'failed' ELSE 'passed' END AS is_dup
+      |FROM orders""".stripMargin
+
+  /** Broadcast dimension chain: region ⋈ nation ⋈ customer. The two
+    * dims are explicitly broadcast — at 100 TB the fact side never
+    * shuffles for the join; only the final 5-group aggregate does.
+    */
+  def qJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = Tables.load(spark, dir, "region")
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+    customer
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(
+        count(lit(1)).as("customers"),
+        round(sum($"c_acctbal"), 2).as("total_acctbal"))
+  }
+
+  val qJoinBroadcastSql: String =
+    """SELECT r_name, count(*) AS customers,
+      |       round(sum(c_acctbal), 2) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  /** Large fact-fact equi join: orders ⋈ lineitem on the natural key.
+    * Both sides shuffle-hash/sort-merge on l_orderkey; the aggregate's
+    * map-side combine collapses to 5 priority groups before the final
+    * exchange.
+    */
+  def qJoinLarge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("line_count"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+  }
+
+  val qJoinLargeSql: String =
+    """SELECT o_orderpriority, count(*) AS line_count,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Left-semi + left-anti joins: per nation, customers with vs without
+    * orders. Semi/anti never widen rows — at scale they shuffle only
+    * the key column of the probe side.
+    */
+  def qJoinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders").select($"o_custkey")
+    val nation = Tables.load(spark, dir, "nation")
+    val withOrders = customer.join(orders, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("with_orders"))
+    val withoutOrders = customer.join(orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("without_orders"))
+    // broadcast the RIGHT side of the outer joins (the per-nation
+    // aggregates are ≤ |nation| rows); a left-side broadcast on a left
+    // join is unsupported and would be silently ignored
+    nation
+      .join(broadcast(withOrders), $"n_nationkey" === withOrders("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(broadcast(withoutOrders), $"n_nationkey" === withoutOrders("c_nationkey"), "left")
+      .select($"n_name",
+        coalesce($"with_orders", lit(0L)).as("with_orders"),
+        coalesce($"without_orders", lit(0L)).as("without_orders"))
+  }
+
+  val qJoinSemiAntiSql: String =
+    """WITH w AS (
+      |  SELECT c_nationkey, count(*) AS with_orders FROM customer
+      |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_nationkey),
+      |wo AS (
+      |  SELECT c_nationkey, count(*) AS without_orders FROM customer
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  GROUP BY c_nationkey)
+      |SELECT n_name, coalesce(w.with_orders, 0) AS with_orders,
+      |       coalesce(wo.without_orders, 0) AS without_orders
+      |FROM nation
+      |LEFT JOIN w ON n_nationkey = w.c_nationkey
+      |LEFT JOIN wo ON n_nationkey = wo.c_nationkey""".stripMargin
+
+  /** G1 (silver/prices/prices.sql:3-13): generator explode — unnest
+    * document tokens, aggregate counts per long token. The explode
+    * multiplies rows executor-side; the aggregate's partial combine
+    * keeps the shuffle at vocabulary size.
+    */
+  def qExplodeTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(filter(split($"text", "\\s+"), t => length(t) > 3)).as("token"))
+      .groupBy($"token")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  val qExplodeTokensSql: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                            t -> length(t) > 3)) AS token
+      |  FROM documents)
+      |GROUP BY token""".stripMargin
+
+  /** String scalar family over customer: concat_ws composite key (P9),
+    * lower/trim/isin membership (P16/P17), rlike (P18), CASE (P11).
+    */
+  def qScalarString(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "customer")
+      .select(
+        concat_ws("_", $"c_custkey".cast("string"), $"c_mktsegment").as("df_key"),
+        when(lower(trim($"c_mktsegment")).isin("building", "machinery"), "industrial")
+          .otherwise(lit("other")).as("segment_class"),
+        when($"c_name".rlike("^Customer#[0-9]+$"), "failed")
+          .otherwise(lit("passed")).as("name_pattern"),
+        upper($"c_mktsegment").as("segment_upper"),
+        length($"c_name").as("name_len"))
+  }
+
+  val qScalarStringSql: String =
+    """SELECT
+      |  concat_ws('_', CAST(c_custkey AS VARCHAR), c_mktsegment) AS df_key,
+      |  CASE WHEN lower(trim(c_mktsegment)) IN ('building', 'machinery')
+      |       THEN 'industrial' ELSE 'other' END AS segment_class,
+      |  CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$')
+      |       THEN 'failed' ELSE 'passed' END AS name_pattern,
+      |  upper(c_mktsegment) AS segment_upper,
+      |  length(c_name) AS name_len
+      |FROM customer""".stripMargin
+
+  /** Date/time + cast scalar family over orders: date casts (P6),
+    * date_sub (P14), epoch round-trip (P13), int string round-trip
+    * (P4-ish without float formatting hazards), try-cast null path (P7).
+    */
+  def qScalarDatetime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select(
+        $"o_orderkey",
+        $"o_orderdate".cast("date").as("order_date"),
+        date_sub($"o_orderdate".cast("date"), 30).as("date_minus_30"),
+        year($"o_orderdate").as("order_year"),
+        unix_timestamp($"o_orderdate").as("epoch_s"),
+        from_unixtime(unix_timestamp($"o_orderdate")).cast("date").as("epoch_roundtrip"),
+        $"o_orderkey".cast("string").cast("long").as("key_roundtrip"),
+        $"o_orderpriority".try_cast("int").as("priority_as_int"))
+  }
+
+  val qScalarDatetimeSql: String =
+    """SELECT
+      |  o_orderkey,
+      |  CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(o_orderdate AS DATE) - 30 AS date_minus_30,
+      |  year(o_orderdate) AS order_year,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+      |  CAST(to_timestamp(epoch(o_orderdate)) AS DATE) AS epoch_roundtrip,
+      |  CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+      |  TRY_CAST(o_orderpriority AS INTEGER) AS priority_as_int
+      |FROM orders""".stripMargin
+
+  /** U1: schema-aligned unionByName of two projections. */
+  def qUnion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.load(spark, dir, "nation")
+      .select($"n_name".as("entity"), lit("nation").as("kind"))
+    val regions = Tables.load(spark, dir, "region")
+      .select(lit("region").as("kind"), $"r_name".as("entity")) // reversed order: unionByName aligns
+    nations.unionByName(regions)
+  }
+
+  val qUnionSql: String =
+    """SELECT n_name AS entity, 'nation' AS kind FROM nation
+      |UNION ALL
+      |SELECT r_name AS entity, 'region' AS kind FROM region""".stripMargin
+
+  /** J1/K2: the native CDC merge as a pure transform. Target = latest
+    * even-id event per user, source = latest odd-id event per user;
+    * merge on user_id with `source.ts >= target.ts`. Exercises
+    * update-all, insert, AND the Delta stale-row-insert quirk inside
+    * the DuckDB-checked gate (the oracle's FULL OUTER JOIN reproduces
+    * the same three-way case split).
+    */
+  def qMergeCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"value")
+    def latestPerUser(df: DataFrame) = {
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+      df.withColumn("__rn", row_number().over(w)).filter($"__rn" === 1).drop("__rn")
+    }
+    val target = latestPerUser(events.filter($"event_id" % 2 === 0))
+    val source = latestPerUser(events.filter($"event_id" % 2 === 1))
+    // `value` passes through unrounded: both engines read the same
+    // stored double and no arithmetic touches it
+    Merge.merge(target, source, Seq("user_id"), Some("ts"))
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+  }
+
+  val qMergeCdcSql: String =
+    """WITH tgt AS (
+      |  SELECT user_id, event_id, ts, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      |    FROM events WHERE event_id % 2 = 0) WHERE rn = 1),
+      |src AS (
+      |  SELECT user_id, event_id, ts, value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      |    FROM events WHERE event_id % 2 = 1) WHERE rn = 1)
+      |SELECT
+      |  coalesce(s.user_id, t.user_id) AS user_id,
+      |  CASE WHEN s.user_id IS NOT NULL THEN s.event_id ELSE t.event_id END AS event_id,
+      |  epoch_us(CASE WHEN s.user_id IS NOT NULL THEN s.ts ELSE t.ts END) AS ts_us,
+      |  CASE WHEN s.user_id IS NOT NULL THEN s.value ELSE t.value END AS value
+      |FROM tgt t
+      |FULL OUTER JOIN src s ON t.user_id = s.user_id AND s.ts >= t.ts""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_w2_dup_flags" -> (qW2DupFlags _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_large" -> (qJoinLarge _),
+    "q_join_semi_anti" -> (qJoinSemiAnti _),
+    "q_explode_tokens" -> (qExplodeTokens _),
+    "q_scalar_string" -> (qScalarString _),
+    "q_scalar_datetime" -> (qScalarDatetime _),
+    "q_union" -> (qUnion _),
+    "q_merge_cdc" -> (qMergeCdc _))
+
+  def oracles: Map[String, String] = Map(
+    "q_w2_dup_flags" -> qW2DupFlagsSql,
+    "q_join_broadcast" -> qJoinBroadcastSql,
+    "q_join_large" -> qJoinLargeSql,
+    "q_join_semi_anti" -> qJoinSemiAntiSql,
+    "q_explode_tokens" -> qExplodeTokensSql,
+    "q_scalar_string" -> qScalarStringSql,
+    "q_scalar_datetime" -> qScalarDatetimeSql,
+    "q_union" -> qUnionSql,
+    "q_merge_cdc" -> qMergeCdcSql)
+}
