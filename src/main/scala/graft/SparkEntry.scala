@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, RelationalQueries}
+import graft.queries.{CoreQueries, DedupQueries, QualityQueries, RelationalQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ RelationalQueries.queries
+    CoreQueries.queries ++ RelationalQueries.queries ++
+      QualityQueries.queries ++ TextQueries.queries ++
+      DedupQueries.queries ++ SimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ RelationalQueries.oracles
+    CoreQueries.oracles ++ RelationalQueries.oracles ++
+      QualityQueries.oracles ++ TextQueries.oracles ++
+      DedupQueries.oracles ++ SimQueries.oracles
 }

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Dedup operators in the gate. Exact dedup and pairwise n-gram Jaccard
+  * have value-level DuckDB oracles; MinHash/SimHash signatures hash with
+  * xxhash64 (no DuckDB twin) so their queries are rows-only checked —
+  * their SEMANTICS are covered by DedupSpec and by the jaccard oracle
+  * (verification reuses the same shingle code).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: survivors' ids (min id per normalized-content group). */
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exactDedup(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .select($"doc_id", $"n_chars")
+  }
+
+  val qDedupExactSql: String =
+    """SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id IN (
+      |  SELECT min(doc_id) FROM documents
+      |  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin
+
+  /** Pairwise 3-gram Jaccard over a deterministic candidate pairing
+    * (adjacent doc ids) — exercises shingling + set-overlap scoring with
+    * a value-level oracle.
+    */
+  def qNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val a = docs.select($"doc_id".as("id_a"), $"text".as("text_a"))
+    val b = docs.select($"doc_id".as("id_b"), $"text".as("text_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6).as("jaccard"))
+  }
+
+  val qNgramJaccardSql: String = {
+    def shingles(t: String) =
+      s"""list_distinct(list_transform(
+         |  range(0, len(list_filter(regexp_split_to_array($t, '\\s+'), x -> length(x) > 0)) - 2),
+         |  i -> array_to_string(
+         |         list_filter(regexp_split_to_array($t, '\\s+'), x -> length(x) > 0)[i+1:i+3],
+         |         ' ')))""".stripMargin
+    s"""SELECT id_a, id_b,
+       |  round(CASE WHEN len(list_distinct(list_concat(sh_a, sh_b))) = 0 THEN 0.0
+       |    ELSE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+       |         / len(list_distinct(list_concat(sh_a, sh_b))) END, 6) AS jaccard
+       |FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${shingles("a.text")} AS sh_a,
+       |    ${shingles("b.text")} AS sh_b
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)""".stripMargin
+  }
+
+  /** MinHash-LSH near-dup candidates (rows-only check: xxhash64-based).
+    * Threshold low enough that the synthetic corpus yields pairs.
+    */
+  def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.2)
+
+  /** SimHash near-dups (rows-only check: xxhash64-based). maxHamming=6:
+    * the synthetic corpus shares one small vocabulary, so looser bounds
+    * degenerate into topic-matching rather than near-dup detection.
+    */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.load(spark, dir, "documents"),
+      "doc_id", "text", maxHamming = 6)
+
+  /** SimHash signatures themselves — deterministic, rows-only. */
+  def qSimhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("simhash"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
+    "q_simhash_signatures" -> (qSimhashSignatures _))
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_ngram_jaccard" -> qNgramJaccardSql)
+}

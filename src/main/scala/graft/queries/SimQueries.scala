@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sim.Similarity
+
+/** Similarity-search operators in the gate.
+  *
+  * - `q_ann_topk`: exact brute-force cosine top-k — rank-level oracle
+  *   (both engines compute cosine in double; ranks compare, floats
+  *   don't cross the hash).
+  * - `q_embed_neardup`: banded sign-LSH + verify, made oracle-checkable
+  *   by unioning each vector with a scaled clone (same direction ⇒
+  *   cosine 1, identical sign bits ⇒ candidate guaranteed): the result
+  *   is exactly the clone pairs, independent of hash internals.
+  * - `q_ann_ivf`: approximate probe search — rows-only check; its
+  *   agreement with brute force at nprobe=nlist is covered by
+  *   SimilaritySpec.
+  */
+object SimQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
+  private val NQUERIES = 8
+
+  def qAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val queries = corpus.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", K)
+      .select("query_id", "rank", "id")
+  }
+
+  val qAnnTopKSql: String =
+    s"""SELECT query_id, rank, id FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |    row_number() OVER (
+       |      PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                      CAST(q.embedding AS DOUBLE[])) DESC,
+       |               c.vec_id ASC) AS rank
+       |  FROM embeddings c, embeddings q
+       |  WHERE q.vec_id < $NQUERIES)
+       |WHERE rank <= $K""".stripMargin
+
+  /** Corpus ∪ scaled clones (vec_id + 10^7, each component ×1.5):
+    * near-dup detection must recover exactly the (v, clone) pairs at
+    * threshold 0.99 — the synthetic corpus's own max pair similarity is
+    * ~0.48.
+    */
+  def qEmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val clones = base.select(
+      ($"vec_id" + 10000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.5f)).as("embedding"))
+    Similarity.cosineNearDups(base.unionByName(clones), "vec_id", "embedding",
+        threshold = 0.99, planes = 16, bands = 4, dim = 64)
+      .select("id_a", "id_b")
+  }
+
+  val qEmbedNearDupSql: String =
+    """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b FROM embeddings""".stripMargin
+
+  /** IVF probe search (approximate — rows-only check). */
+  def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(corpus, "vec_id", "embedding", nlist = 16)
+    val assigned = Similarity.assign(corpus, "vec_id", "embedding", centroids)
+    val queries = corpus.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        queries, "query_id", "qvec", k = K, nprobe = 4)
+      .select("query_id", "rank", "id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_ann_topk" -> (qAnnTopK _),
+    "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_ann_ivf" -> (qAnnIvf _))
+
+  def oracles: Map[String, String] = Map(
+    "q_ann_topk" -> qAnnTopKSql,
+    "q_embed_neardup" -> qEmbedNearDupSql)
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{Stopwords, TextFunctions}
+
+/** Text-analysis operators in the gate. The DuckDB oracles are GENERATED
+  * from the same stopword lists / thresholds the Spark side uses —
+  * single source of truth, so list edits can't desynchronize the check.
+  * Ratio outputs are rounded (6dp) after identical-operand divisions;
+  * the division inputs are integers computed identically in both
+  * engines, so the rounded doubles match bit-for-bit.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** DuckDB token list mirroring TextFunctions.tokens. */
+  private val sqlTokens = """list_filter(regexp_split_to_array(text, '\s+'), x -> length(x) > 0)"""
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextFunctions.tokens($"text")
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        TextFunctions.tokenCount($"text").as("n_tokens"),
+        length($"text").as("n_chars_actual"),
+        regexp_count($"text", lit("[^A-Za-z0-9\\s]")).as("punct_chars"),
+        size(filter(toks, t => length(t) > 5)).as("long_tokens"),
+        round(TextFunctions.meanTokenLength($"text"), 6).as("mean_token_len"),
+        round(TextFunctions.punctRatio($"text"), 6).as("punct_ratio"),
+        TextFunctions.bpeTokenCountApprox($"text").as("bpe_tokens"))
+  }
+
+  val qTextStatsSql: String =
+    s"""SELECT doc_id,
+       |  len($sqlTokens) AS n_tokens,
+       |  length(text) AS n_chars_actual,
+       |  len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS punct_chars,
+       |  len(list_filter($sqlTokens, t -> length(t) > 5)) AS long_tokens,
+       |  round(CASE WHEN len($sqlTokens) = 0 THEN 0.0
+       |    ELSE CAST(list_sum(list_transform($sqlTokens, t -> length(t))) AS DOUBLE)
+       |         / len($sqlTokens) END, 6) AS mean_token_len,
+       |  round(CASE WHEN length(text) = 0 THEN 0.0
+       |    ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |         / length(text) END, 6) AS punct_ratio,
+       |  CAST(list_sum(list_transform($sqlTokens,
+       |         t -> CAST(ceil(CAST(length(t) AS DOUBLE) / 4.0) AS BIGINT))) AS BIGINT)
+       |    + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  /** Language ID with per-language evidence columns. The `lang_pred`
+    * CASE chain implements argmax with first-in-list tie priority —
+    * exactly TextFunctions.langId's struct-max semantics.
+    */
+  def qTextLangid(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val langCols = Stopwords.languages.map { case (code, words) =>
+      round(TextFunctions.stopwordRatio($"text", words), 6).as(s"score_$code")
+    }
+    Tables.load(spark, dir, "documents")
+      .select(($"doc_id" +: $"lang".as("lang_declared") +: langCols :+
+        TextFunctions.langId($"text").as("lang_pred")): _*)
+  }
+
+  val qTextLangidSql: String = {
+    val scoreExprs = Stopwords.languages.map { case (code, words) =>
+      s"""round(CASE WHEN len($sqlTokens) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter($sqlTokens,
+         |           t -> lower(t) IN ${sqlList(words.map(_.toLowerCase))})) AS DOUBLE)
+         |         / len($sqlTokens) END, 6) AS score_$code""".stripMargin
+    }
+    val codes = Stopwords.languages.map(_._1)
+    // un-rounded scores drive the argmax (same as the Spark side)
+    val rawScore = codes.zip(Stopwords.languages.map(_._2)).map { case (code, words) =>
+      s"""CASE WHEN len($sqlTokens) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter($sqlTokens,
+         |           t -> lower(t) IN ${sqlList(words.map(_.toLowerCase))})) AS DOUBLE)
+         |         / len($sqlTokens) END AS raw_$code""".stripMargin
+    }
+    val cases = codes.zipWithIndex.map { case (code, i) =>
+      val geAll = codes.filterNot(_ == code).map(o => s"raw_$code >= raw_$o").mkString(" AND ")
+      s"WHEN $geAll AND raw_$code > 0 THEN '$code'"
+    }
+    // earlier languages get >= (they win ties); ordering of WHENs makes
+    // the first maximal language the answer
+    s"""SELECT doc_id, lang_declared, ${codes.map(c => s"score_$c").mkString(", ")},
+       |  CASE ${cases.mkString(" ")} ELSE 'und' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id, lang AS lang_declared,
+       |    ${scoreExprs.mkString(",\n    ")},
+       |    ${rawScore.mkString(",\n    ")}
+       |  FROM documents)""".stripMargin
+  }
+
+  /** Full quality-score formula in the gate. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        TextFunctions.qualityScore($"text").as("quality"),
+        TextFunctions.tokenCount($"text").as("n_tokens"))
+  }
+
+  val qTextQualitySql: String = {
+    val sw = sqlList(Stopwords.english.map(_.toLowerCase))
+    s"""SELECT doc_id,
+       |  round(CAST(len_score * 0.25 + punct_score * 0.2 + sw_score * 0.25 +
+       |             word_score * 0.1 + alpha_score * 0.2 AS DOUBLE), 4) AS quality,
+       |  CAST(n_tokens AS INTEGER) AS n_tokens
+       |FROM (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens >= 5 AND n_tokens <= 10000 THEN 1.0
+       |         WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END AS len_score,
+       |    CASE WHEN punct <= 0.2 THEN 1.0 WHEN punct <= 0.4 THEN 0.5
+       |         ELSE 0.0 END AS punct_score,
+       |    CASE WHEN swr >= 0.05 AND swr <= 0.6 THEN 1.0 ELSE 0.3 END AS sw_score,
+       |    CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END AS word_score,
+       |    CASE WHEN alpha >= 0.7 THEN 1.0 WHEN alpha >= 0.4 THEN 0.5
+       |         ELSE 0.0 END AS alpha_score,
+       |    n_tokens
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len($sqlTokens) AS DOUBLE) AS n_tokens,
+       |      CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+       |             / length(text) END AS punct,
+       |      CASE WHEN len($sqlTokens) = 0 THEN 0.0
+       |        ELSE CAST(len(list_filter($sqlTokens, t -> lower(t) IN $sw)) AS DOUBLE)
+       |             / len($sqlTokens) END AS swr,
+       |      CASE WHEN len($sqlTokens) = 0 THEN 0.0
+       |        ELSE CAST(list_sum(list_transform($sqlTokens, t -> length(t))) AS DOUBLE)
+       |             / len($sqlTokens) END AS mwl,
+       |      CASE WHEN length(text) = 0 THEN 0.0
+       |        ELSE CAST(len(regexp_extract_all(text, '[A-Za-z0-9]')) AS DOUBLE)
+       |             / length(text) END AS alpha
+       |    FROM documents))""".stripMargin
+  }
+
+  /** Fingerprints: xxhash64 has no DuckDB twin → no oracle (driver
+    * records a rows-only check). Deterministic across runs regardless.
+    */
+  def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        TextFunctions.fingerprint($"text").as("fp"),
+        TextFunctions.shingleSketch($"text", 3, 8).as("sketch"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    "q_text_stats" -> (qTextStats _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_fingerprint" -> (qTextFingerprint _))
+
+  def oracles: Map[String, String] = Map(
+    "q_text_stats" -> qTextStatsSql,
+    "q_text_langid" -> qTextLangidSql,
+    "q_text_quality" -> qTextQualitySql)
+}
