@@ -55,16 +55,28 @@ object Dedup {
   /** MinHash signature (array<long>, length numHashes) of a token
     * array's k-shingle set. Shingle → xxhash64 → 31-bit reduce → per-j
     * universal hash (a_j·h + b_j mod P) → min. Pure per-row expression.
+    *
+    * Computed as ONE `aggregate` pass over the shingle hashes folding a
+    * numHashes-wide accumulator (`least` per lane against a literal
+    * (a,b)-parameter array). The naive alternative — numHashes separate
+    * `array_min(transform(hashes, ...))` columns — references the
+    * hash-array expression numHashes times, and interpreted HOF
+    * evaluation recomputes it each time (no subexpression reuse off the
+    * codegen path): 64× the tokenize+shingle+hash work per row.
+    * Empty docs keep the all-P sentinel accumulator.
     */
   def minhashSignature(tokens: Column, k: Int = 3, numHashes: Int = 64): Column = {
+    val params = array((0 until numHashes).map { j =>
+      val (a, b) = hashParams(j)
+      struct(lit(a).as("a"), lit(b).as("b"))
+    }: _*)
     val hashes = transform(Shingles.shingles(tokens, k),
       s => pmod(xxhash64(s), lit(P)))
-    val sig = (0 until numHashes).map { j =>
-      val (a, b) = hashParams(j)
-      when(size(hashes) === 0, lit(P)) // empty docs: sentinel signature
-        .otherwise(array_min(transform(hashes, h => pmod(h * a + b, lit(P)))))
-    }
-    array(sig: _*)
+    aggregate(
+      hashes,
+      array_repeat(lit(P), numHashes),
+      (acc, h) => zip_with(acc, params,
+        (accJ, p) => least(accJ, pmod(h * p.getField("a") + p.getField("b"), lit(P)))))
   }
 
   /** LSH band keys for a signature: `bands` hashes, each over
@@ -95,7 +107,11 @@ object Dedup {
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                         threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val sigs = df.select(
+    // thin repartition BEFORE the per-row signature work: source tables
+    // often arrive as few fat partitions (one parquet file = one task),
+    // and signature compute — not IO — is the bottleneck to spread
+    val spread = spreadThin(df, idCol, textCol)
+    val sigs = spread.select(
       col(idCol).as("id"),
       minhashSignature(toks, k, numHashes).as("sig"))
     val exploded = sigs
@@ -115,7 +131,7 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
-    val shingleSets = df.select(
+    val shingleSets = spread.select(
       col(idCol).as("id"), Shingles.shingles(toks, k).as("sh"))
     pairs
       .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -123,6 +139,15 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Round-robin repartition of just (id, text) to the session's
+    * shuffle parallelism — compute-bound signature stages must not
+    * inherit the scan's few-fat-files partitioning.
+    */
+  private def spreadThin(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.select(col(idCol), col(textCol)).repartition(parts)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -169,25 +194,36 @@ object Dedup {
     * Blocking: the 63-bit hash splits into `maxHamming + 1` chunks — by
     * pigeonhole, any pair within the distance bound shares at least one
     * identical chunk. Shuffles only (id, chunk_ix, chunk_val).
+    *
+    * `maxBucket` caps the quadratic self-join exactly like
+    * [[minhashCandidates]]: a chunk value shared by n docs yields n²/2
+    * candidate pairs, and corpora with a narrow vocabulary concentrate
+    * chunk values heavily — unbounded, a 5k-doc toy corpus already
+    * explodes into billions of join rows. Pairs inside dropped buckets
+    * can still be found through their other maxHamming chunks.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
     val chunks = maxHamming + 1
     val width = (simhashBits + chunks - 1) / chunks
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = spreadThin(df, idCol, textCol).select(col(idCol).as("id"),
       simhash(TextFunctions.tokens(col(textCol))).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { i =>
         shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk_ix", "chunk_val")))
-    chunked.as("l")
-      .join(chunked.as("r"),
+    val bucketCounts = chunked.groupBy("chunk_ix", "chunk_val")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") > 1)
+    val bounded = chunked.join(bucketCounts, Seq("chunk_ix", "chunk_val"), "left_semi")
+    bounded.as("l")
+      .join(bounded.as("r"),
         col("l.chunk_ix") === col("r.chunk_ix") &&
           col("l.chunk_val") === col("r.chunk_val") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         hammingDistance(col("l.sig"), col("r.sig")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -67,7 +67,8 @@ object DedupQueries {
     */
   def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashCandidates(Tables.load(spark, dir, "documents"),
-      "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.2)
+      "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.2,
+      maxBucket = 200)
 
   /** SimHash near-dups (rows-only check: xxhash64-based). maxHamming=6:
     * the synthetic corpus shares one small vocabulary, so looser bounds

@@ -19,6 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Round-robin repartition to the session's shuffle parallelism:
+    * embedding tables often arrive as one fat parquet partition, and
+    * the per-row HOF vector math (interpreted, off the codegen path) is
+    * compute-bound — it must not inherit single-task input layout.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(parts)
+  }
+
   /** Dot product in double precision (fold order = element order, so
     * results are bit-deterministic across runs).
     */
@@ -43,7 +53,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
                      queries: DataFrame, queryId: String, queryVec: String,
                      k: Int): DataFrame = {
-    val scored = corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv"))
+    val scored = spread(corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv")))
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
       .select(col("query_id"), col("id"), cosine(col("__cv"), col("__qv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
@@ -77,7 +87,7 @@ object Similarity {
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
+    val scored = spread(corpus).crossJoin(broadcast(centroids))
       .withColumn("__sim", cosine(col(vecCol), col("centroid")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -160,8 +170,9 @@ object Similarity {
                      threshold: Double = 0.95, planes: Int = 16,
                      bands: Int = 4, dim: Int = 64): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val keyed = df.select(col(idCol).as("id"),
-      explode(signBands(col(vecCol), planes, bands, dim)).as("bk"))
+    val keyed = spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+      .select(col("id"),
+        explode(signBands(col("vec"), planes, bands, dim)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
     val pairs = keyed.as("l").join(keyed.as("r"),
         col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&

@@ -123,12 +123,28 @@ object TextFunctions {
 object Shingles {
   /** k-token shingles joined by a single space; empty array when fewer
     * than k tokens. Distinct (set semantics for Jaccard).
+    *
+    * PERFORMANCE-CRITICAL SHAPE: higher-order functions evaluate
+    * interpreted (outside codegen) and re-evaluate any outer expression
+    * captured in a lambda body once PER ELEMENT — a naive
+    * `transform(sequence(...), i => slice(tokens, i+1, k))` re-runs the
+    * whole tokenization (regex split) O(n) times per row, O(n²) splits
+    * overall. This formulation only ever references `tokens` in
+    * argument positions (evaluated once per row): k-1 `zip_with` passes
+    * against shifted copies, null-padded tails filtered out.
     */
-  def shingles(tokens: Column, k: Int): Column =
-    when(size(tokens) < k, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(tokens) - k),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(k))))))
+  def shingles(tokens: Column, k: Int): Column = {
+    require(k >= 1, s"shingle size must be >= 1, got $k")
+    val joined = (1 until k).foldLeft(tokens) { (acc, j) =>
+      // zip_with pads the shorter side with null; concat propagates the
+      // null, marking positions with fewer than j+1 remaining tokens
+      // length = size(tokens) over-covers and clamps; an Int.MaxValue
+      // literal would overflow Slice's internal bound arithmetic
+      zip_with(acc, slice(tokens, lit(j + 1), size(tokens)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, s => s.isNotNull))
+  }
 }
 
 /** Minimal stopword lists for the language-ID heuristic — top function
