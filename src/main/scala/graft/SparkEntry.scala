@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DedupQueries, QualityQueries, RelationalQueries, SimQueries, TextQueries}
+import graft.queries.{CoreQueries, DedupQueries, MultimodalQueries, QualityQueries, RelationalQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ RelationalQueries.queries ++
       QualityQueries.queries ++ TextQueries.queries ++
-      DedupQueries.queries ++ SimQueries.queries
+      DedupQueries.queries ++ SimQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ RelationalQueries.oracles ++
       QualityQueries.oracles ++ TextQueries.oracles ++
-      DedupQueries.oracles ++ SimQueries.oracles
+      DedupQueries.oracles ++ SimQueries.oracles ++
+      MultimodalQueries.oracles
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.mm.{MediaRecord, Multimodal}
+
+/** Multimodal plumbing in the gate. Media tables are constructed from
+  * `documents` (text bytes as the opaque binary payload) with DECLARED
+  * width/height/duration metadata derived deterministically from
+  * n_chars — so the mapPartitions decode pipeline (encoders, schema,
+  * row expansion) is value-checked by DuckDB while the STUB decode
+  * internals (hash-derived brightness, content slices) stay out of the
+  * projection.
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def asMedia(spark: SparkSession, dir: String, kind: String) = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id".as("media_id"),
+        lit(kind).as("kind"),
+        concat(lit("mem://doc/"), $"doc_id").as("uri"),
+        $"text".cast("binary").as("content"),
+        ($"n_chars" % 640 + 1).cast("int").as("width"),
+        ($"n_chars" % 480 + 1).cast("int").as("height"),
+        ($"n_chars" * 10).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
+  /** Image decode: declared metadata flows through the partition-local
+    * decode; byte counts come from the real binary payload.
+    */
+  def qMmDecode(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImage(asMedia(spark, dir, "image"))
+      .toDF()
+      .select("media_id", "width", "height", "n_bytes", "aspect_ratio")
+
+  val qMmDecodeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+      |  CAST(n_chars % 480 + 1 AS INTEGER) AS height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(CAST(n_chars % 640 + 1 AS DOUBLE) / (n_chars % 480 + 1) AS DOUBLE)
+      |    AS aspect_ratio
+      |FROM documents""".stripMargin
+
+  /** Frame sampling: flatMap row expansion, one row per 1000ms
+    * interval of the declared duration.
+    */
+  def qMmFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(asMedia(spark, dir, "video"), everyMs = 1000)
+      .toDF()
+      .select("media_id", "frame_ix", "ts_ms")
+
+  val qMmFramesSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(unnest(range(n_chars * 10 // 1000)) AS INTEGER) AS frame_ix,
+      |  unnest(range(n_chars * 10 // 1000)) * 1000 AS ts_ms
+      |FROM documents""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_mm_decode" -> (qMmDecode _),
+    "q_mm_frames" -> (qMmFrames _))
+
+  def oracles: Map[String, String] = Map(
+    "q_mm_decode" -> qMmDecodeSql,
+    "q_mm_frames" -> qMmFramesSql)
+}

@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.catalog.{TableRef, Warehouse}
+import graft.sinks.MergeTable
+
+/** Structured Streaming surface (SURVEY.md §2.13 notes the reference has
+  * none — its "CDC" is batch merge; these streaming operators generalize
+  * the same semantics to unbounded input per the harness north star).
+  *
+  * Scale design: watermarks bound state; windowed aggregates shuffle on
+  * (window, key) with partial aggregation; the CDC sink reuses the SAME
+  * batch merge operator via foreachBatch, so streaming and batch
+  * ingestion cannot drift semantically.
+  */
+object EventStreams {
+
+  /** Tumbling-window aggregate with a watermark: late rows beyond the
+    * watermark are dropped, state is evicted as the watermark passes —
+    * the standard unbounded-input aggregation shape.
+    */
+  def windowedAggregates(events: DataFrame, windowDuration: String = "1 minute",
+                         watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with the built-in session_window —
+    * Catalyst's native session state management (preferred over custom
+    * state when expressible, SURVEY design stance).
+    */
+  def sessionWindows(events: DataFrame, gap: String = "30 seconds",
+                     watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  final case class EventRow(user_id: Long, ts: Timestamp, value: Double)
+  final case class RunningStats(user_id: Long, n: Long, total: Double, max_value: Double)
+
+  /** Custom per-key state via mapGroupsWithState — the escape hatch for
+    * semantics session_window can't express. Keeps a running
+    * (count, sum, max) per user across micro-batches; NoTimeout keeps
+    * the example deterministic (production code would set an
+    * event-time timeout to bound state).
+    */
+  def runningStats(events: Dataset[EventRow]): Dataset[RunningStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[RunningStats, RunningStats](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[RunningStats]) =>
+          val prev = state.getOption.getOrElse(RunningStats(userId, 0L, 0.0, Double.MinValue))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            RunningStats(userId, acc.n + 1, acc.total + e.value, math.max(acc.max_value, e.value))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Streaming CDC ingestion: every micro-batch is deduped latest-per-
+    * key and merged with the SAME MergeTable operator the batch
+    * IngestorCDC uses (foreachBatch bridges the planners) — exactly the
+    * generalization path SURVEY §2.13 sketches for the events table.
+    */
+  def cdcStream(stream: DataFrame, warehouse: Warehouse, ref: TableRef,
+                key: String, tsField: String,
+                checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val mergeTable = new MergeTable(stream.sparkSession, warehouse, ref,
+      Seq(key), Some(tsField))
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = Window.partitionBy(col(key))
+            .orderBy(col(tsField).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          mergeTable.upsert(latest)
+        }
+      }
+      .start()
+  }
+}

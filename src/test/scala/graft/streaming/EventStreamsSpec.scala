@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+import graft.catalog.{TableRef, Warehouse}
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed aggregate over a memory stream produces per-window counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStreams.windowedAggregates(events, "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:10"), "click", 1.0),
+        (ts("2026-01-01 10:00:40"), "click", 2.0),
+        (ts("2026-01-01 10:01:10"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .selectExpr("cast(window_start as string)", "event_type", "n_events", "total_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2026-01-01 10:00:00", "click", 2L, 3.0)))
+      assert(rows.contains(("2026-01-01 10:01:00", "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    // session windows only support Append: sessions emit once the
+    // watermark passes their end
+    val query = EventStreams.sessionWindows(events, "30 seconds", "2 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:00"), 1L, 1.0),
+        (ts("2026-01-01 10:00:20"), 1L, 2.0),  // same session (gap 30s)
+        (ts("2026-01-01 10:05:00"), 1L, 4.0))  // new session
+      query.processAllAvailable()
+      // advance the watermark beyond both sessions to flush them
+      input.addData((ts("2026-01-01 10:30:00"), 99L, 0.0))
+      query.processAllAvailable()
+      val rows = spark.table("sess")
+        .selectExpr("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(rows.contains((1L, 2L, 3.0)))
+      assert(rows.contains((1L, 1L, 4.0)))
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState keeps running stats across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.EventRow]
+    val query = EventStreams.runningStats(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(EventStreams.EventRow(7L, ts("2026-01-01 10:00:00"), 2.0))
+      query.processAllAvailable()
+      input.addData(
+        EventStreams.EventRow(7L, ts("2026-01-01 10:00:05"), 5.0),
+        EventStreams.EventRow(8L, ts("2026-01-01 10:00:06"), 1.0))
+      query.processAllAvailable()
+      // memory sink in Update mode appends updated rows; take latest per user
+      val byUser = spark.table("running").as[EventStreams.RunningStats]
+        .collect().groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n) }
+      assert(byUser(7L).n === 2 && byUser(7L).total === 7.0 && byUser(7L).max_value === 5.0)
+      assert(byUser(8L).n === 1 && byUser(8L).total === 1.0)
+    } finally query.stop()
+  }
+
+  test("streaming CDC merges micro-batches into the warehouse table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new Warehouse(spark, tmpDir("wh-stream"))
+    val ref = TableRef("bronze", "stream", "events_cdc")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val stream = input.toDF().toDF("user_id", "ts", "value")
+
+    // batch 1: two users, duplicate key with older ts deduped in-batch
+    input.addData(
+      (1L, ts("2026-01-01 10:00:00"), 1.0),
+      (1L, ts("2026-01-01 10:05:00"), 2.0),
+      (2L, ts("2026-01-01 10:00:00"), 9.0))
+    val q1 = EventStreams.cdcStream(stream, wh, ref, "user_id", "ts", tmpDir("ckpt"))
+    q1.awaitTermination()
+    val after1 = wh.read(ref).selectExpr("user_id", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(after1 === Map(1L -> 2.0, 2L -> 9.0))
+
+    // batch 2 (new AvailableNow run on the same checkpoint): newer row
+    // for user 1 wins, user 3 inserts
+    input.addData(
+      (1L, ts("2026-01-01 11:00:00"), 3.0),
+      (3L, ts("2026-01-01 10:30:00"), 7.0))
+    val q2 = EventStreams.cdcStream(stream, wh, ref, "user_id", "ts",
+      tmpDir("ckpt2"))
+    q2.awaitTermination()
+    val after2 = wh.read(ref).selectExpr("user_id", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(after2(1L) === 3.0)
+    assert(after2(3L) === 7.0)
+  }
+}
