@@ -1,0 +1,176 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.catalog.{TableRef, Warehouse}
+import graft.ingest.{IngestSpec, Ingestor, IngestorCDC}
+import graft.meta.TableMeta
+import graft.quality.{CheckTarget, CheckerHandler}
+
+/** The INGESTION ENGINE itself inside the DuckDB gate: each query lands
+  * the given parquet table as raw JSON in a scratch zone (all-string
+  * columns — the reference's bronze convention), runs the real
+  * Ingestor/IngestorCDC (YAML parse → schema-enforced glob scan → temp
+  * view → QUALIFY transform → overwrite / merge bootstrap), reads the
+  * warehouse table back, and re-types. The oracle derives the same
+  * result from the original parquet directly — so schema enforcement,
+  * the JSON round-trip, QUALIFY rewriting, and merge semantics are all
+  * value-checked. Doubles survive exactly: Spark's cast-to-string is
+  * shortest round-trip formatting.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def write(path: String, text: String): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, text)
+    ()
+  }
+
+  private val ordersYaml =
+    """schema:
+      |  - name: 'o_orderkey'
+      |    type: 'string'
+      |    nullable: false
+      |    key: true
+      |  - name: 'o_custkey'
+      |    type: 'string'
+      |    nullable: false
+      |  - name: 'o_orderstatus'
+      |    type: 'string'
+      |  - name: 'o_totalprice'
+      |    type: 'string'
+      |  - name: 'o_orderdate'
+      |    type: 'string'
+      |    date_predicate: true
+      |  - name: 'o_orderpriority'
+      |    type: 'string'
+      |""".stripMargin
+
+  /** CDC transform (reference assets.sql shape): cast + QUALIFY
+    * latest-order-per-customer. Key for the merge is o_custkey.
+    */
+  private val cdcYaml = ordersYaml
+    .replace("  - name: 'o_orderkey'\n    type: 'string'\n    nullable: false\n    key: true",
+      "  - name: 'o_orderkey'\n    type: 'string'\n    nullable: false")
+    .replace("  - name: 'o_custkey'\n    type: 'string'\n    nullable: false",
+      "  - name: 'o_custkey'\n    type: 'string'\n    nullable: false\n    key: true")
+
+  private val cdcSql =
+    """SELECT
+      |  cast(o_custkey as bigint) as o_custkey
+      |  , cast(o_orderkey as bigint) as o_orderkey
+      |  , cast(o_totalprice as double) as o_totalprice
+      |  , cast(o_orderdate as timestamp) as o_orderdate
+      |FROM view_orders_cdc
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""".stripMargin
+
+  /** Land orders as all-string raw JSON under `base/raw/gate/<table>`. */
+  private def landRawJson(spark: SparkSession, dir: String, base: String,
+                          table: String): Unit = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select(
+        $"o_orderkey".cast("string"),
+        $"o_custkey".cast("string"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("string"),
+        $"o_orderdate".cast("string"),
+        $"o_orderpriority")
+      .repartition(2) // two part files: the glob scan must union them
+      .write.mode("overwrite").json(s"$base/raw/gate/$table")
+  }
+
+  /** Full-load path: S1 schema-enforced glob + loaded_at + K1 overwrite. */
+  def qPipelineFull(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-full").toString
+    landRawJson(spark, dir, base, "orders_full")
+    write(s"$base/meta/bronze/orders_full/orders_full.yml", ordersYaml)
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    new Ingestor(spark, wh, IngestSpec(
+      TableRef("bronze", "gate", "orders_full"), "json",
+      s"$base/raw", s"$base/meta/bronze")).run()
+    wh.read(TableRef("bronze", "gate", "orders_full"))
+      .select(
+        $"o_orderkey".cast("bigint").as("o_orderkey"),
+        $"o_custkey".cast("bigint").as("o_custkey"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("double").as("o_totalprice"),
+        $"o_orderdate".cast("timestamp").cast("date").as("order_date"),
+        $"o_orderpriority")
+  }
+
+  val qPipelineFullSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+      |FROM orders""".stripMargin
+
+  /** CDC path: transform with QUALIFY + keyed merge (bootstrap run). */
+  def qPipelineCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-cdc").toString
+    landRawJson(spark, dir, base, "orders_cdc")
+    write(s"$base/meta/bronze/orders_cdc/orders_cdc.yml", cdcYaml)
+    write(s"$base/meta/bronze/orders_cdc/orders_cdc.sql", cdcSql)
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    new IngestorCDC(spark, wh, IngestSpec(
+      TableRef("bronze", "gate", "orders_cdc"), "json",
+      s"$base/raw", s"$base/meta/bronze")).run()
+    wh.read(TableRef("bronze", "gate", "orders_cdc"))
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        $"o_orderdate".cast("date").as("order_date"))
+  }
+
+  val qPipelineCdcSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       CAST(o_orderdate AS DATE) AS order_date
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
+  /** The full CheckerHandler lifecycle (annotate → scorecard persist →
+    * aggregate → upsert) against a scratch warehouse; the upserted
+    * aggregate table is the query result (run_date projected out — a
+    * driver-side constant).
+    */
+  def qCheckerScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-gate-checks").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val meta = TableMeta.fromYamlString(QualityQueries.scorecardYaml)
+    new CheckerHandler(spark, wh, Seq(
+      CheckTarget("silver", "orders", Tables.load(spark, dir, "orders"), meta)),
+      LocalDate.now()).execute()
+    wh.read(TableRef("silver", "checks", "aggregated_checks"))
+      .select("test_name", "table_name", "test_type", "layer", "mandate",
+        "total_score", "columns_checked", "passing_cols", "failing_cols")
+  }
+
+  val qCheckerScorecardSql: String =
+    s"""SELECT test_name, 'orders' AS table_name, test_type,
+       |  'silver' AS layer, mandate,
+       |  avg(CAST(check_score AS DOUBLE)) AS total_score,
+       |  count(*) AS columns_checked,
+       |  sum(CASE WHEN check_result = 'passed' THEN 1 ELSE 0 END) AS passing_cols,
+       |  sum(CASE WHEN check_result = 'passed' THEN 0 ELSE 1 END) AS failing_cols
+       |FROM (${QualityQueries.qQualityChecksSql.replace("\n", "\n      ")})
+       |GROUP BY test_name, test_type, mandate""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_pipeline_full" -> (qPipelineFull _),
+    "q_pipeline_cdc" -> (qPipelineCdc _),
+    "q_checker_scorecard" -> (qCheckerScorecard _))
+
+  def oracles: Map[String, String] = Map(
+    "q_pipeline_full" -> qPipelineFullSql,
+    "q_pipeline_cdc" -> qPipelineCdcSql,
+    "q_checker_scorecard" -> qCheckerScorecardSql)
+}

@@ -23,7 +23,7 @@ object QualityQueries {
   /** orders metadata: one test per check family with non-trivial
     * verdicts ('P' status fails not_in_list; priorities pass pattern).
     */
-  private val ordersYaml: String =
+  private[queries] val scorecardYaml: String =
     """schema:
       |  - name: 'o_orderkey'
       |    type: 'long'
@@ -69,7 +69,7 @@ object QualityQueries {
   private def annotated(spark: SparkSession, dir: String): DataFrame =
     new Checker(
       Tables.load(spark, dir, "orders"),
-      TableMeta.fromYamlString(ordersYaml),
+      TableMeta.fromYamlString(scorecardYaml),
       LocalDate.now()).annotateSinglePass()
 
   def qQualityChecks(spark: SparkSession, dir: String): DataFrame =
