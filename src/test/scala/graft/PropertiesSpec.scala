@@ -1,0 +1,136 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.LocalDate
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.meta.TableMeta
+import graft.quality.Checker
+import graft.sinks.Merge
+import graft.sql.QualifyRewrite
+
+/** Property-style invariants over seeded random inputs (SURVEY.md §5
+  * test strategy #3). Deterministic seeds — failures reproduce exactly.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def randomBatch(rnd: Random, n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { _ =>
+      val key = s"k${rnd.nextInt(8)}"
+      val ts = new Timestamp(1700000000000L + rnd.nextInt(1000) * 3600000L)
+      (key, ts, rnd.nextInt(100).toDouble)
+    }.toDF("k", "t", "v")
+  }
+
+  private def latestPerKey(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("k").orderBy(col("t").desc, col("v").desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  private def multiset(df: DataFrame) =
+    df.collect().map(_.toString).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("merge idempotence: merge(merge(T,B),B) == merge(T,B) for deduped batches") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(seed)
+      val target = latestPerKey(randomBatch(rnd, 12))
+      val batch = latestPerKey(randomBatch(rnd, 12))
+      val once = Merge.merge(target, batch, Seq("k"), Some("t"))
+      val twice = Merge.merge(once, batch, Seq("k"), Some("t"))
+      assert(multiset(once) === multiset(twice), s"seed=$seed")
+    }
+  }
+
+  test("merge conservation: every target key survives; every batch key present") {
+    import spark.implicits._
+    for (seed <- 10 to 13) {
+      val rnd = new Random(seed)
+      val target = latestPerKey(randomBatch(rnd, 10))
+      val batch = latestPerKey(randomBatch(rnd, 10))
+      val merged = Merge.merge(target, batch, Seq("k"), Some("t"))
+      val mergedKeys = merged.select("k").as[String].collect().toSet
+      val inputKeys = (target.select("k").as[String].collect() ++
+        batch.select("k").as[String].collect()).toSet
+      assert(mergedKeys === inputKeys, s"seed=$seed")
+    }
+  }
+
+  private val checkerYaml =
+    """schema:
+      |  - name: 'id'
+      |    type: 'string'
+      |    mandate: 'global_required'
+      |    key: true
+      |    tests:
+      |      - test_type: missing
+      |      - test_type: duplicated
+      |  - name: 'v'
+      |    type: 'double'
+      |    mandate: 'local_required'
+      |    tests:
+      |      - test_type: type_mismatch
+      |""".stripMargin
+
+  test("checker invariants: |result| = rows × tests; score ∈ {0,1} consistent with verdict") {
+    import spark.implicits._
+    for (seed <- 20 to 22) {
+      val rnd = new Random(seed)
+      val rows = (0 until 20).map { _ =>
+        val id = if (rnd.nextInt(5) == 0) "" else s"id${rnd.nextInt(10)}"
+        val v = if (rnd.nextInt(4) == 0) "junk" else rnd.nextDouble().toString
+        (id, v)
+      }
+      val df = rows.toDF("id", "v")
+      val out = new Checker(df, TableMeta.fromYamlString(checkerYaml),
+        LocalDate.of(2026, 8, 12)).annotate(singlePass = seed % 2 == 0)
+      assert(out.count() === 20L * 3, s"seed=$seed")
+      val bad = out.filter(
+        !(col("check_score") === 0 || col("check_score") === 1) ||
+        (col("check_score") === 1 && col("check_result") =!= "passed") ||
+        (col("check_score") === 0 && col("check_result") =!= "failed"))
+      assert(bad.count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("jaccard ∈ [0,1], symmetric, 1 on self for non-empty shingle sets") {
+    import spark.implicits._
+    val rnd = new Random(42)
+    val texts = (0 until 15).map { _ =>
+      (0 until 4 + rnd.nextInt(20)).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+    }
+    val pairs = (for (a <- texts; b <- texts.take(5)) yield (a, b)).toDF("a", "b")
+    val out = pairs.select(
+      graft.dedup.Dedup.ngramJaccard(col("a"), col("b"), 3).as("jab"),
+      graft.dedup.Dedup.ngramJaccard(col("b"), col("a"), 3).as("jba"),
+      graft.dedup.Dedup.ngramJaccard(col("a"), col("a"), 3).as("jaa"))
+      .as[(Double, Double, Double)].collect()
+    out.foreach { case (jab, jba, jaa) =>
+      assert(jab >= 0.0 && jab <= 1.0)
+      assert(jab === jba)
+      assert(jaa === 1.0)
+    }
+  }
+
+  test("QUALIFY split is reversible and respects nesting for random embeddings") {
+    val preds = Seq("rn = 1", "ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) = 1")
+    val bodies = Seq(
+      "SELECT a FROM t",
+      "SELECT a, 'QUALIFY' AS s FROM t",
+      "SELECT * FROM (SELECT a FROM t QUALIFY rn = 1) x",
+      "SELECT a -- QUALIFY rn = 1\nFROM t")
+    for (b <- bodies; p <- preds) {
+      val (inner, pred) = QualifyRewrite.split(s"$b\nQUALIFY $p")
+      assert(inner.trim === b)
+      assert(pred === Some(p))
+    }
+    for (b <- bodies) {
+      assert(QualifyRewrite.split(b) === ((b, None)), b)
+    }
+  }
+}
