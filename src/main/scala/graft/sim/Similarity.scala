@@ -30,7 +30,7 @@ object Similarity {
   }
 
   /** Dot product in double precision (fold order = element order, so
-    * results are bit-deterministic across runs).
+    * results are bit-deterministic across runs). Portable HOF form.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -38,11 +38,33 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector is all-zero. */
+  /** Cosine similarity; 0 when either vector is all-zero. Portable HOF
+    * form — same fold order and zero convention as the native
+    * expression, so the two paths agree bit-for-bit.
+    */
   def cosine(a: Column, b: Column): Column = {
     val denom = norm(a) * norm(b)
     when(denom === 0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
+
+  /** True when graft's native codegen'd vector expressions are
+    * registered in the active session
+    * (spark.sql.extensions=graft.functions.GraftExtensions).
+    */
+  private def nativeFns: Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists("graft_cosine")
+    catch { case _: Exception => false }
+
+  /** Scoring paths prefer the native expression (tight codegen loop)
+    * and fall back to the interpreted HOF form — identical semantics
+    * either way (SimilaritySpec asserts value equality).
+    */
+  private def cosineAuto(a: Column, b: Column): Column =
+    if (nativeFns) call_function("graft_cosine", a, b) else cosine(a, b)
+
+  private def dotAuto(a: Column, b: Column): Column =
+    if (nativeFns) call_function("graft_dot", a, b) else dot(a, b)
 
   /** Brute-force cosine top-k: for each query row, the k most similar
     * corpus rows. Exact baseline. The query side is broadcast
@@ -55,7 +77,7 @@ object Similarity {
                      k: Int): DataFrame = {
     val scored = spread(corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv")))
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
-      .select(col("query_id"), col("id"), cosine(col("__cv"), col("__qv")).as("sim"))
+      .select(col("query_id"), col("id"), cosineAuto(col("__cv"), col("__qv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -88,7 +110,7 @@ object Similarity {
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
     val scored = spread(corpus).crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col(vecCol), col("centroid")))
+      .withColumn("__sim", cosineAuto(col(vecCol), col("centroid")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid").asc)
     scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -108,7 +130,7 @@ object Similarity {
     // query → nprobe candidate clusters (tiny × small cross join)
     val qc = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .crossJoin(broadcast(centroids))
-      .withColumn("__csim", cosine(col("__qv"), col("centroid")))
+      .withColumn("__csim", cosineAuto(col("__qv"), col("centroid")))
     val wq = Window.partitionBy("query_id").orderBy(col("__csim").desc, col("cid").asc)
     val probes = qc.withColumn("__rn", row_number().over(wq))
       .filter(col("__rn") <= nprobe)
@@ -118,7 +140,7 @@ object Similarity {
     val scored = assigned.join(broadcast(probes), Seq("cid"))
       .select(col("query_id"),
         col(corpusId).as("id"),
-        cosine(col(corpusVec), col("__qv")).as("sim"))
+        cosineAuto(col(corpusVec), col("__qv")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -154,7 +176,7 @@ object Similarity {
     val bandCols = (0 until bands).map { b =>
       val bits = (0 until width).map { j =>
         val planeLit = array(allPlanes(b * width + j).map(lit): _*)
-        when(dot(vec, planeLit) >= 0, lit(1L << j)).otherwise(lit(0L))
+        when(dotAuto(vec, planeLit) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(b).as("band"), bits.as("bits"))
     }
@@ -182,7 +204,7 @@ object Similarity {
     pairs
       .join(vecs.select(col("id").as("id_a"), col("vec").as("__va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("__vb")), "id_b")
-      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("sim"))
+      .select(col("id_a"), col("id_b"), cosineAuto(col("__va"), col("__vb")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }
