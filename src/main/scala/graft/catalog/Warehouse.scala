@@ -53,14 +53,15 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * in, delete old. A reader holding the old directory's file list can
     * finish its scan; new readers resolve the new directory.
     */
-  def overwrite(ref: TableRef, df: DataFrame): Unit = {
+  def overwrite(ref: TableRef, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val target = new Path(path(ref))
     val filesystem = fs(target)
     filesystem.mkdirs(target.getParent)
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
     val old = new Path(path(ref) + s".old-$nonce")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
+    writer.mode("overwrite").parquet(tmp.toString)
     try {
       if (filesystem.exists(target) && !filesystem.rename(target, old))
         throw new RuntimeException(s"failed to stage out old data for $ref")

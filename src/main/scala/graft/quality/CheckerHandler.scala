@@ -58,11 +58,15 @@ final class CheckerHandler(
   /** Persist the per-row scorecard: truncate + overwrite with typed
     * run_date/check_score (checker_handler.py:116-131; the TRUNCATE is
     * redundant with overwrite — kept as overwrite only, SURVEY §2.2 K4).
+    * Partitioned by run_date: scorecard readers are date-ranged, so
+    * the daily partition prunes at scan time (SURVEY §4 improvement —
+    * the reference never calls partitionBy).
     */
   def saveChecks(df: DataFrame): Unit =
     warehouse.overwrite(checksRef, df
       .withColumn("run_date", col("run_date").cast("date"))
-      .withColumn("check_score", col("check_score").cast("double")))
+      .withColumn("check_score", col("check_score").cast("double")),
+      partitionBy = Seq("run_date"))
 
   /** A1: the 6-key scorecard aggregate (checker_handler.py:139-154).
     * Partial (map-side) aggregation collapses each task's rows to at

@@ -42,8 +42,10 @@ class CheckerHandlerSpec extends SparkSpec {
     // per-row scorecard: (3 + 1) rows × 3 tests, 10 standard columns
     val checks = wh.read(TableRef("silver", "checks", "column_checks"))
     assert(checks.count() === 12)
-    assert(checks.columns.toSeq === handler.standardColumns)
+    // run_date is the partition column → read back last; same set
+    assert(checks.columns.toSet === handler.standardColumns.toSet)
     assert(checks.schema("check_score").dataType.typeName === "double")
+    assert(checks.schema("run_date").dataType.typeName === "date")
 
     // aggregate: one row per (test, table); t1 duplicated has 1 failure
     val aggRows = agg.select("table_name", "test_type", "total_score", "passing_cols", "failing_cols")
