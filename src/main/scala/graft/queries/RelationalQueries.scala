@@ -256,7 +256,47 @@ object RelationalQueries {
       |FROM tgt t
       |FULL OUTER JOIN src s ON t.user_id = s.user_id AND s.ts >= t.ts""".stripMargin
 
+  /** W1 again, but through the skew-resistant two-stage max_by plan
+    * (graft.operators.LatestPerKey.salted) — value-checked against the
+    * SAME oracle as the window form: identical semantics, different
+    * physical shape.
+    */
+  def qW1Salted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.LatestPerKey.salted(
+        Tables.load(spark, dir, "orders"),
+        keys = Seq("o_custkey"),
+        orderDesc = Seq("o_orderdate", "o_orderkey"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_totalprice", $"o_orderdate".cast("date").as("o_orderdate"),
+        $"o_orderpriority")
+  }
+
+  val qW1SaltedSql: String = CoreQueries.qW1LatestOrderSql
+
+  /** JSON scalar functions over the events.props JSON strings —
+    * get_json_object path extraction and from_json struct parsing
+    * (beyond the reference, which only reads JSON via schema-on-read).
+    */
+  def qScalarJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "events")
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k_path"),
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_struct"))
+  }
+
+  val qScalarJsonSql: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS INTEGER) AS k_path,
+      |  CAST(props->>'$.k' AS INTEGER) AS k_struct
+      |FROM events""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_w1_salted" -> (qW1Salted _),
+    "q_scalar_json" -> (qScalarJson _),
     "q_w2_dup_flags" -> (qW2DupFlags _),
     "q_join_broadcast" -> (qJoinBroadcast _),
     "q_join_large" -> (qJoinLarge _),
@@ -268,6 +308,8 @@ object RelationalQueries {
     "q_merge_cdc" -> (qMergeCdc _))
 
   def oracles: Map[String, String] = Map(
+    "q_w1_salted" -> qW1SaltedSql,
+    "q_scalar_json" -> qScalarJsonSql,
     "q_w2_dup_flags" -> qW2DupFlagsSql,
     "q_join_broadcast" -> qJoinBroadcastSql,
     "q_join_large" -> qJoinLargeSql,
