@@ -191,6 +191,17 @@ class PipelineSpec extends SparkSpec {
     assert(rows === Seq(
       ("AAA1", "2024-05-01", 1.0f),
       ("AAA1", "2024-05-02", 2.0f))) // BBB2 empty array → no rows; dup (sym,date) deduped
+
+    // ---- gold: materialized view over silver (K5), full medallion path
+    graft.gold.Views.materialize(spark, wh,
+      graft.catalog.TableRef("gold", "brapi", "prices"),
+      """CREATE MATERIALIZED VIEW `gold`.`brapi`.`prices` AS
+        |SELECT symbol, date, (close - open) AS intraday_change
+        |FROM silver.brapi.prices""".stripMargin)
+    val gold = wh.read(graft.catalog.TableRef("gold", "brapi", "prices"))
+      .selectExpr("symbol", "cast(intraday_change as double)")
+      .as[(String, Double)].collect().sortBy(_._1).toSeq
+    assert(gold === Seq(("AAA1", 1.0), ("AAA1", 1.0)))
   }
 
   test("job failures are isolated per table and reported together") {
