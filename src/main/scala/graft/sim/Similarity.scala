@@ -104,6 +104,38 @@ object Similarity {
       .select("cid", "centroid")
   }
 
+  /** One distributed Lloyd iteration: assign each vector to its
+    * nearest centroid, then recompute every centroid as the
+    * per-dimension mean of its members. Shuffle cost: the assignment's
+    * thin (cid, vec) rows exploded to (cid, dim, value) — partial
+    * aggregation collapses to nlist×dim rows before the exchange.
+    * Iterate a few times over [[sampleCentroids]] output for real IVF
+    * quality; every step is deterministic.
+    */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
+    val assigned = assign(corpus, idCol, vecCol, centroids)
+      .select(col("cid"), col(vecCol).as("__v"))
+    val byDim = assigned
+      .select(col("cid"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+      .groupBy("cid", "__dim")
+      .agg(avg(col("__x").cast("double")).as("__mean"))
+    byDim
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("__dim"), col("__mean")))).as("__pairs"))
+      .select(col("cid"),
+        transform(col("__pairs"), p => p.getField("__mean").cast("float")).as("centroid"))
+  }
+
+  /** Refined centroids: sample + `iters` Lloyd steps. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iters: Int = 2, seed: Long = 42L): DataFrame = {
+    var c = sampleCentroids(corpus, idCol, vecCol, nlist, seed)
+    var i = 0
+    while (i < iters) { c = kmeansStep(corpus, idCol, vecCol, c); i += 1 }
+    c
+  }
+
   /** Assign every corpus row to its nearest centroid (broadcast
     * nested-loop over the small centroid table; corpus stays in place).
     */

@@ -72,6 +72,27 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists { case (a, b) => Set(a, b) === Set(0L, 2L) })
   }
 
+  test("kmeans step recomputes centroids as member means and keeps assignment total") {
+    import spark.implicits._
+    // two obvious clusters around e1 and e2
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.1f)), (1L, Seq(0.9f, 0.0f)), (2L, Seq(1.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.1f, 0.9f)), (5L, Seq(0.0f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val refined = Similarity.kmeansCentroids(corpus, "vec_id", "embedding",
+      nlist = 2, iters = 2)
+    assert(refined.count() === 2)
+    val cents = refined.select("centroid").as[Seq[Float]].collect()
+    // each refined centroid points clearly at one cluster axis
+    assert(cents.exists(c => c(0) > 2 * c(1)))
+    assert(cents.exists(c => c(1) > 2 * c(0)))
+    // assignment over refined centroids is total and splits the corpus
+    val assigned = Similarity.assign(corpus, "vec_id", "embedding", refined)
+    assert(assigned.count() === 6)
+    val sizes = assigned.groupBy("cid").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.toSeq.sorted === Seq(3L, 3L))
+  }
+
   test("hyperplanes are deterministic") {
     assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
     assert(Similarity.hyperplanes(4, 8).flatten.forall(v => v >= -1.0 && v <= 1.0))
