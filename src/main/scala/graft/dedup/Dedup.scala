@@ -150,6 +150,50 @@ object Dedup {
     df.select(col(idCol), col(textCol)).repartition(parts)
   }
 
+  /** Resolve near-dup candidate pairs into canonical groups: iterative
+    * min-label propagation (connected components). Each id converges to
+    * the smallest id reachable through the pair graph — the group's
+    * canonical representative. Returns (id, canonical_id) for every id
+    * appearing in `pairs`.
+    *
+    * Scale shape: one equi-join + aggregate per iteration, shuffling
+    * only (id, label) pairs; iterations ≈ graph diameter (near-dup
+    * clusters are shallow — chains longer than a handful of hops are
+    * rare). `maxIters` bounds pathological chains; convergence is
+    * detected with a cheap count action per iteration.
+    */
+  def dupGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(neighborLabels)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      val changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
+        .filter(col("label") =!= col("__old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("canonical_id"))
+  }
+
+  /** Apply resolved groups: keep rows that are their group's canonical
+    * representative (rows absent from `groups` have no duplicates and
+    * are kept).
+    */
+  def keepCanonical(df: DataFrame, idCol: String, groups: DataFrame): DataFrame = {
+    val losers = groups.filter(col("id") =!= col("canonical_id")).select("id")
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val union = size(array_union(a, b))

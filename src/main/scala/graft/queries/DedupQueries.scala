@@ -78,6 +78,20 @@ object DedupQueries {
     Dedup.simhashNearDups(Tables.load(spark, dir, "documents"),
       "doc_id", "text", maxHamming = 6)
 
+  /** Full near-dup pipeline: MinHash-LSH candidates → connected-
+    * component group resolution → canonical-survivor filter (rows-only
+    * check: candidates are xxhash-derived; the resolution semantics are
+    * covered by DedupSpec).
+    */
+  def qDedupNearE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 200)
+    Dedup.keepCanonical(docs, "doc_id", Dedup.dupGroups(pairs))
+      .select($"doc_id", $"n_chars")
+  }
+
   /** SimHash signatures themselves — deterministic, rows-only. */
   def qSimhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -89,6 +103,7 @@ object DedupQueries {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_pairs" -> (qMinhashPairs _),
+    "q_dedup_near_e2e" -> (qDedupNearE2e _),
     "q_simhash_pairs" -> (qSimhashPairs _),
     "q_simhash_signatures" -> (qSimhashSignatures _))
 

@@ -67,6 +67,21 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 5L)))
   }
 
+  test("dupGroups resolves chains to the min id; keepCanonical drops losers only") {
+    import spark.implicits._
+    // components: {1,2,3} (chained), {7,9}, isolated pairs absent: 5 not in graph
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val groups = Dedup.dupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+
+    val kept = Dedup.keepCanonical(docs, "doc_id",
+        Dedup.dupGroups(pairs))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // docs has ids 1..6: 2,3 dropped (losers of group 1); 7,9 not present
+    assert(kept === Seq(1L, 4L, 5L, 6L))
+  }
+
   test("minhash signature is deterministic and length-stable") {
     import spark.implicits._
     val sig = docs.limit(1).select(
