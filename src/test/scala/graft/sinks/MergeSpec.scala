@@ -77,6 +77,32 @@ class MergeSpec extends SparkSpec {
     assert(out === Seq(("t1", "tab", 0.7), ("t2", "tab", 0.9), ("t3", "tab", 1.0)))
   }
 
+  test("null keys never match: null-key rows on both sides survive independently") {
+    import spark.implicits._
+    val target = Seq(
+      (Option("A"), ts("2024-01-01 00:00:00"), 1.0),
+      (Option.empty[String], ts("2024-01-01 00:00:00"), 2.0)).toDF("k", "t", "v")
+    val source = Seq(
+      (Option("A"), ts("2024-02-01 00:00:00"), 10.0),
+      (Option.empty[String], ts("2024-02-01 00:00:00"), 20.0)).toDF("k", "t", "v")
+    val out = Merge.merge(target, source, Seq("k"), Some("t"))
+      .as[(Option[String], Timestamp, Double)].collect()
+      .sortBy(r => (r._1.getOrElse(""), r._3)).toSeq
+    // null keys fail the equi condition (SQL = semantics): the target's
+    // null-key row is kept AND the source's null-key row inserts
+    assert(out.map(_._3) === Seq(2.0, 20.0, 10.0))
+  }
+
+  test("empty source and empty target degenerate correctly") {
+    import spark.implicits._
+    val rows = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
+    val empty = rows.limit(0)
+    assert(Merge.merge(rows, empty, Seq("k"), Some("t"))
+      .collect().toSeq === rows.collect().toSeq)
+    assert(Merge.merge(empty, rows, Seq("k"), Some("t"))
+      .collect().toSeq === rows.collect().toSeq)
+  }
+
   test("merge idempotence: merging the same batch twice is a no-op") {
     import spark.implicits._
     val target = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
