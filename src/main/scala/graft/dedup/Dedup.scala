@@ -163,8 +163,12 @@ object Dedup {
     * detected with a cheap count action per iteration.
     */
   def dupGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // materialize the edge list ONCE: the caller's pair plan (often a
+    // full LSH candidate generation) must not re-execute inside every
+    // iteration's join and convergence check
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var converged = false

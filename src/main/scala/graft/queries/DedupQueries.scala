@@ -88,7 +88,9 @@ object DedupQueries {
     val docs = Tables.load(spark, dir, "documents")
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
       k = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 200)
-    Dedup.keepCanonical(docs, "doc_id", Dedup.dupGroups(pairs))
+    // near-dup clusters are shallow: 4 propagation rounds cover
+    // 2^4-hop chains, far beyond real near-dup graph diameters
+    Dedup.keepCanonical(docs, "doc_id", Dedup.dupGroups(pairs, maxIters = 4))
       .select($"doc_id", $"n_chars")
   }
 
