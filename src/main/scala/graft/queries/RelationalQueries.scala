@@ -294,7 +294,30 @@ object RelationalQueries {
       |  CAST(props->>'$.k' AS INTEGER) AS k_struct
       |FROM events""".stripMargin
 
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
+    * subtotals + grand total in one pass (the generalization of A1 the
+    * reference never needed; grouping_id disambiguates NULL-as-subtotal
+    * from NULL data).
+    */
+  def qAggRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        grouping_id().as("gid"))
+  }
+
+  val qAggRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_agg_rollup" -> (qAggRollup _),
     "q_w1_salted" -> (qW1Salted _),
     "q_scalar_json" -> (qScalarJson _),
     "q_w2_dup_flags" -> (qW2DupFlags _),
@@ -308,6 +331,7 @@ object RelationalQueries {
     "q_merge_cdc" -> (qMergeCdc _))
 
   def oracles: Map[String, String] = Map(
+    "q_agg_rollup" -> qAggRollupSql,
     "q_w1_salted" -> qW1SaltedSql,
     "q_scalar_json" -> qScalarJsonSql,
     "q_w2_dup_flags" -> qW2DupFlagsSql,
