@@ -316,7 +316,54 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  /** Set operations beyond U1's unionByName: INTERSECT and EXCEPT
+    * (distinct set semantics) over customer-key projections.
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val customers = Tables.load(spark, dir, "customer").select($"c_custkey".as("k"))
+    val buyers = Tables.load(spark, dir, "orders").select($"o_custkey".as("k"))
+    val both = customers.intersect(buyers)
+      .select($"k", lit("customer_with_orders").as("set_kind"))
+    val quiet = customers.except(buyers)
+      .select($"k", lit("customer_without_orders").as("set_kind"))
+    both.unionByName(quiet)
+  }
+
+  val qSetOpsSql: String =
+    """SELECT k, 'customer_with_orders' AS set_kind FROM (
+      |  SELECT c_custkey AS k FROM customer
+      |  INTERSECT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT k, 'customer_without_orders' AS set_kind FROM (
+      |  SELECT c_custkey AS k FROM customer
+      |  EXCEPT SELECT o_custkey FROM orders)""".stripMargin
+
+  /** Distinct aggregates: exact count(distinct) per group — the shape
+    * approx_count_distinct replaces at extreme cardinalities (the
+    * approximate variant is deliberately not oracle-compared: HLL
+    * estimates differ across engines).
+    */
+  def qAggDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("distinct_customers"),
+        countDistinct($"o_orderpriority").as("distinct_priorities"),
+        count(lit(1)).as("n"))
+  }
+
+  val qAggDistinctSql: String =
+    """SELECT o_orderstatus,
+      |  count(DISTINCT o_custkey) AS distinct_customers,
+      |  count(DISTINCT o_orderpriority) AS distinct_priorities,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_set_ops" -> (qSetOps _),
+    "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
     "q_w1_salted" -> (qW1Salted _),
     "q_scalar_json" -> (qScalarJson _),
@@ -331,6 +378,8 @@ object RelationalQueries {
     "q_merge_cdc" -> (qMergeCdc _))
 
   def oracles: Map[String, String] = Map(
+    "q_set_ops" -> qSetOpsSql,
+    "q_agg_distinct" -> qAggDistinctSql,
     "q_agg_rollup" -> qAggRollupSql,
     "q_w1_salted" -> qW1SaltedSql,
     "q_scalar_json" -> qScalarJsonSql,
