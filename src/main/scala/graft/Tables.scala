@@ -16,7 +16,9 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
       // natively; read it as a long and convert. The data is
       // microsecond-granular (verified), so the truncation is lossless.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Requires spark.sql.legacy.parquet.nanosAsLong=true, set at
+      // session construction (GraftSession) — NOT mutated here, so the
+      // loader has no session-wide side effects.
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else {

@@ -63,10 +63,19 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(tmp.toString)
     try {
-      if (filesystem.exists(target) && !filesystem.rename(target, old))
+      val hadOld = filesystem.exists(target)
+      if (hadOld && !filesystem.rename(target, old))
         throw new RuntimeException(s"failed to stage out old data for $ref")
-      if (!filesystem.rename(tmp, target))
-        throw new RuntimeException(s"failed to swap in new data for $ref")
+      try {
+        if (!filesystem.rename(tmp, target))
+          throw new RuntimeException(s"failed to swap in new data for $ref")
+      } catch {
+        case e: Throwable =>
+          // The table directory must never be left absent: if the swap-in
+          // failed after the old data was staged out, roll it back.
+          if (hadOld && !filesystem.exists(target)) filesystem.rename(old, target)
+          throw e
+      }
       filesystem.delete(old, true)
       ()
     } finally {

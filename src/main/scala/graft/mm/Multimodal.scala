@@ -109,8 +109,10 @@ object Multimodal {
     */
   def repartitionBySize(media: DataFrame, binaryCol: String,
                         targetMb: Int): DataFrame = {
-    val totalBytes = media
-      .agg(sum(length(col(binaryCol)).cast("long"))).head().getLong(0)
+    // sum() is NULL on an empty input — read it as Option, default 0
+    val totalBytes = Option(media
+      .agg(sum(length(col(binaryCol)).cast("long"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val parts = math.max(1, (totalBytes / (targetMb.toLong * 1024 * 1024)).toInt)
     media.repartition(parts)
   }

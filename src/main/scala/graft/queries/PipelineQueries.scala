@@ -159,8 +159,8 @@ object PipelineQueries {
        |  'silver' AS layer, mandate,
        |  avg(CAST(check_score AS DOUBLE)) AS total_score,
        |  count(*) AS columns_checked,
-       |  sum(CASE WHEN check_result = 'passed' THEN 1 ELSE 0 END) AS passing_cols,
-       |  sum(CASE WHEN check_result = 'passed' THEN 0 ELSE 1 END) AS failing_cols
+       |  CAST(sum(CASE WHEN check_result = 'passed' THEN 1 ELSE 0 END) AS BIGINT) AS passing_cols,
+       |  CAST(sum(CASE WHEN check_result = 'passed' THEN 0 ELSE 1 END) AS BIGINT) AS failing_cols
        |FROM (${QualityQueries.qQualityChecksSql.replace("\n", "\n      ")})
        |GROUP BY test_name, test_type, mandate""".stripMargin
 

@@ -145,8 +145,8 @@ object QualityQueries {
     s"""SELECT test_type, "column", test_name, mandate,
        |  round(avg(check_score), 6) AS total_score,
        |  count(*) AS columns_checked,
-       |  sum(CASE WHEN check_result = 'passed' THEN 1 ELSE 0 END) AS passing_cols,
-       |  sum(CASE WHEN check_result = 'passed' THEN 0 ELSE 1 END) AS failing_cols
+       |  CAST(sum(CASE WHEN check_result = 'passed' THEN 1 ELSE 0 END) AS BIGINT) AS passing_cols,
+       |  CAST(sum(CASE WHEN check_result = 'passed' THEN 0 ELSE 1 END) AS BIGINT) AS failing_cols
        |FROM (${qQualityChecksSql.replace("\n", "\n      ")})
        |GROUP BY test_type, "column", test_name, mandate""".stripMargin
 

@@ -145,13 +145,18 @@ object TextQueries {
 
   /** Fingerprints: xxhash64 has no DuckDB twin → no oracle (driver
     * records a rows-only check). Deterministic across runs regardless.
+    * The sketch is serialized to a comma-joined string for the gate —
+    * the driver's rows-only comparator sorts rows in pandas and an
+    * array cell is unhashable there; the library API (shingleSketch)
+    * keeps the array form.
     */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
       .select($"doc_id",
         TextFunctions.fingerprint($"text").as("fp"),
-        TextFunctions.shingleSketch($"text", 3, 8).as("sketch"))
+        concat_ws(",", TextFunctions.shingleSketch($"text", 3, 8))
+          .as("sketch_csv"))
   }
 
   def queries: Map[String, Q] = Map(
