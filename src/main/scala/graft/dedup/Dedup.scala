@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashOps
 import graft.text.{Shingles, TextFunctions}
 
 /** Deduplication operators for training-data pipelines: exact,
@@ -36,25 +37,32 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** 31-bit prime universal-hash modulus. */
-  private val P: Long = 2147483647L
-
-  /** Deterministic (a, b) per hash function — splitmix-style scramble
-    * of the index so nearby j give uncorrelated parameters.
+  /** 31-bit prime universal-hash modulus (shared with the native
+    * expression twin, graft.functions.HashOps).
     */
-  private def hashParams(j: Int): (Long, Long) = {
-    var x = j.toLong * 0x9E3779B97F4A7C15L + 0x6A09E667F3BCC909L
-    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
-    x ^= x >>> 27; x *= 0x94D049BB133111EBL
-    x ^= x >>> 31
-    val a = Math.floorMod(x, P - 1) + 1 // 1..P-1
-    val b = Math.floorMod(x >>> 17, P)  // 0..P-1
-    (a, b)
-  }
+  private val P: Long = HashOps.P
+
+  /** True when graft's native codegen'd hash expressions are registered
+    * in the active session
+    * (spark.sql.extensions=graft.functions.GraftExtensions).
+    */
+  private def nativeFns: Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists("graft_minhash")
+    catch { case _: Exception => false }
 
   /** MinHash signature (array<long>, length numHashes) of a token
     * array's k-shingle set. Shingle → xxhash64 → 31-bit reduce → per-j
     * universal hash (a_j·h + b_j mod P) → min. Pure per-row expression.
+    * Prefers the native codegen'd expression (graft.functions
+    * .ShingleMinHash — a tight compiled loop) and falls back to the
+    * portable HOF form; DedupSpec asserts the two agree bit-for-bit.
+    */
+  def minhashSignature(tokens: Column, k: Int = 3, numHashes: Int = 64): Column =
+    if (nativeFns) call_function("graft_minhash", tokens, lit(k), lit(numHashes))
+    else minhashSignatureHof(tokens, k, numHashes)
+
+  /** Portable HOF MinHash form.
     *
     * Computed as ONE `aggregate` pass over the shingle hashes folding a
     * numHashes-wide accumulator (`least` per lane against a literal
@@ -65,9 +73,9 @@ object Dedup {
     * codegen path): 64× the tokenize+shingle+hash work per row.
     * Empty docs keep the all-P sentinel accumulator.
     */
-  def minhashSignature(tokens: Column, k: Int = 3, numHashes: Int = 64): Column = {
+  def minhashSignatureHof(tokens: Column, k: Int = 3, numHashes: Int = 64): Column = {
     val params = array((0 until numHashes).map { j =>
-      val (a, b) = hashParams(j)
+      val (a, b) = HashOps.hashParams(j)
       struct(lit(a).as("a"), lit(b).as("b"))
     }: _*)
     val hashes = transform(Shingles.shingles(tokens, k),
@@ -171,19 +179,24 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(neighborLabels)
-        .groupBy("id").agg(min("label").as("label"))
+        .select(col("dst").as("id"), col("label").as("nl"))
+      // ONE action per iteration: the min-label aggregate carries the
+      // old label along (every id keeps its own label as a candidate,
+      // so min(old) ≡ old), and the changed flag is read off the same
+      // checkpointed frame instead of a second join+count job.
+      val next = labels.select(col("id"), col("label"), col("label").as("nl"))
+        .union(labels.join(neighborLabels, "id").select(col("id"), col("label"), col("nl")))
+        .groupBy("id")
+        .agg(min("nl").as("label"), min(col("label")).as("__old"))
         .localCheckpoint() // truncate the growing iterative lineage
-      val changed = next.join(labels.withColumnRenamed("label", "__old"), "id")
-        .filter(col("label") =!= col("__old")).limit(1).count()
-      converged = changed == 0
-      labels = next
+      converged = next.filter(col("label") =!= col("__old")).limit(1).count() == 0
+      labels = next.select("id", "label")
       i += 1
     }
     labels.select(col("id"), col("label").as("canonical_id"))
@@ -219,9 +232,16 @@ object Dedup {
   private val bitValues: Seq[Long] = (0 until simhashBits).map(1L << _)
 
   /** 63-bit SimHash of the token array: per-token xxhash64, per-bit ±1
-    * votes, sign → bit. One `aggregate` over the tokens — per-row only.
+    * votes, sign → bit. Prefers the native codegen'd expression
+    * (graft.functions.SimHash63), HOF fallback otherwise — identical
+    * values either way (DedupSpec).
     */
-  def simhash(tokens: Column): Column = {
+  def simhash(tokens: Column): Column =
+    if (nativeFns) call_function("graft_simhash", tokens)
+    else simhashHof(tokens)
+
+  /** Portable HOF SimHash form: one `aggregate` over the tokens. */
+  def simhashHof(tokens: Column): Column = {
     val powers = array(bitValues.map(lit): _*)
     val zeros = array_repeat(lit(0L), simhashBits)
     val votes = aggregate(

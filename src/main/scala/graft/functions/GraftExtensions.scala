@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
 
 /** Session extension registering graft's native expressions as SQL
   * functions — enable with
@@ -26,5 +27,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays in double precision"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "graft_minhash(tokens, k, numHashes) - MinHash signature of the k-token shingle set"),
+      (children: Seq[Expression]) => ShingleMinHash(children(0),
+        intLit(children(1), "k"), intLit(children(2), "numHashes"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "graft_simhash(tokens) - 63-bit SimHash of the token array"),
+      (children: Seq[Expression]) => SimHash63(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(tokens, k) - distinct space-joined k-token shingles"),
+      (children: Seq[Expression]) => TokenShingles(children(0), intLit(children(1), "k"))))
+  }
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
   }
 }

@@ -82,6 +82,23 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 5L, 6L))
   }
 
+  test("native minhash/simhash expressions agree bit-for-bit with the HOF forms") {
+    import spark.implicits._
+    // includes an empty doc and a doc shorter than the shingle width
+    val edge = docs.union(Seq((7L, ""), (8L, "two tokens")).toDF("doc_id", "text"))
+    val toks = TextFunctions.tokens($"text")
+    val rows = edge.select(
+      call_function("graft_minhash", toks, lit(3), lit(64)).as("native_mh"),
+      Dedup.minhashSignatureHof(toks, 3, 64).as("hof_mh"),
+      call_function("graft_simhash", toks).as("native_sh"),
+      Dedup.simhashHof(toks).as("hof_sh"))
+      .as[(Seq[Long], Seq[Long], Long, Long)].collect()
+    rows.foreach { case (nmh, hmh, nsh, hsh) =>
+      assert(nmh === hmh)
+      assert(nsh === hsh)
+    }
+  }
+
   test("minhash signature is deterministic and length-stable") {
     import spark.implicits._
     val sig = docs.limit(1).select(
