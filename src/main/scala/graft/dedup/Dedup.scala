@@ -46,10 +46,7 @@ object Dedup {
     * in the active session
     * (spark.sql.extensions=graft.functions.GraftExtensions).
     */
-  private def nativeFns: Boolean =
-    try org.apache.spark.sql.SparkSession.active.catalog
-      .functionExists("graft_minhash")
-    catch { case _: Exception => false }
+  private def nativeFns: Boolean = graft.functions.GraftNative.enabled
 
   /** MinHash signature (array<long>, length numHashes) of a token
     * array's k-shingle set. Shingle → xxhash64 → 31-bit reduce → per-j

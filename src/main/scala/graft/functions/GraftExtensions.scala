@@ -48,3 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name must be an integer literal, got $other")
   }
 }
+
+/** Runtime probe for the native expressions: true when the active
+  * session was built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. The Scala
+  * API (Dedup, Shingles, Similarity) dispatches to the codegen'd
+  * expressions when present and to the portable HOF forms otherwise —
+  * identical values either way (asserted by the specs).
+  */
+object GraftNative {
+  def enabled: Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists("graft_minhash")
+    catch { case _: Exception => false }
+}

@@ -171,11 +171,11 @@ case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
 }
 
 /** Native 63-bit SimHash over a token array: per-token xxhash64,
-  * per-bit ±1 votes, sign → bit. Bit-identical to `Dedup.simhashHof`
-  * (null tokens hash to the xxhash64 seed — Spark's hash expressions
-  * are null-tolerant — which under the HOF's `when(... =!= 0)` null
-  * semantics votes -1 on every bit; a seed of 42 has set bits, so the
-  * exact match is the -1-everywhere branch the HOF takes).
+  * per-bit ±1 votes, sign → bit. Bit-identical to `Dedup.simhashHof`:
+  * Spark's hash expressions are null-tolerant — `xxhash64(null)`
+  * returns the seed (42) unchanged — so a null token votes on 42's
+  * bit pattern (+1 on bits 1,3,5; -1 elsewhere) exactly like any
+  * other hash value (DedupSpec pins this with a null-token row).
   */
 case class SimHash63(child: Expression) extends UnaryExpression {
 
@@ -194,17 +194,15 @@ case class SimHash63(child: Expression) extends UnaryExpression {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      if (tokens.isNullAt(i)) {
-        // HOF twin: when(null =!= 0) is null → otherwise(-1) on every bit
-        var b = 0
-        while (b < 63) { votes(b) -= 1; b += 1 }
-      } else {
-        val h = HashOps.xx64(tokens.getUTF8String(i))
-        var b = 0
-        while (b < 63) {
-          if ((h & (1L << b)) != 0) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+      // HOF twin: xxhash64(null) yields the seed unchanged, so null
+      // tokens vote on the seed's bit pattern like any other hash
+      val h =
+        if (tokens.isNullAt(i)) HashOps.Seed
+        else HashOps.xx64(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 63) {
+        if ((h & (1L << b)) != 0) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }

@@ -23,7 +23,7 @@ object QualityQueries {
   /** orders metadata: one test per check family with non-trivial
     * verdicts ('P' status fails not_in_list; priorities pass pattern).
     */
-  private[queries] val scorecardYaml: String =
+  private[graft] val scorecardYaml: String =
     """schema:
       |  - name: 'o_orderkey'
       |    type: 'long'

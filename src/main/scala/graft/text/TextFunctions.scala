@@ -135,6 +135,16 @@ object Shingles {
     */
   def shingles(tokens: Column, k: Int): Column = {
     require(k >= 1, s"shingle size must be >= 1, got $k")
+    if (graft.functions.GraftNative.enabled)
+      call_function("graft_shingles", tokens, lit(k))
+    else shinglesHof(tokens, k)
+  }
+
+  /** Portable HOF shingle form (the compiled twin is
+    * graft.functions.TokenShingles; DedupSpec asserts bit-for-bit
+    * agreement).
+    */
+  def shinglesHof(tokens: Column, k: Int): Column = {
     val joined = (1 until k).foldLeft(tokens) { (acc, j) =>
       // zip_with pads the shorter side with null; concat propagates the
       // null, marking positions with fewer than j+1 remaining tokens

@@ -99,6 +99,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("native expressions agree with HOF forms on null token elements") {
+    import spark.implicits._
+    // raw token arrays (not TextFunctions.tokens, which can't produce
+    // nulls): xxhash64(null) = seed 42 in the HOF path, and the window
+    // nulling in shingles/minhash must match the natives' null skips
+    val arrs = Seq(
+      Seq("alpha", null, "beta", "gamma", "delta"),
+      Seq[String](null, null, null),
+      Seq("only", null),
+      Seq(null, "solo", "pair", "trio")
+    ).toDF("toks")
+    val rows = arrs.select(
+      call_function("graft_minhash", $"toks", lit(2), lit(16)).as("native_mh"),
+      Dedup.minhashSignatureHof($"toks", 2, 16).as("hof_mh"),
+      call_function("graft_simhash", $"toks").as("native_sh"),
+      Dedup.simhashHof($"toks").as("hof_sh"),
+      call_function("graft_shingles", $"toks", lit(2)).as("native_sg"),
+      graft.text.Shingles.shinglesHof($"toks", 2).as("hof_sg"))
+      .as[(Seq[Long], Seq[Long], Long, Long, Seq[String], Seq[String])].collect()
+    rows.foreach { case (nmh, hmh, nsh, hsh, nsg, hsg) =>
+      assert(nmh === hmh)
+      assert(nsh === hsh)
+      assert(nsg === hsg)
+    }
+  }
+
   test("minhash signature is deterministic and length-stable") {
     import spark.implicits._
     val sig = docs.limit(1).select(
