@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, DedupQueries, MultimodalQueries, PipelineQueries, QualityQueries, RelationalQueries, SimQueries, TextQueries}
+import graft.queries.{AnalyticQueries, CoreQueries, DedupQueries, MultimodalQueries, PipelineQueries, QualityQueries, RelationalQueries, SimQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
     CoreQueries.queries ++ RelationalQueries.queries ++
       QualityQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++
-      MultimodalQueries.queries ++ PipelineQueries.queries
+      MultimodalQueries.queries ++ PipelineQueries.queries ++
+      AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
     CoreQueries.oracles ++ RelationalQueries.oracles ++
       QualityQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimQueries.oracles ++
-      MultimodalQueries.oracles ++ PipelineQueries.oracles
+      MultimodalQueries.oracles ++ PipelineQueries.oracles ++
+      AnalyticQueries.oracles
 }

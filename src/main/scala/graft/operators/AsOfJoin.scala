@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series as-of join: match each left row with the nearest right
+  * row per key — backward (latest right with `rightTs <= leftTs`, the
+  * trade/quote classic) or forward (earliest right with
+  * `rightTs >= leftTs`). The reference has no as-of operator (its CDC
+  * merge J1 is the closest theta-shape, SURVEY.md §2.5
+  * /root/reference/lib/ingestors.py:123); this generalizes the same
+  * key+timestamp resolution to a first-class join.
+  *
+  * Spark-first plan — the union-window formulation, NOT a range join:
+  * tag both sides, union, ONE shuffle on the keys, one sort on
+  * (ts, side, tiebreak), and a running `last(ignoreNulls)` carries the
+  * most recent right-side payload forward to each left row. Cost is
+  * O((|L|+|R|) log) with no pair explosion — a theta-join
+  * (`l.key = r.key AND r.ts <= l.ts` + top-1) would expand every key
+  * group quadratically before filtering, which at 100 TB is the
+  * difference between one shuffle and an unbounded intermediate. Both
+  * sides shuffle ONCE on the join keys regardless of row count; skewed
+  * keys degrade to a single sorted partition per key, the same failure
+  * shape as any keyed window (salt upstream if a key dominates).
+  *
+  * Right-side payload columns ride in ONE struct so `last(_,
+  * ignoreNulls=true)` treats a matched-but-null field as matched (a
+  * per-column `last` would reach further back for each null field
+  * independently — wrong row semantics).
+  */
+object AsOfJoin {
+
+  /** Backward as-of: latest right row with `rightTs <= leftTs` per key.
+    *
+    * @param keys          equi-join key columns (present on both sides)
+    * @param leftTs        left ordering column name
+    * @param rightTs       right ordering column name (same type)
+    * @param rightTiebreak numeric column (cast to long) breaking ties
+    *                      among right rows sharing (keys, ts): highest
+    *                      wins for backward, lowest for forward —
+    *                      deterministic output when (keys, rightTs) is
+    *                      not unique
+    * @param tolerance     max lookback as a SQL interval string
+    *                      (e.g. "1 hour", timestamp columns only);
+    *                      matches further back are nulled out
+    * @param matchedTsCol  when set, emit the matched right timestamp
+    *                      under this name
+    * @return left columns + right payload columns (right minus keys
+    *         and rightTs), null where no right row qualifies
+    */
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightTiebreak: Option[String] = None,
+               tolerance: Option[String] = None,
+               matchedTsCol: Option[String] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, rightTiebreak, tolerance,
+      matchedTsCol, forward = false)
+
+  /** Forward as-of: earliest right row with `rightTs >= leftTs`. */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              rightTiebreak: Option[String] = None,
+              tolerance: Option[String] = None,
+              matchedTsCol: Option[String] = None): DataFrame =
+    join(left, right, keys, leftTs, rightTs, rightTiebreak, tolerance,
+      matchedTsCol, forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightTiebreak: Option[String],
+                   tolerance: Option[String],
+                   matchedTsCol: Option[String],
+                   forward: Boolean): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val missingL = (keys :+ leftTs).filterNot(left.columns.contains)
+    require(missingL.isEmpty, s"left side lacks column(s): ${missingL.mkString(",")}")
+    val missingR = ((keys :+ rightTs) ++ rightTiebreak).filterNot(right.columns.contains)
+    require(missingR.isEmpty, s"right side lacks column(s): ${missingR.mkString(",")}")
+
+    val payload = right.columns.toSeq.diff(keys :+ rightTs)
+    val collisions = payload.intersect(left.columns.toSeq) ++
+      matchedTsCol.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"right payload collides with left column(s): ${collisions.mkString(",")} — rename first")
+
+    // tag sides so that, at equal ts, right rows sort INSIDE the frame:
+    // before left for backward (<=), after left for forward (>=)
+    val (rightTag, leftTag) = if (forward) (1, 0) else (0, 1)
+    val rv = struct(col(rightTs).as("__mts") +: payload.map(col): _*)
+    val r2 = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(rightTag).as("__side"),
+        rightTiebreak.map(col).getOrElse(lit(0L)).cast("long").as("__tie"),
+        rv.as("__rv")): _*)
+    val l2 = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(leftTag))
+      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__rv", lit(null).cast(r2.schema("__rv").dataType))
+
+    // ascending tiebreak serves both directions: backward's last()
+    // lands on the HIGHEST tiebreak (nearest the frame end), forward's
+    // first() on the LOWEST (nearest the frame start)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    val matched =
+      if (forward)
+        first(col("__rv"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      else
+        last(col("__rv"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    // the window must see BOTH sides: annotate the union first, filter
+    // left rows after, and only then apply the per-row tolerance gate
+    val m = col("__m")
+    val gated = tolerance match {
+      case None => m
+      case Some(t) =>
+        val bound = expr(s"INTERVAL '$t'")
+        val ok =
+          if (forward) m.getField("__mts") <= col("__ts") + bound
+          else m.getField("__mts") >= col("__ts") - bound
+        when(ok, m)
+    }
+    val out = left.columns.toSeq.map(col) ++
+      matchedTsCol.map(n => gated.getField("__mts").as(n)) ++
+      payload.map(p => gated.getField(p).as(p))
+    l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m", matched)
+      .filter(col("__side") === leftTag)
+      .select(out: _*)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.AsOfJoin
+
+/** Generalized analytics beyond the reference's own surface (its only
+  * window op is W1/W2 row_number, SURVEY.md §2.6; no percentiles,
+  * pivot, or as-of anywhere): the full analytic-window family, exact
+  * percentiles, pivot/unpivot reshapes, as-of joins, and per-class
+  * embedding pooling — each value-checked against DuckDB.
+  *
+  * Determinism discipline: running/windowed SUMs are computed over
+  * bigint cents (`round(price*100)`) — floating-point running sums
+  * associate differently across engines (DuckDB uses segment trees for
+  * sliding frames), so exact integer math is the only hash-stable
+  * formulation. Raw column passthroughs stay untouched doubles.
+  */
+object AnalyticQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------- as-of
+
+  /** Backward as-of join on the events stream: each click matched with
+    * the user's latest purchase at or before it (the trade/quote
+    * pattern). The right side is pre-aggregated to one row per
+    * (user_id, ts) so the match is deterministic under ties.
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("purchase_value"))
+    AsOfJoin.backward(clicks, purchases, Seq("user_id"), "ts", "ts",
+        matchedTsCol = Some("purchase_ts"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"purchase_value", unix_micros($"purchase_ts").as("purchase_ts_us"))
+  }
+
+  val qAsofJoinSql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, ts, max(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |       r.purchase_value, epoch_us(r.ts) AS purchase_ts_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  // ---------------------------------------------------------- windows
+
+  /** The analytic-window family the reference's W1 generalizes into:
+    * lag/lead, running and sliding frame aggregates, rank/dense_rank/
+    * percent_rank, ntile — one shuffle per distinct partitioning.
+    */
+  def qWindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val seq = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val byPrice = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc)
+    val cents = round($"o_totalprice" * 100).cast("long")
+    Tables.load(spark, dir, "orders")
+      .withColumn("cents", cents)
+      .select(
+        $"o_orderkey", $"o_custkey",
+        row_number().over(seq).as("order_ix"),
+        lag($"o_totalprice", 1).over(seq).as("prev_price"),
+        lead($"o_totalprice", 1).over(seq).as("next_price"),
+        sum($"cents").over(seq.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_cents"),
+        sum($"cents").over(seq.rowsBetween(-2, Window.currentRow))
+          .as("moving_cents3"),
+        rank().over(byPrice).as("price_rank"),
+        dense_rank().over(byPrice).as("price_dense_rank"),
+        percent_rank().over(byPrice).as("price_pct_rank"),
+        ntile(4).over(seq).as("quartile"))
+  }
+
+  val qWindowAnalyticsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER seq AS order_ix,
+      |  lag(o_totalprice, 1) OVER seq AS prev_price,
+      |  lead(o_totalprice, 1) OVER seq AS next_price,
+      |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+      |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_cents3,
+      |  rank() OVER price AS price_rank,
+      |  dense_rank() OVER price AS price_dense_rank,
+      |  percent_rank() OVER price AS price_pct_rank,
+      |  ntile(4) OVER seq AS quartile
+      |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |WINDOW seq AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |       price AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC)""".stripMargin
+
+  // ------------------------------------------------------ percentiles
+
+  /** Exact percentiles (linear interpolation) + median per group —
+    * sort-based exact aggregation; the approx twin for 100 TB is
+    * `approx_percentile`, covered rows-only in q_approx_stats.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        round(expr("median(l_quantity)"), 4).as("med_qty"))
+  }
+
+  val qPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------ pivot
+
+  /** Pivot with EXPLICIT value list (no extra distinct scan — at scale
+    * the value domain is declared, not discovered) over bigint cents.
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(sum($"cents"))
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN cents END) AS "O",
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN cents END) AS "F",
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN cents END) AS "P"
+      |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Unpivot (melt) lineitem metrics to long format — the inverse
+    * reshape, pure narrow map (no shuffle).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .unpivot(
+        Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        "metric", "value")
+  }
+
+  val qUnpivotSql: String =
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin
+
+  // ----------------------------------------------------- embeddings
+
+  /** Per-class embedding centroid in long format (label, dim, mean) —
+    * the pooling step of a class-prototype / nearest-centroid pipeline.
+    * posexplode → two-level hash aggregate; the shuffle carries only
+    * (label, dim, partial-sum), never whole vectors.
+    */
+  def qEmbedPool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "embeddings")
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(round(avg($"v"), 6).as("dim_mean"))
+  }
+
+  val qEmbedPoolSql: String =
+    """SELECT label, dim, round(avg(v), 6) AS dim_mean
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) - 1 AS dim
+      |      FROM embeddings)
+      |GROUP BY label, dim""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_asof_join" -> (qAsofJoin _),
+    "q_window_analytics" -> (qWindowAnalytics _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_embed_pool" -> (qEmbedPool _))
+
+  def oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
+    "q_window_analytics" -> qWindowAnalyticsSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_embed_pool" -> qEmbedPoolSql)
+}

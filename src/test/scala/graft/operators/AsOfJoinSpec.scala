@@ -1,0 +1,111 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // trades (left) and quotes (right) for the classic backward as-of
+  private def trades = {
+    import spark.implicits._
+    Seq(
+      (1L, "A", ts("2026-01-01 10:00:00"), 100.0),
+      (2L, "A", ts("2026-01-01 10:05:00"), 101.0),
+      (3L, "A", ts("2026-01-01 09:00:00"), 99.0), // before any quote
+      (4L, "B", ts("2026-01-01 10:00:00"), 50.0),
+      (5L, "C", ts("2026-01-01 10:00:00"), 7.0) // key with no quotes at all
+    ).toDF("trade_id", "sym", "t_ts", "price")
+  }
+
+  private def quotes = {
+    import spark.implicits._
+    Seq(
+      (10L, "A", ts("2026-01-01 09:30:00"), 98.5),
+      (11L, "A", ts("2026-01-01 10:00:00"), 100.1), // equal-ts: eligible for trade 1
+      (12L, "A", ts("2026-01-01 10:04:00"), 100.9),
+      (13L, "B", ts("2026-01-01 08:00:00"), 49.0)
+    ).toDF("quote_id", "sym", "q_ts", "bid")
+  }
+
+  test("backward matches the latest quote at or before each trade") {
+    import spark.implicits._
+    val got = AsOfJoin.backward(trades, quotes.drop("quote_id"), Seq("sym"),
+        "t_ts", "q_ts", matchedTsCol = Some("q_ts"))
+      .select($"trade_id", $"bid", $"q_ts").as[(Long, Option[Double], Option[Timestamp])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some(100.1), Some(ts("2026-01-01 10:00:00"))), // equal ts counts
+      (2L, Some(100.9), Some(ts("2026-01-01 10:04:00"))),
+      (3L, None, None), // no quote yet
+      (4L, Some(49.0), Some(ts("2026-01-01 08:00:00"))),
+      (5L, None, None))) // key absent from right side
+  }
+
+  test("tolerance nulls out matches further back than the bound") {
+    import spark.implicits._
+    val got = AsOfJoin.backward(trades, quotes.drop("quote_id"), Seq("sym"),
+        "t_ts", "q_ts", tolerance = Some("30 minutes"))
+      .select($"trade_id", $"bid").as[(Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    // trade 4's only quote is 2h old → gated to null
+    assert(got.find(_._1 == 4L).get._2 === None)
+    assert(got.find(_._1 == 1L).get._2 === Some(100.1))
+  }
+
+  test("right-side ties resolve by the tiebreak column") {
+    import spark.implicits._
+    val dupQuotes = Seq(
+      (20L, "A", ts("2026-01-01 09:00:00"), 1.0),
+      (21L, "A", ts("2026-01-01 09:00:00"), 2.0) // same (sym, ts), higher id
+    ).toDF("quote_id", "sym", "q_ts", "bid")
+    val back = AsOfJoin.backward(trades.filter($"trade_id" === 1), dupQuotes,
+        Seq("sym"), "t_ts", "q_ts", rightTiebreak = Some("quote_id"))
+      .select($"bid").as[Double].collect().toSeq
+    assert(back === Seq(2.0)) // highest tiebreak wins backward
+    val fwd = AsOfJoin.forward(trades.filter($"trade_id" === 3), dupQuotes,
+        Seq("sym"), "t_ts", "q_ts", rightTiebreak = Some("quote_id"))
+      .select($"bid").as[Double].collect().toSeq
+    assert(fwd === Seq(1.0)) // lowest tiebreak wins forward
+  }
+
+  test("forward matches the earliest quote at or after each trade") {
+    import spark.implicits._
+    val got = AsOfJoin.forward(trades, quotes.drop("quote_id"), Seq("sym"),
+        "t_ts", "q_ts", matchedTsCol = Some("q_ts"))
+      .select($"trade_id", $"bid", $"q_ts").as[(Long, Option[Double], Option[Timestamp])]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, Some(100.1), Some(ts("2026-01-01 10:00:00"))), // equal ts counts
+      (2L, None, None), // nothing after 10:05
+      (3L, Some(98.5), Some(ts("2026-01-01 09:30:00"))),
+      (4L, None, None),
+      (5L, None, None)))
+  }
+
+  test("agrees with the naive theta-join + top-1 formulation") {
+    import spark.implicits._
+    val q = quotes.drop("quote_id")
+    val viaWindow = AsOfJoin.backward(trades, q, Seq("sym"), "t_ts", "q_ts")
+      .select($"trade_id", $"bid").as[(Long, Option[Double])].collect().toSet
+    val naive = trades.as("t")
+      .join(q.as("q"), $"t.sym" === $"q.sym" && $"q.q_ts" <= $"t.t_ts", "left")
+      .groupBy($"t.trade_id")
+      .agg(max_by($"q.bid", $"q.q_ts").as("bid"))
+      .as[(Long, Option[Double])].collect().toSet
+    assert(viaWindow === naive)
+  }
+
+  test("payload name collisions fail loudly") {
+    import spark.implicits._
+    val bad = quotes.withColumnRenamed("bid", "price") // collides with left
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, bad, Seq("sym"), "t_ts", "q_ts")
+    }
+    assert(e.getMessage.contains("price"))
+  }
+}
