@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, max, min, split}
 
 /** Three-level table reference, mirroring the reference's
   * `catalog.schema.table` namespace (/root/reference/lib/ingestors.py:95,
@@ -53,7 +54,8 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * in, delete old. A reader holding the old directory's file list can
     * finish its scan; new readers resolve the new directory.
     */
-  def overwrite(ref: TableRef, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+  def overwrite(ref: TableRef, df: DataFrame, partitionBy: Seq[String] = Nil,
+                statsColumns: Seq[String] = Nil): Unit = {
     val target = new Path(path(ref))
     val filesystem = fs(target)
     filesystem.mkdirs(target.getParent)
@@ -62,6 +64,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val old = new Path(path(ref) + s".old-$nonce")
     val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(tmp.toString)
+    if (statsColumns.nonEmpty) writeStats(tmp.toString, statsColumns)
     try {
       val hadOld = filesystem.exists(target)
       if (hadOld && !filesystem.rename(target, old))
@@ -117,5 +120,88 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val name = s"${ref.catalog}_${ref.schema}_${ref.table}"
     read(ref).createOrReplaceTempView(name)
     name
+  }
+
+  // ------------------------------------------------ file skipping
+
+  /** Manifest directory name — underscore-prefixed so Spark's file
+    * index treats it as hidden and plain `read` never sees it as data.
+    */
+  private val statsDir = "_graft_stats"
+
+  /** Collect per-file min/max for `statsColumns` over freshly written
+    * data and persist them as a typed parquet manifest inside the table
+    * directory (written pre-swap, so manifest and data move atomically).
+    *
+    * The collection pass reads ONLY the stat columns (column-pruned
+    * parquet scan — IO proportional to the indexed columns, not the
+    * table) and aggregates per input file: the same write-time stats
+    * discipline Delta/Iceberg use, kept engine-native. Keyed by file
+    * BASENAME, which the rename swap preserves.
+    */
+  private def writeStats(dir: String, statsColumns: Seq[String]): Unit = {
+    val data = spark.read.parquet(dir)
+    val missing = statsColumns.filterNot(data.columns.contains)
+    require(missing.isEmpty,
+      s"stats column(s) not in table: ${missing.mkString(",")} " +
+        "(partition columns carry no file stats — prune on the partition instead)")
+    val aggs = statsColumns.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    data
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1) // one manifest row per data file: always tiny
+      .write.mode("overwrite").parquet(s"$dir/$statsDir")
+  }
+
+  /** Range-pruned read: drop files whose [min, max] interval for
+    * `column` provably misses [lo, hi] (`max < lo` or `min > hi`).
+    * Conservative by construction — files with null stats (all-null
+    * column) or absent from the manifest are kept, so the result only
+    * ever SHRINKS the file list; callers still apply their exact
+    * row-level filter on top. Falls back to a full read when the table
+    * has no manifest for `column`.
+    *
+    * At 100 TB this is the difference between touching every footer and
+    * opening only the files a point/range lookup can live in — provided
+    * the write clustered the column (e.g. `repartitionByRange` +
+    * `sortWithinPartitions` before [[overwrite]]), which is what makes
+    * per-file intervals disjoint instead of all-overlapping.
+    */
+  def readPruned(ref: TableRef, column: String, lo: Any, hi: Any): DataFrame = {
+    val tablePath = path(ref)
+    val manifestPath = new Path(s"$tablePath/$statsDir")
+    val filesystem = fs(manifestPath)
+    if (!filesystem.exists(manifestPath)) return read(ref)
+    // address the manifest's part files directly: the _-prefixed dir
+    // itself is deliberately hidden from Spark's file index
+    val manifestFiles = filesystem.listStatus(manifestPath)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
+    if (manifestFiles.isEmpty) return read(ref)
+    val manifest = spark.read.parquet(manifestFiles.toIndexedSeq: _*)
+    if (!manifest.columns.contains(s"min_$column")) return read(ref)
+    val mn = col(s"min_$column")
+    val mx = col(s"max_$column")
+    // exclusion list, not an allowlist: files with null stats or absent
+    // from the manifest entirely must survive pruning
+    val excluded = mx < lit(lo) || mn > lit(hi)
+    val excludedNames = manifest.filter(excluded <=> lit(true))
+      .select("file").collect().map(_.getString(0)).toSet
+    val all = listDataFiles(new Path(tablePath))
+    val kept = all.filterNot(p => excludedNames.contains(p.getName))
+    if (kept.isEmpty) read(ref).limit(0)
+    else spark.read.option("basePath", tablePath).parquet(kept.map(_.toString): _*)
+  }
+
+  /** All parquet data files under a table dir (recursive, skipping
+    * underscore/dot-hidden entries such as the stats manifest).
+    */
+  private def listDataFiles(table: Path): Seq[Path] = {
+    val filesystem = fs(table)
+    def walk(p: Path): Seq[Path] =
+      filesystem.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
+    walk(table).filter(_.getName.endsWith(".parquet"))
   }
 }

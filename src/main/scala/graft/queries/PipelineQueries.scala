@@ -164,13 +164,39 @@ object PipelineQueries {
        |FROM (${QualityQueries.qQualityChecksSql.replace("\n", "\n      ")})
        |GROUP BY test_name, test_type, mandate""".stripMargin
 
+  /** Write-time file statistics + min/max file skipping: range-cluster
+    * orders by key, persist with a stats manifest, read back through
+    * the pruned path (provably-missing files never opened), then apply
+    * the exact filter. Value-checked against a plain filter — pruning
+    * must be invisible in the result, only in the files touched
+    * (WarehouseSpec asserts the inputFiles shrink).
+    */
+  def qWarehouseSkip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-skip").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val ref = TableRef("silver", "facts", "orders_ranged")
+    wh.overwrite(ref,
+      Tables.load(spark, dir, "orders").repartitionByRange(8, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))
+    wh.readPruned(ref, "o_orderkey", 1000L, 2999L)
+      .filter($"o_orderkey".between(1000L, 2999L))
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+  }
+
+  val qWarehouseSkipSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_cdc" -> (qPipelineCdc _),
-    "q_checker_scorecard" -> (qCheckerScorecard _))
+    "q_checker_scorecard" -> (qCheckerScorecard _),
+    "q_warehouse_skip" -> (qWarehouseSkip _))
 
   def oracles: Map[String, String] = Map(
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_cdc" -> qPipelineCdcSql,
-    "q_checker_scorecard" -> qCheckerScorecardSql)
+    "q_checker_scorecard" -> qCheckerScorecardSql,
+    "q_warehouse_skip" -> qWarehouseSkipSql)
 }

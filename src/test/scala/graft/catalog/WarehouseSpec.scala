@@ -36,4 +36,64 @@ class WarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException](TableRef.parse("a.b"))
     intercept[IllegalArgumentException](TableRef("", "b", "c"))
   }
+
+  test("file skipping: pruned read opens fewer files, same rows") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-skip"))
+    val ref = TableRef("silver", "facts", "ranged")
+    // range-cluster ids so per-file [min,max] intervals are disjoint
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("payload", $"id" * 2)
+      .repartitionByRange(8, $"id")
+    wh.overwrite(ref, df, statsColumns = Seq("id"))
+
+    val full = wh.read(ref)
+    val pruned = wh.readPruned(ref, "id", 2000L, 2500L)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"expected pruning: ${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    // pruning is file-level only — the exact filter still applies on top
+    val got = pruned.filter($"id".between(2000, 2500)).select("id", "payload")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === (2000L to 2500L).map(i => (i, i * 2)))
+
+    // a range outside every file's interval prunes everything
+    assert(wh.readPruned(ref, "id", 50000L, 60000L).count() === 0)
+    // plain read never sees the manifest as data
+    assert(full.columns.toSeq === Seq("id", "payload"))
+    assert(full.count() === 10000)
+  }
+
+  test("file skipping is conservative: null stats and missing manifests keep files") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-skip-edge"))
+    // no manifest → readPruned falls back to the full table
+    val plain = TableRef("a", "b", "plain")
+    wh.overwrite(plain, Seq((1L, "x")).toDF("id", "v"))
+    assert(wh.readPruned(plain, "id", 100L, 200L).count() === 1)
+    // manifest for a different column → full read too
+    val other = TableRef("a", "b", "other")
+    wh.overwrite(other, Seq((1L, "x")).toDF("id", "v"), statsColumns = Seq("v"))
+    assert(wh.readPruned(other, "id", 100L, 200L).count() === 1)
+    // all-null stat column → file kept despite no provable overlap
+    val nulls = TableRef("a", "b", "nulls")
+    wh.overwrite(nulls,
+      Seq((Option.empty[Long], "x"), (Option.empty[Long], "y")).toDF("id", "v"),
+      statsColumns = Seq("id"))
+    assert(wh.readPruned(nulls, "id", 0L, 10L).count() === 2)
+  }
+
+  test("file skipping composes with partitioned tables") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-skip-part"))
+    val ref = TableRef("silver", "facts", "parted")
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("bucket", ($"id" % 2).cast("string"))
+      .repartitionByRange(4, $"id")
+    wh.overwrite(ref, df, partitionBy = Seq("bucket"), statsColumns = Seq("id"))
+    val pruned = wh.readPruned(ref, "id", 0L, 10L)
+    assert(pruned.inputFiles.length < wh.read(ref).inputFiles.length)
+    // partition column survives the explicit-file read via basePath
+    assert(pruned.columns.toSet === Set("id", "bucket"))
+    assert(pruned.filter($"id" < 10).count() === 10)
+  }
 }
