@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reproducible sampling for training-data pipelines. Spark's
+  * `df.sample` is seed-stable only for a fixed partitioning — a
+  * repartition or a different file split reshuffles which rows are
+  * picked. Pipelines that must re-derive the SAME split across runs,
+  * engines, and cluster sizes (train/holdout separation, A/B cohorts)
+  * need content-addressed sampling: a per-row decision that is a pure
+  * function of a key, never of physical layout.
+  *
+  * `keyHash` is Knuth multiplicative hashing over the 32-bit ring
+  * (TAOCP vol. 3 §6.4): h = (key * 2654435761) mod 2^32, uniform
+  * enough for fraction selection and exactly reproducible in any
+  * engine with 64-bit integer arithmetic (the DuckDB oracle re-derives
+  * it in plain SQL). Zero shuffles — pure per-row expressions inside
+  * whole-stage codegen; at 100 TB a split is a filter, not a job.
+  */
+object Sampling {
+
+  /** 2^32-ring Knuth multiplicative hash of an integral key (+ salt):
+    * `((key + salt) mod 2^31) * 2654435761 mod 2^32`, in [0, 2^32).
+    * The key is reduced mod 2^31 BEFORE multiplying so the product
+    * stays under 2^63 — engines with checked int64 arithmetic (DuckDB
+    * raises on overflow) evaluate it identically to Java's wrapping.
+    */
+  def keyHash(key: Column, salt: Long = 0L): Column =
+    pmod(pmod(key.cast("long") + lit(salt), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+
+  /** Deterministic Bernoulli-by-key sample: keeps rows whose key hashes
+    * under `fraction` of the ring. Same key + salt → same verdict on
+    * any engine, any layout, any day.
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double,
+                          salt: Long = 0L): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction must be in [0,1]: $fraction")
+    df.filter(keyHash(col(keyCol), salt) < lit((fraction * 4294967296L).toLong))
+  }
+
+  /** Disjoint deterministic splits (e.g. train/val/test): returns one
+    * DataFrame per fraction, partitioning the keyspace by consecutive
+    * hash bands. Fractions must sum to at most 1; rows hashing past the
+    * last band are dropped (sum to exactly 1 to keep everything).
+    */
+  def splitByKey(df: DataFrame, keyCol: String, fractions: Seq[Double],
+                 salt: Long = 0L): Seq[DataFrame] = {
+    require(fractions.forall(_ >= 0) && fractions.sum <= 1.0 + 1e-9,
+      s"fractions must be non-negative and sum <= 1: $fractions")
+    val bounds = fractions.scanLeft(0.0)(_ + _)
+    val h = keyHash(col(keyCol), salt)
+    bounds.zip(bounds.tail).map { case (lo, hi) =>
+      df.filter(h >= lit((lo * 4294967296L).toLong) &&
+        h < lit((hi * 4294967296L).toLong))
+    }
+  }
+
+  /** Stratified deterministic sample: per-stratum fractions, same
+    * hash-band rule inside each stratum. Strata absent from `fractions`
+    * are dropped (mirrors Spark's `sampleBy`).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double], salt: Long = 0L): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      s"fractions must be in [0,1]: $fractions")
+    val h = keyHash(col(keyCol), salt)
+    val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(strataCol) === lit(stratum) && h < lit((f * 4294967296L).toLong))
+    }
+    df.filter(keep)
+  }
+}

@@ -190,13 +190,78 @@ object AnalyticQueries {
       |      FROM embeddings)
       |GROUP BY label, dim""".stripMargin
 
+  // --------------------------------------------------------- sampling
+
+  /** Reproducible train/test split via content-addressed hashing
+    * (operators.Sampling): the verdict is a pure function of the key,
+    * so the DuckDB oracle re-derives the exact membership in SQL —
+    * engine-portable splits, the property `df.sample` cannot give.
+    */
+  def qSampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.load(spark, dir, "orders")
+    val Seq(train, test) =
+      graft.operators.Sampling.splitByKey(orders, "o_orderkey", Seq(0.8, 0.2))
+    train.withColumn("split", lit("train"))
+      .unionByName(test.withColumn("split", lit("test")))
+      .select($"o_orderkey", $"split")
+  }
+
+  val qSampleSplitSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN ((o_orderkey % 2147483648) * 2654435761) % 4294967296
+      |            < CAST(floor(0.8 * 4294967296) AS BIGINT)
+      |       THEN 'train' ELSE 'test' END AS split
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------------------ top-k
+
+  /** Distributed exact top-k: Spark plans orderBy+limit as
+    * TakeOrderedAndProject — per-partition heaps, only k rows reach the
+    * driver-side merge; no global sort materializes at any scale.
+    */
+  def qTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      .limit(100)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+  }
+
+  val qTopkSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------- approx sketches
+
+  /** The sketch aggregates a 100 TB engine actually runs — HLL distinct
+    * counts and quantile sketches. Rows-only in the gate (sketch
+    * internals differ across engines by design); AnalyticSpec bounds
+    * them against exact answers.
+    */
+  def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
+          .as("approx_price_q"))
+  }
+
   def queries: Map[String, Q] = Map(
     "q_asof_join" -> (qAsofJoin _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
-    "q_embed_pool" -> (qEmbedPool _))
+    "q_embed_pool" -> (qEmbedPool _),
+    "q_sample_split" -> (qSampleSplit _),
+    "q_topk" -> (qTopk _),
+    "q_approx_stats" -> (qApproxStats _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
@@ -204,5 +269,7 @@ object AnalyticQueries {
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,
-    "q_embed_pool" -> qEmbedPoolSql)
+    "q_embed_pool" -> qEmbedPoolSql,
+    "q_sample_split" -> qSampleSplitSql,
+    "q_topk" -> qTopkSql)
 }
