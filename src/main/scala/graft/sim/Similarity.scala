@@ -136,17 +136,32 @@ object Similarity {
     c
   }
 
-  /** Assign every corpus row to its nearest centroid (broadcast
-    * nested-loop over the small centroid table; corpus stays in place).
+  /** Assign every corpus row to its nearest centroid. The centroid
+    * table is SMALL by construction (nlist rows), so it is collected
+    * and inlined as a literal: the per-row argmax becomes a pure
+    * projection — zero shuffles, no nlist× row amplification. The
+    * former crossJoin + per-id window formulation duplicated every
+    * corpus VECTOR nlist times through an exchange just to pick a
+    * maximum; at 100 TB that shuffle dwarfs the actual math.
+    * Ties break toward the lowest cid (same as the window ordering
+    * `sim desc, cid asc` it replaces).
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
              centroids: DataFrame): DataFrame = {
-    val scored = spread(corpus).crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosineAuto(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("cid").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__sim", "centroid")
+    val cents = centroids.select(col("cid").cast("int"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    if (cents.isEmpty)
+      return corpus.withColumn("cid", lit(null).cast("int")).limit(0)
+    // struct max is lexicographic: highest sim first, then highest
+    // NEGATED cid — i.e. the lowest cid — on exact ties
+    val scored = cents.map { case (cid, vec) =>
+      struct(
+        cosineAuto(col(vecCol), typedLit(vec)).as("sim"),
+        lit(-cid).as("ncid"))
+    }
+    val best = array_max(array(scored.toIndexedSeq: _*))
+    spread(corpus).withColumn("cid", -best.getField("ncid"))
   }
 
   /** IVF top-k: probe the `nprobe` closest clusters per query, then
