@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticQueries, CoreQueries, DedupQueries, MultimodalQueries, PipelineQueries, QualityQueries, RelationalQueries, SimQueries, TextQueries}
+import graft.queries.{AnalyticQueries, CoreQueries, DedupQueries, MultimodalQueries, PipelineQueries, QualityQueries, RelationalQueries, SimQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
       QualityQueries.queries ++ TextQueries.queries ++
       DedupQueries.queries ++ SimQueries.queries ++
       MultimodalQueries.queries ++ PipelineQueries.queries ++
-      AnalyticQueries.queries
+      AnalyticQueries.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +33,5 @@ object SparkEntry {
       QualityQueries.oracles ++ TextQueries.oracles ++
       DedupQueries.oracles ++ SimQueries.oracles ++
       MultimodalQueries.oracles ++ PipelineQueries.oracles ++
-      AnalyticQueries.oracles
+      AnalyticQueries.oracles ++ StreamingQueries.oracles
 }

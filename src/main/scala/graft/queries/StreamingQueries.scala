@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming inside the DuckDB-checked gate: the events
+  * table is replayed through a REAL file-source stream (schema-declared,
+  * micro-batched, AvailableNow) into the windowed-aggregate operator and
+  * a memory sink; the oracle computes the same hourly rollup as plain
+  * batch SQL. Streaming and batch semantics must agree exactly — the
+  * same property EventStreamsSpec asserts for sessionization and CDC.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events.parquet's physical schema: ts is TIMESTAMP(NANOS), which
+    * arrives as a long under nanosAsLong (see graft.Tables.load — the
+    * streaming source needs the same conversion, declared not inferred).
+    */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_window_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val events = spark.readStream
+      .schema(eventsSchema)
+      // the file source wants a directory; glob down to the one table
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = EventStreams
+      .windowedAggregates(events, windowDuration = "1 hour", watermark = "2 hours")
+      .writeStream
+      .outputMode("complete") // finite replay: every window must emit
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink).select(
+      unix_micros($"window_start").as("ws_us"),
+      $"event_type",
+      $"n_events",
+      round($"total_value", 6).as("total_value"))
+  }
+
+  val qStreamWindowSql: String =
+    """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS ws_us,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       round(sum(value), 6) AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  def queries: Map[String, Q] = Map(
+    "q_stream_window" -> (qStreamWindow _))
+
+  def oracles: Map[String, String] = Map(
+    "q_stream_window" -> qStreamWindowSql)
+}
