@@ -190,6 +190,39 @@ object AnalyticQueries {
       |      FROM embeddings)
       |GROUP BY label, dim""".stripMargin
 
+  // -------------------------------------------------------- range join
+
+  /** Binned range join (operators.RangeJoin): repeat-purchase pairs —
+    * orders by the same customer strictly within 30 days after an
+    * earlier order. One-day-granular timestamps over 30-day intervals
+    * with 30-day bins → each interval explodes to ≤ 2 bins; the naive
+    * theta formulation the oracle runs would be a per-customer cross
+    * product in Spark.
+    */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val us30d = 30L * 86400000000L
+    // o_orderdate is TIMESTAMP_NTZ in parquet; the session is pinned
+    // UTC, so the cast to instant-typed timestamp is value-preserving
+    val orders = Tables.load(spark, dir, "orders")
+      .withColumn("od_us", unix_micros($"o_orderdate".cast("timestamp")))
+    val points = orders.select($"o_orderkey".as("later_key"),
+      $"o_custkey", $"od_us".as("x"))
+    val intervals = orders.select($"o_orderkey".as("earlier_key"),
+      $"o_custkey", $"od_us".as("s"), ($"od_us" + us30d).as("e"))
+    graft.operators.RangeJoin.pointInInterval(points, intervals,
+        Seq("o_custkey"), "x", "s", "e", binWidth = us30d)
+      .filter($"x" > $"s") // strictly later — also excludes self-pairs
+      .select($"o_custkey", $"earlier_key", $"later_key")
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT a.o_custkey, a.o_orderkey AS earlier_key, b.o_orderkey AS later_key
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey
+      | AND epoch_us(b.o_orderdate) > epoch_us(a.o_orderdate)
+      | AND epoch_us(b.o_orderdate) <= epoch_us(a.o_orderdate) + 2592000000000""".stripMargin
+
   // --------------------------------------------------------- sampling
 
   /** Reproducible train/test split via content-addressed hashing
@@ -261,7 +294,8 @@ object AnalyticQueries {
     "q_embed_pool" -> (qEmbedPool _),
     "q_sample_split" -> (qSampleSplit _),
     "q_topk" -> (qTopk _),
-    "q_approx_stats" -> (qApproxStats _))
+    "q_approx_stats" -> (qApproxStats _),
+    "q_range_join" -> (qRangeJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
@@ -271,5 +305,6 @@ object AnalyticQueries {
     "q_unpivot" -> qUnpivotSql,
     "q_embed_pool" -> qEmbedPoolSql,
     "q_sample_split" -> qSampleSplitSql,
-    "q_topk" -> qTopkSql)
+    "q_topk" -> qTopkSql,
+    "q_range_join" -> qRangeJoinSql)
 }
