@@ -122,6 +122,46 @@ final class Warehouse(spark: SparkSession, val root: String) {
     name
   }
 
+  // ------------------------------------------------ bucketed tables
+
+  /** Catalog name for a bucketed table (temp-view-style flat name —
+    * Spark's bucketing metadata lives in the session catalog, not in
+    * the files).
+    */
+  def bucketedName(ref: TableRef): String =
+    s"${ref.catalog}_${ref.schema}_${ref.table}"
+
+  /** Write a table hash-bucketed (and sorted) by `bucketCols`:
+    * two tables bucketed the same way join WITHOUT shuffling either
+    * side — at 100 TB, pre-bucketing the big fact tables on their join
+    * key turns every subsequent join into a zip of co-located buckets
+    * (WarehouseSpec asserts the exchange-free plan).
+    *
+    * Trade-offs vs [[overwrite]] (both documented, caller chooses):
+    * bucket metadata is session-scoped (files persist at the warehouse
+    * path; re-register after a restart by calling this again or
+    * recreating the catalog entry), and the write goes through
+    * saveAsTable's own overwrite rather than the atomic rename swap.
+    */
+  def overwriteBucketed(ref: TableRef, df: DataFrame, bucketCols: Seq[String],
+                        numBuckets: Int): Unit = {
+    require(bucketCols.nonEmpty, "need at least one bucket column")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val name = bucketedName(ref)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.write
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path(ref))
+      .mode("overwrite")
+      .saveAsTable(name)
+  }
+
+  /** Read a bucketed table THROUGH the catalog — a plain path read
+    * would lose the bucket spec and reintroduce the shuffle.
+    */
+  def readBucketed(ref: TableRef): DataFrame = spark.table(bucketedName(ref))
+
   // ------------------------------------------------ file skipping
 
   /** Manifest directory name — underscore-prefixed so Spark's file

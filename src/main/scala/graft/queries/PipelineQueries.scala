@@ -188,15 +188,45 @@ object PipelineQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999""".stripMargin
 
+  /** Bucketed warehouse tables end-to-end: both sides written
+    * hash-bucketed on the join key, then joined through the catalog —
+    * an exchange-free sort-merge join (WarehouseSpec asserts the plan;
+    * this query value-checks the results match a plain join).
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-bucket").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val o = TableRef("silver", "facts", "orders_bkt")
+    val c = TableRef("silver", "facts", "customer_bkt")
+    wh.overwriteBucketed(o, Tables.load(spark, dir, "orders"), Seq("o_custkey"), 8)
+    wh.overwriteBucketed(c, Tables.load(spark, dir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), 8)
+    wh.readBucketed(o).hint("merge")
+      .join(wh.readBucketed(c), "o_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_cdc" -> (qPipelineCdc _),
     "q_checker_scorecard" -> (qCheckerScorecard _),
-    "q_warehouse_skip" -> (qWarehouseSkip _))
+    "q_warehouse_skip" -> (qWarehouseSkip _),
+    "q_bucketed_join" -> (qBucketedJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_cdc" -> qPipelineCdcSql,
     "q_checker_scorecard" -> qCheckerScorecardSql,
-    "q_warehouse_skip" -> qWarehouseSkipSql)
+    "q_warehouse_skip" -> qWarehouseSkipSql,
+    "q_bucketed_join" -> qBucketedJoinSql)
 }

@@ -1,5 +1,7 @@
 package graft.catalog
 
+import org.apache.spark.sql.functions.{concat, lit}
+
 import graft.SparkSpec
 
 class WarehouseSpec extends SparkSpec {
@@ -80,6 +82,30 @@ class WarehouseSpec extends SparkSpec {
       Seq((Option.empty[Long], "x"), (Option.empty[Long], "y")).toDF("id", "v"),
       statsColumns = Seq("id"))
     assert(wh.readPruned(nulls, "id", 0L, 10L).count() === 2)
+  }
+
+  test("bucketed tables join without exchanging either side") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-bucket"))
+    val left = TableRef("silver", "facts", "b_orders")
+    val right = TableRef("silver", "facts", "b_custs")
+    wh.overwriteBucketed(left,
+      spark.range(0, 2000).toDF("id").withColumn("k", $"id" % 100),
+      Seq("k"), 8)
+    wh.overwriteBucketed(right,
+      spark.range(0, 100).toDF("k").withColumn("name", concat(lit("c"), $"k")),
+      Seq("k"), 8)
+    // force sort-merge (tiny sides would broadcast and trivially skip
+    // the exchange) — bucketing must make BOTH exchanges disappear
+    val joined = wh.readBucketed(left).hint("merge")
+      .join(wh.readBucketed(right), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
+    assert(joined.count() === 2000)
+    // sanity: the same join over plain path reads DOES shuffle
+    val unbucketed = spark.read.parquet(wh.path(left)).hint("merge")
+      .join(spark.read.parquet(wh.path(right)), "k")
+    assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("file skipping composes with partitioned tables") {
