@@ -361,7 +361,58 @@ object RelationalQueries {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Map-typed scalar functions: from_json to MAP, key/value
+    * extraction, size, and map_concat — the map surface §2.12 notes the
+    * reference never touches.
+    */
+  def qScalarMap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = from_json($"props",
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+    Tables.load(spark, dir, "events")
+      .select(
+        $"event_id",
+        element_at(m, "k").as("k_val"),
+        size(m).as("n_keys"),
+        array_join(map_keys(m), ",").as("keys"),
+        element_at(map_values(m), 1).as("first_val"),
+        element_at(map_concat(m, map(lit("extra"), lit(1))), "extra").as("extra_val"))
+  }
+
+  val qScalarMapSql: String =
+    """SELECT event_id,
+      |  CAST(props->>'$.k' AS INTEGER) AS k_val,
+      |  CAST(len(json_keys(props)) AS INTEGER) AS n_keys,
+      |  array_to_string(json_keys(props), ',') AS keys,
+      |  CAST(props->>'$.k' AS INTEGER) AS first_val,
+      |  1 AS extra_val
+      |FROM events""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all 2^n grouping combinations
+    * in one pass (rollup's superset; grouping_id disambiguates).
+    */
+  def qAggCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        grouping_id().as("gid"))
+  }
+
+  val qAggCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_scalar_map" -> (qScalarMap _),
+    "q_agg_cube" -> (qAggCube _),
     "q_set_ops" -> (qSetOps _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_agg_rollup" -> (qAggRollup _),
@@ -378,6 +429,8 @@ object RelationalQueries {
     "q_merge_cdc" -> (qMergeCdc _))
 
   def oracles: Map[String, String] = Map(
+    "q_scalar_map" -> qScalarMapSql,
+    "q_agg_cube" -> qAggCubeSql,
     "q_set_ops" -> qSetOpsSql,
     "q_agg_distinct" -> qAggDistinctSql,
     "q_agg_rollup" -> qAggRollupSql,
