@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       info("graft_shingles", "graft_shingles(tokens, k) - distinct space-joined k-token shingles"),
       (children: Seq[Expression]) => TokenShingles(children(0), intLit(children(1), "k"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_by"),
+      info("graft_topk_by",
+        "graft_topk_by(payload, ord, tie, k) - array of the k payloads with highest ord (ties: lowest tie), best-first"),
+      (children: Seq[Expression]) => TopKBy(children(0), children(1), children(2),
+        intLit(children(3), "k"))))
   }
 
   private def intLit(e: Expression, name: String): Int = e match {

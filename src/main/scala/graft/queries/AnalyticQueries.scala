@@ -267,6 +267,28 @@ object AnalyticQueries {
       |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
       |LIMIT 100""".stripMargin
 
+  /** Grouped top-k via the native heap aggregate (operators.TopK /
+    * graft_topk_by): top-3 orders per customer — map-side partial
+    * top-k means the shuffle carries ≤ 3 rows per customer per task,
+    * not every order. Value-checked against DuckDB's window form.
+    */
+  def qTopkGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.TopK.perKey(
+        Tables.load(spark, dir, "orders")
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice"),
+        Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+      .select($"o_custkey", $"rank", $"o_orderkey", $"o_totalprice")
+  }
+
+  val qTopkGroupSql: String =
+    """SELECT o_custkey, CAST(rn AS INTEGER) AS rank, o_orderkey, o_totalprice
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3""".stripMargin
+
   // ------------------------------------------------- approx sketches
 
   /** The sketch aggregates a 100 TB engine actually runs — HLL distinct
@@ -295,7 +317,8 @@ object AnalyticQueries {
     "q_sample_split" -> (qSampleSplit _),
     "q_topk" -> (qTopk _),
     "q_approx_stats" -> (qApproxStats _),
-    "q_range_join" -> (qRangeJoin _))
+    "q_range_join" -> (qRangeJoin _),
+    "q_topk_group" -> (qTopkGroup _))
 
   def oracles: Map[String, String] = Map(
     "q_asof_join" -> qAsofJoinSql,
@@ -306,5 +329,6 @@ object AnalyticQueries {
     "q_embed_pool" -> qEmbedPoolSql,
     "q_sample_split" -> qSampleSplitSql,
     "q_topk" -> qTopkSql,
-    "q_range_join" -> qRangeJoinSql)
+    "q_range_join" -> qRangeJoinSql,
+    "q_topk_group" -> qTopkGroupSql)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKSpec extends SparkSpec {
+
+  private def sales = {
+    import spark.implicits._
+    Seq(
+      ("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 20.0), ("a", 4L, 30.0),
+      ("b", 5L, 5.0),
+      ("c", 6L, 1.0), ("c", 7L, 1.0), ("c", 8L, 1.0)
+    ).toDF("grp", "id", "amount")
+  }
+
+  test("native heap aggregate keeps the k best with deterministic ties") {
+    import spark.implicits._
+    val got = TopK.perKey(sales, Seq("grp"), "amount", "id", 2)
+      .select($"grp", $"rank", $"id", $"amount")
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("a", 1, 2L, 30.0), // ties on 30.0 → lowest id first
+      ("a", 2, 4L, 30.0),
+      ("b", 1, 5L, 5.0),  // group smaller than k
+      ("c", 1, 6L, 1.0),  // all-ties → ids ascending
+      ("c", 2, 7L, 1.0)))
+  }
+
+  test("native and window paths agree on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 5000).map(i =>
+      (s"g${rnd.nextInt(40)}", i.toLong, rnd.nextInt(100).toDouble))
+      .toDF("grp", "id", "amount").repartition(7)
+    val native = TopK.perKey(df, Seq("grp"), "amount", "id", 5)
+      .select($"grp", $"rank", $"id").as[(String, Int, Long)].collect().toSet
+    // window fallback, forced
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"amount".desc, $"id".asc)
+    val windowed = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"grp", $"rank", $"id").as[(String, Int, Long)].collect().toSet
+    assert(native === windowed)
+  }
+
+  test("aggregate plans with partial (map-side) top-k before the exchange") {
+    val plan = TopK.perKey(sales, Seq("grp"), "amount", "id", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_graft_topk_by"), plan)
+  }
+
+  test("null ordering keys are skipped, not ranked") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, None), ("a", 3L, Some(20.0))
+    ).toDF("grp", "id", "amount")
+    val got = TopK.perKey(df, Seq("grp"), "amount", "id", 5)
+      .select($"id").as[Long].collect().toSet
+    assert(got === Set(1L, 3L))
+  }
+}
