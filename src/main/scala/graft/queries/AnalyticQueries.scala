@@ -55,6 +55,34 @@ object AnalyticQueries {
       |FROM l ASOF LEFT JOIN r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** Forward as-of: each click matched with the user's EARLIEST
+    * purchase at or after it (DuckDB mirrors with `l.ts <= r.ts`).
+    */
+  def qAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("purchase_value"))
+    AsOfJoin.forward(clicks, purchases, Seq("user_id"), "ts", "ts",
+        matchedTsCol = Some("purchase_ts"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"purchase_value", unix_micros($"purchase_ts").as("purchase_ts_us"))
+  }
+
+  val qAsofForwardSql: String =
+    """WITH l AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (
+      |  SELECT user_id, ts, max(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+      |       r.purchase_value, epoch_us(r.ts) AS purchase_ts_us
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin
+
   // ---------------------------------------------------------- windows
 
   /** The analytic-window family the reference's W1 generalizes into:
@@ -308,6 +336,7 @@ object AnalyticQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    "q_asof_forward" -> (qAsofForward _),
     "q_asof_join" -> (qAsofJoin _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_percentiles" -> (qPercentiles _),
@@ -321,6 +350,7 @@ object AnalyticQueries {
     "q_topk_group" -> (qTopkGroup _))
 
   def oracles: Map[String, String] = Map(
+    "q_asof_forward" -> qAsofForwardSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_percentiles" -> qPercentilesSql,

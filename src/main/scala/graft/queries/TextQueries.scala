@@ -159,13 +159,38 @@ object TextQueries {
           .as("sketch_csv"))
   }
 
+  /** Regex extraction over documents: all long word occurrences per
+    * doc (regexp_extract_all — the pattern-harvesting primitive of PII
+    * scrubbing / URL collection pipelines; both engines run the same
+    * class-based pattern).
+    */
+  def qTextExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hits = regexp_extract_all($"text", lit("\\b[a-z]{7,}\\b"), lit(0))
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        size(hits).as("n_long"),
+        array_join(hits, ",").as("long_words"))
+  }
+
+  // DuckDB's array_to_string([]) is NULL where Spark's array_join is ''
+  val qTextExtractSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b[a-z]{7,}\b')) AS INTEGER) AS n_long,
+      |  coalesce(array_to_string(regexp_extract_all(text, '\b[a-z]{7,}\b'), ','), '')
+      |    AS long_words
+      |FROM documents""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _))
 
   def oracles: Map[String, String] = Map(
+    "q_text_extract" -> qTextExtractSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql)
