@@ -50,6 +50,10 @@ object DevProfile {
     val typed = annotated
       .withColumn("run_date", org.apache.spark.sql.functions.col("run_date").cast("date"))
     time("annotate count (warm)")(typed.count())
+    // single-pass vs reference-shape union (N scans) comparison
+    val checker = new graft.quality.Checker(orders, meta, LocalDate.now())
+    time("annotate single-pass (warm)")(checker.annotateSinglePass().count())
+    time("annotate union mode (warm)")(checker.annotate().count())
     time("write partitioned (warm)")(
       typed.write.mode("overwrite").partitionBy("run_date").parquet(s"$base/wp"))
     time("write unpartitioned (warm)")(
