@@ -21,18 +21,21 @@ object Dedup {
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: keep the lowest-id row per normalized-content
-    * fingerprint. One shuffle, partitioned by the 64-bit fingerprint —
-    * rows carry their full width through the shuffle exactly once
-    * (same cost shape as any groupBy-based dedup, but with a cheap sort
-    * key). Fingerprint collisions (~2^-64) conflate documents; callers
+    * fingerprint, as a `min_by` hash aggregate — one shuffle on the
+    * 64-bit fingerprint, no sort, partial (map-side) reduction. The
+    * window formulation (`row_number over partitionBy(fp) = 1`) was
+    * measured 3× slower here: fingerprints are near-unique, so every
+    * group is a singleton and a sort buys nothing (this is also the
+    * cardinality regime where the row_number→top-k rewrite rule is
+    * counterproductive — see RowNumberTopKRewrite's scaladoc).
+    * Fingerprint collisions (~2^-64) conflate documents; callers
     * needing cryptographic certainty can partition by the text itself.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(TextFunctions.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
+    df.groupBy(TextFunctions.fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(payload, col(idCol)).as("__row"))
+      .select(col("__row.*"))
   }
 
   // -------------------------------------------------------------- minhash
