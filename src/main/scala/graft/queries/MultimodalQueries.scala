@@ -63,11 +63,31 @@ object MultimodalQueries {
       |  unnest(range(n_chars * 10 // 1000)) * 1000 AS ts_ms
       |FROM documents""".stripMargin
 
+  /** Media → embedding extraction (stub encoder, real byte-level
+    * partition-local batch path): byte-frequency features the oracle
+    * re-derives with char counting — valid because 'a'..'h' bytes never
+    * occur inside UTF-8 multibyte sequences.
+    */
+  def qMmEmbed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Multimodal.embedMedia(asMedia(spark, dir, "image"), dim = 8)
+      .toDF()
+      .select($"media_id", $"dim", round($"value", 6).as("value"))
+  }
+
+  val qMmEmbedSql: String =
+    """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS dim,
+      |  round(CAST(len(text) - len(replace(text, chr(CAST(97 + i AS INTEGER)), '')) AS DOUBLE)
+      |        / greatest(octet_length(encode(text)), 1), 6) AS value
+      |FROM documents, range(0, 8) t(i)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_mm_decode" -> (qMmDecode _),
-    "q_mm_frames" -> (qMmFrames _))
+    "q_mm_frames" -> (qMmFrames _),
+    "q_mm_embed" -> (qMmEmbed _))
 
   def oracles: Map[String, String] = Map(
     "q_mm_decode" -> qMmDecodeSql,
-    "q_mm_frames" -> qMmFramesSql)
+    "q_mm_frames" -> qMmFramesSql,
+    "q_mm_embed" -> qMmEmbedSql)
 }
