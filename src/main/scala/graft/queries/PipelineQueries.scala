@@ -216,17 +216,54 @@ object PipelineQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** K5 gold materialized view end-to-end: a reference-shaped
+    * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY
+    * rewritten, three-part names resolved against the warehouse) CTAS'd
+    * into the gold layer and read back — the last §2.2 sink with no
+    * value-checked gate entry.
+    */
+  def qGoldView(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-gate-gold").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val silver = TableRef("silver", "gate", "orders_gold")
+    wh.overwrite(silver, Tables.load(spark, dir, "orders"))
+    val goldRef = TableRef("gold", "gate", "latest_orders")
+    // QUALIFY evaluates over the SELECT output (reference transform
+    // semantics) — ordering columns must be projected
+    graft.gold.Views.materialize(spark, wh, goldRef,
+      """CREATE MATERIALIZED VIEW gold.gate.latest_orders AS
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       o_totalprice / 10 AS tax_est
+        |FROM silver.gate.orders_gold
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY order_date DESC, o_orderkey DESC) = 1""".stripMargin)
+    wh.read(goldRef)
+  }
+
+  val qGoldViewSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, order_date,
+      |       o_totalprice / 10 AS tax_est
+      |FROM (SELECT *, CAST(o_orderdate AS DATE) AS order_date,
+      |        row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_cdc" -> (qPipelineCdc _),
     "q_checker_scorecard" -> (qCheckerScorecard _),
     "q_warehouse_skip" -> (qWarehouseSkip _),
-    "q_bucketed_join" -> (qBucketedJoin _))
+    "q_bucketed_join" -> (qBucketedJoin _),
+    "q_gold_view" -> (qGoldView _))
 
   def oracles: Map[String, String] = Map(
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_cdc" -> qPipelineCdcSql,
     "q_checker_scorecard" -> qCheckerScorecardSql,
     "q_warehouse_skip" -> qWarehouseSkipSql,
-    "q_bucketed_join" -> qBucketedJoinSql)
+    "q_bucketed_join" -> qBucketedJoinSql,
+    "q_gold_view" -> qGoldViewSql)
 }
