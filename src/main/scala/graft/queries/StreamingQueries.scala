@@ -64,9 +64,55 @@ object StreamingQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Gap-based sessionization with the SAME session_window operator
+    * the streaming path uses (EventStreams.sessionWindows), run in
+    * batch mode: sessions merge while consecutive events per user are
+    * under 6 hours apart; session end = last event + gap. The oracle
+    * re-derives sessions with the classic gaps-and-islands SQL
+    * (new-session flag → running sum → group).
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.Tables.load(spark, dir, "events")
+      .groupBy(session_window($"ts", "6 hours"), $"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"event_id").as("first_event"),
+        max($"event_id").as("last_event"))
+      .select(
+        $"user_id",
+        unix_micros($"session_window.start").as("session_start_us"),
+        unix_micros($"session_window.end").as("session_end_us"),
+        $"n_events", $"first_event", $"last_event")
+  }
+
+  val qSessionWindowSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+      |           OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT *, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) + 21600000000 AS session_end_us,
+      |  count(*) AS n_events,
+      |  min(event_id) AS first_event,
+      |  max(event_id) AS last_event
+      |FROM sessions
+      |GROUP BY user_id, sid""".stripMargin
+
   def queries: Map[String, Q] = Map(
-    "q_stream_window" -> (qStreamWindow _))
+    "q_stream_window" -> (qStreamWindow _),
+    "q_session_window" -> (qSessionWindow _))
 
   def oracles: Map[String, String] = Map(
-    "q_stream_window" -> qStreamWindowSql)
+    "q_stream_window" -> qStreamWindowSql,
+    "q_session_window" -> qSessionWindowSql)
 }
