@@ -52,6 +52,44 @@ class TopKSpec extends SparkSpec {
     assert(plan.contains("partial_graft_topk_by"), plan)
   }
 
+  test("property: heap buffer equals global sort-and-take on random streams") {
+    import graft.functions.TopKBuffer
+    val rnd = new scala.util.Random(99)
+    (1 to 50).foreach { trial =>
+      val k = 1 + rnd.nextInt(7)
+      val n = rnd.nextInt(200)
+      val entries = (0 until n).map(i => (rnd.nextInt(20).toDouble, i.toLong))
+      val buf = new TopKBuffer(k)
+      entries.foreach { case (o, t) => buf.offer(o, t, s"v$t") }
+      // expected: sort by (ord desc, tie asc), take k
+      val expected = entries.sortBy { case (o, t) => (-o, t) }.take(k)
+        .map { case (_, t) => s"v$t" }
+      val got = buf.sortedBestFirst.map(_.value).toSeq
+      assert(got === expected, s"trial $trial k=$k n=$n")
+    }
+  }
+
+  test("property: merging split buffers equals one buffer over the whole stream") {
+    import graft.functions.TopKBuffer
+    val rnd = new scala.util.Random(101)
+    (1 to 30).foreach { trial =>
+      val k = 1 + rnd.nextInt(5)
+      val entries = (0 until 150).map(i => (rnd.nextInt(10).toDouble, i.toLong))
+      val whole = new TopKBuffer(k)
+      entries.foreach { case (o, t) => whole.offer(o, t, t) }
+      val parts = entries.grouped(40).map { chunk =>
+        val b = new TopKBuffer(k)
+        chunk.foreach { case (o, t) => b.offer(o, t, t) }
+        b
+      }
+      val merged = parts.reduce { (a, b) =>
+        b.entries.forEach(e => a.offer(e.ord, e.tie, e.value)); a
+      }
+      assert(merged.sortedBestFirst.map(_.value).toSeq ===
+        whole.sortedBestFirst.map(_.value).toSeq, s"trial $trial k=$k")
+    }
+  }
+
   test("null ordering keys are skipped, not ranked") {
     import spark.implicits._
     val df = Seq(
