@@ -58,4 +58,41 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: left `[leftStart, leftEnd]` rows joined to
+    * every right `[rightStart, rightEnd]` row (same `keys`) whose
+    * interval OVERLAPS (inclusive bounds). Both sides explode to bins,
+    * so a pair can share several bins — instead of a dedup pass, each
+    * pair is emitted only from its OWNER bin (the larger of the two
+    * start bins, which both sides provably occupy when they overlap):
+    * exactly-once output with no distinct shuffle.
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      binWidth: Long,
+                      maxBinsPerInterval: Int = 1024): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    val collisions = right.columns.toSeq.diff(keys)
+      .intersect(left.columns.toSeq.diff(keys))
+    require(collisions.isEmpty,
+      s"right columns collide with left columns: ${collisions.mkString(",")} — rename first")
+
+    val w = lit(binWidth)
+    def binned(df: DataFrame, s: String, e: String, side: String): DataFrame = {
+      val sBin = floor(col(s) / w).cast("long")
+      val eBin = floor(col(e) / w).cast("long")
+      val guard = coalesce(
+        assert_true(eBin - sBin + 1 <= maxBinsPerInterval,
+          lit(s"interval spans more than $maxBinsPerInterval bins of $binWidth")).cast("long"),
+        lit(0L))
+      df.withColumn(s"__sbin_$side", sBin)
+        .withColumn("__bin", explode(sequence(sBin + guard, eBin)))
+    }
+    binned(left, leftStart, leftEnd, "l")
+      .join(binned(right, rightStart, rightEnd, "r"), keys :+ "__bin", "inner")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col("__bin") === greatest(col("__sbin_l"), col("__sbin_r")))
+      .drop("__bin", "__sbin_l", "__sbin_r")
+  }
 }
