@@ -85,10 +85,25 @@ object SimQueries {
       .select("query_id", "rank", "id")
   }
 
+  /** LSH-bucketed probe search (approximate — rows-only check; queries
+    * are corpus members, so self-buckets guarantee non-empty results;
+    * SimilaritySpec checks self-match and brute-force agreement).
+    */
+  def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val queries = corpus.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    Similarity.lshTopK(corpus, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = K, planes = 16, bands = 8)
+      .select("query_id", "rank", "id")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
-    "q_ann_ivf" -> (qAnnIvf _))
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_lsh" -> (qAnnLsh _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" -> qAnnTopKSql,

@@ -194,6 +194,34 @@ object Similarity {
       .select("query_id", "rank", "id", "sim")
   }
 
+  /** LSH-bucketed approximate top-k: the second scale path next to IVF.
+    * Corpus and queries hash through the SAME deterministic banded
+    * sign-LSH ([[signBands]]); only rows sharing a band bucket with a
+    * query are cosine-scored. Shuffle cost: thin (id, band, bits)
+    * tuples for candidate generation; vectors re-join only for the
+    * candidate set. Queries with no bucket collisions return fewer
+    * than k rows — recall is tuned by (planes, bands), not compute.
+    */
+  def lshTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, planes: Int = 16, bands: Int = 4,
+              dim: Int = 64): DataFrame = {
+    val ck = spread(corpus.select(col(corpusId).as("id"), col(corpusVec).as("__cv")))
+      .withColumn("bk", explode(signBands(col("__cv"), planes, bands, dim)))
+      .select(col("id"), col("__cv"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val qk = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("bk", explode(signBands(col("__qv"), planes, bands, dim)))
+      .select(col("query_id"), col("__qv"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+    val scored = ck.join(broadcast(qk), Seq("band", "bits"))
+      .select(col("query_id"), col("id"),
+        cosineAuto(col("__cv"), col("__qv")).as("sim"))
+      .groupBy("query_id", "id").agg(max("sim").as("sim")) // dedup multi-band hits
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "id", "sim")
+  }
+
   // ------------------------------------------- random-hyperplane near-dup
 
   /** Deterministic pseudo-random hyperplanes: `planes` × `dim`

@@ -62,6 +62,23 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf) // nprobe=nlist → exhaustive, must agree exactly
   }
 
+  test("LSH-bucketed top-k: self-match first, near vectors found, exactly-once") {
+    import spark.implicits._
+    val queries = vecs.filter($"vec_id".isin(0L, 2L))
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val out = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 2, planes = 12, bands = 6, dim = 4)
+      .select("query_id", "rank", "id").as[(Long, Int, Long)].collect().toSeq
+    // exactly-once per (query, id) despite multi-band collisions
+    assert(out.map(r => (r._1, r._3)).distinct.size === out.size)
+    // each query finds ITSELF at rank 1 (identical sign bits in every band)
+    assert(out.contains((0L, 1, 0L)))
+    assert(out.contains((2L, 1, 2L)))
+    // and its near neighbor next (mirrors the brute-force expectation)
+    assert(out.contains((0L, 2, 1L)))
+    assert(out.contains((2L, 2, 3L)))
+  }
+
   test("sign-LSH near-dups find close pairs, skip orthogonal ones") {
     import spark.implicits._
     val out = Similarity.cosineNearDups(vecs, "vec_id", "embedding",
