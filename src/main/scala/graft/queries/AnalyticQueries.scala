@@ -111,15 +111,18 @@ object AnalyticQueries {
         ntile(4).over(seq).as("quartile"))
   }
 
+  // DuckDB sum(BIGINT) yields HUGEINT, which the driver's pandas path
+  // coerces to float64 → hash mismatch vs Spark's int64. CAST back to
+  // BIGINT in the oracle (same discipline as qBucketedJoinSql).
   val qWindowAnalyticsSql: String =
     """SELECT o_orderkey, o_custkey,
       |  row_number() OVER seq AS order_ix,
       |  lag(o_totalprice, 1) OVER seq AS prev_price,
       |  lead(o_totalprice, 1) OVER seq AS next_price,
-      |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
-      |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_cents3,
+      |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
+      |  CAST(sum(cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents3,
       |  rank() OVER price AS price_rank,
       |  dense_rank() OVER price AS price_dense_rank,
       |  percent_rank() OVER price AS price_pct_rank,
@@ -167,11 +170,12 @@ object AnalyticQueries {
       .agg(sum($"cents"))
   }
 
+  // CAST each pivot sum: DuckDB HUGEINT → pandas float64 otherwise.
   val qPivotSql: String =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN cents END) AS "O",
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN cents END) AS "F",
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN cents END) AS "P"
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN cents END) AS BIGINT) AS "O",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN cents END) AS BIGINT) AS "F",
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN cents END) AS BIGINT) AS "P"
       |FROM (SELECT *, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
       |GROUP BY o_orderpriority""".stripMargin
 
@@ -326,6 +330,10 @@ object AnalyticQueries {
     */
   def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // The percentile pair is projected to SCALAR columns — an
+    // array<double> column crashes the driver's pandas sort
+    // ("unhashable type: numpy.ndarray"), losing even the rows-only
+    // check. One sketch pass, two element_at projections.
     Tables.load(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
@@ -333,6 +341,9 @@ object AnalyticQueries {
         approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
           .as("approx_price_q"))
+      .select($"l_returnflag", $"approx_parts", $"approx_orders",
+        element_at($"approx_price_q", 1).as("approx_p50"),
+        element_at($"approx_price_q", 2).as("approx_p99"))
   }
 
   def queries: Map[String, Q] = Map(
