@@ -53,17 +53,36 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * write `<path>.tmp-<nonce>`, rename old out of the way, rename temp
     * in, delete old. A reader holding the old directory's file list can
     * finish its scan; new readers resolve the new directory.
+    *
+    * `staticPartitions` writes the frame into a fixed
+    * `key=value/...` subtree instead of routing rows through Spark's
+    * dynamic-partition writer — for loads where the partition values
+    * are known driver-side constants (e.g. a daily run_date): same
+    * on-disk layout and partition pruning, none of the per-row
+    * partition sort/routing. The named columns must NOT be in `df`
+    * (partition discovery restores them at read time).
     */
   def overwrite(ref: TableRef, df: DataFrame, partitionBy: Seq[String] = Nil,
-                statsColumns: Seq[String] = Nil): Unit = {
+                statsColumns: Seq[String] = Nil,
+                staticPartitions: Seq[(String, String)] = Nil): Unit = {
+    require(partitionBy.isEmpty || staticPartitions.isEmpty,
+      "partitionBy and staticPartitions are mutually exclusive")
+    staticPartitions.foreach { case (k, _) =>
+      require(!df.columns.contains(k),
+        s"static partition column '$k' must be dropped from the frame")
+    }
     val target = new Path(path(ref))
     val filesystem = fs(target)
     filesystem.mkdirs(target.getParent)
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
     val old = new Path(path(ref) + s".old-$nonce")
+    val writeDir =
+      if (staticPartitions.isEmpty) tmp
+      else new Path(tmp,
+        staticPartitions.map { case (k, v) => s"$k=$v" }.mkString("/"))
     val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
-    writer.mode("overwrite").parquet(tmp.toString)
+    writer.mode("overwrite").parquet(writeDir.toString)
     if (statsColumns.nonEmpty) writeStats(tmp.toString, statsColumns)
     try {
       val hadOld = filesystem.exists(target)
