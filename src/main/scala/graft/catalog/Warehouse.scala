@@ -204,13 +204,66 @@ final class Warehouse(spark: SparkSession, val root: String) {
     require(missing.isEmpty,
       s"stats column(s) not in table: ${missing.mkString(",")} " +
         "(partition columns carry no file stats — prune on the partition instead)")
+    fileStats(data, statsColumns)
+      .coalesce(1) // one manifest row per data file: always tiny
+      .write.mode("overwrite").parquet(s"$dir/$statsDir")
+  }
+
+  /** Per-file min/max rows (file basename + min_c/max_c columns) for
+    * the given frame — a column-pruned scan of only the stat columns.
+    */
+  private def fileStats(data: DataFrame, statsColumns: Seq[String]): DataFrame = {
     val aggs = statsColumns.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     data
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
       .agg(aggs.head, aggs.tail: _*)
-      .coalesce(1) // one manifest row per data file: always tiny
-      .write.mode("overwrite").parquet(s"$dir/$statsDir")
+  }
+
+  /** The manifest as a DataFrame, when present and non-empty. */
+  private def manifestDf(tablePath: String): Option[DataFrame] = {
+    val manifestPath = new Path(s"$tablePath/$statsDir")
+    val filesystem = fs(manifestPath)
+    if (!filesystem.exists(manifestPath)) return None
+    // address the manifest's part files directly: the _-prefixed dir
+    // itself is deliberately hidden from Spark's file index
+    val manifestFiles = filesystem.listStatus(manifestPath)
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
+    if (manifestFiles.isEmpty) None
+    else Some(spark.read.parquet(manifestFiles.toIndexedSeq: _*))
+  }
+
+  /** Columns with min/max stats in the table's manifest (empty = none). */
+  def statColumns(ref: TableRef): Seq[String] =
+    manifestDf(path(ref)).toSeq.flatMap(_.columns)
+      .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+
+  /** Split the table's data files into (mayOverlap, provablyDisjoint)
+    * for `[lo, hi]` on `column`, using the stats manifest. Conservative:
+    * files with null stats or absent from the manifest land in
+    * mayOverlap, so the disjoint list is *provable* — a row with
+    * `column` in `[lo, hi]` can only live in a mayOverlap file. None
+    * when the table has no manifest for `column` (caller decides the
+    * fallback).
+    */
+  def splitFilesByRange(ref: TableRef, column: String, lo: Any,
+                        hi: Any): Option[(Seq[String], Seq[String])] = {
+    val tablePath = path(ref)
+    manifestDf(tablePath).flatMap { manifest =>
+      if (!manifest.columns.contains(s"min_$column")) None
+      else {
+        val mn = col(s"min_$column")
+        val mx = col(s"max_$column")
+        // exclusion list, not an allowlist: files with null stats or
+        // absent from the manifest entirely must survive pruning
+        val excluded = mx < lit(lo) || mn > lit(hi)
+        val excludedNames = manifest.filter(excluded <=> lit(true))
+          .select("file").collect().map(_.getString(0)).toSet
+        val (disjoint, overlap) = listDataFiles(new Path(tablePath))
+          .partition(p => excludedNames.contains(p.getName))
+        Some((overlap.map(_.toString), disjoint.map(_.toString)))
+      }
+    }
   }
 
   /** Range-pruned read: drop files whose [min, max] interval for
@@ -227,30 +280,83 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * `sortWithinPartitions` before [[overwrite]]), which is what makes
     * per-file intervals disjoint instead of all-overlapping.
     */
-  def readPruned(ref: TableRef, column: String, lo: Any, hi: Any): DataFrame = {
-    val tablePath = path(ref)
-    val manifestPath = new Path(s"$tablePath/$statsDir")
-    val filesystem = fs(manifestPath)
-    if (!filesystem.exists(manifestPath)) return read(ref)
-    // address the manifest's part files directly: the _-prefixed dir
-    // itself is deliberately hidden from Spark's file index
-    val manifestFiles = filesystem.listStatus(manifestPath)
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
-    if (manifestFiles.isEmpty) return read(ref)
-    val manifest = spark.read.parquet(manifestFiles.toIndexedSeq: _*)
-    if (!manifest.columns.contains(s"min_$column")) return read(ref)
-    val mn = col(s"min_$column")
-    val mx = col(s"max_$column")
-    // exclusion list, not an allowlist: files with null stats or absent
-    // from the manifest entirely must survive pruning
-    val excluded = mx < lit(lo) || mn > lit(hi)
-    val excludedNames = manifest.filter(excluded <=> lit(true))
-      .select("file").collect().map(_.getString(0)).toSet
-    val all = listDataFiles(new Path(tablePath))
-    val kept = all.filterNot(p => excludedNames.contains(p.getName))
-    if (kept.isEmpty) read(ref).limit(0)
-    else spark.read.option("basePath", tablePath).parquet(kept.map(_.toString): _*)
+  def readPruned(ref: TableRef, column: String, lo: Any, hi: Any): DataFrame =
+    splitFilesByRange(ref, column, lo, hi) match {
+      case None => read(ref)
+      case Some((kept, _)) if kept.isEmpty => read(ref).limit(0)
+      case Some((kept, _)) =>
+        spark.read.option("basePath", path(ref)).parquet(kept: _*)
+    }
+
+  /** File-level replacement — the physical primitive behind incremental
+    * MERGE (the behavior Delta's transaction log gives `MERGE INTO`:
+    * rewrite only touched files, /root/reference/lib/ingestors.py:113-126):
+    * stage `replacement` as new data files, move them into the table,
+    * delete `replaced`, and keep every other file byte-identical on its
+    * original path. The stats manifest is maintained (replaced entries
+    * dropped, new-file entries appended) so subsequent pruned reads and
+    * merges stay correct.
+    *
+    * Crash/concurrency contract (single-writer, as documented on the
+    * class): per-file renames are atomic, the sequence is add-new →
+    * delete-old → swap-manifest, so a crash mid-way can leave BOTH old
+    * and new rows visible until the merge is re-run; a stale manifest is
+    * harmless (pruning filters by the live file listing, and unknown
+    * files are conservatively kept). Making this multi-writer-safe and
+    * all-or-nothing is a transaction log's job (Delta/Iceberg).
+    */
+  def replaceDataFiles(ref: TableRef, replaced: Seq[String],
+                       replacement: DataFrame): Unit = {
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    val nonce = System.nanoTime().toString
+    // SIBLING staging dir (same convention as overwrite's tmp): outside
+    // the table dir so concurrent scans never list it, yet not
+    // hidden-named, so it stays directly readable — a dot/underscore
+    // name inside the table would be filtered by Spark's own reads too
+    // (".tmp-" in the name keeps listTables skipping it)
+    val stage = new Path(path(ref) + s".tmp-merge-$nonce")
+    try {
+      replacement.write.parquet(stage.toString)
+      val newFiles = filesystem.listStatus(stage)
+        .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+      // build the next manifest BEFORE touching data files (it reads
+      // the old manifest); swap it in last — see contract above
+      val replacedNames = replaced.map(new Path(_).getName)
+      val statCols = statColumns(ref).filter(replacement.columns.contains)
+      val manifestTmp =
+        if (statCols.isEmpty) None
+        else manifestDf(path(ref)).map { old =>
+          val keepCols = "file" +: statCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+          val survivors = old.select(keepCols.map(col): _*)
+          val kept = if (replacedNames.isEmpty) survivors
+            else survivors.filter(!col("file").isin(replacedNames: _*))
+          val next = kept
+            .unionByName(fileStats(spark.read.parquet(stage.toString), statCols))
+          val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
+          next.coalesce(1).write.parquet(tmp.toString)
+          tmp
+        }
+      newFiles.foreach { f =>
+        if (!filesystem.rename(f, new Path(tablePath, f.getName)))
+          throw new RuntimeException(s"failed to move ${f.getName} into $ref")
+      }
+      replaced.foreach(p => filesystem.delete(new Path(p), false))
+      manifestTmp.foreach { tmp =>
+        val live = new Path(tablePath, statsDir)
+        filesystem.delete(live, true)
+        if (!filesystem.rename(tmp, live))
+          throw new RuntimeException(s"failed to swap stats manifest for $ref")
+      }
+    } finally {
+      filesystem.delete(stage, true)
+      ()
+    }
   }
+
+  /** Current data file paths of a table (what a full scan would open). */
+  def dataFiles(ref: TableRef): Seq[String] =
+    listDataFiles(new Path(path(ref))).map(_.toString)
 
   /** All parquet data files under a table dir (recursive, skipping
     * underscore/dot-hidden entries such as the stats manifest).

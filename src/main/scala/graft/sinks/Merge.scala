@@ -99,16 +99,63 @@ object Merge {
 /** A warehouse-backed merge target: Delta-`DeltaTable.forName` stand-in
   * (S4). Bootstraps on first run like the scorecard upsert
   * (lib/checker_handler.py:173-177).
+  *
+  * INCREMENTAL by default, like the Delta MERGE it replaces
+  * (/root/reference/lib/ingestors.py:113-126 rewrites only touched
+  * files): the source batch's first-key [min, max] prunes the target's
+  * stats manifest to the files that could possibly match; only those are
+  * merged and rewritten, every other file keeps its original bytes and
+  * path. At 100 TB that turns a daily CDC batch from a full-table
+  * rewrite into work proportional to the batch's key locality — the
+  * bootstrap (and any full-rewrite fallback) writes first-key file
+  * stats so the NEXT upsert can prune. Falls back to the full
+  * read-merge-overwrite when the target predates the manifest.
+  *
+  * Correctness of the pruning: a source row can only update/match a
+  * target row with an equal first key; a file provably disjoint from
+  * the source's first-key range therefore contains no matchable row
+  * (null keys never match and min/max ignore nulls, so all-null-key
+  * batches prune to pure inserts). The stale-row insert quirk (J1) is
+  * preserved — any target copy of a source key lives in a touched file.
   */
 final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
                        keys: Seq[String], tsField: Option[String]) {
 
+  private val pruneKey = keys.head
+
   def upsert(source: DataFrame): Unit = {
     if (!warehouse.exists(ref)) {
-      warehouse.overwrite(ref, source)
-    } else {
-      val merged = Merge.merge(warehouse.read(ref), source, keys, tsField)
-      warehouse.overwrite(ref, merged)
+      warehouse.overwrite(ref, source, statsColumns = Seq(pruneKey))
+      return
+    }
+    val bounds = source
+      .agg(count(lit(1)), min(col(pruneKey)), max(col(pruneKey))).head()
+    if (bounds.getLong(0) == 0L) return // empty batch: no-op
+    val split =
+      if (bounds.isNullAt(1)) // all-null keys: nothing can match
+        Some((Seq.empty[String], warehouse.dataFiles(ref)))
+      else warehouse.splitFilesByRange(ref, pruneKey, bounds.get(1), bounds.get(2))
+    split match {
+      case Some((touched, untouched)) if untouched.nonEmpty =>
+        val merged =
+          if (touched.isEmpty) { // disjoint ranges: insert-only
+            val tcols = warehouse.read(ref).columns.toSeq
+            require(source.columns.toSeq == tcols,
+              s"merge schema mismatch: target ${tcols.mkString(",")} vs " +
+                s"source ${source.columns.mkString(",")}")
+            source
+          }
+          else Merge.merge(
+            spark.read.option("basePath", warehouse.path(ref)).parquet(touched: _*),
+            source, keys, tsField)
+        warehouse.replaceDataFiles(ref, touched, merged)
+      case _ =>
+        // no manifest, or every file may overlap: full rewrite — and
+        // write key stats (preserving any existing stat columns) so
+        // the next batch can prune
+        val statCols = (warehouse.statColumns(ref) :+ pruneKey).distinct
+        val merged = Merge.merge(warehouse.read(ref), source, keys, tsField)
+        warehouse.overwrite(ref, merged, statsColumns = statCols)
     }
   }
 }

@@ -103,6 +103,80 @@ class MergeSpec extends SparkSpec {
       .collect().toSeq === rows.collect().toSeq)
   }
 
+  /** (length, mtime) fingerprint — same path + same stamp = untouched. */
+  private def stamp(p: String): (Long, Long) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(path)
+    (st.getLen, st.getModificationTime)
+  }
+
+  test("incremental upsert rewrites only key-overlapping files; rest byte-identical") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-incr"))
+    val ref = TableRef("silver", "cdc", "facts")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), Some("t"))
+    val base = (1 to 400).map(i => (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("k", "t", "v").repartitionByRange(4, $"k")
+    mt.upsert(base) // bootstrap: 4 range-clustered files + key stats
+    val before = wh.dataFiles(ref)
+    assert(before.size === 4)
+    val beforeStamps = before.map(p => p -> stamp(p)).toMap
+
+    val batch = Seq(
+      (150, ts("2024-02-01 00:00:00"), -150.0), // newer → update
+      (160, ts("2023-01-01 00:00:00"), -160.0), // stale → duplicate insert (J1 quirk)
+      (170, ts("2024-02-01 00:00:00"), -170.0))
+      .toDF("k", "t", "v")
+    // reference semantics computed over the FULL pre-merge table
+    val expected = Merge.merge(wh.read(ref), batch, Seq("k"), Some("t"))
+      .collect().toSet
+
+    mt.upsert(batch)
+
+    val after = wh.dataFiles(ref).toSet
+    val survivors = before.filter(after.contains)
+    // exactly the one file whose [min,max] covers keys 150-170 is gone
+    assert(survivors.size === 3)
+    survivors.foreach(p => assert(stamp(p) === beforeStamps(p)))
+    assert(wh.read(ref).collect().toSet === expected)
+  }
+
+  test("disjoint-range batch inserts without touching any existing file") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-incr2"))
+    val ref = TableRef("silver", "cdc", "facts")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), Some("t"))
+    val base = (1 to 400).map(i => (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("k", "t", "v").repartitionByRange(4, $"k")
+    mt.upsert(base)
+    val before = wh.dataFiles(ref)
+    val beforeStamps = before.map(p => p -> stamp(p)).toMap
+
+    mt.upsert(Seq((1000, ts("2024-02-01 00:00:00"), 1000.0)).toDF("k", "t", "v"))
+    val afterInsert = wh.dataFiles(ref).toSet
+    before.foreach { p =>
+      assert(afterInsert.contains(p) && stamp(p) === beforeStamps(p))
+    }
+    assert(wh.read(ref).count() === 401)
+
+    // the manifest LEARNED the new file's stats (not just conservative
+    // keep-unknown): all four originals are provably disjoint for the
+    // inserted key's range, leaving exactly the new file touched
+    val Some((touched, untouched)) = wh.splitFilesByRange(ref, "k", 1000, 1000)
+    assert(untouched.toSet === before.toSet)
+    assert(touched.size === 1)
+
+    // a follow-up update of the inserted key then rewrites THAT file
+    // only — originals still intact
+    mt.upsert(Seq((1000, ts("2024-03-01 00:00:00"), -1000.0)).toDF("k", "t", "v"))
+    before.foreach { p => assert(stamp(p) === beforeStamps(p)) }
+    import org.apache.spark.sql.functions.col
+    assert(wh.read(ref).filter(col("k") === 1000)
+      .as[(Int, Timestamp, Double)].collect().toSeq ===
+      Seq((1000, ts("2024-03-01 00:00:00"), -1000.0)))
+  }
+
   test("merge idempotence: merging the same batch twice is a no-op") {
     import spark.implicits._
     val target = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
