@@ -150,22 +150,31 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def bucketedName(ref: TableRef): String =
     s"${ref.catalog}_${ref.schema}_${ref.table}"
 
+  /** Bucket-spec manifest dir — underscore-prefixed like the stats
+    * manifest, so plain reads never see it as data.
+    */
+  private val bucketDir = "_graft_bucket"
+
   /** Write a table hash-bucketed (and sorted) by `bucketCols`:
     * two tables bucketed the same way join WITHOUT shuffling either
     * side — at 100 TB, pre-bucketing the big fact tables on their join
     * key turns every subsequent join into a zip of co-located buckets
     * (WarehouseSpec asserts the exchange-free plan).
     *
-    * Trade-offs vs [[overwrite]] (both documented, caller chooses):
-    * bucket metadata is session-scoped (files persist at the warehouse
-    * path; re-register after a restart by calling this again or
-    * recreating the catalog entry), and the write goes through
-    * saveAsTable's own overwrite rather than the atomic rename swap.
+    * The bucket spec is persisted DURABLY in a `_graft_bucket` manifest
+    * next to the data (the reference gets this from the Databricks
+    * catalog, lib/ingestors.py:95): a fresh session's [[readBucketed]]
+    * re-registers the catalog entry from the manifest, so the
+    * exchange-free join survives restarts. Remaining trade-off vs
+    * [[overwrite]]: the write goes through saveAsTable's own overwrite
+    * rather than the atomic rename swap.
     */
   def overwriteBucketed(ref: TableRef, df: DataFrame, bucketCols: Seq[String],
                         numBuckets: Int): Unit = {
     require(bucketCols.nonEmpty, "need at least one bucket column")
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(bucketCols.forall(c => !c.contains(",") && !c.contains("\n")),
+      s"bucket column names must not contain ',' or newlines: $bucketCols")
     val name = bucketedName(ref)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     df.write
@@ -174,12 +183,49 @@ final class Warehouse(spark: SparkSession, val root: String) {
       .option("path", path(ref))
       .mode("overwrite")
       .saveAsTable(name)
+    val spec = new Path(new Path(path(ref), bucketDir), "spec")
+    val filesystem = fs(spec)
+    val out = filesystem.create(spec, true)
+    try out.write(s"numBuckets=$numBuckets\nbucketCols=${bucketCols.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Read a bucketed table THROUGH the catalog — a plain path read
-    * would lose the bucket spec and reintroduce the shuffle.
+    * would lose the bucket spec and reintroduce the shuffle. When the
+    * session catalog has no entry (fresh session over a persisted
+    * warehouse), the table is re-registered from the `_graft_bucket`
+    * manifest as an external bucketed table over the existing files
+    * (bucket ids live in the file names, which the writer preserved).
     */
-  def readBucketed(ref: TableRef): DataFrame = spark.table(bucketedName(ref))
+  def readBucketed(ref: TableRef): DataFrame = {
+    val name = bucketedName(ref)
+    if (!spark.catalog.tableExists(name)) registerBucketed(ref)
+    spark.table(name)
+  }
+
+  /** Recreate the catalog entry for a persisted bucketed table. */
+  private def registerBucketed(ref: TableRef): Unit = {
+    val spec = new Path(new Path(path(ref), bucketDir), "spec")
+    val filesystem = fs(spec)
+    require(filesystem.exists(spec),
+      s"$ref has no bucket manifest — write it with overwriteBucketed first")
+    val in = filesystem.open(spec)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val fields = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+    val numBuckets = fields("numBuckets").toInt
+    val bucketCols = fields("bucketCols").split(",").toSeq
+    val cols = bucketCols.map(c => s"`$c`").mkString(", ")
+    val schemaDdl = spark.read.parquet(path(ref)).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE `${bucketedName(ref)}` ($schemaDdl)
+         |USING PARQUET
+         |CLUSTERED BY ($cols) SORTED BY ($cols) INTO $numBuckets BUCKETS
+         |LOCATION '${path(ref)}'""".stripMargin)
+    ()
+  }
 
   // ------------------------------------------------ file skipping
 

@@ -108,6 +108,32 @@ class WarehouseSpec extends SparkSpec {
     assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("bucket spec survives a catalog wipe: re-registered join stays exchange-free") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-bucket-persist"))
+    val left = TableRef("silver", "facts", "p_orders")
+    val right = TableRef("silver", "facts", "p_custs")
+    wh.overwriteBucketed(left,
+      spark.range(0, 2000).toDF("id").withColumn("k", $"id" % 100),
+      Seq("k"), 8)
+    wh.overwriteBucketed(right,
+      spark.range(0, 100).toDF("k").withColumn("name", concat(lit("c"), $"k")),
+      Seq("k"), 8)
+    // wipe the session-catalog entries — what a restart does to an
+    // in-memory catalog; the external data files stay put
+    spark.sql(s"DROP TABLE `${wh.bucketedName(left)}`")
+    spark.sql(s"DROP TABLE `${wh.bucketedName(right)}`")
+    assert(!spark.catalog.tableExists(wh.bucketedName(left)))
+
+    // readBucketed re-registers from the _graft_bucket manifest
+    val joined = wh.readBucketed(left).hint("merge")
+      .join(wh.readBucketed(right), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"expected exchange-free join after re-registration:\n$plan")
+    assert(joined.count() === 2000)
+  }
+
   test("file skipping composes with partitioned tables") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-skip-part"))
