@@ -37,14 +37,13 @@ final case class FrameSample(
     ts_ms: Long,
     frame_content: Array[Byte])
 
-/** Multimodal column plumbing. The DECODERS ARE STUBS — this container
-  * ships no image/audio codecs, so `decodeImage` derives deterministic
-  * fake features from the raw bytes (clearly marked below). Everything
-  * around the stub is real and load-bearing at scale: schema, encoder
-  * round-trips, partition-local batch iteration (no per-row JNI/codec
-  * setup), size-aware repartitioning, and frame-sampling row expansion.
-  * Swapping the stub for javax.imageio / ffmpeg bindings changes ONE
-  * function body.
+/** Multimodal column plumbing. The IMAGE path decodes for real via
+  * javax.imageio (JDK built-in — PNG/JPEG/GIF/BMP); the video/audio
+  * paths remain clearly-marked STUBS because this container ships no
+  * ffmpeg/ONNX. Everything around them is real and load-bearing at
+  * scale: schema, encoder round-trips, partition-local batch iteration
+  * (no per-row JNI/codec setup), size-aware repartitioning, and
+  * frame-sampling row expansion.
   */
 object Multimodal {
 
@@ -57,28 +56,77 @@ object Multimodal {
     spark.read.parquet(path).as[MediaRecord]
   }
 
-  /** Decode images to features, batch-per-partition.
-    *
-    * ==== STUB ====
-    * Real implementation: ImageIO.read(new ByteArrayInputStream(content))
-    * per record inside this SAME mapPartitions body (codec init amortized
-    * per partition, not per row). Here: deterministic fake decode from
-    * the byte payload so the distributed plumbing is testable.
+  /** Decode images to features, batch-per-partition, via javax.imageio
+    * (REAL decode — PNG/JPEG/GIF/BMP ship with the JDK). Width, height,
+    * brightness (mean pixel intensity over a bounded ≤128×128 sample
+    * grid, so a 100-megapixel scan costs the same as a thumbnail) and
+    * aspect ratio come from the decoded pixels. Undecodable payloads
+    * fall back to the DECLARED metadata with `brightness = -1.0` as the
+    * explicit not-decoded sentinel — a 100 TB crawl always contains
+    * corrupt media, and dropping rows silently would skew joins.
     */
   def decodeImage(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "image").mapPartitions { it =>
-      // per-partition "codec" setup would go here (once, not per row)
+      // per-partition codec setup: no temp-file cache for byte streams
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { m =>
         val n = m.content.length.toLong
-        // ---- STUB decode: derive stable pseudo-features from bytes ----
-        val w = m.width.getOrElse(((hashBytes(m.content) >>> 8) % 1920 + 1).toInt)
-        val h = m.height.getOrElse(((hashBytes(m.content) >>> 24) % 1080 + 1).toInt)
-        val brightness = (Math.floorMod(hashBytes(m.content), 1000L)) / 1000.0
-        // ---- end STUB ----
-        ImageFeatures(m.media_id, w, h, n, brightness, w.toDouble / h)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img != null) {
+          val w = img.getWidth
+          val h = img.getHeight
+          val stepX = math.max(1, w / 128)
+          val stepY = math.max(1, h / 128)
+          var sum = 0.0
+          var cnt = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              sum += (r + g + b) / (3.0 * 255.0)
+              cnt += 1
+              x += stepX
+            }
+            y += stepY
+          }
+          val brightness = if (cnt == 0) 0.0 else sum / cnt
+          ImageFeatures(m.media_id, w, h, n, brightness, w.toDouble / h)
+        } else {
+          val w = m.width.getOrElse(0)
+          val h = m.height.getOrElse(0)
+          ImageFeatures(m.media_id, w, h, n, -1.0,
+            if (h == 0) 0.0 else w.toDouble / h)
+        }
       }
     }
+  }
+
+  /** Deterministic solid-gray PNG — the gate/test fixture generator for
+    * [[decodeImage]] (real codec, oracle-derivable output: decoded
+    * width/height/brightness are pure functions of the inputs).
+    */
+  def synthesizePng(width: Int, height: Int, gray: Int): Array[Byte] = {
+    require(width > 0 && height > 0, s"degenerate image ${width}x$height")
+    require(gray >= 0 && gray <= 255, s"gray out of range: $gray")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Uniform frame sampling: one output row per sampled frame. Row
@@ -151,10 +199,4 @@ object Multimodal {
     media.repartition(parts)
   }
 
-  private def hashBytes(b: Array[Byte]): Long = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < b.length) { h = 31 * h + b(i); i += 1 }
-    math.abs(h)
-  }
 }

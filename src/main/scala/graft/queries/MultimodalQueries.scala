@@ -6,13 +6,14 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.mm.{MediaRecord, Multimodal}
 
-/** Multimodal plumbing in the gate. Media tables are constructed from
-  * `documents` (text bytes as the opaque binary payload) with DECLARED
-  * width/height/duration metadata derived deterministically from
-  * n_chars — so the mapPartitions decode pipeline (encoders, schema,
-  * row expansion) is value-checked by DuckDB while the STUB decode
-  * internals (hash-derived brightness, content slices) stay out of the
-  * projection.
+/** Multimodal plumbing in the gate. The image path decodes REAL
+  * generated PNGs through javax.imageio and value-checks the decoded
+  * pixels (q_mm_decode); the frame/embedding queries construct media
+  * from `documents` (text bytes as the opaque binary payload) with
+  * DECLARED duration metadata derived from n_chars, so their
+  * mapPartitions pipelines (schema, row expansion, batch iteration)
+  * are value-checked while the still-stubbed video/encoder internals
+  * stay out of the projection.
   */
 object MultimodalQueries {
 
@@ -32,20 +33,43 @@ object MultimodalQueries {
       .as[MediaRecord]
   }
 
-  /** Image decode: declared metadata flows through the partition-local
-    * decode; byte counts come from the real binary payload.
+  /** REAL image decode, value-checked end-to-end: each document becomes
+    * a deterministic solid-gray PNG (width/height/gray are pure
+    * functions of n_chars and doc_id), the executors decode them with
+    * javax.imageio, and the oracle re-derives the decoded
+    * width/height/brightness from the same formulas — so a broken
+    * codec path (not just broken plumbing) fails the gate. PNG byte
+    * length is codec-dependent and stays out of the projection.
+    *
+    * Brightness rounding is safe at 6dp: g/255 × 10⁶ is never within
+    * 0.002 of a half (g·10⁶ mod 255 is an integer, .5 would need
+    * 127.5), so sampling-accumulation ulps cannot flip the rounding.
     */
-  def qMmDecode(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.decodeImage(asMedia(spark, dir, "image"))
+  def qMmDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        ($"n_chars" % 64 + 1).cast("int").as("w"),
+        ($"n_chars" % 48 + 1).cast("int").as("h"),
+        ($"doc_id" % 256).cast("int").as("g"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, w, h, g) =>
+        MediaRecord(id, "image", s"mem://png/$id",
+          Multimodal.synthesizePng(w, h, g), None, None, None)
+      }
+    Multimodal.decodeImage(media)
       .toDF()
-      .select("media_id", "width", "height", "n_bytes", "aspect_ratio")
+      .select($"media_id", $"width", $"height",
+        round($"brightness", 6).as("brightness"), $"aspect_ratio")
+  }
 
   val qMmDecodeSql: String =
     """SELECT doc_id AS media_id,
-      |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
-      |  CAST(n_chars % 480 + 1 AS INTEGER) AS height,
-      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      |  CAST(CAST(n_chars % 640 + 1 AS DOUBLE) / (n_chars % 480 + 1) AS DOUBLE)
+      |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
+      |  CAST(n_chars % 48 + 1 AS INTEGER) AS height,
+      |  round(CAST(doc_id % 256 AS DOUBLE) / 255, 6) AS brightness,
+      |  CAST(CAST(n_chars % 64 + 1 AS DOUBLE) / (n_chars % 48 + 1) AS DOUBLE)
       |    AS aspect_ratio
       |FROM documents""".stripMargin
 

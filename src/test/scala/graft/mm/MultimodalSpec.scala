@@ -25,15 +25,26 @@ class MultimodalSpec extends SparkSpec {
     assert(r.width === Some(640))
   }
 
-  test("decodeImage: images only, declared metadata wins, stub features deterministic") {
-    val feats = Multimodal.decodeImage(media).collect().sortBy(_.media_id)
+  test("decodeImage: real PNG decode wins; undecodable falls back to declared metadata") {
+    import spark.implicits._
+    val png = Multimodal.synthesizePng(10, 5, 100)
+    val mixed = Seq(
+      // real PNG with WRONG declared metadata: decoded values must win
+      MediaRecord(1L, "image", "mem://a.png", png, Some(999), Some(999), None),
+      // garbage bytes: declared metadata fallback + -1.0 sentinel
+      MediaRecord(2L, "image", "mem://b.jpg", Array.fill[Byte](100)(7), Some(640), Some(480), None),
+      // non-image rows are filtered out entirely
+      MediaRecord(3L, "video", "mem://c.mp4", png, None, None, Some(5000L))
+    ).toDS()
+    val feats = Multimodal.decodeImage(mixed).collect().sortBy(_.media_id)
     assert(feats.map(_.media_id).toSeq === Seq(1L, 2L))
-    assert(feats(0).width === 640 && feats(0).height === 480)
-    assert(feats(0).aspect_ratio === 640.0 / 480)
-    assert(feats(0).n_bytes === 4)
-    // stub decode is deterministic
-    val again = Multimodal.decodeImage(media).collect().sortBy(_.media_id)
-    assert(feats.map(_.brightness).toSeq === again.map(_.brightness).toSeq)
+    assert(feats(0).width === 10 && feats(0).height === 5)
+    assert(feats(0).aspect_ratio === 2.0)
+    assert(feats(0).n_bytes === png.length.toLong)
+    // solid gray 100 → brightness exactly 100/255 (lossless round-trip)
+    assert(math.abs(feats(0).brightness - 100.0 / 255.0) < 1e-12)
+    assert(feats(1).width === 640 && feats(1).height === 480)
+    assert(feats(1).brightness === -1.0)
   }
 
   test("sampleFrames expands videos only, one row per interval") {
