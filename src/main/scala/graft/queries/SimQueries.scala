@@ -85,6 +85,27 @@ object SimQueries {
       .select("query_id", "rank", "id")
   }
 
+  /** IVF in its exhaustive regime (nprobe = nlist): every list is
+    * probed, so the approximate machinery — centroid sampling, argmax
+    * assignment, probe ranking, per-list scoring — must reproduce the
+    * brute-force ranking EXACTLY, whatever centroids were sampled.
+    * This is SimilaritySpec's equality property lifted into the
+    * value-checked gate (oracle = the brute-force rank SQL); the
+    * nprobe=4 entry above keeps exercising the genuinely approximate
+    * path rows-only.
+    */
+  def qAnnIvfExhaustive(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.sampleCentroids(corpus, "vec_id", "embedding", nlist = 16)
+    val assigned = Similarity.assign(corpus, "vec_id", "embedding", centroids)
+    val queries = corpus.filter($"vec_id" < NQUERIES)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        queries, "query_id", "qvec", k = K, nprobe = 16)
+      .select("query_id", "rank", "id")
+  }
+
   /** LSH-bucketed probe search (approximate — rows-only check; queries
     * are corpus members, so self-buckets guarantee non-empty results;
     * SimilaritySpec checks self-match and brute-force agreement).
@@ -103,9 +124,12 @@ object SimQueries {
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_ivf_exhaustive" -> (qAnnIvfExhaustive _),
     "q_ann_lsh" -> (qAnnLsh _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" -> qAnnTopKSql,
-    "q_embed_neardup" -> qEmbedNearDupSql)
+    "q_embed_neardup" -> qEmbedNearDupSql,
+    // exhaustive probing must equal brute force: same rank oracle
+    "q_ann_ivf_exhaustive" -> qAnnTopKSql)
 }
