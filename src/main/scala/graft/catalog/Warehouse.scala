@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, element_at, input_file_name, lit, max, min, split}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, count, element_at, input_file_name, lit, max, min, split, sum}
 
 /** Three-level table reference, mirroring the reference's
   * `catalog.schema.table` namespace (/root/reference/lib/ingestors.py:95,
@@ -47,7 +47,14 @@ final class Warehouse(spark: SparkSession, val root: String) {
     fs(p).exists(p)
   }
 
-  def read(ref: TableRef): DataFrame = spark.read.parquet(path(ref))
+  def read(ref: TableRef): DataFrame = {
+    val p = path(ref)
+    // lazy one-time stats load, so cardinality-aware optimizer rules
+    // work in fresh sessions over a persisted warehouse
+    if (TableStatsRegistry.shouldAttempt(p) && TableStatsRegistry.get(p).isEmpty)
+      registerStatsAt(p)
+    spark.read.parquet(p)
+  }
 
   /** K1 full overwrite (lib/ingestors.py:92-96), atomic swap:
     * write `<path>.tmp-<nonce>`, rename old out of the way, rename temp
@@ -99,7 +106,8 @@ final class Warehouse(spark: SparkSession, val root: String) {
           throw e
       }
       filesystem.delete(old, true)
-      ()
+      if (statsColumns.nonEmpty) registerStatsAt(path(ref))
+      else TableStatsRegistry.invalidate(path(ref))
     } finally {
       filesystem.delete(tmp, true)
       ()
@@ -255,16 +263,46 @@ final class Warehouse(spark: SparkSession, val root: String) {
       .write.mode("overwrite").parquet(s"$dir/$statsDir")
   }
 
-  /** Per-file min/max rows (file basename + min_c/max_c columns) for
-    * the given frame — a column-pruned scan of only the stat columns.
+  /** Per-file stats rows (file basename, row count, min_c/max_c/ndv_c
+    * columns) for the given frame — a column-pruned scan of only the
+    * stat columns. The approximate per-file distinct count feeds the
+    * [[TableStatsRegistry]] cardinality signal.
     */
   private def fileStats(data: DataFrame, statsColumns: Seq[String]): DataFrame = {
     val aggs = statsColumns.flatMap(c => Seq(
-      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      approx_count_distinct(col(c)).as(s"ndv_$c"))) :+
+      count(lit(1)).as("rows")
     data
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Aggregate the manifest's per-file stats into the JVM-wide
+    * [[TableStatsRegistry]]. No-op for manifests predating the
+    * rows/ndv columns (or with partially-null rows from a mixed-era
+    * incremental merge) — the registry only ever holds sums it can
+    * fully account for.
+    */
+  def registerStats(ref: TableRef): Unit = registerStatsAt(path(ref))
+
+  private def registerStatsAt(tablePath: String): Unit =
+    manifestDf(tablePath).foreach { m =>
+      if (m.columns.contains("rows")) {
+        val ndvCols = m.columns.filter(_.startsWith("ndv_")).toSeq
+        val aggs = Seq(count(lit(1)).as("nfiles"), count(col("rows")).as("nrows"),
+          sum(col("rows")).as("rows")) ++ ndvCols.map(c => sum(col(c)).as(c))
+        val r = m.agg(aggs.head, aggs.tail: _*).head()
+        if (r.getLong(0) > 0 && r.getLong(0) == r.getLong(1)) {
+          val ndv = ndvCols.zipWithIndex.flatMap { case (c, i) =>
+            if (r.isNullAt(i + 3)) None
+            else Some(c.stripPrefix("ndv_") -> r.getLong(i + 3))
+          }.toMap
+          TableStatsRegistry.put(tablePath,
+            TableStatsRegistry.TableStats(r.getLong(2), ndv))
+        }
+      }
+    }
 
   /** The manifest as a DataFrame, when present and non-empty. */
   private def manifestDf(tablePath: String): Option[DataFrame] = {
@@ -373,12 +411,15 @@ final class Warehouse(spark: SparkSession, val root: String) {
       val manifestTmp =
         if (statCols.isEmpty) None
         else manifestDf(path(ref)).map { old =>
-          val keepCols = "file" +: statCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
-          val survivors = old.select(keepCols.map(col): _*)
+          val newStats = fileStats(spark.read.parquet(stage.toString), statCols)
+          // keep only columns the new stats also carry (dropped stat
+          // columns fall away); allowMissingColumns backfills nulls on
+          // pre-rows/ndv manifests — registerStats refuses partial sums
+          val common = old.columns.filter(newStats.columns.contains).toSeq
+          val survivors = old.select(common.map(col): _*)
           val kept = if (replacedNames.isEmpty) survivors
             else survivors.filter(!col("file").isin(replacedNames: _*))
-          val next = kept
-            .unionByName(fileStats(spark.read.parquet(stage.toString), statCols))
+          val next = kept.unionByName(newStats, allowMissingColumns = true)
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
           next.coalesce(1).write.parquet(tmp.toString)
           tmp
@@ -393,6 +434,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        registerStatsAt(path(ref))
       }
     } finally {
       filesystem.delete(stage, true)

@@ -140,16 +140,22 @@ final case class TopKEntry(ord: Double, tie: Long, value: Any)
 final class TopKBuffer(k: Int) {
   import TopKBuffer.Entry
 
+  // Double.compare THROUGHOUT (insert, evict, emit): NaN orders as the
+  // greatest value, matching Spark's sort order — primitive >/== would
+  // never let a NaN displace a worse entry and would skip tie-breaks
+  // between two NaNs, diverging from the window fallback's orderBy.
   val entries = new java.util.PriorityQueue[Entry](k + 1,
-    (a: Entry, b: Entry) =>
-      if (a.ord != b.ord) java.lang.Double.compare(a.ord, b.ord)
-      else java.lang.Long.compare(b.tie, a.tie))
+    (a: Entry, b: Entry) => {
+      val c = java.lang.Double.compare(a.ord, b.ord)
+      if (c != 0) c else java.lang.Long.compare(b.tie, a.tie)
+    })
 
   def offer(ord: Double, tie: Long, value: Any): Unit = {
     if (entries.size() < k) { entries.offer(Entry(ord, tie, value)); () }
     else {
       val worst = entries.peek()
-      val better = ord > worst.ord || (ord == worst.ord && tie < worst.tie)
+      val c = java.lang.Double.compare(ord, worst.ord)
+      val better = c > 0 || (c == 0 && tie < worst.tie)
       if (better) {
         entries.poll()
         entries.offer(Entry(ord, tie, value))
@@ -158,11 +164,14 @@ final class TopKBuffer(k: Int) {
     }
   }
 
-  /** Best-first: highest ord, then lowest tie. */
+  /** Best-first: highest ord (NaN greatest), then lowest tie. */
   def sortedBestFirst: Array[Entry] = {
     import scala.jdk.CollectionConverters._
     entries.iterator().asScala.toArray
-      .sortWith((a, b) => a.ord > b.ord || (a.ord == b.ord && a.tie < b.tie))
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a.ord, b.ord)
+        c > 0 || (c == 0 && a.tie < b.tie)
+      }
   }
 }
 

@@ -83,6 +83,13 @@ object AsOfJoin {
       matchedTsCol.filter(left.columns.contains)
     require(collisions.isEmpty,
       s"right payload collides with left column(s): ${collisions.mkString(",")} — rename first")
+    // the internal working columns below would silently overwrite a
+    // same-named input column — fail as loudly as payload collisions do
+    val reserved = Seq("__ts", "__side", "__tie", "__rv", "__mts", "__m")
+    val reservedHits =
+      (left.columns.toSeq ++ right.columns.toSeq).distinct.intersect(reserved)
+    require(reservedHits.isEmpty,
+      s"column name(s) reserved by AsOfJoin: ${reservedHits.mkString(",")} — rename first")
 
     // tag sides so that, at equal ts, right rows sort INSIDE the frame:
     // before left for backward (<=), after left for forward (>=)

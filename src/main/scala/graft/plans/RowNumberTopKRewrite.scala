@@ -4,8 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.IntegerType
 
+import graft.catalog.TableStatsRegistry
 import graft.functions.SortTopK
 
 /** Optimizer rule: rewrite the top-k-per-group window idiom
@@ -38,14 +40,21 @@ import graft.functions.SortTopK
   * are much smaller than the input (per-customer top-k, latest-per-key
   * over a keyed stream) and loses when keys are near-unique (dedup by
   * content fingerprint: every group is a singleton, so partial
-  * aggregation only adds buffer serialization). Spark has no static
-  * cardinality signal here; disable per session with
-  * `spark.graft.topkRewrite.enabled=false` for near-unique-key
-  * workloads.
+  * aggregation only adds buffer serialization). OSS Spark has no
+  * catalog stats for path tables, so the rule consults the warehouse's
+  * OWN write-time statistics (graft.catalog.TableStatsRegistry, fed by
+  * `_graft_stats` manifests): when a partition key's summed per-file
+  * approximate NDV is ≥ `spark.graft.topkRewrite.ndvSkipRatio`
+  * (default 0.9) of the row count, map-side combining cannot shrink
+  * the shuffle and the window form is kept. The per-file SUM — not a
+  * global NDV — is the right signal: keys repeated only across files
+  * do not combine map-side either. Tables without stats rewrite as
+  * before; `spark.graft.topkRewrite.enabled=false` still force-disables.
   */
 object RowNumberTopKRewrite extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.topkRewrite.enabled"
+  val NdvSkipRatioKey = "spark.graft.topkRewrite.ndvSkipRatio"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(EnabledKey, "true").toBoolean) plan
@@ -59,10 +68,38 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
       case Seq(alias @ Alias(WindowExpression(RowNumber(), _), _))
           if w.orderSpec.nonEmpty &&
             w.partitionSpec.forall(_.deterministic) &&
-            w.orderSpec.forall(_.child.deterministic) =>
+            w.orderSpec.forall(_.child.deterministic) &&
+            !nearUniquePartitionKeys(w) =>
         extractBound(cond, alias.exprId).filter(_ >= 1).map(rewrite(w, alias, _))
       case _ => None
     }
+
+  /** True when write-time stats prove the partition keys are
+    * near-unique (the measured regime where the heap aggregate only
+    * adds buffer overhead). Conservative: any key column without a
+    * registered NDV, any aliased/computed key, or a ratio config > 1
+    * keeps the rewrite enabled.
+    */
+  private def nearUniquePartitionKeys(w: Window): Boolean = {
+    val ratio =
+      try conf.getConfString(NdvSkipRatioKey, "0.9").toDouble
+      catch { case _: NumberFormatException => 0.9 }
+    if (!(ratio <= 1.0)) return false // > 1 (or NaN) disables the skip
+    val attrs = w.partitionSpec.collect { case a: AttributeReference => a }
+    if (attrs.isEmpty) return false
+    val rels = w.child.collect {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] => lr
+    }
+    attrs.exists { a =>
+      rels.filter(_.outputSet.contains(a)).exists { lr =>
+        lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.rootPaths.headOption
+          .flatMap(p => TableStatsRegistry.get(p.toString))
+          .exists(st => st.rows > 0 &&
+            st.ndv.get(a.name).exists(_.toDouble / st.rows >= ratio))
+      }
+    }
+  }
 
   /** k from `rn <= k` / `rn < k+1` / `rn = 1` / `k >= rn` / `k > rn-…`
     * — the literal must be the sole other operand.

@@ -108,4 +108,18 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("price"))
   }
+
+  test("reserved internal column names fail loudly instead of being overwritten") {
+    import spark.implicits._
+    val badLeft = trades.withColumn("__side", org.apache.spark.sql.functions.lit(1))
+    val eL = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(badLeft, quotes, Seq("sym"), "t_ts", "q_ts")
+    }
+    assert(eL.getMessage.contains("__side"))
+    val badRight = quotes.withColumn("__rv", org.apache.spark.sql.functions.lit(1))
+    val eR = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, badRight, Seq("sym"), "t_ts", "q_ts")
+    }
+    assert(eR.getMessage.contains("__rv"))
+  }
 }

@@ -69,6 +69,23 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("NaN ord sorts greatest, matching the window fallback's sort order") {
+    import graft.functions.TopKBuffer
+    // fill the heap first so NaN must DISPLACE a worse entry — the
+    // primitive-comparison bug made that displacement never happen
+    val buf = new TopKBuffer(2)
+    buf.offer(1.0, 1L, "a")
+    buf.offer(2.0, 2L, "b")
+    buf.offer(Double.NaN, 3L, "nan")
+    assert(buf.sortedBestFirst.map(_.value).toSeq === Seq("nan", "b"))
+    // two NaNs tie-break on tie (ascending), like orderBy would
+    val buf2 = new TopKBuffer(2)
+    buf2.offer(Double.NaN, 9L, "nan9")
+    buf2.offer(Double.NaN, 1L, "nan1")
+    buf2.offer(Double.NaN, 5L, "nan5")
+    assert(buf2.sortedBestFirst.map(_.value).toSeq === Seq("nan1", "nan5"))
+  }
+
   test("property: merging split buffers equals one buffer over the whole stream") {
     import graft.functions.TopKBuffer
     val rnd = new scala.util.Random(101)

@@ -91,6 +91,40 @@ class RowNumberTopKRewriteSpec extends SparkSpec {
     } finally spark.conf.unset(RowNumberTopKRewrite.EnabledKey)
   }
 
+  test("write-time NDV stats gate the rewrite: near-unique keys keep the window") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val wh = new Warehouse(spark, tmpDir("wh-ndv"))
+    val uniq = TableRef("silver", "t", "uniq")
+    val dup = TableRef("silver", "t", "dup")
+    val n = 5000
+    wh.overwrite(uniq, (1 to n).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
+      statsColumns = Seq("k"))
+    wh.overwrite(dup, (1 to n).map(i => ((i % 20).toLong, i.toDouble)).toDF("k", "v"),
+      statsColumns = Seq("k"))
+    def q(df: DataFrame) = {
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    }
+    withRule {
+      val uplan = q(wh.read(uniq)).queryExecution.executedPlan.toString
+      assert(!uplan.contains("graft_sort_topk"),
+        s"near-unique keys should keep the window form:\n$uplan")
+      val dplan = q(wh.read(dup)).queryExecution.executedPlan.toString
+      assert(dplan.contains("graft_sort_topk"),
+        s"low-cardinality keys should still rewrite:\n$dplan")
+      // semantics identical on both paths
+      assert(q(wh.read(uniq)).count() === n)
+      assert(q(wh.read(dup)).count() === 20)
+      // ratio > 1 disables the stats skip
+      spark.conf.set(RowNumberTopKRewrite.NdvSkipRatioKey, "2.0")
+      try {
+        val forced = q(wh.read(uniq)).queryExecution.executedPlan.toString
+        assert(forced.contains("graft_sort_topk"), forced)
+      } finally spark.conf.unset(RowNumberTopKRewrite.NdvSkipRatioKey)
+    }
+  }
+
   test("global top-k (empty partition) rewrites too") {
     import spark.implicits._
     val w = Window.orderBy($"amount".desc, $"id".asc)
