@@ -185,7 +185,13 @@ final class Warehouse(spark: SparkSession, val root: String) {
       s"bucket column names must not contain ',' or newlines: $bucketCols")
     val name = bucketedName(ref)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    df.write
+    // co-partition with the bucket function BEFORE the write: without
+    // this every input task writes up to numBuckets files (tasks ×
+    // buckets small files — the classic bucketed-write explosion);
+    // repartition uses the same murmur3 HashPartitioning as the bucket
+    // spec, so each task lands on exactly one bucket file
+    df.repartition(numBuckets, bucketCols.map(col): _*)
+      .write
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", path(ref))

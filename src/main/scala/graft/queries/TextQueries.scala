@@ -182,16 +182,60 @@ object TextQueries {
       |    AS long_words
       |FROM documents""".stripMargin
 
+  /** Benchmark decontamination, value-checked end-to-end: docs 0-49
+    * stand in for the benchmark suite; a training doc is contaminated
+    * when it shares a verbatim lowercase 5-gram with any of them (every
+    * benchmark doc trivially hits itself, so the result is non-empty by
+    * construction). The oracle re-derives tokenization, n-gram
+    * generation, and the distinct-hit count in pure SQL — raw-string
+    * grams, no hashing, so the check is exact.
+    */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    graft.text.Decontaminate.contaminationHits(
+      docs, "doc_id", "text", docs.filter($"doc_id" < 50), "text", n = 5)
+  }
+
+  val qDecontaminateSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                x -> length(x) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s),
+      |bgrams AS (
+      |  SELECT DISTINCT gram FROM grams WHERE doc_id < 50)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS hits
+      |FROM grams g JOIN bgrams b USING (gram)
+      |GROUP BY g.doc_id""".stripMargin
+
+  /** Sequence packing (rows-only: bin composition is partition-layout
+    * dependent by design; PackingSpec checks the invariants). Output
+    * is one row per document with its bin and the bin's final fill.
+    */
+  def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val weighted = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+    graft.operators.Packing.packByWeight(weighted, "doc_id", "n_tokens", budget = 512L)
+  }
+
   def queries: Map[String, Q] = Map(
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
-    "q_text_fingerprint" -> (qTextFingerprint _))
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_pack_sequences" -> (qPackSequences _))
 
   def oracles: Map[String, String] = Map(
     "q_text_extract" -> qTextExtractSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_langid" -> qTextLangidSql,
-    "q_text_quality" -> qTextQualitySql)
+    "q_text_quality" -> qTextQualitySql,
+    "q_decontaminate" -> qDecontaminateSql)
 }
