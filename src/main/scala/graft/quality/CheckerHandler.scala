@@ -103,9 +103,11 @@ final class CheckerHandler(
       .withColumn("columns_checked", col("columns_checked").cast("long"))
       .withColumn("passing_cols", col("passing_cols").cast("long"))
       .withColumn("failing_cols", col("failing_cols").cast("long"))
+    // collectStats = false: the aggregate is |tests|×|tables| rows —
+    // the stats jobs would cost more than the full rewrite they avoid
     new MergeTable(spark, warehouse, aggregatedRef,
       Seq("test_name", "table_name", "test_type", "layer", "run_date", "mandate"),
-      None).upsert(typed)
+      None, collectStats = false).upsert(typed)
   }
 
   /** Full run (checker_handler.py:209-221). Unlike the reference —

@@ -108,11 +108,46 @@ object StreamingQueries {
       |FROM sessions
       |GROUP BY user_id, sid""".stripMargin
 
+  /** Streaming exact dedup through a REAL file-source replay: WHICH
+    * row survives per key is arrival-order dependent (any engine's
+    * streaming dedup is), so the gate projects only the KEY columns —
+    * the distinct key set is deterministic and the oracle is plain
+    * SELECT DISTINCT. The watermark is set beyond the dataset's span
+    * so the finite replay dedups globally; production streams use a
+    * horizon that bounds state instead (see EventStreams.dedupStream).
+    */
+  def qStreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_dedup_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val query = EventStreams
+      .dedupStream(events, Seq("user_id", "event_type"), "ts",
+        watermark = "36500 days")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink).select($"user_id", $"event_type")
+  }
+
+  val qStreamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_stream_window" -> (qStreamWindow _),
-    "q_session_window" -> (qSessionWindow _))
+    "q_session_window" -> (qSessionWindow _),
+    "q_stream_dedup" -> (qStreamDedup _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
-    "q_session_window" -> qSessionWindowSql)
+    "q_session_window" -> qSessionWindowSql,
+    "q_stream_dedup" -> qStreamDedupSql)
 }

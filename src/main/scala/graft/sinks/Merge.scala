@@ -117,15 +117,23 @@ object Merge {
   * (null keys never match and min/max ignore nulls, so all-null-key
   * batches prune to pure inserts). The stale-row insert quirk (J1) is
   * preserved — any target copy of a source key lives in a touched file.
+  *
+  * @param collectStats write the first-key stats manifest that enables
+  *                     pruning (default). Set false for KNOWN-TINY
+  *                     targets (e.g. a scorecard aggregate of a few
+  *                     rows) where the stats jobs cost more than the
+  *                     full rewrite they would avoid.
   */
 final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
-                       keys: Seq[String], tsField: Option[String]) {
+                       keys: Seq[String], tsField: Option[String],
+                       collectStats: Boolean = true) {
 
   private val pruneKey = keys.head
+  private def bootstrapStats: Seq[String] = if (collectStats) Seq(pruneKey) else Nil
 
   def upsert(source: DataFrame): Unit = {
     if (!warehouse.exists(ref)) {
-      warehouse.overwrite(ref, source, statsColumns = Seq(pruneKey))
+      warehouse.overwrite(ref, source, statsColumns = bootstrapStats)
       return
     }
     val bounds = source
@@ -153,7 +161,9 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
         // no manifest, or every file may overlap: full rewrite — and
         // write key stats (preserving any existing stat columns) so
         // the next batch can prune
-        val statCols = (warehouse.statColumns(ref) :+ pruneKey).distinct
+        val statCols =
+          if (collectStats) (warehouse.statColumns(ref) :+ pruneKey).distinct
+          else warehouse.statColumns(ref)
         val merged = Merge.merge(warehouse.read(ref), source, keys, tsField)
         warehouse.overwrite(ref, merged, statsColumns = statCols)
     }

@@ -73,6 +73,23 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication — the ingest-time twin of the batch
+    * exact dedup (graft.dedup.Dedup): keep the FIRST occurrence of each
+    * key seen on the stream, with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`: a key's state is evicted once
+    * the watermark passes its event time + the watermark delay, so a
+    * 100 TB/day firehose holds hours of keys, not the full history).
+    * Duplicates arriving within the watermark horizon are dropped
+    * exactly; later replays are the downstream merge's concern.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  watermark: String = "2 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "streaming dedup needs at least one key column")
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Streaming CDC ingestion: every micro-batch is deduped latest-per-
     * key and merged with the SAME MergeTable operator the batch
     * IngestorCDC uses (foreachBatch bridges the planners) — exactly the

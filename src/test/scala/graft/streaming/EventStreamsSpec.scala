@@ -35,6 +35,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicate keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+
+    val query = EventStreams.dedupStream(events, Seq("user_id"), "ts",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (ts("2026-01-01 10:00:10"), 1L, 1.0),
+        (ts("2026-01-01 10:00:20"), 1L, 2.0), // same-batch duplicate
+        (ts("2026-01-01 10:00:30"), 2L, 3.0))
+      query.processAllAvailable()
+      input.addData(
+        (ts("2026-01-01 10:01:00"), 1L, 9.0), // cross-batch duplicate
+        (ts("2026-01-01 10:01:10"), 3L, 4.0))
+      query.processAllAvailable()
+      val users = spark.table("dedup_sink")
+        .select("user_id").as[Long].collect().sorted.toSeq
+      assert(users === Seq(1L, 2L, 3L)) // each key exactly once
+    } finally query.stop()
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
