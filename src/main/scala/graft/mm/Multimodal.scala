@@ -30,6 +30,15 @@ final case class ImageFeatures(
 /** One embedding component in long format. */
 final case class MediaEmbeddingRow(media_id: Long, dim: Int, value: Double)
 
+/** Decoded per-audio features. */
+final case class AudioFeatures(
+    media_id: Long,
+    sample_rate: Int,
+    channels: Int,
+    n_samples: Long,
+    duration_us: Long,
+    rms: Double)            // root-mean-square amplitude in [0,1]; -1 = undecodable
+
 /** Sampled video frame reference. */
 final case class FrameSample(
     media_id: Long,
@@ -106,6 +115,92 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Decode audio to features, batch-per-partition, via
+    * javax.sound.sampled (REAL decode — WAV/AIFF/AU ship with the JDK).
+    * Sample rate, channel count and frame count come from the decoded
+    * stream; RMS amplitude is computed over the 16-bit PCM samples
+    * (bounded to the first ~1M frames so an hour-long recording costs
+    * the same as a clip). Undecodable payloads keep the row with
+    * `rms = -1.0` and zeroed audio fields — same corrupt-media policy
+    * as [[decodeImage]].
+    */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(m.content)))
+          try {
+            val fmt = in.getFormat
+            val rate = fmt.getSampleRate.toInt
+            val channels = fmt.getChannels
+            val frames = in.getFrameLength
+            val durationUs =
+              if (rate > 0) frames * 1000000L / rate else 0L
+            // RMS over 16-bit PCM, bounded read
+            val bytesPerFrame = fmt.getFrameSize
+            val maxFrames = math.min(frames, 1000000L)
+            var sumSq = 0.0
+            var count = 0L
+            if (fmt.getSampleSizeInBits == 16 && bytesPerFrame > 0) {
+              val buf = new Array[Byte](bytesPerFrame * 4096)
+              var remaining = maxFrames
+              var eof = false
+              while (remaining > 0 && !eof) {
+                val want = math.min(buf.length.toLong, remaining * bytesPerFrame).toInt
+                val n = in.read(buf, 0, want)
+                if (n <= 0) eof = true
+                else {
+                  var i = 0
+                  while (i + 1 < n) {
+                    val s =
+                      if (fmt.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                      else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                    val v = s / 32767.0
+                    sumSq += v * v
+                    count += 1
+                    i += 2
+                  }
+                  remaining -= n / bytesPerFrame
+                }
+              }
+            }
+            val rms = if (count == 0) 0.0 else math.sqrt(sumSq / count)
+            AudioFeatures(m.media_id, rate, channels, frames, durationUs, rms)
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioFeatures(m.media_id, 0, 0, 0L, m.duration_ms.getOrElse(0L) * 1000L, -1.0)
+        }
+      }
+    }
+  }
+
+  /** Deterministic constant-amplitude mono PCM16 WAV — the gate/test
+    * fixture generator for [[decodeAudio]] (real codec, oracle-derivable
+    * output: every sample equals `sampleValue`, so the decoded RMS is
+    * exactly |sampleValue|/32767 and duration is nSamples/sampleRate).
+    */
+  def synthesizeWav(sampleRate: Int, nSamples: Int, sampleValue: Short): Array[Byte] = {
+    require(sampleRate > 0 && nSamples > 0, s"degenerate wav $sampleRate/$nSamples")
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // PCM16, mono, little-endian
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      pcm(2 * i) = (sampleValue & 0xff).toByte
+      pcm(2 * i + 1) = ((sampleValue >> 8) & 0xff).toByte
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic solid-gray PNG — the gate/test fixture generator for

@@ -73,6 +73,42 @@ object MultimodalQueries {
       |    AS aspect_ratio
       |FROM documents""".stripMargin
 
+  /** REAL audio decode, value-checked end-to-end like q_mm_decode: each
+    * document becomes a constant-amplitude mono PCM16 WAV (sample count
+    * and amplitude are pure functions of n_chars and doc_id), the
+    * executors decode it with javax.sound.sampled, and the oracle
+    * re-derives sample rate, frame count, exact microsecond duration
+    * (n·125 at 8 kHz) and RMS (= amplitude/32767 for a constant
+    * signal). RMS rounding is safe at 6dp by the same argument as
+    * brightness: s·10⁶ mod 32767 is an integer, never half.
+    */
+  def qMmAudio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        ($"n_chars" % 1000 + 100).cast("int").as("n"),
+        ($"doc_id" % 16384).cast("int").as("s"))
+      .as[(Long, Int, Int)]
+      .map { case (id, n, s) =>
+        MediaRecord(id, "audio", s"mem://wav/$id",
+          Multimodal.synthesizeWav(8000, n, s.toShort), None, None, None)
+      }
+    Multimodal.decodeAudio(media)
+      .toDF()
+      .select($"media_id", $"sample_rate", $"channels", $"n_samples",
+        $"duration_us", round($"rms", 6).as("rms"))
+  }
+
+  val qMmAudioSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8000 AS INTEGER) AS sample_rate,
+      |  CAST(1 AS INTEGER) AS channels,
+      |  CAST(n_chars % 1000 + 100 AS BIGINT) AS n_samples,
+      |  CAST((n_chars % 1000 + 100) * 125 AS BIGINT) AS duration_us,
+      |  round(CAST(doc_id % 16384 AS DOUBLE) / 32767, 6) AS rms
+      |FROM documents""".stripMargin
+
   /** Frame sampling: flatMap row expansion, one row per 1000ms
     * interval of the declared duration.
     */
@@ -107,11 +143,13 @@ object MultimodalQueries {
 
   def queries: Map[String, Q] = Map(
     "q_mm_decode" -> (qMmDecode _),
+    "q_mm_audio" -> (qMmAudio _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_embed" -> (qMmEmbed _))
 
   def oracles: Map[String, String] = Map(
     "q_mm_decode" -> qMmDecodeSql,
+    "q_mm_audio" -> qMmAudioSql,
     "q_mm_frames" -> qMmFramesSql,
     "q_mm_embed" -> qMmEmbedSql)
 }

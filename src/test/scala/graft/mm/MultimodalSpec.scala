@@ -47,6 +47,24 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).brightness === -1.0)
   }
 
+  test("decodeAudio: real WAV decode; garbage falls back with -1 sentinel") {
+    import spark.implicits._
+    val wav = Multimodal.synthesizeWav(sampleRate = 8000, nSamples = 400, sampleValue = 16000)
+    val mixed = Seq(
+      MediaRecord(1L, "audio", "mem://a.wav", wav, None, None, None),
+      MediaRecord(2L, "audio", "mem://b.mp3", Array.fill[Byte](64)(3), None, None, Some(777L)),
+      MediaRecord(3L, "image", "mem://c.png", wav, None, None, None) // filtered out
+    ).toDS()
+    val feats = Multimodal.decodeAudio(mixed).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq === Seq(1L, 2L))
+    assert(feats(0).sample_rate === 8000 && feats(0).channels === 1)
+    assert(feats(0).n_samples === 400L)
+    assert(feats(0).duration_us === 400L * 1000000L / 8000L) // 50 ms
+    // constant signal: RMS is exactly amplitude/32767 (to fp noise)
+    assert(math.abs(feats(0).rms - 16000.0 / 32767.0) < 1e-12)
+    assert(feats(1).rms === -1.0 && feats(1).duration_us === 777000L)
+  }
+
   test("sampleFrames expands videos only, one row per interval") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000).collect()
     assert(frames.forall(_.media_id == 3L))
