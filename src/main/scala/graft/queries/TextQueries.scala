@@ -223,12 +223,76 @@ object TextQueries {
     graft.operators.Packing.packByWeight(weighted, "doc_id", "n_tokens", budget = 512L)
   }
 
+  /** Gopher-style repetition profile, one row per doc, computed with
+    * per-row array ops (dup fractions) and a sorted-run HOF scan (top
+    * token) — ZERO shuffle; the oracle re-derives the same fractions,
+    * the mode via explode+group (the formulation we deliberately avoid
+    * on the Spark side at scale). Outputs are raw IEEE doubles — both
+    * engines compute the same divisions on the same integers, and NOT
+    * rounding sidesteps the half-at-6dp divergence that p/2^k
+    * fractions (e.g. 128-token docs) would hit.
+    */
+  def qTextRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        TextFunctions.dupTokenFrac($"text").as("dup_token_frac"),
+        TextFunctions.dupLineFrac($"text").as("dup_line_frac"),
+        TextFunctions.topTokenFrac($"text").as("top_token_frac"))
+  }
+
+  val qTextRepetitionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $sqlTokens AS t,
+       |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, tok, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+       |  GROUP BY doc_id, tok),
+       |top AS (
+       |  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM cnt GROUP BY doc_id)
+       |SELECT k.doc_id,
+       |  CASE WHEN len(k.t) > 0
+       |       THEN 1.0 - CAST(len(list_distinct(k.t)) AS DOUBLE) / len(k.t)
+       |       ELSE 0.0 END AS dup_token_frac,
+       |  CASE WHEN len(k.lines) > 0
+       |       THEN 1.0 - CAST(len(list_distinct(k.lines)) AS DOUBLE) / len(k.lines)
+       |       ELSE 0.0 END AS dup_line_frac,
+       |  coalesce(CAST(top.mx AS DOUBLE) / top.tot, 0.0) AS top_token_frac
+       |FROM toks k LEFT JOIN top ON k.doc_id = top.doc_id""".stripMargin
+
+  /** Corpus vocabulary: top 100 tokens by frequency. explode →
+    * map-side partial count → shuffle carries only distinct tokens →
+    * TakeOrderedAndProject (per-partition heaps, k rows to the
+    * driver) — no global sort at any scale.
+    */
+  def qVocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "documents")
+      .select(explode(TextFunctions.tokens($"text")).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok".asc)
+      .limit(100)
+  }
+
+  val qVocabTopkSql: String =
+    s"""SELECT tok, CAST(count(*) AS BIGINT) AS n
+       |FROM (SELECT unnest($sqlTokens) AS tok FROM documents)
+       |GROUP BY tok
+       |ORDER BY n DESC, tok ASC
+       |LIMIT 100""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
 
@@ -237,5 +301,7 @@ object TextQueries {
     "q_text_stats" -> qTextStatsSql,
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql,
+    "q_text_repetition" -> qTextRepetitionSql,
+    "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql)
 }

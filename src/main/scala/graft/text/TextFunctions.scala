@@ -117,6 +117,52 @@ object TextFunctions {
     */
   def shingleSketch(c: Column, k: Int = 3, w: Int = 16): Column =
     slice(array_sort(transform(Shingles.shingles(tokens(c), k), s => xxhash64(s))), 1, w)
+
+  // ---------------------------------------- repetition profile (Gopher-style)
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * `1 - distinct/total` (0 for empty docs). Degenerate spam — "buy
+    * buy buy …" — scores near 1; the standard repetition filter signal.
+    */
+  def dupTokenFrac(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of non-empty LINES that repeat an earlier line — the
+    * boilerplate/navigation-chrome signal.
+    */
+  def dupLineFrac(c: Column): Column = {
+    val lines = filter(split(c, "\n"), l => length(trim(l)) > 0)
+    when(size(lines) > 0,
+      lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of tokens taken by the single most frequent token — the
+    * keyword-stuffing signal. Computed per ROW with a sorted-run scan
+    * (sort the token array, longest equal-run via one `aggregate`
+    * pass): zero shuffle, no exploded (doc, token) pairs — the shape
+    * that survives a 100 TB corpus. One `aggregate` carrying a struct
+    * state, per the HOF discipline (heavy subtrees only in argument
+    * positions).
+    */
+  def topTokenFrac(c: Column): Column = {
+    val toks = tokens(c)
+    val best = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1L))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(toks) > 0, best.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
 }
 
 /** Token-shingle helper shared by text + dedup operators. */

@@ -58,6 +58,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fps(0) !== fps(2))
   }
 
+  test("repetition profile: dup fractions and top-token mode") {
+    val c = col("t")
+    // 4 tokens, 2 distinct → dup_token_frac = 0.5
+    assert(eval1[Double]("a b a b", TextFunctions.dupTokenFrac(c)) === 0.5)
+    assert(eval1[Double]("a b c d", TextFunctions.dupTokenFrac(c)) === 0.0)
+    assert(eval1[Double]("", TextFunctions.dupTokenFrac(c)) === 0.0)
+    // "x" appears 3 of 5 tokens → 0.6, regardless of position
+    assert(eval1[Double]("x y x z x", TextFunctions.topTokenFrac(c)) === 0.6)
+    assert(eval1[Double]("only", TextFunctions.topTokenFrac(c)) === 1.0)
+    assert(eval1[Double]("", TextFunctions.topTokenFrac(c)) === 0.0)
+    // 3 non-empty lines, one repeated; blank lines don't count
+    assert(eval1[Double]("foo\nbar\n\n  \nfoo", TextFunctions.dupLineFrac(c))
+      === 1.0 - 2.0 / 3.0)
+  }
+
   test("shingles: distinct k-grams, empty under k tokens") {
     import spark.implicits._
     val sh = Seq("a b c d", "a b", "a b a b a b")
