@@ -452,6 +452,40 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def dataFiles(ref: TableRef): Seq[String] =
     listDataFiles(new Path(path(ref))).map(_.toString)
 
+  /** OPTIMIZE-style small-file compaction: bin-pack data files smaller
+    * than `smallFileBytes` into ~`targetFileBytes` outputs and swap
+    * them in via [[replaceDataFiles]] — healthy-sized files keep their
+    * bytes and paths, and the stats manifest follows along. The
+    * natural maintenance companion to the incremental MERGE, whose
+    * per-batch rewrites accumulate small files. Flat (unpartitioned)
+    * tables only — files inside partition subdirectories are left
+    * alone, since rewriting them to the table root would corrupt
+    * partition discovery. Returns the number of files compacted
+    * (0 or 1 small file = nothing worth rewriting).
+    */
+  def compact(ref: TableRef, smallFileBytes: Long = 32L << 20,
+              targetFileBytes: Long = 128L << 20): Int = {
+    require(smallFileBytes >= 1 && targetFileBytes >= 1,
+      s"byte thresholds must be positive: $smallFileBytes/$targetFileBytes")
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    // listStatus yields scheme-qualified paths; qualify ours to match
+    val qualifiedTable = filesystem.makeQualified(tablePath)
+    val small = listDataFiles(tablePath)
+      .filter(_.getParent == qualifiedTable) // flat files only, see scaladoc
+      .map(p => p -> filesystem.getFileStatus(p).getLen)
+      .filter(_._2 < smallFileBytes)
+    if (small.size < 2) return 0
+    val nOut = math.max(1,
+      math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+    val files = small.map(_._1.toString)
+    val data = spark.read
+      .option("basePath", path(ref)).parquet(files: _*)
+      .repartition(nOut)
+    replaceDataFiles(ref, files, data)
+    small.size
+  }
+
   /** All parquet data files under a table dir (recursive, skipping
     * underscore/dot-hidden entries such as the stats manifest).
     */

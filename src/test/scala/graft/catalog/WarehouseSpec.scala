@@ -134,6 +134,38 @@ class WarehouseSpec extends SparkSpec {
     assert(joined.count() === 2000)
   }
 
+  test("compact bin-packs small files, leaves healthy files and pruning intact") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val wh = new Warehouse(spark, tmpDir("wh-compact"))
+    val ref = TableRef("silver", "cdc", "facts")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+    // bootstrap: one healthy-sized file
+    mt.upsert((1 to 50000).map(i => (i.toLong, i.toDouble)).toDF("k", "v").coalesce(1))
+    val bigFile = wh.dataFiles(ref).head
+    val bigLen = new org.apache.hadoop.fs.Path(bigFile)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(new org.apache.hadoop.fs.Path(bigFile)).getLen
+    // five disjoint insert-only batches → five small files
+    (1 to 5).foreach { b =>
+      mt.upsert(Seq((100000L + b, b.toDouble)).toDF("k", "v").coalesce(1))
+    }
+    assert(wh.dataFiles(ref).size === 6)
+    val before = wh.read(ref).collect().toSet
+
+    val n = wh.compact(ref, smallFileBytes = bigLen / 2, targetFileBytes = 128L << 20)
+    assert(n === 5)
+    val after = wh.dataFiles(ref)
+    assert(after.contains(bigFile))      // healthy file untouched
+    assert(after.size === 2)             // big + one packed replacement
+    assert(wh.read(ref).collect().toSet === before)
+    // the manifest followed: pruning to the inserted-key range finds
+    // only the packed file, and a fresh compact is a no-op
+    val Some((touched, untouched)) = wh.splitFilesByRange(ref, "k", 100001L, 100005L)
+    assert(untouched.contains(bigFile) && touched.size === 1)
+    assert(wh.compact(ref, smallFileBytes = bigLen / 2, targetFileBytes = 128L << 20) === 0)
+  }
+
   test("file skipping composes with partitioned tables") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-skip-part"))
