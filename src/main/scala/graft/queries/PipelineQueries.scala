@@ -216,6 +216,36 @@ object PipelineQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** Small-file compaction end-to-end: bootstrap a merge target, append
+    * three disjoint-range batches (the insert-only incremental-merge
+    * fast path — each leaves its own small files), then OPTIMIZE-style
+    * [[Warehouse.compact]] bin-packs everything into one right-sized
+    * file. Value-checked that compaction is invisible in the data; the
+    * post-compact file count is surfaced as a constant column so the
+    * oracle also pins that the rewrite actually collapsed the layout.
+    */
+  def qCompactTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-compact").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val ref = TableRef("silver", "facts", "orders_compacted")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
+    // bootstrap + three disjoint key-range batches (daily-append shape)
+    val edges = Seq(Long.MinValue, 15000L, 30000L, 45000L, Long.MaxValue)
+    edges.zip(edges.tail).foreach { case (lo, hi) =>
+      mt.upsert(orders.filter($"o_orderkey" >= lo && $"o_orderkey" < hi))
+    }
+    wh.compact(ref)
+    wh.read(ref).withColumn("files_after", lit(wh.dataFiles(ref).size))
+  }
+
+  val qCompactTableSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       CAST(1 AS INTEGER) AS files_after
+      |FROM orders""".stripMargin
+
   /** K5 gold materialized view end-to-end: a reference-shaped
     * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY
     * rewritten, three-part names resolved against the warehouse) CTAS'd
@@ -257,6 +287,7 @@ object PipelineQueries {
     "q_checker_scorecard" -> (qCheckerScorecard _),
     "q_warehouse_skip" -> (qWarehouseSkip _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_compact_table" -> (qCompactTable _),
     "q_gold_view" -> (qGoldView _))
 
   def oracles: Map[String, String] = Map(
@@ -265,5 +296,6 @@ object PipelineQueries {
     "q_checker_scorecard" -> qCheckerScorecardSql,
     "q_warehouse_skip" -> qWarehouseSkipSql,
     "q_bucketed_join" -> qBucketedJoinSql,
+    "q_compact_table" -> qCompactTableSql,
     "q_gold_view" -> qGoldViewSql)
 }

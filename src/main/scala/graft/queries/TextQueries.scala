@@ -263,6 +263,104 @@ object TextQueries {
        |  coalesce(CAST(top.mx AS DOUBLE) / top.tot, 0.0) AS top_token_frac
        |FROM toks k LEFT JOIN top ON k.doc_id = top.doc_id""".stripMargin
 
+  /** Line-level corpus dedup (CCNet/RefinedWeb boilerplate scrub),
+    * value-checked end-to-end. The synthetic documents are single-line,
+    * so the query first builds multi-line docs the oracle can rebuild
+    * identically: a per-source header (duplicated across every doc of
+    * that source), two body lines sliced from the original text (mostly
+    * unique), and a global footer (duplicated corpus-wide). The scrub
+    * must drop exactly the over-represented lines and stitch the
+    * survivors back in order.
+    */
+  def qLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select(
+      $"doc_id",
+      concat_ws("\n",
+        concat(lit("source: "), $"source"),
+        substring($"text", 1, 80),
+        substring($"text", 81, 80),
+        lit("(c) synthetic corpus - all rights reserved")).as("text"))
+    graft.text.LineDedup.stripDuplicatedLines(docs, "doc_id", "text")
+      .select($"doc_id", $"clean_text", $"lines_kept")
+  }
+
+  val qLineDedupSql: String =
+    """WITH docs2 AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10), 'source: ' || source,
+      |              substr(text, 1, 80), substr(text, 81, 80),
+      |              '(c) synthetic corpus - all rights reserved') AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id, unnest(parts) AS line,
+      |         unnest(range(1, len(parts) + 1)) AS pos
+      |  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs2)),
+      |banned AS (
+      |  SELECT line FROM (SELECT line, count(*) AS n FROM lines GROUP BY line)
+      |  WHERE n > 1),
+      |kept AS (SELECT l.* FROM lines l ANTI JOIN banned b USING (line)),
+      |rebuilt AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+      |         count(*) AS lines_kept
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text,
+      |       CAST(coalesce(r.lines_kept, 0) AS BIGINT) AS lines_kept
+      |FROM docs2 d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin
+
+  /** PII redaction, value-checked: deterministic synthetic PII (email /
+    * dotted-quad / phone, injected for disjoint doc_id residues so the
+    * zero cases are exercised too) is scrubbed by the same chained
+    * regex both engines run — the patterns interpolate from
+    * [[TextFunctions]], single source of truth.
+    */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val aug = concat(
+      $"text",
+      when($"doc_id" % 2 === 0,
+        concat(lit(" contact u"), $"doc_id".cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when($"doc_id" % 3 === 0,
+        concat(lit(" from 10.0."), ($"doc_id" % 256).cast("string"),
+          lit(".7"))).otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" tel 555-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"),
+          lit("-0199"))).otherwise(lit("")))
+    val (emails, ips, phones) = TextFunctions.piiCounts(aug)
+    Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        TextFunctions.redactPii(aug).as("text_redacted"),
+        emails.as("n_emails"), ips.as("n_ips"), phones.as("n_phones"))
+  }
+
+  val qPiiRedactSql: String = {
+    val (email, ip, phone) = (TextFunctions.emailPattern,
+      TextFunctions.ipv4Pattern, TextFunctions.phonePattern)
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ip', '<IP>', 'g'),
+       |    '$phone', '<PHONE>', 'g') AS text_redacted,
+       |  CAST(len(regexp_extract_all(aug, '$email')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$ip')) AS INTEGER) AS n_ips,
+       |  CAST(len(regexp_extract_all(aug, '$phone')) AS INTEGER) AS n_phones
+       |FROM (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 2 = 0
+       |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0
+       |         THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+       |         ELSE '' END AS aug
+       |  FROM documents)""".stripMargin
+  }
+
   /** Corpus vocabulary: top 100 tokens by frequency. explode →
     * map-side partial count → shuffle carries only distinct tokens →
     * TakeOrderedAndProject (per-partition heaps, k rows to the
@@ -292,6 +390,8 @@ object TextQueries {
     "q_text_quality" -> (qTextQuality _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_line_dedup" -> (qLineDedup _),
+    "q_pii_redact" -> (qPiiRedact _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -302,6 +402,8 @@ object TextQueries {
     "q_text_langid" -> qTextLangidSql,
     "q_text_quality" -> qTextQualitySql,
     "q_text_repetition" -> qTextRepetitionSql,
+    "q_line_dedup" -> qLineDedupSql,
+    "q_pii_redact" -> qPiiRedactSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql)
 }

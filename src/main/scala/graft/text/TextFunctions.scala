@@ -118,6 +118,40 @@ object TextFunctions {
   def shingleSketch(c: Column, k: Int = 3, w: Int = 16): Column =
     slice(array_sort(transform(Shingles.shingles(tokens(c), k), s => xxhash64(s))), 1, w)
 
+  // ---------------------------------------- PII scrubbing
+
+  /** PII patterns — deliberately restricted to regex features Java and
+    * RE2 (DuckDB) agree on (character classes, bounded repeats, \b), so
+    * the DuckDB oracle can run the identical pattern. Conservative
+    * pretraining-scrub shapes: emails, dotted-quad IPs, NANP-style
+    * phone numbers.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Replace every email/IP/phone occurrence with a typed placeholder
+    * token, in that fixed order (emails first, so an address-embedded
+    * dotted quad is consumed as part of the email, not re-matched).
+    * Pure chained `regexp_replace` — single pass per pattern inside
+    * codegen, no shuffle.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
+  /** Per-pattern match counts on the RAW text (audit columns for a
+    * scrub report; overlapping patterns count independently here, while
+    * [[redactPii]] resolves overlaps by its replacement order).
+    */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (regexp_count(c, lit(emailPattern)),
+      regexp_count(c, lit(ipv4Pattern)),
+      regexp_count(c, lit(phonePattern)))
+
   // ---------------------------------------- repetition profile (Gopher-style)
 
   /** Fraction of tokens that are repeats of an earlier token:

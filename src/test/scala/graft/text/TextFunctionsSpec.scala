@@ -73,6 +73,26 @@ class TextFunctionsSpec extends SparkSpec {
       === 1.0 - 2.0 / 3.0)
   }
 
+  test("pii redaction masks emails, ips, phones; counts audit the raw text") {
+    val c = col("t")
+    assert(eval1[String]("mail bob.smith+x@corp.example.org now",
+      TextFunctions.redactPii(c)) === "mail <EMAIL> now")
+    assert(eval1[String]("host 192.168.0.1 up", TextFunctions.redactPii(c))
+      === "host <IP> up")
+    assert(eval1[String]("call 555-867-5309 or 555.867.5309",
+      TextFunctions.redactPii(c)) === "call <PHONE> or <PHONE>")
+    // email wins over the dotted quad embedded in its domain
+    assert(eval1[String]("x a@1.2.3.4.com y", TextFunctions.redactPii(c))
+      === "x <EMAIL> y")
+    // versions / decimals with word chars attached don't false-positive
+    assert(eval1[String]("v1.2.3.4beta stays", TextFunctions.redactPii(c))
+      === "v1.2.3.4beta stays")
+    val (e, i, p) = TextFunctions.piiCounts(c)
+    assert(eval1[Int]("a@b.co c@d.io 10.0.0.1", e) === 2)
+    assert(eval1[Int]("a@b.co c@d.io 10.0.0.1", i) === 1)
+    assert(eval1[Int]("no pii here", p) === 0)
+  }
+
   test("shingles: distinct k-grams, empty under k tokens") {
     import spark.implicits._
     val sh = Seq("a b c d", "a b", "a b a b a b")
