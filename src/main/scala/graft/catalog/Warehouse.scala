@@ -462,9 +462,19 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * alone, since rewriting them to the table root would corrupt
     * partition discovery. Returns the number of files compacted
     * (0 or 1 small file = nothing worth rewriting).
+    *
+    * CLUSTERING IS PRESERVED, not destroyed: by default the rewrite
+    * range-partitions (and sorts) the packed rows by the table's stats
+    * columns, so each packed file covers a narrow key interval and
+    * [[readPruned]]/incremental MERGE keep skipping files after
+    * maintenance — a round-robin repacking would silently widen every
+    * file's [min, max] to the whole key range and turn future pruned
+    * reads into full scans. Pass `clusterBy = Some(Nil)` to opt out
+    * (pure bin-packing), or explicit columns to recluster differently.
     */
   def compact(ref: TableRef, smallFileBytes: Long = 32L << 20,
-              targetFileBytes: Long = 128L << 20): Int = {
+              targetFileBytes: Long = 128L << 20,
+              clusterBy: Option[Seq[String]] = None): Int = {
     require(smallFileBytes >= 1 && targetFileBytes >= 1,
       s"byte thresholds must be positive: $smallFileBytes/$targetFileBytes")
     val tablePath = new Path(path(ref))
@@ -479,10 +489,14 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val nOut = math.max(1,
       math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
     val files = small.map(_._1.toString)
-    val data = spark.read
-      .option("basePath", path(ref)).parquet(files: _*)
-      .repartition(nOut)
-    replaceDataFiles(ref, files, data)
+    val data = spark.read.option("basePath", path(ref)).parquet(files: _*)
+    val cluster = clusterBy.getOrElse(statColumns(ref))
+      .filter(data.columns.contains)
+    val packed =
+      if (cluster.isEmpty) data.repartition(nOut)
+      else data.repartitionByRange(nOut, cluster.map(col): _*)
+        .sortWithinPartitions(cluster.map(col): _*)
+    replaceDataFiles(ref, files, packed)
     small.size
   }
 

@@ -232,8 +232,8 @@ object PipelineQueries {
     val orders = Tables.load(spark, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
     val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
-    // bootstrap + three disjoint key-range batches (daily-append shape)
-    val edges = Seq(Long.MinValue, 15000L, 30000L, 45000L, Long.MaxValue)
+    // bootstrap + two disjoint key-range batches (daily-append shape)
+    val edges = Seq(Long.MinValue, 20000L, 40000L, Long.MaxValue)
     edges.zip(edges.tail).foreach { case (lo, hi) =>
       mt.upsert(orders.filter($"o_orderkey" >= lo && $"o_orderkey" < hi))
     }

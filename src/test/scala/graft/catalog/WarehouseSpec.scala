@@ -166,6 +166,32 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.compact(ref, smallFileBytes = bigLen / 2, targetFileBytes = 128L << 20) === 0)
   }
 
+  test("compact preserves key clustering: packed files still prune") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val wh = new Warehouse(spark, tmpDir("wh-compact-cluster"))
+    val ref = TableRef("silver", "cdc", "ranged")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+    // four disjoint narrow-range batches → four small clustered files
+    (0 until 4).foreach { b =>
+      mt.upsert((b * 1000 until (b + 1) * 1000)
+        .map(i => (i.toLong, i.toString)).toDF("k", "v").coalesce(1))
+    }
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def len(p: String) = { val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).getFileStatus(hp).getLen }
+    val total = wh.dataFiles(ref).map(len).sum
+    // force two packed outputs; default clustering = stats columns (k)
+    assert(wh.compact(ref, smallFileBytes = 1L << 30,
+      targetFileBytes = total / 2 + 1) === 4)
+    assert(wh.dataFiles(ref).size === 2)
+    // a narrow range read still provably skips the other packed file
+    val Some((touched, untouched)) = wh.splitFilesByRange(ref, "k", 100L, 200L)
+    assert(touched.size === 1 && untouched.size === 1)
+    assert(wh.readPruned(ref, "k", 100L, 200L)
+      .filter($"k".between(100L, 200L)).count() === 101)
+  }
+
   test("file skipping composes with partitioned tables") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-skip-part"))
