@@ -222,6 +222,35 @@ object AnalyticQueries {
       |      FROM embeddings)
       |GROUP BY label, dim""".stripMargin
 
+  /** Int8 embedding quantization, value-checked bit-for-bit: the scale
+    * is raw double passthrough (identical arithmetic both engines — no
+    * rounding needed) and the codes serialize to CSV (the driver's
+    * row-sorter can't hash array cells). The half-up rule is written as
+    * `floor(x/scale + 0.5)` on BOTH sides because `round`'s
+    * half-behavior differs across engines.
+    */
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val codes = graft.sim.Quantize.quantize($"embedding", $"scale")
+    Tables.load(spark, dir, "embeddings")
+      .withColumn("scale", graft.sim.Quantize.quantScale($"embedding"))
+      .select(
+        $"vec_id", $"scale",
+        array_join(transform(codes, c => c.cast("string")), ",").as("codes_csv"))
+  }
+
+  val qEmbedQuantizeSql: String =
+    """SELECT vec_id, scale,
+      |  array_to_string(list_transform(embedding,
+      |    x -> CAST(CAST(CASE WHEN scale > 0
+      |           THEN floor(CAST(x AS DOUBLE) / scale + 0.5)
+      |           ELSE 0 END AS BIGINT) AS VARCHAR)), ',') AS codes_csv
+      |FROM (
+      |  SELECT vec_id, embedding,
+      |    CAST(coalesce(list_max(list_transform(embedding, x -> abs(x))), 0)
+      |         AS DOUBLE) / CAST(127 AS DOUBLE) AS scale
+      |  FROM embeddings)""".stripMargin
+
   // -------------------------------------------------------- range join
 
   /** Binned range join (operators.RangeJoin): repeat-purchase pairs —
@@ -354,6 +383,7 @@ object AnalyticQueries {
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_embed_pool" -> (qEmbedPool _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_topk" -> (qTopk _),
     "q_approx_stats" -> (qApproxStats _),
@@ -368,6 +398,7 @@ object AnalyticQueries {
     "q_pivot" -> qPivotSql,
     "q_unpivot" -> qUnpivotSql,
     "q_embed_pool" -> qEmbedPoolSql,
+    "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_sample_split" -> qSampleSplitSql,
     "q_topk" -> qTopkSql,
     "q_range_join" -> qRangeJoinSql,

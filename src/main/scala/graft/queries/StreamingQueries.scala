@@ -141,13 +141,60 @@ object StreamingQueries {
   val qStreamDedupSql: String =
     """SELECT DISTINCT user_id, event_type FROM events""".stripMargin
 
+  /** Stream-stream interval join through two REAL file-source streams
+    * over the same events table: clicks matched to purchases by the
+    * same user within the following hour (the attribution/funnel
+    * shape). Inner join + finite replay + beyond-horizon watermark →
+    * the match set is deterministic, and the oracle is the equivalent
+    * batch theta-join.
+    */
+  def qStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_join_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    def side(tpe: String, idAs: String, tsAs: String) = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter($"event_type" === tpe)
+      .select($"user_id", $"event_id".as(idAs), $"ts".as(tsAs))
+    val clicks = side("click", "click_id", "click_ts")
+    val purchases = side("purchase", "purchase_id", "purchase_ts")
+    val joined = EventStreams.intervalJoin(clicks, purchases, Seq("user_id"),
+      "click_ts", "purchase_ts", within = "1 hour", watermark = "36500 days")
+    val query = joined
+      .select(clicks("user_id"), $"click_id", $"purchase_id",
+        unix_micros($"click_ts").as("click_us"),
+        unix_micros($"purchase_ts").as("purchase_us"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink)
+  }
+
+  val qStreamJoinSql: String =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
-    "q_stream_dedup" -> (qStreamDedup _))
+    "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
     "q_session_window" -> qSessionWindowSql,
-    "q_stream_dedup" -> qStreamDedupSql)
+    "q_stream_dedup" -> qStreamDedupSql,
+    "q_stream_join" -> qStreamJoinSql)
 }

@@ -90,6 +90,33 @@ object EventStreams {
       .dropDuplicatesWithinWatermark(keyCols)
   }
 
+  /** Stream-stream INNER interval join — the funnel/attribution shape
+    * (click → purchase within an hour): equi-keys plus a bounded
+    * event-time range `leftTs <= rightTs <= leftTs + within`. The time
+    * bound is what makes an unbounded join feasible: with both sides
+    * watermarked, each side's buffered state is evicted once the
+    * watermark passes the last instant the other side could still
+    * match, so state is proportional to key-rate × (within + watermark
+    * delay), never to stream history. Works identically on batch frames
+    * (the watermark node is eliminated in batch plans) — the same
+    * no-semantic-drift property the CDC sink has.
+    *
+    * Shared key columns stay duplicated in the output (standard Spark
+    * join behavior) — select through the returned frame with the input
+    * frames' column refs, or pre-rename non-key columns to be disjoint.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String, within: String,
+                   watermark: String = "2 minutes"): DataFrame = {
+    require(keys.nonEmpty, "interval join needs at least one equi key")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val timeCond = r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within")
+    l.join(r, keyCond && timeCond, "inner")
+  }
+
   /** Streaming CDC ingestion: every micro-batch is deduped latest-per-
     * key and merged with the SAME MergeTable operator the batch
     * IngestorCDC uses (foreachBatch bridges the planners) — exactly the

@@ -111,6 +111,51 @@ class EventStreamsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("interval join matches within the bound, inclusive on both edges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val query = EventStreams.intervalJoin(
+        clicks.toDF().toDF("user_id", "click_id", "click_ts"),
+        buys.toDF().toDF("user_id", "buy_id", "buy_ts"),
+        Seq("user_id"), "click_ts", "buy_ts",
+        within = "1 hour", watermark = "1 day")
+      .selectExpr("click_id", "buy_id")
+      .writeStream.format("memory").queryName("ij_sink")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (1L, 10L, ts("2026-01-01 10:00:00")),
+        (2L, 11L, ts("2026-01-01 10:00:00")))
+      buys.addData(
+        (1L, 20L, ts("2026-01-01 10:00:00")), // same instant: inclusive
+        (1L, 21L, ts("2026-01-01 11:00:00")), // exactly +1h: inclusive
+        (1L, 22L, ts("2026-01-01 11:00:01")), // past the bound
+        (1L, 23L, ts("2026-01-01 09:59:59")), // before the click
+        (2L, 24L, ts("2026-01-01 10:30:00")), // other user's window
+        (3L, 25L, ts("2026-01-01 10:30:00"))) // unmatched key
+      query.processAllAvailable()
+      val pairs = spark.table("ij_sink").as[(Long, Long)].collect().toSet
+      assert(pairs === Set((10L, 20L), (10L, 21L), (11L, 24L)))
+    } finally query.stop()
+  }
+
+  test("interval join computes identically on batch frames") {
+    import spark.implicits._
+    val clicks = Seq((1L, 10L, ts("2026-01-01 10:00:00")),
+      (1L, 11L, ts("2026-01-01 12:00:00")))
+      .toDF("user_id", "click_id", "click_ts")
+    val buys = Seq((1L, 20L, ts("2026-01-01 10:30:00")),
+      (1L, 21L, ts("2026-01-01 12:30:00")),
+      (1L, 22L, ts("2026-01-01 14:00:00")))
+      .toDF("user_id", "buy_id", "buy_ts")
+    val got = EventStreams.intervalJoin(clicks, buys, Seq("user_id"),
+        "click_ts", "buy_ts", within = "1 hour")
+      .select($"click_id", $"buy_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 20L), (11L, 21L)))
+  }
+
   test("streaming CDC merges micro-batches into the warehouse table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
