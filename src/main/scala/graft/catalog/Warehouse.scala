@@ -395,9 +395,17 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * files are conservatively kept). Making this multi-writer-safe and
     * all-or-nothing is a transaction log's job (Delta/Iceberg).
     */
+  /** @param subdir table-relative destination for the new files (e.g.
+    *               `"bucket=0"`): partition-directory maintenance places
+    *               rewritten files back inside their partition so
+    *               partition discovery still owns the layout. None =
+    *               the table root (flat tables).
+    */
   def replaceDataFiles(ref: TableRef, replaced: Seq[String],
-                       replacement: DataFrame): Unit = {
+                       replacement: DataFrame,
+                       subdir: Option[String] = None): Unit = {
     val tablePath = new Path(path(ref))
+    val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
     val filesystem = fs(tablePath)
     val nonce = System.nanoTime().toString
     // SIBLING staging dir (same convention as overwrite's tmp): outside
@@ -430,8 +438,9 @@ final class Warehouse(spark: SparkSession, val root: String) {
           next.coalesce(1).write.parquet(tmp.toString)
           tmp
         }
+      filesystem.mkdirs(destDir)
       newFiles.foreach { f =>
-        if (!filesystem.rename(f, new Path(tablePath, f.getName)))
+        if (!filesystem.rename(f, new Path(destDir, f.getName)))
           throw new RuntimeException(s"failed to move ${f.getName} into $ref")
       }
       replaced.foreach(p => filesystem.delete(new Path(p), false))
@@ -452,16 +461,17 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def dataFiles(ref: TableRef): Seq[String] =
     listDataFiles(new Path(path(ref))).map(_.toString)
 
-  /** OPTIMIZE-style small-file compaction: bin-pack data files smaller
-    * than `smallFileBytes` into ~`targetFileBytes` outputs and swap
-    * them in via [[replaceDataFiles]] — healthy-sized files keep their
-    * bytes and paths, and the stats manifest follows along. The
+  /** OPTIMIZE-style small-file compaction: per DIRECTORY (the table
+    * root for flat tables, each partition directory for partitioned
+    * ones — rewritten files go back inside their partition, so
+    * partition discovery still owns the layout), bin-pack data files
+    * smaller than `smallFileBytes` into ~`targetFileBytes` outputs and
+    * swap them in via [[replaceDataFiles]] — healthy-sized files keep
+    * their bytes and paths, and the stats manifest follows along. The
     * natural maintenance companion to the incremental MERGE, whose
-    * per-batch rewrites accumulate small files. Flat (unpartitioned)
-    * tables only — files inside partition subdirectories are left
-    * alone, since rewriting them to the table root would corrupt
-    * partition discovery. Returns the number of files compacted
-    * (0 or 1 small file = nothing worth rewriting).
+    * per-batch rewrites accumulate small files. Returns the total
+    * number of files compacted (a directory with 0 or 1 small file has
+    * nothing worth rewriting).
     *
     * CLUSTERING IS PRESERVED, not destroyed: by default the rewrite
     * range-partitions (and sorts) the packed rows by the table's stats
@@ -471,6 +481,8 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * file's [min, max] to the whole key range and turn future pruned
     * reads into full scans. Pass `clusterBy = Some(Nil)` to opt out
     * (pure bin-packing), or explicit columns to recluster differently.
+    * Partition columns live in directory names, not file schemas, so
+    * they are never part of the packed rows.
     */
   def compact(ref: TableRef, smallFileBytes: Long = 32L << 20,
               targetFileBytes: Long = 128L << 20,
@@ -481,23 +493,34 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val filesystem = fs(tablePath)
     // listStatus yields scheme-qualified paths; qualify ours to match
     val qualifiedTable = filesystem.makeQualified(tablePath)
-    val small = listDataFiles(tablePath)
-      .filter(_.getParent == qualifiedTable) // flat files only, see scaladoc
+    val qualifiedPrefix = qualifiedTable.toString + "/"
+    val byDir = listDataFiles(tablePath)
       .map(p => p -> filesystem.getFileStatus(p).getLen)
-      .filter(_._2 < smallFileBytes)
-    if (small.size < 2) return 0
-    val nOut = math.max(1,
-      math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
-    val files = small.map(_._1.toString)
-    val data = spark.read.option("basePath", path(ref)).parquet(files: _*)
-    val cluster = clusterBy.getOrElse(statColumns(ref))
-      .filter(data.columns.contains)
-    val packed =
-      if (cluster.isEmpty) data.repartition(nOut)
-      else data.repartitionByRange(nOut, cluster.map(col): _*)
-        .sortWithinPartitions(cluster.map(col): _*)
-    replaceDataFiles(ref, files, packed)
-    small.size
+      .groupBy(_._1.getParent)
+    var compacted = 0
+    byDir.foreach { case (dir, sized) =>
+      val small = sized.filter(_._2 < smallFileBytes)
+      if (small.size >= 2) {
+        val nOut = math.max(1,
+          math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
+        val files = small.map(_._1.toString)
+        // no basePath: partition values stay in the directory name and
+        // must NOT be materialized into the packed files' schema
+        val data = spark.read.parquet(files: _*)
+        val cluster = clusterBy.getOrElse(statColumns(ref))
+          .filter(data.columns.contains)
+        val packed =
+          if (cluster.isEmpty) data.repartition(nOut)
+          else data.repartitionByRange(nOut, cluster.map(col): _*)
+            .sortWithinPartitions(cluster.map(col): _*)
+        val subdir =
+          if (dir == qualifiedTable) None
+          else Some(dir.toString.stripPrefix(qualifiedPrefix))
+        replaceDataFiles(ref, files, packed, subdir)
+        compacted += small.size
+      }
+    }
+    compacted
   }
 
   /** All parquet data files under a table dir (recursive, skipping

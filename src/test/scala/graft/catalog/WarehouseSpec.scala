@@ -192,6 +192,31 @@ class WarehouseSpec extends SparkSpec {
       .filter($"k".between(100L, 200L)).count() === 101)
   }
 
+  test("compact runs per partition directory, layout and data intact") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-compact-part"))
+    val ref = TableRef("silver", "facts", "parted_compact")
+    // repartition(4) before a 2-partition write = the classic
+    // tasks×partitions small-file explosion compact exists to fix
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("bucket", ($"id" % 2).cast("string"))
+      .repartition(4)
+    wh.overwrite(ref, df, partitionBy = Seq("bucket"), statsColumns = Seq("id"))
+    assert(wh.dataFiles(ref).size === 8)
+    val before = wh.read(ref).select($"id", $"bucket").collect().toSet
+
+    assert(wh.compact(ref) === 8)
+    val after = wh.dataFiles(ref)
+    assert(after.size === 2)
+    assert(after.forall(p => p.contains("bucket=0") || p.contains("bucket=1")))
+    assert(wh.read(ref).select($"id", $"bucket").collect().toSet === before)
+    // partition pruning still owned by the directory layout (checked on
+    // the executed scan — inputFiles reports the unpruned relation)
+    assert(wh.read(ref).filter($"bucket" === "0")
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count() === 1)
+  }
+
   test("file skipping composes with partitioned tables") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-skip-part"))
