@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   * difference between one shuffle and an unbounded intermediate. Both
   * sides shuffle ONCE on the join keys regardless of row count; skewed
   * keys degrade to a single sorted partition per key, the same failure
-  * shape as any keyed window (salt upstream if a key dominates).
+  * shape as any keyed window — [[backwardBucketed]]/[[forwardBucketed]]
+  * are the result-identical time-bucketed remedy when a key dominates.
   *
   * Right-side payload columns ride in ONE struct so `last(_,
   * ignoreNulls=true)` treats a matched-but-null field as matched (a
@@ -66,12 +67,48 @@ object AsOfJoin {
     join(left, right, keys, leftTs, rightTs, rightTiebreak, tolerance,
       matchedTsCol, forward = true)
 
-  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+  /** Skew-resistant backward as-of (timestamp columns): the remedy the
+    * plain form's scaladoc prescribes for a dominating key, made
+    * concrete. Windows partition by (keys, time-bucket) — a hot key's
+    * rows spread across `ceil(span / bucketWidthMicros)` partitions
+    * instead of serializing into one — and cross-bucket matches are
+    * restored EXACTLY by a carry table: the best right row per
+    * (key, bucket) (one row per pair, tiny) gets a running
+    * carry-forward window ordered by bucket, left-joined back so a left
+    * row with no in-bucket match inherits the latest right row from any
+    * earlier bucket, across any run of empty buckets. Result is
+    * row-identical to [[backward]] (AsOfJoinSpec asserts equality under
+    * heavy skew); the price is two extra thin shuffles (bucket summary
+    * + carry join), worth paying only when a key dominates.
+    */
+  def backwardBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTs: String, rightTs: String,
+                       bucketWidthMicros: Long,
+                       rightTiebreak: Option[String] = None,
+                       tolerance: Option[String] = None,
+                       matchedTsCol: Option[String] = None): DataFrame =
+    joinBucketed(left, right, keys, leftTs, rightTs, bucketWidthMicros,
+      rightTiebreak, tolerance, matchedTsCol, forward = false)
+
+  /** Skew-resistant forward as-of — see [[backwardBucketed]]. */
+  def forwardBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTs: String, rightTs: String,
+                      bucketWidthMicros: Long,
+                      rightTiebreak: Option[String] = None,
+                      tolerance: Option[String] = None,
+                      matchedTsCol: Option[String] = None): DataFrame =
+    joinBucketed(left, right, keys, leftTs, rightTs, bucketWidthMicros,
+      rightTiebreak, tolerance, matchedTsCol, forward = true)
+
+  /** Validated side preparation shared by both formulations: tagged,
+    * normalized frames plus the right payload column list and the left
+    * side's sort tag.
+    */
+  private def prep(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTs: String, rightTs: String,
                    rightTiebreak: Option[String],
-                   tolerance: Option[String],
                    matchedTsCol: Option[String],
-                   forward: Boolean): DataFrame = {
+                   forward: Boolean): (DataFrame, DataFrame, Seq[String], Int) = {
     require(keys.nonEmpty, "as-of join needs at least one key column")
     val missingL = (keys :+ leftTs).filterNot(left.columns.contains)
     require(missingL.isEmpty, s"left side lacks column(s): ${missingL.mkString(",")}")
@@ -85,7 +122,8 @@ object AsOfJoin {
       s"right payload collides with left column(s): ${collisions.mkString(",")} — rename first")
     // the internal working columns below would silently overwrite a
     // same-named input column — fail as loudly as payload collisions do
-    val reserved = Seq("__ts", "__side", "__tie", "__rv", "__mts", "__m")
+    val reserved = Seq("__ts", "__side", "__tie", "__rv", "__mts", "__m",
+      "__bkt", "__rvb", "__carry")
     val reservedHits =
       (left.columns.toSeq ++ right.columns.toSeq).distinct.intersect(reserved)
     require(reservedHits.isEmpty,
@@ -106,22 +144,16 @@ object AsOfJoin {
       .withColumn("__side", lit(leftTag))
       .withColumn("__tie", lit(null).cast("long"))
       .withColumn("__rv", lit(null).cast(r2.schema("__rv").dataType))
+    (l2, r2, payload, leftTag)
+  }
 
-    // ascending tiebreak serves both directions: backward's last()
-    // lands on the HIGHEST tiebreak (nearest the frame end), forward's
-    // first() on the LOWEST (nearest the frame start)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
-    val matched =
-      if (forward)
-        first(col("__rv"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
-      else
-        last(col("__rv"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-
-    // the window must see BOTH sides: annotate the union first, filter
-    // left rows after, and only then apply the per-row tolerance gate
+  /** Tolerance gate + output projection shared by both formulations —
+    * expects a frame of left columns plus `__ts` and the matched `__m`.
+    */
+  private def finish(annotated: DataFrame, left: DataFrame,
+                     payload: Seq[String], tolerance: Option[String],
+                     matchedTsCol: Option[String],
+                     forward: Boolean): DataFrame = {
     val m = col("__m")
     val gated = tolerance match {
       case None => m
@@ -135,9 +167,85 @@ object AsOfJoin {
     val out = left.columns.toSeq.map(col) ++
       matchedTsCol.map(n => gated.getField("__mts").as(n)) ++
       payload.map(p => gated.getField(p).as(p))
-    l2.unionByName(r2, allowMissingColumns = true)
-      .withColumn("__m", matched)
+    annotated.select(out: _*)
+  }
+
+  private def matchedOver(w: org.apache.spark.sql.expressions.WindowSpec,
+                          forward: Boolean): Column =
+    // ascending tiebreak serves both directions: backward's last()
+    // lands on the HIGHEST tiebreak (nearest the frame end), forward's
+    // first() on the LOWEST (nearest the frame start)
+    if (forward)
+      first(col("__rv"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    else
+      last(col("__rv"), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  private def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTs: String, rightTs: String,
+                   rightTiebreak: Option[String],
+                   tolerance: Option[String],
+                   matchedTsCol: Option[String],
+                   forward: Boolean): DataFrame = {
+    val (l2, r2, payload, leftTag) =
+      prep(left, right, keys, leftTs, rightTs, rightTiebreak, matchedTsCol, forward)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    // the window must see BOTH sides: annotate the union first, filter
+    // left rows after, and only then apply the per-row tolerance gate
+    val annotated = l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m", matchedOver(w, forward))
       .filter(col("__side") === leftTag)
-      .select(out: _*)
+    finish(annotated, left, payload, tolerance, matchedTsCol, forward)
+  }
+
+  private def joinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+                           leftTs: String, rightTs: String,
+                           bucketWidthMicros: Long,
+                           rightTiebreak: Option[String],
+                           tolerance: Option[String],
+                           matchedTsCol: Option[String],
+                           forward: Boolean): DataFrame = {
+    require(bucketWidthMicros > 0,
+      s"bucket width must be positive: $bucketWidthMicros")
+    val (l2, r2, payload, leftTag) =
+      prep(left, right, keys, leftTs, rightTs, rightTiebreak, matchedTsCol, forward)
+    val bkt = floor(unix_micros(col("__ts")) / lit(bucketWidthMicros))
+    val l3 = l2.withColumn("__bkt", bkt)
+    val r3 = r2.withColumn("__bkt", bkt)
+    val keyBkt = keys :+ "__bkt"
+
+    // pass 1 — within-bucket: the plain union-window, but partitioned
+    // by (keys, bucket) so a hot key parallelizes across buckets
+    val w = Window.partitionBy(keyBkt.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+    val within = l3.unionByName(r3, allowMissingColumns = true)
+      .withColumn("__m", matchedOver(w, forward))
+      .filter(col("__side") === leftTag)
+
+    // pass 2 — carry: best right row per (key, bucket), ONE row per
+    // pair, then a running carry across buckets (this per-key window
+    // ranges over bucket COUNTS, not row counts — always tiny). Bucket
+    // ids from BOTH sides so runs of right-empty buckets still inherit.
+    val rvOrd = struct(col("__ts"), col("__tie"))
+    val best = if (forward) min_by(col("__rv"), rvOrd) else max_by(col("__rv"), rvOrd)
+    val perBucket = r3.groupBy(keyBkt.map(col): _*).agg(best.as("__rvb"))
+    val buckets = l3.select(keyBkt.map(col): _*)
+      .unionByName(r3.select(keyBkt.map(col): _*)).distinct()
+    val cw = Window.partitionBy(keys.map(col): _*).orderBy(col("__bkt").asc)
+    val carryExpr =
+      if (forward)
+        first(col("__rvb"), ignoreNulls = true)
+          .over(cw.rowsBetween(1, Window.unboundedFollowing))
+      else
+        last(col("__rvb"), ignoreNulls = true)
+          .over(cw.rowsBetween(Window.unboundedPreceding, -1))
+    val carry = buckets.join(perBucket, keyBkt, "left")
+      .select(keyBkt.map(col) :+ carryExpr.as("__carry"): _*)
+
+    val combined = within.join(carry, keyBkt, "left")
+      .withColumn("__m", coalesce(col("__m"), col("__carry")))
+    finish(combined, left, payload, tolerance, matchedTsCol, forward)
   }
 }

@@ -55,6 +55,26 @@ object AnalyticQueries {
       |FROM l ASOF LEFT JOIN r
       |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
 
+  /** The skew-resistant bucketed as-of (windows on (key, time-bucket)
+    * + carry table) against the SAME DuckDB ASOF oracle as q_asof_join
+    * — the two formulations must be value-identical end-to-end, not
+    * just in the spec's synthetic frames.
+    */
+  def qAsofBucketed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.load(spark, dir, "events")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = events.filter($"event_type" === "purchase")
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("purchase_value"))
+    AsOfJoin.backwardBucketed(clicks, purchases, Seq("user_id"), "ts", "ts",
+        bucketWidthMicros = 6L * 3600 * 1000000, // 6h buckets over ~90d span
+        matchedTsCol = Some("purchase_ts"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"purchase_value", unix_micros($"purchase_ts").as("purchase_ts_us"))
+  }
+
   /** Forward as-of: each click matched with the user's EARLIEST
     * purchase at or after it (DuckDB mirrors with `l.ts <= r.ts`).
     */
@@ -378,6 +398,7 @@ object AnalyticQueries {
   def queries: Map[String, Q] = Map(
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_asof_bucketed" -> (qAsofBucketed _),
     "q_window_analytics" -> (qWindowAnalytics _),
     "q_percentiles" -> (qPercentiles _),
     "q_pivot" -> (qPivot _),
@@ -393,6 +414,7 @@ object AnalyticQueries {
   def oracles: Map[String, String] = Map(
     "q_asof_forward" -> qAsofForwardSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_asof_bucketed" -> qAsofJoinSql,
     "q_window_analytics" -> qWindowAnalyticsSql,
     "q_percentiles" -> qPercentilesSql,
     "q_pivot" -> qPivotSql,

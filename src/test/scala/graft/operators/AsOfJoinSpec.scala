@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -98,6 +99,48 @@ class AsOfJoinSpec extends SparkSpec {
       .agg(max_by($"q.bid", $"q.q_ts").as("bid"))
       .as[(Long, Option[Double])].collect().toSet
     assert(viaWindow === naive)
+  }
+
+  test("bucketed form is row-identical to the plain form under heavy skew") {
+    import spark.implicits._
+    // one dominating key (~90% of rows), sparse keys, runs of empty
+    // buckets (quote gaps much wider than the bucket), boundary-exact
+    // timestamps — unique (key, ts) per side keeps both forms
+    // deterministic
+    val base = ts("2026-01-01 00:00:00").getTime
+    def stamp(min: Long) = new Timestamp(base + min * 60000L)
+    val rng = new scala.util.Random(7)
+    val tradeRows = (0 until 2000).map { i =>
+      val sym = if (i % 10 == 0) s"s${i % 7}" else "HOT"
+      (i.toLong, sym, stamp(rng.nextInt(5000).toLong), i * 1.0)
+    }
+    val quoteRows = (0 until 600).map { i =>
+      val sym = if (i % 10 == 0) s"s${i % 7}" else "HOT"
+      // multiply by 9 → long stretches with no quotes for sparse keys
+      (sym, stamp((rng.nextInt(600) * 9).toLong), i * 0.5)
+    }.distinct
+    val t = tradeRows.toDF("trade_id", "sym", "t_ts", "price")
+    val q = quoteRows.toDF("sym", "q_ts", "bid")
+      .groupBy($"sym", $"q_ts").agg(max($"bid").as("bid")) // unique (sym, ts)
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some("45 minutes"))) {
+      def run(d: DataFrame) = d
+        .select($"trade_id", $"bid", $"mts").as[(Long, Option[Double], Option[Timestamp])]
+        .collect().toSet
+      val (plain, bucketed) =
+        if (fwd) (
+          AsOfJoin.forward(t, q, Seq("sym"), "t_ts", "q_ts",
+            tolerance = tol, matchedTsCol = Some("mts")),
+          AsOfJoin.forwardBucketed(t, q, Seq("sym"), "t_ts", "q_ts",
+            bucketWidthMicros = 30L * 60 * 1000000, tolerance = tol,
+            matchedTsCol = Some("mts")))
+        else (
+          AsOfJoin.backward(t, q, Seq("sym"), "t_ts", "q_ts",
+            tolerance = tol, matchedTsCol = Some("mts")),
+          AsOfJoin.backwardBucketed(t, q, Seq("sym"), "t_ts", "q_ts",
+            bucketWidthMicros = 30L * 60 * 1000000, tolerance = tol,
+            matchedTsCol = Some("mts")))
+      assert(run(bucketed) === run(plain), s"fwd=$fwd tol=$tol")
+    }
   }
 
   test("payload name collisions fail loudly") {
