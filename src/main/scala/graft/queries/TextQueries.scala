@@ -383,6 +383,59 @@ object TextQueries {
        |ORDER BY n DESC, tok ASC
        |LIMIT 100""".stripMargin
 
+  /** The whole training-data curation path as ONE value-checked query:
+    * exact dedup (normalized-text groups, min-id canonical) → language
+    * gate → quality gate → repetition gates → PII scrub on the
+    * survivors. Each stage is an operator with its own green gate row;
+    * this row proves they COMPOSE — the oracle chains the same staged
+    * SQL (reusing the per-stage oracle text verbatim as CTEs, so the
+    * stages can't drift from their individually-checked forms).
+    */
+  def qCurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    graft.dedup.Dedup.exactDedup(docs, "text", "doc_id")
+      .withColumn("lang_pred", TextFunctions.langId($"text"))
+      .withColumn("quality", TextFunctions.qualityScore($"text"))
+      .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
+      .withColumn("dup_token_frac", TextFunctions.dupTokenFrac($"text"))
+      .withColumn("top_token_frac", TextFunctions.topTokenFrac($"text"))
+      .filter($"lang_pred" === "en" && $"quality" >= 0.9 &&
+        $"dup_token_frac" <= 0.6 && $"top_token_frac" <= 0.12)
+      .select($"doc_id", $"quality", $"n_tokens",
+        $"dup_token_frac", $"top_token_frac",
+        TextFunctions.redactPii($"text").as("text_redacted"))
+  }
+
+  val qCurateCorpusSql: String = {
+    val indent = (s: String) => s.replace("\n", "\n  ")
+    s"""WITH dedup AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (
+       |      PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+       |      ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |langs AS (
+       |  ${indent(qTextLangidSql)}),
+       |scored AS (
+       |  ${indent(qTextQualitySql)}),
+       |reps AS (
+       |  ${indent(qTextRepetitionSql)})
+       |SELECT d.doc_id, s.quality, s.n_tokens,
+       |       r.dup_token_frac, r.top_token_frac,
+       |       regexp_replace(regexp_replace(regexp_replace(doc.text,
+       |         '${TextFunctions.emailPattern}', '<EMAIL>', 'g'),
+       |         '${TextFunctions.ipv4Pattern}', '<IP>', 'g'),
+       |         '${TextFunctions.phonePattern}', '<PHONE>', 'g') AS text_redacted
+       |FROM dedup d
+       |JOIN documents doc USING (doc_id)
+       |JOIN langs l USING (doc_id)
+       |JOIN scored s USING (doc_id)
+       |JOIN reps r USING (doc_id)
+       |WHERE l.lang_pred = 'en' AND s.quality >= 0.9
+       |  AND r.dup_token_frac <= 0.6 AND r.top_token_frac <= 0.12""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
@@ -392,6 +445,7 @@ object TextQueries {
     "q_text_repetition" -> (qTextRepetition _),
     "q_line_dedup" -> (qLineDedup _),
     "q_pii_redact" -> (qPiiRedact _),
+    "q_curate_corpus" -> (qCurateCorpus _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -404,6 +458,7 @@ object TextQueries {
     "q_text_repetition" -> qTextRepetitionSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_pii_redact" -> qPiiRedactSql,
+    "q_curate_corpus" -> qCurateCorpusSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql)
 }
