@@ -361,6 +361,35 @@ object TextQueries {
        |  FROM documents)""".stripMargin
   }
 
+  /** Token-window chunking (RAG / context-window prep), value-checked:
+    * 64-token windows with stride 48 over every document; the oracle
+    * re-derives chunk counts, offsets, and the space-joined windows
+    * with list slicing (DuckDB list slices are 1-based inclusive;
+    * Spark's `slice(arr, start, len)` clamps the same way).
+    */
+  def qTextChunk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.text.Chunker.chunk(
+      Tables.load(spark, dir, "documents"), "doc_id", "text",
+      window = 64, stride = 48)
+  }
+
+  val qTextChunkSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $sqlTokens AS t FROM documents),
+       |sized AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    CASE WHEN len(t) <= 64 THEN 1
+       |         ELSE CAST(ceil((len(t) - 64) / CAST(48 AS DOUBLE)) AS BIGINT) + 1
+       |    END AS n_chunks
+       |  FROM toks)
+       |SELECT doc_id,
+       |  CAST(i AS INTEGER) AS chunk_id,
+       |  i * 48 AS start_tok,
+       |  coalesce(array_to_string(t[i*48 + 1 : i*48 + 64], ' '), '') AS chunk_text,
+       |  CAST(len(t[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_chunk_tokens
+       |FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM sized)""".stripMargin
+
   /** Corpus vocabulary: top 100 tokens by frequency. explode →
     * map-side partial count → shuffle carries only distinct tokens →
     * TakeOrderedAndProject (per-partition heaps, k rows to the
@@ -446,6 +475,7 @@ object TextQueries {
     "q_line_dedup" -> (qLineDedup _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_curate_corpus" -> (qCurateCorpus _),
+    "q_text_chunk" -> (qTextChunk _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -459,6 +489,7 @@ object TextQueries {
     "q_line_dedup" -> qLineDedupSql,
     "q_pii_redact" -> qPiiRedactSql,
     "q_curate_corpus" -> qCurateCorpusSql,
+    "q_text_chunk" -> qTextChunkSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql)
 }
