@@ -57,6 +57,48 @@ object Sampling {
     }
   }
 
+  /** Deterministic negative sampling — the contrastive-pair mining step
+    * of embedding/retrieval training: for each anchor row, `k`
+    * pseudo-random partners drawn by hashing (anchor key, draw index)
+    * onto a dense id space `[0, corpusSize)` and equi-joining the
+    * partner ids back to the corpus. Same reproducibility contract as
+    * the other samplers: partners are a pure function of keys and salt,
+    * independent of physical layout, re-derivable in any engine.
+    *
+    * Scale shape: the anchor side fans out exactly k rows each (bounded
+    * explode), the join is a plain equi-join on the partner key — AQE
+    * broadcasts the corpus side when it is small, otherwise both sides
+    * hash-partition once; no cross product at any size.
+    *
+    * Self-matches (draw lands on the anchor itself) are filtered, so an
+    * anchor can yield fewer than k partners; distinct draws may also
+    * collide with each other (independent draws — dedupe downstream if
+    * pairs must be unique). `corpusKey` must be dense `[0, corpusSize)`
+    * for uniform coverage. Anchor and corpus column names must be
+    * disjoint (rename the corpus side — it is usually a self-join).
+    */
+  def negativePairs(anchors: DataFrame, corpus: DataFrame,
+                    anchorKey: String, corpusKey: String,
+                    corpusSize: Long, k: Int, salt: Long = 0L): DataFrame = {
+    require(corpusSize > 0, s"corpusSize must be positive: $corpusSize")
+    require(k >= 1, s"k must be >= 1: $k")
+    val shared = anchors.columns.toSeq.intersect(corpus.columns.toSeq) ++
+      Seq("draw", "__neg").filter(anchors.columns.contains)
+    require(shared.isEmpty,
+      s"anchor/corpus column names must be disjoint: ${shared.mkString(", ")}")
+    // spread draws across the ring: each draw index shifts the key by a
+    // prime before the Knuth multiply (mirrored verbatim in the oracle)
+    val neg = pmod(
+      keyHash(col(anchorKey) + col("draw") * lit(7919L), salt), lit(corpusSize))
+    anchors
+      .select(anchors.columns.map(col).toIndexedSeq :+
+        explode(sequence(lit(1), lit(k))).as("draw"): _*)
+      .withColumn("__neg", neg)
+      .filter(col("__neg") =!= col(anchorKey))
+      .join(corpus, col("__neg") === corpus(corpusKey))
+      .drop("__neg")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions, same
     * hash-band rule inside each stratum. Strata absent from `fractions`
     * are dropped (mirrors Spark's `sampleBy`).

@@ -242,6 +242,36 @@ object AnalyticQueries {
       |      FROM embeddings)
       |GROUP BY label, dim""".stripMargin
 
+  /** Deterministic negative sampling (contrastive-pair mining): 4 draws
+    * per anchor over the dense doc_id space; the oracle re-derives the
+    * Knuth draw hash in plain SQL (key shifted by draw×7919, reduced
+    * mod 2^31 before the multiply — DuckDB raises on int64 overflow
+    * where Java wraps) and re-joins the partner rows.
+    */
+  def qNegativePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val corpusSize = docs.count()
+    graft.operators.Sampling.negativePairs(
+        docs.select($"doc_id"),
+        docs.select($"doc_id".as("neg_id"), $"source".as("neg_source")),
+        "doc_id", "neg_id", corpusSize, k = 4, salt = 11L)
+      .select($"doc_id", $"draw", $"neg_id", $"neg_source")
+  }
+
+  val qNegativePairsSql: String =
+    """WITH draws AS (
+      |  SELECT doc_id, unnest(range(1, 5)) AS draw FROM documents),
+      |negs AS (
+      |  SELECT doc_id, draw,
+      |    (((doc_id + draw * 7919 + 11) % 2147483648) * 2654435761)
+      |      % 4294967296 % (SELECT count(*) FROM documents) AS neg_id
+      |  FROM draws)
+      |SELECT g.doc_id, CAST(g.draw AS INTEGER) AS draw, g.neg_id,
+      |       d2.source AS neg_source
+      |FROM negs g JOIN documents d2 ON g.neg_id = d2.doc_id
+      |WHERE g.neg_id <> g.doc_id""".stripMargin
+
   /** Int8 embedding quantization, value-checked bit-for-bit: the scale
     * is raw double passthrough (identical arithmetic both engines — no
     * rounding needed) and the codes serialize to CSV (the driver's
@@ -405,6 +435,7 @@ object AnalyticQueries {
     "q_unpivot" -> (qUnpivot _),
     "q_embed_pool" -> (qEmbedPool _),
     "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_negative_pairs" -> (qNegativePairs _),
     "q_sample_split" -> (qSampleSplit _),
     "q_topk" -> (qTopk _),
     "q_approx_stats" -> (qApproxStats _),
@@ -421,6 +452,7 @@ object AnalyticQueries {
     "q_unpivot" -> qUnpivotSql,
     "q_embed_pool" -> qEmbedPoolSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
+    "q_negative_pairs" -> qNegativePairsSql,
     "q_sample_split" -> qSampleSplitSql,
     "q_topk" -> qTopkSql,
     "q_range_join" -> qRangeJoinSql,

@@ -39,6 +39,26 @@ class SamplingSpec extends SparkSpec {
     assert(tr.size > 7000) // dominant band dominates
   }
 
+  test("negative pairs: layout-invariant, self-free, bounded fan-out, joined") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"s${i % 5}")).toDF("doc_id", "source")
+    val corpus = docs.select(col("doc_id").as("neg_id"), col("source").as("neg_source"))
+    def run(anchors: org.apache.spark.sql.DataFrame) =
+      Sampling.negativePairs(anchors, corpus, "doc_id", "neg_id",
+          corpusSize = 200L, k = 4, salt = 3L)
+        .select($"doc_id", $"draw", $"neg_id", $"neg_source")
+        .as[(Long, Int, Long, String)].collect().toSet
+    val pairs = run(docs.select($"doc_id"))
+    assert(pairs === run(docs.select($"doc_id").repartition(13)))
+    assert(pairs.forall { case (a, _, n, _) => a != n && n >= 0 && n < 200 })
+    // at most k partners per anchor, and most anchors get all k
+    val perAnchor = pairs.groupBy(_._1).view.mapValues(_.size)
+    assert(perAnchor.values.forall(_ <= 4))
+    assert(perAnchor.values.count(_ == 4) > 150)
+    // the joined payload is the partner's row, not the anchor's
+    assert(pairs.forall { case (_, _, n, src) => src == s"s${n % 5}" })
+  }
+
   test("stratified sample applies per-stratum fractions and drops absent strata") {
     import spark.implicits._
     val df = ids.withColumn("grp",
