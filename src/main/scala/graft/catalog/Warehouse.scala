@@ -483,10 +483,17 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * (pure bin-packing), or explicit columns to recluster differently.
     * Partition columns live in directory names, not file schemas, so
     * they are never part of the packed rows.
+    *
+    * `zOrder = true` reclusters on the Morton interleave of the cluster
+    * columns (2+, non-negative integral — [[ZOrder.zvalue]]) instead of
+    * the lexicographic range: every z-ordered column keeps pruning
+    * after maintenance, where a linear sort only preserves its leading
+    * column's selectivity.
     */
   def compact(ref: TableRef, smallFileBytes: Long = 32L << 20,
               targetFileBytes: Long = 128L << 20,
-              clusterBy: Option[Seq[String]] = None): Int = {
+              clusterBy: Option[Seq[String]] = None,
+              zOrder: Boolean = false): Int = {
     require(smallFileBytes >= 1 && targetFileBytes >= 1,
       s"byte thresholds must be positive: $smallFileBytes/$targetFileBytes")
     val tablePath = new Path(path(ref))
@@ -511,7 +518,10 @@ final class Warehouse(spark: SparkSession, val root: String) {
           .filter(data.columns.contains)
         val packed =
           if (cluster.isEmpty) data.repartition(nOut)
-          else data.repartitionByRange(nOut, cluster.map(col): _*)
+          else if (zOrder && cluster.size >= 2) {
+            val z = ZOrder.zvalue(cluster.map(col))
+            data.repartitionByRange(nOut, z).sortWithinPartitions(z)
+          } else data.repartitionByRange(nOut, cluster.map(col): _*)
             .sortWithinPartitions(cluster.map(col): _*)
         val subdir =
           if (dir == qualifiedTable) None

@@ -49,4 +49,29 @@ class ZOrderSpec extends SparkSpec {
       .filter($"y".between(0L, 15L)).count()
     assert(exact === wh.read(zref).filter($"y".between(0L, 15L)).count())
   }
+
+  test("z-ordered compact keeps BOTH columns pruning after maintenance") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-zorder-compact"))
+    val grid = spark.range(0, 1 << 14).toDF("i")
+      .select(($"i" % 128).as("x"), ($"i" / 128).cast("long").as("y"),
+        $"i".as("payload"))
+    val ref = TableRef("silver", "facts", "z_compact")
+    // a deliberately fragmented layout: many small unclustered files
+    wh.overwrite(ref, grid.repartition(24), statsColumns = Seq("x", "y"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def len(p: String) = { val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).getFileStatus(hp).getLen }
+    val total = wh.dataFiles(ref).map(len).sum
+    // force ~8 packed outputs, z-ordered on the stats columns
+    assert(wh.compact(ref, smallFileBytes = 1L << 30,
+      targetFileBytes = total / 8 + 1, zOrder = true) === 24)
+    val files = wh.dataFiles(ref).length
+    assert(files > 2, s"need several packed files to prove pruning, got $files")
+    assert(wh.readPruned(ref, "x", 0L, 15L).inputFiles.length < files)
+    assert(wh.readPruned(ref, "y", 0L, 15L).inputFiles.length < files)
+    assert(wh.readPruned(ref, "y", 0L, 15L)
+      .filter($"y".between(0L, 15L)).count() ===
+      grid.filter($"y".between(0L, 15L)).count())
+  }
 }
