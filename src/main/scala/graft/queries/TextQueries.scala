@@ -390,6 +390,27 @@ object TextQueries {
        |  CAST(len(t[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_chunk_tokens
        |FROM (SELECT doc_id, t, unnest(range(0, n_chunks)) AS i FROM sized)""".stripMargin
 
+  /** Corpus TF-IDF, value-checked: raw counts are exact; the smoothed
+    * idf uses `ln`, whose libm vs JVM results agree to well within the
+    * 6dp rounding, so the rounded weight hash-matches.
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    graft.text.TfIdf.tfidf(docs, "doc_id", "text", docs.count())
+  }
+
+  val qTfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+       |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+       |  round(tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+       |                    / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
+       |FROM tf JOIN dfreq USING (token)""".stripMargin
+
   /** Corpus vocabulary: top 100 tokens by frequency. explode →
     * map-side partial count → shuffle carries only distinct tokens →
     * TakeOrderedAndProject (per-partition heaps, k rows to the
@@ -476,6 +497,7 @@ object TextQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_curate_corpus" -> (qCurateCorpus _),
     "q_text_chunk" -> (qTextChunk _),
+    "q_tfidf" -> (qTfidf _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -490,6 +512,7 @@ object TextQueries {
     "q_pii_redact" -> qPiiRedactSql,
     "q_curate_corpus" -> qCurateCorpusSql,
     "q_text_chunk" -> qTextChunkSql,
+    "q_tfidf" -> qTfidfSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql)
 }

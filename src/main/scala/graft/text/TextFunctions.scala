@@ -199,6 +199,37 @@ object TextFunctions {
   }
 }
 
+/** Corpus-statistics operators that need a pass OVER the corpus (unlike
+  * the per-row functions above): term frequency / inverse document
+  * frequency weighting, the classic lexical-relevance signal.
+  */
+object TfIdf {
+
+  /** One row per (doc, token): raw term frequency, document frequency,
+    * and smoothed tf-idf (`tf × (ln((N+1)/(df+1)) + 1)` — the standard
+    * smooth-idf form; no zero division, unseen-token idf bounded).
+    *
+    * Scale shape: explode → (doc, token) hash aggregate with map-side
+    * combine; document frequencies derive from the ALREADY-distinct
+    * (doc, token) pairs (no count_distinct shuffle); the df join is on
+    * thin token keys and broadcasts when the vocabulary is small.
+    * `corpusSize` is the document count — pass it in (one `count()`
+    * upstream) so the operator stays a pure frame transform.
+    */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String, corpusSize: Long): org.apache.spark.sql.DataFrame = {
+    require(corpusSize > 0, s"corpusSize must be positive: $corpusSize")
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .withColumn("tfidf", round(col("tf") *
+        (log(lit(corpusSize + 1.0) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+}
+
 /** Token-shingle helper shared by text + dedup operators. */
 object Shingles {
   /** k-token shingles joined by a single space; empty array when fewer

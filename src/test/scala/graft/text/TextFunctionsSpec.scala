@@ -93,6 +93,25 @@ class TextFunctionsSpec extends SparkSpec {
     assert(eval1[Int]("no pii here", p) === 0)
   }
 
+  test("tfidf: rare tokens outweigh common ones, counts exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cat cat dog"),
+      (2L, "cat fish"),
+      (3L, "cat")).toDF("id", "text")
+    val rows = TfIdf.tfidf(docs, "id", "text", 3L)
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(rows((1L, "cat"))._1 === 2L) // tf counts multiplicity
+    assert(rows((1L, "cat"))._2 === 3L) // df counts documents, not occurrences
+    assert(rows((2L, "fish"))._2 === 1L)
+    // idf("cat") = ln(4/4)+1 = 1; idf("fish") = ln(4/2)+1
+    assert(rows((3L, "cat"))._3 === 1.0)
+    assert(rows((2L, "fish"))._3 === math.rint((math.log(2.0) + 1) * 1e6) / 1e6)
+    // a doc's rare token outweighs its common one
+    assert(rows((2L, "fish"))._3 > rows((2L, "cat"))._3)
+  }
+
   test("shingles: distinct k-grams, empty under k tokens") {
     import spark.implicits._
     val sh = Seq("a b c d", "a b", "a b a b a b")
