@@ -124,17 +124,71 @@ object Merge {
   *                     rows) where the stats jobs cost more than the
   *                     full rewrite they would avoid.
   */
+/** @param evolveSchema accept batches whose column set differs from the
+  *                      target (Delta `mergeSchema` semantics): new
+  *                      columns appear null-backfilled on historical
+  *                      rows, dropped columns stay null on new rows.
+  *                      An evolution batch pays a FULL rewrite (so
+  *                      every data file shares one schema and plain
+  *                      reads never need parquet schema-merging);
+  *                      steady-state same-schema batches keep the
+  *                      incremental file-pruned path. Same-name
+  *                      columns with conflicting types fail loudly —
+  *                      silent coercion is how lakes corrupt.
+  */
 final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
                        keys: Seq[String], tsField: Option[String],
-                       collectStats: Boolean = true) {
+                       collectStats: Boolean = true,
+                       evolveSchema: Boolean = false) {
 
   private val pruneKey = keys.head
   private def bootstrapStats: Seq[String] = if (collectStats) Seq(pruneKey) else Nil
+
+  /** Widen `df` with null columns so its column set becomes the ordered
+    * union of its own and `other`'s; rejects same-name type conflicts.
+    */
+  private def widen(df: DataFrame, other: DataFrame): DataFrame = {
+    val otherTypes = other.schema.map(f => f.name -> f.dataType).toMap
+    df.schema.foreach { f =>
+      otherTypes.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"schema evolution type conflict on '${f.name}': ${f.dataType} vs $t")
+      }
+    }
+    val missing = other.columns.filterNot(df.columns.contains)
+    val widened = missing.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, lit(null).cast(otherTypes(c)))
+    }
+    // deterministic order: df's columns, then other's additions
+    widened.select((df.columns ++ missing).map(col).toIndexedSeq: _*)
+  }
 
   def upsert(source: DataFrame): Unit = {
     if (!warehouse.exists(ref)) {
       warehouse.overwrite(ref, source, statsColumns = bootstrapStats)
       return
+    }
+    if (evolveSchema) {
+      val target = warehouse.read(ref)
+      // trigger on name+type signature, not names alone — a same-name
+      // different-type batch must hit widen()'s conflict check, not
+      // slip through the incremental path into a mixed-type file
+      def sig(d: DataFrame) = d.schema.map(f => (f.name, f.dataType))
+      if (sig(source) != sig(target)) {
+        require(source.columns.contains(pruneKey),
+          s"evolved batch must keep the merge key '$pruneKey'")
+        if (source.isEmpty) return
+        val statCols =
+          if (collectStats) (warehouse.statColumns(ref) :+ pruneKey).distinct
+          else warehouse.statColumns(ref)
+        val wTarget = widen(target, source)
+        val wSource = widen(source, target)
+          .select(wTarget.columns.map(col).toIndexedSeq: _*)
+        val merged = Merge.merge(wTarget, wSource, keys, tsField)
+        warehouse.overwrite(ref, merged,
+          statsColumns = statCols.filter(merged.columns.contains))
+        return
+      }
     }
     val bounds = source
       .agg(count(lit(1)), min(col(pruneKey)), max(col(pruneKey))).head()
@@ -147,10 +201,15 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
       case Some((touched, untouched)) if untouched.nonEmpty =>
         val merged =
           if (touched.isEmpty) { // disjoint ranges: insert-only
-            val tcols = warehouse.read(ref).columns.toSeq
-            require(source.columns.toSeq == tcols,
-              s"merge schema mismatch: target ${tcols.mkString(",")} vs " +
-                s"source ${source.columns.mkString(",")}")
+            // name AND type must match — an insert-only batch bypasses
+            // the join, so this is the last check before its rows land
+            // in files the table's schema is assumed to describe
+            val tsig = warehouse.read(ref).schema
+              .map(f => (f.name, f.dataType))
+            val ssig = source.schema.map(f => (f.name, f.dataType))
+            require(ssig == tsig,
+              s"merge schema mismatch: target ${tsig.mkString(",")} vs " +
+                s"source ${ssig.mkString(",")}")
             source
           }
           else Merge.merge(

@@ -187,4 +187,51 @@ class MergeSpec extends SparkSpec {
     val twice = Merge.merge(once, batch, Seq("k"), Some("t"))
     assert(once.collect().toSet === twice.collect().toSet)
   }
+
+  test("schema evolution: new column null-backfills, dropped column survives") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val wh = new Warehouse(spark, tmpDir("wh-evolve"))
+    val ref = TableRef("silver", "cdc", "evolving")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None, evolveSchema = true)
+    mt.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    // batch adds a column: old rows get null w, matched row updates
+    mt.upsert(Seq((2L, "b2", 20.0), (3L, "c", 30.0)).toDF("k", "v", "w"))
+    val afterAdd = wh.read(ref).as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(afterAdd === Set((1L, "a", None), (2L, "b2", Some(20.0)),
+      (3L, "c", Some(30.0))))
+    // batch WITHOUT w (column dropped from the feed): w persists, null
+    // on the new key, untouched elsewhere
+    mt.upsert(Seq((4L, "d")).toDF("k", "v"))
+    val afterDrop = wh.read(ref).as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(afterDrop === afterAdd + ((4L, "d", None)))
+    // same-schema batches after evolution keep flowing (incremental path)
+    mt.upsert(Seq((5L, "e", 50.0)).toDF("k", "v", "w"))
+    assert(wh.read(ref).count() === 5)
+  }
+
+  test("schema evolution rejects type conflicts and keyless batches") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val wh = new Warehouse(spark, tmpDir("wh-evolve-bad"))
+    val ref = TableRef("silver", "cdc", "conflicting")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None, evolveSchema = true)
+    mt.upsert(Seq((1L, "a")).toDF("k", "v"))
+    val conflict = intercept[IllegalArgumentException] {
+      mt.upsert(Seq((2L, 2.0)).toDF("k", "v")) // v: string → double
+    }
+    assert(conflict.getMessage.contains("type conflict"))
+    val keyless = intercept[IllegalArgumentException] {
+      mt.upsert(Seq(("x", 1.0)).toDF("v", "w"))
+    }
+    assert(keyless.getMessage.contains("merge key"))
+    // without the flag, a differing batch still fails loudly
+    val strict = new MergeTable(spark, wh, ref, Seq("k"), None)
+    intercept[Exception] {
+      strict.upsert(Seq((9L, "z", 1.0)).toDF("k", "v", "w"))
+    }
+    ()
+  }
 }
