@@ -176,6 +176,34 @@ object AnalyticQueries {
       |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Percentile winsorization per group, value-checked: bounds rounded
+    * at 4dp on BOTH sides before clipping (exact percentile ==
+    * quantile_cont at that precision), so clip decisions are identical;
+    * unclipped values pass through raw (bit-identical doubles).
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Winsorize.clip(
+        Tables.load(spark, dir, "lineitem")
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+            $"l_extendedprice"),
+        "l_extendedprice", Seq("l_returnflag"), lower = 0.02, upper = 0.98)
+  }
+
+  val qWinsorizeSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    round(quantile_cont(l_extendedprice, 0.02), 4) AS lo,
+      |    round(quantile_cont(l_extendedprice, 0.98), 4) AS hi
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.l_extendedprice,
+      |  CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+      |       WHEN l.l_extendedprice > b.hi THEN b.hi
+      |       ELSE l.l_extendedprice END AS l_extendedprice_w,
+      |  (l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi)
+      |    AS l_extendedprice_clipped
+      |FROM lineitem l JOIN b USING (l_returnflag)""".stripMargin
+
   // ------------------------------------------------------------ pivot
 
   /** Pivot with EXPLICIT value list (no extra distinct scan — at scale
@@ -436,6 +464,7 @@ object AnalyticQueries {
     "q_embed_pool" -> (qEmbedPool _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_negative_pairs" -> (qNegativePairs _),
+    "q_winsorize" -> (qWinsorize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_topk" -> (qTopk _),
     "q_approx_stats" -> (qApproxStats _),
@@ -453,6 +482,7 @@ object AnalyticQueries {
     "q_embed_pool" -> qEmbedPoolSql,
     "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_negative_pairs" -> qNegativePairsSql,
+    "q_winsorize" -> qWinsorizeSql,
     "q_sample_split" -> qSampleSplitSql,
     "q_topk" -> qTopkSql,
     "q_range_join" -> qRangeJoinSql,
