@@ -15,10 +15,10 @@ import graft.sql.Transform
   * (/root/reference/lib/ingestors.py:9-16) plus explicit paths instead of
   * Databricks' implicit `/Volumes/raw/...` + notebook-relative files.
   *
-  * @param inputFormat `json`/`parquet` → schema-enforced raw glob scan;
-  *                    anything else (the reference's silver specs say
-  *                    `delta`) → the SQL transform reads upstream tables
-  *                    directly (ingestors.py:82-85).
+  * @param inputFormat `json`/`parquet`/`csv` → schema-enforced raw glob
+  *                    scan; anything else (the reference's silver specs
+  *                    say `delta`) → the SQL transform reads upstream
+  *                    tables directly (ingestors.py:82-85).
   */
 final case class IngestSpec(
     ref: TableRef,
@@ -59,9 +59,16 @@ class Ingestor(spark: SparkSession, warehouse: Warehouse, val spec: IngestSpec) 
     * other formats run the transform against upstream tables.
     */
   def load(): DataFrame = spec.inputFormat match {
-    case "json" | "parquet" =>
-      val df = spark.read.format(spec.inputFormat)
-        .schema(meta.schema)
+    case "json" | "parquet" | "csv" =>
+      val reader = spark.read.format(spec.inputFormat).schema(meta.schema)
+      // CSV raw zones follow the same bronze convention as JSON — all
+      // columns declared string, typing deferred to the transform — so
+      // the declared schema IS the parse spec; header row for column
+      // alignment, no inference
+      val withOpts =
+        if (spec.inputFormat == "csv") reader.option("header", "true")
+        else reader
+      val df = withOpts
         .load(s"${spec.rawPath}/*.${spec.inputFormat}")
         .withColumn("loaded_at", current_timestamp())
       df.createOrReplaceTempView(s"view_${spec.ref.table}")

@@ -113,6 +113,41 @@ object PipelineQueries {
       |       CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
       |FROM orders""".stripMargin
 
+  /** CSV raw zone through the same full-load engine: orders land as
+    * headered CSV (bronze all-string convention — the declared schema
+    * is the parse spec, no inference), the real Ingestor globs + stamps
+    * + overwrites, and the oracle derives the identical result from the
+    * original parquet — value-checking the CSV round-trip end-to-end.
+    */
+  def qPipelineCsv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-csv").toString
+    Tables.load(spark, dir, "orders")
+      .select(
+        $"o_orderkey".cast("string"),
+        $"o_custkey".cast("string"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("string"),
+        $"o_orderdate".cast("string"),
+        $"o_orderpriority")
+      .repartition(2) // two part files: the glob scan must union them
+      .write.option("header", "true").mode("overwrite")
+      .csv(s"$base/raw/gate/orders_csv")
+    write(s"$base/meta/bronze/orders_csv/orders_csv.yml", ordersYaml)
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    new Ingestor(spark, wh, IngestSpec(
+      TableRef("bronze", "gate", "orders_csv"), "csv",
+      s"$base/raw", s"$base/meta/bronze")).run()
+    wh.read(TableRef("bronze", "gate", "orders_csv"))
+      .select(
+        $"o_orderkey".cast("bigint").as("o_orderkey"),
+        $"o_custkey".cast("bigint").as("o_custkey"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("double").as("o_totalprice"),
+        $"o_orderdate".cast("timestamp").cast("date").as("order_date"),
+        $"o_orderpriority")
+  }
+
   /** CDC path: transform with QUALIFY + keyed merge (bootstrap run). */
   def qPipelineCdc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -283,6 +318,7 @@ object PipelineQueries {
 
   def queries: Map[String, Q] = Map(
     "q_pipeline_full" -> (qPipelineFull _),
+    "q_pipeline_csv" -> (qPipelineCsv _),
     "q_pipeline_cdc" -> (qPipelineCdc _),
     "q_checker_scorecard" -> (qCheckerScorecard _),
     "q_warehouse_skip" -> (qWarehouseSkip _),
@@ -292,6 +328,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "q_pipeline_full" -> qPipelineFullSql,
+    "q_pipeline_csv" -> qPipelineFullSql,
     "q_pipeline_cdc" -> qPipelineCdcSql,
     "q_checker_scorecard" -> qCheckerScorecardSql,
     "q_warehouse_skip" -> qWarehouseSkipSql,
