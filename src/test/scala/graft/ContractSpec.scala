@@ -30,9 +30,9 @@ class ContractSpec extends SparkSpec {
   }
 
   test("value-checked coverage stays at the recorded level") {
-    // 51 oracles / 59 queries as of round 3 — a later change that drops
+    // 69 oracles / 78 queries as of round 4 — a later change that drops
     // an oracle or query should be a conscious decision, not a drive-by
-    assert(SparkEntry.queries.size >= 59, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 51, s"oracles: ${SparkEntry.oracleSql.size}")
+    assert(SparkEntry.queries.size >= 78, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 69, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 }
