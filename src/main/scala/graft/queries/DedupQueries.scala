@@ -101,7 +101,52 @@ object DedupQueries {
       .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("simhash"))
   }
 
+  /** Connected components VALUE-CHECKED end-to-end: the edge set is
+    * oracle-expressible (docs sharing a verbatim lowercase 5-gram — a
+    * thin equi-join on gram, the decontamination construction), and the
+    * oracle re-derives the components with a recursive CTE (min
+    * reachable label), so the iterative min-label propagation in
+    * [[Dedup.dupGroups]] is checked against an independent transitive
+    * closure, not just row counts. (The production candidate generator
+    * is MinHash/SimHash — xxhash, rows-only by necessity; this entry
+    * pins the RESOLUTION operator those candidates feed.)
+    */
+  def qDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.load(spark, dir, "documents")
+      .select($"doc_id", explode(
+        graft.text.Shingles.shingles(
+          TextFunctions.tokens(lower($"text")), 5)).as("gram"))
+    val pairs = grams.as("a").join(grams.as("b"), "gram")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .filter($"id_a" < $"id_b").distinct()
+    Dedup.dupGroups(pairs)
+  }
+
+  val qDupGroupsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |                 x -> length(x) > 0) AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s),
+      |edges AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+      |und AS (
+      |  SELECT ia AS src, ib AS dst FROM edges
+      |  UNION ALL SELECT ib, ia FROM edges),
+      |reach(node, lbl) AS (
+      |  SELECT src, src FROM und
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+      |  WHERE r.lbl < u.dst)
+      |SELECT node AS id, min(lbl) AS canonical_id
+      |FROM reach GROUP BY node""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_dup_groups" -> (qDupGroups _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_pairs" -> (qMinhashPairs _),
@@ -110,6 +155,7 @@ object DedupQueries {
     "q_simhash_signatures" -> (qSimhashSignatures _))
 
   def oracles: Map[String, String] = Map(
+    "q_dup_groups" -> qDupGroupsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql)
 }
