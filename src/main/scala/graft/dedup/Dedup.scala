@@ -159,24 +159,38 @@ object Dedup {
   }
 
   /** Resolve near-dup candidate pairs into canonical groups: iterative
-    * min-label propagation (connected components). Each id converges to
-    * the smallest id reachable through the pair graph — the group's
-    * canonical representative. Returns (id, canonical_id) for every id
-    * appearing in `pairs`.
+    * min-label propagation WITH POINTER JUMPING (connected components).
+    * Each id converges to the smallest id reachable through the pair
+    * graph — the group's canonical representative. Returns
+    * (id, canonical_id) for every id appearing in `pairs`.
     *
-    * Scale shape: one equi-join + aggregate per iteration, shuffling
-    * only (id, label) pairs; iterations ≈ graph diameter (near-dup
-    * clusters are shallow — chains longer than a handful of hops are
-    * rare). `maxIters` bounds pathological chains; convergence is
-    * detected with a cheap count action per iteration.
+    * Scale shape: two equi-joins + one aggregate per iteration,
+    * shuffling only (id, label) pairs. The jump step (follow your label
+    * to ITS current label) makes convergence O(log diameter) instead of
+    * O(diameter) — gram/shingle graphs form long chains, where pure
+    * propagation would need diameter iterations and silently stop at
+    * `maxIters` with non-canonical labels. The working frames are
+    * re-partitioned by measured edge count, so toy graphs iterate in a
+    * couple of single-task jobs instead of paying full shuffle width
+    * per round; convergence is read off the checkpointed frame (one
+    * action per iteration).
     */
-  def dupGroups(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def dupGroups(pairs: DataFrame, maxIters: Int = 16): DataFrame = {
     // materialize the edge list ONCE: the caller's pair plan (often a
     // full LSH candidate generation) must not re-execute inside every
     // iteration's join and convergence check
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edgesRaw = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
+    // size the iteration parallelism to the graph, not the session:
+    // label frames are |nodes| rows — at gate scale a 32-way shuffle
+    // per round is pure scheduling overhead
+    val parts = math.max(1, math.min(edgesRaw.rdd.getNumPartitions,
+      (edgesRaw.count() / 500000L).toInt + 1))
+    val edges =
+      if (parts < edgesRaw.rdd.getNumPartitions)
+        edgesRaw.repartition(parts, col("src")).localCheckpoint()
+      else edgesRaw
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -186,14 +200,17 @@ object Dedup {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label").as("nl"))
-      // ONE action per iteration: the min-label aggregate carries the
-      // old label along (every id keeps its own label as a candidate,
-      // so min(old) ≡ old), and the changed flag is read off the same
-      // checkpointed frame instead of a second join+count job.
-      val next = labels.select(col("id"), col("label"), col("label").as("nl"))
+      // min over (own label ∪ neighbor labels), old label carried along
+      val minNext = labels.select(col("id"), col("label"), col("label").as("nl"))
         .union(labels.join(neighborLabels, "id").select(col("id"), col("label"), col("nl")))
         .groupBy("id")
         .agg(min("nl").as("label"), min(col("label")).as("__old"))
+      // pointer jump: labels are node ids, so each label row has a row
+      // of its own — adopt the label's label (always <=, monotone)
+      val byId = minNext.select(col("id").as("label"), col("label").as("__jl"))
+      val next = minNext.join(byId, Seq("label"), "left")
+        .select(col("id"),
+          coalesce(col("__jl"), col("label")).as("label"), col("__old"))
         .localCheckpoint() // truncate the growing iterative lineage
       converged = next.filter(col("label") =!= col("__old")).limit(1).count() == 0
       labels = next.select("id", "label")

@@ -117,7 +117,14 @@ object DedupQueries {
       .select($"doc_id", explode(
         graft.text.Shingles.shingles(
           TextFunctions.tokens(lower($"text")), 5)).as("gram"))
-    val pairs = grams.as("a").join(grams.as("b"), "gram")
+    // the bucket-cap discipline every quadratic self-join here follows:
+    // unique grams pair with nothing (drop before the join, the bulk of
+    // the volume) and degenerate grams shared by many docs would
+    // explode quadratically (capped) — the oracle mirrors both bounds
+    val shared = grams.groupBy($"gram").agg(count(lit(1)).as("__n"))
+      .filter($"__n".between(2, 16)).select("gram")
+    val thin = grams.join(shared, "gram")
+    val pairs = thin.as("a").join(thin.as("b"), "gram")
       .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
       .filter($"id_a" < $"id_b").distinct()
     Dedup.dupGroups(pairs)
@@ -131,9 +138,12 @@ object DedupQueries {
       |grams AS (
       |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS gram
       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s),
+      |shared AS (
+      |  SELECT gram FROM grams GROUP BY gram HAVING count(*) BETWEEN 2 AND 16),
+      |thin AS (SELECT g.* FROM grams g JOIN shared USING (gram)),
       |edges AS (
       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
-      |  FROM grams a JOIN grams b USING (gram) WHERE a.doc_id < b.doc_id),
+      |  FROM thin a JOIN thin b USING (gram) WHERE a.doc_id < b.doc_id),
       |und AS (
       |  SELECT ia AS src, ib AS dst FROM edges
       |  UNION ALL SELECT ib, ia FROM edges),
