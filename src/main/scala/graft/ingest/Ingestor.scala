@@ -15,10 +15,11 @@ import graft.sql.Transform
   * (/root/reference/lib/ingestors.py:9-16) plus explicit paths instead of
   * Databricks' implicit `/Volumes/raw/...` + notebook-relative files.
   *
-  * @param inputFormat `json`/`parquet`/`csv` → schema-enforced raw glob
-  *                    scan; anything else (the reference's silver specs
-  *                    say `delta`) → the SQL transform reads upstream
-  *                    tables directly (ingestors.py:82-85).
+  * @param inputFormat `json`/`parquet`/`csv`/`orc` → schema-enforced
+  *                    raw glob scan; anything else (the reference's
+  *                    silver specs say `delta`) → the SQL transform
+  *                    reads upstream tables directly
+  *                    (ingestors.py:82-85).
   */
 final case class IngestSpec(
     ref: TableRef,
@@ -59,7 +60,7 @@ class Ingestor(spark: SparkSession, warehouse: Warehouse, val spec: IngestSpec) 
     * other formats run the transform against upstream tables.
     */
   def load(): DataFrame = spec.inputFormat match {
-    case "json" | "parquet" | "csv" =>
+    case "json" | "parquet" | "csv" | "orc" =>
       val reader = spark.read.format(spec.inputFormat).schema(meta.schema)
       // CSV raw zones follow the same bronze convention as JSON — all
       // columns declared string, typing deferred to the transform — so

@@ -148,6 +148,39 @@ object PipelineQueries {
         $"o_orderpriority")
   }
 
+  /** ORC raw zone through the full-load engine — same construction as
+    * the CSV entry (bronze all-string convention, real Ingestor, oracle
+    * derives from the original parquet), covering the last Spark-native
+    * columnar raw format.
+    */
+  def qPipelineOrc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-orc").toString
+    Tables.load(spark, dir, "orders")
+      .select(
+        $"o_orderkey".cast("string"),
+        $"o_custkey".cast("string"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("string"),
+        $"o_orderdate".cast("string"),
+        $"o_orderpriority")
+      .repartition(2) // two part files: the glob scan must union them
+      .write.mode("overwrite").orc(s"$base/raw/gate/orders_orc")
+    write(s"$base/meta/bronze/orders_orc/orders_orc.yml", ordersYaml)
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    new Ingestor(spark, wh, IngestSpec(
+      TableRef("bronze", "gate", "orders_orc"), "orc",
+      s"$base/raw", s"$base/meta/bronze")).run()
+    wh.read(TableRef("bronze", "gate", "orders_orc"))
+      .select(
+        $"o_orderkey".cast("bigint").as("o_orderkey"),
+        $"o_custkey".cast("bigint").as("o_custkey"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("double").as("o_totalprice"),
+        $"o_orderdate".cast("timestamp").cast("date").as("order_date"),
+        $"o_orderpriority")
+  }
+
   /** CDC path: transform with QUALIFY + keyed merge (bootstrap run). */
   def qPipelineCdc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -319,6 +352,7 @@ object PipelineQueries {
   def queries: Map[String, Q] = Map(
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_csv" -> (qPipelineCsv _),
+    "q_pipeline_orc" -> (qPipelineOrc _),
     "q_pipeline_cdc" -> (qPipelineCdc _),
     "q_checker_scorecard" -> (qCheckerScorecard _),
     "q_warehouse_skip" -> (qWarehouseSkip _),
@@ -329,6 +363,7 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_csv" -> qPipelineFullSql,
+    "q_pipeline_orc" -> qPipelineFullSql,
     "q_pipeline_cdc" -> qPipelineCdcSql,
     "q_checker_scorecard" -> qCheckerScorecardSql,
     "q_warehouse_skip" -> qWarehouseSkipSql,
