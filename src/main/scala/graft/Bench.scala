@@ -1,6 +1,48 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
+
+  /** Bench-only operator variants: the gate's e2e lifecycle queries
+    * (q_bucketed_join, q_compact_table) deliberately price their table
+    * WRITES into the query; these variants pre-build the same tables
+    * once (untimed) and measure only the downstream operator, so the
+    * bench can attribute writer cost vs operator cost. Gate entries are
+    * unchanged — these exist only in the bench artifact.
+    */
+  private def operatorVariants(spark: SparkSession, sfDir: String)
+      : Map[String, () => DataFrame] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val base = java.nio.file.Files.createTempDirectory("graft-bench-fixtures").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val o = TableRef("silver", "bench", "orders_bkt")
+    val c = TableRef("silver", "bench", "customer_bkt")
+    wh.overwriteBucketed(o, Tables.load(spark, sfDir, "orders"), Seq("o_custkey"), 8)
+    wh.overwriteBucketed(c, Tables.load(spark, sfDir, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), 8)
+    val compacted = TableRef("silver", "bench", "orders_compacted")
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val mt = new graft.sinks.MergeTable(spark, wh, compacted, Seq("o_orderkey"), None)
+    val edges = Seq(Long.MinValue, 20000L, 40000L, Long.MaxValue)
+    edges.zip(edges.tail).foreach { case (lo, hi) =>
+      mt.upsert(orders.filter($"o_orderkey" >= lo && $"o_orderkey" < hi))
+    }
+    Map(
+      "q_bucketed_join_op" -> (() =>
+        wh.readBucketed(o).hint("merge")
+          .join(wh.readBucketed(c), "o_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(round($"o_totalprice" * 100).cast("long")).as("cents"))),
+      "q_compact_table_op" -> (() => { wh.compact(compacted); wh.read(compacted) }))
+  }
+
+  private def jnum(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -15,17 +57,63 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    graft.util.PhaseTimer.reset()
+    val gateResults = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
       name -> sec
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    }
+    // operator-only variants over pre-built (untimed) fixtures
+    val variantResults =
+      if (args.nonEmpty) Seq.empty
+      else operatorVariants(spark, sfDir).toSeq.sortBy(_._1).map { case (name, thunk) =>
+        val t0 = System.nanoTime()
+        val n = try thunk().count() catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
+        name -> sec
+      }
+    val results = gateResults ++ variantResults
+    val total = gateResults.map(_._2).sum
+
+    // Full per-query map on stderr for local runs / full driver logs.
+    val fullMap = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.err.println(s"[bench-queries] $fullMap")
+    val phases = graft.util.PhaseTimer.snapshot.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    System.err.println(s"[bench-phases] $phases")
+
+    // The driver keeps only the LAST 2000 chars of output and parses the
+    // JSON line out of that window (BENCH_r01-r04 all arrived truncated
+    // with parsed=null: the full 80-query map alone exceeds the window).
+    // So the final stdout line is built to a hard budget: headline total
+    // and phases always present, then per-query entries slowest-first
+    // until the budget is spent; the fastest remainder is folded into
+    // "rest" (count + summed seconds) instead of silently dropped.
+    val budget = 1700
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"queries":{"""
+    val sb = new StringBuilder(head)
+    var included = 0
+    var restN = 0
+    var restSum = 0.0
+    results.sortBy { case (k, v) => (-v, k) }.foreach { case (k, v) =>
+      val entry = "\"" + k + "\":" + jnum(v)
+      if (sb.length + entry.length + 60 <= budget) {
+        if (included > 0) sb.append(',')
+        sb.append(entry)
+        included += 1
+      } else {
+        restN += 1
+        restSum += v
+      }
+    }
+    sb.append("}")
+    if (restN > 0) sb.append(s""","rest":{"n":$restN,"sec":${jnum(restSum)}}""")
+    sb.append("}")
+    println(sb.toString)
     spark.stop()
   }
 }

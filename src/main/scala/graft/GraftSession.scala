@@ -17,6 +17,13 @@ object GraftSession {
       .config("spark.sql.extensions",
         "graft.functions.GraftExtensions,graft.plans.GraftOptimizations")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // JVM case mappings instead of ICU for UTF8_BINARY lower()/upper():
+      // the ICU path clones a RuleBasedBreakIterator PER ROW (profiled at
+      // ~200µs/row cold — it made the checker lifecycle, the suite's
+      // first lower() caller, 3-10× slower than its plan warranted).
+      // Identical results for Unicode default case mapping; this engine
+      // does not use locale-sensitive collations.
+      .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String): SparkSession = {

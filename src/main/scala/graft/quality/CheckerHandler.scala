@@ -120,10 +120,11 @@ final class CheckerHandler(
     * saves, so the frame is deliberately NOT cached.)
     */
   def execute(): DataFrame = {
-    val annotated = typed(compileResults())
-    saveChecks(annotated)
-    val aggregated = aggregate(annotated)
-    upsertAggregated(aggregated)
+    import graft.util.PhaseTimer.time
+    val annotated = time("checker.compile")(typed(compileResults()))
+    time("checker.save")(saveChecks(annotated))
+    val aggregated = time("checker.agg_plan")(aggregate(annotated))
+    time("checker.upsert")(upsertAggregated(aggregated))
     aggregated
   }
 }

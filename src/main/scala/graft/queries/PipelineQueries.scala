@@ -211,15 +211,20 @@ object PipelineQueries {
     * driver-side constant).
     */
   def qCheckerScorecard(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft-gate-checks").toString
-    val wh = new Warehouse(spark, s"$base/warehouse")
-    val meta = TableMeta.fromYamlString(QualityQueries.scorecardYaml)
-    new CheckerHandler(spark, wh, Seq(
-      CheckTarget("silver", "orders", Tables.load(spark, dir, "orders"), meta)),
-      LocalDate.now()).execute()
-    wh.read(TableRef("silver", "checks", "aggregated_checks"))
-      .select("test_name", "table_name", "test_type", "layer", "mandate",
-        "total_score", "columns_checked", "passing_cols", "failing_cols")
+    import graft.util.PhaseTimer.time
+    val (wh, handler) = time("checker.setup") {
+      val base = Files.createTempDirectory("graft-gate-checks").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val meta = TableMeta.fromYamlString(QualityQueries.scorecardYaml)
+      (wh, new CheckerHandler(spark, wh, Seq(
+        CheckTarget("silver", "orders", Tables.load(spark, dir, "orders"), meta)),
+        LocalDate.now()))
+    }
+    handler.execute()
+    time("checker.readback")(
+      wh.read(TableRef("silver", "checks", "aggregated_checks"))
+        .select("test_name", "table_name", "test_type", "layer", "mandate",
+          "total_score", "columns_checked", "passing_cols", "failing_cols"))
   }
 
   val qCheckerScorecardSql: String =

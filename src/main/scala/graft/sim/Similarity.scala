@@ -258,24 +258,49 @@ object Similarity {
     array(bandCols: _*)
   }
 
-  /** Embedding near-duplicates via banded sign-LSH blocking + exact
-    * cosine verification: (id_a, id_b, sim >= threshold). Only thin
-    * (id, band, bits) tuples shuffle for candidate generation; vectors
-    * are re-joined solely for the candidate pairs.
+  /** Sign-LSH candidate pairs (id_a < id_b) for [[cosineNearDups]],
+    * exposed so specs can assert the candidate set directly.
+    *
+    * `maxBucket` caps the quadratic self-join exactly like
+    * `Dedup.minhashCandidates`: sign-LSH has a GUARANTEED degenerate
+    * input class — all-zero vectors (empty or padded documents, which a
+    * 100 TB crawl always contains) get `dot >= 0` on every hyperplane,
+    * i.e. the identical all-ones bits in EVERY band, so n such rows
+    * would expand to n²/2 join rows before the cosine threshold (which
+    * scores zero-vectors 0) ever runs. Buckets wider than `maxBucket`
+    * are dropped before the join; genuinely near-duplicate pairs inside
+    * an over-wide bucket can still surface through their other bands.
     */
-  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, planes: Int = 16,
-                     bands: Int = 4, dim: Int = 64): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+  def signBandCandidates(df: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, bands: Int, dim: Int,
+                         maxBucket: Int): DataFrame = {
     val keyed = spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"),
         explode(signBands(col("vec"), planes, bands, dim)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
-    val pairs = keyed.as("l").join(keyed.as("r"),
+    val bucketCounts = keyed.groupBy("band", "bits")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket && col("n") > 1)
+    val bounded = keyed.join(bucketCounts, Seq("band", "bits"), "left_semi")
+    bounded.as("l").join(bounded.as("r"),
         col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
+  }
+
+  /** Embedding near-duplicates via banded sign-LSH blocking + exact
+    * cosine verification: (id_a, id_b, sim >= threshold). Only thin
+    * (id, band, bits) tuples shuffle for candidate generation; vectors
+    * are re-joined solely for the candidate pairs. Degenerate buckets
+    * (see [[signBandCandidates]]) are capped at `maxBucket` members.
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, planes: Int = 16,
+                     bands: Int = 4, dim: Int = 64,
+                     maxBucket: Int = 1000): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pairs = signBandCandidates(df, idCol, vecCol, planes, bands, dim, maxBucket)
     pairs
       .join(vecs.select(col("id").as("id_a"), col("vec").as("__va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("__vb")), "id_b")

@@ -1,0 +1,22 @@
+package graft.util
+
+/** Lightweight named-phase wall-clock accumulator for attributing the
+  * cost of multi-action lifecycle operators (e.g. the checker lifecycle:
+  * annotate → scorecard write → aggregate → merge). Driver-side only —
+  * phases time driver-blocking actions, which is exactly the unit the
+  * bench measures. Thread-safe; repeated phases accumulate.
+  */
+object PhaseTimer {
+  private val buf = scala.collection.concurrent.TrieMap[String, Double]()
+
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    val sec = (System.nanoTime() - t0) / 1e9
+    buf.updateWith(name) { prev => Some(prev.getOrElse(0.0) + sec) }
+    r
+  }
+
+  def snapshot: Map[String, Double] = buf.toMap
+  def reset(): Unit = buf.clear()
+}

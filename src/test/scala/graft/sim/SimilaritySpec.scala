@@ -89,6 +89,30 @@ class SimilaritySpec extends SparkSpec {
     assert(!out.exists { case (a, b) => Set(a, b) === Set(0L, 2L) })
   }
 
+  test("sign-LSH candidate cap keeps an all-zero block linear") {
+    import spark.implicits._
+    // 60 all-zero vectors: dot >= 0 on every hyperplane → identical
+    // all-ones bits in EVERY band. Uncapped they alone expand to
+    // 60*59/2 = 1770 candidate pairs per band; the cap must drop the
+    // degenerate bucket while the genuine near-dup pair survives.
+    val zeros = (100L until 160L).map(i => (i, Seq.fill(4)(0.0f)))
+    val real = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)))
+    val df = (real ++ zeros).toDF("vec_id", "embedding")
+    val cands = Similarity.signBandCandidates(df, "vec_id", "embedding",
+      planes = 12, bands = 3, dim = 4, maxBucket = 20)
+      .as[(Long, Long)].collect().toSet
+    // no quadratic zero×zero blow-up survives the cap
+    assert(!cands.exists { case (a, b) => a >= 100L && b >= 100L })
+    assert(cands.contains((0L, 1L)))
+    // and the end-to-end operator still finds the real pair only
+    val out = Similarity.cosineNearDups(df, "vec_id", "embedding",
+        threshold = 0.9, planes = 12, bands = 3, dim = 4, maxBucket = 20)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((0L, 1L)))
+  }
+
   test("kmeans step recomputes centroids as member means and keeps assignment total") {
     import spark.implicits._
     // two obvious clusters around e1 and e2
