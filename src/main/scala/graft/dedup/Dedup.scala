@@ -158,6 +158,104 @@ object Dedup {
     df.select(col(idCol), col(textCol)).repartition(parts)
   }
 
+  // --------------------------------------- incremental (cross-corpus)
+
+  /** Thin persistable MinHash-LSH band table `(id, band, bucket)` of a
+    * corpus — the state an incremental pipeline stores next to its kept
+    * corpus so daily batches dedup against it WITHOUT recomputing
+    * corpus signatures (the batch analogue of the reference's
+    * incremental CDC merge, /root/reference/lib/ingestors.py:117-129).
+    * bands × |corpus| rows of three small integers; at scale, persist
+    * it bucketed by (band, bucket) so the batch join prunes.
+    */
+  def minhashBandTable(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    spreadThin(df, idCol, textCol)
+      .select(col(idCol).as("id"),
+        explode(bandKeys(minhashSignature(toks, k, numHashes), bands, numHashes)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Incremental EXACT dedup: batch rows whose content fingerprint
+    * already appears in the kept corpus are dropped, and within the
+    * batch itself the lowest-id row per fingerprint survives. The
+    * corpus side moves only DISTINCT 64-bit fingerprints through the
+    * anti-join — never documents — so a daily batch costs
+    * O(|batch| + |corpus fingerprints|), not a corpus recompute.
+    * Equals `exactDedup(kept ∪ batch)` restricted to the batch when
+    * kept is already deduplicated and batch ids sort after kept ids
+    * (DedupSpec proves the equivalence).
+    */
+  def exactDedupAgainst(batch: DataFrame, kept: DataFrame,
+                        textCol: String, idCol: String): DataFrame = {
+    val keptFps = kept
+      .select(TextFunctions.fingerprint(col(textCol)).as("__fp")).distinct()
+    val payload = struct(batch.columns.toIndexedSeq.map(col): _*)
+    batch.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .join(keptFps, Seq("__fp"), "left_anti")
+      .groupBy(col("__fp"))
+      .agg(min_by(payload, col(idCol)).as("__row"))
+      .select(col("__row.*"))
+  }
+
+  /** Incremental NEAR-dup detection: the batch's band keys equi-join
+    * the kept corpus's persisted band table ([[minhashBandTable]]),
+    * and candidates are verified with exact Jaccard against the kept
+    * documents. Returns `(batch_id, kept_id, jaccard)` with
+    * jaccard >= threshold. Only the batch computes signatures; the
+    * corpus contributes thin persisted band rows, and document text is
+    * fetched by id for the verified candidate set only. The bucket cap
+    * counts BOTH sides — a boilerplate bucket is degenerate whether its
+    * members are old or new.
+    */
+  def minhashCandidatesAgainst(batch: DataFrame, kept: DataFrame,
+                               keptBands: DataFrame,
+                               idCol: String, textCol: String,
+                               k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.7,
+                               maxBucket: Int = 1000): DataFrame = {
+    val batchBands = minhashBandTable(batch, idCol, textCol, k, numHashes, bands)
+    val widths = batchBands.select("band", "bucket")
+      .union(keptBands.select("band", "bucket"))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+    val bb = batchBands.join(widths, Seq("band", "bucket"), "left_semi")
+    val kb = keptBands.join(widths, Seq("band", "bucket"), "left_semi")
+    val cands = bb.as("l").join(kb.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("kept_id"))
+      .distinct()
+    val batchSh = spreadThin(batch, idCol, textCol).select(
+      col(idCol).as("batch_id"),
+      Shingles.shingles(TextFunctions.tokens(col(textCol)), k).as("__sh_b"))
+    val keptSh = spreadThin(kept, idCol, textCol).select(
+      col(idCol).as("kept_id"),
+      Shingles.shingles(TextFunctions.tokens(col(textCol)), k).as("__sh_k"))
+    cands.join(batchSh, "batch_id").join(keptSh, "kept_id")
+      .withColumn("jaccard", round(jaccard(col("__sh_b"), col("__sh_k")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "kept_id", "jaccard")
+  }
+
+  /** Incremental dedup of a new batch against the kept corpus: exact
+    * fingerprints first (cheap, catches verbatim re-crawls), then
+    * near-dups against the persisted band table. Returns the batch rows
+    * that survive both. Batch-INTERNAL near-dups are deliberately left
+    * to the corpus-wide pass ([[minhashCandidates]] + [[dupGroups]]) —
+    * resolving them needs group semantics, not an anti-join.
+    */
+  def dedupAgainst(batch: DataFrame, kept: DataFrame, keptBands: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+    val exact = exactDedupAgainst(batch, kept, textCol, idCol)
+    val near = minhashCandidatesAgainst(exact, kept, keptBands, idCol, textCol,
+      k, numHashes, bands, threshold, maxBucket)
+    exact.join(near.select(col("batch_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Resolve near-dup candidate pairs into canonical groups: iterative
     * min-label propagation WITH POINTER JUMPING (connected components).
     * Each id converges to the smallest id reachable through the pair

@@ -30,6 +30,84 @@ object DedupQueries {
       |  SELECT min(doc_id) FROM documents
       |  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin
 
+  /** Incremental exact dedup value-checked end-to-end: the kept corpus
+    * is two-thirds of `documents`; the daily batch is the remaining
+    * third PLUS planted verbatim re-crawls of kept docs (new ids) and
+    * second copies of batch docs — so both drop paths (cross-corpus
+    * anti-join, within-batch min-id) do real work. The oracle replays
+    * the same construction on normalized text.
+    */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = docs.filter($"doc_id" % 3 =!= 0)
+    val base = docs.filter($"doc_id" % 3 === 0)
+    def reId(df: DataFrame, offset: Long) =
+      df.withColumn("doc_id", $"doc_id" + offset)
+    val batch = base
+      .unionByName(reId(kept.filter($"doc_id" % 7 === 1), 1000000L))
+      .unionByName(reId(base.filter($"doc_id" % 5 === 0), 2000000L))
+    Dedup.exactDedupAgainst(batch, kept, "text", "doc_id")
+      .select($"doc_id", $"n_chars")
+  }
+
+  val qDedupIncrementalSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id, n_chars,
+      |         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+      |  FROM documents),
+      |kept AS (SELECT * FROM norm WHERE doc_id % 3 <> 0),
+      |batch AS (
+      |  SELECT doc_id, n_chars, nt FROM norm WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, n_chars, nt FROM kept WHERE doc_id % 7 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, n_chars, nt FROM norm
+      |  WHERE doc_id % 3 = 0 AND doc_id % 5 = 0)
+      |SELECT b.doc_id, b.n_chars FROM batch b
+      |WHERE b.nt NOT IN (SELECT nt FROM kept)
+      |  AND b.doc_id = (SELECT min(doc_id) FROM batch b2 WHERE b2.nt = b.nt)""".stripMargin
+
+  /** Incremental NEAR-dup detection against a persisted band table,
+    * VALUE-checked via planted construction: the batch re-crawls long
+    * kept docs with one appended novel token, so every original shingle
+    * survives and exactly one new one appears — true Jaccard is the
+    * SQL-computable s/(s+1). The oracle derives it directly; the Spark
+    * side must find each planted pair through the LSH band join (16
+    * bands over 64 hashes at J≈0.96 → recall is deterministic on fixed
+    * data and checked at all three SFs). Organic batch×kept pairs are
+    * excluded by the planted-pairing filter, keeping the result
+    * oracle-expressible.
+    */
+  def qDedupAgainstNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val batch = docs.filter($"doc_id" % 4 === 1 && $"n_chars" >= 150)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" zymurgy")))
+    val keptBands = Dedup.minhashBandTable(docs, "doc_id", "text")
+    Dedup.minhashCandidatesAgainst(batch, docs, keptBands, "doc_id", "text",
+        threshold = 0.8)
+      .filter($"kept_id" === $"batch_id" - 1000000L)
+      .select($"batch_id", $"kept_id", $"jaccard")
+  }
+
+  val qDedupAgainstNearSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'),
+      |                     x -> length(x) > 0) AS t
+      |  FROM documents WHERE doc_id % 4 = 1 AND n_chars >= 150),
+      |s AS (
+      |  SELECT doc_id, len(list_distinct(list_transform(
+      |           range(0, len(t) - 2),
+      |           i -> array_to_string(t[i+1:i+3], ' ')))) AS ns
+      |  FROM toks)
+      |SELECT doc_id + 1000000 AS batch_id, doc_id AS kept_id,
+      |       round(CAST(ns AS DOUBLE) / (ns + 1), 6) AS jaccard
+      |FROM s
+      |WHERE CAST(ns AS DOUBLE) / (ns + 1) >= 0.8""".stripMargin
+
   /** Pairwise 3-gram Jaccard over a deterministic candidate pairing
     * (adjacent doc ids) — exercises shingling + set-overlap scoring with
     * a value-level oracle.
@@ -158,6 +236,8 @@ object DedupQueries {
   def queries: Map[String, Q] = Map(
     "q_dup_groups" -> (qDupGroups _),
     "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_against_near" -> (qDedupAgainstNear _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_dedup_near_e2e" -> (qDedupNearE2e _),
@@ -167,5 +247,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "q_dup_groups" -> qDupGroupsSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_dedup_against_near" -> qDedupAgainstNearSql,
     "q_ngram_jaccard" -> qNgramJaccardSql)
 }

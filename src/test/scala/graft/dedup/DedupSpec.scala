@@ -37,6 +37,47 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((5L, 6L))) // same topic prefix but jaccard < threshold
   }
 
+  test("incremental exact dedup equals whole-corpus recompute on the batch") {
+    import spark.implicits._
+    // kept = already-deduped corpus; batch ids sort after kept ids
+    val kept = docs.filter($"doc_id".isin(1L, 4L, 5L))
+    val batch = Seq(
+      (10L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"), // dup of kept 1
+      (11L, "genuinely new content about incremental corpus deduplication semantics"),
+      (12L, "genuinely new content about incremental corpus deduplication semantics"), // within-batch dup of 11
+      (13L, "completely different content about spark catalyst optimizer rules and physical plans") // dup of kept 5
+    ).toDF("doc_id", "text")
+    val inc = Dedup.exactDedupAgainst(batch, kept, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(inc === Seq(11L))
+    // equivalence: whole-corpus recompute restricted to the batch ids
+    val full = Dedup.exactDedup(kept.unionByName(batch), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc.toSet === full.intersect(Set(10L, 11L, 12L, 13L)))
+  }
+
+  test("incremental near-dup detection finds batch×kept pairs through the persisted band table") {
+    import spark.implicits._
+    val kept = docs.filter($"doc_id".isin(1L, 5L, 6L))
+    val keptBands = Dedup.minhashBandTable(kept, "doc_id", "text")
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup of kept 1
+      (21L, "entirely unrelated corpus material regarding distributed shuffle exchanges")
+    ).toDF("doc_id", "text")
+    val near = Dedup.minhashCandidatesAgainst(batch, kept, keptBands,
+        "doc_id", "text", threshold = 0.3)
+      .select("batch_id", "kept_id").as[(Long, Long)].collect().toSet
+    assert(near === Set((20L, 1L)))
+    // composition: survivors drop the exact AND near dups, keep novelty
+    val batch2 = batch.unionByName(Seq(
+      (22L, "the quick brown fox jumps over the lazy dog near the river bank today")) // exact dup of kept 1
+      .toDF("doc_id", "text"))
+    val survivors = Dedup.dedupAgainst(batch2, kept, keptBands,
+        "doc_id", "text", threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors === Seq(21L))
+  }
+
   test("jaccard matches hand-computed shingle overlap") {
     import spark.implicits._
     val j = Seq(("a b c d", "a b c e"))
