@@ -106,19 +106,33 @@ object SimQueries {
       .select("query_id", "rank", "id")
   }
 
-  /** LSH-bucketed probe search (approximate — rows-only check; queries
-    * are corpus members, so self-buckets guarantee non-empty results;
-    * SimilaritySpec checks self-match and brute-force agreement).
+  /** LSH-bucketed probe search, VALUE-checked via the scaled-clone
+    * construction (the q_embed_neardup technique lifted to top-k):
+    * every query is a corpus vector scaled ×1.5 — same direction ⇒
+    * identical sign bits in every band ⇒ the source is a guaranteed
+    * bucket collision with cosine ≈ 1, while the corpus's own max pair
+    * similarity is ~0.48 (q_embed_neardup's green oracle proves no
+    * organic pair reaches 0.99). Rank 1 is therefore provably the clone
+    * source, independent of hash internals; ranks 2..k remain
+    * recall-dependent and are filtered out of the gate result. The full
+    * k=5 pipeline (banding, multi-band dedup, per-query window) still
+    * executes.
     */
   def qAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = Tables.load(spark, dir, "embeddings")
-    val queries = corpus.filter($"vec_id" < NQUERIES)
-      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+    val queries = corpus.select(
+      ($"vec_id" + 10000000L).as("query_id"),
+      transform($"embedding", x => x * lit(1.5f)).as("qvec"))
     Similarity.lshTopK(corpus, "vec_id", "embedding",
         queries, "query_id", "qvec", k = K, planes = 16, bands = 8)
+      .filter($"rank" === 1)
       .select("query_id", "rank", "id")
   }
+
+  val qAnnLshSql: String =
+    """SELECT vec_id + 10000000 AS query_id, 1 AS rank, vec_id AS id
+      |FROM embeddings""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q_ann_topk" -> (qAnnTopK _),
@@ -131,5 +145,6 @@ object SimQueries {
     "q_ann_topk" -> qAnnTopKSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     // exhaustive probing must equal brute force: same rank oracle
-    "q_ann_ivf_exhaustive" -> qAnnTopKSql)
+    "q_ann_ivf_exhaustive" -> qAnnTopKSql,
+    "q_ann_lsh" -> qAnnLshSql)
 }
