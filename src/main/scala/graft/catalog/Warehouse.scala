@@ -388,12 +388,20 @@ final class Warehouse(spark: SparkSession, val root: String) {
     * merges stay correct.
     *
     * Crash/concurrency contract (single-writer, as documented on the
-    * class): per-file renames are atomic, the sequence is add-new →
-    * delete-old → swap-manifest, so a crash mid-way can leave BOTH old
-    * and new rows visible until the merge is re-run; a stale manifest is
-    * harmless (pruning filters by the live file listing, and unknown
-    * files are conservatively kept). Making this multi-writer-safe and
-    * all-or-nothing is a transaction log's job (Delta/Iceberg).
+    * class): per-file renames are atomic and the whole replacement is
+    * covered by a write-ahead intent journal (`_graft_txn`, written
+    * atomically BEFORE any data file moves, deleted after the manifest
+    * swap). A crash mid-sequence leaves the journal behind; the next
+    * writer calls [[recover]], which rolls the replacement FORWARD when
+    * every new file landed (finishing the deletes) or BACK otherwise
+    * (removing partial adds) — re-running the interrupted upsert then
+    * converges (MergeSpec proves both arms). Without the journal a
+    * crash between add-new and delete-old would leave both old and new
+    * rows visible, and re-running the merge would NOT heal it: the
+    * merge keeps unmatched target duplicates, so the corruption would
+    * be permanent. Reads between a crash and the next write may still
+    * see the inconsistent listing (documented single-writer trade-off);
+    * multi-writer safety stays a transaction log's job (Delta/Iceberg).
     */
   /** @param subdir table-relative destination for the new files (e.g.
     *               `"bucket=0"`): partition-directory maintenance places
@@ -404,6 +412,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def replaceDataFiles(ref: TableRef, replaced: Seq[String],
                        replacement: DataFrame,
                        subdir: Option[String] = None): Unit = {
+    recover(ref)
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
     val filesystem = fs(tablePath)
@@ -438,6 +447,14 @@ final class Warehouse(spark: SparkSession, val root: String) {
           next.coalesce(1).write.parquet(tmp.toString)
           tmp
         }
+      // intent journal FIRST: table-relative add/del entries, atomic
+      // create — from here a crash anywhere is recoverable
+      def rel(p: String): String = {
+        val base = tablePath.toUri.getPath
+        new Path(p).toUri.getPath.stripPrefix(base).stripPrefix("/")
+      }
+      val adds = newFiles.map(f => subdir.fold(f.getName)(d => s"$d/${f.getName}"))
+      writeTxnJournal(ref, adds, replaced.map(rel))
       filesystem.mkdirs(destDir)
       newFiles.foreach { f =>
         if (!filesystem.rename(f, new Path(destDir, f.getName)))
@@ -451,10 +468,67 @@ final class Warehouse(spark: SparkSession, val root: String) {
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
         registerStatsAt(path(ref))
       }
+      filesystem.delete(new Path(tablePath, txnFile), false)
     } finally {
       filesystem.delete(stage, true)
       ()
     }
+  }
+
+  private val txnFile = "_graft_txn"
+
+  /** Write the [[replaceDataFiles]] intent journal atomically (tmp +
+    * rename): table-relative `add`/`del` entries describing the file
+    * replacement about to happen. Package-visible so the crash-recovery
+    * spec can fabricate the exact mid-sequence layouts.
+    */
+  private[graft] def writeTxnJournal(ref: TableRef, adds: Seq[String],
+                                     dels: Seq[String]): Unit = {
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    val tmp = new Path(tablePath, s".$txnFile.tmp")
+    val out = filesystem.create(tmp, true)
+    try out.write(
+      (adds.map("add\t" + _) ++ dels.map("del\t" + _)).mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val live = new Path(tablePath, txnFile)
+    filesystem.delete(live, false)
+    if (!filesystem.rename(tmp, live))
+      throw new RuntimeException(s"failed to commit txn journal for $ref")
+  }
+
+  /** Heal an interrupted [[replaceDataFiles]]: when an intent journal is
+    * present, roll the replacement FORWARD if every new file landed
+    * (finish the deletes — the data is complete) or BACK otherwise
+    * (remove partial adds — the old files are intact), then drop the
+    * journal. Idempotent, and the forward/back decision is stable under
+    * crashes DURING recovery (forward never touches adds, back removes
+    * them). Called automatically by [[replaceDataFiles]], incremental
+    * MERGE, and compaction; the post-recovery stats manifest may be
+    * stale, which pruning tolerates by construction (unknown files are
+    * kept, entries for dead files never match the live listing). Returns
+    * true when a journal was found and resolved.
+    */
+  def recover(ref: TableRef): Boolean = {
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    val j = new Path(tablePath, txnFile)
+    if (!filesystem.exists(j)) return false
+    val in = filesystem.open(j)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val entries = text.linesIterator.filter(_.nonEmpty).map(_.split("\t", 2)).toSeq
+    val adds = entries.collect { case Array("add", p) => p }
+    val dels = entries.collect { case Array("del", p) => p }
+    if (adds.forall(p => filesystem.exists(new Path(tablePath, p))))
+      dels.foreach(p => filesystem.delete(new Path(tablePath, p), false))
+    else
+      adds.foreach(p => filesystem.delete(new Path(tablePath, p), false))
+    filesystem.delete(j, false)
+    TableStatsRegistry.invalidate(path(ref))
+    true
   }
 
   /** Current data file paths of a table (what a full scan would open). */
@@ -496,6 +570,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
               zOrder: Boolean = false): Int = {
     require(smallFileBytes >= 1 && targetFileBytes >= 1,
       s"byte thresholds must be positive: $smallFileBytes/$targetFileBytes")
+    recover(ref) // compaction must not bin-pack a crashed half-replacement
     val tablePath = new Path(path(ref))
     val filesystem = fs(tablePath)
     // listStatus yields scheme-qualified paths; qualify ours to match

@@ -168,6 +168,10 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
       warehouse.overwrite(ref, source, statsColumns = bootstrapStats)
       return
     }
+    // heal any interrupted prior replacement BEFORE reading the target —
+    // a crashed add-new leaves duplicate rows that a plain re-merge
+    // would keep (unmatched target duplicates survive Merge.merge)
+    warehouse.recover(ref)
     if (evolveSchema) {
       val target = warehouse.read(ref)
       // trigger on name+type signature, not names alone — a same-name

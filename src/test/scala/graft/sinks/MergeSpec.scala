@@ -142,6 +142,81 @@ class MergeSpec extends SparkSpec {
     assert(wh.read(ref).collect().toSet === expected)
   }
 
+  test("crash recovery: interrupted replaceDataFiles heals on the next upsert (both arms)") {
+    import spark.implicits._
+    // replaceDataFiles covers add-new → delete-old → swap-manifest with
+    // a write-ahead intent journal; a crash mid-sequence must be healed
+    // by the next writer (roll FORWARD when every add landed, roll BACK
+    // on partial adds). Without recovery a re-run would NOT converge:
+    // Merge.merge keeps unmatched target duplicates, so the doubled
+    // rows of a half-replaced file would be permanent.
+    def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val whDir = tmpDir("wh-crash")
+    val wh = new Warehouse(spark, whDir)
+    val ref = TableRef("silver", "cdc", "facts")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), Some("t"))
+    val base = (1 to 400).map(i => (i, ts("2024-01-01 00:00:00"), i.toDouble))
+      .toDF("k", "t", "v").repartitionByRange(4, $"k")
+    mt.upsert(base)
+    val beforeFiles = wh.dataFiles(ref).map(p => new java.io.File(p).getName).toSet
+
+    val batch = Seq(
+      (150, ts("2024-02-01 00:00:00"), -150.0),
+      (170, ts("2024-02-01 00:00:00"), -170.0)).toDF("k", "t", "v")
+    val expected = Merge.merge(wh.read(ref), batch, Seq("k"), Some("t"))
+      .collect().toSet
+
+    // snapshot the pre-merge warehouse twice, then run the real merge
+    // to harvest the files it adds and deletes
+    val fwdDir = tmpDir("wh-crash-fwd")
+    val backDir = tmpDir("wh-crash-back")
+    copyTree(java.nio.file.Paths.get(whDir), java.nio.file.Paths.get(fwdDir))
+    copyTree(java.nio.file.Paths.get(whDir), java.nio.file.Paths.get(backDir))
+    mt.upsert(batch)
+    val tableDir = java.nio.file.Paths.get(wh.path(ref))
+    val afterFiles = wh.dataFiles(ref).map(p => new java.io.File(p).getName).toSet
+    val added = (afterFiles -- beforeFiles).toSeq.sorted
+    val deleted = (beforeFiles -- afterFiles).toSeq.sorted
+    assert(added.nonEmpty && deleted.nonEmpty)
+
+    // ARM 1 — crash AFTER all adds, before deletes: journal + new files
+    // present, old files still in place → duplicates visible pre-heal
+    val relTable = s"${ref.catalog}/${ref.schema}/${ref.table}"
+    val fwdTable = java.nio.file.Paths.get(fwdDir).resolve(relTable)
+    added.foreach { name =>
+      java.nio.file.Files.copy(tableDir.resolve(name), fwdTable.resolve(name))
+    }
+    val fwdWh = new Warehouse(spark, fwdDir)
+    fwdWh.writeTxnJournal(ref, added, deleted)
+    val dupCount = fwdWh.read(ref).groupBy($"k").count()
+      .filter($"count" > 1).count()
+    assert(dupCount > 0) // corruption is real before recovery
+    new MergeTable(spark, fwdWh, ref, Seq("k"), Some("t")).upsert(batch)
+    assert(fwdWh.read(ref).collect().toSet === expected)
+
+    // ARM 2 — crash mid-adds: some new files landed, the journal lists
+    // one that never did → recovery must roll BACK (remove the partial
+    // adds, old files are intact) and the re-run merges cleanly
+    val backTable = java.nio.file.Paths.get(backDir).resolve(relTable)
+    added.foreach { name =>
+      java.nio.file.Files.copy(tableDir.resolve(name), backTable.resolve(name))
+    }
+    val backWh = new Warehouse(spark, backDir)
+    backWh.writeTxnJournal(ref, added :+ "never-moved.parquet", deleted)
+    assert(backWh.recover(ref)) // rolls back: partial adds removed
+    assert(backWh.dataFiles(ref).map(p => new java.io.File(p).getName).toSet
+      === beforeFiles)
+    new MergeTable(spark, backWh, ref, Seq("k"), Some("t")).upsert(batch)
+    assert(backWh.read(ref).collect().toSet === expected)
+  }
+
   test("disjoint-range batch inserts without touching any existing file") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-incr2"))
