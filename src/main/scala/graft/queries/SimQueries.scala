@@ -72,6 +72,32 @@ object SimQueries {
   val qEmbedNearDupSql: String =
     """SELECT vec_id AS id_a, vec_id + 10000000 AS id_b FROM embeddings""".stripMargin
 
+  /** Incremental embedding near-dup against the PERSISTED band table
+    * (the daily-batch path): kept corpus = embeddings, batch = scaled
+    * clones of every vector — same direction ⇒ guaranteed band
+    * collisions at cosine ≈ 1 vs a ~0.48 organic ceiling, so the result
+    * is exactly the (clone, source) pairs and the gate value-checks the
+    * whole incremental pipeline (batch hashing, persisted-table join,
+    * cosine verification).
+    */
+  def qEmbedNearDupIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val keptBands = Similarity.signBandTable(kept, "vec_id", "embedding",
+      planes = 16, bands = 1, dim = 64)
+    val batch = kept.select(
+      ($"vec_id" + 10000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.5f)).as("embedding"))
+    Similarity.cosineNearDupsAgainst(batch, kept, keptBands,
+        "vec_id", "embedding", threshold = 0.99, planes = 16, bands = 1, dim = 64)
+      .select("batch_id", "kept_id")
+  }
+
+  val qEmbedNearDupIncrSql: String =
+    """SELECT vec_id + 10000000 AS batch_id, vec_id AS kept_id
+      |FROM embeddings""".stripMargin
+
   /** IVF probe search (approximate — rows-only check). */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -137,6 +163,7 @@ object SimQueries {
   def queries: Map[String, Q] = Map(
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
+    "q_embed_neardup_incr" -> (qEmbedNearDupIncr _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_exhaustive" -> (qAnnIvfExhaustive _),
     "q_ann_lsh" -> (qAnnLsh _))
@@ -144,6 +171,7 @@ object SimQueries {
   def oracles: Map[String, String] = Map(
     "q_ann_topk" -> qAnnTopKSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
+    "q_embed_neardup_incr" -> qEmbedNearDupIncrSql,
     // exhaustive probing must equal brute force: same rank oracle
     "q_ann_ivf_exhaustive" -> qAnnTopKSql,
     "q_ann_lsh" -> qAnnLshSql)

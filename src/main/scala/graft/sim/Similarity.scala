@@ -271,13 +271,23 @@ object Similarity {
     * are dropped before the join; genuinely near-duplicate pairs inside
     * an over-wide bucket can still surface through their other bands.
     */
-  def signBandCandidates(df: DataFrame, idCol: String, vecCol: String,
-                         planes: Int, bands: Int, dim: Int,
-                         maxBucket: Int): DataFrame = {
-    val keyed = spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
+  /** Thin persistable sign-LSH band table `(id, band, bits)` of an
+    * embedding corpus — the incremental-dedup state an embedding
+    * pipeline stores next to its kept corpus (the vector analogue of
+    * `Dedup.minhashBandTable`), so daily batches join against persisted
+    * signatures instead of re-hashing the corpus.
+    */
+  def signBandTable(df: DataFrame, idCol: String, vecCol: String,
+                    planes: Int = 16, bands: Int = 4, dim: Int = 64): DataFrame =
+    spread(df.select(col(idCol).as("id"), col(vecCol).as("vec")))
       .select(col("id"),
         explode(signBands(col("vec"), planes, bands, dim)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bits").as("bits"))
+
+  def signBandCandidates(df: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, bands: Int, dim: Int,
+                         maxBucket: Int): DataFrame = {
+    val keyed = signBandTable(df, idCol, vecCol, planes, bands, dim)
     val bucketCounts = keyed.groupBy("band", "bits")
       .agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBucket && col("n") > 1)
@@ -305,6 +315,41 @@ object Similarity {
       .join(vecs.select(col("id").as("id_a"), col("vec").as("__va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("__vb")), "id_b")
       .select(col("id_a"), col("id_b"), cosineAuto(col("__va"), col("__vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Incremental embedding near-dups: the batch's sign-LSH band keys
+    * equi-join the kept corpus's persisted band table
+    * ([[signBandTable]]), and candidates are cosine-verified. Returns
+    * `(batch_id, kept_id, sim >= threshold)`. Only the batch hashes its
+    * vectors; the corpus contributes thin persisted band rows and
+    * vectors fetched by id for verified candidates only — a daily batch
+    * costs O(|batch| + collisions), not a corpus re-hash. The bucket
+    * cap counts BOTH sides, so degenerate buckets (all-zero embeddings)
+    * stay linear whether their members are old or new.
+    */
+  def cosineNearDupsAgainst(batch: DataFrame, kept: DataFrame,
+                            keptBands: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double = 0.95, planes: Int = 16,
+                            bands: Int = 4, dim: Int = 64,
+                            maxBucket: Int = 1000): DataFrame = {
+    val batchBands = signBandTable(batch, idCol, vecCol, planes, bands, dim)
+    val widths = batchBands.select("band", "bits")
+      .union(keptBands.select("band", "bits"))
+      .groupBy("band", "bits").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket)
+    val bb = batchBands.join(widths, Seq("band", "bits"), "left_semi")
+    val kb = keptBands.join(widths, Seq("band", "bits"), "left_semi")
+    val cands = bb.as("l").join(kb.as("r"),
+        col("l.band") === col("r.band") && col("l.bits") === col("r.bits"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("kept_id"))
+      .distinct()
+    cands
+      .join(batch.select(col(idCol).as("batch_id"), col(vecCol).as("__vb")), "batch_id")
+      .join(kept.select(col(idCol).as("kept_id"), col(vecCol).as("__vk")), "kept_id")
+      .select(col("batch_id"), col("kept_id"),
+        cosineAuto(col("__vb"), col("__vk")).as("sim"))
       .filter(col("sim") >= threshold)
   }
 }

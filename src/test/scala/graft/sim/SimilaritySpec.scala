@@ -113,6 +113,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Set((0L, 1L)))
   }
 
+  test("incremental near-dup finds batch×kept pairs through the persisted band table") {
+    import spark.implicits._
+    val kept = vecs.filter($"vec_id" =!= 5L)
+    val keptBands = Similarity.signBandTable(kept, "vec_id", "embedding",
+      planes = 12, bands = 3, dim = 4)
+    val batch = Seq(
+      (20L, Seq(0.95f, 0.05f, 0.0f, 0.0f)), // near dup of kept 0 (and 1)
+      (21L, Seq(-1.0f, -1.0f, 1.0f, -1.0f)) // unrelated direction
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineNearDupsAgainst(batch, kept, keptBands,
+        "vec_id", "embedding", threshold = 0.9, planes = 12, bands = 3, dim = 4)
+      .select("batch_id", "kept_id").as[(Long, Long)].collect().toSet
+    assert(out.contains((20L, 0L)))
+    assert(!out.exists(_._1 == 21L))
+    // batch-only: the kept corpus never pairs with itself here
+    assert(out.forall(_._1 >= 20L))
+  }
+
   test("kmeans step recomputes centroids as member means and keeps assignment total") {
     import spark.implicits._
     // two obvious clusters around e1 and e2
