@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget corpus selection: keep the highest-priority documents
+  * whose cumulative cost (token count) fits a budget — the operator a
+  * training-data pipeline runs last, after filtering and dedup ("give
+  * me the best N-billion tokens").
+  *
+  * The naive formulation — `sum(cost) OVER (ORDER BY priority)` with no
+  * partitioning — collapses the whole corpus into ONE window task (Spark
+  * even warns). This implementation is the distributed two-phase prefix
+  * sum instead:
+  *
+  *  1. `repartitionByRange` on the priority ordering — partition i holds
+  *     a contiguous slice of the global order;
+  *  2. per-partition cost totals (one tiny aggregate: ≤ one row per
+  *     partition) are collected and turned into exclusive prefix
+  *     offsets — a bounded-small driver collect, like IVF's centroid
+  *     list;
+  *  3. a window partitioned BY PARTITION computes local running sums in
+  *     parallel; adding the broadcast offset yields the exact global
+  *     cumulative cost, and the budget predicate filters.
+  *
+  * The ordering must be TOTAL (pass a unique tie-break column) — ties
+  * straddling a partition boundary would otherwise make the range
+  * partitioner's slice order disagree with the window's.
+  */
+object Budget {
+
+  /** @param ordering  priority order, highest first, totally ordered
+    *                  (e.g. `Seq(col("score").desc, col("id").asc)`)
+    * @param cost      per-row cost expression (e.g. a token count)
+    * @param budget    inclusive cumulative-cost ceiling
+    * @return input rows whose running cost (in `ordering`) stays within
+    *         `budget`, with the running total as `__cum_cost`
+    */
+  def budgetSelect(df: DataFrame, ordering: Seq[Column], cost: Column,
+                   budget: Long): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint PINS the range layout: the partitioner samples its
+    // bounds with an RDD-id-derived seed, so re-executing the plan for
+    // the totals pass and the final pass could slice the order
+    // differently — offsets computed against one layout must be applied
+    // to the same one. (Cost: one materialization of the corpus, the
+    // price of a stable two-pass prefix sum.)
+    val ranged = df
+      .withColumn("__cost", cost.cast("long"))
+      .repartitionByRange(parts, ordering: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // tiny: ≤ `parts` rows — the per-slice totals that seed the offsets
+    val totals = ranged.groupBy("__pid").agg(sum("__cost").as("__psum"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (pid, s)) => (pid, acc + s)
+    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
+    val offsetDf = df.sparkSession.createDataFrame(offsets)
+      .toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("__cum_cost", sum(col("__cost")).over(w) + col("__offset"))
+      .filter(col("__cum_cost") <= budget)
+      .drop("__pid", "__offset", "__cost")
+  }
+}

@@ -486,7 +486,36 @@ object TextQueries {
        |  AND r.dup_token_frac <= 0.6 AND r.top_token_frac <= 0.12""".stripMargin
   }
 
+  /** Token-budget corpus selection (Budget.budgetSelect): keep the
+    * longest documents whose cumulative token count fits the budget.
+    * The oracle is the single-window cumulative-sum formulation; the
+    * engine runs the distributed two-phase prefix sum (range layout +
+    * per-slice offsets) and must produce identical rows AND identical
+    * running totals. Integer priorities/costs keep the compare exact.
+    */
+  def qBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    graft.operators.Budget.budgetSelect(docs,
+        Seq($"n_chars".desc, $"doc_id".asc),
+        TextFunctions.tokenCount($"text"), budget = 10000L)
+      .select($"doc_id", $"n_chars", $"__cum_cost".as("cum_tokens"))
+  }
+
+  val qBudgetSelectSql: String =
+    """SELECT doc_id, n_chars, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    sum(tok) OVER (ORDER BY n_chars DESC, doc_id ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM (SELECT doc_id, n_chars,
+      |          len(list_filter(regexp_split_to_array(text, '\s+'),
+      |              x -> length(x) > 0)) AS tok
+      |        FROM documents))
+      |WHERE cum_tokens <= 10000""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_budget_select" -> (qBudgetSelect _),
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
@@ -503,6 +532,7 @@ object TextQueries {
     "q_pack_sequences" -> (qPackSequences _))
 
   def oracles: Map[String, String] = Map(
+    "q_budget_select" -> qBudgetSelectSql,
     "q_text_extract" -> qTextExtractSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_langid" -> qTextLangidSql,
