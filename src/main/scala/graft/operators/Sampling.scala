@@ -57,6 +57,26 @@ object Sampling {
     }
   }
 
+  /** Leakage-safe split: near-duplicate GROUPS never straddle bands.
+    * Each row adopts its group's canonical id as the split key (rows
+    * absent from `groups` have no duplicates and keep their own id),
+    * then [[splitByKey]]'s hash-band rule applies — a document and all
+    * its near-dups land in the SAME band, so paraphrase leakage between
+    * train and holdout is structurally impossible. `groups` is the
+    * `(id, canonical_id)` frame of `Dedup.dupGroups`; it is
+    * proportional to the duplicated subset, not the corpus, so the join
+    * typically broadcasts, and the band decision stays a pure per-row
+    * expression.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, groups: DataFrame,
+                       fractions: Seq[Double], salt: Long = 0L): Seq[DataFrame] = {
+    val keyed = df
+      .join(groups.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__split_key", coalesce(col("canonical_id"), col(idCol)))
+      .drop("canonical_id")
+    splitByKey(keyed, "__split_key", fractions, salt).map(_.drop("__split_key"))
+  }
+
   /** Deterministic negative sampling — the contrastive-pair mining step
     * of embedding/retrieval training: for each anchor row, `k`
     * pseudo-random partners drawn by hashing (anchor key, draw index)

@@ -208,7 +208,11 @@ object DedupQueries {
     Dedup.dupGroups(pairs)
   }
 
-  val qDupGroupsSql: String =
+  /** Shared recursive-CTE prefix: 5-gram edges → transitive closure
+    * (used by the q_dup_groups oracle and, extended with the hash-band
+    * rule, by q_leakage_split's).
+    */
+  private val dupGroupsCte: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
       |                 x -> length(x) > 0) AS t
@@ -229,12 +233,57 @@ object DedupQueries {
       |  SELECT src, src FROM und
       |  UNION
       |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
-      |  WHERE r.lbl < u.dst)
-      |SELECT node AS id, min(lbl) AS canonical_id
-      |FROM reach GROUP BY node""".stripMargin
+      |  WHERE r.lbl < u.dst)""".stripMargin
+
+  val qDupGroupsSql: String =
+    s"""$dupGroupsCte
+       |SELECT node AS id, min(lbl) AS canonical_id
+       |FROM reach GROUP BY node""".stripMargin
+
+  /** Leakage-safe train/test split: the 5-gram near-dup groups of
+    * [[qDupGroups]] adopt their canonical id as split key, so a
+    * document and all its near-dups land in the SAME hash band —
+    * paraphrase leakage between train and holdout is structurally
+    * impossible. Value-checked end-to-end: the oracle re-derives the
+    * groups with the recursive CTE and applies the identical Knuth
+    * hash-band rule.
+    */
+  def qLeakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs
+      .select($"doc_id", explode(
+        graft.text.Shingles.shingles(
+          TextFunctions.tokens(lower($"text")), 5)).as("gram"))
+    val shared = grams.groupBy($"gram").agg(count(lit(1)).as("__n"))
+      .filter($"__n".between(2, 16)).select("gram")
+    val thin = grams.join(shared, "gram")
+    val pairs = thin.as("a").join(thin.as("b"), "gram")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .filter($"id_a" < $"id_b").distinct()
+    val groups = Dedup.dupGroups(pairs)
+    val Seq(train, test) = graft.operators.Sampling.leakageSafeSplit(
+      docs, "doc_id", groups, Seq(0.8, 0.2))
+    train.withColumn("split", lit("train"))
+      .unionByName(test.withColumn("split", lit("test")))
+      .select($"doc_id", $"split")
+  }
+
+  val qLeakageSplitSql: String =
+    s"""$dupGroupsCte,
+       |canon AS (
+       |  SELECT node AS id, min(lbl) AS canonical_id
+       |  FROM reach GROUP BY node)
+       |SELECT d.doc_id,
+       |  CASE WHEN ((COALESCE(c.canonical_id, d.doc_id) % 2147483648)
+       |             * 2654435761) % 4294967296
+       |            < CAST(floor(0.8 * 4294967296) AS BIGINT)
+       |       THEN 'train' ELSE 'test' END AS split
+       |FROM documents d LEFT JOIN canon c ON c.id = d.doc_id""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q_dup_groups" -> (qDupGroups _),
+    "q_leakage_split" -> (qLeakageSplit _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_against_near" -> (qDedupAgainstNear _),
@@ -246,6 +295,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "q_dup_groups" -> qDupGroupsSql,
+    "q_leakage_split" -> qLeakageSplitSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_against_near" -> qDedupAgainstNearSql,

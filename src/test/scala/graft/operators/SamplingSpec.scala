@@ -70,4 +70,27 @@ class SamplingSpec extends SparkSpec {
     assert(byGrp("b") > 1000 && byGrp("b") < 2300)
     assert(!byGrp.contains("c")) // stratum not in the map → dropped
   }
+
+  test("leakageSafeSplit keeps whole near-dup groups in one band") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("id", "text")
+    // groups: {1,2,3} canonical 1; {50,150} canonical 50
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (50L, 50L), (150L, 50L))
+      .toDF("id", "canonical_id")
+    val Seq(train, test) = Sampling.leakageSafeSplit(
+      docs, "id", groups, Seq(0.5, 0.5))
+    val trainIds = train.select("id").as[Long].collect().toSet
+    val testIds = test.select("id").as[Long].collect().toSet
+    // disjoint and total
+    assert((trainIds & testIds).isEmpty)
+    assert(trainIds.size + testIds.size === 200)
+    // each group is entirely on one side
+    Seq(Set(1L, 2L, 3L), Set(50L, 150L)).foreach { g =>
+      assert(g.subsetOf(trainIds) || g.subsetOf(testIds))
+    }
+    // ungrouped rows follow their own key — same verdict as splitByKey
+    val Seq(pt, _) = Sampling.splitByKey(docs.filter($"id" === 77L), "id", Seq(0.5, 0.5))
+    val plain77 = pt.count() == 1
+    assert(trainIds.contains(77L) === plain77)
+  }
 }
