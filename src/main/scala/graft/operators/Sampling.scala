@@ -119,6 +119,43 @@ object Sampling {
       .drop("__neg")
   }
 
+  /** Temperature-based class balancing (the mC4/Pile resampling rule):
+    * class s is kept with expected mass proportional to `count(s)^alpha`
+    * — `alpha = 1` preserves the natural distribution, `alpha → 0`
+    * flattens it, so rare languages/sources are upweighted relative to
+    * dominant ones. `targetRows` sets the expected output size; each
+    * class's keep fraction is `min(1, target·q_s / n_s)` with
+    * `q_s = n_s^α / Σ n_t^α`, applied as the usual deterministic
+    * hash-band filter (layout/engine-independent).
+    *
+    * Scale shape: one tiny per-class count aggregate (|classes| rows), a
+    * single driver scalar for the normalizer, a broadcast join of the
+    * per-class fractions, then a pure per-row filter — no wide shuffle.
+    * Fractions are rounded to 6 decimals BEFORE thresholding so engines
+    * whose `pow` differs in the last ulp still make identical per-row
+    * decisions (the DuckDB oracle re-derives them with the same
+    * rounding).
+    */
+  def temperatureSample(df: DataFrame, classCol: String, keyCol: String,
+                        alpha: Double, targetRows: Long,
+                        salt: Long = 0L): DataFrame = {
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    require(targetRows > 0, s"targetRows must be positive: $targetRows")
+    val counts = df.groupBy(col(classCol)).agg(count(lit(1)).as("__n"))
+    // one double: Σ n^α over the (bounded-small) class set
+    val normalizer = counts.agg(sum(pow(col("__n"), lit(alpha)))).head.getDouble(0)
+    val fracs = counts.select(
+      col(classCol),
+      round(
+        least(lit(1.0),
+          lit(targetRows) * pow(col("__n"), lit(alpha)) / lit(normalizer) / col("__n")),
+        6).as("__f"))
+    df.join(broadcast(fracs), Seq(classCol))
+      .filter(keyHash(col(keyCol), salt) <
+        (col("__f") * lit(4294967296L)).cast("long"))
+      .drop("__f")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions, same
     * hash-band rule inside each stratum. Strata absent from `fractions`
     * are dropped (mirrors Spark's `sampleBy`).

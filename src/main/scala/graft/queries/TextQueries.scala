@@ -514,8 +514,33 @@ object TextQueries {
       |        FROM documents))
       |WHERE cum_tokens <= 10000""".stripMargin
 
+  /** Temperature-based source balancing (Sampling.temperatureSample):
+    * per-source keep fractions ∝ count^α, rounded to 6dp on both
+    * engines before the deterministic hash-band filter, so the oracle
+    * reproduces every per-row decision exactly.
+    */
+  def qTemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.temperatureSample(
+        Tables.load(spark, dir, "documents"),
+        "source", "doc_id", alpha = 0.7, targetRows = 250L)
+      .select($"doc_id", $"source")
+  }
+
+  val qTemperatureSampleSql: String =
+    """WITH n AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+      |t AS (SELECT sum(pow(ns, 0.7)) AS tot FROM n),
+      |f AS (SELECT source,
+      |        round(least(1.0, 250 * pow(ns, 0.7) / tot / ns), 6) AS fr
+      |      FROM n, t)
+      |SELECT d.doc_id, d.source
+      |FROM documents d JOIN f USING (source)
+      |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
+      |      < CAST(floor(fr * 4294967296) AS BIGINT)""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_budget_select" -> (qBudgetSelect _),
+    "q_temperature_sample" -> (qTemperatureSample _),
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
@@ -533,6 +558,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q_budget_select" -> qBudgetSelectSql,
+    "q_temperature_sample" -> qTemperatureSampleSql,
     "q_text_extract" -> qTextExtractSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_langid" -> qTextLangidSql,

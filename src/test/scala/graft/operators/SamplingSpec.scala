@@ -71,6 +71,35 @@ class SamplingSpec extends SparkSpec {
     assert(!byGrp.contains("c")) // stratum not in the map → dropped
   }
 
+  test("temperature sampling upweights rare classes and is layout-invariant") {
+    import spark.implicits._
+    // 9000 'big' rows vs 1000 'small' rows; alpha 0.5 flattens hard
+    val df = ((1L to 9000L).map(i => (i, "big")) ++
+      (9001L to 10000L).map(i => (i, "small"))).toDF("id", "grp")
+    val out = Sampling.temperatureSample(df, "grp", "id",
+      alpha = 0.5, targetRows = 2000L)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    // expected fractions: q_big = 95/(95+32), q_small = 32/127;
+    // keep_big ≈ 2000*0.747/9000 ≈ 0.166, keep_small ≈ 2000*0.252/1000 ≈ 0.504
+    assert(byGrp("big") > 1200 && byGrp("big") < 1800)
+    assert(byGrp("small") > 400 && byGrp("small") < 600)
+    // the small class keeps a ~3× higher fraction than the big one
+    val fBig = byGrp("big").toDouble / 9000
+    val fSmall = byGrp("small").toDouble / 1000
+    assert(fSmall / fBig > 2.0)
+    // deterministic: repartitioned input selects the identical rows
+    val again = Sampling.temperatureSample(df.repartition(13), "grp", "id",
+      alpha = 0.5, targetRows = 2000L)
+    assert(again.select("id").as[Long].collect().toSet ===
+      out.select("id").as[Long].collect().toSet)
+    // alpha = 1 preserves the natural distribution: uniform keep rate
+    val nat = Sampling.temperatureSample(df, "grp", "id",
+      alpha = 1.0, targetRows = 2000L)
+    val natByGrp = nat.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(math.abs(natByGrp("big").toDouble / 9000 -
+      natByGrp("small").toDouble / 1000) < 0.05)
+  }
+
   test("leakageSafeSplit keeps whole near-dup groups in one band") {
     import spark.implicits._
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("id", "text")
