@@ -66,4 +66,50 @@ object Budget {
       .filter(col("__cum_cost") <= budget)
       .drop("__pid", "__offset", "__cost")
   }
+
+  /** Selection-only variant — the 100 TB path. [[budgetSelect]] moves
+    * the corpus twice (range layout + a hash exchange for the per-slice
+    * window, since Catalyst cannot see that the checkpointed layout
+    * already clusters by slice). When the output needs no per-row
+    * running total, the corpus never has to shuffle at all:
+    *
+    *  1. per-priority cost totals — a THIN aggregate (|distinct
+    *     priorities| rows);
+    *  2. [[budgetSelect]] over that thin frame finds the fully-kept
+    *     priority prefix and how much budget it used;
+    *  3. the single boundary priority group (the first one that didn't
+    *     fully fit) resolves by tie-break order with a second thin
+    *     pass over just its rows;
+    *  4. the corpus is touched only by a broadcast semi-join on the
+    *     kept priorities plus the boundary union.
+    *
+    * Identical selection to `budgetSelect(df, priority desc, tie asc)`
+    * (BudgetSpec proves equality).
+    */
+  def budgetFilter(df: DataFrame, priorityCol: String, tieCol: String,
+                   cost: Column, budget: Long): DataFrame = {
+    val costed = df.withColumn("__cost", cost.cast("long"))
+    val perPriority = costed.groupBy(col(priorityCol))
+      .agg(sum("__cost").as("__psum"))
+    val keptPriorities = budgetSelect(perPriority,
+      Seq(col(priorityCol).desc), col("__psum"), budget)
+    // two bounded scalars: budget already spent, and the boundary
+    // priority (highest priority NOT fully kept)
+    val usedRow = keptPriorities.agg(max("__cum_cost")).head()
+    val used = if (usedRow.isNullAt(0)) 0L else usedRow.getLong(0)
+    val boundaryRow = perPriority
+      .join(keptPriorities.select(priorityCol), Seq(priorityCol), "left_anti")
+      .agg(max(col(priorityCol))).head()
+    val fullyKept = df
+      .join(broadcast(keptPriorities.select(priorityCol)), Seq(priorityCol), "left_semi")
+    if (boundaryRow.isNullAt(0)) fullyKept.drop("__cost")
+    else {
+      val boundary = boundaryRow.get(0)
+      val partial = budgetSelect(
+        df.filter(col(priorityCol) === lit(boundary)),
+        Seq(col(tieCol).asc), cost, budget - used)
+        .drop("__cum_cost")
+      fullyKept.unionByName(partial)
+    }
+  }
 }

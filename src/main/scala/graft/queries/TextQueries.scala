@@ -538,8 +538,34 @@ object TextQueries {
       |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296
       |      < CAST(floor(fr * 4294967296) AS BIGINT)""".stripMargin
 
+  /** Selection-only budget filter (Budget.budgetFilter — the
+    * corpus-never-shuffles path): same selection as q_budget_select,
+    * derived through thin per-priority totals + a boundary-group
+    * resolution, value-checked against the same cumulative-window
+    * oracle (minus the running total).
+    */
+  def qBudgetFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Budget.budgetFilter(
+        Tables.load(spark, dir, "documents"), "n_chars", "doc_id",
+        TextFunctions.tokenCount($"text"), budget = 10000L)
+      .select($"doc_id", $"n_chars")
+  }
+
+  val qBudgetFilterSql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    sum(tok) OVER (ORDER BY n_chars DESC, doc_id ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM (SELECT doc_id, n_chars,
+      |          len(list_filter(regexp_split_to_array(text, '\s+'),
+      |              x -> length(x) > 0)) AS tok
+      |        FROM documents))
+      |WHERE cum_tokens <= 10000""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_budget_select" -> (qBudgetSelect _),
+    "q_budget_filter" -> (qBudgetFilter _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
@@ -558,6 +584,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q_budget_select" -> qBudgetSelectSql,
+    "q_budget_filter" -> qBudgetFilterSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_text_extract" -> qTextExtractSql,
     "q_text_stats" -> qTextStatsSql,

@@ -42,6 +42,21 @@ class BudgetSpec extends SparkSpec {
     assert(all.agg(max("__cum_cost")).head.getLong(0) === 3000L)
   }
 
+  test("budgetFilter selects the same rows as budgetSelect without corpus shuffles") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i, i % 23, (i % 7) + 1)).toDF("id", "pri", "tok")
+    for (budget <- Seq(3L, 100L, 777L, 10000L)) {
+      val viaSelect = Budget.budgetSelect(df,
+          Seq($"pri".desc, $"id".asc), $"tok", budget)
+        .select("id").as[Long].collect().toSet
+      val viaFilter = Budget.budgetFilter(df, "pri", "id", $"tok", budget)
+        .select("id").as[Long].collect().toSet
+      assert(viaFilter === viaSelect, s"budget=$budget")
+    }
+    // budget below the first row keeps nothing on either path
+    assert(Budget.budgetFilter(df, "pri", "id", $"tok", 0L).count() === 0)
+  }
+
   test("budgetSelect on an empty frame returns empty") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("id", "tok")
