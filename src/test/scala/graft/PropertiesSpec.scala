@@ -98,6 +98,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dupGroups equals an independent union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- 20 to 25) {
+      val rnd = new Random(seed)
+      val nodes = 30 + rnd.nextInt(40)
+      val nEdges = 10 + rnd.nextInt(50)
+      val edges = (0 until nEdges).map { _ =>
+        val a = rnd.nextInt(nodes).toLong
+        val b = rnd.nextInt(nodes).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        // reference: plain in-memory union-find with path compression
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = parent.keys.map(x => x -> find(x)).toMap
+        val got = graft.dedup.Dedup.dupGroups(
+            edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === expected, s"seed=$seed nodes=$nodes edges=${edges.size}")
+      }
+    }
+  }
+
   test("jaccard ∈ [0,1], symmetric, 1 on self for non-empty shingle sets") {
     import spark.implicits._
     val rnd = new Random(42)
