@@ -326,6 +326,27 @@ object Dedup {
     df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Apply resolved groups keeping the BEST member per group by `score`
+    * (ties → lowest id) instead of the lowest id — the usual production
+    * policy: keep the longest / highest-quality copy of each near-dup
+    * cluster, not whichever happened to get the smallest id. Rows
+    * absent from `groups` have no duplicates and are kept. Shuffle
+    * cost: thin (id, canonical_id, score) rows through one `max_by`
+    * aggregate; the corpus itself is touched only by anti-joins on ids.
+    */
+  def keepBest(df: DataFrame, idCol: String, groups: DataFrame,
+               score: Column): DataFrame = {
+    val members = groups.withColumnRenamed("id", idCol)
+      .join(df.select(col(idCol), score.as("__score")), Seq(idCol))
+    // max (score, -id) = highest score, then lowest id on ties
+    val winners = members.groupBy("canonical_id")
+      .agg(max_by(col(idCol), struct(col("__score"), -col(idCol))).as(idCol))
+      .select(idCol)
+    val losers = members.select(idCol)
+      .join(winners, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val union = size(array_union(a, b))

@@ -108,6 +108,48 @@ object DedupQueries {
       |FROM s
       |WHERE CAST(ns AS DOUBLE) / (ns + 1) >= 0.8""".stripMargin
 
+  /** Best-member dup-group resolution, value-checked end-to-end: the
+    * 5-gram near-dup groups of [[qDupGroups]] resolve by HIGHEST
+    * n_chars (ties → lowest id) instead of lowest id — the production
+    * policy of keeping each cluster's longest copy. The oracle
+    * re-derives groups with the recursive CTE and picks winners with
+    * the identical ordering.
+    */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val grams = docs
+      .select($"doc_id", explode(
+        graft.text.Shingles.shingles(
+          TextFunctions.tokens(lower($"text")), 5)).as("gram"))
+    val shared = grams.groupBy($"gram").agg(count(lit(1)).as("__n"))
+      .filter($"__n".between(2, 16)).select("gram")
+    val thin = grams.join(shared, "gram")
+    val pairs = thin.as("a").join(thin.as("b"), "gram")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .filter($"id_a" < $"id_b").distinct()
+    Dedup.keepBest(docs, "doc_id", Dedup.dupGroups(pairs), $"n_chars")
+      .select($"doc_id", $"n_chars")
+  }
+
+  val qDedupKeepBestSql: String =
+    s"""$dupGroupsCte,
+       |canon AS (
+       |  SELECT node AS id, min(lbl) AS canonical_id
+       |  FROM reach GROUP BY node),
+       |members AS (
+       |  SELECT c.id, c.canonical_id, d.n_chars
+       |  FROM canon c JOIN documents d ON d.doc_id = c.id),
+       |winners AS (
+       |  SELECT id FROM (
+       |    SELECT id, row_number() OVER (
+       |      PARTITION BY canonical_id
+       |      ORDER BY n_chars DESC, id ASC) AS rn
+       |    FROM members) WHERE rn = 1)
+       |SELECT d.doc_id, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT id FROM canon)
+       |   OR d.doc_id IN (SELECT id FROM winners)""".stripMargin
+
   /** Pairwise 3-gram Jaccard over a deterministic candidate pairing
     * (adjacent doc ids) — exercises shingling + set-overlap scoring with
     * a value-level oracle.
@@ -212,7 +254,10 @@ object DedupQueries {
     * (used by the q_dup_groups oracle and, extended with the hash-band
     * rule, by q_leakage_split's).
     */
-  private val dupGroupsCte: String =
+  // lazy: referenced by oracle vals declared both before and after this
+  // point in the file — a plain val would interpolate null into the
+  // earlier ones (object vals initialize in declaration order)
+  private lazy val dupGroupsCte: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
       |                 x -> length(x) > 0) AS t
@@ -284,6 +329,7 @@ object DedupQueries {
   def queries: Map[String, Q] = Map(
     "q_dup_groups" -> (qDupGroups _),
     "q_leakage_split" -> (qLeakageSplit _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_against_near" -> (qDedupAgainstNear _),
@@ -296,6 +342,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "q_dup_groups" -> qDupGroupsSql,
     "q_leakage_split" -> qLeakageSplitSql,
+    "q_dedup_keep_best" -> qDedupKeepBestSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_against_near" -> qDedupAgainstNearSql,

@@ -78,6 +78,20 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Seq(21L))
   }
 
+  test("keepBest keeps the highest-scoring group member, min id on ties") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // group {1,2,3}: 2 wins (score tie with 3 → min id)
+      (4L, 5L),                        // ungrouped: kept
+      (5L, 7L), (6L, 9L)               // group {5,6}: 6 wins
+    ).toDF("doc_id", "len")
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("id", "canonical_id")
+    val kept = Dedup.keepBest(corpus, "doc_id", groups, col("len"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 4L, 6L))
+  }
+
   test("jaccard matches hand-computed shingle overlap") {
     import spark.implicits._
     val j = Seq(("a b c d", "a b c e"))
