@@ -186,15 +186,53 @@ object StreamingQueries {
       | AND epoch_us(p.ts) >= epoch_us(c.ts)
       | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000""".stripMargin
 
+  /** The daily-crawl ingest loop as ONE streaming pipeline: the
+    * q_dedup_incremental batch construction (new third + planted
+    * re-crawls of kept docs + within-batch copies) replayed through a
+    * REAL file-source stream into
+    * [[EventStreams.dedupIngestStream]] — per micro-batch cross-corpus
+    * fingerprint dedup + MergeTable landing. The warehouse table read
+    * back must equal the batch operator's survivors, so the oracle IS
+    * q_dedup_incremental's: streaming and batch incremental ingestion
+    * provably agree.
+    */
+  def qStreamDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-incr").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val ref = TableRef("silver", "stream", "docs_ingested")
+    val docsSchema = graft.Tables.load(spark, dir, "documents").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val baseS = stream.filter($"doc_id" % 3 === 0)
+    val fromKeptS = stream.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 === 1)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val fromBatchS = stream.filter($"doc_id" % 3 === 0 && $"doc_id" % 5 === 0)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+    val kept = graft.Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 3 =!= 0)
+    val query = EventStreams.dedupIngestStream(
+      baseS.unionByName(fromKeptS).unionByName(fromBatchS),
+      kept, wh, ref, "doc_id", "text", s"$base/chk")
+    query.awaitTermination()
+    wh.read(ref).select($"doc_id", $"n_chars")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_dedup_incr" -> (qStreamDedupIncr _),
     "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
     "q_stream_window" -> qStreamWindowSql,
     "q_session_window" -> qSessionWindowSql,
     "q_stream_dedup" -> qStreamDedupSql,
+    // streaming and batch incremental ingestion share one oracle
+    "q_stream_dedup_incr" -> DedupQueries.qDedupIncrementalSql,
     "q_stream_join" -> qStreamJoinSql)
 }

@@ -122,6 +122,41 @@ object EventStreams {
     * IngestorCDC uses (foreachBatch bridges the planners) — exactly the
     * generalization path SURVEY §2.13 sketches for the events table.
     */
+  /** Streaming incremental INGEST with cross-corpus dedup — the
+    * training-data daily-crawl loop as one streaming pipeline: each
+    * micro-batch drops rows whose content fingerprint already appears
+    * in the kept corpus OR among previously ingested survivors (the
+    * target table is part of the anti-join corpus, so a re-crawl in a
+    * later batch is dropped), dedups within itself (lowest id per
+    * fingerprint), and lands the survivors through the batch
+    * MergeTable — streaming and batch ingestion share one dedup and one
+    * merge implementation, so they cannot drift. At 100 TB the re-read
+    * of the target collapses to its DISTINCT fingerprints inside
+    * `exactDedupAgainst` (the corpus side never moves documents).
+    */
+  def dedupIngestStream(stream: DataFrame, kept: DataFrame,
+                        warehouse: Warehouse, ref: TableRef,
+                        idCol: String, textCol: String,
+                        checkpointDir: String): StreamingQuery = {
+    val mergeTable = new MergeTable(stream.sparkSession, warehouse, ref,
+      Seq(idCol), None)
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val prior =
+            if (warehouse.exists(ref)) kept.unionByName(warehouse.read(ref))
+            else kept
+          val fresh = graft.dedup.Dedup
+            .exactDedupAgainst(batch, prior, textCol, idCol)
+          if (!fresh.isEmpty) mergeTable.upsert(fresh)
+        }
+      }
+      .start()
+  }
+
   def cdcStream(stream: DataFrame, warehouse: Warehouse, ref: TableRef,
                 key: String, tsField: String,
                 checkpointDir: String): StreamingQuery = {

@@ -156,6 +156,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(got === Set((10L, 20L), (11L, 21L)))
   }
 
+  test("streaming dedup-ingest drops corpus dups AND later re-crawls of earlier batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new Warehouse(spark, tmpDir("wh-ingest"))
+    val ref = TableRef("silver", "stream", "docs")
+    val kept = Seq((1L, "already kept corpus document one"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+
+    // batch 1: a corpus dup (dropped), a novel doc, a within-batch copy
+    input.addData(
+      (10L, "already kept corpus document one"),
+      (11L, "genuinely new streaming document"),
+      (12L, "genuinely new streaming document"))
+    EventStreams.dedupIngestStream(stream, kept, wh, ref,
+      "doc_id", "text", tmpDir("ing-ckpt")).awaitTermination()
+    assert(wh.read(ref).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(11L))
+
+    // batch 2: re-crawl of batch 1's survivor is dropped (the target
+    // table joins the anti-join corpus); a new doc still lands
+    input.addData(
+      (20L, "genuinely new streaming document"),
+      (21L, "second wave fresh document"))
+    EventStreams.dedupIngestStream(stream, kept, wh, ref,
+      "doc_id", "text", tmpDir("ing-ckpt2")).awaitTermination()
+    assert(wh.read(ref).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(11L, 21L))
+  }
+
   test("streaming CDC merges micro-batches into the warehouse table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
