@@ -121,10 +121,16 @@ class PropertiesSpec extends SparkSpec {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val expected = parent.keys.map(x => x -> find(x)).toMap
-        val got = graft.dedup.Dedup.dupGroups(
-            edges.toDF("id_a", "id_b"))
+        // force the DISTRIBUTED pointer-jumping path (the default would
+        // take the driver union-find fast path here — circular)
+        val distributed = graft.dedup.Dedup.dupGroups(
+            edges.toDF("id_a", "id_b"), smallGraphEdges = 0L)
           .as[(Long, Long)].collect().toMap
-        assert(got === expected, s"seed=$seed nodes=$nodes edges=${edges.size}")
+        assert(distributed === expected, s"seed=$seed nodes=$nodes edges=${edges.size}")
+        // and the fast path must agree with the distributed one
+        val fast = graft.dedup.Dedup.dupGroups(edges.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(fast === distributed, s"seed=$seed (fast vs distributed)")
       }
     }
   }

@@ -129,6 +129,10 @@ class DedupSpec extends SparkSpec {
     val groups = Dedup.dupGroups(pairs)
       .as[(Long, Long)].collect().toMap
     assert(groups === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // the distributed pointer-jumping path agrees with the fast path
+    val distributed = Dedup.dupGroups(pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed === groups)
 
     val kept = Dedup.keepCanonical(docs, "doc_id",
         Dedup.dupGroups(pairs))
