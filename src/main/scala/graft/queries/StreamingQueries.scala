@@ -221,11 +221,75 @@ object StreamingQueries {
     wh.read(ref).select($"doc_id", $"n_chars")
   }
 
+  /** The complete crawl loop — streaming ingest with exact AND
+    * near-dup gating against the persisted band table. Batch
+    * construction keeps every drop decision oracle-expressible:
+    * verbatim re-crawls of kept docs (exact-dropped), one-appended-
+    * token clones of long kept docs (near-dropped at the SQL-computable
+    * Jaccard s/(s+1) ≥ 0.8), and token-prefixed transforms of the
+    * remaining third (every shingle differs from the corpus → Jaccard
+    * 0 → survive). The warehouse table read back must equal the
+    * survivor set the oracle derives.
+    */
+  def qStreamDedupNear(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-near").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val ref = TableRef("silver", "stream", "docs_near_ingested")
+    val bandsRef = TableRef("silver", "stream", "docs_bands")
+    val docsSchema = graft.Tables.load(spark, dir, "documents").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val reCrawls = stream.filter($"doc_id" % 3 =!= 0 && $"doc_id" % 7 === 1)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val nearClones = stream
+      .filter($"doc_id" % 3 =!= 0 && $"doc_id" % 4 === 1 && $"n_chars" >= 150)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+      .withColumn("text", concat($"text", lit(" zymurgy")))
+    val novel = stream.filter($"doc_id" % 3 === 0)
+      .withColumn("doc_id", $"doc_id" + 3000000L)
+      .withColumn("text", regexp_replace($"text", "(\\S+)", "x$1"))
+    val kept = graft.Tables.load(spark, dir, "documents")
+      .filter($"doc_id" % 3 =!= 0)
+    val query = EventStreams.dedupIngestStreamNear(
+      reCrawls.unionByName(nearClones).unionByName(novel),
+      kept, wh, ref, bandsRef, "doc_id", "text",
+      checkpointDir = s"$base/chk")
+    query.awaitTermination()
+    wh.read(ref).select($"doc_id", $"n_chars")
+  }
+
+  val qStreamDedupNearSql: String =
+    """WITH novel AS (
+      |  SELECT doc_id + 3000000 AS doc_id, n_chars FROM documents
+      |  WHERE doc_id % 3 = 0
+      |    AND doc_id IN (
+      |      SELECT min(doc_id) FROM documents WHERE doc_id % 3 = 0
+      |      GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g')))),
+      |clone_s AS (
+      |  SELECT doc_id, n_chars,
+      |    len(list_distinct(list_transform(
+      |      range(0, len(t) - 2),
+      |      i -> array_to_string(t[i+1:i+3], ' ')))) AS ns
+      |  FROM (SELECT doc_id, n_chars,
+      |          list_filter(regexp_split_to_array(text, '\s+'),
+      |                      x -> length(x) > 0) AS t
+      |        FROM documents
+      |        WHERE doc_id % 3 <> 0 AND doc_id % 4 = 1 AND n_chars >= 150))
+      |SELECT doc_id, n_chars FROM novel
+      |UNION ALL
+      |SELECT doc_id + 2000000 AS doc_id, n_chars FROM clone_s
+      |WHERE CAST(ns AS DOUBLE) / (ns + 1) < 0.8""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_dedup_incr" -> (qStreamDedupIncr _),
+    "q_stream_dedup_near" -> (qStreamDedupNear _),
     "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
@@ -234,5 +298,6 @@ object StreamingQueries {
     "q_stream_dedup" -> qStreamDedupSql,
     // streaming and batch incremental ingestion share one oracle
     "q_stream_dedup_incr" -> DedupQueries.qDedupIncrementalSql,
+    "q_stream_dedup_near" -> qStreamDedupNearSql,
     "q_stream_join" -> qStreamJoinSql)
 }

@@ -157,6 +157,58 @@ object EventStreams {
       .start()
   }
 
+  /** [[dedupIngestStream]] extended with NEAR-dup gating — the complete
+    * production crawl loop: each micro-batch (1) drops exact
+    * fingerprint matches against kept ∪ previously ingested, (2) drops
+    * near-dups of the PERSISTED MinHash band table (seeded from the
+    * kept corpus on first run; every batch's survivors append their own
+    * band rows, so batch N+1 catches paraphrases of batch N), and
+    * (3) lands survivors via the batch MergeTable. The band-table
+    * append rides `replaceDataFiles` with an empty replaced set — new
+    * files move in under the same crash-recovery intent journal as the
+    * merge. Caller contract: ids are globally unique across batches
+    * (the merge key and the band table both assume it).
+    */
+  def dedupIngestStreamNear(stream: DataFrame, kept: DataFrame,
+                            warehouse: Warehouse, ref: TableRef,
+                            bandsRef: TableRef,
+                            idCol: String, textCol: String,
+                            k: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, threshold: Double = 0.8,
+                            maxBucket: Int = 1000,
+                            checkpointDir: String): StreamingQuery = {
+    import graft.dedup.Dedup
+    val mergeTable = new MergeTable(stream.sparkSession, warehouse, ref,
+      Seq(idCol), None)
+    if (!warehouse.exists(bandsRef))
+      warehouse.overwrite(bandsRef,
+        Dedup.minhashBandTable(kept, idCol, textCol, k, numHashes, bands))
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val prior =
+            if (warehouse.exists(ref)) kept.unionByName(warehouse.read(ref))
+            else kept
+          val exact = Dedup.exactDedupAgainst(batch, prior, textCol, idCol)
+          val near = Dedup.minhashCandidatesAgainst(exact, prior,
+            warehouse.read(bandsRef), idCol, textCol,
+            k, numHashes, bands, threshold, maxBucket)
+          val fresh = exact.join(
+            near.select(col("batch_id").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          if (!fresh.isEmpty) {
+            mergeTable.upsert(fresh)
+            warehouse.replaceDataFiles(bandsRef, Seq.empty,
+              Dedup.minhashBandTable(fresh, idCol, textCol, k, numHashes, bands))
+          }
+        }
+      }
+      .start()
+  }
+
   def cdcStream(stream: DataFrame, warehouse: Warehouse, ref: TableRef,
                 key: String, tsField: String,
                 checkpointDir: String): StreamingQuery = {

@@ -187,6 +187,42 @@ class EventStreamsSpec extends SparkSpec {
       === Seq(11L, 21L))
   }
 
+  test("near-dup ingest catches paraphrases of EARLIER batches via the grown band table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new Warehouse(spark, tmpDir("wh-near-ingest"))
+    val ref = TableRef("silver", "stream", "docs")
+    val bandsRef = TableRef("silver", "stream", "bands")
+    val kept = Seq((1L, "the corpus keeps this very first document about distributed dedup today"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def run(ck: String) = EventStreams.dedupIngestStreamNear(
+      stream, kept, wh, ref, bandsRef, "doc_id", "text",
+      threshold = 0.5, checkpointDir = tmpDir(ck)).awaitTermination()
+
+    // batch 1: a near-dup of the KEPT doc (one token changed → dropped)
+    // and a novel doc (lands, and its bands are appended)
+    input.addData(
+      (10L, "the corpus keeps this very first document about distributed dedup tonight"),
+      (11L, "entirely fresh streaming material concerning prefix sums and range layouts in engines"))
+    run("near-ck1")
+    assert(wh.read(ref).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(11L))
+
+    // batch 2: a paraphrase of BATCH 1's survivor (one token changed) —
+    // only the grown band table can catch it; a fresh doc still lands
+    input.addData(
+      (20L, "entirely fresh streaming material concerning prefix sums and range layouts in systems"),
+      (21L, "completely unrelated second wave content about watermark state eviction policies"))
+    run("near-ck2")
+    assert(wh.read(ref).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(11L, 21L))
+    // the band table grew by both surviving docs' band rows
+    assert(wh.read(bandsRef).select("id").distinct()
+      .as[Long].collect().sorted.toSeq === Seq(1L, 11L, 21L))
+  }
+
   test("streaming CDC merges micro-batches into the warehouse table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
