@@ -215,6 +215,9 @@ object Dedup {
                                k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                                threshold: Double = 0.7,
                                maxBucket: Int = 1000): DataFrame = {
+    // the batch band rows feed both the width count and the candidate
+    // join; Spark's exchange reuse dedups the repeated subtree at
+    // runtime (measured: an explicit localCheckpoint bought nothing)
     val batchBands = minhashBandTable(batch, idCol, textCol, k, numHashes, bands)
     val widths = batchBands.select("band", "bucket")
       .union(keptBands.select("band", "bucket"))

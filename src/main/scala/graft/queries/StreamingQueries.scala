@@ -254,9 +254,13 @@ object StreamingQueries {
       .withColumn("text", regexp_replace($"text", "(\\S+)", "x$1"))
     val kept = graft.Tables.load(spark, dir, "documents")
       .filter($"doc_id" % 3 =!= 0)
+    // numHashes 32 / bands 8: half the default signature compute; the
+    // planted clones sit at J ≈ 0.96 where 8 bands of 4 hashes still
+    // give ~1 - 3e-8 recall (and deterministic on fixed data)
     val query = EventStreams.dedupIngestStreamNear(
       reCrawls.unionByName(nearClones).unionByName(novel),
       kept, wh, ref, bandsRef, "doc_id", "text",
+      numHashes = 32, bands = 8,
       checkpointDir = s"$base/chk")
     query.awaitTermination()
     wh.read(ref).select($"doc_id", $"n_chars")
