@@ -78,6 +78,33 @@ class DedupSpec extends SparkSpec {
     assert(survivors === Seq(21L))
   }
 
+  test("incremental near-dup candidates equal whole-corpus recompute on the cross pairs") {
+    import spark.implicits._
+    // same signatures, same band keys, same bucket widths (the against-
+    // cap counts batch ∪ kept = the whole corpus) → the incremental join
+    // must reproduce the whole-corpus candidate set restricted to
+    // batch×kept pairs EXACTLY, jaccard values included
+    val kept = docs.filter($"doc_id" <= 4L)
+    val batch = Seq(
+      (20L, "the quick brown fox jumps over the lazy cat near the river bank today"),
+      (21L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"),
+      (22L, "entirely unrelated corpus material regarding distributed shuffle exchanges"))
+      .toDF("doc_id", "text")
+    val keptBands = Dedup.minhashBandTable(kept, "doc_id", "text")
+    val incremental = Dedup.minhashCandidatesAgainst(batch, kept, keptBands,
+        "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val whole = Dedup.minhashCandidates(kept.unionByName(batch),
+        "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .collect { // cross pairs only, oriented (batch_id, kept_id)
+        case (a, b, j) if a <= 4L && b >= 20L => (b, a, j)
+        case (a, b, j) if a >= 20L && b <= 4L => (a, b, j)
+      }.toSet
+    assert(incremental === whole)
+    assert(incremental.nonEmpty) // the construction really produces pairs
+  }
+
   test("keepBest keeps the highest-scoring group member, min id on ties") {
     import spark.implicits._
     val corpus = Seq(
