@@ -39,6 +39,14 @@ final case class AudioFeatures(
     duration_us: Long,
     rms: Double)            // root-mean-square amplitude in [0,1]; -1 = undecodable
 
+/** Decoded per-frame features (REAL multi-frame decode path). */
+final case class FrameFeatures(
+    media_id: Long,
+    frame_ix: Int,
+    width: Int,
+    height: Int,
+    brightness: Double)
+
 /** Sampled video frame reference. */
 final case class FrameSample(
     media_id: Long,
@@ -224,12 +232,104 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic multi-frame animated GIF (one solid-gray frame per
+    * `grays` entry) — the fixture generator for [[decodeFrames]]'s
+    * value-checked gate entry, mirroring [[synthesizePng]].
+    */
+  def synthesizeGif(width: Int, height: Int, grays: Seq[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, s"degenerate image ${width}x$height")
+    require(grays.nonEmpty && grays.forall(g => g >= 0 && g <= 255),
+      s"grays out of range: $grays")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    grays.foreach { g =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode for containers javax.imageio can demux —
+    * animated GIF being the one video-adjacent format the JDK ships a
+    * decoder for. Every `every`-th stored frame decodes to pixels;
+    * width/height/brightness come from the DECODED frame (same bounded
+    * ≤128×128 sample grid as [[decodeImage]]). Undecodable payloads
+    * yield one `frame_ix = -1, brightness = -1` sentinel row — corrupt
+    * media must stay visible, not vanish. General containers
+    * (mp4/webm) still need an external demuxer; see [[sampleFrames]]
+    * for that (stubbed) path.
+    */
+  def decodeFrames(media: Dataset[MediaRecord], every: Int = 1): Dataset[FrameFeatures] = {
+    require(every >= 1, s"every must be >= 1: $every")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      def sentinel(id: Long) = Seq(FrameFeatures(id, -1, 0, 0, -1.0))
+      it.flatMap { m =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) sentinel(m.media_id)
+          else {
+            val reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val out = (0 until n by every).map { i =>
+              val img = reader.read(i)
+              val w = img.getWidth
+              val h = img.getHeight
+              val stepX = math.max(1, w / 128)
+              val stepY = math.max(1, h / 128)
+              var sum = 0.0
+              var cnt = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                    (rgb & 0xff)) / (3.0 * 255.0)
+                  cnt += 1
+                  x += stepX
+                }
+                y += stepY
+              }
+              FrameFeatures(m.media_id, i, w, h,
+                if (cnt == 0) 0.0 else sum / cnt)
+            }
+            reader.dispose()
+            out
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => sentinel(m.media_id)
+        }
+      }
+    }
+  }
+
   /** Uniform frame sampling: one output row per sampled frame. Row
     * expansion happens executor-side (flatMap) — a 2-hour video never
     * exists as one driver object.
     *
-    * ==== STUB ==== real impl: demux + seek via ffmpeg per partition;
-    * here each "frame" is a content slice, deterministic and testable.
+    * ==== STUB ==== real impl for general containers: demux + seek via
+    * ffmpeg per partition; here each "frame" is a content slice,
+    * deterministic and testable. For JDK-decodable multi-frame media
+    * (animated GIF) use [[decodeFrames]], which is REAL.
     */
   def sampleFrames(media: Dataset[MediaRecord], everyMs: Long): Dataset[FrameSample] = {
     import media.sparkSession.implicits._

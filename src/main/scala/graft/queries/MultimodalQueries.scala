@@ -141,13 +141,55 @@ object MultimodalQueries {
       |        / greatest(octet_length(encode(text)), 1), 6) AS value
       |FROM documents, range(0, 8) t(i)""".stripMargin
 
+  /** REAL multi-frame decode, value-checked end-to-end: each document
+    * becomes a deterministic animated GIF (2-5 solid-gray frames; size
+    * and per-frame gray are pure functions of n_chars, doc_id, and the
+    * frame index), the executors demux and decode every 2nd frame with
+    * javax.imageio, and the oracle re-derives frame indexes, decoded
+    * dimensions, and per-frame brightness from the same formulas — the
+    * video-side analogue of q_mm_decode, replacing declared-metadata
+    * checking with decoded-pixel checking for JDK-demuxable media.
+    * (brightness = g/255 can never land on a rounding half at 6dp:
+    * 2·g·10⁶ ≡ 255 (mod 510) has no solution — even vs odd.)
+    */
+  def qMmGifFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select(
+        $"doc_id",
+        ($"n_chars" % 32 + 1).cast("int").as("w"),
+        ($"n_chars" % 24 + 1).cast("int").as("h"),
+        ($"n_chars" % 4 + 2).cast("int").as("nf"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, w, h, nf) =>
+        val grays = (0 until nf).map(i => ((id * 7 + i * 31) % 256).toInt)
+        MediaRecord(id, "video", s"mem://gif/$id",
+          Multimodal.synthesizeGif(w, h, grays), None, None, None)
+      }
+    Multimodal.decodeFrames(media, every = 2)
+      .toDF()
+      .select($"media_id", $"frame_ix", $"width", $"height",
+        round($"brightness", 6).as("brightness"))
+  }
+
+  val qMmGifFramesSql: String =
+    """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_ix,
+      |  CAST(n_chars % 32 + 1 AS INTEGER) AS width,
+      |  CAST(n_chars % 24 + 1 AS INTEGER) AS height,
+      |  round(CAST((doc_id * 7 + i * 31) % 256 AS DOUBLE) / 255, 6)
+      |    AS brightness
+      |FROM documents,
+      |  LATERAL (SELECT unnest(range(0, n_chars % 4 + 2, 2)) AS i) s""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_mm_gif_frames" -> (qMmGifFrames _),
     "q_mm_decode" -> (qMmDecode _),
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_embed" -> (qMmEmbed _))
 
   def oracles: Map[String, String] = Map(
+    "q_mm_gif_frames" -> qMmGifFramesSql,
     "q_mm_decode" -> qMmDecodeSql,
     "q_mm_audio" -> qMmAudioSql,
     "q_mm_frames" -> qMmFramesSql,

@@ -65,6 +65,28 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).rms === -1.0 && feats(1).duration_us === 777000L)
   }
 
+  test("decodeFrames: real animated-GIF demux, every-th sampling, corrupt sentinel") {
+    import spark.implicits._
+    val gif = Multimodal.synthesizeGif(8, 6, Seq(0, 51, 102, 153, 204))
+    val media = Seq(
+      MediaRecord(1L, "video", "mem://g/1", gif, None, None, None),
+      MediaRecord(2L, "video", "mem://g/2", Array[Byte](1, 2, 3), None, None, None),
+      MediaRecord(3L, "image", "mem://p/3", gif, None, None, None) // wrong kind: excluded
+    ).toDS()
+    val out = Multimodal.decodeFrames(media, every = 2)
+      .collect().sortBy(f => (f.media_id, f.frame_ix))
+    val good = out.filter(_.media_id == 1L)
+    // frames 0, 2, 4 of five; solid gray g decodes to brightness g/255
+    assert(good.map(_.frame_ix).toSeq === Seq(0, 2, 4))
+    assert(good.forall(f => f.width == 8 && f.height == 6))
+    assert(good.map(f => math.round(f.brightness * 255).toInt).toSeq
+      === Seq(0, 102, 204))
+    // corrupt payload → one sentinel row, not a dropped id
+    val bad = out.filter(_.media_id == 2L)
+    assert(bad.map(f => (f.frame_ix, f.brightness)).toSeq === Seq((-1, -1.0)))
+    assert(!out.exists(_.media_id == 3L))
+  }
+
   test("sampleFrames expands videos only, one row per interval") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000).collect()
     assert(frames.forall(_.media_id == 3L))
