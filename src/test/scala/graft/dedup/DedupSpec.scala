@@ -119,6 +119,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(2L, 4L, 6L))
   }
 
+  test("dedupAgainst is idempotent: its survivors re-dedup to themselves") {
+    import spark.implicits._
+    val kept = docs.filter($"doc_id".isin(1L, 5L))
+    val keptBands = Dedup.minhashBandTable(kept, "doc_id", "text")
+    val batch = Seq(
+      (30L, "the quick brown fox jumps over the lazy cat near the river bank today"), // near dup → dropped
+      (31L, "fresh material on idempotent incremental ingestion semantics and proofs"),
+      (32L, "fresh material on idempotent incremental ingestion semantics and proofs") // within-batch dup
+    ).toDF("doc_id", "text")
+    val once = Dedup.dedupAgainst(batch, kept, keptBands, "doc_id", "text",
+      threshold = 0.3)
+    val twice = Dedup.dedupAgainst(once, kept, keptBands, "doc_id", "text",
+      threshold = 0.3)
+    assert(once.select("doc_id").as[Long].collect().sorted.toSeq === Seq(31L))
+    assert(twice.select("doc_id").as[Long].collect().toSeq ===
+      once.select("doc_id").as[Long].collect().toSeq)
+  }
+
   test("jaccard matches hand-computed shingle overlap") {
     import spark.implicits._
     val j = Seq(("a b c d", "a b c e"))

@@ -57,6 +57,22 @@ class BudgetSpec extends SparkSpec {
     assert(Budget.budgetFilter(df, "pri", "id", $"tok", 0L).count() === 0)
   }
 
+  test("budget selection is monotone in the budget (prefix property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1L to 300L).map(i => (i, rnd.nextInt(50).toLong, (rnd.nextInt(9) + 1).toLong))
+      .toDF("id", "pri", "tok")
+    val budgets = Seq(10L, 80L, 300L, 900L)
+    val selections = budgets.map { b =>
+      Budget.budgetSelect(df, Seq($"pri".desc, $"id".asc), $"tok", b)
+        .select("id").as[Long].collect().toSet
+    }
+    selections.sliding(2).foreach {
+      case Seq(small, large) => assert(small.subsetOf(large))
+      case _ =>
+    }
+  }
+
   test("budgetSelect on an empty frame returns empty") {
     import spark.implicits._
     val df = Seq.empty[(Long, Long)].toDF("id", "tok")

@@ -200,6 +200,9 @@ class MergeSpec extends SparkSpec {
     assert(dupCount > 0) // corruption is real before recovery
     new MergeTable(spark, fwdWh, ref, Seq("k"), Some("t")).upsert(batch)
     assert(fwdWh.read(ref).collect().toSet === expected)
+    // recovery is a no-op once the journal is resolved
+    assert(!fwdWh.recover(ref))
+    assert(fwdWh.read(ref).collect().toSet === expected)
 
     // ARM 2 — crash mid-adds: some new files landed, the journal lists
     // one that never did → recovery must roll BACK (remove the partial
