@@ -196,9 +196,17 @@ object EventStreams {
           val near = Dedup.minhashCandidatesAgainst(exact, prior,
             warehouse.read(bandsRef), idCol, textCol,
             k, numHashes, bands, threshold, maxBucket)
+          // Materialize survivors BEFORE the upsert: fresh's lazy plan
+          // reads the target table's file snapshot taken at the top of
+          // this batch, and upsert replaces those files (touched-file
+          // merge or full rewrite). Re-executing the plan for the band
+          // append would then read deleted files — FileNotFoundException
+          // after the merge already committed, and on restart the
+          // replayed batch dedups to empty so the survivors' band rows
+          // would be permanently missing.
           val fresh = exact.join(
             near.select(col("batch_id").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
+            Seq(idCol), "left_anti").localCheckpoint()
           if (!fresh.isEmpty) {
             mergeTable.upsert(fresh)
             warehouse.replaceDataFiles(bandsRef, Seq.empty,

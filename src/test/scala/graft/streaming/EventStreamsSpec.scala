@@ -223,6 +223,39 @@ class EventStreamsSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq === Seq(1L, 11L, 21L))
   }
 
+  test("near-dup ingest survives a same-id update batch (band append after touched-file merge)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new Warehouse(spark, tmpDir("wh-near-update"))
+    val ref = TableRef("silver", "stream", "docs")
+    val bandsRef = TableRef("silver", "stream", "bands")
+    val kept = Seq((1L, "the corpus keeps this very first document about distributed dedup today"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    def run(ck: String) = EventStreams.dedupIngestStreamNear(
+      stream, kept, wh, ref, bandsRef, "doc_id", "text",
+      threshold = 0.5, checkpointDir = tmpDir(ck)).awaitTermination()
+
+    input.addData(
+      (11L, "entirely fresh streaming material concerning prefix sums and range layouts in engines"))
+    run("upd-ck1")
+    assert(wh.read(ref).count() === 1L)
+
+    // same id re-crawled with genuinely new content: the merge REPLACES
+    // the data file holding id 11, so the band append must run against
+    // materialized survivors — a lazy plan over the pre-merge file
+    // snapshot would hit FileNotFoundException (or silently lose bands)
+    input.addData(
+      (11L, "updated crawl of document eleven with completely different wording and subject matter"))
+    run("upd-ck2")
+    val after = wh.read(ref).as[(Long, String)].collect().toMap
+    assert(after.keySet === Set(11L))
+    assert(after(11L).startsWith("updated crawl"))
+    assert(wh.read(bandsRef).select("id").distinct()
+      .as[Long].collect().toSet === Set(1L, 11L))
+  }
+
   test("streaming CDC merges micro-batches into the warehouse table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
