@@ -23,6 +23,12 @@ object TableRef {
   }
 }
 
+/** A mutating write found another writer's live lock on the table —
+  * proceeding would corrupt it silently (lost update / interleaved file
+  * replacement). The failed writer has not touched the table.
+  */
+final class ConcurrentWriteException(msg: String) extends IllegalStateException(msg)
+
 /** Path-backed warehouse: each `catalog.schema.table` is a parquet
   * directory `$root/catalog/schema/table`. Replaces the reference's
   * Databricks catalog + Delta storage (SURVEY.md §1.1) — no Delta jar
@@ -33,8 +39,19 @@ object TableRef {
   * read and succeed on retry. On a real cluster this would be a
   * transactional format's job (Delta/Iceberg); the engine's operators are
   * storage-agnostic DataFrames either way.
+  *
+  * A second IN-FLIGHT writer is DETECTED, not merged: every mutating
+  * path ([[overwrite]], [[replaceDataFiles]] and everything built on
+  * them) holds a per-table lock file for the duration of the write and
+  * fails loudly if another writer holds it — silent lost-update
+  * corruption becomes an exception. The lock is a LEASE: a crashed
+  * writer cannot release it, so a lock older than `writerLeaseMs` is
+  * considered abandoned and broken by the next writer (after journal
+  * recovery heals any half-applied replacement). Size the lease above
+  * the longest expected single write.
   */
-final class Warehouse(spark: SparkSession, val root: String) {
+final class Warehouse(spark: SparkSession, val root: String,
+                      writerLeaseMs: Long = 15L * 60 * 1000) {
 
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
@@ -45,6 +62,56 @@ final class Warehouse(spark: SparkSession, val root: String) {
   def exists(ref: TableRef): Boolean = {
     val p = new Path(path(ref))
     fs(p).exists(p)
+  }
+
+  /** Acquire the per-table writer lock for the duration of `body`.
+    *
+    * The lock is a SIBLING file of the table directory (`<table>.lock`)
+    * so it exists independently of the table and is never listed by
+    * scans. Acquisition is an atomic create-if-absent; the content
+    * (`pid@host` + epoch millis) identifies the holder for the error
+    * message. A conflict throws [[ConcurrentWriteException]] — the
+    * caller's write has NOT touched the table. A lock whose modification
+    * time is older than `writerLeaseMs` belongs to a crashed writer
+    * (nothing can release it) and is broken once, with the retry racing
+    * atomically against other breakers.
+    */
+  private def withWriterLock[T](ref: TableRef)(body: => T): T = {
+    val lock = new Path(path(ref) + ".lock")
+    val filesystem = fs(lock)
+    filesystem.mkdirs(lock.getParent)
+    def tryAcquire(): Boolean =
+      try {
+        val out = filesystem.create(lock, false)
+        try out.write(
+          (java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+            s"\t${System.currentTimeMillis()}\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      val stale =
+        try filesystem.getFileStatus(lock).getModificationTime <=
+          System.currentTimeMillis() - writerLeaseMs
+        catch { case _: java.io.FileNotFoundException => true } // just released
+      if (stale) filesystem.delete(lock, false)
+      if (!stale || !tryAcquire()) {
+        val holder =
+          try {
+            val in = filesystem.open(lock)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          } catch { case scala.util.control.NonFatal(_) => "<unreadable>" }
+        throw new ConcurrentWriteException(
+          s"table $ref has another in-flight writer (lock held by: $holder); " +
+            "concurrent writes would corrupt the table silently — " +
+            "serialize writers, or break the lease if the holder crashed " +
+            s"(auto-breaks after ${writerLeaseMs / 1000}s)")
+      }
+    }
+    try body
+    finally { filesystem.delete(lock, false); () }
   }
 
   def read(ref: TableRef): DataFrame = {
@@ -78,6 +145,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
       require(!df.columns.contains(k),
         s"static partition column '$k' must be dropped from the frame")
     }
+    withWriterLock(ref) {
     val target = new Path(path(ref))
     val filesystem = fs(target)
     filesystem.mkdirs(target.getParent)
@@ -112,6 +180,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
       filesystem.delete(tmp, true)
       ()
     }
+    }
   }
 
   /** K4 TRUNCATE (lib/checker_handler.py:119): keep the table, drop rows. */
@@ -131,8 +200,11 @@ final class Warehouse(spark: SparkSession, val root: String) {
     val rootPath = new Path(root)
     val filesystem = fs(rootPath)
     if (!filesystem.exists(rootPath)) return Seq.empty
+    // underscore/dot prefixes are metadata (e.g. `_logs` run records),
+    // never catalogs
     def dirs(p: Path) =
       filesystem.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+        .filterNot(d => d.getName.startsWith("_") || d.getName.startsWith("."))
     for {
       cat <- dirs(rootPath)
       sch <- dirs(cat)
@@ -411,7 +483,7 @@ final class Warehouse(spark: SparkSession, val root: String) {
     */
   def replaceDataFiles(ref: TableRef, replaced: Seq[String],
                        replacement: DataFrame,
-                       subdir: Option[String] = None): Unit = {
+                       subdir: Option[String] = None): Unit = withWriterLock(ref) {
     recover(ref)
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))

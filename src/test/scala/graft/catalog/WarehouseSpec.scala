@@ -33,6 +33,56 @@ class WarehouseSpec extends SparkSpec {
     assert(!wh.exists(ref))
   }
 
+  test("a second in-flight writer fails loudly and the table stays consistent") {
+    import spark.implicits._
+    val root = tmpDir("wh-lock")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("bronze", "lock", "t")
+    wh.overwrite(ref, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+
+    // writer A in flight: its lock file exists (sibling of the table dir)
+    val lock = new org.apache.hadoop.fs.Path(wh.path(ref) + ".lock")
+    val filesystem = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = filesystem.create(lock, false)
+    out.write(s"writer-A\t${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    out.close()
+
+    // writer B: both mutating paths refuse before touching anything
+    val e1 = intercept[ConcurrentWriteException](
+      wh.overwrite(ref, Seq(("x", 9)).toDF("k", "v")))
+    assert(e1.getMessage.contains("writer-A"))
+    intercept[ConcurrentWriteException](
+      wh.replaceDataFiles(ref, Seq.empty, Seq(("y", 8)).toDF("k", "v")))
+    // nothing changed: writer A's view of the table is intact
+    assert(wh.read(ref).as[(String, Int)].collect().toSet
+      === Set(("a", 1), ("b", 2)))
+
+    // writer A releases (or: completes); B succeeds now
+    filesystem.delete(lock, false)
+    wh.overwrite(ref, Seq(("x", 9)).toDF("k", "v"))
+    assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("x", 9)))
+  }
+
+  test("an expired writer lease is broken: crashed writers don't wedge the table") {
+    import spark.implicits._
+    val root = tmpDir("wh-lease")
+    val wh = new Warehouse(spark, root, writerLeaseMs = 0L)
+    val ref = TableRef("bronze", "lock", "t")
+    wh.overwrite(ref, Seq(("a", 1)).toDF("k", "v"))
+
+    // a crashed writer's leftover lock, older than the (zero) lease
+    val lock = new org.apache.hadoop.fs.Path(wh.path(ref) + ".lock")
+    val filesystem = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = filesystem.create(lock, false)
+    out.write("writer-crashed\t0\n".getBytes("UTF-8")); out.close()
+    Thread.sleep(5)
+
+    wh.overwrite(ref, Seq(("b", 2)).toDF("k", "v"))
+    assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("b", 2)))
+    // the winning writer released its own lock on the way out
+    assert(!filesystem.exists(lock))
+  }
+
   test("three-part name parsing validates") {
     assert(TableRef.parse("a.b.c") === TableRef("a", "b", "c"))
     intercept[IllegalArgumentException](TableRef.parse("a.b"))
