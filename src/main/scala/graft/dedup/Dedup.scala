@@ -300,9 +300,18 @@ object Dedup {
       val spark = pairs.sparkSession
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap[Long]()
+      // iterative find (walk to root, then compress the walked chain):
+      // union-by-min has no rank, so a chain-shaped component — the
+      // typical gram/shingle graph — processed in descending order
+      // builds an O(n) parent chain, and a recursive find would
+      // overflow the driver stack at the default edge cap
       def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        var p = parent.getOrElseUpdate(root, root)
+        while (p != root) { root = p; p = parent.getOrElseUpdate(root, root) }
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       edgesRaw.as[(Long, Long)].collect().foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -345,6 +354,14 @@ object Dedup {
       labels = next.select("id", "label")
       i += 1
     }
+    // pointer jumping converges in O(log diameter) so this should never
+    // fire in practice — but returning silently would hand the caller
+    // possibly-non-canonical groups with no signal (split dup groups →
+    // duplicates kept). Fail loudly instead.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupGroups did not converge within maxIters=$maxIters pointer-jumping " +
+          "iterations; labels may be non-canonical — raise maxIters")
     labels.select(col("id"), col("label").as("canonical_id"))
   }
 
@@ -439,17 +456,33 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 200): DataFrame = {
+    import graft.util.PhaseTimer.time
     val chunks = maxHamming + 1
     val width = (simhashBits + chunks - 1) / chunks
-    val sigs = spreadThin(df, idCol, textCol).select(col(idCol).as("id"),
-      simhash(TextFunctions.tokens(col(textCol))).as("sig"))
+    // materialize the thin (id, sig) frame ONCE: the self-join below
+    // plus the bucket-count aggregate would otherwise re-run the
+    // signature projection in three plan branches (the repartition
+    // exchange is reused across branches, the per-row simhash compute
+    // is not). The eager checkpoint also makes the cost attributable —
+    // the phase timer surfaces sig compute vs the rest in the bench
+    // artifact's phases map.
+    val sigs = time("simhash.sigs") {
+      spreadThin(df, idCol, textCol).select(col(idCol).as("id"),
+        simhash(TextFunctions.tokens(col(textCol))).as("sig"))
+        .localCheckpoint()
+    }
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { i =>
         shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk_ix", "chunk_val")))
-    val bucketCounts = chunked.groupBy("chunk_ix", "chunk_val")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket && col("n") > 1)
+    // tiny frame (surviving (chunk_ix, chunk_val) keys only) — eager so
+    // the bucket-count phase is timed apart from the pair join
+    val bucketCounts = time("simhash.buckets") {
+      chunked.groupBy("chunk_ix", "chunk_val")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket && col("n") > 1)
+        .localCheckpoint()
+    }
     val bounded = chunked.join(bucketCounts, Seq("chunk_ix", "chunk_val"), "left_semi")
     bounded.as("l")
       .join(bounded.as("r"),

@@ -186,6 +186,36 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 5L, 6L))
   }
 
+  test("dupGroups fast path survives a descending 100k-edge chain (iterative find)") {
+    import spark.implicits._
+    // a chain component built top-down grows an O(n) parent chain under
+    // union-by-min; a recursive find would overflow the driver stack at
+    // exactly this shape and scale (the documented typical gram graph)
+    val n = 100000L
+    val chain = spark.range(n)
+      .selectExpr(s"$n - id as id_a", s"${n - 1} - id as id_b")
+    val groups = Dedup.dupGroups(chain)
+    val (rows, maxCanonical) = groups
+      .agg(count(lit(1)), max(col("canonical_id")))
+      .as[(Long, Long)].head()
+    assert(rows === n + 1)
+    assert(maxCanonical === 0L)
+  }
+
+  test("dupGroups fails loudly when maxIters expires before convergence") {
+    import spark.implicits._
+    val chain = (1L to 40L).sliding(2).map(w => (w(0), w(1))).toSeq
+      .toDF("id_a", "id_b")
+    // distributed path forced; a 40-node chain cannot converge in one
+    // pointer-jumping round — silent return would hand back split groups
+    assertThrows[IllegalStateException](
+      Dedup.dupGroups(chain, maxIters = 1, smallGraphEdges = 0L))
+    // and with room to converge the same input resolves fully
+    val ok = Dedup.dupGroups(chain, maxIters = 16, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(1L))
+  }
+
   test("native minhash/simhash expressions agree bit-for-bit with the HOF forms") {
     import spark.implicits._
     // includes an empty doc and a doc shorter than the shingle width
