@@ -182,13 +182,44 @@ object DedupQueries {
        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)""".stripMargin
   }
 
-  /** MinHash-LSH near-dup candidates (rows-only check: xxhash64-based).
-    * Threshold low enough that the synthetic corpus yields pairs.
+  /** MinHash-LSH near-dup candidates, VALUE-checked via the planted-
+    * Jaccard construction proven on [[qDedupAgainstNear]]: the corpus is
+    * `documents` plus appended-one-novel-token re-crawls of its long
+    * docs, so each planted pair's true Jaccard is the SQL-computable
+    * s/(s+1) ≈ 0.96 — far above the per-band collision knee, making
+    * whole-corpus LSH discovery deterministic on fixed data (checked at
+    * all three SFs). The planted-pairing filter (id_b = id_a + 1e6 —
+    * no organic doc_id spread reaches 1e6) keeps the output
+    * oracle-expressible while the candidate generation still runs over
+    * the full combined corpus through the banded self-join.
     */
-  def qMinhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(Tables.load(spark, dir, "documents"),
-      "doc_id", "text", k = 3, numHashes = 64, bands = 16, threshold = 0.2,
-      maxBucket = 200)
+  def qMinhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.filter($"doc_id" % 4 === 1 && $"n_chars" >= 150)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" zymurgy")))
+    Dedup.minhashCandidates(docs.unionByName(planted), "doc_id", "text",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .filter($"id_b" === $"id_a" + 1000000L)
+      .select($"id_a", $"id_b", $"jaccard")
+  }
+
+  val qMinhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(regexp_split_to_array(text, '\s+'),
+      |                     x -> length(x) > 0) AS t
+      |  FROM documents WHERE doc_id % 4 = 1 AND n_chars >= 150),
+      |s AS (
+      |  SELECT doc_id, len(list_distinct(list_transform(
+      |           range(0, len(t) - 2),
+      |           i -> array_to_string(t[i+1:i+3], ' ')))) AS ns
+      |  FROM toks)
+      |SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+      |       round(CAST(ns AS DOUBLE) / (ns + 1), 6) AS jaccard
+      |FROM s
+      |WHERE round(CAST(ns AS DOUBLE) / (ns + 1), 6) >= 0.8""".stripMargin
 
   /** SimHash near-dups (rows-only check: xxhash64-based). maxHamming=6:
     * the synthetic corpus shares one small vocabulary, so looser bounds
@@ -346,5 +377,6 @@ object DedupQueries {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_against_near" -> qDedupAgainstNearSql,
+    "q_minhash_pairs" -> qMinhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql)
 }
