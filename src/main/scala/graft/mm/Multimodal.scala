@@ -280,13 +280,18 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       def sentinel(id: Long) = Seq(FrameFeatures(id, -1, 0, 0, -1.0))
       it.flatMap { m =>
+        // decoder resources released in finally: a corrupt record midway
+        // through reader.read(i) must not leak the native decoder or the
+        // input stream in a long-running executor
+        var iis: javax.imageio.stream.ImageInputStream = null
+        var reader: javax.imageio.ImageReader = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(m.content))
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (!readers.hasNext) sentinel(m.media_id)
           else {
-            val reader = readers.next()
+            reader = readers.next()
             reader.setInput(iis)
             val n = reader.getNumImages(true)
             val out = (0 until n by every).map { i =>
@@ -312,11 +317,15 @@ object Multimodal {
               FrameFeatures(m.media_id, i, w, h,
                 if (cnt == 0) 0.0 else sum / cnt)
             }
-            reader.dispose()
             out
           }
         } catch {
           case scala.util.control.NonFatal(_) => sentinel(m.media_id)
+        } finally {
+          if (reader != null) reader.dispose()
+          if (iis != null)
+            try iis.close()
+            catch { case scala.util.control.NonFatal(_) => () }
         }
       }
     }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.mm.{MediaRecord, Multimodal}
+import graft.mm.{MediaRecord, Mp4, Multimodal}
 
 /** Multimodal plumbing in the gate. The image path decodes REAL
   * generated PNGs through javax.imageio and value-checks the decoded
@@ -123,22 +123,26 @@ object MultimodalQueries {
       |  unnest(range(n_chars * 10 // 1000)) * 1000 AS ts_ms
       |FROM documents""".stripMargin
 
-  /** Media → embedding extraction (stub encoder, real byte-level
-    * partition-local batch path): byte-frequency features the oracle
-    * re-derives with char counting — valid because 'a'..'h' bytes never
-    * occur inside UTF-8 multibyte sequences.
+  /** Media "embedding" plumbing — HONEST LABELING: the value column is
+    * named `byte_histogram` because that is what it IS (the stand-in
+    * features of [[Multimodal.embedMedia]], a byte-frequency histogram,
+    * NOT a learned embedding — no ONNX/vision encoder ships in this
+    * environment). What this query value-checks is the real part: the
+    * binary-column batch path (mapPartitions with per-partition session
+    * init point, long-format output, oracle-derivable features). Swap
+    * the stand-in for an encoder and the plumbing is unchanged.
     */
   def qMmEmbed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Multimodal.embedMedia(asMedia(spark, dir, "image"), dim = 8)
       .toDF()
-      .select($"media_id", $"dim", round($"value", 6).as("value"))
+      .select($"media_id", $"dim", round($"value", 6).as("byte_histogram"))
   }
 
   val qMmEmbedSql: String =
     """SELECT doc_id AS media_id, CAST(i AS INTEGER) AS dim,
       |  round(CAST(len(text) - len(replace(text, chr(CAST(97 + i AS INTEGER)), '')) AS DOUBLE)
-      |        / greatest(octet_length(encode(text)), 1), 6) AS value
+      |        / greatest(octet_length(encode(text)), 1), 6) AS byte_histogram
       |FROM documents, range(0, 8) t(i)""".stripMargin
 
   /** REAL multi-frame decode, value-checked end-to-end: each document
@@ -181,7 +185,57 @@ object MultimodalQueries {
       |FROM documents,
       |  LATERAL (SELECT unnest(range(0, n_chars % 4 + 2, 2)) AS i) s""".stripMargin
 
+  /** REAL mp4 container demux, value-checked end-to-end: each document
+    * becomes a spec-compliant ISO BMFF file (ftyp+moov+mdat written by
+    * [[Mp4.mux]]; frame count, per-frame durations, sample sizes and
+    * payload bytes are pure functions of doc_id/n_chars/frame index),
+    * executors walk the real box tree (stts/stsz/stsc/stco) to recover
+    * timestamps, dimensions AND the raw sample bytes from mdat, and the
+    * oracle re-derives all of it — including the prefix-sum
+    * presentation times and each sample's first payload byte, which
+    * only a correct stco/stsz offset walk can produce. The remaining
+    * stub boundary is exactly the CODEC (pixel decode of extracted
+    * samples); the container math is no longer stubbed.
+    */
+  def qMmMp4Frames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        ($"n_chars" % 4 + 2).cast("int").as("nf"),
+        ($"n_chars" % 32 + 16).cast("int").as("w"),
+        ($"n_chars" % 24 + 16).cast("int").as("h"))
+      .as[(Long, Int, Int, Int)]
+      .map { case (id, nf, w, h) =>
+        val durations = (0 until nf).map(i => ((id * 13 + i * 7) % 100 + 1).toInt)
+        val samples = (0 until nf).map { i =>
+          Array.fill(((id + i) % 64 + 1).toInt)(((id * 31 + i * 17) % 256).toByte)
+        }
+        MediaRecord(id, "video", s"mem://mp4/$id",
+          Mp4.mux(w, h, timescale = 1000, durations, samples), None, None, None)
+      }
+    Mp4.demuxFrames(media)
+      .map(f => (f.media_id, f.frame_ix, f.ts_ms, f.width, f.height,
+        f.sample_size, if (f.sample.nonEmpty) f.sample(0) & 0xff else -1))
+      .toDF("media_id", "frame_ix", "ts_ms", "width", "height",
+        "sample_size", "first_byte")
+  }
+
+  val qMmMp4FramesSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, n_chars, unnest(range(0, n_chars % 4 + 2)) AS i
+      |  FROM documents)
+      |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_ix,
+      |  CAST(coalesce(sum((doc_id * 13 + i * 7) % 100 + 1) OVER (
+      |    PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ts_ms,
+      |  CAST(n_chars % 32 + 16 AS INTEGER) AS width,
+      |  CAST(n_chars % 24 + 16 AS INTEGER) AS height,
+      |  CAST((doc_id + i) % 64 + 1 AS BIGINT) AS sample_size,
+      |  CAST((doc_id * 31 + i * 17) % 256 AS INTEGER) AS first_byte
+      |FROM f""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_mm_mp4_frames" -> (qMmMp4Frames _),
     "q_mm_gif_frames" -> (qMmGifFrames _),
     "q_mm_decode" -> (qMmDecode _),
     "q_mm_audio" -> (qMmAudio _),
@@ -189,6 +243,7 @@ object MultimodalQueries {
     "q_mm_embed" -> (qMmEmbed _))
 
   def oracles: Map[String, String] = Map(
+    "q_mm_mp4_frames" -> qMmMp4FramesSql,
     "q_mm_gif_frames" -> qMmGifFramesSql,
     "q_mm_decode" -> qMmDecodeSql,
     "q_mm_audio" -> qMmAudioSql,
