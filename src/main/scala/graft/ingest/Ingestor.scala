@@ -3,7 +3,7 @@ package graft.ingest
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.current_timestamp
+import org.apache.spark.sql.functions.{count, current_timestamp, lit}
 
 import graft.catalog.{TableRef, Warehouse}
 import graft.meta.TableMeta
@@ -83,7 +83,15 @@ class Ingestor(spark: SparkSession, warehouse: Warehouse, val spec: IngestSpec) 
   /** K1 (ingestors.py:90-99). */
   def save(df: DataFrame): Unit = warehouse.overwrite(spec.ref, df)
 
-  def run(): Unit = save(load())
+  /** Run the ingestion; returns the rows written, observed DURING the
+    * write (`Dataset.observe` — an accumulator on the existing action,
+    * not a second scan; the run-log records it for free at any scale).
+    */
+  def run(): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    save(load().observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
 }
 
 /** CDC ingestion (SURVEY.md §3.2): load, then run the transform over the
@@ -106,5 +114,12 @@ class IngestorCDC(spark: SparkSession, warehouse: Warehouse, spec: IngestSpec)
       .upsert(transformed)
   }
 
-  override def run(): Unit = upsert(load())
+  /** Rows here = BATCH rows entering the merge (the merge's first
+    * action — the prune-bounds aggregate — completes the observation).
+    */
+  override def run(): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    upsert(load().observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
 }

@@ -68,9 +68,17 @@ final class CheckerHandler(
     * partitionBy). run_date is a single driver-side constant per run
     * (P10), so the layout is written as a STATIC partition directory:
     * same pruning, no dynamic-partition sort/routing of every row.
+    *
+    * The frame otherwise inherits the source scan's partitioning (the
+    * session's full shuffle width even for a thin scorecard), writing
+    * one tiny file per partition through the atomic swap — measured at
+    * 12.7 s of driver bench time for ~90k rows. AQE rebalance sizes the
+    * output by advisory partition bytes instead: one file at gate
+    * scale, ~64 MB files at 100 TB — scale-correct where a fixed
+    * coalesce(n) would not be.
     */
   def saveChecks(df: DataFrame): Unit =
-    warehouse.overwrite(checksRef, typed(df).drop("run_date"),
+    warehouse.overwrite(checksRef, typed(df).drop("run_date").hint("rebalance"),
       staticPartitions = Seq("run_date" -> runDate.toString))
 
   /** A1: the 6-key scorecard aggregate (checker_handler.py:139-154).
@@ -104,10 +112,13 @@ final class CheckerHandler(
       .withColumn("passing_cols", col("passing_cols").cast("long"))
       .withColumn("failing_cols", col("failing_cols").cast("long"))
     // collectStats = false: the aggregate is |tests|×|tables| rows —
-    // the stats jobs would cost more than the full rewrite they avoid
+    // the stats jobs would cost more than the full rewrite they avoid.
+    // rebalance: the post-groupBy frame carries the session's shuffle
+    // width; without it the bootstrap write lands one tiny file per
+    // shuffle partition (same pathology as saveChecks, AQE-sized here)
     new MergeTable(spark, warehouse, aggregatedRef,
       Seq("test_name", "table_name", "test_type", "layer", "run_date", "mandate"),
-      None, collectStats = false).upsert(typed)
+      None, collectStats = false).upsert(typed.hint("rebalance"))
   }
 
   /** Full run (checker_handler.py:209-221). Unlike the reference —
@@ -121,10 +132,31 @@ final class CheckerHandler(
     */
   def execute(): DataFrame = {
     import graft.util.PhaseTimer.time
-    val annotated = time("checker.compile")(typed(compileResults()))
-    time("checker.save")(saveChecks(annotated))
-    val aggregated = time("checker.agg_plan")(aggregate(annotated))
-    time("checker.upsert")(upsertAggregated(aggregated))
-    aggregated
+    // machine-readable run record next to the warehouse (same shape as
+    // the ingest log — lib/logging_utils.py's role in the reference,
+    // where the JSON logs are the run's test record)
+    val log = new graft.util.RunLog(spark, s"${warehouse.root}/_logs", "checker")
+    val t0 = System.nanoTime()
+    try {
+      val annotated = time("checker.compile")(typed(compileResults()))
+      // scorecard rows observed during the save action — no extra scan
+      val obs = org.apache.spark.sql.Observation()
+      val observed = annotated.observe(obs, count(lit(1)).as("rows"))
+      time("checker.save")(saveChecks(observed))
+      val aggregated = time("checker.agg_plan")(aggregate(annotated))
+      time("checker.upsert")(upsertAggregated(aggregated))
+      log.info("checker run finished", "event" -> "checker_done",
+        "tables" -> targets.size, "rows" -> obs.get("rows").asInstanceOf[Long],
+        "run_date" -> runDate.toString,
+        "duration_sec" -> (System.nanoTime() - t0) / 1e9, "outcome" -> "ok")
+      aggregated
+    } catch {
+      case e: Exception =>
+        log.error("checker run failed", "event" -> "checker_failed",
+          "tables" -> targets.size, "run_date" -> runDate.toString,
+          "duration_sec" -> (System.nanoTime() - t0) / 1e9,
+          "outcome" -> "failed", "error" -> e.toString)
+        throw e
+    } finally log.close()
   }
 }

@@ -202,6 +202,24 @@ class PipelineSpec extends SparkSpec {
       .selectExpr("symbol", "cast(intraday_change as double)")
       .as[(String, Double)].collect().sortBy(_._1).toSeq
     assert(gold === Seq(("AAA1", 1.0), ("AAA1", 1.0)))
+
+    // ---- structured run logs: every run emitted machine-readable
+    // JSON-lines records next to the warehouse (parsed here with the
+    // strict JSON reader — a malformed line would surface as a
+    // _corrupt_record column / null fields)
+    val records = spark.read.json(s"$base/warehouse/_logs/*.jsonl")
+    assert(!records.columns.contains("_corrupt_record"))
+    val tableRecs = records.filter($"event" === "table_done")
+      .selectExpr("`table`", "`rows`", "outcome")
+      .as[(String, Long, String)].collect().toSeq
+    assert(tableRecs.forall(_._3 == "ok"))
+    // bronze full landed 2 ticker rows; each of the 3 cdc runs observed
+    // its batch rows; silver exploded history rows flow through too
+    assert(tableRecs.filter(_._1 == "bronze.brapi.tickers").map(_._2) === Seq(2L))
+    assert(tableRecs.count(_._1 == "bronze.brapi.quotes") === 3)
+    assert(tableRecs.filter(_._1 == "bronze.brapi.quotes").forall(_._2 >= 1L))
+    val jobRecs = records.filter($"event" === "job_done")
+    assert(jobRecs.count() === 5) // bronze full + cdc ×3 + silver full
   }
 
   test("job failures are isolated per table and reported together") {

@@ -66,6 +66,29 @@ class CheckerHandlerSpec extends SparkSpec {
     new CheckerHandler(spark, wh, Seq(
       CheckTarget("silver", "t1", t1, meta)), runDate.plusDays(1)).execute()
     assert(wh.read(aggregated).count() === before + 3)
+
+    // the rebalance-sized save writes ONE right-sized file per static
+    // partition at this scale — not one tiny file per shuffle partition
+    // (the 12.7s-of-driver-bench pathology this guards against)
+    val checksDir = java.nio.file.Paths.get(
+      wh.path(TableRef("silver", "checks", "column_checks")))
+    val parquetFiles = {
+      val s = java.nio.file.Files.walk(checksDir)
+      try s.filter(p => p.toString.endsWith(".parquet")).count()
+      finally s.close()
+    }
+    // overwrite semantics: only the last run's partition remains, and
+    // its 9 thin rows land in exactly one file
+    assert(parquetFiles === 1L)
+
+    // each run left a parseable JSON-lines run record with the observed
+    // scorecard row count
+    val records = spark.read.json(s"${wh.root}/_logs/*.jsonl")
+    assert(!records.columns.contains("_corrupt_record"))
+    val runs = records.filter($"event" === "checker_done")
+      .selectExpr("`rows`", "outcome").as[(Long, String)].collect().toSeq
+    assert(runs.map(_._1).sorted === Seq(9L, 12L, 12L)) // 2 full runs + t1-only day-2
+    assert(runs.forall(_._2 == "ok"))
   }
 
   test("a broken target fails the run loudly but names the table") {
