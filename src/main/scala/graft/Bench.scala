@@ -31,6 +31,34 @@ object Bench {
     edges.zip(edges.tail).foreach { case (lo, hi) =>
       mt.upsert(orders.filter($"o_orderkey" >= lo && $"o_orderkey" < hi))
     }
+    // Streaming lifecycle op-twins: the SAME dedup/join operators the
+    // four q_stream_* gate lifecycles run per micro-batch, executed as
+    // plain batch over identical input constructions with no stream
+    // machinery and no warehouse writes — lifecycle minus twin =
+    // attributed stream+writer overhead in the artifact.
+    import graft.dedup.Dedup
+    import graft.streaming.EventStreams
+    val events = Tables.load(spark, sfDir, "events")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val keptDocs = docs.filter($"doc_id" % 3 =!= 0)
+    val baseB = docs.filter($"doc_id" % 3 === 0)
+    val batchIncr = baseB
+      .unionByName(keptDocs.filter($"doc_id" % 7 === 1)
+        .withColumn("doc_id", $"doc_id" + 1000000L))
+      .unionByName(baseB.filter($"doc_id" % 5 === 0)
+        .withColumn("doc_id", $"doc_id" + 2000000L))
+    val reCrawls = keptDocs.filter($"doc_id" % 7 === 1)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+    val nearClones = docs
+      .filter($"doc_id" % 3 =!= 0 && $"doc_id" % 4 === 1 && $"n_chars" >= 150)
+      .withColumn("doc_id", $"doc_id" + 2000000L)
+      .withColumn("text", concat($"text", lit(" zymurgy")))
+    val novel = baseB.withColumn("doc_id", $"doc_id" + 3000000L)
+      .withColumn("text", regexp_replace($"text", "(\\S+)", "x$1"))
+    val batchNear = reCrawls.unionByName(nearClones).unionByName(novel)
+    def side(tpe: String, idAs: String, tsAs: String) =
+      events.filter($"event_type" === tpe)
+        .select($"user_id", $"event_id".as(idAs), $"ts".as(tsAs))
     Map(
       "q_bucketed_join_op" -> (() =>
         wh.readBucketed(o).hint("merge")
@@ -38,10 +66,35 @@ object Bench {
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
             sum(round($"o_totalprice" * 100).cast("long")).as("cents"))),
-      "q_compact_table_op" -> (() => { wh.compact(compacted); wh.read(compacted) }))
+      "q_compact_table_op" -> (() => { wh.compact(compacted); wh.read(compacted) }),
+      // dropDuplicatesWithinWatermark is streaming-only; its batch
+      // equivalent over a beyond-horizon watermark is plain key dedup
+      "q_stream_dedup_op" -> (() =>
+        events.dropDuplicates(Seq("user_id", "event_type"))
+          .select($"user_id", $"event_type")),
+      "q_stream_join_op" -> (() =>
+        EventStreams.intervalJoin(
+            side("click", "click_id", "click_ts"),
+            side("purchase", "purchase_id", "purchase_ts"),
+            Seq("user_id"), "click_ts", "purchase_ts",
+            within = "1 hour", watermark = "36500 days")
+          .select($"click_id", $"purchase_id")),
+      "q_stream_dedup_incr_op" -> (() =>
+        Dedup.exactDedupAgainst(batchIncr, keptDocs, "text", "doc_id")
+          .select($"doc_id", $"n_chars")),
+      "q_stream_dedup_near_op" -> (() => {
+        val exact = Dedup.exactDedupAgainst(batchNear, keptDocs, "text", "doc_id")
+        val bands = Dedup.minhashBandTable(keptDocs, "doc_id", "text", 3, 32, 8)
+        val near = Dedup.minhashCandidatesAgainst(exact, keptDocs, bands,
+          "doc_id", "text", 3, 32, 8, 0.8, 1000)
+        exact.join(near.select($"batch_id".as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti").select($"doc_id", $"n_chars")
+      }))
   }
 
-  private def jnum(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: the default-locale formatter would emit "1,234" under
+  // comma-decimal locales and break the driver's JSON parse
+  private def jnum(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,15 +118,21 @@ object Bench {
       System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
       name -> sec
     }
-    // operator-only variants over pre-built (untimed) fixtures
+    // operator-only variants over pre-built (untimed) fixtures;
+    // selectable by name like gate queries (suffix _op) for targeted runs
+    val wantVariants = args.isEmpty || args.exists(_.endsWith("_op"))
     val variantResults =
-      if (args.nonEmpty) Seq.empty
-      else operatorVariants(spark, sfDir).toSeq.sortBy(_._1).map { case (name, thunk) =>
-        val t0 = System.nanoTime()
-        val n = try thunk().count() catch { case _: Throwable => -1L }
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
-        name -> sec
+      if (!wantVariants) Seq.empty
+      else {
+        val vs = operatorVariants(spark, sfDir)
+        val sel = if (args.isEmpty) vs else vs.view.filterKeys(args.toSet).toMap
+        sel.toSeq.sortBy(_._1).map { case (name, thunk) =>
+          val t0 = System.nanoTime()
+          val n = try thunk().count() catch { case _: Throwable => -1L }
+          val sec = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
+          name -> sec
+        }
       }
     val results = gateResults ++ variantResults
     val total = gateResults.map(_._2).sum
