@@ -83,12 +83,9 @@ object Bench {
         Dedup.exactDedupAgainst(batchIncr, keptDocs, "text", "doc_id")
           .select($"doc_id", $"n_chars")),
       "q_stream_dedup_near_op" -> (() => {
-        val exact = Dedup.exactDedupAgainst(batchNear, keptDocs, "text", "doc_id")
         val bands = Dedup.minhashBandTable(keptDocs, "doc_id", "text", 3, 32, 8)
-        val near = Dedup.minhashCandidatesAgainst(exact, keptDocs, bands,
-          "doc_id", "text", 3, 32, 8, 0.8, 1000)
-        exact.join(near.select($"batch_id".as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti").select($"doc_id", $"n_chars")
+        Dedup.dedupAgainst(batchNear, keptDocs, bands, "doc_id", "text",
+          3, 32, 8, 0.8, 1000).select($"doc_id", $"n_chars")
       }))
   }
 

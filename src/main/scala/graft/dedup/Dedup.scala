@@ -252,7 +252,12 @@ object Dedup {
                    idCol: String, textCol: String,
                    k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val exact = exactDedupAgainst(batch, kept, textCol, idCol)
+    // materialize the exact survivors ONCE (eager): they feed three
+    // branches (band keys, verification shingles, the final anti-join
+    // left side), and exchange reuse only dedups the shuffle write —
+    // each consumer would re-run the post-shuffle min_by aggregation.
+    // Measured 2× on the full near-dedup composition at sf0.1.
+    val exact = exactDedupAgainst(batch, kept, textCol, idCol).localCheckpoint()
     val near = minhashCandidatesAgainst(exact, kept, keptBands, idCol, textCol,
       k, numHashes, bands, threshold, maxBucket)
     exact.join(near.select(col("batch_id").as(idCol)).distinct(),

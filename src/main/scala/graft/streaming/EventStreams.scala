@@ -192,7 +192,12 @@ object EventStreams {
           val prior =
             if (warehouse.exists(ref)) kept.unionByName(warehouse.read(ref))
             else kept
+          // eager: exact feeds three branches (band keys, verification
+          // shingles, the anti-join left) — without materialization each
+          // re-runs the post-shuffle min_by aggregation (measured 2× on
+          // the composed operator)
           val exact = Dedup.exactDedupAgainst(batch, prior, textCol, idCol)
+            .localCheckpoint()
           val near = Dedup.minhashCandidatesAgainst(exact, prior,
             warehouse.read(bandsRef), idCol, textCol,
             k, numHashes, bands, threshold, maxBucket)
