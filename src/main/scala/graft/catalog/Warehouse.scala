@@ -484,7 +484,7 @@ final class Warehouse(spark: SparkSession, val root: String,
   def replaceDataFiles(ref: TableRef, replaced: Seq[String],
                        replacement: DataFrame,
                        subdir: Option[String] = None): Unit = withWriterLock(ref) {
-    recover(ref)
+    recoverLocked(ref)
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
     val filesystem = fs(tablePath)
@@ -583,6 +583,23 @@ final class Warehouse(spark: SparkSession, val root: String,
     * true when a journal was found and resolved.
     */
   def recover(ref: TableRef): Boolean = {
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    val j = new Path(tablePath, txnFile)
+    // fast path without the lock: no journal → nothing to heal. A
+    // journal appearing right after this check belongs to a LIVE writer
+    // whose lock the slow path below would refuse anyway.
+    if (!filesystem.exists(j)) return false
+    // a journal exists: healing deletes files, which must never race a
+    // lock-holding writer mid-replacement — a second process "healing"
+    // a live writer's journal would roll back its half-applied adds
+    withWriterLock(ref)(recoverLocked(ref))
+  }
+
+  /** [[recover]] body for callers that ALREADY hold the writer lock
+    * (replaceDataFiles) — the lock is not reentrant.
+    */
+  private def recoverLocked(ref: TableRef): Boolean = {
     val tablePath = new Path(path(ref))
     val filesystem = fs(tablePath)
     val j = new Path(tablePath, txnFile)

@@ -63,6 +63,31 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("x", 9)))
   }
 
+  test("recover refuses to heal a LIVE writer's journal (lock held)") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-recover-lock"))
+    val ref = TableRef("bronze", "lock", "t")
+    wh.overwrite(ref, Seq(("a", 1)).toDF("k", "v"))
+
+    // writer A mid-replacement: journal written, lock held
+    wh.writeTxnJournal(ref, Seq("part-live.parquet"), Seq.empty)
+    val lock = new org.apache.hadoop.fs.Path(wh.path(ref) + ".lock")
+    val filesystem = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = filesystem.create(lock, false)
+    out.write(s"writer-A\t${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+    out.close()
+
+    // a second process calling recover must NOT roll writer A back
+    intercept[ConcurrentWriteException](wh.recover(ref))
+    val journal = new org.apache.hadoop.fs.Path(wh.path(ref), "_graft_txn")
+    assert(filesystem.exists(journal)) // untouched
+
+    // A released without finishing (crash): healing proceeds normally
+    filesystem.delete(lock, false)
+    assert(wh.recover(ref))
+    assert(!filesystem.exists(journal))
+  }
+
   test("an expired writer lease is broken: crashed writers don't wedge the table") {
     import spark.implicits._
     val root = tmpDir("wh-lease")
