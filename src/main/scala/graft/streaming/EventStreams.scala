@@ -144,17 +144,47 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val t0 = System.nanoTime()
+          // rows_in observed during the dedup's own execution — no
+          // extra scan of the micro-batch
+          val obs = org.apache.spark.sql.Observation()
+          val observed = batch.observe(obs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("rows"))
           val prior =
             if (warehouse.exists(ref)) kept.unionByName(warehouse.read(ref))
             else kept
+          // eager: upsert executes its source twice (prune-bounds agg,
+          // then the merge write) — without materialization the whole
+          // cross-corpus dedup would run twice per micro-batch
           val fresh = graft.dedup.Dedup
-            .exactDedupAgainst(batch, prior, textCol, idCol)
-          if (!fresh.isEmpty) mergeTable.upsert(fresh)
+            .exactDedupAgainst(observed, prior, textCol, idCol)
+            .localCheckpoint()
+          val rowsOut = fresh.count()
+          if (rowsOut > 0) mergeTable.upsert(fresh)
+          logBatch(batch.sparkSession, warehouse, ref, batchId,
+            obs.get("rows").asInstanceOf[Long], rowsOut, t0)
         }
       }
       .start()
+  }
+
+  /** One JSON-lines run record per micro-batch (same shape as the batch
+    * ingest log — graft.util.RunLog); file-per-record keeps unbounded
+    * streams from holding log streams open across batches.
+    */
+  private def logBatch(spark: org.apache.spark.sql.SparkSession,
+                       warehouse: Warehouse, ref: TableRef, batchId: Long,
+                       rowsIn: Long, rowsOut: Long, t0: Long): Unit = {
+    val log = new graft.util.RunLog(spark, s"${warehouse.root}/_logs",
+      "stream_ingest")
+    try log.info("micro-batch ingested", "event" -> "batch_done",
+      "table" -> ref.toString, "batch_id" -> batchId,
+      "rows_in" -> rowsIn, "rows_out" -> rowsOut,
+      "duration_sec" -> (System.nanoTime() - t0) / 1e9, "outcome" -> "ok")
+    finally log.close()
   }
 
   /** [[dedupIngestStream]] extended with NEAR-dup gating — the complete
@@ -187,8 +217,11 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val t0 = System.nanoTime()
+          val obs = org.apache.spark.sql.Observation()
+          val observed = batch.observe(obs, count(lit(1)).as("rows"))
           val prior =
             if (warehouse.exists(ref)) kept.unionByName(warehouse.read(ref))
             else kept
@@ -196,7 +229,7 @@ object EventStreams {
           // shingles, the anti-join left) — without materialization each
           // re-runs the post-shuffle min_by aggregation (measured 2× on
           // the composed operator)
-          val exact = Dedup.exactDedupAgainst(batch, prior, textCol, idCol)
+          val exact = Dedup.exactDedupAgainst(observed, prior, textCol, idCol)
             .localCheckpoint()
           val near = Dedup.minhashCandidatesAgainst(exact, prior,
             warehouse.read(bandsRef), idCol, textCol,
@@ -212,11 +245,14 @@ object EventStreams {
           val fresh = exact.join(
             near.select(col("batch_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti").localCheckpoint()
-          if (!fresh.isEmpty) {
+          val rowsOut = fresh.count()
+          if (rowsOut > 0) {
             mergeTable.upsert(fresh)
             warehouse.replaceDataFiles(bandsRef, Seq.empty,
               Dedup.minhashBandTable(fresh, idCol, textCol, k, numHashes, bands))
           }
+          logBatch(batch.sparkSession, warehouse, ref, batchId,
+            obs.get("rows").asInstanceOf[Long], rowsOut, t0)
         }
       }
       .start()
@@ -232,14 +268,22 @@ object EventStreams {
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          val t0 = System.nanoTime()
+          // both counts observed during the merge's own actions
+          val obsIn = org.apache.spark.sql.Observation()
+          val obsOut = org.apache.spark.sql.Observation()
           val w = Window.partitionBy(col(key))
             .orderBy(col(tsField).desc)
-          val latest = batch
+          val latest = batch.observe(obsIn, count(lit(1)).as("rows"))
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+            .observe(obsOut, count(lit(1)).as("rows"))
           mergeTable.upsert(latest)
+          logBatch(batch.sparkSession, warehouse, ref, batchId,
+            obsIn.get("rows").asInstanceOf[Long],
+            obsOut.get("rows").asInstanceOf[Long], t0)
         }
       }
       .start()

@@ -185,6 +185,15 @@ class EventStreamsSpec extends SparkSpec {
       "doc_id", "text", tmpDir("ing-ckpt2")).awaitTermination()
     assert(wh.read(ref).select("doc_id").as[Long].collect().sorted.toSeq
       === Seq(11L, 21L))
+
+    // each micro-batch left a parseable run record with in/out counts
+    // observed during the dedup's own execution
+    // run 2 uses a fresh checkpoint, so its micro-batch replays all 5
+    // rows; the cross-corpus gate still lands only the one novel doc
+    val recs = spark.read.json(s"${wh.root}/_logs/*.jsonl")
+      .filter($"event" === "batch_done")
+      .selectExpr("rows_in", "rows_out").as[(Long, Long)].collect().toSet
+    assert(recs === Set((3L, 1L), (5L, 1L)))
   }
 
   test("near-dup ingest catches paraphrases of EARLIER batches via the grown band table") {
