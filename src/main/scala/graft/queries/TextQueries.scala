@@ -563,7 +563,56 @@ object TextQueries {
       |        FROM documents))
       |WHERE cum_tokens <= 10000""".stripMargin
 
+  /** URL canonicalization + domain capping, VALUE-checked against
+    * GROUND TRUTH: each doc gets a deterministically messy URL
+    * (uppercase scheme/host, www., default port, tracking params,
+    * fragment, trailing slash), and the oracle derives the EXPECTED
+    * canonical string straight from the construction formulas — the
+    * canonicalizer is checked against what the answer should be, not
+    * against a second regex implementation. Domain blocklist +
+    * keep-first-K-per-domain mirror the C4-style curation stage; the
+    * per-domain cap plans through the row_number→top-k rewrite.
+    */
+  def qUrlCuration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.text.UrlOps
+    val docs = Tables.load(spark, dir, "documents")
+    val raw = concat(
+      lit("HTTPS://WWW."), upper($"source"), ($"doc_id" % 5).cast("string"),
+      lit(".COM:443/Item/"), ($"doc_id" % 7).cast("string"), lit("/"),
+      $"doc_id".cast("string"),
+      when($"doc_id" % 2 === 0,
+        concat(lit("?utm_source=feed&ref=rss&page="),
+          ($"doc_id" % 3).cast("string")))
+        .otherwise(lit("/?utm_campaign=x#frag")))
+    val canon = docs.select($"doc_id", UrlOps.canonicalizeUrl(raw).as("url"))
+      .withColumn("domain", UrlOps.domain($"url"))
+    val kept = canon.filter(!$"domain".isin("src00.com", "src12.com"))
+    import org.apache.spark.sql.expressions.Window
+    kept
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"domain").orderBy($"doc_id")))
+      .filter($"__rn" <= 8).drop("__rn")
+  }
+
+  val qUrlCurationSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    concat(source, CAST(doc_id % 5 AS VARCHAR), '.com') AS domain,
+      |    concat('https://', source, CAST(doc_id % 5 AS VARCHAR),
+      |           '.com/Item/', CAST(doc_id % 7 AS VARCHAR), '/',
+      |           CAST(doc_id AS VARCHAR),
+      |           CASE WHEN doc_id % 2 = 0
+      |                THEN concat('?page=', CAST(doc_id % 3 AS VARCHAR))
+      |                ELSE '' END) AS url
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+      |  FROM c WHERE domain NOT IN ('src00.com', 'src12.com'))
+      |SELECT doc_id, url, domain FROM ranked WHERE rn <= 8""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_url_curation" -> (qUrlCuration _),
     "q_budget_select" -> (qBudgetSelect _),
     "q_budget_filter" -> (qBudgetFilter _),
     "q_temperature_sample" -> (qTemperatureSample _),
@@ -583,6 +632,7 @@ object TextQueries {
     "q_pack_sequences" -> (qPackSequences _))
 
   def oracles: Map[String, String] = Map(
+    "q_url_curation" -> qUrlCurationSql,
     "q_budget_select" -> qBudgetSelectSql,
     "q_budget_filter" -> qBudgetFilterSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
