@@ -288,7 +288,41 @@ object StreamingQueries {
       |SELECT doc_id + 2000000 AS doc_id, n_chars FROM clone_s
       |WHERE CAST(ns AS DOUBLE) / (ns + 1) < 0.8""".stripMargin
 
+  /** Streaming CDC through a REAL file-source replay into the batch
+    * MergeTable (K2's streaming twin — previously spec-only): the
+    * events stream lands latest-per-user into a warehouse table, read
+    * back and compared against the QUALIFY latest-per-key oracle.
+    * Deterministic because (user_id, ts) is unique in the fixture at
+    * every SF (checked) — no tie for the in-batch row_number or the
+    * >= merge to break arbitrarily. `value` passes through raw
+    * (bit-identical, no rounding). The operator-only twin of this
+    * lifecycle is q_w1_latest_event (the same latest-per-key shape
+    * without stream+merge machinery).
+    */
+  def qStreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-cdc").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val ref = TableRef("bronze", "stream", "events_cdc")
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    EventStreams.cdcStream(stream, wh, ref, "user_id", "ts", s"$base/chk")
+      .awaitTermination()
+    wh.read(ref).select($"user_id", $"event_id",
+      unix_micros($"ts").as("ts_us"), $"event_type", $"value")
+  }
+
+  val qStreamCdcSql: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value
+      |FROM events
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_stream_cdc" -> (qStreamCdc _),
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -297,6 +331,7 @@ object StreamingQueries {
     "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_cdc" -> qStreamCdcSql,
     "q_stream_window" -> qStreamWindowSql,
     "q_session_window" -> qSessionWindowSql,
     "q_stream_dedup" -> qStreamDedupSql,
