@@ -170,4 +170,25 @@ class PropertiesSpec extends SparkSpec {
       assert(QualifyRewrite.split(b) === ((b, None)), b)
     }
   }
+
+  test("mp4 mux→demux round-trips on random tracks (incl. empty samples)") {
+    import graft.mm.Mp4
+    val rnd = new Random(42)
+    for (_ <- 1 to 25) {
+      val n = 1 + rnd.nextInt(12)
+      val timescale = 1 + rnd.nextInt(100000)
+      val durations = Seq.fill(n)(1 + rnd.nextInt(10000))
+      val samples = Seq.fill(n)(
+        Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte))
+      val w = 1 + rnd.nextInt(4096)
+      val h = 1 + rnd.nextInt(2160)
+      val frames = Mp4.demux(1L, Mp4.mux(w, h, timescale, durations, samples))
+      assert(frames.length === n)
+      assert(frames.map(_.sample_size) === samples.map(_.length.toLong))
+      assert(frames.map(_.sample.toSeq) === samples.map(_.toSeq))
+      val prefix = durations.map(_.toLong).scanLeft(0L)(_ + _).init
+      assert(frames.map(_.ts_ms) === prefix.map(_ * 1000L / timescale))
+      assert(frames.forall(f => f.width == w && f.height == h))
+    }
+  }
 }
