@@ -488,6 +488,20 @@ final class Warehouse(spark: SparkSession, val root: String,
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
     val filesystem = fs(tablePath)
+    // Stale-plan guard (inside the lock, before any staging): the lock
+    // serializes write WINDOWS, but a caller that planned its
+    // replacement before another writer's commit would delete files
+    // that no longer exist (a silent no-op) and land rows computed from
+    // the superseded table state — a lost update. If any file this plan
+    // wants to replace is gone, the plan is provably stale: fail loudly
+    // so the caller re-reads and re-plans.
+    val staleMissing = replaced.filterNot(p => filesystem.exists(new Path(p)))
+    if (staleMissing.nonEmpty)
+      throw new ConcurrentWriteException(
+        s"table $ref changed since this replacement was planned: " +
+          s"${staleMissing.size} of ${replaced.size} files to replace no " +
+          s"longer exist (e.g. ${staleMissing.head}) — re-read the table " +
+          "and re-plan the merge")
     val nonce = System.nanoTime().toString
     // SIBLING staging dir (same convention as overwrite's tmp): outside
     // the table dir so concurrent scans never list it, yet not

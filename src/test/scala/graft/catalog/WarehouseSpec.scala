@@ -63,6 +63,25 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("x", 9)))
   }
 
+  test("a stale replacement plan fails loudly instead of applying a lost update") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-stale"))
+    val ref = TableRef("bronze", "lock", "t")
+    wh.overwrite(ref, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+
+    // writer A plans a replacement against the current listing...
+    val planned = wh.dataFiles(ref)
+    // ...writer B commits a full rewrite in between
+    wh.overwrite(ref, Seq(("c", 3)).toDF("k", "v"))
+
+    // A's plan is now stale: its replaced files are gone — refuse
+    val e = intercept[ConcurrentWriteException](
+      wh.replaceDataFiles(ref, planned, Seq(("x", 9)).toDF("k", "v")))
+    assert(e.getMessage.contains("re-plan"))
+    // writer B's committed state is intact, no stray rows landed
+    assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("c", 3)))
+  }
+
   test("recover refuses to heal a LIVE writer's journal (lock held)") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-recover-lock"))
