@@ -186,6 +186,56 @@ class DedupSpec extends SparkSpec {
     assert(kept === Seq(1L, 4L, 5L, 6L))
   }
 
+  test("a bucketed persisted band table skips corpus signature recompute") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    // the 100 TB shape from minhashBandTable's scaladoc: the corpus band
+    // table is the BIG side of every daily batch's candidate join —
+    // persisted bucketed by (band, bucket), its scan arrives already
+    // hash-partitioned on the join keys, so only the thin batch side
+    // (and the width aggregate) shuffles
+    val wh = new Warehouse(spark, tmpDir("wh-bands-bkt"))
+    val ref = TableRef("silver", "dedup", "bands_bkt")
+    val bandTable = Dedup.minhashBandTable(docs, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8)
+    wh.overwriteBucketed(ref, bandTable, Seq("band", "bucket"), 8)
+    val batch = docs.withColumn("doc_id", $"doc_id" + 100L)
+      .withColumn("text", concat($"text", lit(" zymurgy")))
+    def cands(bands: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashCandidatesAgainst(batch, docs, bands, "doc_id", "text",
+        3, 32, 8, 0.5, 1000)
+
+    val viaBucketed = cands(wh.readBucketed(ref))
+    val viaPlain = cands(bandTable)
+    // identical candidates either way
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("batch_id", "kept_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val got = rows(viaBucketed)
+    assert(got === rows(viaPlain))
+    assert(got.map(p => (p._1, p._2)).contains((101L, 1L))) // planted near-dup found
+    // the persisted side contributes NO signature compute: the corpus
+    // minhash pipeline (xxhash64 over shingles) appears only for the
+    // thin batch in the bucketed plan — at 100 TB that is the daily
+    // saving (corpus band rows are read, never recomputed), and with
+    // sort-merge candidate joins the bucketed scan also arrives
+    // pre-partitioned on (band, bucket) (WarehouseSpec proves the
+    // exchange elimination for bucketed scans; tiny spec inputs
+    // broadcast here, so shuffle counts tie)
+    val prevFields = spark.conf.getOption("spark.sql.debug.maxToStringFields")
+    spark.conf.set("spark.sql.debug.maxToStringFields", 100000)
+    try {
+      // signature compute renders as the native graft_minhash expression
+      def sigOps(df: org.apache.spark.sql.DataFrame) =
+        "graft_minhash".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(sigOps(viaBucketed) < sigOps(viaPlain),
+        s"bucketed=${sigOps(viaBucketed)} plain=${sigOps(viaPlain)}")
+    } finally prevFields match {
+      case Some(v) => spark.conf.set("spark.sql.debug.maxToStringFields", v)
+      case None => spark.conf.unset("spark.sql.debug.maxToStringFields")
+    }
+  }
+
   test("dupGroups fast path survives a descending 100k-edge chain (iterative find)") {
     import spark.implicits._
     // a chain component built top-down grows an O(n) parent chain under
