@@ -59,6 +59,17 @@ object Bench {
     def side(tpe: String, idAs: String, tsAs: String) =
       events.filter($"event_type" === tpe)
         .select($"user_id", $"event_id".as(idAs), $"ts".as(tsAs))
+    // IVF with the index PRE-BUILT (untimed): centroid sampling +
+    // corpus assignment are amortized index state at scale — the gate's
+    // q_ann_ivf deliberately prices them per query, this twin measures
+    // search alone (same nlist/nprobe/k as the gate entry)
+    import graft.sim.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val assigned = Similarity.assign(emb, "vec_id", "embedding", centroids)
+      .localCheckpoint()
+    val annQueries = emb.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
     Map(
       "q_bucketed_join_op" -> (() =>
         wh.readBucketed(o).hint("merge")
@@ -86,7 +97,11 @@ object Bench {
         val bands = Dedup.minhashBandTable(keptDocs, "doc_id", "text", 3, 32, 8)
         Dedup.dedupAgainst(batchNear, keptDocs, bands, "doc_id", "text",
           3, 32, 8, 0.8, 1000).select($"doc_id", $"n_chars")
-      }))
+      }),
+      "q_ann_ivf_op" -> (() =>
+        Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+            annQueries, "query_id", "qvec", k = 5, nprobe = 4)
+          .select($"query_id", $"rank", $"id")))
   }
 
   // Locale.ROOT: the default-locale formatter would emit "1,234" under
