@@ -121,14 +121,15 @@ final class CheckerHandler(
       None, collectStats = false).upsert(typed.hint("rebalance"))
   }
 
-  /** Full run (checker_handler.py:209-221). Unlike the reference —
-    * which writes the scorecard, then re-reads the saved table to
-    * aggregate (checker_handler.py:131,139) — the aggregate is computed
-    * straight from the in-flight annotated frame: one less full table
-    * scan, and no coupling between the aggregate and the just-written
-    * files. (Measured against caching the annotated frame: a persist
-    * of the per-row scorecard costs more than the narrow recompute it
-    * saves, so the frame is deliberately NOT cached.)
+  /** Full run (checker_handler.py:209-221), sharing the reference's
+    * write-then-read-back shape (checker_handler.py:131,139) — and for
+    * a measured reason, not just fidelity: the scorecard is already
+    * persisted by the save step, so aggregating the written files is a
+    * narrow thin-row scan, where aggregating the in-flight annotated
+    * frame would re-execute the entire annotate plan (checks + unions
+    * over every target) under the upsert's actions. (Also measured:
+    * caching the annotated frame costs more than it saves — the
+    * persisted parquet IS the cache here, written anyway.)
     */
   def execute(): DataFrame = {
     import graft.util.PhaseTimer.time
@@ -143,7 +144,13 @@ final class CheckerHandler(
       val obs = org.apache.spark.sql.Observation()
       val observed = annotated.observe(obs, count(lit(1)).as("rows"))
       time("checker.save")(saveChecks(observed))
-      val aggregated = time("checker.agg_plan")(aggregate(annotated))
+      // aggregate from the JUST-WRITTEN scorecard files (the reference's
+      // read-back shape, checker_handler.py:139): a narrow scan of the
+      // thin persisted rows, where aggregating the in-flight frame would
+      // re-execute the whole annotate plan under the upsert's actions.
+      // Equality is deterministic — the files are this run's annotate
+      // output — and the gate value-checks the aggregate against DuckDB.
+      val aggregated = time("checker.agg_plan")(aggregateResults())
       time("checker.upsert")(upsertAggregated(aggregated))
       log.info("checker run finished", "event" -> "checker_done",
         "tables" -> targets.size, "rows" -> obs.get("rows").asInstanceOf[Long],
