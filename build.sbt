@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through unprefixed: sbt's default
+// LoggedOutput strategy wraps every line in "[info] ", which breaks any
+// downstream parser expecting a bare JSON line (Bench's final artifact
+// line was never machine-parsed in rounds 1-6 because of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

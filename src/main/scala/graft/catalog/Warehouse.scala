@@ -73,30 +73,65 @@ final class Warehouse(spark: SparkSession, val root: String,
     * message. A conflict throws [[ConcurrentWriteException]] — the
     * caller's write has NOT touched the table. A lock whose modification
     * time is older than `writerLeaseMs` belongs to a crashed writer
-    * (nothing can release it) and is broken once, with the retry racing
-    * atomically against other breakers.
+    * (nothing can release it) and is broken once.
+    *
+    * Two races are closed explicitly; both closures are BEST-EFFORT on
+    * filesystems without a compare-and-swap primitive (LocalFileSystem's
+    * `create(overwrite=false)` is itself exists-then-create, so "atomic"
+    * here means "the narrowest window the FS API allows"):
+    *
+    *  1. Lease break: two contenders can both observe the same expired
+    *     lock. Breaking is re-stat → compare against the first
+    *     observation (mtime+length) → atomic RENAME to a unique sibling
+    *     → delete the sibling. The re-stat+compare refuses to break a
+    *     lock that changed since it was observed stale (a fresh holder
+    *     replaced it), and the rename means at most ONE breaker wins —
+    *     the loser's rename fails on the missing source and it falls
+    *     through to the conflict error instead of deleting a live lock.
+    *
+    *  2. Release: if `body` outlives the lease and another writer broke
+    *     it and acquired, an unconditional delete in `finally` would
+    *     remove the NEW holder's lock. The lock content is a unique
+    *     per-acquisition token; release reads it back and skips the
+    *     delete when it is no longer this writer's.
     */
   private def withWriterLock[T](ref: TableRef)(body: => T): T = {
     val lock = new Path(path(ref) + ".lock")
     val filesystem = fs(lock)
     filesystem.mkdirs(lock.getParent)
+    val token = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      s"\t${System.currentTimeMillis()}\t${java.util.UUID.randomUUID()}"
     def tryAcquire(): Boolean =
       try {
         val out = filesystem.create(lock, false)
-        try out.write(
-          (java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
-            s"\t${System.currentTimeMillis()}\n")
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        try out.write((token + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def stat(p: Path): Option[org.apache.hadoop.fs.FileStatus] =
+      try Some(filesystem.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    def breakStaleLease(): Unit = {
+      val observed = stat(lock)
+      val expired = observed.exists(_.getModificationTime <=
+        System.currentTimeMillis() - writerLeaseMs)
+      if (expired) {
+        val current = stat(lock)
+        val unchanged = current.zip(observed).exists { case (c, o) =>
+          c.getModificationTime == o.getModificationTime && c.getLen == o.getLen
+        }
+        if (unchanged) {
+          val broken = new Path(lock.toString + ".broken-" +
+            java.util.UUID.randomUUID().toString)
+          val won = try filesystem.rename(lock, broken)
+            catch { case _: java.io.IOException => false }
+          if (won) filesystem.delete(broken, false)
+        }
+      }
+    }
     if (!tryAcquire()) {
-      val stale =
-        try filesystem.getFileStatus(lock).getModificationTime <=
-          System.currentTimeMillis() - writerLeaseMs
-        catch { case _: java.io.FileNotFoundException => true } // just released
-      if (stale) filesystem.delete(lock, false)
-      if (!stale || !tryAcquire()) {
+      breakStaleLease()
+      if (!tryAcquire()) {
         val holder =
           try {
             val in = filesystem.open(lock)
@@ -111,7 +146,16 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     }
     try body
-    finally { filesystem.delete(lock, false); () }
+    finally {
+      val stillMine =
+        try {
+          val in = filesystem.open(lock)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == token
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => false }
+      if (stillMine) filesystem.delete(lock, false)
+      ()
+    }
   }
 
   def read(ref: TableRef): DataFrame = {

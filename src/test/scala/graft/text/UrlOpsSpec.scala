@@ -36,6 +36,35 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon(once: _*) === once)
   }
 
+  test("tracking-param removal is anchored to a parameter boundary") {
+    // params whose NAMES merely end in "ref" must survive intact
+    assert(canon("https://example.com/p?pref=1") === Seq("https://example.com/p?pref=1"))
+    assert(canon("https://example.com/p?href=x&q=2")
+      === Seq("https://example.com/p?href=x&q=2"))
+    assert(canon("https://example.com/p?a=1&xref=b")
+      === Seq("https://example.com/p?a=1&xref=b"))
+    // consecutive tracking params all removed in one pass
+    assert(canon("https://example.com/p?ref=1&utm_a=2&utm_b=3")
+      === Seq("https://example.com/p"))
+    assert(canon("https://example.com/p?ref=1&utm_a=2&keep=3")
+      === Seq("https://example.com/p?keep=3"))
+    // tracking param mid-query leaves no double separator
+    assert(canon("https://example.com/p?utm_a=1&x=2") === Seq("https://example.com/p?x=2"))
+  }
+
+  test("registrable domain honors the embedded public-suffix subset") {
+    import spark.implicits._
+    val got = Seq(
+      "https://news.bbc.co.uk/x",
+      "https://a.b.shop.com.br/",
+      "https://example.com/x",
+      "https://notco.uk/x", // single-label registration directly under .uk
+      "https://co.uk/x")    // bare public suffix: falls back to two labels
+      .toDF("u").select(UrlOps.registrableDomain(col("u"))).as[String]
+      .collect().toSeq
+    assert(got === Seq("bbc.co.uk", "shop.com.br", "example.com", "notco.uk", "co.uk"))
+  }
+
   test("domain and registrable-domain extraction") {
     import spark.implicits._
     val got = Seq("https://a.b.example.com/x?q=1", "https://example.com:8443/")
