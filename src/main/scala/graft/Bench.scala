@@ -101,7 +101,28 @@ object Bench {
       "q_ann_ivf_op" -> (() =>
         Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
             annQueries, "query_id", "qvec", k = 5, nprobe = 4)
-          .select($"query_id", $"rank", $"id")))
+          .select($"query_id", $"rank", $"id")),
+      // q_curate_corpus decomposition: the gate query composes exact
+      // dedup → text scoring/filters → PII scrub as ONE plan; these
+      // variants run each stage alone over the same corpus so a driver
+      // outlier on the composed query is attributable to a stage
+      "q_curate_dedup_op" -> (() =>
+        Dedup.exactDedup(docs, "text", "doc_id").select($"doc_id")),
+      "q_curate_score_op" -> (() => {
+        import graft.text.TextFunctions
+        docs
+          .withColumn("lang_pred", TextFunctions.langId($"text"))
+          .withColumn("quality", TextFunctions.qualityScore($"text"))
+          .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
+          .withColumn("dup_token_frac", TextFunctions.dupTokenFrac($"text"))
+          .withColumn("top_token_frac", TextFunctions.topTokenFrac($"text"))
+          .filter($"lang_pred" === "en" && $"quality" >= 0.9 &&
+            $"dup_token_frac" <= 0.6 && $"top_token_frac" <= 0.12)
+          .select($"doc_id", $"quality", $"n_tokens")
+      }),
+      "q_curate_pii_op" -> (() =>
+        docs.select($"doc_id",
+          graft.text.TextFunctions.redactPii($"text").as("text_redacted"))))
   }
 
   // Locale.ROOT: the default-locale formatter would emit "1,234" under
@@ -123,31 +144,40 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     graft.util.PhaseTimer.reset()
-    val gateResults = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(tag: String)(name: String, thunk: () => Long): (String, Double) = {
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val n = try thunk() catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
+      System.err.println(f"[$tag] $name%-24s $sec%8.2fs  rows=$n")
       name -> sec
+    }
+    val gateResults = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed("bench")(name, () => fn(spark, sfDir).count())
     }
     // operator-only variants over pre-built (untimed) fixtures;
     // selectable by name like gate queries (suffix _op) for targeted runs
     val wantVariants = args.isEmpty || args.exists(_.endsWith("_op"))
-    val variantResults =
-      if (!wantVariants) Seq.empty
+    val variantSel: Map[String, () => DataFrame] =
+      if (!wantVariants) Map.empty
       else {
         val vs = operatorVariants(spark, sfDir)
-        val sel = if (args.isEmpty) vs else vs.view.filterKeys(args.toSet).toMap
-        sel.toSeq.sortBy(_._1).map { case (name, thunk) =>
-          val t0 = System.nanoTime()
-          val n = try thunk().count() catch { case _: Throwable => -1L }
-          val sec = (System.nanoTime() - t0) / 1e9
-          System.err.println(f"[bench] $name%-24s $sec%8.2fs  rows=$n")
-          name -> sec
-        }
+        if (args.isEmpty) vs else vs.view.filterKeys(args.toSet).toMap
       }
+    val variantResults = variantSel.toSeq.sortBy(_._1).map { case (name, thunk) =>
+      timed("bench")(name, () => thunk().count())
+    }
     val results = gateResults ++ variantResults
     val total = gateResults.map(_._2).sum
+    // Second (warm) pass over every query whose cold time exceeded 2 s:
+    // a number that collapses on the rerun is environment (page cache,
+    // JIT, shuffle-dir churn), one that persists is plan cost — the
+    // distinction the driver-vs-local outlier hunts kept needing.
+    // Bounded: only the handful of heavies re-run.
+    val warmResults = results.filter(_._2 > 2.0).flatMap { case (name, _) =>
+      selected.get(name).map(fn => () => fn(spark, sfDir).count())
+        .orElse(variantSel.get(name).map(t => () => t().count()))
+        .map(thunk => timed("bench-warm")(name, thunk))
+    }
 
     // Full per-query map on stderr for local runs / full driver logs.
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
@@ -164,8 +194,12 @@ object Bench {
     // and phases always present, then per-query entries slowest-first
     // until the budget is spent; the fastest remainder is folded into
     // "rest" (count + summed seconds) instead of silently dropped.
+    val warm = warmResults.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    System.err.println(s"[bench-warm-map] $warm")
+
     val budget = 1700
-    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"queries":{"""
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"queries":{"""
     val sb = new StringBuilder(head)
     var included = 0
     var restN = 0

@@ -46,14 +46,20 @@ object Budget {
     // differently — offsets computed against one layout must be applied
     // to the same one. (Cost: one materialization of the corpus, the
     // price of a stable two-pass prefix sum.)
-    val ranged = df
-      .withColumn("__cost", cost.cast("long"))
-      .repartitionByRange(parts, ordering: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+    // phase-timed so the bench artifact attributes the two driver-side
+    // stages (range-layout pin, slice-totals collect) separately from
+    // the final windowed pass the caller's action executes
+    val ranged = graft.util.PhaseTimer.time("budget.pin") {
+      df.withColumn("__cost", cost.cast("long"))
+        .repartitionByRange(parts, ordering: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+    }
     // tiny: ≤ `parts` rows — the per-slice totals that seed the offsets
-    val totals = ranged.groupBy("__pid").agg(sum("__cost").as("__psum"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val totals = graft.util.PhaseTimer.time("budget.totals") {
+      ranged.groupBy("__pid").agg(sum("__cost").as("__psum"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    }
     val offsets = totals.scanLeft((Int.MinValue, 0L)) {
       case ((_, acc), (pid, s)) => (pid, acc + s)
     }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
@@ -93,18 +99,26 @@ object Budget {
       .agg(sum("__cost").as("__psum"))
     val keptPriorities = budgetSelect(perPriority,
       Seq(col(priorityCol).desc), col("__psum"), budget)
-    // two bounded scalars: budget already spent, and the boundary
-    // priority (highest priority NOT fully kept)
-    val usedRow = keptPriorities.agg(max("__cum_cost")).head()
-    val used = if (usedRow.isNullAt(0)) 0L else usedRow.getLong(0)
-    val boundaryRow = perPriority
-      .join(keptPriorities.select(priorityCol), Seq(priorityCol), "left_anti")
-      .agg(max(col(priorityCol))).head()
+    // two bounded scalars in ONE driver action (each action is a full
+    // job round-trip — at toy scale the fixed overhead dominates this
+    // operator): budget already spent (max kept cumulative cost), and
+    // the boundary priority (highest priority NOT fully kept = null
+    // cum_cost after the left join)
+    val scalars = graft.util.PhaseTimer.time("budget.scalars") {
+      perPriority
+        .join(keptPriorities.select(col(priorityCol), col("__cum_cost")),
+          Seq(priorityCol), "left")
+        .agg(max("__cum_cost").as("__used"),
+          max(when(col("__cum_cost").isNull, col(priorityCol))).as("__boundary"))
+        .head()
+    }
+    val used = if (scalars.isNullAt(0)) 0L else scalars.getLong(0)
+    val boundaryRow = scalars
     val fullyKept = df
       .join(broadcast(keptPriorities.select(priorityCol)), Seq(priorityCol), "left_semi")
-    if (boundaryRow.isNullAt(0)) fullyKept.drop("__cost")
+    if (boundaryRow.isNullAt(1)) fullyKept.drop("__cost")
     else {
-      val boundary = boundaryRow.get(0)
+      val boundary = boundaryRow.get(1)
       val partial = budgetSelect(
         df.filter(col(priorityCol) === lit(boundary)),
         Seq(col(tieCol).asc), cost, budget - used)
