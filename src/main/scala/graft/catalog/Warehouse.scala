@@ -29,16 +29,40 @@ object TableRef {
   */
 final class ConcurrentWriteException(msg: String) extends IllegalStateException(msg)
 
+/** An immutable view of one committed table version: the data-file list
+  * (table-relative paths) plus the frame schema as Spark JSON. Holding a
+  * snapshot pins the version — the files it names are retained on disk
+  * by every later commit (writers only RETIRE files from the log;
+  * [[Warehouse.vacuum]] is the only thing that deletes data), so a scan
+  * started from a snapshot survives any concurrent overwrite / merge /
+  * compaction.
+  */
+final case class TableSnapshot(ref: TableRef, version: Long,
+                               schemaJson: String, files: Seq[String])
+
 /** Path-backed warehouse: each `catalog.schema.table` is a parquet
   * directory `$root/catalog/schema/table`. Replaces the reference's
   * Databricks catalog + Delta storage (SURVEY.md §1.1) — no Delta jar
-  * ships in this environment, so table writes are atomic via
-  * write-to-temp + rename swap. Single-writer semantics only (documented
-  * limitation, SURVEY.md §7.3): concurrent writers to one table race on
-  * the rename; concurrent readers of a table being swapped may fail one
-  * read and succeed on retry. On a real cluster this would be a
-  * transactional format's job (Delta/Iceberg); the engine's operators are
-  * storage-agnostic DataFrames either way.
+  * ships in this environment, so the transactional core is rebuilt
+  * engine-native as a VERSIONED COMMIT LOG (`_graft_log/v%08d`, one
+  * file per version holding the schema + complete data-file list):
+  *
+  *  - the log, not the directory listing, defines table contents —
+  *    writers add uniquely-named files and commit a new version
+  *    atomically (tmp + rename), so a commit is all-or-nothing;
+  *  - superseded files are RETIRED from the log but stay on disk, which
+  *    gives readers snapshot isolation: a scan planned from version N
+  *    survives any concurrent overwrite / merge / compaction, because
+  *    nothing deletes its files until [[vacuum]];
+  *  - old versions stay readable ([[readVersion]] — Delta-style time
+  *    travel) until vacuumed.
+  *
+  * Each commit stores the FULL file list (checkpoint-per-commit): O(files)
+  * per commit, trivial for this engine's table sizes; at Delta scale
+  * (millions of files) the log would switch to delta entries + periodic
+  * checkpoints — same read semantics, cheaper appends. Directories
+  * without a log (e.g. bucketed saveAsTable layouts) fall back to plain
+  * directory reads.
   *
   * A second IN-FLIGHT writer is DETECTED, not merged: every mutating
   * path ([[overwrite]], [[replaceDataFiles]] and everything built on
@@ -62,6 +86,167 @@ final class Warehouse(spark: SparkSession, val root: String,
   def exists(ref: TableRef): Boolean = {
     val p = new Path(path(ref))
     fs(p).exists(p)
+  }
+
+  // ------------------------------------------------ versioned commit log
+
+  /** Log directory name — underscore-prefixed like the stats manifest,
+    * so plain directory scans never see it as data.
+    */
+  private val logDir = "_graft_log"
+
+  private def logDirPath(ref: TableRef) = new Path(new Path(path(ref)), logDir)
+
+  private def versionFilePath(ref: TableRef, v: Long) =
+    new Path(logDirPath(ref), f"v$v%08d")
+
+  /** Latest committed version, None for logless directories. */
+  def currentVersion(ref: TableRef): Option[Long] = {
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) return None
+    val vs = filesystem.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.length == 9 && n.startsWith("v") &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The snapshot a given version committed. Throws when the version was
+    * never committed or has been vacuumed away.
+    */
+  def snapshotAt(ref: TableRef, version: Long): TableSnapshot = {
+    val p = versionFilePath(ref, version)
+    val filesystem = fs(p)
+    require(filesystem.exists(p),
+      s"$ref has no version $version (never committed, or vacuumed); " +
+        s"current = ${currentVersion(ref).getOrElse("none")}")
+    val in = filesystem.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    var schemaJson = ""
+    val files = Seq.newBuilder[String]
+    text.linesIterator.filter(_.nonEmpty).foreach { l =>
+      l.split("\t", 2) match {
+        case Array("schema", j) => schemaJson = j
+        case Array("file", f) => files += f
+        case _ => // forward-compat: unknown entry kinds are ignored
+      }
+    }
+    TableSnapshot(ref, version, schemaJson, files.result())
+  }
+
+  /** Pin the current version (None for logless directories). */
+  def snapshot(ref: TableRef): Option[TableSnapshot] =
+    currentVersion(ref).map(snapshotAt(ref, _))
+
+  /** Read a pinned snapshot: exactly its file list, immune to concurrent
+    * writers (their commits retire files without deleting them).
+    */
+  def readSnapshot(s: TableSnapshot): DataFrame =
+    if (s.files.isEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else {
+      val base = path(s.ref)
+      spark.read.option("basePath", base)
+        .parquet(s.files.map(f => s"$base/$f"): _*)
+    }
+
+  /** Time travel: the table as of a historical version. Readable until
+    * [[vacuum]] drops the version.
+    */
+  def readVersion(ref: TableRef, version: Long): DataFrame =
+    readSnapshot(snapshotAt(ref, version))
+
+  /** Append the next version (caller MUST hold the writer lock — the
+    * lock serializes version numbering). Atomic appearance via tmp +
+    * rename: readers see the previous complete version or this one.
+    */
+  private def commitLocked(ref: TableRef, schemaJson: String,
+                           files: Seq[String]): Long = {
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    filesystem.mkdirs(dir)
+    val next = currentVersion(ref).getOrElse(0L) + 1L
+    val tmp = new Path(dir, f".v$next%08d.tmp")
+    val out = filesystem.create(tmp, true)
+    try out.write(
+      (s"schema\t$schemaJson\n" + files.map(f => s"file\t$f\n").mkString)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val live = versionFilePath(ref, next)
+    if (!filesystem.rename(tmp, live))
+      throw new RuntimeException(s"failed to commit version $next for $ref")
+    next
+  }
+
+  /** Adopt a logless directory into the log (first [[replaceDataFiles]]
+    * on a table written by something else): version 1 = the current
+    * physical listing. Caller must hold the writer lock.
+    */
+  private def ensureLogLocked(ref: TableRef): TableSnapshot =
+    snapshot(ref).getOrElse {
+      val tablePath = new Path(path(ref))
+      val filesystem = fs(tablePath)
+      val base = filesystem.makeQualified(tablePath).toUri.getPath
+      val rels = listDataFiles(tablePath).map(p =>
+        filesystem.makeQualified(p).toUri.getPath
+          .stripPrefix(base).stripPrefix("/"))
+      val schemaJson = spark.read.parquet(path(ref)).schema.json
+      val v = commitLocked(ref, schemaJson, rels)
+      snapshotAt(ref, v)
+    }
+
+  /** Current data files: the latest version's list for logged tables
+    * (retired files excluded even though still on disk), the physical
+    * listing for logless directories. Qualified paths either way.
+    */
+  private def currentDataFiles(ref: TableRef): Seq[Path] = {
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    snapshot(ref) match {
+      case Some(s) =>
+        s.files.map(r => filesystem.makeQualified(new Path(tablePath, r)))
+      case None => listDataFiles(tablePath)
+    }
+  }
+
+  /** Delete data files retired from the newest `keepVersions` versions
+    * and prune their commit entries — the only operation that ever
+    * deletes committed data. Operational contract (same as Delta's
+    * VACUUM retention): run it only once in-flight readers of the
+    * dropped versions are done; a reader that pinned a dropped snapshot
+    * mid-scan loses its files. Also sweeps never-committed stragglers
+    * from crashed writers. Returns the number of files deleted.
+    */
+  def vacuum(ref: TableRef, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      val tablePath = new Path(path(ref))
+      val filesystem = fs(tablePath)
+      val dir = logDirPath(ref)
+      if (!filesystem.exists(dir)) 0
+      else {
+        val versions = filesystem.listStatus(dir).map(_.getPath.getName)
+          .collect { case n if n.length == 9 && n.startsWith("v") &&
+            n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+          .sorted.toSeq
+        val keep = versions.takeRight(keepVersions)
+        val keepFiles = keep.flatMap(v => snapshotAt(ref, v).files).toSet
+        val base = filesystem.makeQualified(tablePath).toUri.getPath
+        val dead = listDataFiles(tablePath).filterNot { p =>
+          keepFiles.contains(filesystem.makeQualified(p).toUri.getPath
+            .stripPrefix(base).stripPrefix("/"))
+        }
+        dead.foreach(p => filesystem.delete(p, false))
+        versions.dropRight(keepVersions)
+          .foreach(v => filesystem.delete(versionFilePath(ref, v), false))
+        dead.size
+      }
+    }
   }
 
   /** Acquire the per-table writer lock for the duration of `body`.
@@ -158,19 +343,31 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** Read the table's CURRENT version. Snapshot-isolated for logged
+    * tables: the plan binds to the version's file list at call time, so
+    * a concurrent overwrite / merge / compact cannot yank files out from
+    * under the scan (they are retired from the log, not deleted).
+    * Logless directories read as plain parquet, as before.
+    */
   def read(ref: TableRef): DataFrame = {
     val p = path(ref)
     // lazy one-time stats load, so cardinality-aware optimizer rules
     // work in fresh sessions over a persisted warehouse
     if (TableStatsRegistry.shouldAttempt(p) && TableStatsRegistry.get(p).isEmpty)
       registerStatsAt(p)
-    spark.read.parquet(p)
+    snapshot(ref) match {
+      case Some(s) => readSnapshot(s)
+      case None => spark.read.parquet(p)
+    }
   }
 
-  /** K1 full overwrite (lib/ingestors.py:92-96), atomic swap:
-    * write `<path>.tmp-<nonce>`, rename old out of the way, rename temp
-    * in, delete old. A reader holding the old directory's file list can
-    * finish its scan; new readers resolve the new directory.
+  /** K1 full overwrite (lib/ingestors.py:92-96), committed through the
+    * log: stage to `<path>.tmp-<nonce>`, move the uniquely-named part
+    * files into the table directory, then commit a version listing ONLY
+    * them. The commit (an atomic rename in `_graft_log`) is the switch:
+    * readers resolve the old complete version or the new one, never a
+    * mix — and a reader mid-scan on the old version keeps its files,
+    * which are retired, not deleted (see class doc / [[vacuum]]).
     *
     * `staticPartitions` writes the frame into a fixed
     * `key=value/...` subtree instead of routing rows through Spark's
@@ -192,34 +389,49 @@ final class Warehouse(spark: SparkSession, val root: String,
     withWriterLock(ref) {
     val target = new Path(path(ref))
     val filesystem = fs(target)
+    // parent only: the table dir itself must not appear (→ exists(ref))
+    // until this overwrite is past the point of producing data
     filesystem.mkdirs(target.getParent)
+    recoverLocked(ref) // clear a crashed writer's stragglers first
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
-    val old = new Path(path(ref) + s".old-$nonce")
     val writeDir =
       if (staticPartitions.isEmpty) tmp
       else new Path(tmp,
         staticPartitions.map { case (k, v) => s"$k=$v" }.mkString("/"))
     val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(writeDir.toString)
-    if (statsColumns.nonEmpty) writeStats(tmp.toString, statsColumns)
     try {
-      val hadOld = filesystem.exists(target)
-      if (hadOld && !filesystem.rename(target, old))
-        throw new RuntimeException(s"failed to stage out old data for $ref")
-      try {
-        if (!filesystem.rename(tmp, target))
-          throw new RuntimeException(s"failed to swap in new data for $ref")
-      } catch {
-        case e: Throwable =>
-          // The table directory must never be left absent: if the swap-in
-          // failed after the old data was staged out, roll it back.
-          if (hadOld && !filesystem.exists(target)) filesystem.rename(old, target)
-          throw e
+      if (statsColumns.nonEmpty) writeStats(tmp.toString, statsColumns)
+      val staged = listDataFiles(tmp)
+      val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
+      val rels = staged.map(p => filesystem.makeQualified(p).toUri.getPath
+        .stripPrefix(stagedBase).stripPrefix("/"))
+      // intent journal BEFORE any file lands: a crash pre-commit leaves
+      // only unreferenced stragglers, which the next writer's recovery
+      // (or vacuum) removes — readers never saw them
+      writeTxnJournal(ref, rels, Nil)
+      rels.zip(staged).foreach { case (r, f) =>
+        val dest = new Path(target, r)
+        filesystem.mkdirs(dest.getParent)
+        if (!filesystem.rename(f, dest))
+          throw new RuntimeException(s"failed to move $r into $ref")
       }
-      filesystem.delete(old, true)
-      if (statsColumns.nonEmpty) registerStatsAt(path(ref))
-      else TableStatsRegistry.invalidate(path(ref))
+      commitLocked(ref, df.schema.json, rels)
+      // manifest follows the commit; a crash in between leaves a stale
+      // manifest, which pruning tolerates by construction (entries for
+      // retired files never match the live list, unknown files are kept)
+      val liveManifest = new Path(target, statsDir)
+      if (statsColumns.nonEmpty) {
+        filesystem.delete(liveManifest, true)
+        if (!filesystem.rename(new Path(tmp, statsDir), liveManifest))
+          throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        registerStatsAt(path(ref))
+      } else {
+        filesystem.delete(liveManifest, true) // described retired files only
+        TableStatsRegistry.invalidate(path(ref))
+      }
+      filesystem.delete(new Path(target, txnFile), false)
     } finally {
       filesystem.delete(tmp, true)
       ()
@@ -301,6 +513,10 @@ final class Warehouse(spark: SparkSession, val root: String,
       s"bucket column names must not contain ',' or newlines: $bucketCols")
     val name = bucketedName(ref)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    // bucketed layouts are directory-defined (saveAsTable owns the dir);
+    // a stale commit log from a previous logged layout must not shadow
+    // the files saveAsTable writes
+    fs(logDirPath(ref)).delete(logDirPath(ref), true)
     // co-partition with the bucket function BEFORE the write: without
     // this every input task writes up to numBuckets files (tasks ×
     // buckets small files — the classic bucketed-write explosion);
@@ -465,7 +681,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         val excluded = mx < lit(lo) || mn > lit(hi)
         val excludedNames = manifest.filter(excluded <=> lit(true))
           .select("file").collect().map(_.getString(0)).toSet
-        val (disjoint, overlap) = listDataFiles(new Path(tablePath))
+        val (disjoint, overlap) = currentDataFiles(ref)
           .partition(p => excludedNames.contains(p.getName))
         Some((overlap.map(_.toString), disjoint.map(_.toString)))
       }
@@ -498,26 +714,23 @@ final class Warehouse(spark: SparkSession, val root: String,
     * MERGE (the behavior Delta's transaction log gives `MERGE INTO`:
     * rewrite only touched files, /root/reference/lib/ingestors.py:113-126):
     * stage `replacement` as new data files, move them into the table,
-    * delete `replaced`, and keep every other file byte-identical on its
-    * original path. The stats manifest is maintained (replaced entries
-    * dropped, new-file entries appended) so subsequent pruned reads and
-    * merges stay correct.
+    * and commit a version that RETIRES `replaced` — every other file
+    * keeps its bytes and path, and the retired files stay on disk for
+    * snapshot readers until [[vacuum]]. The stats manifest is maintained
+    * (replaced entries dropped, new-file entries appended) so subsequent
+    * pruned reads and merges stay correct.
     *
-    * Crash/concurrency contract (single-writer, as documented on the
-    * class): per-file renames are atomic and the whole replacement is
-    * covered by a write-ahead intent journal (`_graft_txn`, written
-    * atomically BEFORE any data file moves, deleted after the manifest
-    * swap). A crash mid-sequence leaves the journal behind; the next
-    * writer calls [[recover]], which rolls the replacement FORWARD when
-    * every new file landed (finishing the deletes) or BACK otherwise
-    * (removing partial adds) — re-running the interrupted upsert then
-    * converges (MergeSpec proves both arms). Without the journal a
-    * crash between add-new and delete-old would leave both old and new
-    * rows visible, and re-running the merge would NOT heal it: the
-    * merge keeps unmatched target duplicates, so the corruption would
-    * be permanent. Reads between a crash and the next write may still
-    * see the inconsistent listing (documented single-writer trade-off);
-    * multi-writer safety stays a transaction log's job (Delta/Iceberg).
+    * Crash contract: the log append IS the commit point. A crash before
+    * it leaves only uncommitted stragglers — no version references them,
+    * so readers never see a torn state (no duplicate rows, unlike the
+    * pre-log design where add-new-then-crash exposed both old and new
+    * rows until healed). The write-ahead intent journal (`_graft_txn`,
+    * written atomically before the moves) lets [[recover]] delete those
+    * stragglers eagerly rather than waiting for vacuum; after a
+    * post-commit crash it simply drops the journal (the data is already
+    * consistent, retirement needs no physical action). Re-running the
+    * interrupted upsert converges either way (MergeSpec proves both
+    * arms).
     */
   /** @param subdir table-relative destination for the new files (e.g.
     *               `"bucket=0"`): partition-directory maintenance places
@@ -532,19 +745,28 @@ final class Warehouse(spark: SparkSession, val root: String,
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
     val filesystem = fs(tablePath)
+    val snap = ensureLogLocked(ref)
+    val tableBase = filesystem.makeQualified(tablePath).toUri.getPath
+    def relOf(p: String): String =
+      new Path(p).toUri.getPath.stripPrefix(tableBase).stripPrefix("/")
+    val replacedRels = replaced.map(relOf)
     // Stale-plan guard (inside the lock, before any staging): the lock
     // serializes write WINDOWS, but a caller that planned its
-    // replacement before another writer's commit would delete files
-    // that no longer exist (a silent no-op) and land rows computed from
-    // the superseded table state — a lost update. If any file this plan
-    // wants to replace is gone, the plan is provably stale: fail loudly
-    // so the caller re-reads and re-plans.
-    val staleMissing = replaced.filterNot(p => filesystem.exists(new Path(p)))
+    // replacement before another writer's commit would retire files
+    // that are no longer current and land rows computed from the
+    // superseded table state — a lost update. Membership in the CURRENT
+    // version is the staleness witness (mere existence no longer is:
+    // retired files stay on disk for snapshot readers). If any file
+    // this plan wants to replace has left the version, the plan is
+    // provably stale: fail loudly so the caller re-reads and re-plans.
+    val currentRels = snap.files.toSet
+    val staleMissing = replacedRels.filterNot(currentRels.contains)
     if (staleMissing.nonEmpty)
       throw new ConcurrentWriteException(
         s"table $ref changed since this replacement was planned: " +
-          s"${staleMissing.size} of ${replaced.size} files to replace no " +
-          s"longer exist (e.g. ${staleMissing.head}) — re-read the table " +
+          s"${staleMissing.size} of ${replaced.size} files to replace are " +
+          s"no longer part of version ${snap.version} " +
+          s"(e.g. ${staleMissing.head}) — re-read the table " +
           "and re-plan the merge")
     val nonce = System.nanoTime().toString
     // SIBLING staging dir (same convention as overwrite's tmp): outside
@@ -579,18 +801,20 @@ final class Warehouse(spark: SparkSession, val root: String,
         }
       // intent journal FIRST: table-relative add/del entries, atomic
       // create — from here a crash anywhere is recoverable
-      def rel(p: String): String = {
-        val base = tablePath.toUri.getPath
-        new Path(p).toUri.getPath.stripPrefix(base).stripPrefix("/")
-      }
       val adds = newFiles.map(f => subdir.fold(f.getName)(d => s"$d/${f.getName}"))
-      writeTxnJournal(ref, adds, replaced.map(rel))
+      writeTxnJournal(ref, adds, replacedRels)
       filesystem.mkdirs(destDir)
       newFiles.foreach { f =>
         if (!filesystem.rename(f, new Path(destDir, f.getName)))
           throw new RuntimeException(s"failed to move ${f.getName} into $ref")
       }
-      replaced.foreach(p => filesystem.delete(new Path(p), false))
+      // THE commit: survivors + adds. The replaced files are retired
+      // from the log but stay on disk — a reader that planned its scan
+      // against the previous version keeps every file it needs until
+      // vacuum. Schema carried forward: file replacement never changes it.
+      val replacedSet = replacedRels.toSet
+      commitLocked(ref, snap.schemaJson,
+        snap.files.filterNot(replacedSet.contains) ++ adds)
       manifestTmp.foreach { tmp =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
@@ -628,16 +852,18 @@ final class Warehouse(spark: SparkSession, val root: String,
       throw new RuntimeException(s"failed to commit txn journal for $ref")
   }
 
-  /** Heal an interrupted [[replaceDataFiles]]: when an intent journal is
-    * present, roll the replacement FORWARD if every new file landed
-    * (finish the deletes — the data is complete) or BACK otherwise
-    * (remove partial adds — the old files are intact), then drop the
-    * journal. Idempotent, and the forward/back decision is stable under
-    * crashes DURING recovery (forward never touches adds, back removes
-    * them). Called automatically by [[replaceDataFiles]], incremental
-    * MERGE, and compaction; the post-recovery stats manifest may be
-    * stale, which pruning tolerates by construction (unknown files are
-    * kept, entries for dead files never match the live listing). Returns
+  /** Heal an interrupted write: when an intent journal is present,
+    * delete any journaled adds the current version does NOT reference
+    * (a pre-commit crash's stragglers — invisible to every reader) and
+    * drop the journal; adds the version references are live data (the
+    * crash happened after the commit) and retired files are retained by
+    * design, so nothing else needs touching. Logless directories keep
+    * the legacy arms: roll FORWARD if every add landed (finish the
+    * deletes) or BACK otherwise. Idempotent; called automatically by
+    * [[overwrite]], [[replaceDataFiles]], incremental MERGE, compaction
+    * and [[vacuum]]. The post-recovery stats manifest may be stale,
+    * which pruning tolerates by construction (unknown files are kept,
+    * entries for dead files never match the current list). Returns
     * true when a journal was found and resolved.
     */
   def recover(ref: TableRef): Boolean = {
@@ -669,18 +895,34 @@ final class Warehouse(spark: SparkSession, val root: String,
     val entries = text.linesIterator.filter(_.nonEmpty).map(_.split("\t", 2)).toSeq
     val adds = entries.collect { case Array("add", p) => p }
     val dels = entries.collect { case Array("del", p) => p }
-    if (adds.forall(p => filesystem.exists(new Path(tablePath, p))))
-      dels.foreach(p => filesystem.delete(new Path(tablePath, p), false))
-    else
-      adds.foreach(p => filesystem.delete(new Path(tablePath, p), false))
+    snapshot(ref) match {
+      case Some(s) =>
+        // log mode: committed ⟺ the version references the adds (the
+        // commit happens only after ALL moves, so membership is
+        // all-or-nothing). Uncommitted adds are invisible stragglers —
+        // remove them; retired files need no action (retention).
+        val current = s.files.toSet
+        adds.filterNot(current.contains)
+          .foreach(p => filesystem.delete(new Path(tablePath, p), false))
+      case None =>
+        // legacy directory-defined table: forward if every add landed
+        // (finish the deletes), back otherwise (remove partial adds)
+        if (adds.forall(p => filesystem.exists(new Path(tablePath, p))))
+          dels.foreach(p => filesystem.delete(new Path(tablePath, p), false))
+        else
+          adds.foreach(p => filesystem.delete(new Path(tablePath, p), false))
+    }
     filesystem.delete(j, false)
     TableStatsRegistry.invalidate(path(ref))
     true
   }
 
-  /** Current data file paths of a table (what a full scan would open). */
+  /** Current data file paths of a table (what a full scan would open) —
+    * the latest version's list for logged tables, so retired files
+    * awaiting vacuum never appear.
+    */
   def dataFiles(ref: TableRef): Seq[String] =
-    listDataFiles(new Path(path(ref))).map(_.toString)
+    currentDataFiles(ref).map(_.toString)
 
   /** OPTIMIZE-style small-file compaction: per DIRECTORY (the table
     * root for flat tables, each partition directory for partitioned
@@ -723,7 +965,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // listStatus yields scheme-qualified paths; qualify ours to match
     val qualifiedTable = filesystem.makeQualified(tablePath)
     val qualifiedPrefix = qualifiedTable.toString + "/"
-    val byDir = listDataFiles(tablePath)
+    val byDir = currentDataFiles(ref)
       .map(p => p -> filesystem.getFileStatus(p).getLen)
       .groupBy(_._1.getParent)
     var compacted = 0

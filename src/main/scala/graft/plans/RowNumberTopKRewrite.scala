@@ -94,11 +94,30 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
       rels.filter(_.outputSet.contains(a)).exists { lr =>
         lr.relation.asInstanceOf[HadoopFsRelation]
           .location.rootPaths.headOption
-          .flatMap(p => TableStatsRegistry.get(p.toString))
+          .flatMap(statsForPath)
           .exists(st => st.rows > 0 &&
             st.ndv.get(a.name).exists(_.toDouble / st.rows >= ratio))
       }
     }
+  }
+
+  /** Registry stats for a scan root. Snapshot reads enumerate explicit
+    * data FILES (the version's list), so the scan root may sit one or
+    * two levels below the table directory the stats are registered
+    * under — walk up a bounded number of ancestors (file → partition
+    * dir → table dir) until a registered path matches.
+    */
+  private def statsForPath(p: org.apache.hadoop.fs.Path)
+      : Option[TableStatsRegistry.TableStats] = {
+    var cur = p
+    var hops = 0
+    while (cur != null && hops < 4) {
+      val hit = TableStatsRegistry.get(cur.toString)
+      if (hit.isDefined) return hit
+      cur = cur.getParent
+      hops += 1
+    }
+    None
   }
 
   /** k from `rn <= k` / `rn < k+1` / `rn = 1` / `k >= rn` / `k > rn-…`

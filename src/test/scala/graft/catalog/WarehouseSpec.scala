@@ -311,6 +311,65 @@ class WarehouseSpec extends SparkSpec {
       .distinct().count() === 1)
   }
 
+  test("reader snapshot survives a concurrent compact; versions time travel; vacuum reclaims") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val wh = new Warehouse(spark, tmpDir("wh-snap"))
+    val ref = TableRef("silver", "cdc", "snapshotted")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+    // several small files so compact has something to rewrite
+    (0 until 4).foreach { b =>
+      mt.upsert((b * 100 until (b + 1) * 100)
+        .map(i => (i.toLong, i.toString)).toDF("k", "v").coalesce(1))
+    }
+    val preRows = wh.read(ref).collect().toSet
+    val preVersion = wh.currentVersion(ref).get
+    val pinned = wh.snapshot(ref).get
+    val pinnedDf = wh.readSnapshot(pinned) // plan bound to preVersion's files
+
+    // another process compacts: every small file is rewritten (retired)
+    assert(wh.compact(ref, smallFileBytes = 1L << 30) === 4)
+    assert(wh.currentVersion(ref).get > preVersion)
+
+    // the pinned reader's scan STILL succeeds, on the retired files
+    assert(pinnedDf.collect().toSet === preRows)
+    // time travel: the pre-compact version stays readable by number
+    assert(wh.readVersion(ref, preVersion).collect().toSet === preRows)
+    // and the current read sees the same rows through the new files
+    assert(wh.read(ref).collect().toSet === preRows)
+    // the compact fully rewrote the version: no shared files
+    val curNames = wh.dataFiles(ref).map(p => new java.io.File(p).getName).toSet
+    val pinNames = pinned.files.map(f => new java.io.File(f).getName).toSet
+    assert(curNames.intersect(pinNames).isEmpty)
+
+    // vacuum reclaims the retired files and drops the old versions
+    val removed = wh.vacuum(ref)
+    assert(removed >= 4)
+    assert(wh.read(ref).collect().toSet === preRows) // current unharmed
+    intercept[IllegalArgumentException](wh.readVersion(ref, preVersion))
+    // a second vacuum finds nothing left to delete
+    assert(wh.vacuum(ref) === 0)
+  }
+
+  test("overwrite versions: time travel across full rewrites, truncate keeps schema") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-tt"))
+    val ref = TableRef("bronze", "tt", "t")
+    wh.overwrite(ref, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    val v1 = wh.currentVersion(ref).get
+    wh.overwrite(ref, Seq(("c", 3)).toDF("k", "v"))
+    // a full overwrite retired v1's files without deleting them
+    assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("c", 3)))
+    assert(wh.readVersion(ref, v1).as[(String, Int)].collect().toSet
+      === Set(("a", 1), ("b", 2)))
+    // truncate commits an EMPTY version that still knows the schema
+    wh.truncate(ref)
+    assert(wh.read(ref).count() === 0)
+    assert(wh.read(ref).columns.toSeq === Seq("k", "v"))
+    // unknown versions fail loudly
+    intercept[IllegalArgumentException](wh.readVersion(ref, 99L))
+  }
+
   test("file skipping composes with partitioned tables") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-skip-part"))

@@ -144,12 +144,13 @@ class MergeSpec extends SparkSpec {
 
   test("crash recovery: interrupted replaceDataFiles heals on the next upsert (both arms)") {
     import spark.implicits._
-    // replaceDataFiles covers add-new → delete-old → swap-manifest with
-    // a write-ahead intent journal; a crash mid-sequence must be healed
-    // by the next writer (roll FORWARD when every add landed, roll BACK
-    // on partial adds). Without recovery a re-run would NOT converge:
-    // Merge.merge keeps unmatched target duplicates, so the doubled
-    // rows of a half-replaced file would be permanent.
+    // The log append is the COMMIT POINT of replaceDataFiles. A crash
+    // BEFORE it leaves only uncommitted straggler files — readers still
+    // resolve the previous version, so the torn both-old-and-new-rows
+    // state of a directory-defined table never exists. A crash AFTER it
+    // needs no physical healing (replaced files are retired, not
+    // deleted). recover() prunes stragglers / drops the journal, and
+    // re-running the interrupted upsert converges either way.
     def copyTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
       java.nio.file.Files.walk(src).forEach { p =>
         val t = dst.resolve(src.relativize(p))
@@ -166,6 +167,7 @@ class MergeSpec extends SparkSpec {
       .toDF("k", "t", "v").repartitionByRange(4, $"k")
     mt.upsert(base)
     val beforeFiles = wh.dataFiles(ref).map(p => new java.io.File(p).getName).toSet
+    val beforeRows = wh.read(ref).collect().toSet
 
     val batch = Seq(
       (150, ts("2024-02-01 00:00:00"), -150.0),
@@ -174,7 +176,7 @@ class MergeSpec extends SparkSpec {
       .collect().toSet
 
     // snapshot the pre-merge warehouse twice, then run the real merge
-    // to harvest the files it adds and deletes
+    // to harvest the files and the version it commits
     val fwdDir = tmpDir("wh-crash-fwd")
     val backDir = tmpDir("wh-crash-back")
     copyTree(java.nio.file.Paths.get(whDir), java.nio.file.Paths.get(fwdDir))
@@ -183,37 +185,45 @@ class MergeSpec extends SparkSpec {
     val tableDir = java.nio.file.Paths.get(wh.path(ref))
     val afterFiles = wh.dataFiles(ref).map(p => new java.io.File(p).getName).toSet
     val added = (afterFiles -- beforeFiles).toSeq.sorted
-    val deleted = (beforeFiles -- afterFiles).toSeq.sorted
-    assert(added.nonEmpty && deleted.nonEmpty)
+    val retired = (beforeFiles -- afterFiles).toSeq.sorted
+    assert(added.nonEmpty && retired.nonEmpty)
+    // retention: the retired files are OFF the version but ON the disk
+    retired.foreach(n => assert(java.nio.file.Files.exists(tableDir.resolve(n))))
 
-    // ARM 1 — crash AFTER all adds, before deletes: journal + new files
-    // present, old files still in place → duplicates visible pre-heal
     val relTable = s"${ref.catalog}/${ref.schema}/${ref.table}"
+
+    // ARM 1 — crash AFTER the commit, before the journal delete: adds +
+    // committed version file + journal all present. The table is already
+    // consistent; recovery only drops the journal.
     val fwdTable = java.nio.file.Paths.get(fwdDir).resolve(relTable)
     added.foreach { name =>
       java.nio.file.Files.copy(tableDir.resolve(name), fwdTable.resolve(name))
     }
+    val committedVersion = wh.currentVersion(ref).get
+    java.nio.file.Files.copy(
+      tableDir.resolve(f"_graft_log/v$committedVersion%08d"),
+      fwdTable.resolve(f"_graft_log/v$committedVersion%08d"))
     val fwdWh = new Warehouse(spark, fwdDir)
-    fwdWh.writeTxnJournal(ref, added, deleted)
-    val dupCount = fwdWh.read(ref).groupBy($"k").count()
-      .filter($"count" > 1).count()
-    assert(dupCount > 0) // corruption is real before recovery
+    fwdWh.writeTxnJournal(ref, added, retired)
+    assert(fwdWh.read(ref).collect().toSet === expected) // already consistent
     new MergeTable(spark, fwdWh, ref, Seq("k"), Some("t")).upsert(batch)
     assert(fwdWh.read(ref).collect().toSet === expected)
     // recovery is a no-op once the journal is resolved
     assert(!fwdWh.recover(ref))
     assert(fwdWh.read(ref).collect().toSet === expected)
 
-    // ARM 2 — crash mid-adds: some new files landed, the journal lists
-    // one that never did → recovery must roll BACK (remove the partial
-    // adds, old files are intact) and the re-run merges cleanly
+    // ARM 2 — crash mid-adds, BEFORE the commit: some new files landed,
+    // the journal lists one that never did. No reader ever sees them —
+    // the current version still resolves the pre-merge rows.
     val backTable = java.nio.file.Paths.get(backDir).resolve(relTable)
     added.foreach { name =>
       java.nio.file.Files.copy(tableDir.resolve(name), backTable.resolve(name))
     }
     val backWh = new Warehouse(spark, backDir)
-    backWh.writeTxnJournal(ref, added :+ "never-moved.parquet", deleted)
-    assert(backWh.recover(ref)) // rolls back: partial adds removed
+    backWh.writeTxnJournal(ref, added :+ "never-moved.parquet", retired)
+    assert(backWh.read(ref).collect().toSet === beforeRows) // no torn state
+    assert(backWh.recover(ref)) // prunes the uncommitted stragglers
+    added.foreach(n => assert(!java.nio.file.Files.exists(backTable.resolve(n))))
     assert(backWh.dataFiles(ref).map(p => new java.io.File(p).getName).toSet
       === beforeFiles)
     new MergeTable(spark, backWh, ref, Seq("k"), Some("t")).upsert(batch)
