@@ -221,13 +221,54 @@ object DedupQueries {
       |FROM s
       |WHERE round(CAST(ns AS DOUBLE) / (ns + 1), 6) >= 0.8""".stripMargin
 
-  /** SimHash near-dups (rows-only check: xxhash64-based). maxHamming=6:
-    * the synthetic corpus shares one small vocabulary, so looser bounds
-    * degenerate into topic-matching rather than near-dup detection.
+  /** SimHash near-dups, VALUE-checked via a planted construction:
+    * SimHash is a per-token vote sum, so it depends only on the token
+    * MULTISET — a clone with its tokens reversed has the identical
+    * 63-bit signature, i.e. a provable hamming-0 pair, without the
+    * oracle reimplementing xxhash. The query plants reversed-token
+    * clones (doc_id + 1M) of the same fixture slice q_minhash_pairs
+    * uses and keeps exactly the planted (id, id+1M) pairs; any pair
+    * with that id relation IS a source↔clone pair by construction, so
+    * the filter drops only unprovable natural near-dups, not planted
+    * ones. maxHamming=0 makes the blocking bucket the full signature,
+    * so the oracle can reproduce the `maxBucket` cap as the multiset
+    * group size (equal multiset ⇒ equal signature; the reverse —
+    * distinct multisets colliding on 63 bits — is assumed absent in
+    * this deterministic corpus and holds at every shipped SF). The
+    * multi-chunk pigeonhole blocking path (maxHamming > 0) stays
+    * covered by DedupSpec, where recall is assertable directly.
     */
-  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.load(spark, dir, "documents"),
-      "doc_id", "text", maxHamming = 6)
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.filter($"doc_id" % 4 === 1 && $"n_chars" >= 150)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat_ws(" ", reverse(TextFunctions.tokens($"text"))))
+    Dedup.simhashNearDups(docs.unionByName(planted), "doc_id", "text",
+        maxHamming = 0)
+      .filter($"id_b" === $"id_a" + 1000000L)
+      .select($"id_a", $"id_b", $"hamming")
+  }
+
+  val qSimhashPairsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, n_chars,
+      |         array_to_string(list_sort(list_filter(
+      |           regexp_split_to_array(text, '\s+'),
+      |           x -> length(x) > 0)), ' ') AS m
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, n_chars,
+      |         count(*) OVER (PARTITION BY m) AS cnt_corpus,
+      |         count(*) FILTER (WHERE doc_id % 4 = 1 AND n_chars >= 150)
+      |           OVER (PARTITION BY m) AS cnt_planted
+      |  FROM toks)
+      |SELECT doc_id AS id_a,
+      |       CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+      |       CAST(0 AS INT) AS hamming
+      |FROM sized
+      |WHERE doc_id % 4 = 1 AND n_chars >= 150
+      |  AND cnt_corpus + cnt_planted <= 200""".stripMargin
 
   /** Full near-dup pipeline: MinHash-LSH candidates → connected-
     * component group resolution → canonical-survivor filter (rows-only
@@ -378,5 +419,6 @@ object DedupQueries {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_dedup_against_near" -> qDedupAgainstNearSql,
     "q_minhash_pairs" -> qMinhashPairsSql,
+    "q_simhash_pairs" -> qSimhashPairsSql,
     "q_ngram_jaccard" -> qNgramJaccardSql)
 }
