@@ -319,6 +319,40 @@ object PipelineQueries {
       |       CAST(1 AS INTEGER) AS files_after
       |FROM orders""".stripMargin
 
+  /** Snapshot isolation + time travel end-to-end: two full overwrites
+    * commit versions 1 and 2; a snapshot pinned at v1 AND `readVersion`
+    * both still see v1's rows after v2 replaced every file — because a
+    * commit only RETIRES files — and `vacuum(keepVersions = 2)` (run
+    * between the pin and the read) honors the retention window. The
+    * oracle recomputes both versions straight from the source table, so
+    * the whole versioned-log read path is value-checked, not just
+    * spec'd.
+    */
+  def qTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-tt").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val ref = TableRef("silver", "facts", "orders_versioned")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    wh.overwrite(ref, orders.filter($"o_orderkey" % 5 === 0))
+    val v1 = wh.currentVersion(ref).get
+    val pinned = wh.snapshot(ref).get
+    wh.overwrite(ref, orders.filter($"o_orderkey" % 5 === 1))
+    // vacuum with a 2-version retention window: v1's files must survive
+    // for the pinned reader; only never-referenced stragglers may go
+    wh.vacuum(ref, keepVersions = 2)
+    wh.readSnapshot(pinned).withColumn("version", lit(v1).cast("long"))
+      .unionByName(wh.read(ref).withColumn("version", lit(v1 + 1).cast("long")))
+  }
+
+  val qTimeTravelSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, CAST(1 AS BIGINT) AS version
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, CAST(2 AS BIGINT) AS version
+      |FROM orders WHERE o_orderkey % 5 = 1""".stripMargin
+
   /** K5 gold materialized view end-to-end: a reference-shaped
     * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY
     * rewritten, three-part names resolved against the warehouse) CTAS'd
@@ -363,6 +397,7 @@ object PipelineQueries {
     "q_warehouse_skip" -> (qWarehouseSkip _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_compact_table" -> (qCompactTable _),
+    "q_time_travel" -> (qTimeTravel _),
     "q_gold_view" -> (qGoldView _))
 
   def oracles: Map[String, String] = Map(
@@ -374,5 +409,6 @@ object PipelineQueries {
     "q_warehouse_skip" -> qWarehouseSkipSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_compact_table" -> qCompactTableSql,
+    "q_time_travel" -> qTimeTravelSql,
     "q_gold_view" -> qGoldViewSql)
 }

@@ -577,9 +577,16 @@ object TextQueries {
     import spark.implicits._
     import graft.text.UrlOps
     val docs = Tables.load(spark, dir, "documents")
+    // deterministically messy: uppercase scheme/host, www., an optional
+    // extra subdomain label, a public-suffix ccTLD for a third of the
+    // hosts (.co.uk — registrable domain needs the PSL, last-two-labels
+    // would collapse every such site into "co.uk"), default port,
+    // tracking params, fragment, trailing slash
+    val sub = when($"doc_id" % 4 === 1, lit("A.")).otherwise(lit(""))
+    val tld = when($"doc_id" % 3 === 0, lit(".CO.UK")).otherwise(lit(".COM"))
     val raw = concat(
-      lit("HTTPS://WWW."), upper($"source"), ($"doc_id" % 5).cast("string"),
-      lit(".COM:443/Item/"), ($"doc_id" % 7).cast("string"), lit("/"),
+      lit("HTTPS://WWW."), sub, upper($"source"), ($"doc_id" % 5).cast("string"),
+      tld, lit(":443/Item/"), ($"doc_id" % 7).cast("string"), lit("/"),
       $"doc_id".cast("string"),
       when($"doc_id" % 2 === 0,
         concat(lit("?utm_source=feed&ref=rss&page="),
@@ -587,29 +594,41 @@ object TextQueries {
         .otherwise(lit("/?utm_campaign=x#frag")))
     val canon = docs.select($"doc_id", UrlOps.canonicalizeUrl(raw).as("url"))
       .withColumn("domain", UrlOps.domain($"url"))
+      .withColumn("reg_domain", UrlOps.registrableDomain($"url"))
     val kept = canon.filter(!$"domain".isin("src00.com", "src12.com"))
     import org.apache.spark.sql.expressions.Window
+    // cap per REGISTRABLE domain (the C4-style unit of crawl politeness):
+    // a.example.co.uk and example.co.uk share one cap bucket
     kept
       .withColumn("__rn", row_number().over(
-        Window.partitionBy($"domain").orderBy($"doc_id")))
+        Window.partitionBy($"reg_domain").orderBy($"doc_id")))
       .filter($"__rn" <= 8).drop("__rn")
   }
 
   val qUrlCurationSql: String =
     """WITH c AS (
       |  SELECT doc_id,
-      |    concat(source, CAST(doc_id % 5 AS VARCHAR), '.com') AS domain,
-      |    concat('https://', source, CAST(doc_id % 5 AS VARCHAR),
-      |           '.com/Item/', CAST(doc_id % 7 AS VARCHAR), '/',
+      |    concat(CASE WHEN doc_id % 4 = 1 THEN 'a.' ELSE '' END,
+      |           source, CAST(doc_id % 5 AS VARCHAR),
+      |           CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+      |      AS domain,
+      |    concat(source, CAST(doc_id % 5 AS VARCHAR),
+      |           CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END)
+      |      AS reg_domain,
+      |    concat('https://',
+      |           CASE WHEN doc_id % 4 = 1 THEN 'a.' ELSE '' END,
+      |           source, CAST(doc_id % 5 AS VARCHAR),
+      |           CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END,
+      |           '/Item/', CAST(doc_id % 7 AS VARCHAR), '/',
       |           CAST(doc_id AS VARCHAR),
       |           CASE WHEN doc_id % 2 = 0
       |                THEN concat('?page=', CAST(doc_id % 3 AS VARCHAR))
       |                ELSE '' END) AS url
       |  FROM documents),
       |ranked AS (
-      |  SELECT *, row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+      |  SELECT *, row_number() OVER (PARTITION BY reg_domain ORDER BY doc_id) AS rn
       |  FROM c WHERE domain NOT IN ('src00.com', 'src12.com'))
-      |SELECT doc_id, url, domain FROM ranked WHERE rn <= 8""".stripMargin
+      |SELECT doc_id, url, domain, reg_domain FROM ranked WHERE rn <= 8""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q_url_curation" -> (qUrlCuration _),
