@@ -49,6 +49,31 @@ class Mp4Spec extends SparkSpec {
     assert(out(0).media_id === 1L && out(0).frame_ix === -1)
   }
 
+  test("adversarial box counts are clamped by payload length, not materialized") {
+    // corrupt the stsz sample count to ~2^31: an unclamped demux would
+    // drive a 2-billion-element Seq.fill (OutOfMemoryError — which
+    // NonFatal does NOT catch) instead of degrading gracefully
+    val bytes = Mp4.mux(16, 16, timescale = 1000, Seq(10, 10),
+      Seq(Array[Byte](1, 2), Array[Byte](3, 4)))
+    def findBox(tpe: String): Int = {
+      val pat = tpe.getBytes("US-ASCII")
+      (0 until bytes.length - 4).find(i => pat.indices.forall(j => bytes(i + j) == pat(j))).get
+    }
+    // stsz layout: [size][stsz][verflags][default_size][count]
+    val countOff = findBox("stsz") + 4 + 4 + 4
+    val corrupted = bytes.clone()
+    java.nio.ByteBuffer.wrap(corrupted, countOff, 4).putInt(Int.MaxValue)
+    val frames = Mp4.demux(5L, corrupted) // must return, not OOM
+    // default_size == 0 here, so count clamps to the per-sample entry
+    // bytes actually present (2 entries) — the real samples survive
+    assert(frames.length <= 2)
+    // same corruption on stts entry count
+    val sttsOff = findBox("stts") + 4 + 4
+    val corrupted2 = bytes.clone()
+    java.nio.ByteBuffer.wrap(corrupted2, sttsOff, 4).putInt(Int.MaxValue)
+    assert(Mp4.demux(6L, corrupted2).length <= 2)
+  }
+
   test("truncated mdat degrades to empty sample bytes, not a crash") {
     val full = Mp4.mux(8, 8, timescale = 1000, Seq(10, 10),
       Seq(Array.fill(40)(1.toByte), Array.fill(40)(2.toByte)))
