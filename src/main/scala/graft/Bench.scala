@@ -194,9 +194,13 @@ object Bench {
     // and phases always present, then per-query entries slowest-first
     // until the budget is spent; the fastest remainder is folded into
     // "rest" (count + summed seconds) instead of silently dropped.
-    val warm = warmResults.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    System.err.println(s"[bench-warm-map] $warm")
+    val warmFull = warmResults.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+    System.err.println(s"[bench-warm-map] ${warmFull.mkString("{", ",", "}")}")
+    // JSON-line warm map capped to the 12 slowest so it doesn't crowd
+    // the per-query section out of the 1700-char budget; the full map
+    // is the stderr line above
+    val warm = warmFull.take(12).mkString("{", ",", "}")
 
     val budget = 1700
     val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"queries":{"""
