@@ -390,6 +390,32 @@ object RelationalQueries {
       |  1 AS extra_val
       |FROM events""".stripMargin
 
+  /** P8 nested struct access as a VALUE-checked gate row (previously
+    * spec-only — the reference's tickers→prices path,
+    * silver/prices/prices.sql): build structs, read nested fields
+    * through dot paths, and explode an array of structs back to rows.
+    * Constructed from `orders` so the oracle is plain relational SQL —
+    * the struct round-trip must be invisible in the values.
+    */
+  def qNestedStruct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_custkey",
+        struct($"o_orderkey".as("id"), $"o_totalprice".as("amt")).as("rec"))
+      .withColumn("pair", array($"rec",
+        struct(($"rec.id" + 1000000L).as("id"), ($"rec.amt" * 2).as("amt"))))
+      .select($"o_custkey", explode($"pair").as("r"))
+      .select($"o_custkey", $"r.id".as("id"), $"r.amt".as("amt"))
+  }
+
+  val qNestedStructSql: String =
+    """SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS id, o_totalprice AS amt
+      |FROM orders
+      |UNION ALL
+      |SELECT o_custkey, CAST(o_orderkey + 1000000 AS BIGINT) AS id,
+      |       o_totalprice * 2 AS amt
+      |FROM orders""".stripMargin
+
   /** CUBE over (returnflag, linestatus): all 2^n grouping combinations
     * in one pass (rollup's superset; grouping_id disambiguates).
     */
@@ -412,6 +438,7 @@ object RelationalQueries {
 
   def queries: Map[String, Q] = Map(
     "q_scalar_map" -> (qScalarMap _),
+    "q_nested_struct" -> (qNestedStruct _),
     "q_agg_cube" -> (qAggCube _),
     "q_set_ops" -> (qSetOps _),
     "q_agg_distinct" -> (qAggDistinct _),
@@ -430,6 +457,7 @@ object RelationalQueries {
 
   def oracles: Map[String, String] = Map(
     "q_scalar_map" -> qScalarMapSql,
+    "q_nested_struct" -> qNestedStructSql,
     "q_agg_cube" -> qAggCubeSql,
     "q_set_ops" -> qSetOpsSql,
     "q_agg_distinct" -> qAggDistinctSql,
