@@ -284,6 +284,17 @@ final class Warehouse(spark: SparkSession, val root: String,
     val lock = new Path(path(ref) + ".lock")
     val filesystem = fs(lock)
     filesystem.mkdirs(lock.getParent)
+    // Same-JVM writers serialize on a process-local mutex FIRST: the
+    // file lease below is create-if-absent on filesystems without a
+    // CAS primitive, and two THREADS of one JVM can both slip through
+    // its exists-then-create window (observed under the MergeSpec
+    // contention test). In-process, a real mutex is exact; the file
+    // lease remains the (best-effort) cross-process guard.
+    val jvmLock = Warehouse.jvmLocks.computeIfAbsent(
+      TableStatsRegistry.normalize(lock.toString),
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    jvmLock.lock()
+    try {
     val token = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       s"\t${System.currentTimeMillis()}\t${java.util.UUID.randomUUID()}"
     def tryAcquire(): Boolean =
@@ -341,6 +352,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       if (stillMine) filesystem.delete(lock, false)
       ()
     }
+    } finally jvmLock.unlock()
   }
 
   /** Read the table's CURRENT version. Snapshot-isolated for logged
@@ -377,9 +389,25 @@ final class Warehouse(spark: SparkSession, val root: String,
     * partition sort/routing. The named columns must NOT be in `df`
     * (partition discovery restores them at read time).
     */
+  /** @param onlyIfAbsent bootstrap guard: fail with
+    *        [[ConcurrentWriteException]] (nothing touched) when the
+    *        table already has a committed version or data — closes the
+    *        check-then-create race where two writers both believe they
+    *        are first and the second silently replaces the first's rows.
+    *        The check runs INSIDE the writer lock.
+    * @param expectedVersion optimistic CAS for read-compute-overwrite
+    *        callers (e.g. a merge's full-rewrite fallback): fail with
+    *        [[ConcurrentWriteException]] (nothing touched) when the
+    *        current version no longer matches the one the rewrite was
+    *        computed from — otherwise a concurrent commit in the window
+    *        between the caller's read and this write would be silently
+    *        lost. None = unconditional replace (plain loads).
+    */
   def overwrite(ref: TableRef, df: DataFrame, partitionBy: Seq[String] = Nil,
                 statsColumns: Seq[String] = Nil,
-                staticPartitions: Seq[(String, String)] = Nil): Unit = {
+                staticPartitions: Seq[(String, String)] = Nil,
+                onlyIfAbsent: Boolean = false,
+                expectedVersion: Option[Long] = None): Unit = {
     require(partitionBy.isEmpty || staticPartitions.isEmpty,
       "partitionBy and staticPartitions are mutually exclusive")
     staticPartitions.foreach { case (k, _) =>
@@ -393,6 +421,16 @@ final class Warehouse(spark: SparkSession, val root: String,
     // until this overwrite is past the point of producing data
     filesystem.mkdirs(target.getParent)
     recoverLocked(ref) // clear a crashed writer's stragglers first
+    if (onlyIfAbsent &&
+        (currentVersion(ref).nonEmpty ||
+          (filesystem.exists(target) && listDataFiles(target).nonEmpty)))
+      throw new ConcurrentWriteException(
+        s"table $ref was created concurrently — this bootstrap lost the " +
+          "race; re-read the table and merge instead")
+    if (expectedVersion.nonEmpty && currentVersion(ref) != expectedVersion)
+      throw new ConcurrentWriteException(
+        s"table $ref advanced past version ${expectedVersion.get} since " +
+          "this rewrite was planned — re-read the table and re-plan")
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
     val writeDir =
@@ -1008,4 +1046,15 @@ final class Warehouse(spark: SparkSession, val root: String,
         .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
     walk(table).filter(_.getName.endsWith(".parquet"))
   }
+}
+
+object Warehouse {
+  /** Process-local writer mutexes keyed by the normalized lock path
+    * (JVM-wide, so two [[Warehouse]] instances over one root still
+    * serialize) — the exact in-process half of `withWriterLock`'s
+    * two-level locking; the lease FILE covers cross-process.
+    */
+  private[catalog] val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.locks.ReentrantLock]()
 }

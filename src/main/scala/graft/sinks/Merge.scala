@@ -163,15 +163,51 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     widened.select((df.columns ++ missing).map(col).toIndexedSeq: _*)
   }
 
+  /** Upsert with bounded retry on writer conflicts. A
+    * [[graft.catalog.ConcurrentWriteException]] from the warehouse means
+    * either another writer holds the table lock or this plan went stale
+    * against a newer version — in BOTH cases nothing has touched the
+    * table, and the correct response for a CDC batch is to re-read and
+    * re-plan, which is exactly what re-running the attempt does (every
+    * attempt reads the CURRENT version). Bounded + jittered so true
+    * contention storms still surface to the caller instead of spinning.
+    */
   def upsert(source: DataFrame): Unit = {
+    // a competitor holds the lock for its whole staged write (~seconds
+    // for a real batch), so back off linearly with jitter; ~10 attempts
+    // rides out a burst of writers while still surfacing true storms
+    val maxAttempts = 10
+    var attempt = 1
+    var done = false
+    while (!done) {
+      try { upsertOnce(source); done = true }
+      catch {
+        case _: graft.catalog.ConcurrentWriteException if attempt < maxAttempts =>
+          Thread.sleep(100L * attempt +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(200L))
+          attempt += 1
+      }
+    }
+  }
+
+  private def upsertOnce(source: DataFrame): Unit = {
     if (!warehouse.exists(ref)) {
-      warehouse.overwrite(ref, source, statsColumns = bootstrapStats)
+      // onlyIfAbsent: if another writer bootstraps between the exists
+      // check and our lock acquisition, this throws (nothing written)
+      // and the retry loop re-enters through the merge path
+      warehouse.overwrite(ref, source, statsColumns = bootstrapStats,
+        onlyIfAbsent = true)
       return
     }
     // heal any interrupted prior replacement BEFORE reading the target —
     // a crashed add-new leaves duplicate rows that a plain re-merge
     // would keep (unmatched target duplicates survive Merge.merge)
     warehouse.recover(ref)
+    // pin the version this merge computes against: every full-rewrite
+    // below passes it as an optimistic CAS, so a concurrent commit in
+    // the read→overwrite window conflicts loudly (and the retry loop
+    // re-plans) instead of being silently lost
+    val baseVersion = warehouse.currentVersion(ref)
     if (evolveSchema) {
       val target = warehouse.read(ref)
       // trigger on name+type signature, not names alone — a same-name
@@ -190,7 +226,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           .select(wTarget.columns.map(col).toIndexedSeq: _*)
         val merged = Merge.merge(wTarget, wSource, keys, tsField)
         warehouse.overwrite(ref, merged,
-          statsColumns = statCols.filter(merged.columns.contains))
+          statsColumns = statCols.filter(merged.columns.contains),
+          expectedVersion = baseVersion)
         return
       }
     }
@@ -228,7 +265,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           if (collectStats) (warehouse.statColumns(ref) :+ pruneKey).distinct
           else warehouse.statColumns(ref)
         val merged = Merge.merge(warehouse.read(ref), source, keys, tsField)
-        warehouse.overwrite(ref, merged, statsColumns = statCols)
+        warehouse.overwrite(ref, merged, statsColumns = statCols,
+          expectedVersion = baseVersion)
     }
   }
 }

@@ -351,6 +351,39 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.vacuum(ref) === 0)
   }
 
+  test("a reader racing a churning writer only ever sees complete committed versions") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val wh = new Warehouse(spark, tmpDir("wh-mvcc"))
+    val ref = TableRef("silver", "cdc", "churn")
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((0 until 400).map(i => (i.toLong, i.toString)).toDF("k", "v")
+      .repartitionByRange(4, $"k"))
+    // writer thread: 8 disjoint insert-only batches of 10 rows — each
+    // commits a new version with exactly +10 rows
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writer = new Thread(() => {
+      try (1 to 8).foreach { b =>
+        mt.upsert((0 until 10).map(i => (10000L + b * 100 + i, s"b$b"))
+          .toDF("k", "v").coalesce(1))
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+    writer.start()
+    // reader loop: every count must be a committed version's total —
+    // 400 + 10·b. A torn read (partial files, double-counted rewrites,
+    // or a FileNotFoundException from a yanked file) cannot produce one
+    // of these values. Purely a safety assertion: scheduling decides
+    // how many interleavings it witnesses, never whether it passes.
+    val valid = (0 to 8).map(b => 400L + 10L * b).toSet
+    while (writer.isAlive) {
+      val n = wh.read(ref).count()
+      assert(valid.contains(n), s"torn read: $n not a committed version size")
+    }
+    writer.join()
+    assert(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
+    assert(wh.read(ref).count() === 480)
+  }
+
   test("overwrite versions: time travel across full rewrites, truncate keeps schema") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-tt"))

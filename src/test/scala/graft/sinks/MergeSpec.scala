@@ -265,6 +265,37 @@ class MergeSpec extends SparkSpec {
       Seq((1000, ts("2024-03-01 00:00:00"), -1000.0)))
   }
 
+  test("concurrent writers to one merge target all land: lock + retry serialize them") {
+    import spark.implicits._
+    // four threads race upserts of DISJOINT key batches into a table
+    // that does not exist yet: exactly one bootstrap wins (onlyIfAbsent
+    // closes the check-then-create race), the rest conflict on the lock
+    // or go version-stale and re-plan through MergeTable's retry loop.
+    // Every batch must land exactly once — lost updates and doubled
+    // bootstraps both change the final count.
+    val wh = new Warehouse(spark, tmpDir("wh-multiwriter"))
+    val ref = TableRef("silver", "cdc", "contended")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+          mt.upsert((0 until 50).map(i => (t * 1000L + i, s"w$t"))
+            .toDF("k", "v").coalesce(1))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek())}")
+    val rows = wh.read(ref).as[(Long, String)].collect()
+    assert(rows.length === 200)
+    assert(rows.map(_._1).toSet.size === 200) // no duplicates, no losses
+    (0 until 4).foreach { t =>
+      assert(rows.count(_._2 == s"w$t") === 50, s"writer $t's batch lost")
+    }
+  }
+
   test("merge idempotence: merging the same batch twice is a no-op") {
     import spark.implicits._
     val target = Seq(("A", ts("2024-01-01 00:00:00"), 1.0)).toDF("k", "t", "v")
