@@ -270,21 +270,102 @@ object DedupQueries {
       |WHERE doc_id % 4 = 1 AND n_chars >= 150
       |  AND cnt_corpus + cnt_planted <= 200""".stripMargin
 
-  /** Full near-dup pipeline: MinHash-LSH candidates → connected-
-    * component group resolution → canonical-survivor filter (rows-only
-    * check: candidates are xxhash-derived; the resolution semantics are
-    * covered by DedupSpec).
+  /** Full near-dup pipeline VALUE-checked end-to-end: MinHash-LSH
+    * candidates → connected-component group resolution →
+    * canonical-survivor filter, over `documents` plus the planted
+    * one-novel-token re-crawls of [[qMinhashPairs]]. The candidate
+    * edges feeding resolution are restricted to the two PROVABLE
+    * families so the oracle is exact while the banded LSH still runs
+    * over the whole combined corpus:
+    *
+    *  - planted pairs (id, id+1M): true Jaccard is the SQL-computable
+    *    ns/(ns+1) ≈ 0.96, discovery deterministic on fixed data
+    *    (the [[qDedupAgainstNear]] argument, checked at all SFs);
+    *  - organic pairs at jaccard = 1.0: J=1 ⟺ identical distinct
+    *    3-gram sets ⟹ identical signatures ⟹ the pair shares every
+    *    band bucket, so recall is STRUCTURAL, not probabilistic — and
+    *    set equality is a SQL group-by. The oracle mirrors the
+    *    `maxBucket` cap as equality-class size, like [[qSimhashPairs]].
+    *
+    * Edges between an unprovable organic near-pair (0.8 ≤ J < 1) are
+    * dropped on BOTH sides; components still chain across families
+    * (an exact twin of a planted source joins its clone's group two
+    * hops out), so `dupGroups` does real multi-hop work against an
+    * independent recursive-CTE closure.
     */
   def qDedupNearE2e(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
-      k = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 200)
+    val planted = docs.filter($"doc_id" % 4 === 1 && $"n_chars" >= 150)
+      .withColumn("doc_id", $"doc_id" + 1000000L)
+      .withColumn("text", concat($"text", lit(" zymurgy")))
+    val corpus = docs.unionByName(planted)
+    val pairs = Dedup.minhashCandidates(corpus, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.8, maxBucket = 200)
+    val provable = pairs.filter(
+      $"id_b" === $"id_a" + 1000000L || $"jaccard" === 1.0)
     // near-dup clusters are shallow: 4 propagation rounds cover
     // 2^4-hop chains, far beyond real near-dup graph diameters
-    Dedup.keepCanonical(docs, "doc_id", Dedup.dupGroups(pairs, maxIters = 4))
+    Dedup.keepCanonical(corpus, "doc_id", Dedup.dupGroups(provable, maxIters = 4))
       .select($"doc_id", $"n_chars")
   }
+
+  /** Oracle for [[qDedupNearE2e]]: rebuild the combined corpus, derive
+    * both provable edge families (equal distinct-3-gram sets under the
+    * 200-member class cap; planted ns/(ns+1) ≥ 0.8 pairs), close them
+    * transitively with the recursive min-label CTE, and keep each
+    * component's minimum id — an independent replay of candidate
+    * semantics + union-find + canonical filter.
+    */
+  val qDedupNearE2eSql: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, n_chars, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, n_chars, text || ' zymurgy'
+      |  FROM documents WHERE doc_id % 4 = 1 AND n_chars >= 150),
+      |toks AS (
+      |  SELECT doc_id, n_chars,
+      |         list_filter(regexp_split_to_array(text, '\s+'),
+      |                     x -> length(x) > 0) AS t
+      |  FROM corpus),
+      |sets AS (
+      |  SELECT doc_id, n_chars,
+      |         array_to_string(list_sort(list_distinct(list_transform(
+      |           range(0, len(t) - 2),
+      |           i -> array_to_string(t[i+1:i+3], ' ')))), chr(30)) AS sk,
+      |         len(list_distinct(list_transform(
+      |           range(0, len(t) - 2),
+      |           i -> array_to_string(t[i+1:i+3], ' ')))) AS ns
+      |  FROM toks),
+      |sized AS (
+      |  SELECT doc_id, n_chars, sk, ns,
+      |         count(*) OVER (PARTITION BY sk) AS cls
+      |  FROM sets),
+      |eq_edges AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib
+      |  FROM sized a JOIN sized b ON a.sk = b.sk AND a.doc_id < b.doc_id
+      |  WHERE a.cls <= 200),
+      |pl_edges AS (
+      |  SELECT doc_id AS ia, doc_id + 1000000 AS ib
+      |  FROM sized
+      |  WHERE doc_id < 1000000 AND doc_id % 4 = 1 AND n_chars >= 150
+      |    AND round(CAST(ns AS DOUBLE) / (ns + 1), 6) >= 0.8),
+      |edges AS (
+      |  SELECT ia, ib FROM eq_edges UNION SELECT ia, ib FROM pl_edges),
+      |und AS (
+      |  SELECT ia AS src, ib AS dst FROM edges
+      |  UNION ALL SELECT ib, ia FROM edges),
+      |reach(node, lbl) AS (
+      |  SELECT src, src FROM und
+      |  UNION
+      |  SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+      |  WHERE r.lbl < u.dst),
+      |canon AS (
+      |  SELECT node AS id, min(lbl) AS canonical_id
+      |  FROM reach GROUP BY node)
+      |SELECT c.doc_id, c.n_chars FROM corpus c
+      |WHERE c.doc_id NOT IN
+      |  (SELECT id FROM canon WHERE id <> canonical_id)""".stripMargin
 
   /** SimHash signatures themselves — deterministic, rows-only. */
   def qSimhashSignatures(spark: SparkSession, dir: String): DataFrame = {
@@ -420,5 +501,6 @@ object DedupQueries {
     "q_dedup_against_near" -> qDedupAgainstNearSql,
     "q_minhash_pairs" -> qMinhashPairsSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
+    "q_dedup_near_e2e" -> qDedupNearE2eSql,
     "q_ngram_jaccard" -> qNgramJaccardSql)
 }
