@@ -15,10 +15,10 @@ import graft.sql.Transform
   * (/root/reference/lib/ingestors.py:9-16) plus explicit paths instead of
   * Databricks' implicit `/Volumes/raw/...` + notebook-relative files.
   *
-  * @param inputFormat `json`/`parquet`/`csv`/`orc` → schema-enforced
-  *                    raw glob scan; anything else (the reference's
-  *                    silver specs say `delta`) → the SQL transform
-  *                    reads upstream tables directly
+  * @param inputFormat `json`/`parquet`/`csv`/`orc`/`xml` →
+  *                    schema-enforced raw glob scan; anything else (the
+  *                    reference's silver specs say `delta`) → the SQL
+  *                    transform reads upstream tables directly
   *                    (ingestors.py:82-85).
   */
 final case class IngestSpec(
@@ -60,15 +60,17 @@ class Ingestor(spark: SparkSession, warehouse: Warehouse, val spec: IngestSpec) 
     * other formats run the transform against upstream tables.
     */
   def load(): DataFrame = spec.inputFormat match {
-    case "json" | "parquet" | "csv" | "orc" =>
+    case "json" | "parquet" | "csv" | "orc" | "xml" =>
       val reader = spark.read.format(spec.inputFormat).schema(meta.schema)
-      // CSV raw zones follow the same bronze convention as JSON — all
-      // columns declared string, typing deferred to the transform — so
-      // the declared schema IS the parse spec; header row for column
-      // alignment, no inference
-      val withOpts =
-        if (spec.inputFormat == "csv") reader.option("header", "true")
-        else reader
+      // CSV/XML raw zones follow the same bronze convention as JSON —
+      // all columns declared string, typing deferred to the transform —
+      // so the declared schema IS the parse spec; header row (CSV) /
+      // fixed <row> record tag (XML) for column alignment, no inference
+      val withOpts = spec.inputFormat match {
+        case "csv" => reader.option("header", "true")
+        case "xml" => reader.option("rowTag", "row")
+        case _     => reader
+      }
       val df = withOpts
         .load(s"${spec.rawPath}/*.${spec.inputFormat}")
         .withColumn("loaded_at", current_timestamp())

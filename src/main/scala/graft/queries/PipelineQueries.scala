@@ -181,6 +181,41 @@ object PipelineQueries {
         $"o_orderpriority")
   }
 
+  /** XML raw zone through the full-load engine — Spark 4's built-in XML
+    * source under the same bronze all-string convention (fixed `<row>`
+    * record tag instead of CSV's header row), same construction and
+    * oracle as the CSV/ORC entries. Covers semi-structured markup
+    * feeds, the last raw format the core distribution reads.
+    */
+  def qPipelineXml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-xml").toString
+    Tables.load(spark, dir, "orders")
+      .select(
+        $"o_orderkey".cast("string"),
+        $"o_custkey".cast("string"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("string"),
+        $"o_orderdate".cast("string"),
+        $"o_orderpriority")
+      .repartition(2) // two part files: the glob scan must union them
+      .write.format("xml").option("rowTag", "row").mode("overwrite")
+      .save(s"$base/raw/gate/orders_xml")
+    write(s"$base/meta/bronze/orders_xml/orders_xml.yml", ordersYaml)
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    new Ingestor(spark, wh, IngestSpec(
+      TableRef("bronze", "gate", "orders_xml"), "xml",
+      s"$base/raw", s"$base/meta/bronze")).run()
+    wh.read(TableRef("bronze", "gate", "orders_xml"))
+      .select(
+        $"o_orderkey".cast("bigint").as("o_orderkey"),
+        $"o_custkey".cast("bigint").as("o_custkey"),
+        $"o_orderstatus",
+        $"o_totalprice".cast("double").as("o_totalprice"),
+        $"o_orderdate".cast("timestamp").cast("date").as("order_date"),
+        $"o_orderpriority")
+  }
+
   /** CDC path: transform with QUALIFY + keyed merge (bootstrap run). */
   def qPipelineCdc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -392,6 +427,7 @@ object PipelineQueries {
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_csv" -> (qPipelineCsv _),
     "q_pipeline_orc" -> (qPipelineOrc _),
+    "q_pipeline_xml" -> (qPipelineXml _),
     "q_pipeline_cdc" -> (qPipelineCdc _),
     "q_checker_scorecard" -> (qCheckerScorecard _),
     "q_warehouse_skip" -> (qWarehouseSkip _),
@@ -404,6 +440,7 @@ object PipelineQueries {
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_csv" -> qPipelineFullSql,
     "q_pipeline_orc" -> qPipelineFullSql,
+    "q_pipeline_xml" -> qPipelineFullSql,
     "q_pipeline_cdc" -> qPipelineCdcSql,
     "q_checker_scorecard" -> qCheckerScorecardSql,
     "q_warehouse_skip" -> qWarehouseSkipSql,

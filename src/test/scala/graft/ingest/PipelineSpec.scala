@@ -126,6 +126,33 @@ class PipelineSpec extends SparkSpec {
       |      schema: 'brapi'
       |""".stripMargin
 
+  test("xml raw zone: schema-enforced <row> scan, markup escaping round-trips") {
+    import spark.implicits._
+    val base = tmpDir("xml-ingest")
+    // values containing XML metacharacters: the writer must escape and
+    // the schema-enforced scan must restore them verbatim — the failure
+    // mode CSV/JSON raw zones don't have
+    Seq(("A&B", "1.5", "2024-05-01 10:00:00"),
+        ("C<D>", "2.5", "2024-05-02 10:00:00"),
+        ("E\"F'", "3.5", "2024-05-03 10:00:00"))
+      .toDF("stocks", "close", "event_time")
+      .repartition(2) // two part files: the glob scan must union them
+      .write.format("xml").option("rowTag", "row")
+      .mode("overwrite").save(s"$base/raw/brapi/quotes")
+    write(s"$base/meta/bronze/quotes/quotes.yml", quotesYaml)
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val n = new Ingestor(spark, wh, IngestSpec(
+      TableRef("bronze", "brapi", "quotes"), "xml",
+      s"$base/raw", s"$base/meta/bronze")).run()
+    assert(n === 3)
+    val out = wh.read(TableRef("bronze", "brapi", "quotes"))
+    assert(out.columns.contains("loaded_at"))
+    assert(out.select($"stocks").as[String].collect().toSet ===
+      Set("A&B", "C<D>", "E\"F'"))
+    assert(out.select($"close").as[String].collect().toSet ===
+      Set("1.5", "2.5", "3.5"))
+  }
+
   test("raw json → bronze full → bronze cdc merge → silver explode+dedup") {
     import spark.implicits._
     val base = tmpDir("pipeline")
