@@ -30,6 +30,11 @@ final case class ImageFeatures(
 /** One embedding component in long format. */
 final case class MediaEmbeddingRow(media_id: Long, dim: Int, value: Double)
 
+/** Perceptual difference-hash of a decoded image; `dhash = -1` with
+  * `decoded = false` marks an undecodable payload.
+  */
+final case class ImageHash(media_id: Long, dhash: Long, decoded: Boolean)
+
 /** Decoded per-audio features. */
 final case class AudioFeatures(
     media_id: Long,
@@ -123,6 +128,94 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Perceptual difference-hash (dHash) per image: decode, reduce to a
+    * 9×8 luma grid, emit one bit per horizontally-adjacent cell pair
+    * (left brighter ⇒ 0, darker ⇒ 1) — 64 bits that survive re-encoding
+    * and resizing, the standard cheap key for IMAGE near-dup detection
+    * in crawl curation (Krawetz's dHash). All arithmetic is integer:
+    * cell comparisons cross-multiply (sum, count) rationals instead of
+    * dividing, so the hash is bit-deterministic on every JVM. The same
+    * bounded sampling grid as [[decodeImage]] keeps a 100-megapixel
+    * scan at thumbnail cost; undecodable payloads keep their row with
+    * the explicit sentinel rather than vanishing.
+    */
+  def dhashImages(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { m =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content))
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || img.getWidth < 1 || img.getHeight < 1)
+          ImageHash(m.media_id, -1L, decoded = false)
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val sums = Array.ofDim[Long](9, 8)
+          val cnts = Array.ofDim[Long](9, 8)
+          // ≤144×128 sample grid: ~16 samples per cell edge, bounded work
+          val stepX = math.max(1, w / 144)
+          val stepY = math.max(1, h / 128)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 9 / w
+              val rgb = img.getRGB(x, y)
+              sums(cx)(cy) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              cnts(cx)(cy) += 1
+              x += stepX
+            }
+            y += stepY
+          }
+          var bits = 0L
+          var cy = 0
+          while (cy < 8) {
+            var cx = 0
+            while (cx < 8) {
+              // avg(left) < avg(right) via cross-multiplication (exact;
+              // cells a tiny image leaves empty compare as zero)
+              val lc = math.max(1L, cnts(cx)(cy))
+              val rc = math.max(1L, cnts(cx + 1)(cy))
+              if (sums(cx)(cy) * rc < sums(cx + 1)(cy) * lc)
+                bits |= 1L << (cy * 8 + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          ImageHash(m.media_id, bits, decoded = true)
+        }
+      }
+    }
+  }
+
+  /** Exact-duplicate image pairs by dHash equality (hamming-0; banding
+    * the 64 bits like SimHash extends this to hamming>0). Scale shape:
+    * the hash table is THIN (id + 64-bit key), the self-join shuffles
+    * on the hash only, and degenerate buckets — a crawl's millions of
+    * identical blank thumbnails — are dropped by `maxBucket` with the
+    * same rationale as the LSH/SimHash caps (a bucket that size is one
+    * dup GROUP, not interesting pairs).
+    */
+  def imageDupPairs(hashes: Dataset[ImageHash], maxBucket: Int = 8): DataFrame = {
+    // decode+hash runs once: the thin (hash, id) frame feeds the bucket
+    // count AND both self-join sides (multi-consumer subtree)
+    val h = hashes.toDF()
+      .filter(col("decoded") && col("dhash") =!= lit(-1L))
+      .select(col("dhash"), col("media_id"))
+      .localCheckpoint()
+    val small = h.groupBy("dhash").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("dhash")
+    val ok = h.join(small, "dhash")
+    ok.select(col("dhash"), col("media_id").as("id_a"))
+      .join(ok.select(col("dhash"), col("media_id").as("id_b")), "dhash")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
   }
 
   /** Decode audio to features, batch-per-partition, via
@@ -229,6 +322,37 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic pseudo-random-texture PNG: every pixel's gray level
+    * is a splitmix64-style mix of (seed, x, y), so distinct seeds give
+    * images whose dHashes are effectively independent 64-bit draws
+    * (a solid fill like [[synthesizePng]] would dHash to 0 for EVERY
+    * image — useless as a near-dup fixture). `format` picks the
+    * container (png/bmp — both lossless in the JDK), so a fixture can
+    * pair one scene under two codecs and the dHash must still match.
+    */
+  def synthesizePatternImage(width: Int, height: Int, seed: Long,
+                             format: String = "png"): Array[Byte] = {
+    require(width > 0 && height > 0, s"degenerate image ${width}x$height")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var v = seed * 0x9E3779B97F4A7C15L +
+          x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+        v ^= (v >>> 29); v *= 0xBF58476D1CE4E5B9L; v ^= (v >>> 32)
+        val g = (v & 0xff).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 

@@ -431,27 +431,50 @@ object AnalyticQueries {
   // ------------------------------------------------- approx sketches
 
   /** The sketch aggregates a 100 TB engine actually runs — HLL distinct
-    * counts and quantile sketches. Rows-only in the gate (sketch
-    * internals differ across engines by design); AnalyticSpec bounds
-    * them against exact answers.
+    * counts and quantile sketches. Sketch INTERNALS differ across
+    * engines by design, so the raw estimates can't hash-compare — but
+    * their GUARANTEES can: the query emits the exact statistics (SQL-
+    * derivable) plus one boolean per sketch asserting the estimate
+    * landed inside its published error bound, which the oracle states
+    * as literal TRUE. The bounds are generous multiples of the
+    * configured error (20% for rsd=0.05 HLL, 5% for rsd=0.01;
+    * approx_percentile's rank error ≤ n/accuracy, far inside the
+    * ±0.01-quantile window at every SF), and both estimate and bound
+    * are deterministic for a given dataset — a broken sketch flips a
+    * boolean and fails the hash. AnalyticSpec keeps the tighter
+    * empirical checks.
     */
   def qApproxStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // The percentile pair is projected to SCALAR columns — an
-    // array<double> column crashes the driver's pandas sort
-    // ("unhashable type: numpy.ndarray"), losing even the rows-only
-    // check. One sketch pass, two element_at projections.
+    // one pass: sketches and exact companions in the same aggregate
+    // (the array percentiles are projected to scalars — an array cell
+    // is unhashable in the driver's pandas compare)
     Tables.load(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey").as("approx_parts"),
-        approx_count_distinct($"l_orderkey", 0.01).as("approx_orders"),
+        approx_count_distinct($"l_partkey").as("ap"),
+        approx_count_distinct($"l_orderkey", 0.01).as("ao"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 10000)")
-          .as("approx_price_q"))
-      .select($"l_returnflag", $"approx_parts", $"approx_orders",
-        element_at($"approx_price_q", 1).as("approx_p50"),
-        element_at($"approx_price_q", 2).as("approx_p99"))
+          .as("apq"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        countDistinct($"l_orderkey").as("exact_orders"),
+        expr("percentile(l_extendedprice, array(0.49, 0.51, 0.989, 0.991))")
+          .as("epq"))
+      .select($"l_returnflag", $"exact_parts", $"exact_orders",
+        (abs($"ap" - $"exact_parts") <= $"exact_parts" * lit(0.2)).as("parts_ok"),
+        (abs($"ao" - $"exact_orders") <= $"exact_orders" * lit(0.05)).as("orders_ok"),
+        (element_at($"apq", 1) >= element_at($"epq", 1) &&
+          element_at($"apq", 1) <= element_at($"epq", 2)).as("p50_ok"),
+        (element_at($"apq", 2) >= element_at($"epq", 3) &&
+          element_at($"apq", 2) <= element_at($"epq", 4)).as("p99_ok"))
   }
+
+  val qApproxStatsSql: String =
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  true AS parts_ok, true AS orders_ok, true AS p50_ok, true AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   def queries: Map[String, Q] = Map(
     "q_asof_forward" -> (qAsofForward _),
@@ -486,5 +509,6 @@ object AnalyticQueries {
     "q_sample_split" -> qSampleSplitSql,
     "q_topk" -> qTopkSql,
     "q_range_join" -> qRangeJoinSql,
-    "q_topk_group" -> qTopkGroupSql)
+    "q_topk_group" -> qTopkGroupSql,
+    "q_approx_stats" -> qApproxStatsSql)
 }

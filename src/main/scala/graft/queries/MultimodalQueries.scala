@@ -64,6 +64,35 @@ object MultimodalQueries {
         round($"brightness", 6).as("brightness"), $"aspect_ratio")
   }
 
+  /** Image near-dup detection end-to-end through the REAL codec: each
+    * document becomes a pseudo-random-texture scene rendered TWICE —
+    * once as PNG, once as BMP (same pixels, different container, clone
+    * id offset 10⁷) — and dHash + pair generation must recover exactly
+    * the (scene, clone) pairs. Provable because dHash is a pure
+    * function of decoded pixels (both containers are lossless) while
+    * distinct seeds give effectively independent 64-bit hashes; a
+    * cross-seed collision or a codec divergence would emit an extra /
+    * missing pair and hash-mismatch the oracle.
+    */
+  def qImgDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .flatMap { id =>
+        Seq(
+          MediaRecord(id, "image", s"mem://scene/$id",
+            Multimodal.synthesizePatternImage(36, 32, id, "png"),
+            None, None, None),
+          MediaRecord(id + 10000000L, "image", s"mem://scene/clone/$id",
+            Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
+            None, None, None))
+      }
+    Multimodal.imageDupPairs(Multimodal.dhashImages(media))
+  }
+
+  val qImgDhashSql: String =
+    """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents""".stripMargin
+
   val qMmDecodeSql: String =
     """SELECT doc_id AS media_id,
       |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
@@ -238,6 +267,7 @@ object MultimodalQueries {
     "q_mm_mp4_frames" -> (qMmMp4Frames _),
     "q_mm_gif_frames" -> (qMmGifFrames _),
     "q_mm_decode" -> (qMmDecode _),
+    "q_img_dhash" -> (qImgDhash _),
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_embed" -> (qMmEmbed _))
@@ -246,6 +276,7 @@ object MultimodalQueries {
     "q_mm_mp4_frames" -> qMmMp4FramesSql,
     "q_mm_gif_frames" -> qMmGifFramesSql,
     "q_mm_decode" -> qMmDecodeSql,
+    "q_img_dhash" -> qImgDhashSql,
     "q_mm_audio" -> qMmAudioSql,
     "q_mm_frames" -> qMmFramesSql,
     "q_mm_embed" -> qMmEmbedSql)

@@ -166,13 +166,45 @@ object SimQueries {
     """SELECT vec_id + 10000000 AS query_id, 1 AS rank, vec_id AS id
       |FROM embeddings WHERE vec_id < 500""".stripMargin
 
+  private val NCENTROIDS = 8
+
+  /** K-means-style cluster assignment over the whole corpus — the
+    * centroid set is pinned to the first `NCENTROIDS` corpus vectors so
+    * the argmax is value-checkable (a refined centroid's per-dimension
+    * `avg` would diverge across engines at the last bit; an assignment
+    * RANK never does — same robustness argument as `q_ann_topk`).
+    * Refinement itself (Lloyd steps) is covered by SimilaritySpec
+    * convergence cases.
+    */
+  def qClusterAssign(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val cents = corpus.filter($"vec_id" < NCENTROIDS)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("centroid"))
+    Similarity.assign(corpus, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cid")
+  }
+
+  val qClusterAssignSql: String =
+    s"""SELECT vec_id, cid FROM (
+       |  SELECT c.vec_id, CAST(ct.vec_id AS INTEGER) AS cid,
+       |    row_number() OVER (
+       |      PARTITION BY c.vec_id
+       |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                                      CAST(ct.embedding AS DOUBLE[])) DESC,
+       |               ct.vec_id ASC) AS rn
+       |  FROM embeddings c, embeddings ct
+       |  WHERE ct.vec_id < $NCENTROIDS)
+       |WHERE rn = 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_embed_neardup_incr" -> (qEmbedNearDupIncr _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_exhaustive" -> (qAnnIvfExhaustive _),
-    "q_ann_lsh" -> (qAnnLsh _))
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_cluster_assign" -> (qClusterAssign _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" -> qAnnTopKSql,
@@ -180,5 +212,6 @@ object SimQueries {
     "q_embed_neardup_incr" -> qEmbedNearDupIncrSql,
     // exhaustive probing must equal brute force: same rank oracle
     "q_ann_ivf_exhaustive" -> qAnnTopKSql,
-    "q_ann_lsh" -> qAnnLshSql)
+    "q_ann_lsh" -> qAnnLshSql,
+    "q_cluster_assign" -> qClusterAssignSql)
 }

@@ -143,21 +143,40 @@ object TextQueries {
        |    FROM documents))""".stripMargin
   }
 
-  /** Fingerprints: xxhash64 has no DuckDB twin → no oracle (driver
-    * records a rows-only check). Deterministic across runs regardless.
-    * The sketch is serialized to a comma-joined string for the gate —
-    * the driver's rows-only comparator sorts rows in pandas and an
-    * array cell is unhashable there; the library API (shingleSketch)
-    * keeps the array form.
+  /** Fingerprint EQUALITY CLASSES are value-checkable even though the
+    * xxhash64 values themselves have no DuckDB twin: fingerprint(a) =
+    * fingerprint(b) ⇔ the normalized texts are equal (modulo a 64-bit
+    * collision, which would surface as a wrong family and fail the
+    * hash compare), and normalization (lower + whitespace-collapse +
+    * trim) IS expressible in DuckDB. So the gate emits each doc's
+    * canonical family member + family size from the FINGERPRINT while
+    * the oracle re-derives them from the normalized TEXT — a broken
+    * hash, normalization, or grouping all diverge. Scale shape: one
+    * groupBy on the 64-bit key + a thin key join, exactly exactDedup's.
+    * (The raw fp / winnowing sketch surface stays covered by
+    * TextFunctionsSpec + the dedup queries.)
     */
   def qTextFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id",
-        TextFunctions.fingerprint($"text").as("fp"),
-        concat_ws(",", TextFunctions.shingleSketch($"text", 3, 8))
-          .as("sketch_csv"))
+    val fp = Tables.load(spark, dir, "documents")
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+    fp.groupBy($"fp")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("family_n"))
+      .join(fp, "fp")
+      .select($"doc_id", $"canonical_id", $"family_n")
   }
+
+  val qTextFingerprintSql: String =
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |  FROM documents),
+      |fam AS (
+      |  SELECT n, min(doc_id) AS canonical_id,
+      |    CAST(count(*) AS BIGINT) AS family_n
+      |  FROM norm GROUP BY n)
+      |SELECT norm.doc_id, fam.canonical_id, fam.family_n
+      |FROM norm JOIN fam USING (n)""".stripMargin
 
   /** Regex extraction over documents: all long word occurrences per
     * doc (regexp_extract_all — the pattern-harvesting primitive of PII
@@ -212,16 +231,33 @@ object TextQueries {
       |FROM grams g JOIN bgrams b USING (gram)
       |GROUP BY g.doc_id""".stripMargin
 
-  /** Sequence packing (rows-only: bin composition is partition-layout
-    * dependent by design; PackingSpec checks the invariants). Output
-    * is one row per document with its bin and the bin's final fill.
+  /** Sequence packing. Bin COMPOSITION is partition-layout dependent
+    * by design (each task packs its own rows), so raw bin ids can't be
+    * value-checked — but the packing INVARIANTS can: every doc appears
+    * exactly once (row compare on doc_id), weights are the real token
+    * counts (SQL-derivable), the oversize flag is exactly
+    * `weight > budget`, and `fits` — a non-oversize doc's bin never
+    * exceeds the budget; an oversize doc sits in a singleton bin — is
+    * provably TRUE for a correct packer, so the oracle emits the
+    * literal and any budget violation or non-singleton oversize bin
+    * hash-mismatches. Bin-id uniqueness/tightness stays in PackingSpec.
     */
   def qPackSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val weighted = Tables.load(spark, dir, "documents")
       .select($"doc_id", TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
     graft.operators.Packing.packByWeight(weighted, "doc_id", "n_tokens", budget = 512L)
+      .select($"id".as("doc_id"), $"weight".as("n_tokens"), $"oversize",
+        (($"oversize" && $"bin_weight" === $"weight") ||
+          (!$"oversize" && $"bin_weight" <= 512L)).as("fits"))
   }
+
+  val qPackSequencesSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+       |  len($sqlTokens) > 512 AS oversize,
+       |  true AS fits
+       |FROM documents""".stripMargin
 
   /** Gopher-style repetition profile, one row per doc, computed with
     * per-row array ops (dup fractions) and a sorted-run HOF scan (top
@@ -410,6 +446,40 @@ object TextQueries {
        |  round(tf.tf * (ln(((SELECT count(*) FROM documents) + 1.0)
        |                    / (dfreq.df + 1.0)) + 1.0), 6) AS tfidf
        |FROM tf JOIN dfreq USING (token)""".stripMargin
+
+  /** Okapi BM25 weights over the corpus (k1=1.2, b=0.75). */
+  def qBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.text.TfIdf.bm25(docs, "doc_id", "text", docs.count())
+  }
+
+  /** Oracle mirrors the Spark arithmetic operation-for-operation
+    * (same parenthesization, fractional literals CAST to DOUBLE so
+    * DuckDB doesn't run the expression in DECIMAL) — the doubles then
+    * hash-compare bit-identically at 6dp.
+    */
+  val qBm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+       |doclen AS (
+       |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+       |stats AS (
+       |  SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM doclen),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents)
+       |SELECT tf.doc_id, tf.token, tf.tf, dfreq.df, doclen.dl,
+       |  round((ln(1.0 + ((n.nd - dfreq.df) + CAST(0.5 AS DOUBLE))
+       |                  / (dfreq.df + CAST(0.5 AS DOUBLE)))
+       |         * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0)))
+       |        / (tf.tf + CAST(1.2 AS DOUBLE)
+       |           * ((1.0 - CAST(0.75 AS DOUBLE))
+       |              + ((CAST(0.75 AS DOUBLE) * doclen.dl) / stats.avgdl))),
+       |        6) AS bm25
+       |FROM tf
+       |JOIN dfreq USING (token)
+       |JOIN doclen USING (doc_id), stats, n""".stripMargin
 
   /** Corpus vocabulary: top 100 tokens by frequency. explode →
     * map-side partial count → shuffle carries only distinct tokens →
@@ -646,6 +716,7 @@ object TextQueries {
     "q_curate_corpus" -> (qCurateCorpus _),
     "q_text_chunk" -> (qTextChunk _),
     "q_tfidf" -> (qTfidf _),
+    "q_bm25" -> (qBm25 _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -665,6 +736,9 @@ object TextQueries {
     "q_curate_corpus" -> qCurateCorpusSql,
     "q_text_chunk" -> qTextChunkSql,
     "q_tfidf" -> qTfidfSql,
+    "q_bm25" -> qBm25Sql,
+    "q_text_fingerprint" -> qTextFingerprintSql,
     "q_vocab_topk" -> qVocabTopkSql,
-    "q_decontaminate" -> qDecontaminateSql)
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_pack_sequences" -> qPackSequencesSql)
 }

@@ -228,6 +228,43 @@ object TfIdf {
         (log(lit(corpusSize + 1.0) / (col("df") + lit(1.0))) + lit(1.0)), 6))
       .select(col(idCol), col("token"), col("tf"), col("df"), col("tfidf"))
   }
+
+  /** Okapi BM25 term weights, one row per (doc, token) — the standard
+    * retrieval-relevance score (Robertson et al., TREC-3) with Lucene's
+    * non-negative idf floor `ln(1 + (N-df+0.5)/(df+0.5))`. Used by
+    * curation pipelines to rank corpus documents against query terms
+    * and by retrieval-based decontamination.
+    *
+    * Scale shape mirrors [[tfidf]]: one explode → (doc, token) hash agg
+    * with map-side combine; doc lengths fold off the tf table (no
+    * second corpus scan); `avgdl` is one scalar from an exact integer
+    * sum (bit-identical across engines, unlike a double `avg`), carried
+    * by a broadcast single-row cross join — no driver round-trip.
+    */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, corpusSize: Long,
+           k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(corpusSize > 0, s"corpusSize must be positive: $corpusSize")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val doclen = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // exact integer total / count → the one division is IEEE-identical
+    // in any engine; avg(double) would hash-mismatch on association
+    val avgdl = doclen.agg(
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (lit(corpusSize.toDouble) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    tf.join(dfreq, "token")
+      .join(doclen, idCol)
+      .crossJoin(broadcast(avgdl))
+      .withColumn("bm25", round(idf *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("dl"), col("bm25"))
+  }
 }
 
 /** Token-shingle helper shared by text + dedup operators. */

@@ -47,6 +47,34 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(1).brightness === -1.0)
   }
 
+  test("dhash: codec-invariant on pixels, seed-sensitive, corrupt excluded, buckets capped") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(1L, "image", "mem://a.png",
+        Multimodal.synthesizePatternImage(36, 32, seed = 7, "png"), None, None, None),
+      MediaRecord(2L, "image", "mem://a.bmp",
+        Multimodal.synthesizePatternImage(36, 32, seed = 7, "bmp"), None, None, None),
+      MediaRecord(3L, "image", "mem://b.png",
+        Multimodal.synthesizePatternImage(36, 32, seed = 8, "png"), None, None, None),
+      MediaRecord(4L, "image", "mem://junk", Array.fill[Byte](50)(9), None, None, None)
+    ).toDS()
+    val hashes = Multimodal.dhashImages(ds).collect().sortBy(_.media_id)
+    // same pixels through two containers → identical hash
+    assert(hashes(0).dhash === hashes(1).dhash)
+    assert(hashes(0).decoded && hashes(1).decoded)
+    // a different scene → a different hash
+    assert(hashes(2).dhash !== hashes(0).dhash)
+    // corrupt payload keeps its row with the sentinel
+    assert(!hashes(3).decoded && hashes(3).dhash === -1L)
+    val pairs = Multimodal.imageDupPairs(Multimodal.dhashImages(ds))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+    // a bucket past maxBucket is one dup GROUP, not pairs: dropped
+    val many = (1L to 4L).map(i => MediaRecord(i, "image", s"mem://$i",
+      Multimodal.synthesizePatternImage(36, 32, seed = 7, "png"), None, None, None)).toDS()
+    assert(Multimodal.imageDupPairs(Multimodal.dhashImages(many), maxBucket = 3).count() === 0L)
+  }
+
   test("decodeAudio: real WAV decode; garbage falls back with -1 sentinel") {
     import spark.implicits._
     val wav = Multimodal.synthesizeWav(sampleRate = 8000, nSamples = 400, sampleValue = 16000)

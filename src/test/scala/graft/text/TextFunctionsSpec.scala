@@ -112,6 +112,29 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows((2L, "fish"))._3 > rows((2L, "cat"))._3)
   }
 
+  test("bm25: matches the hand-derived Okapi formula, rare terms score higher") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c")).toDF("id", "text")
+    val rows = TfIdf.bm25(docs, "id", "text", 2L)
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // doc 1 "a": tf=2 df=2 dl=3, avgdl=2.5
+    val (k1, b) = (1.2, 0.75)
+    def score(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log(1.0 + (2.0 - df + 0.5) / (df + 0.5))
+      val v = idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * dl / 2.5))
+      math.rint(v * 1e6) / 1e6
+    }
+    assert(rows((1L, "a")) === ((2L, 2L, 3L, score(2, 2, 3))))
+    assert(rows((1L, "b")) === ((1L, 1L, 3L, score(1, 1, 3))))
+    assert(rows((2L, "c")) === ((1L, 1L, 2L, score(1, 1, 2))))
+    // the rare term outscores the ubiquitous one within a doc
+    assert(rows((2L, "c"))._4 > rows((2L, "a"))._4)
+  }
+
   test("shingles: distinct k-grams, empty under k tokens") {
     import spark.implicits._
     val sh = Seq("a b c d", "a b", "a b a b a b")
