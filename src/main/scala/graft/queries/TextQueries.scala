@@ -259,6 +259,37 @@ object TextQueries {
        |  true AS fits
        |FROM documents""".stripMargin
 
+  /** Cross-document duplicated SPANS (substring-level dedup): maximal
+    * merged token ranges covered by 5-grams occurring in ≥2 docs. The
+    * oracle replays gram extraction on the STRING grams, the dup set
+    * from distinct (doc, gram) pairs, and the same integer
+    * gaps-and-islands merge — the Spark side ships only 8-byte gram
+    * hashes through its shuffle, so agreement also certifies the
+    * hash-vs-string grouping equivalence (collision-free here).
+    */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.text.SpanDedup.duplicatedSpans(
+      Tables.load(spark, dir, "documents"), "doc_id", "text", n = 5)
+
+  val qSpanDedupSql: String =
+    s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS gram
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s),
+       |dup AS (
+       |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+       |  GROUP BY gram HAVING count(*) >= 2),
+       |pos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+       |brk AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS b
+       |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM brk)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + 5 AS BIGINT) AS span_end
+       |FROM isl GROUP BY doc_id, grp""".stripMargin
+
   /** Gopher-style repetition profile, one row per doc, computed with
     * per-row array ops (dup fractions) and a sorted-run HOF scan (top
     * token) — ZERO shuffle; the oracle re-derives the same fractions,
@@ -717,6 +748,7 @@ object TextQueries {
     "q_text_chunk" -> (qTextChunk _),
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
+    "q_span_dedup" -> (qSpanDedup _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -737,6 +769,7 @@ object TextQueries {
     "q_text_chunk" -> qTextChunkSql,
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
+    "q_span_dedup" -> qSpanDedupSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql,

@@ -248,7 +248,11 @@ object TfIdf {
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
+    // tf feeds THREE consumers (doc lengths, document frequencies, the
+    // final join): materialize the thin pair table once instead of
+    // re-scanning and re-exploding the corpus per branch
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val doclen = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     // exact integer total / count → the one division is IEEE-identical
     // in any engine; avg(double) would hash-mismatch on association

@@ -1,0 +1,66 @@
+package graft.text
+
+import graft.SparkSpec
+
+class SpanDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text")
+  }
+
+  private def spans(in: org.apache.spark.sql.DataFrame, n: Int) = {
+    import in.sparkSession.implicits._
+    SpanDedup.duplicatedSpans(in, "id", "text", n)
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("a shared phrase yields one merged span in each doc, unique text none") {
+    // docs 1 and 2 share the 4-token phrase at different offsets;
+    // its two 3-grams overlap and must merge to one [start, start+4) span
+    val in = docs(
+      1L -> "u1 u2 common alpha beta gamma u3",
+      2L -> "v1 common alpha beta gamma",
+      3L -> "all tokens here are unique ones")
+    assert(spans(in, 3) === Set((1L, 2L, 6L), (2L, 1L, 5L)))
+  }
+
+  test("within-doc repetition alone is NOT a cross-doc span") {
+    val in = docs(
+      1L -> "echo echo echo echo echo echo",
+      2L -> "totally different words appear here")
+    assert(spans(in, 3) === Set.empty)
+  }
+
+  test("identical docs flag end-to-end spans; under-n docs never crash") {
+    val in = docs(
+      1L -> "one two three four five",
+      2L -> "one two three four five",
+      3L -> "ab") // shorter than n: no grams, no downward sequence
+    assert(spans(in, 4) === Set((1L, 0L, 5L), (2L, 0L, 5L)))
+  }
+
+  test("disjoint duplicated phrases stay separate spans when gap > n") {
+    // shared 3-grams at positions 0 and 8 in doc 1: gap 8 > 3 → two spans
+    val in = docs(
+      1L -> "p q r x1 x2 x3 x4 x5 s t u",
+      2L -> "p q r",
+      3L -> "s t u")
+    assert(spans(in, 3) === Set((1L, 0L, 3L), (1L, 8L, 11L),
+      (2L, 0L, 3L), (3L, 0L, 3L)))
+  }
+
+  test("removeSpans strips flagged tokens, leaves clean docs verbatim-tokenized") {
+    import spark.implicits._
+    val in = docs(
+      1L -> "u1 u2 common alpha beta gamma u3",
+      2L -> "v1 common alpha beta gamma",
+      3L -> "untouched   text")
+    val s = SpanDedup.duplicatedSpans(in, "id", "text", 3)
+    val out = SpanDedup.removeSpans(in, "id", "text", s)
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) === "u1 u2 u3")
+    assert(out(2L) === "v1")
+    assert(out(3L) === "untouched text")
+  }
+}
