@@ -386,6 +386,27 @@ object AnalyticQueries {
       |       THEN 'train' ELSE 'test' END AS split
       |FROM orders""".stripMargin
 
+  /** Per-stratum deterministic sampling (the sampleBy counterpart):
+    * each order status keeps its own hash-band fraction, strata absent
+    * from the map drop entirely. Same engine-portable Knuth hash as
+    * q_sample_split (key reduced mod 2³¹ before the multiply), so the
+    * oracle replays the exact keep decision per row.
+    */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.stratifiedSample(
+        Tables.load(spark, dir, "orders"), "o_orderstatus", "o_orderkey",
+        Map("O" -> 0.5, "F" -> 0.25))
+      .select($"o_orderkey", $"o_orderstatus")
+  }
+
+  val qStratifiedSampleSql: String =
+    """SELECT o_orderkey, o_orderstatus
+      |FROM (SELECT *, ((o_orderkey % 2147483648) * 2654435761) % 4294967296 AS h
+      |      FROM orders)
+      |WHERE (o_orderstatus = 'O' AND h < 2147483648)
+      |   OR (o_orderstatus = 'F' AND h < 1073741824)""".stripMargin
+
   // ------------------------------------------------------------ top-k
 
   /** Distributed exact top-k: Spark plans orderBy+limit as
@@ -489,6 +510,7 @@ object AnalyticQueries {
     "q_negative_pairs" -> (qNegativePairs _),
     "q_winsorize" -> (qWinsorize _),
     "q_sample_split" -> (qSampleSplit _),
+    "q_stratified_sample" -> (qStratifiedSample _),
     "q_topk" -> (qTopk _),
     "q_approx_stats" -> (qApproxStats _),
     "q_range_join" -> (qRangeJoin _),
@@ -507,6 +529,7 @@ object AnalyticQueries {
     "q_negative_pairs" -> qNegativePairsSql,
     "q_winsorize" -> qWinsorizeSql,
     "q_sample_split" -> qSampleSplitSql,
+    "q_stratified_sample" -> qStratifiedSampleSql,
     "q_topk" -> qTopkSql,
     "q_range_join" -> qRangeJoinSql,
     "q_topk_group" -> qTopkGroupSql,

@@ -221,7 +221,10 @@ object TfIdf {
     require(corpusSize > 0, s"corpusSize must be positive: $corpusSize")
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
+    // tf feeds the df aggregate AND the final join: materialize the
+    // thin pair table once instead of re-exploding the corpus per branch
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, "token")
       .withColumn("tfidf", round(col("tf") *
