@@ -290,6 +290,34 @@ object TextQueries {
        |  CAST(max(pos) + 5 AS BIGINT) AS span_end
        |FROM isl GROUP BY doc_id, grp""".stripMargin
 
+  /** Corpus-trained bigram-LM quality score (CCNet-style), corpus
+    * scoring itself. Hash-stable because each bigram's Laplace log-prob
+    * rounds to integer micro-nats BEFORE the per-doc sum — exact
+    * integer aggregation, no FP association divergence; the oracle
+    * re-derives counts, vocabulary, and the identical ln arithmetic.
+    */
+  def qNgramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.text.NgramLm.bigramScore(docs, docs, "doc_id", "text")
+  }
+
+  val qNgramLmSql: String =
+    s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+       |big AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+       |uc AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+       |v AS (SELECT count(DISTINCT x) AS vs
+       |      FROM (SELECT unnest(t) AS x FROM toks))
+       |SELECT big.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(CAST(round(ln((bc.c12 + 1.0) / (uc.c1 + v.vs))
+       |                      * 1000000.0) AS BIGINT)) AS BIGINT)
+       |    AS logprob_unats
+       |FROM big JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+       |GROUP BY big.doc_id""".stripMargin
+
   /** Gopher-style repetition profile, one row per doc, computed with
     * per-row array ops (dup fractions) and a sorted-run HOF scan (top
     * token) — ZERO shuffle; the oracle re-derives the same fractions,
@@ -749,6 +777,7 @@ object TextQueries {
     "q_tfidf" -> (qTfidf _),
     "q_bm25" -> (qBm25 _),
     "q_span_dedup" -> (qSpanDedup _),
+    "q_ngram_lm" -> (qNgramLm _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -770,6 +799,7 @@ object TextQueries {
     "q_tfidf" -> qTfidfSql,
     "q_bm25" -> qBm25Sql,
     "q_span_dedup" -> qSpanDedupSql,
+    "q_ngram_lm" -> qNgramLmSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql,

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language model for quality scoring — the
+  * CCNet-style filter (Wenzek et al., LREC'20): train n-gram counts on
+  * a reference corpus, score candidate documents by average token
+  * log-probability, drop the tail. No external model ships in this
+  * environment, and none is needed: the LM IS the counts.
+  *
+  * Scale shape: training explodes to thin (w1, w2) bigram instances,
+  * materialized once for the two count aggregates; scoring joins each
+  * document's bigrams against the count tables on token keys (both
+  * sides thin; the model tables broadcast when the vocabulary is
+  * small). The vocabulary size is a single-row broadcast cross join,
+  * never a driver round-trip.
+  *
+  * Determinism discipline: each bigram's Laplace log-prob
+  * `ln((c12+1)/(c1+V))` is rounded to INTEGER MICRO-NATS before the
+  * per-doc sum, so the aggregate is exact integer math — immune to the
+  * FP association-order divergence that makes raw double sums
+  * hash-unstable across engines (same rationale as the bigint-cents
+  * window sums).
+  */
+object NgramLm {
+
+  /** (doc, w1, w2) bigram instances of `textCol`, one row per adjacent
+    * token pair; docs under two tokens emit nothing.
+    */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col("__doc"), explode(
+        when(size(col("__toks")) >= 2,
+          // zip against the 1-shifted copy; zip_with null-pads the tail,
+          // the filter below drops that sentinel pair
+          zip_with(col("__toks"),
+            slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("g"))
+      .select(col("__doc"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+
+  /** Score `scoreDocs` under a bigram LM trained on `trainDocs`:
+    * one row per scored doc with ≥1 bigram — bigram count and total
+    * Laplace log-probability in micro-nats (divide by 10⁶·n_bigrams
+    * for the per-token average). Unseen contexts/bigrams back off to
+    * the Laplace floor `1/(V)` via the zero-count left joins.
+    */
+  def bigramScore(trainDocs: DataFrame, scoreDocs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    // one explode feeds both count aggregates
+    val tb = bigrams(trainDocs, idCol, textCol).localCheckpoint()
+    val bc = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uc = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = trainDocs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    bigrams(scoreDocs, idCol, textCol)
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uc, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__doc"),
+        round(log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+            (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
+          .cast("long").as("__unats"))
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__unats")).as("logprob_unats"))
+      .select(col("__doc").as(idCol), col("n_bigrams"), col("logprob_unats"))
+  }
+}

@@ -50,6 +50,26 @@ class SpanDedupSpec extends SparkSpec {
       (2L, 0L, 3L), (3L, 0L, 3L)))
   }
 
+  test("bigram LM: hand-derived Laplace micro-nat scores; self-trained corpus") {
+    import spark.implicits._
+    val in = docs(1L -> "a b a b", 2L -> "a c")
+    // contexts: a→3 bigrams, b→1; V=3; p(b|a)=(2+1)/(3+3), p(a|b)=(1+1)/(1+3),
+    // p(c|a)=(1+1)/(3+3)
+    val out = NgramLm.bigramScore(in, in, "id", "text")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    def unats(p: Double) = math.rint(math.log(p) * 1e6).toLong
+    assert(out(1L) === ((3L, 2 * unats(0.5) + unats(0.5))))
+    assert(out(2L) === ((1L, unats(2.0 / 6.0))))
+    // scoring a corpus with UNSEEN tokens backs off to the Laplace floor
+    val unseen = docs(9L -> "z q")
+    val s9 = NgramLm.bigramScore(in, unseen, "id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(s9.toSeq === Seq((9L, 1L, unats(1.0 / 3.0))))
+    // under-2-token docs emit no row
+    assert(NgramLm.bigramScore(in, docs(5L -> "solo"), "id", "text").count() === 0L)
+  }
+
   test("removeSpans strips flagged tokens, leaves clean docs verbatim-tokenized") {
     import spark.implicits._
     val in = docs(
