@@ -87,7 +87,14 @@ object MultimodalQueries {
             Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
             None, None, None))
       }
-    Multimodal.imageDupPairs(Multimodal.dhashImages(media))
+    // attribute fixture ENCODE separately from decode+hash+pairs in the
+    // bench artifact (both materialize eagerly via localCheckpoint)
+    val mat = graft.util.PhaseTimer.time("imgdhash.fixtures") {
+      media.toDF().localCheckpoint()
+    }
+    graft.util.PhaseTimer.time("imgdhash.hash") {
+      Multimodal.imageDupPairs(Multimodal.dhashImages(mat.as[MediaRecord]))
+    }
   }
 
   val qImgDhashSql: String =
