@@ -29,8 +29,12 @@ object NgramLm {
     * token pair; docs under two tokens emit nothing.
     */
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("__doc"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
+    bigramsFromTokens(docs.select(col(idCol).as("__doc"),
+      TextFunctions.tokens(col(textCol)).as("__toks")))
+
+  /** Same, over an already-tokenized (__doc, __toks) frame. */
+  private def bigramsFromTokens(toks: DataFrame): DataFrame =
+    toks
       .select(col("__doc"), explode(
         when(size(col("__toks")) >= 2,
           // zip against the 1-shifted copy; zip_with null-pads the tail,
@@ -50,12 +54,18 @@ object NgramLm {
     */
   def bigramScore(trainDocs: DataFrame, scoreDocs: DataFrame,
                   idCol: String, textCol: String): DataFrame = {
-    // one explode feeds both count aggregates
-    val tb = bigrams(trainDocs, idCol, textCol).localCheckpoint()
+    // tokenize the training corpus ONCE (the regex split is the
+    // expensive per-row stage): the materialized token arrays feed the
+    // bigram stream and the vocabulary count without a second text scan
+    val toks = trainDocs.select(col(idCol).as("__doc"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint()
+    // and the bigram pair stream feeds both count aggregates
+    val tb = bigramsFromTokens(toks).localCheckpoint()
     val bc = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val uc = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = trainDocs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+    val vocab = toks
+      .select(explode(col("__toks")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     bigrams(scoreDocs, idCol, textCol)
       .join(bc, Seq("w1", "w2"), "left")
