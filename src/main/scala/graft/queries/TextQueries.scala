@@ -290,6 +290,45 @@ object TextQueries {
        |  CAST(max(pos) + 5 AS BIGINT) AS span_end
        |FROM isl GROUP BY doc_id, grp""".stripMargin
 
+  /** Incremental span dedup: the gram-count model persists from the
+    * "kept" corpus (doc_id % 5 ≠ 0) and a new batch (doc_id % 5 = 0)
+    * flags spans against model + batch — provably identical to the
+    * one-pass rule restricted to batch docs, because kept and batch
+    * doc sets are disjoint so the distinct-doc counts add. The oracle
+    * replays exactly that: the full-union dup rule filtered to batch
+    * docs. The historical corpus is never re-scanned by the engine —
+    * only the thin hash-keyed count table joins the batch.
+    */
+  def qSpanDedupIncr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val kept = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val model = graft.text.SpanDedup.gramDocCounts(kept, "doc_id", "text", n = 5)
+    graft.text.SpanDedup
+      .duplicatedSpansAgainst(batch, model, "doc_id", "text", n = 5)._1
+  }
+
+  val qSpanDedupIncrSql: String =
+    s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+4], ' ') AS gram
+       |  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s),
+       |dup AS (
+       |  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+       |  GROUP BY gram HAVING count(*) >= 2),
+       |pos AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+       |        WHERE g.doc_id % 5 = 0),
+       |brk AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER w > 5 THEN 1 ELSE 0 END AS b
+       |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |isl AS (SELECT doc_id, pos,
+       |    sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM brk)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + 5 AS BIGINT) AS span_end
+       |FROM isl GROUP BY doc_id, grp""".stripMargin
+
   /** Corpus-trained bigram-LM quality score (CCNet-style), corpus
     * scoring itself. Hash-stable because each bigram's Laplace log-prob
     * rounds to integer micro-nats BEFORE the per-doc sum — exact
@@ -778,6 +817,7 @@ object TextQueries {
     "q_bm25" -> (qBm25 _),
     "q_span_dedup" -> (qSpanDedup _),
     "q_ngram_lm" -> (qNgramLm _),
+    "q_span_dedup_incr" -> (qSpanDedupIncr _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_pack_sequences" -> (qPackSequences _))
@@ -800,6 +840,7 @@ object TextQueries {
     "q_bm25" -> qBm25Sql,
     "q_span_dedup" -> qSpanDedupSql,
     "q_ngram_lm" -> qNgramLmSql,
+    "q_span_dedup_incr" -> qSpanDedupIncrSql,
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql,

@@ -20,25 +20,23 @@ import org.apache.spark.sql.functions._
   * spans with a per-doc window (gaps-and-islands — integer logic, no
   * FP). Nothing is quadratic and no stage carries document text past
   * the first projection.
+  *
+  * The incremental form persists per-gram distinct-doc counts
+  * ([[gramDocCounts]]) so a daily batch costs O(batch + matches), the
+  * same contract as the exact/minhash `dedupAgainst` family.
   */
 object SpanDedup {
 
-  /** Maximal duplicated token spans per document: every token position
-    * covered by an n-gram that occurs in ≥ `minDocs` distinct
-    * documents, merged into [span_start, span_end) half-open token
-    * ranges. Docs with no duplicated span simply emit no row.
+  /** Thin positional gram stream: (__doc, __pos, __h), one row per
+    * n-gram instance; the under-n guard matters because Spark's
+    * `sequence` would otherwise count DOWNWARD. `__toks` is a bound
+    * ATTRIBUTE, so the lambda's slice reads the row value instead of
+    * re-tokenizing per element (the HOF recompute cliff).
     */
-  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, minDocs: Int = 2): DataFrame = {
-    require(n >= 1, s"gram size must be >= 1, got $n")
-    require(minDocs >= 2, s"minDocs below 2 flags within-doc repeats: $minDocs")
-    val toks = docs.select(col(idCol).as("__doc"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
-    // positional n-grams: __toks is a bound ATTRIBUTE, so the lambda's
-    // slice reads the row value instead of re-tokenizing per element
-    // (the HOF recompute cliff); sequence guards the under-n case
-    // because Spark would otherwise count DOWNWARD
-    val grams = toks
+  private def positionalGrams(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("__doc"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
       .select(col("__doc"), explode(
         when(size(col("__toks")) >= n,
           transform(sequence(lit(0), size(col("__toks")) - n), i =>
@@ -46,17 +44,12 @@ object SpanDedup {
               xxhash64(concat_ws(" ", slice(col("__toks"), i + lit(1), lit(n)))).as("h"))))
           .otherwise(array().cast("array<struct<pos:int,h:bigint>>"))).as("g"))
       .select(col("__doc"), col("g.pos").as("__pos"), col("g.h").as("__h"))
-      // one materialization feeds the dup-gram aggregate AND the
-      // position join — the corpus explodes exactly once
-      .localCheckpoint()
-    val dupGrams = grams.select("__doc", "__h").distinct()
-      .groupBy("__h").agg(count(lit(1)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("__h")
-    val flagged = grams.join(dupGrams, "__h")
-      .select(col("__doc"), col("__pos"))
-    // gaps-and-islands: sorted starts of equal-length [p, p+n) spans
-    // chain-merge while each gap is ≤ n
+
+  /** Merge flagged positions of equal-length [p, p+n) spans into
+    * maximal half-open ranges: gaps-and-islands over sorted starts —
+    * chain-merge while each gap is ≤ n. Pure integer logic.
+    */
+  private def mergeIslands(flagged: DataFrame, idCol: String, n: Int): DataFrame = {
     val w = Window.partitionBy("__doc").orderBy("__pos")
     flagged
       .withColumn("__brk",
@@ -67,6 +60,73 @@ object SpanDedup {
       .agg(min("__pos").cast("long").as("span_start"),
         (max("__pos") + n).cast("long").as("span_end"))
       .select(col("__doc").as(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Maximal duplicated token spans per document: every token position
+    * covered by an n-gram that occurs in ≥ `minDocs` distinct
+    * documents, merged into [span_start, span_end) half-open token
+    * ranges. Docs with no duplicated span simply emit no row.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs below 2 flags within-doc repeats: $minDocs")
+    // one materialization feeds the dup-gram aggregate AND the
+    // position join — the corpus explodes exactly once
+    val grams = positionalGrams(docs, idCol, textCol, n).localCheckpoint()
+    val dupGrams = grams.select("__doc", "__h").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("__h")
+    val flagged = grams.join(dupGrams, "__h")
+      .select(col("__doc"), col("__pos"))
+    mergeIslands(flagged, idCol, n)
+  }
+
+  /** The persisted incremental model: per-gram distinct-document
+    * counts (`gram_hash`, `n_docs`) — thin, mergeable, the span-dedup
+    * analogue of the MinHash band table.
+    */
+  def gramDocCounts(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame =
+    positionalGrams(docs, idCol, textCol, n)
+      .select("__doc", "__h").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("n_docs"))
+      .select(col("__h").as("gram_hash"), col("n_docs"))
+
+  /** Incremental span dedup: spans in `batch` whose grams reach
+    * `minDocs` distinct documents counting BOTH the persisted corpus
+    * model and the batch itself (batch-internal duplicates count — a
+    * doc set split across days flags identically to one big pass,
+    * since kept and batch doc sets are disjoint). Returns
+    * (spans, updated model); cost is O(batch + matched grams) — the
+    * persisted table joins on the 8-byte hash and the historical
+    * corpus is never re-scanned.
+    */
+  def duplicatedSpansAgainst(batch: DataFrame, counts: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int, minDocs: Int = 2): (DataFrame, DataFrame) = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs below 2 flags within-doc repeats: $minDocs")
+    val grams = positionalGrams(batch, idCol, textCol, n).localCheckpoint()
+    val batchCounts = grams.select("__doc", "__h").distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__bnd"))
+    val merged = batchCounts
+      .join(counts.select(col("gram_hash").as("__h"), col("n_docs")),
+        Seq("__h"), "full_outer")
+      .select(col("__h"),
+        (coalesce(col("__bnd"), lit(0L)) + coalesce(col("n_docs"), lit(0L)))
+          .as("__total"),
+        col("__bnd"))
+      .localCheckpoint() // feeds the dup filter AND the updated model
+    val dupInBatch = merged
+      .filter(col("__bnd").isNotNull && col("__total") >= minDocs)
+      .select("__h")
+    val flagged = grams.join(dupInBatch, "__h")
+      .select(col("__doc"), col("__pos"))
+    val updated = merged
+      .select(col("__h").as("gram_hash"), col("__total").as("n_docs"))
+    (mergeIslands(flagged, idCol, n), updated)
   }
 
   /** Rewrite each document with its duplicated spans removed (tokens

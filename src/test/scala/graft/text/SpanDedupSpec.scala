@@ -50,6 +50,32 @@ class SpanDedupSpec extends SparkSpec {
       (2L, 0L, 3L), (3L, 0L, 3L)))
   }
 
+  test("incremental: batch flags against the persisted model AND itself; counts merge") {
+    import spark.implicits._
+    val kept = docs(1L -> "license header text here plus unique tail")
+    val batch = docs(
+      2L -> "fresh words then license header text here", // dup vs MODEL only
+      3L -> "twin payload alpha beta gamma",             // dup WITHIN batch
+      4L -> "twin payload alpha beta gamma",
+      5L -> "nothing shared with anybody at all")
+    val model = SpanDedup.gramDocCounts(kept, "id", "text", n = 3)
+    val (s, updated) = SpanDedup.duplicatedSpansAgainst(batch, model, "id", "text", n = 3)
+    val got = s.as[(Long, Long, Long)].collect().toSet
+    // doc 2: "license header text here" at positions 3..6 (grams 3,4)
+    // docs 3,4: identical 5-token docs → full span [0, 5)
+    assert(got === Set((2L, 3L, 7L), (3L, 0L, 5L), (4L, 0L, 5L)))
+    // the incremental result equals the one-pass rule restricted to batch
+    val onePass = SpanDedup.duplicatedSpans(kept.unionByName(batch), "id", "text", 3)
+      .filter($"id" =!= 1L).as[(Long, Long, Long)].collect().toSet
+    assert(got === onePass)
+    // merged model: a gram seen in kept AND doc 2 now counts 2 docs
+    val m = updated.select($"gram_hash", $"n_docs").as[(Long, Long)].collect().toMap
+    val h = SpanDedup.gramDocCounts(
+      docs(9L -> "license header text here"), "id", "text", 3)
+      .select("gram_hash").as[Long].collect()
+    h.foreach(g => assert(m(g) === 2L))
+  }
+
   test("bigram LM: hand-derived Laplace micro-nat scores; self-trained corpus") {
     import spark.implicits._
     val in = docs(1L -> "a b a b", 2L -> "a c")
