@@ -160,6 +160,66 @@ final class Warehouse(spark: SparkSession, val root: String,
   def readVersion(ref: TableRef, version: Long): DataFrame =
     readSnapshot(snapshotAt(ref, version))
 
+  /** Delta-CDF-style change feed: row-level changes between two
+    * committed versions, one step per commit. Cost is O(files each
+    * commit touched), NOT O(table): each step reads only the files the
+    * commit retired (`before`) and added (`after`) and full-outer joins
+    * them on `keyCols` — untouched files never scan. A merge rewrites
+    * whole files, so rewritten-but-unchanged rows appear on both sides;
+    * they cancel via null-safe payload-struct equality, leaving exactly
+    * the rows whose content changed. Emits `_change_type`
+    * (insert/update_post/delete; deletes carry the before-image) and
+    * `_commit_version`. Schema evolution across the range aligns on the
+    * ordered column union with null backfill. Readable while the
+    * versions survive [[vacuum]] retention, like [[readVersion]].
+    */
+  def changeFeed(ref: TableRef, fromVersion: Long, toVersion: Long,
+                 keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, struct, when}
+    require(fromVersion < toVersion,
+      s"changeFeed needs fromVersion < toVersion: $fromVersion >= $toVersion")
+    require(keyCols.nonEmpty, "changeFeed needs at least one key column")
+    val base = path(ref)
+    def readFiles(files: Seq[String], schemaJson: String): DataFrame =
+      if (files.isEmpty) {
+        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      } else {
+        spark.read.option("basePath", base)
+          .parquet(files.map(f => s"$base/$f"): _*)
+      }
+    val steps = (fromVersion until toVersion).map { v =>
+      val a = snapshotAt(ref, v)
+      val b = snapshotAt(ref, v + 1)
+      val before = readFiles((a.files.toSet -- b.files.toSet).toSeq.sorted, a.schemaJson)
+      val after = readFiles((b.files.toSet -- a.files.toSet).toSeq.sorted, b.schemaJson)
+      val cols = (after.columns ++ before.columns.filterNot(after.columns.contains)).toSeq
+      require(keyCols.forall(cols.contains),
+        s"key columns $keyCols missing from $ref columns $cols")
+      def align(df: DataFrame) = df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+      val payload = cols.filterNot(keyCols.contains)
+      val bK = align(before).select(
+        keyCols.map(col) :+ struct(payload.map(col): _*).as("__bp"): _*)
+      val aK = align(after).select(
+        keyCols.map(col) :+ struct(payload.map(col): _*).as("__ap"): _*)
+      val chosen = coalesce(col("__ap"), col("__bp"))
+      bK.join(aK, keyCols, "full_outer")
+        .withColumn("_change_type",
+          when(col("__bp").isNull, lit("insert"))
+            .when(col("__ap").isNull, lit("delete"))
+            .when(col("__ap") <=> col("__bp"), lit(null)) // copied row
+            .otherwise(lit("update_post")))
+        .filter(col("_change_type").isNotNull)
+        .select(keyCols.map(col) ++
+          payload.map(p => chosen.getField(p).as(p)) ++
+          Seq(col("_change_type"), lit(v + 1).as("_commit_version")): _*)
+    }
+    steps.reduce(_ unionByName _)
+  }
+
   /** Append the next version (caller MUST hold the writer lock — the
     * lock serializes version numbering). Atomic appearance via tmp +
     * rename: readers see the previous complete version or this one.

@@ -388,6 +388,41 @@ object PipelineQueries {
       |SELECT o_orderkey, o_custkey, o_totalprice, CAST(2 AS BIGINT) AS version
       |FROM orders WHERE o_orderkey % 5 = 1""".stripMargin
 
+  /** Change data feed end-to-end through the incremental merge engine:
+    * bootstrap the table without the %4=0 keys, then upsert every even
+    * key at a bumped price — the feed between those two commits must be
+    * exactly {inserts: keys ≡ 0 (mod 4), updates: keys ≡ 2 (mod 4)},
+    * both carrying the after-image. The hard part the oracle pins: the
+    * merge REWRITES files, so odd keys sharing a file with an updated
+    * even key appear in both diff sides as byte-identical copies and
+    * must cancel — a feed that leaks copied rows or loses real ones
+    * hash-mismatches. `_commit_version` stays out of the projection
+    * (internal numbering); WarehouseSpec asserts it plus the delete
+    * path and vacuum interplay.
+    */
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-cdf").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val ref = TableRef("silver", "facts", "orders_cdf")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
+    mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0))
+    val v1 = wh.currentVersion(ref).get
+    mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0))
+    val v2 = wh.currentVersion(ref).get
+    wh.changeFeed(ref, v1, v2, Seq("o_orderkey"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"_change_type")
+  }
+
+  val qChangeFeedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+      |  CASE WHEN o_orderkey % 4 = 0 THEN 'insert'
+      |       ELSE 'update_post' END AS _change_type
+      |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
+
   /** K5 gold materialized view end-to-end: a reference-shaped
     * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY
     * rewritten, three-part names resolved against the warehouse) CTAS'd
@@ -434,6 +469,7 @@ object PipelineQueries {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_compact_table" -> (qCompactTable _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_change_feed" -> (qChangeFeed _),
     "q_gold_view" -> (qGoldView _))
 
   def oracles: Map[String, String] = Map(
@@ -447,5 +483,6 @@ object PipelineQueries {
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_compact_table" -> qCompactTableSql,
     "q_time_travel" -> qTimeTravelSql,
+    "q_change_feed" -> qChangeFeedSql,
     "q_gold_view" -> qGoldViewSql)
 }

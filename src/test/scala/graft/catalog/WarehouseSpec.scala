@@ -33,6 +33,34 @@ class WarehouseSpec extends SparkSpec {
     assert(!wh.exists(ref))
   }
 
+  test("change feed: inserts/updates/deletes per commit, copied rows cancel") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("cdf"))
+    val ref = TableRef("silver", "facts", "cdf")
+    // v1: one file holding keys 1..3 (repartition(1) forces co-location,
+    // so the v2 overwrite rewrites key 2's neighbors as copies)
+    wh.overwrite(ref, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").repartition(1))
+    val v1 = wh.currentVersion(ref).get
+    // v2: key 2 updated, key 3 deleted, key 4 inserted; key 1 copied verbatim
+    wh.overwrite(ref, Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("k", "v").repartition(1))
+    val v2 = wh.currentVersion(ref).get
+    val feed = wh.changeFeed(ref, v1, v2, Seq("k"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed === Set(
+      (2L, "B", "update_post", v2),
+      (3L, "c", "delete", v2),     // delete carries the before-image
+      (4L, "d", "insert", v2)))    // key 1's byte-identical copy cancelled
+    // v3: pure insert; a multi-commit range unions per-step changes
+    // with the right _commit_version stamps
+    wh.overwrite(ref,
+      Seq((1L, "a"), (2L, "B"), (4L, "d"), (5L, "e")).toDF("k", "v").repartition(1))
+    val v3 = wh.currentVersion(ref).get
+    val range = wh.changeFeed(ref, v1, v3, Seq("k"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(range === feed + ((5L, "e", "insert", v3)))
+    intercept[IllegalArgumentException](wh.changeFeed(ref, v2, v2, Seq("k")))
+  }
+
   test("a second in-flight writer fails loudly and the table stays consistent") {
     import spark.implicits._
     val root = tmpDir("wh-lock")
