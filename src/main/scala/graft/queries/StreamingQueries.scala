@@ -221,6 +221,36 @@ object StreamingQueries {
     wh.read(ref).select($"doc_id", $"n_chars")
   }
 
+  /** Streaming quality scoring against a STATIC model — the other half
+    * of the CCNet loop: the bigram LM trains once on the batch corpus,
+    * then a real file-source stream of documents scores through
+    * stream-static left joins (counts) + a constant-key 1-row join
+    * (vocabulary) with the per-doc aggregate in complete mode. Scores
+    * are integer micro-nats, so the oracle is EXACTLY q_ngram_lm's —
+    * streaming and batch scoring provably agree row-for-row.
+    */
+  def qStreamLmScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_lm_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val model = graft.text.NgramLm.train(docs, "doc_id", "text")
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+    val query = graft.text.NgramLm
+      .scoreWithModel(stream, model, "doc_id", "text")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink).select($"doc_id", $"n_bigrams", $"logprob_unats")
+  }
+
   /** The complete crawl loop — streaming ingest with exact AND
     * near-dup gating against the persisted band table. Batch
     * construction keeps every drop decision oracle-expressible:
@@ -327,6 +357,7 @@ object StreamingQueries {
     "q_session_window" -> (qSessionWindow _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_dedup_incr" -> (qStreamDedupIncr _),
+    "q_stream_lm" -> (qStreamLmScore _),
     "q_stream_dedup_near" -> (qStreamDedupNear _),
     "q_stream_join" -> (qStreamJoin _))
 
@@ -337,6 +368,8 @@ object StreamingQueries {
     "q_stream_dedup" -> qStreamDedupSql,
     // streaming and batch incremental ingestion share one oracle
     "q_stream_dedup_incr" -> DedupQueries.qDedupIncrementalSql,
+    // streaming and batch LM scoring share one oracle
+    "q_stream_lm" -> TextQueries.qNgramLmSql,
     "q_stream_dedup_near" -> qStreamDedupNearSql,
     "q_stream_join" -> qStreamJoinSql)
 }

@@ -52,25 +52,44 @@ object NgramLm {
     * for the per-token average). Unseen contexts/bigrams back off to
     * the Laplace floor `1/(V)` via the zero-count left joins.
     */
-  def bigramScore(trainDocs: DataFrame, scoreDocs: DataFrame,
-                  idCol: String, textCol: String): DataFrame = {
-    // tokenize the training corpus ONCE (the regex split is the
-    // expensive per-row stage): the materialized token arrays feed the
-    // bigram stream and the vocabulary count without a second text scan
+  /** A trained model: bigram counts, context counts, and the 1-row
+    * vocabulary size — three batch frames a scorer (batch OR streaming
+    * stream-static join) composes against.
+    */
+  final case class Model(bigramCounts: DataFrame, contextCounts: DataFrame,
+                         vocabSize: DataFrame)
+
+  /** Train the count model on a corpus. The corpus is tokenized ONCE
+    * (the regex split is the expensive per-row stage): the materialized
+    * token arrays feed the bigram stream and the vocabulary count
+    * without a second text scan.
+    */
+  def train(trainDocs: DataFrame, idCol: String, textCol: String): Model = {
     val toks = trainDocs.select(col(idCol).as("__doc"),
         TextFunctions.tokens(col(textCol)).as("__toks"))
       .localCheckpoint()
     // and the bigram pair stream feeds both count aggregates
     val tb = bigramsFromTokens(toks).localCheckpoint()
-    val bc = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uc = tb.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = toks
-      .select(explode(col("__toks")).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
+    Model(
+      tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
+      tb.groupBy("w1").agg(count(lit(1)).as("c1")),
+      toks.select(explode(col("__toks")).as("w"))
+        .agg(count_distinct(col("w")).as("v")))
+  }
+
+  /** Score a (possibly streaming) document frame against a trained
+    * model: the count joins are stream-static-join compatible, and the
+    * per-doc aggregate is the caller's sink concern in streaming.
+    */
+  def scoreWithModel(scoreDocs: DataFrame, model: Model,
+                     idCol: String, textCol: String): DataFrame =
     bigrams(scoreDocs, idCol, textCol)
-      .join(bc, Seq("w1", "w2"), "left")
-      .join(uc, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(model.bigramCounts, Seq("w1", "w2"), "left")
+      .join(model.contextCounts, Seq("w1"), "left")
+      // constant-key equi join instead of crossJoin: same 1-row
+      // broadcast in batch, but ALSO legal as a stream-static join
+      .withColumn("__vk", lit(1))
+      .join(broadcast(model.vocabSize.withColumn("__vk", lit(1))), "__vk")
       .select(col("__doc"),
         round(log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
             (coalesce(col("c1"), lit(0L)) + col("v"))) * lit(1000000.0))
@@ -79,5 +98,8 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__unats")).as("logprob_unats"))
       .select(col("__doc").as(idCol), col("n_bigrams"), col("logprob_unats"))
-  }
+
+  def bigramScore(trainDocs: DataFrame, scoreDocs: DataFrame,
+                  idCol: String, textCol: String): DataFrame =
+    scoreWithModel(scoreDocs, train(trainDocs, idCol, textCol), idCol, textCol)
 }
