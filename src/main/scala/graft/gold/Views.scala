@@ -34,4 +34,49 @@ object Views {
     }.toMap
     warehouse.overwrite(ref, Transform.sql(spark, bodyOf(viewSql), tables))
   }
+
+  /** Incrementally refresh a latest-per-key materialized view from the
+    * base table's change feed instead of a full recompute: only the
+    * view partitions whose `viewKeys` appear among rows changed since
+    * `sinceVersion` are re-derived (from the base restricted to those
+    * partitions — a broadcast semi join, so untouched partitions never
+    * scan) and merge-upserted into the view. Returns the base version
+    * the view now reflects; pass it back as the next `sinceVersion`.
+    *
+    * Contract: the view body must be per-`viewKeys`-partition-local
+    * (the QUALIFY latest-per-key family — each output row depends only
+    * on base rows sharing its partition key), and the feed must carry
+    * no deletes (the medallion CDC path never deletes; a delete would
+    * need partition tombstoning, so it fails loudly instead of leaving
+    * a stale row).
+    */
+  def refreshIncremental(spark: SparkSession, warehouse: Warehouse,
+                         viewRef: TableRef, baseRef: TableRef,
+                         sinceVersion: Long, viewSql: String,
+                         viewKeys: Seq[String], baseKeys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val cur = warehouse.currentVersion(baseRef).getOrElse(
+      throw new IllegalArgumentException(s"$baseRef has no committed version"))
+    if (cur == sinceVersion) return cur
+    val cdf = warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
+      .localCheckpoint() // feeds the delete guard AND the key projection
+    require(cdf.filter(col("_change_type") === "delete").isEmpty,
+      s"incremental refresh of $viewRef: change feed contains deletes; " +
+        "re-materialize instead")
+    val affected = cdf.select(viewKeys.map(col): _*).distinct()
+    val tables = warehouse.listTables().map { t =>
+      t.toString -> warehouse.registerView(t)
+    }.toMap
+    // the view body reads the base by three-part name — point that name
+    // at the affected-partition slice instead of the full table
+    val slice = warehouse.read(baseRef)
+      .join(broadcast(affected), viewKeys, "left_semi")
+    val sliceView = s"__graft_incr_${baseRef.catalog}_${baseRef.schema}_${baseRef.table}"
+    slice.createOrReplaceTempView(sliceView)
+    val recomputed = Transform.sql(spark, bodyOf(viewSql),
+      tables + (baseRef.toString -> sliceView))
+    new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
+      .upsert(recomputed)
+    cur
+  }
 }

@@ -458,6 +458,58 @@ object PipelineQueries {
       |        ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
       |      FROM orders) WHERE rn = 1""".stripMargin
 
+  /** Incremental materialized-view maintenance end-to-end: silver
+    * bootstraps without the %4=0 keys, the gold latest-order-per-
+    * customer view materializes, silver upserts every even key at a
+    * bumped price, and the gold view refreshes FROM THE CHANGE FEED —
+    * only customers with a changed order recompute (broadcast semi
+    * join), everyone else's gold row is untouched bytes. The oracle is
+    * the full recompute over the final base state, so incremental ≡
+    * full is what the gate proves.
+    */
+  def qGoldIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-gincr").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val silver = TableRef("silver", "gate", "orders_inc")
+    val goldRef = TableRef("gold", "gate", "latest_orders_inc")
+    val viewSql =
+      """CREATE MATERIALIZED VIEW gold.gate.latest_orders_inc AS
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       o_totalprice / 10 AS tax_est
+        |FROM silver.gate.orders_inc
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY order_date DESC, o_orderkey DESC) = 1""".stripMargin
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+    val mt = new graft.sinks.MergeTable(spark, wh, silver, Seq("o_orderkey"), None)
+    mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0))
+    graft.gold.Views.materialize(spark, wh, goldRef, viewSql)
+    val v1 = wh.currentVersion(silver).get
+    mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0))
+    graft.gold.Views.refreshIncremental(spark, wh, goldRef, silver, v1,
+      viewSql, viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"))
+    wh.read(goldRef)
+  }
+
+  val qGoldIncrementalSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1.0, o_orderdate
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_custkey, o_orderkey, o_totalprice, order_date,
+      |       o_totalprice / 10 AS tax_est
+      |FROM (SELECT *, CAST(o_orderdate AS DATE) AS order_date,
+      |        row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+      |      FROM base) WHERE rn = 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_csv" -> (qPipelineCsv _),
@@ -470,6 +522,7 @@ object PipelineQueries {
     "q_compact_table" -> (qCompactTable _),
     "q_time_travel" -> (qTimeTravel _),
     "q_change_feed" -> (qChangeFeed _),
+    "q_gold_incremental" -> (qGoldIncremental _),
     "q_gold_view" -> (qGoldView _))
 
   def oracles: Map[String, String] = Map(
@@ -484,5 +537,6 @@ object PipelineQueries {
     "q_compact_table" -> qCompactTableSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_change_feed" -> qChangeFeedSql,
+    "q_gold_incremental" -> qGoldIncrementalSql,
     "q_gold_view" -> qGoldViewSql)
 }

@@ -35,6 +35,40 @@ class ViewsSpec extends SparkSpec {
     assert(wh.read(goldRef).count() === 1)
   }
 
+  test("incremental refresh: equals full recompute, no-op version, delete guard") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-gincr"))
+    val base = TableRef("silver", "g", "rows")
+    val gold = TableRef("gold", "g", "latest")
+    val viewSql =
+      """CREATE MATERIALIZED VIEW gold.g.latest AS
+        |SELECT k, seq, v
+        |FROM silver.g.rows
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) = 1""".stripMargin
+    val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("seq"), None)
+    mt.upsert(Seq((1L, 10L, "a1"), (1L, 11L, "a2"), (2L, 20L, "b1"))
+      .toDF("k", "seq", "v"))
+    Views.materialize(spark, wh, gold, viewSql)
+    val v1 = wh.currentVersion(base).get
+    // no changes → version echoes back, view untouched
+    assert(Views.refreshIncremental(spark, wh, gold, base, v1, viewSql,
+      Seq("k"), Seq("seq")) === v1)
+    // newer row for k=1, first row for k=3; k=2's gold row must survive
+    mt.upsert(Seq((1L, 12L, "a3"), (3L, 30L, "c1")).toDF("k", "seq", "v"))
+    val v2 = Views.refreshIncremental(spark, wh, gold, base, v1, viewSql,
+      Seq("k"), Seq("seq"))
+    assert(v2 === wh.currentVersion(base).get)
+    val got = wh.read(gold).as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 12L, "a3"), (2L, 20L, "b1"), (3L, 30L, "c1")))
+    // a feed with deletes refuses instead of leaving stale view rows
+    wh.overwrite(base, Seq((1L, 12L, "a3")).toDF("k", "seq", "v"))
+    val ex = intercept[IllegalArgumentException] {
+      Views.refreshIncremental(spark, wh, gold, base, v2, viewSql,
+        Seq("k"), Seq("seq"))
+    }
+    assert(ex.getMessage.contains("deletes"))
+  }
+
   test("bodyOf leaves plain SELECT untouched") {
     assert(Views.bodyOf("SELECT 1") === "SELECT 1")
     assert(Views.bodyOf("create or replace view g.b.p as\nSELECT x FROM t")
