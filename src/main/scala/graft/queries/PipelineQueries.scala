@@ -485,13 +485,19 @@ object PipelineQueries {
     val orders = Tables.load(spark, dir, "orders")
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
     val mt = new graft.sinks.MergeTable(spark, wh, silver, Seq("o_orderkey"), None)
-    mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0))
-    graft.gold.Views.materialize(spark, wh, goldRef, viewSql)
+    graft.util.PhaseTimer.time("gincr.bootstrap") {
+      mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0))
+      graft.gold.Views.materialize(spark, wh, goldRef, viewSql)
+    }
     val v1 = wh.currentVersion(silver).get
-    mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
-      .withColumn("o_totalprice", $"o_totalprice" + 1.0))
-    graft.gold.Views.refreshIncremental(spark, wh, goldRef, silver, v1,
-      viewSql, viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"))
+    graft.util.PhaseTimer.time("gincr.upsert") {
+      mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1.0))
+    }
+    graft.util.PhaseTimer.time("gincr.refresh") {
+      graft.gold.Views.refreshIncremental(spark, wh, goldRef, silver, v1,
+        viewSql, viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"))
+    }
     wh.read(goldRef)
   }
 
