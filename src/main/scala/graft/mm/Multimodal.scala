@@ -35,6 +35,11 @@ final case class MediaEmbeddingRow(media_id: Long, dim: Int, value: Double)
   */
 final case class ImageHash(media_id: Long, dhash: Long, decoded: Boolean)
 
+/** Energy-profile hash of a decoded audio clip; `ahash = -1` with
+  * `decoded = false` marks an undecodable payload.
+  */
+final case class AudioHash(media_id: Long, ahash: Long, decoded: Boolean)
+
 /** Decoded per-audio features. */
 final case class AudioFeatures(
     media_id: Long,
@@ -193,29 +198,104 @@ object Multimodal {
     }
   }
 
-  /** Exact-duplicate image pairs by dHash equality (hamming-0; banding
-    * the 64 bits like SimHash extends this to hamming>0). Scale shape:
-    * the hash table is THIN (id + 64-bit key), the self-join shuffles
-    * on the hash only, and degenerate buckets — a crawl's millions of
-    * identical blank thumbnails — are dropped by `maxBucket` with the
-    * same rationale as the LSH/SimHash caps (a bucket that size is one
-    * dup GROUP, not interesting pairs).
+  /** Exact-duplicate pairs by perceptual-hash equality (hamming-0;
+    * banding the 64 bits like SimHash extends this to hamming>0). Scale
+    * shape: the hash table is THIN (id + 64-bit key), the self-join
+    * shuffles on the hash only, and degenerate buckets — a crawl's
+    * millions of identical blank thumbnails / silent clips — are
+    * dropped by `maxBucket` with the same rationale as the LSH/SimHash
+    * caps (a bucket that size is one dup GROUP, not interesting pairs).
     */
-  def imageDupPairs(hashes: Dataset[ImageHash], maxBucket: Int = 8): DataFrame = {
+  def hashDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+                   maxBucket: Int = 8): DataFrame = {
     // decode+hash runs once: the thin (hash, id) frame feeds the bucket
     // count AND both self-join sides (multi-consumer subtree)
-    val h = hashes.toDF()
-      .filter(col("decoded") && col("dhash") =!= lit(-1L))
-      .select(col("dhash"), col("media_id"))
+    val h = hashes
+      .filter(col("decoded") && col(hashCol) =!= lit(-1L))
+      .select(col(hashCol), col(idCol))
       .localCheckpoint()
-    val small = h.groupBy("dhash").agg(count(lit(1)).as("__n"))
+    val small = h.groupBy(hashCol).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
-      .select("dhash")
-    val ok = h.join(small, "dhash")
-    ok.select(col("dhash"), col("media_id").as("id_a"))
-      .join(ok.select(col("dhash"), col("media_id").as("id_b")), "dhash")
+      .select(hashCol)
+    val ok = h.join(small, hashCol)
+    ok.select(col(hashCol), col(idCol).as("id_a"))
+      .join(ok.select(col(hashCol), col(idCol).as("id_b")), hashCol)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+  }
+
+  def imageDupPairs(hashes: Dataset[ImageHash], maxBucket: Int = 8): DataFrame =
+    hashDupPairs(hashes.toDF(), "media_id", "dhash", maxBucket)
+
+  def audioDupPairs(hashes: Dataset[AudioHash], maxBucket: Int = 8): DataFrame =
+    hashDupPairs(hashes.toDF(), "media_id", "ahash", maxBucket)
+
+  /** Energy-profile hash per audio clip — the audio analogue of
+    * [[dhashImages]]: decode PCM16 for real, bucket the (bounded) span
+    * of samples into 65 equal windows of summed |amplitude|, emit one
+    * bit per adjacent window pair (quieter ⇒ 0, louder ⇒ 1). Container
+    * and endianness invariant (WAV and AIFF of the same samples hash
+    * identically); all arithmetic is integer with cross-multiplied
+    * rational comparisons — bit-deterministic on every JVM.
+    */
+  def ahashAudio(media: Dataset[MediaRecord]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(m.content)))
+          try {
+            val fmt = in.getFormat
+            val bytesPerFrame = fmt.getFrameSize
+            val frames = in.getFrameLength
+            if (fmt.getSampleSizeInBits != 16 || bytesPerFrame <= 0 || frames <= 0)
+              AudioHash(m.media_id, -1L, decoded = false)
+            else {
+              val maxFrames = math.min(frames, 1000000L)
+              val totalSamples = maxFrames * fmt.getChannels
+              val sums = new Array[Long](65)
+              val cnts = new Array[Long](65)
+              val buf = new Array[Byte](bytesPerFrame * 4096)
+              var remaining = maxFrames
+              var idx = 0L
+              var eof = false
+              while (remaining > 0 && !eof) {
+                val want = math.min(buf.length.toLong, remaining * bytesPerFrame).toInt
+                val n = in.read(buf, 0, want)
+                if (n <= 0) eof = true
+                else {
+                  var i = 0
+                  while (i + 1 < n) {
+                    val s =
+                      if (fmt.isBigEndian) ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                      else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                    val w = (idx * 65 / totalSamples).toInt
+                    sums(w) += math.abs(s.toLong)
+                    cnts(w) += 1
+                    idx += 1
+                    i += 2
+                  }
+                  remaining -= n / bytesPerFrame
+                }
+              }
+              var bits = 0L
+              var w = 0
+              while (w < 64) {
+                val lc = math.max(1L, cnts(w))
+                val rc = math.max(1L, cnts(w + 1))
+                if (sums(w) * rc < sums(w + 1) * lc) bits |= 1L << w
+                w += 1
+              }
+              AudioHash(m.media_id, bits, decoded = true)
+            }
+          } finally in.close()
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioHash(m.media_id, -1L, decoded = false)
+        }
+      }
+    }
   }
 
   /** Decode audio to features, batch-per-partition, via
@@ -322,6 +402,44 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic pseudo-random PCM16 mono clip under a chosen
+    * container (wav = little-endian, aiff = big-endian): sample i is a
+    * splitmix64-style mix of (seed, i), so distinct seeds give clips
+    * whose energy-profile hashes are effectively independent draws
+    * while one seed under both containers decodes to identical samples
+    * — the audio analogue of [[synthesizePatternImage]].
+    */
+  def synthesizePatternAudio(sampleRate: Int, nSamples: Int, seed: Long,
+                             format: String = "wav"): Array[Byte] = {
+    require(sampleRate > 0 && nSamples > 0, s"degenerate clip $sampleRate/$nSamples")
+    // byte order follows the container's native PCM layout (AIFF is
+    // big-endian) — the decoded SAMPLES are identical either way
+    val big = format == "aiff"
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, big)
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      var v = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+      v ^= (v >>> 29); v *= 0xBF58476D1CE4E5B9L; v ^= (v >>> 32)
+      val s = (v & 0xffff).toShort
+      val (lo, hi) = ((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)
+      pcm(2 * i) = if (big) hi else lo
+      pcm(2 * i + 1) = if (big) lo else hi
+      i += 1
+    }
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val tpe = format match {
+      case "wav" => javax.sound.sampled.AudioFileFormat.Type.WAVE
+      case "aiff" => javax.sound.sampled.AudioFileFormat.Type.AIFF
+      case other => throw new IllegalArgumentException(s"unsupported container: $other")
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream, tpe, bos)
     bos.toByteArray
   }
 

@@ -100,6 +100,31 @@ object MultimodalQueries {
   val qImgDhashSql: String =
     """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents""".stripMargin
 
+  /** Audio near-dup detection — the [[qImgDhash]] construction under
+    * the audio codec: each document becomes a pseudo-random PCM clip
+    * rendered as WAV AND AIFF (same samples, different container and
+    * byte order), and the energy-profile hash must recover exactly the
+    * (clip, clone) pairs.
+    */
+  def qAudioAhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables.load(spark, dir, "documents")
+      .select($"doc_id").as[Long]
+      .flatMap { id =>
+        Seq(
+          MediaRecord(id, "audio", s"mem://clip/$id",
+            Multimodal.synthesizePatternAudio(8000, 2048, id, "wav"),
+            None, None, None),
+          MediaRecord(id + 10000000L, "audio", s"mem://clip/clone/$id",
+            Multimodal.synthesizePatternAudio(8000, 2048, id, "aiff"),
+            None, None, None))
+      }
+    Multimodal.audioDupPairs(Multimodal.ahashAudio(media))
+  }
+
+  val qAudioAhashSql: String =
+    """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents""".stripMargin
+
   val qMmDecodeSql: String =
     """SELECT doc_id AS media_id,
       |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
@@ -275,6 +300,7 @@ object MultimodalQueries {
     "q_mm_gif_frames" -> (qMmGifFrames _),
     "q_mm_decode" -> (qMmDecode _),
     "q_img_dhash" -> (qImgDhash _),
+    "q_audio_ahash" -> (qAudioAhash _),
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_embed" -> (qMmEmbed _))
@@ -284,6 +310,7 @@ object MultimodalQueries {
     "q_mm_gif_frames" -> qMmGifFramesSql,
     "q_mm_decode" -> qMmDecodeSql,
     "q_img_dhash" -> qImgDhashSql,
+    "q_audio_ahash" -> qAudioAhashSql,
     "q_mm_audio" -> qMmAudioSql,
     "q_mm_frames" -> qMmFramesSql,
     "q_mm_embed" -> qMmEmbedSql)

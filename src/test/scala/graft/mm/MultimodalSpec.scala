@@ -75,6 +75,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageDupPairs(Multimodal.dhashImages(many), maxBucket = 3).count() === 0L)
   }
 
+  test("ahash: container/endianness-invariant on samples, seed-sensitive, corrupt excluded") {
+    import spark.implicits._
+    val ds = Seq(
+      MediaRecord(1L, "audio", "mem://a.wav",
+        Multimodal.synthesizePatternAudio(8000, 512, seed = 3, "wav"), None, None, None),
+      MediaRecord(2L, "audio", "mem://a.aiff",
+        Multimodal.synthesizePatternAudio(8000, 512, seed = 3, "aiff"), None, None, None),
+      MediaRecord(3L, "audio", "mem://b.wav",
+        Multimodal.synthesizePatternAudio(8000, 512, seed = 4, "wav"), None, None, None),
+      MediaRecord(4L, "audio", "mem://junk", Array.fill[Byte](64)(5), None, None, None)
+    ).toDS()
+    val hashes = Multimodal.ahashAudio(ds).collect().sortBy(_.media_id)
+    assert(hashes(0).ahash === hashes(1).ahash) // WAV vs AIFF, same PCM
+    assert(hashes(0).decoded && hashes(1).decoded)
+    assert(hashes(2).ahash !== hashes(0).ahash)
+    assert(!hashes(3).decoded && hashes(3).ahash === -1L)
+    val pairs = Multimodal.audioDupPairs(Multimodal.ahashAudio(ds))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("decodeAudio: real WAV decode; garbage falls back with -1 sentinel") {
     import spark.implicits._
     val wav = Multimodal.synthesizeWav(sampleRate = 8000, nSamples = 400, sampleValue = 16000)
