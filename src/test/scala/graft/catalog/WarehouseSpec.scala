@@ -61,6 +61,20 @@ class WarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.changeFeed(ref, v2, v2, Seq("k")))
   }
 
+  test("change feed: a compaction commit is invisible — every rewritten row cancels") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("cdf-compact"))
+    val ref = TableRef("silver", "facts", "cdfc")
+    // many small files so compact actually rewrites the layout
+    wh.overwrite(ref, (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8))
+    val before = wh.currentVersion(ref).get
+    assert(wh.compact(ref, smallFileBytes = 32L << 20) > 0)
+    val after = wh.currentVersion(ref).get
+    assert(after > before)
+    // the data didn't change, so the feed across the compact is EMPTY
+    assert(wh.changeFeed(ref, before, after, Seq("k")).isEmpty)
+  }
+
   test("a second in-flight writer fails loudly and the table stays consistent") {
     import spark.implicits._
     val root = tmpDir("wh-lock")
