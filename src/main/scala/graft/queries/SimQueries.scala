@@ -197,6 +197,37 @@ object SimQueries {
        |  WHERE ct.vec_id < $NCENTROIDS)
        |WHERE rn = 1""".stripMargin
 
+  /** SemDeDup end-to-end (cluster-scoped pairs → connected groups →
+    * farthest-from-centroid keep policy), VALUE-checked via EXACT ×2
+    * clones: scaling a float vector by 2 only bumps exponents (no
+    * mantissa rounding), and the double cosine commutes with powers of
+    * two bit-for-bit — every product, partial sum, sqrt (√(4s) = 2√s
+    * exactly) and the final ratio scale away — so a clone's
+    * per-centroid scores equal its source's EXACTLY: both provably land
+    * in the same cluster (deterministic tie rule) and the (v, 2v) pair
+    * scores ~1 ≥ 0.99 while no organic pair reaches 0.49
+    * (q_embed_neardup's green oracle establishes the ceiling). Each dup
+    * group is exactly {v, clone}; the keep policy ties on the
+    * bit-equal centroid similarity and keeps the LOWER id — the
+    * original. Survivors are therefore the original corpus with their
+    * provable argmax assignment: q_cluster_assign's rank oracle checks
+    * the whole pipeline — a false-positive pair kills an original, a
+    * missed clone pair leaks a clone row, a wrong assignment flips cid.
+    */
+  def qSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val cents = base.filter($"vec_id" < NCENTROIDS)
+      .select($"vec_id".cast("int").as("cid"), $"embedding".as("centroid"))
+    val clones = base.select(
+      ($"vec_id" + 10000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(2.0f)).as("embedding"))
+    Similarity.semDedup(base.unionByName(clones), "vec_id", "embedding",
+        cents, threshold = 0.99)
+      .select($"vec_id", $"cid")
+  }
+
   def queries: Map[String, Q] = Map(
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
@@ -204,7 +235,8 @@ object SimQueries {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_ivf_exhaustive" -> (qAnnIvfExhaustive _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_cluster_assign" -> (qClusterAssign _))
+    "q_cluster_assign" -> (qClusterAssign _),
+    "q_semdedup" -> (qSemDedup _))
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" -> qAnnTopKSql,
@@ -213,5 +245,7 @@ object SimQueries {
     // exhaustive probing must equal brute force: same rank oracle
     "q_ann_ivf_exhaustive" -> qAnnTopKSql,
     "q_ann_lsh" -> qAnnLshSql,
-    "q_cluster_assign" -> qClusterAssignSql)
+    "q_cluster_assign" -> qClusterAssignSql,
+    // survivors = the originals, carrying the same provable argmax
+    "q_semdedup" -> qClusterAssignSql)
 }

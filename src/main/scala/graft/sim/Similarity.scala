@@ -147,12 +147,21 @@ object Similarity {
     * `sim desc, cid asc` it replaces).
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
-             centroids: DataFrame): DataFrame = {
+             centroids: DataFrame): DataFrame =
+    assignScored(corpus, idCol, vecCol, centroids).drop("csim")
+
+  /** [[assign]] carrying the winning cosine as `csim` — the
+    * distance-to-centroid [[semDedup]]'s keep policy ranks on. Same
+    * inlined-literal argmax, same lowest-cid tie rule.
+    */
+  def assignScored(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cid").cast("int"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
     if (cents.isEmpty)
-      return corpus.withColumn("cid", lit(null).cast("int")).limit(0)
+      return corpus.withColumn("cid", lit(null).cast("int"))
+        .withColumn("csim", lit(null).cast("double")).limit(0)
     // struct max is lexicographic: highest sim first, then highest
     // NEGATED cid — i.e. the lowest cid — on exact ties
     val scored = cents.map { case (cid, vec) =>
@@ -161,7 +170,11 @@ object Similarity {
         lit(-cid).as("ncid"))
     }
     val best = array_max(array(scored.toIndexedSeq: _*))
-    spread(corpus).withColumn("cid", -best.getField("ncid"))
+    spread(corpus)
+      .withColumn("__best", best)
+      .withColumn("cid", -col("__best").getField("ncid"))
+      .withColumn("csim", col("__best").getField("sim"))
+      .drop("__best")
   }
 
   /** IVF top-k: probe the `nprobe` closest clusters per query, then
@@ -351,5 +364,77 @@ object Similarity {
       .select(col("batch_id"), col("kept_id"),
         cosineAuto(col("__vb"), col("__vk")).as("sim"))
       .filter(col("sim") >= threshold)
+  }
+
+  // --------------------------------------------------------------- SemDeDup
+
+  /** Within-cluster candidate pairs for an [[assignScored]] frame
+    * (`id`, `__v`, `cid` columns): the vector rides the one cid-keyed
+    * equi-join — unlike the LSH paths there is no thin-key/re-fetch
+    * split, because EVERY row of a cluster participates in every pair,
+    * so a second by-id join would move the same vectors again. Pair
+    * rows are generated and threshold-filtered inside the join stage,
+    * never materialized.
+    */
+  private def clusterPairs(scored: DataFrame, threshold: Double,
+                           maxCluster: Int): DataFrame = {
+    val sizes = scored.groupBy("cid").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxCluster && col("n") > 1)
+    val bounded = scored.join(sizes.select("cid"), Seq("cid"), "left_semi")
+    bounded.as("l").join(bounded.as("r"),
+        col("l.cid") === col("r.cid") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        cosineAuto(col("l.__v"), col("r.__v")).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /** SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    * semantic near-duplicates with the pairwise cosine search scoped to
+    * k-means clusters — the third embedding candidate generator next to
+    * banded sign-LSH ([[cosineNearDups]]) and the persisted band table
+    * ([[cosineNearDupsAgainst]]). Clustering bounds the quadratic: the
+    * global cost is Σᵢ cᵢ² over cluster sizes (tuned by nlist — the
+    * paper runs ~√n clusters), never n². Returns
+    * `(id_a < id_b, sim >= threshold)`.
+    *
+    * `maxCluster` drops over-wide clusters from pair generation exactly
+    * like the LSH siblings' buckets: sign-degenerate rows (all-zero
+    * embeddings score cosine 0 against every centroid) all tie into the
+    * lowest cid, recreating the quadratic this cap exists to stop.
+    * Genuine members of a dropped cluster are NOT paired — at 100 TB
+    * raise nlist so clusters stay under the cap rather than raising the
+    * cap.
+    */
+  def semDedupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double = 0.95,
+                    maxCluster: Int = 10000): DataFrame =
+    clusterPairs(
+      assignScored(corpus, idCol, vecCol, centroids)
+        .select(col("cid"), col(idCol).as("id"), col(vecCol).as("__v")),
+      threshold, maxCluster)
+
+  /** SemDeDup survivors: [[semDedupPairs]] resolved into connected
+    * groups, keeping per group the member LEAST similar to its cluster
+    * centroid — the paper's keep policy (the cluster's outlier carries
+    * the most marginal information; ties → lowest id). Rows in no pair
+    * survive untouched. Output = the corpus columns + `cid`.
+    *
+    * The assignment frame feeds both pair generation and the keep
+    * ranking, and its tail (nlist inlined cosines per row) is exactly
+    * the expensive-multi-consumer shape exchange reuse does not cover —
+    * localCheckpoint materializes it once.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               centroids: DataFrame, threshold: Double = 0.95,
+               maxCluster: Int = 10000): DataFrame = {
+    val scored = assignScored(corpus, idCol, vecCol, centroids).localCheckpoint()
+    val pairs = clusterPairs(
+      scored.select(col("cid"), col(idCol).as("id"), col(vecCol).as("__v")),
+      threshold, maxCluster)
+    val groups = graft.dedup.Dedup.dupGroups(pairs.select("id_a", "id_b"))
+    // keepBest keeps the HIGHEST score (ties → lowest id); negate csim
+    // to keep the farthest-from-centroid member
+    graft.dedup.Dedup.keepBest(scored, idCol, groups, -col("csim"))
+      .drop("csim")
   }
 }

@@ -156,4 +156,54 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.hyperplanes(4, 8) === Similarity.hyperplanes(4, 8))
     assert(Similarity.hyperplanes(4, 8).flatten.forall(v => v >= -1.0 && v <= 1.0))
   }
+
+  test("semDedupPairs = brute-force pairs restricted to co-clustered rows") {
+    import spark.implicits._
+    val corpus = vecs.filter($"vec_id" =!= 5L)
+    val cents = Seq(
+      (0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2, Seq(0.0f, 0.0f, 1.0f, 1.0f))).toDF("cid", "centroid")
+    val got = Similarity.semDedupPairs(corpus, "vec_id", "embedding",
+        cents, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ≥0.9 pairs among co-clustered rows: (0,1) share c0,
+    // (2,3) share c1; 4 is alone in c2
+    assert(got === Set((0L, 1L), (2L, 3L)))
+  }
+
+  test("semDedupPairs: clusters wider than maxCluster generate no pairs") {
+    import spark.implicits._
+    val corpus = vecs.filter($"vec_id" =!= 5L)
+    val oneCluster = Seq((0, Seq(1.0f, 1.0f, 1.0f, 1.0f))).toDF("cid", "centroid")
+    val capped = Similarity.semDedupPairs(corpus, "vec_id", "embedding",
+      oneCluster, threshold = 0.0, maxCluster = 3)
+    assert(capped.count() === 0) // all 5 rows in one cluster > cap
+    val uncapped = Similarity.semDedupPairs(corpus, "vec_id", "embedding",
+      oneCluster, threshold = 0.0, maxCluster = 5)
+    assert(uncapped.count() === 10) // 5 choose 2
+  }
+
+  test("semDedup keeps the group member FARTHEST from its centroid, ties to lowest id") {
+    import spark.implicits._
+    // one cluster around e1: ids 0 and 1 are near-dups of each other;
+    // id 1 sits farther from the centroid (lower csim) and must win
+    // despite its higher id. ids 7 and 8 are exact duplicates (csim
+    // ties bit-for-bit) → lowest id 7 wins. id 4 pairs with nobody.
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),    // csim = 1 to c0
+      (1L, Seq(0.98f, 0.15f, 0.0f, 0.0f)),  // ~0.988 to c0, cos(0,1) ~0.988
+      (7L, Seq(0.0f, 0.0f, 1.0f, 1.0f)),
+      (8L, Seq(0.0f, 0.0f, 1.0f, 1.0f)),    // exact dup of 7
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f))     // alone above threshold
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1, Seq(0.0f, 0.0f, 1.0f, 1.0f)),
+      (2, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("cid", "centroid")
+    val out = Similarity.semDedup(corpus, "vec_id", "embedding",
+        cents, threshold = 0.95)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toSet
+    assert(out === Set((1L, 0), (7L, 1), (4L, 2)))
+  }
 }
