@@ -168,14 +168,17 @@ final class Warehouse(spark: SparkSession, val root: String,
     * whole files, so rewritten-but-unchanged rows appear on both sides;
     * they cancel via null-safe payload-struct equality, leaving exactly
     * the rows whose content changed. Emits `_change_type`
-    * (insert/update_post/delete; deletes carry the before-image) and
+    * (insert / update_pre / update_post / delete — updates carry BOTH
+    * images, Delta's `update_preimage`/`update_postimage` pair, so a
+    * consumer partitioned on a payload column learns the row's OLD
+    * partition too; deletes carry the before-image) and
     * `_commit_version`. Schema evolution across the range aligns on the
     * ordered column union with null backfill. Readable while the
     * versions survive [[vacuum]] retention, like [[readVersion]].
     */
   def changeFeed(ref: TableRef, fromVersion: Long, toVersion: Long,
                  keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, struct, when}
+    import org.apache.spark.sql.functions.{array, explode, struct, when}
     require(fromVersion < toVersion,
       s"changeFeed needs fromVersion < toVersion: $fromVersion >= $toVersion")
     require(keyCols.nonEmpty, "changeFeed needs at least one key column")
@@ -205,17 +208,20 @@ final class Warehouse(spark: SparkSession, val root: String,
         keyCols.map(col) :+ struct(payload.map(col): _*).as("__bp"): _*)
       val aK = align(after).select(
         keyCols.map(col) :+ struct(payload.map(col): _*).as("__ap"): _*)
-      val chosen = coalesce(col("__ap"), col("__bp"))
       bK.join(aK, keyCols, "full_outer")
-        .withColumn("_change_type",
-          when(col("__bp").isNull, lit("insert"))
-            .when(col("__ap").isNull, lit("delete"))
-            .when(col("__ap") <=> col("__bp"), lit(null)) // copied row
-            .otherwise(lit("update_post")))
-        .filter(col("_change_type").isNotNull)
+        .filter(!(col("__ap") <=> col("__bp"))) // copied rows cancel
+        .withColumn("__img", explode(
+          when(col("__bp").isNull,
+            array(struct(col("__ap").as("p"), lit("insert").as("t"))))
+          .when(col("__ap").isNull,
+            array(struct(col("__bp").as("p"), lit("delete").as("t"))))
+          .otherwise(array(
+            struct(col("__bp").as("p"), lit("update_pre").as("t")),
+            struct(col("__ap").as("p"), lit("update_post").as("t"))))))
         .select(keyCols.map(col) ++
-          payload.map(p => chosen.getField(p).as(p)) ++
-          Seq(col("_change_type"), lit(v + 1).as("_commit_version")): _*)
+          payload.map(p => col("__img").getField("p").getField(p).as(p)) ++
+          Seq(col("__img").getField("t").as("_change_type"),
+            lit(v + 1).as("_commit_version")): _*)
     }
     steps.reduce(_ unionByName _)
   }

@@ -40,15 +40,22 @@ object Views {
     * view partitions whose `viewKeys` appear among rows changed since
     * `sinceVersion` are re-derived (from the base restricted to those
     * partitions — a broadcast semi join, so untouched partitions never
-    * scan) and merge-upserted into the view. Returns the base version
-    * the view now reflects; pass it back as the next `sinceVersion`.
+    * scan) and PARTITION-REPLACED into the view
+    * ([[graft.sinks.MergeTable.replacePartitions]]). Returns the base
+    * version the view now reflects; pass it back as the next
+    * `sinceVersion`.
+    *
+    * Deletes and partition moves are handled by tombstoning, not
+    * refused: the feed's `update_pre` and `delete` rows carry
+    * before-images, so a changed row marks BOTH its old and new view
+    * partition affected; every affected partition is recomputed from
+    * the current base, and one left with no base rows simply has no
+    * replacement rows — the partition replace empties it instead of
+    * leaving a stale latest row.
     *
     * Contract: the view body must be per-`viewKeys`-partition-local
     * (the QUALIFY latest-per-key family — each output row depends only
-    * on base rows sharing its partition key), and the feed must carry
-    * no deletes (the medallion CDC path never deletes; a delete would
-    * need partition tombstoning, so it fails loudly instead of leaving
-    * a stale row).
+    * on base rows sharing its partition key).
     */
   def refreshIncremental(spark: SparkSession, warehouse: Warehouse,
                          viewRef: TableRef, baseRef: TableRef,
@@ -58,12 +65,11 @@ object Views {
     val cur = warehouse.currentVersion(baseRef).getOrElse(
       throw new IllegalArgumentException(s"$baseRef has no committed version"))
     if (cur == sinceVersion) return cur
-    val cdf = warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
-      .localCheckpoint() // feeds the delete guard AND the key projection
-    require(cdf.filter(col("_change_type") === "delete").isEmpty,
-      s"incremental refresh of $viewRef: change feed contains deletes; " +
-        "re-materialize instead")
-    val affected = cdf.select(viewKeys.map(col): _*).distinct()
+    // distinct partition keys over EVERY image in the feed (pre + post
+    // + delete); materialized once — it feeds the recompute slice, the
+    // partition replace, and its pruning bounds
+    val affected = warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
+      .select(viewKeys.map(col): _*).distinct().localCheckpoint()
     val tables = warehouse.listTables().map { t =>
       t.toString -> warehouse.registerView(t)
     }.toMap
@@ -76,7 +82,7 @@ object Views {
     val recomputed = Transform.sql(spark, bodyOf(viewSql),
       tables + (baseRef.toString -> sliceView))
     new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
-      .upsert(recomputed)
+      .replacePartitions(affected, recomputed)
     cur
   }
 }

@@ -428,11 +428,12 @@ object PipelineQueries {
   /** Change data feed end-to-end through the incremental merge engine:
     * bootstrap the table without the %4=0 keys, then upsert every even
     * key at a bumped price — the feed between those two commits must be
-    * exactly {inserts: keys ≡ 0 (mod 4), updates: keys ≡ 2 (mod 4)},
-    * both carrying the after-image. The hard part the oracle pins: the
-    * merge REWRITES files, so odd keys sharing a file with an updated
-    * even key appear in both diff sides as byte-identical copies and
-    * must cancel — a feed that leaks copied rows or loses real ones
+    * exactly {inserts: keys ≡ 0 (mod 4) with the after-image, updates:
+    * keys ≡ 2 (mod 4) as an update_pre/update_post image PAIR (original
+    * and bumped price)}. The hard part the oracle pins: the merge
+    * REWRITES files, so odd keys sharing a file with an updated even
+    * key appear in both diff sides as byte-identical copies and must
+    * cancel — a feed that leaks copied rows or loses real ones
     * hash-mismatches. `_commit_version` stays out of the projection
     * (internal numbering); WarehouseSpec asserts it plus the delete
     * path and vacuum interplay.
@@ -460,7 +461,11 @@ object PipelineQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
       |  CASE WHEN o_orderkey % 4 = 0 THEN 'insert'
       |       ELSE 'update_post' END AS _change_type
-      |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
+      |FROM orders WHERE o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'update_pre' AS _change_type
+      |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
 
   /** K5 gold materialized view end-to-end: a reference-shaped
     * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY

@@ -172,7 +172,32 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     * attempt reads the CURRENT version). Bounded + jittered so true
     * contention storms still surface to the caller instead of spinning.
     */
-  def upsert(source: DataFrame): Unit = {
+  def upsert(source: DataFrame): Unit = retryOnConflict(upsertOnce(source))
+
+  /** Partition replace — Delta `replaceWhere` over a key IN-set: every
+    * target row whose `keys` tuple appears in `partitionKeys` is
+    * replaced by `replacement` (which must contain ONLY rows of those
+    * partitions); rows of other partitions keep their bytes — files
+    * provably disjoint from the partition-key range are never
+    * rewritten. Unlike [[upsert]] this DELETES: an affected partition
+    * with no replacement rows ends up empty (tombstoned), which is
+    * what incremental materialized-view maintenance needs when base
+    * rows are deleted or move partitions. Null-safe on the keys, and
+    * retried like [[upsert]] on writer conflicts.
+    */
+  def replacePartitions(partitionKeys: DataFrame, replacement: DataFrame): Unit =
+    retryOnConflict(replacePartitionsOnce(partitionKeys, replacement))
+
+  /** Bounded retry on writer conflicts. A
+    * [[graft.catalog.ConcurrentWriteException]] from the warehouse means
+    * either another writer holds the table lock or this plan went stale
+    * against a newer version — in BOTH cases nothing has touched the
+    * table, and the correct response for a CDC batch is to re-read and
+    * re-plan, which is exactly what re-running the attempt does (every
+    * attempt reads the CURRENT version). Bounded + jittered so true
+    * contention storms still surface to the caller instead of spinning.
+    */
+  private def retryOnConflict(body: => Unit): Unit = {
     // a competitor holds the lock for its whole staged write (~seconds
     // for a real batch), so back off linearly with jitter; ~10 attempts
     // rides out a burst of writers while still surfacing true storms
@@ -180,13 +205,62 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     var attempt = 1
     var done = false
     while (!done) {
-      try { upsertOnce(source); done = true }
+      try { body; done = true }
       catch {
         case _: graft.catalog.ConcurrentWriteException if attempt < maxAttempts =>
           Thread.sleep(100L * attempt +
             java.util.concurrent.ThreadLocalRandom.current().nextLong(200L))
           attempt += 1
       }
+    }
+  }
+
+  private def replacePartitionsOnce(partitionKeys: DataFrame,
+                                    replacement: DataFrame): Unit = {
+    if (!warehouse.exists(ref)) {
+      warehouse.overwrite(ref, replacement, statsColumns = bootstrapStats,
+        onlyIfAbsent = true)
+      return
+    }
+    warehouse.recover(ref)
+    val baseVersion = warehouse.currentVersion(ref)
+    val bounds = partitionKeys
+      .agg(count(lit(1)), min(col(pruneKey)), max(col(pruneKey))).head()
+    if (bounds.getLong(0) == 0L) return // no affected partitions: no-op
+    val tsig = warehouse.read(ref).schema.map(f => (f.name, f.dataType))
+    val ssig = replacement.schema.map(f => (f.name, f.dataType))
+    require(ssig == tsig,
+      s"replacePartitions schema mismatch: target ${tsig.mkString(",")} vs " +
+        s"replacement ${ssig.mkString(",")}")
+    // null-safe anti join (a null partition key must still replace its
+    // partition); the affected-key set is bounded by the change batch,
+    // so broadcasting it is the right 100 TB shape
+    val pk = keys.foldLeft(partitionKeys.select(keys.map(col): _*).distinct()) {
+      (d, c) => d.withColumnRenamed(c, "__pk_" + c)
+    }
+    def dropAffected(df: DataFrame): DataFrame =
+      df.join(broadcast(pk),
+        keys.map(k => col(k) <=> col("__pk_" + k)).reduce(_ && _), "left_anti")
+    val split =
+      if (bounds.isNullAt(1)) None // null keys carry no range stats
+      else warehouse.splitFilesByRange(ref, pruneKey, bounds.get(1), bounds.get(2))
+    split match {
+      case Some((touched, untouched)) if untouched.nonEmpty =>
+        val rewritten =
+          if (touched.isEmpty) replacement // nothing holds these partitions
+          else dropAffected(spark.read
+              .option("basePath", warehouse.path(ref)).parquet(touched: _*))
+            .unionByName(replacement)
+        warehouse.replaceDataFiles(ref, touched, rewritten)
+      case _ =>
+        // no manifest (or every file may overlap): full rewrite — and
+        // write key stats so the next refresh can prune
+        val statCols =
+          if (collectStats) (warehouse.statColumns(ref) :+ pruneKey).distinct
+          else warehouse.statColumns(ref)
+        warehouse.overwrite(ref,
+          dropAffected(warehouse.read(ref)).unionByName(replacement),
+          statsColumns = statCols, expectedVersion = baseVersion)
     }
   }
 

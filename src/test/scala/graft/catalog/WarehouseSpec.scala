@@ -47,6 +47,7 @@ class WarehouseSpec extends SparkSpec {
     val feed = wh.changeFeed(ref, v1, v2, Seq("k"))
       .as[(Long, String, String, Long)].collect().toSet
     assert(feed === Set(
+      (2L, "b", "update_pre", v2), // updates carry BOTH images
       (2L, "B", "update_post", v2),
       (3L, "c", "delete", v2),     // delete carries the before-image
       (4L, "d", "insert", v2)))    // key 1's byte-identical copy cancelled

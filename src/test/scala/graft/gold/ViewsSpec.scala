@@ -35,7 +35,7 @@ class ViewsSpec extends SparkSpec {
     assert(wh.read(goldRef).count() === 1)
   }
 
-  test("incremental refresh: equals full recompute, no-op version, delete guard") {
+  test("incremental refresh: equals full recompute, no-op version, delete tombstoning, key moves") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-gincr"))
     val base = TableRef("silver", "g", "rows")
@@ -60,13 +60,22 @@ class ViewsSpec extends SparkSpec {
     assert(v2 === wh.currentVersion(base).get)
     val got = wh.read(gold).as[(Long, Long, String)].collect().toSet
     assert(got === Set((1L, 12L, "a3"), (2L, 20L, "b1"), (3L, 30L, "c1")))
-    // a feed with deletes refuses instead of leaving stale view rows
+    // DELETE: the base loses k=2 and k=3 entirely — their gold
+    // partitions must be tombstoned (recomputed empty), not left stale
     wh.overwrite(base, Seq((1L, 12L, "a3")).toDF("k", "seq", "v"))
-    val ex = intercept[IllegalArgumentException] {
-      Views.refreshIncremental(spark, wh, gold, base, v2, viewSql,
-        Seq("k"), Seq("seq"))
-    }
-    assert(ex.getMessage.contains("deletes"))
+    val v3 = Views.refreshIncremental(spark, wh, gold, base, v2, viewSql,
+      Seq("k"), Seq("seq"))
+    assert(wh.read(gold).as[(Long, Long, String)].collect().toSet ===
+      Set((1L, 12L, "a3")))
+    // KEY-MOVING UPDATE: row seq=12 moves from partition k=1 to k=4.
+    // The feed's update_pre image marks the OLD partition affected, so
+    // k=1's gold row empties out while k=4 materializes — the stale-row
+    // hazard of post-image-only feeds
+    mt.upsert(Seq((4L, 12L, "m")).toDF("k", "seq", "v"))
+    Views.refreshIncremental(spark, wh, gold, base, v3, viewSql,
+      Seq("k"), Seq("seq"))
+    assert(wh.read(gold).as[(Long, Long, String)].collect().toSet ===
+      Set((4L, 12L, "m")))
   }
 
   test("bodyOf leaves plain SELECT untouched") {
