@@ -497,6 +497,18 @@ final class Warehouse(spark: SparkSession, val root: String,
       throw new ConcurrentWriteException(
         s"table $ref advanced past version ${expectedVersion.get} since " +
           "this rewrite was planned — re-read the table and re-plan")
+    // BOOTSTRAP (first-ever overwrite, nothing committed and no data):
+    // no snapshot exists for a concurrent read() to resolve, so it
+    // falls back to a plain directory read — moving staged files in
+    // one-by-one would expose a partial subset (or a dir holding only
+    // metadata). The whole staged DIRECTORY is renamed into place
+    // instead: a reader sees no table, or the complete data. A logless
+    // dir that already HAS data is adopted into the log first for the
+    // same reason — its readers then resolve the old complete version
+    // during the swap window instead of a mixed listing.
+    val bootstrap = currentVersion(ref).isEmpty &&
+      (!filesystem.exists(target) || listDataFiles(target).isEmpty)
+    if (!bootstrap && currentVersion(ref).isEmpty) ensureLogLocked(ref)
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
     val writeDir =
@@ -511,31 +523,45 @@ final class Warehouse(spark: SparkSession, val root: String,
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
       val rels = staged.map(p => filesystem.makeQualified(p).toUri.getPath
         .stripPrefix(stagedBase).stripPrefix("/"))
-      // intent journal BEFORE any file lands: a crash pre-commit leaves
-      // only unreferenced stragglers, which the next writer's recovery
-      // (or vacuum) removes — readers never saw them
-      writeTxnJournal(ref, rels, Nil)
-      rels.zip(staged).foreach { case (r, f) =>
-        val dest = new Path(target, r)
-        filesystem.mkdirs(dest.getParent)
-        if (!filesystem.rename(f, dest))
-          throw new RuntimeException(s"failed to move $r into $ref")
-      }
-      commitLocked(ref, df.schema.json, rels)
-      // manifest follows the commit; a crash in between leaves a stale
-      // manifest, which pruning tolerates by construction (entries for
-      // retired files never match the live list, unknown files are kept)
-      val liveManifest = new Path(target, statsDir)
-      if (statsColumns.nonEmpty) {
-        filesystem.delete(liveManifest, true)
-        if (!filesystem.rename(new Path(tmp, statsDir), liveManifest))
-          throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        registerStatsAt(path(ref))
+      if (bootstrap) {
+        // drop metadata-only leftovers (a crashed writer's journal, an
+        // empty partition skeleton) so the rename lands cleanly; no
+        // data files exist, so nothing readable is lost
+        if (filesystem.exists(target)) filesystem.delete(target, true)
+        if (!filesystem.rename(tmp, target))
+          throw new RuntimeException(s"failed to move staged bootstrap into $ref")
+        // crash between rename and commit leaves a COMPLETE logless
+        // dir: plain reads see all rows, the next writer adopts it
+        commitLocked(ref, df.schema.json, rels)
+        if (statsColumns.nonEmpty) registerStatsAt(path(ref))
+        else TableStatsRegistry.invalidate(path(ref))
       } else {
-        filesystem.delete(liveManifest, true) // described retired files only
-        TableStatsRegistry.invalidate(path(ref))
+        // intent journal BEFORE any file lands: a crash pre-commit leaves
+        // only unreferenced stragglers, which the next writer's recovery
+        // (or vacuum) removes — readers never saw them
+        writeTxnJournal(ref, rels, Nil)
+        rels.zip(staged).foreach { case (r, f) =>
+          val dest = new Path(target, r)
+          filesystem.mkdirs(dest.getParent)
+          if (!filesystem.rename(f, dest))
+            throw new RuntimeException(s"failed to move $r into $ref")
+        }
+        commitLocked(ref, df.schema.json, rels)
+        // manifest follows the commit; a crash in between leaves a stale
+        // manifest, which pruning tolerates by construction (entries for
+        // retired files never match the live list, unknown files are kept)
+        val liveManifest = new Path(target, statsDir)
+        if (statsColumns.nonEmpty) {
+          filesystem.delete(liveManifest, true)
+          if (!filesystem.rename(new Path(tmp, statsDir), liveManifest))
+            throw new RuntimeException(s"failed to swap stats manifest for $ref")
+          registerStatsAt(path(ref))
+        } else {
+          filesystem.delete(liveManifest, true) // described retired files only
+          TableStatsRegistry.invalidate(path(ref))
+        }
+        filesystem.delete(new Path(target, txnFile), false)
       }
-      filesystem.delete(new Path(target, txnFile), false)
     } finally {
       filesystem.delete(tmp, true)
       ()

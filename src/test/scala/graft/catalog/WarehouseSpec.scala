@@ -106,6 +106,34 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("x", 9)))
   }
 
+  test("bootstrap overwrite lands whole-dir: metadata leftovers cleared, logless data adopted") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-boot"))
+    val ref = TableRef("bronze", "boot", "t")
+
+    // a crashed writer's metadata-only leftover must not break (or be
+    // mistaken for) the bootstrap — the staged dir replaces it wholesale
+    val tablePath = new org.apache.hadoop.fs.Path(wh.path(ref))
+    val filesystem = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    filesystem.mkdirs(tablePath)
+    wh.writeTxnJournal(ref, Seq("part-ghost.parquet"), Seq.empty)
+    wh.overwrite(ref, Seq(("a", 1), ("b", 2)).toDF("k", "v"))
+    assert(wh.currentVersion(ref) === Some(1L))
+    assert(wh.read(ref).as[(String, Int)].collect().toSet === Set(("a", 1), ("b", 2)))
+    assert(!filesystem.exists(new org.apache.hadoop.fs.Path(tablePath, "_graft_txn")))
+
+    // a logless dir that already HAS data (written by something else)
+    // is adopted as v1 before the overwrite commits v2 — so readers in
+    // the swap window resolve the old complete version, and time travel
+    // reaches the pre-adoption state
+    val ref2 = TableRef("bronze", "boot", "legacy")
+    Seq(("old", 1)).toDF("k", "v").write.parquet(wh.path(ref2))
+    wh.overwrite(ref2, Seq(("new", 2)).toDF("k", "v"))
+    assert(wh.currentVersion(ref2) === Some(2L))
+    assert(wh.read(ref2).as[(String, Int)].collect().toSeq === Seq(("new", 2)))
+    assert(wh.readVersion(ref2, 1L).as[(String, Int)].collect().toSeq === Seq(("old", 1)))
+  }
+
   test("a stale replacement plan fails loudly instead of applying a lost update") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-stale"))
