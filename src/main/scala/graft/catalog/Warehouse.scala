@@ -569,6 +569,20 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** Current table schema WITHOUT opening data files: the committed
+    * snapshot carries the schema as JSON, so logged tables answer from
+    * the log alone — schema-compatibility checks on merge/replace paths
+    * stay metadata-only. Logless directories fall back to footer
+    * inference.
+    */
+  def schemaOf(ref: TableRef): org.apache.spark.sql.types.StructType =
+    snapshot(ref) match {
+      case Some(s) if s.schemaJson.nonEmpty =>
+        org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      case _ => spark.read.parquet(path(ref)).schema
+    }
+
   /** K4 TRUNCATE (lib/checker_handler.py:119): keep the table, drop rows. */
   def truncate(ref: TableRef): Unit =
     if (exists(ref)) overwrite(ref, read(ref).limit(0))

@@ -62,27 +62,42 @@ object Views {
                          sinceVersion: Long, viewSql: String,
                          viewKeys: Seq[String], baseKeys: Seq[String]): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.util.PhaseTimer.time
     val cur = warehouse.currentVersion(baseRef).getOrElse(
       throw new IllegalArgumentException(s"$baseRef has no committed version"))
     if (cur == sinceVersion) return cur
     // distinct partition keys over EVERY image in the feed (pre + post
     // + delete); materialized once — it feeds the recompute slice, the
     // partition replace, and its pruning bounds
-    val affected = warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
-      .select(viewKeys.map(col): _*).distinct().localCheckpoint()
-    val tables = warehouse.listTables().map { t =>
-      t.toString -> warehouse.registerView(t)
-    }.toMap
-    // the view body reads the base by three-part name — point that name
-    // at the affected-partition slice instead of the full table
-    val slice = warehouse.read(baseRef)
-      .join(broadcast(affected), viewKeys, "left_semi")
-    val sliceView = s"__graft_incr_${baseRef.catalog}_${baseRef.schema}_${baseRef.table}"
-    slice.createOrReplaceTempView(sliceView)
-    val recomputed = Transform.sql(spark, bodyOf(viewSql),
-      tables + (baseRef.toString -> sliceView))
-    new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
-      .replacePartitions(affected, recomputed)
+    val affected = time("mvrefresh.feed") {
+      warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
+        .select(viewKeys.map(col): _*).distinct().localCheckpoint()
+    }
+    val recomputed = time("mvrefresh.plan") {
+      val body = bodyOf(viewSql)
+      // register only the tables the body can actually reference (the
+      // base is overridden by the slice below) — registerView opens the
+      // table, and a warehouse can hold hundreds of them
+      def referenced(t: TableRef): Boolean =
+        body.contains(t.toString) ||
+          body.contains(s"`${t.catalog}`.`${t.schema}`.`${t.table}`")
+      val tables = warehouse.listTables()
+        .filter(t => t != baseRef && referenced(t)).map { t =>
+          t.toString -> warehouse.registerView(t)
+        }.toMap
+      // the view body reads the base by three-part name — point that name
+      // at the affected-partition slice instead of the full table
+      val slice = warehouse.read(baseRef)
+        .join(broadcast(affected), viewKeys, "left_semi")
+      val sliceView = s"__graft_incr_${baseRef.catalog}_${baseRef.schema}_${baseRef.table}"
+      slice.createOrReplaceTempView(sliceView)
+      Transform.sql(spark, bodyOf(viewSql),
+        tables + (baseRef.toString -> sliceView))
+    }
+    time("mvrefresh.replace") {
+      new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
+        .replacePartitions(affected, recomputed)
+    }
     cur
   }
 }

@@ -227,7 +227,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     val bounds = partitionKeys
       .agg(count(lit(1)), min(col(pruneKey)), max(col(pruneKey))).head()
     if (bounds.getLong(0) == 0L) return // no affected partitions: no-op
-    val tsig = warehouse.read(ref).schema.map(f => (f.name, f.dataType))
+    // schemaOf answers from the commit log — no footer-read job
+    val tsig = warehouse.schemaOf(ref).map(f => (f.name, f.dataType))
     val ssig = replacement.schema.map(f => (f.name, f.dataType))
     require(ssig == tsig,
       s"replacePartitions schema mismatch: target ${tsig.mkString(",")} vs " +
@@ -319,7 +320,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
             // name AND type must match — an insert-only batch bypasses
             // the join, so this is the last check before its rows land
             // in files the table's schema is assumed to describe
-            val tsig = warehouse.read(ref).schema
+            // (schemaOf answers from the commit log — no footer read)
+            val tsig = warehouse.schemaOf(ref)
               .map(f => (f.name, f.dataType))
             val ssig = source.schema.map(f => (f.name, f.dataType))
             require(ssig == tsig,
