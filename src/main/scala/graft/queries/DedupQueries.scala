@@ -7,11 +7,12 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.text.TextFunctions
 
-/** Dedup operators in the gate. Exact dedup and pairwise n-gram Jaccard
-  * have value-level DuckDB oracles; MinHash/SimHash signatures hash with
-  * xxhash64 (no DuckDB twin) so their queries are rows-only checked —
-  * their SEMANTICS are covered by DedupSpec and by the jaccard oracle
-  * (verification reuses the same shingle code).
+/** Dedup operators in the gate, every entry VALUE-checked against a
+  * DuckDB oracle: raw MinHash/SimHash signature values hash with
+  * xxhash64 (no DuckDB twin), so the planted constructions below prove
+  * the pipelines through oracle-computable invariants instead —
+  * appended-token clones at Jaccard s/(s+1) for MinHash-LSH, token
+  * multiset-equality (signature-equality) classes for SimHash.
   */
 object DedupQueries {
 
@@ -373,13 +374,6 @@ object DedupQueries {
       |WHERE c.doc_id NOT IN
       |  (SELECT id FROM canon WHERE id <> canonical_id)""".stripMargin
 
-  /** SimHash signatures themselves — deterministic, rows-only. */
-  def qSimhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.load(spark, dir, "documents")
-      .select($"doc_id", Dedup.simhash(TextFunctions.tokens($"text")).as("simhash"))
-  }
-
   /** Connected components VALUE-CHECKED end-to-end: the edge set is
     * oracle-expressible (docs sharing a verbatim lowercase 5-gram — a
     * thin equi-join on gram, the decontamination construction), and the
@@ -495,8 +489,7 @@ object DedupQueries {
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_dedup_near_e2e" -> (qDedupNearE2e _),
-    "q_simhash_pairs" -> (qSimhashPairs _),
-    "q_simhash_signatures" -> (qSimhashSignatures _))
+    "q_simhash_pairs" -> (qSimhashPairs _))
 
   def oracles: Map[String, String] = Map(
     "q_dup_groups" -> qDupGroupsSql,

@@ -129,6 +129,61 @@ object MultimodalQueries {
   val qAudioAhashSql: String =
     """SELECT doc_id AS id_a, doc_id + 10000000 AS id_b FROM documents""".stripMargin
 
+  /** Multimodal near-dup GROUP RESOLUTION end-to-end — the [[qImgDhash]]
+    * / [[qAudioAhash]] pair detection routed through the same
+    * dupGroups + keepBest machinery the text path uses: each document
+    * renders as a 3-member image family (PNG, BMP, PNG re-crawl — same
+    * pixels, ids offset 0/1e7/2e7) and a 2-member audio family (WAV,
+    * AIFF at 3e7/4e7), dHash/energy-hash pairs become connected
+    * components, and the keep-NEWEST policy (highest media_id = the
+    * re-crawl) must surface exactly the 2e7 image and 4e7 audio member
+    * per document. Edges are restricted to provable same-scene pairs
+    * (equal id mod 1e7) so a cross-seed 64-bit hash collision — absent
+    * at every shipped SF but not oracle-expressible — could never link
+    * two families; planted pairs always survive the filter.
+    */
+  def qMmDedupE2e(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val mat = graft.util.Scratch.once(spark, dir, "mmdedup.fixtures") {
+      Tables.load(spark, dir, "documents")
+        .select($"doc_id").as[Long]
+        .flatMap { id =>
+          Seq(
+            MediaRecord(id, "image", s"mem://scene/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "png"),
+              None, None, None),
+            MediaRecord(id + 10000000L, "image", s"mem://scene/bmp/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
+              None, None, None),
+            MediaRecord(id + 20000000L, "image", s"mem://scene/recrawl/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "png"),
+              None, None, None),
+            MediaRecord(id + 30000000L, "audio", s"mem://clip/$id",
+              Multimodal.synthesizePatternAudio(8000, 2048, id, "wav"),
+              None, None, None),
+            MediaRecord(id + 40000000L, "audio", s"mem://clip/aiff/$id",
+              Multimodal.synthesizePatternAudio(8000, 2048, id, "aiff"),
+              None, None, None))
+        }.toDF().localCheckpoint()
+    }
+    val media = mat.as[MediaRecord]
+    val pairs = Multimodal.imageDupPairs(Multimodal.dhashImages(media))
+      .unionByName(Multimodal.audioDupPairs(Multimodal.ahashAudio(media)))
+      .filter($"id_b" % 10000000L === $"id_a" % 10000000L)
+    // families are direct cliques: 4 propagation rounds cover 16-hop
+    // chains, far beyond the 3-member diameter here
+    val groups = Dedup.dupGroups(pairs, maxIters = 4)
+    Dedup.keepBest(mat.select($"media_id", $"kind"), "media_id", groups,
+        $"media_id")
+      .select($"media_id", $"kind")
+  }
+
+  val qMmDedupE2eSql: String =
+    """SELECT doc_id + 20000000 AS media_id, 'image' AS kind FROM documents
+      |UNION ALL
+      |SELECT doc_id + 40000000 AS media_id, 'audio' AS kind FROM documents""".stripMargin
+
   val qMmDecodeSql: String =
     """SELECT doc_id AS media_id,
       |  CAST(n_chars % 64 + 1 AS INTEGER) AS width,
@@ -305,6 +360,7 @@ object MultimodalQueries {
     "q_mm_decode" -> (qMmDecode _),
     "q_img_dhash" -> (qImgDhash _),
     "q_audio_ahash" -> (qAudioAhash _),
+    "q_mm_dedup_e2e" -> (qMmDedupE2e _),
     "q_mm_audio" -> (qMmAudio _),
     "q_mm_frames" -> (qMmFrames _),
     "q_mm_embed" -> (qMmEmbed _))
@@ -315,6 +371,7 @@ object MultimodalQueries {
     "q_mm_decode" -> qMmDecodeSql,
     "q_img_dhash" -> qImgDhashSql,
     "q_audio_ahash" -> qAudioAhashSql,
+    "q_mm_dedup_e2e" -> qMmDedupE2eSql,
     "q_mm_audio" -> qMmAudioSql,
     "q_mm_frames" -> qMmFramesSql,
     "q_mm_embed" -> qMmEmbedSql)
