@@ -583,6 +583,40 @@ final class Warehouse(spark: SparkSession, val root: String,
       case _ => spark.read.parquet(path(ref)).schema
     }
 
+  /** Row-level DELETE (Delta `DELETE FROM ... WHERE` semantics, the
+    * GDPR/compaction primitive the reference's update-insert-only MERGE
+    * lacks): rewrite ONLY the files that contain a matching row — every
+    * other file keeps its bytes and path — and commit a version that
+    * retires the touched ones. Returns the number of rows deleted.
+    *
+    * Scale shape: the planning pass is one predicate-pushed scan
+    * projecting zero data columns (`input_file_name` + count per file
+    * — parquet row-group stats skip non-matching groups), so work is
+    * proportional to the files that COULD match, and the rewrite to
+    * the files that DO. SQL's three-valued logic is honored: rows
+    * where the predicate evaluates NULL are kept, exactly like
+    * `DELETE FROM t WHERE cond`.
+    *
+    * Concurrency: the touched-file plan is computed optimistically;
+    * [[replaceDataFiles]] re-validates it under the writer lock and
+    * throws [[ConcurrentWriteException]] if the table moved — callers
+    * with contention re-run (nothing was touched).
+    */
+  def deleteWhere(ref: TableRef, cond: org.apache.spark.sql.Column): Long = {
+    val matched = cond <=> lit(true) // null predicate = not matched
+    val perFile = read(ref).filter(matched)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    if (perFile.isEmpty) return 0L
+    val touched = perFile.map(_.getString(0)).toSeq
+    val survivors = spark.read.option("basePath", path(ref))
+      .parquet(touched: _*)
+      .filter(!matched)
+    replaceDataFiles(ref, touched, survivors)
+    perFile.map(_.getLong(1)).sum
+  }
+
   /** K4 TRUNCATE (lib/checker_handler.py:119): keep the table, drop rows. */
   def truncate(ref: TableRef): Unit =
     if (exists(ref)) overwrite(ref, read(ref).limit(0))

@@ -467,6 +467,38 @@ object PipelineQueries {
       |  'update_pre' AS _change_type
       |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
 
+  /** Row-level DELETE end-to-end (Delta `DELETE FROM ... WHERE`): the
+    * table lands range-clustered with a stats manifest, the delete's
+    * planning scan finds the files holding matching rows (predicate
+    * pushdown, zero data columns), ONLY those are rewritten, and the
+    * read-back must equal the oracle's complement filter. Idempotent by
+    * construction (a re-run deletes nothing), so the bench warm pass
+    * measures the steady-state no-op plan; WarehouseSpec asserts the
+    * file-level pruning and the NULL-predicate (three-valued) row
+    * survival.
+    */
+  def qDeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "delete.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-del").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_del")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .repartitionByRange(8, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))
+      (wh, ref)
+    }
+    wh.deleteWhere(ref, $"o_orderkey" % 7 === 3)
+    wh.read(ref)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+  }
+
+  val qDeleteWhereSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 7 <> 3""".stripMargin
+
   /** K5 gold materialized view end-to-end: a reference-shaped
     * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY
     * rewritten, three-part names resolved against the warehouse) CTAS'd
@@ -571,7 +603,69 @@ object PipelineQueries {
       |        ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
       |      FROM base) WHERE rn = 1""".stripMargin
 
+  /** Incremental view maintenance under DELETES end-to-end — the
+    * change-feed tombstoning path gated at all SFs: silver bootstraps
+    * with every order, the gold latest-per-customer view materializes,
+    * then a GDPR-style [[Warehouse.deleteWhere]] wipes every %3=0
+    * customer AND a merge bumps surviving even-key orders — the
+    * incremental refresh must tombstone the wiped customers' gold
+    * partitions (their update feed is delete before-images only) while
+    * recomputing the bumped ones. The oracle is the full recompute over
+    * the final base state: incremental ≡ full even with deletes is what
+    * the gate proves.
+    */
+  def qGoldIncrDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val viewSql =
+      """CREATE MATERIALIZED VIEW gold.gate.latest_orders_del AS
+        |SELECT o_custkey, o_orderkey, o_totalprice,
+        |       CAST(o_orderdate AS DATE) AS order_date
+        |FROM silver.gate.orders_gdel
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey
+        |  ORDER BY order_date DESC, o_orderkey DESC) = 1""".stripMargin
+    val (wh, silver, goldRef, v1) =
+      graft.util.Scratch.once(spark, dir, "gdel.fixtures") {
+        val base = Files.createTempDirectory("graft-gate-gdel").toString
+        val wh = new Warehouse(spark, s"$base/warehouse")
+        val silver = TableRef("silver", "gate", "orders_gdel")
+        val goldRef = TableRef("gold", "gate", "latest_orders_del")
+        val orders = Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+        val mt = new graft.sinks.MergeTable(spark, wh, silver, Seq("o_orderkey"), None)
+        mt.upsert(orders)
+        graft.gold.Views.materialize(spark, wh, goldRef, viewSql)
+        val v1 = wh.currentVersion(silver).get
+        wh.deleteWhere(silver, $"o_custkey" % 3 === 0)
+        mt.upsert(orders
+          .filter($"o_custkey" % 3 =!= 0 && $"o_orderkey" % 2 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 1.0))
+        (wh, silver, goldRef, v1)
+      }
+    graft.util.PhaseTimer.time("gdel.refresh") {
+      graft.gold.Views.refreshIncremental(spark, wh, goldRef, silver, v1,
+        viewSql, viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"))
+    }
+    wh.read(goldRef)
+  }
+
+  val qGoldIncrDeleteSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_custkey % 3 <> 0 AND o_orderkey % 2 = 1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_totalprice + 1.0, o_orderdate
+      |  FROM orders WHERE o_custkey % 3 <> 0 AND o_orderkey % 2 = 0)
+      |SELECT o_custkey, o_orderkey, o_totalprice, order_date
+      |FROM (SELECT *, CAST(o_orderdate AS DATE) AS order_date,
+      |        row_number() OVER (
+      |        PARTITION BY o_custkey
+      |        ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+      |      FROM base) WHERE rn = 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_delete_where" -> (qDeleteWhere _),
+    "q_gold_incr_delete" -> (qGoldIncrDelete _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_csv" -> (qPipelineCsv _),
     "q_pipeline_orc" -> (qPipelineOrc _),
@@ -587,6 +681,8 @@ object PipelineQueries {
     "q_gold_view" -> (qGoldView _))
 
   def oracles: Map[String, String] = Map(
+    "q_delete_where" -> qDeleteWhereSql,
+    "q_gold_incr_delete" -> qGoldIncrDeleteSql,
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_csv" -> qPipelineFullSql,
     "q_pipeline_orc" -> qPipelineFullSql,

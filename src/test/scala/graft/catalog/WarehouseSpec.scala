@@ -106,6 +106,33 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read(ref).as[(String, Int)].collect().toSeq === Seq(("x", 9)))
   }
 
+  test("deleteWhere rewrites only matching files; NULL-predicate rows survive") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-del"))
+    val ref = TableRef("silver", "facts", "del")
+    // range-clustered + stats: files cover disjoint key intervals, so a
+    // range delete must leave the far files' bytes untouched
+    wh.overwrite(ref,
+      (1L to 100L).map(i => (i, if (i % 10 == 0) null else s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, $"k"),
+      statsColumns = Seq("k"))
+    val before = wh.dataFiles(ref).toSet
+    assert(wh.deleteWhere(ref, $"k".between(1L, 25L)) === 25L)
+    val after = wh.dataFiles(ref).toSet
+    // pruning is real: at least one original file survived by PATH
+    assert(before.intersect(after).nonEmpty)
+    assert(wh.read(ref).count() === 75)
+    assert(wh.read(ref).agg(org.apache.spark.sql.functions.min($"k"))
+      .head().getLong(0) === 26L)
+    // three-valued logic: v IS NULL makes `v = 'nope'` evaluate NULL —
+    // those rows must SURVIVE, exactly like SQL DELETE
+    assert(wh.deleteWhere(ref, $"v" === "nope") === 0L)
+    assert(wh.read(ref).count() === 75)
+    // ... while an explicit null test does delete them (k=10,20 already gone)
+    assert(wh.deleteWhere(ref, $"v".isNull) === 8L)
+    assert(wh.read(ref).count() === 67)
+  }
+
   test("bootstrap overwrite lands whole-dir: metadata leftovers cleared, logless data adopted") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-boot"))
