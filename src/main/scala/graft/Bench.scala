@@ -151,8 +151,49 @@ object Bench {
       System.err.println(f"[$tag] $name%-24s $sec%8.2fs  rows=$n")
       name -> sec
     }
-    val gateResults = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timed("bench")(name, () => fn(spark, sfDir).count())
+    def phaseDelta(before: Map[String, Double]): Map[String, Double] =
+      graft.util.PhaseTimer.snapshot.flatMap { case (k, v) =>
+        val d = v - before.getOrElse(k, 0.0)
+        if (d > 0.005) Some(k -> d) else None
+      }
+    def fmtMap(m: Iterable[(String, Double)]): String =
+      m.toSeq.sortBy { case (k, v) => (-v, k) }
+        .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}")
+    // Per-query protocol (round-8 verdict, What's wrong #1): cold pass →
+    // immediate warm pass (heavies only) → evict that query's memoized
+    // fixtures. Every query then runs against the same near-empty block
+    // manager instead of the accumulated storage of all 100+ fixtures
+    // built before it, and a cold number is explainable as
+    // warm + this query's own phased fixture builds. Phase deltas are
+    // captured PER PASS — the artifact's `phases` map holds cold-pass
+    // deltas only (what explains cold entries); warm-pass deltas go to
+    // stderr per query.
+    val coldPhases = scala.collection.mutable.Map[String, Double]()
+    def runOne(name: String, thunk: () => Long): ((String, Double), Option[(String, Double)]) = {
+      val s0 = graft.util.PhaseTimer.snapshot
+      val cold = timed("bench")(name, thunk)
+      val coldD = phaseDelta(s0)
+      coldD.foreach { case (k, v) =>
+        coldPhases.updateWith(k)(p => Some(p.getOrElse(0.0) + v))
+      }
+      // Warm rerun for every query whose cold time exceeded 2 s: a
+      // number that collapses on the rerun is environment (page cache,
+      // JIT, fixture build), one that persists is plan cost.
+      val warm = if (cold._2 > 2.0) {
+        val s1 = graft.util.PhaseTimer.snapshot
+        val w = timed("bench-warm")(name, thunk)
+        val warmD = phaseDelta(s1)
+        if (warmD.nonEmpty)
+          System.err.println(s"[bench-phases-warm $name] ${fmtMap(warmD)}")
+        Some(w)
+      } else None
+      if (coldD.nonEmpty)
+        System.err.println(s"[bench-phases-cold $name] ${fmtMap(coldD)}")
+      graft.util.Scratch.drainTouched()
+      (cold, warm)
+    }
+    val gateRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      runOne(name, () => fn(spark, sfDir).count())
     }
     // operator-only variants over pre-built (untimed) fixtures;
     // selectable by name like gate queries (suffix _op) for targeted runs
@@ -160,32 +201,35 @@ object Bench {
     val variantSel: Map[String, () => DataFrame] =
       if (!wantVariants) Map.empty
       else {
-        val vs = operatorVariants(spark, sfDir)
+        // one bad fixture build must degrade the artifact, not kill it
+        // (BENCH_r09 died with parsed=null on an analysis error here)
+        val vs = try operatorVariants(spark, sfDir) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] operatorVariants failed: $e")
+            Map.empty[String, () => DataFrame]
+        }
         if (args.isEmpty) vs else vs.view.filterKeys(args.toSet).toMap
       }
-    val variantResults = variantSel.toSeq.sortBy(_._1).map { case (name, thunk) =>
-      timed("bench")(name, () => thunk().count())
+    val variantRuns = variantSel.toSeq.sortBy(_._1).map { case (name, thunk) =>
+      runOne(name, () => thunk().count())
     }
-    val results = gateResults ++ variantResults
+    val gateResults = gateRuns.map(_._1)
+    val results = (gateRuns ++ variantRuns).map(_._1)
     val total = gateResults.map(_._2).sum
-    // Second (warm) pass over every query whose cold time exceeded 2 s:
-    // a number that collapses on the rerun is environment (page cache,
-    // JIT, shuffle-dir churn), one that persists is plan cost — the
-    // distinction the driver-vs-local outlier hunts kept needing.
-    // Bounded: only the handful of heavies re-run.
-    val warmResults = results.filter(_._2 > 2.0).flatMap { case (name, _) =>
-      selected.get(name).map(fn => () => fn(spark, sfDir).count())
-        .orElse(variantSel.get(name).map(t => () => t().count()))
-        .map(thunk => timed("bench-warm")(name, thunk))
-    }
+    val warmResults = (gateRuns ++ variantRuns).flatMap(_._2)
+    graft.util.Scratch.drainAll()
 
     // Full per-query map on stderr for local runs / full driver logs.
     val fullMap = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     System.err.println(s"[bench-queries] $fullMap")
-    val phasesAll = graft.util.PhaseTimer.snapshot.toSeq
-    System.err.println("[bench-phases] " + phasesAll.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}"))
+    // Artifact phases = COLD-pass deltas only (what explains the cold
+    // per-query numbers); the cumulative map incl. warm passes stays on
+    // stderr for full driver logs.
+    val phasesAll = coldPhases.toSeq
+    System.err.println("[bench-phases-cumulative] "
+      + graft.util.PhaseTimer.snapshot.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}"))
     // JSON-line phases capped to the 14 costliest (the fixture-memo
     // rework multiplied the phase count; the full map is the stderr
     // line above), remainder folded so nothing silently vanishes

@@ -19,6 +19,43 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The ONE synthesized media corpus behind the three near-dup gates
+    * (round-8 verdict #6 retired the double render): per document, a
+    * 3-member image family — PNG at +0, BMP at +1e7, PNG re-crawl at
+    * +2e7, same pixels — and a 2-member audio family — WAV at +3e7,
+    * AIFF at +4e7, same samples. q_mm_dedup_e2e consumes it whole;
+    * q_img_dhash takes the {+0,+1e7} image slice and q_audio_ahash the
+    * audio slice remapped to {+0,+1e7}, so each pair query sees exactly
+    * the 2-member families its oracle derives. Rendered once per JVM
+    * (phase `media.corpus`), localCheckpointed, evicted by the bench
+    * after its third consumer (`uses = 3`).
+    */
+  private def mediaCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.util.Scratch.once(spark, dir, "media.corpus", uses = 3) {
+      Tables.load(spark, dir, "documents")
+        .select($"doc_id").as[Long]
+        .flatMap { id =>
+          Seq(
+            MediaRecord(id, "image", s"mem://scene/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "png"),
+              None, None, None),
+            MediaRecord(id + 10000000L, "image", s"mem://scene/bmp/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
+              None, None, None),
+            MediaRecord(id + 20000000L, "image", s"mem://scene/recrawl/$id",
+              Multimodal.synthesizePatternImage(36, 32, id, "png"),
+              None, None, None),
+            MediaRecord(id + 30000000L, "audio", s"mem://clip/$id",
+              Multimodal.synthesizePatternAudio(8000, 2048, id, "wav"),
+              None, None, None),
+            MediaRecord(id + 40000000L, "audio", s"mem://clip/aiff/$id",
+              Multimodal.synthesizePatternAudio(8000, 2048, id, "aiff"),
+              None, None, None))
+        }.toDF().localCheckpoint()
+    }
+  }
+
   private def asMedia(spark: SparkSession, dir: String, kind: String) = {
     import spark.implicits._
     Tables.load(spark, dir, "documents")
@@ -76,22 +113,11 @@ object MultimodalQueries {
     */
   def qImgDhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // fixture ENCODE is memoized + phase-attributed (built once per
-    // JVM, materialized via localCheckpoint); the timed query is
-    // decode+hash+pairs, and the bench warm pass reuses the fixture
-    val mat = graft.util.Scratch.once(spark, dir, "imgdhash.fixtures") {
-      Tables.load(spark, dir, "documents")
-        .select($"doc_id").as[Long]
-        .flatMap { id =>
-          Seq(
-            MediaRecord(id, "image", s"mem://scene/$id",
-              Multimodal.synthesizePatternImage(36, 32, id, "png"),
-              None, None, None),
-            MediaRecord(id + 10000000L, "image", s"mem://scene/clone/$id",
-              Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
-              None, None, None))
-        }.toDF().localCheckpoint()
-    }
+    // fixture ENCODE is memoized + phase-attributed (the shared
+    // media.corpus render); the timed query is decode+hash+pairs over
+    // the 2-member {PNG, BMP} image slice — the +2e7 re-crawl stays
+    // out so pairs remain exactly the oracle's (id, id+1e7)
+    val mat = mediaCorpus(spark, dir).filter($"media_id" < 20000000L)
     graft.util.PhaseTimer.time("imgdhash.hash") {
       Multimodal.imageDupPairs(Multimodal.dhashImages(mat.as[MediaRecord]))
     }
@@ -108,21 +134,13 @@ object MultimodalQueries {
     */
   def qAudioAhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // same fixture discipline as qImgDhash: PCM synthesis + container
-    // encode memoized under a phase; the timed query is decode+hash+pairs
-    val mat = graft.util.Scratch.once(spark, dir, "audioahash.fixtures") {
-      Tables.load(spark, dir, "documents")
-        .select($"doc_id").as[Long]
-        .flatMap { id =>
-          Seq(
-            MediaRecord(id, "audio", s"mem://clip/$id",
-              Multimodal.synthesizePatternAudio(8000, 2048, id, "wav"),
-              None, None, None),
-            MediaRecord(id + 10000000L, "audio", s"mem://clip/clone/$id",
-              Multimodal.synthesizePatternAudio(8000, 2048, id, "aiff"),
-              None, None, None))
-        }.toDF().localCheckpoint()
-    }
+    // same fixture discipline as qImgDhash: the shared media.corpus
+    // audio slice, WAV/AIFF ids remapped from {+3e7, +4e7} down to
+    // {+0, +1e7} so pairs remain exactly the oracle's (id, id+1e7);
+    // the timed query is decode+hash+pairs
+    val mat = mediaCorpus(spark, dir)
+      .filter($"media_id" >= 30000000L)
+      .withColumn("media_id", $"media_id" - 30000000L)
     Multimodal.audioDupPairs(Multimodal.ahashAudio(mat.as[MediaRecord]))
   }
 
@@ -145,28 +163,7 @@ object MultimodalQueries {
   def qMmDedupE2e(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.dedup.Dedup
-    val mat = graft.util.Scratch.once(spark, dir, "mmdedup.fixtures") {
-      Tables.load(spark, dir, "documents")
-        .select($"doc_id").as[Long]
-        .flatMap { id =>
-          Seq(
-            MediaRecord(id, "image", s"mem://scene/$id",
-              Multimodal.synthesizePatternImage(36, 32, id, "png"),
-              None, None, None),
-            MediaRecord(id + 10000000L, "image", s"mem://scene/bmp/$id",
-              Multimodal.synthesizePatternImage(36, 32, id, "bmp"),
-              None, None, None),
-            MediaRecord(id + 20000000L, "image", s"mem://scene/recrawl/$id",
-              Multimodal.synthesizePatternImage(36, 32, id, "png"),
-              None, None, None),
-            MediaRecord(id + 30000000L, "audio", s"mem://clip/$id",
-              Multimodal.synthesizePatternAudio(8000, 2048, id, "wav"),
-              None, None, None),
-            MediaRecord(id + 40000000L, "audio", s"mem://clip/aiff/$id",
-              Multimodal.synthesizePatternAudio(8000, 2048, id, "aiff"),
-              None, None, None))
-        }.toDF().localCheckpoint()
-    }
+    val mat = mediaCorpus(spark, dir)
     val media = mat.as[MediaRecord]
     val pairs = Multimodal.imageDupPairs(Multimodal.dhashImages(media))
       .unionByName(Multimodal.audioDupPairs(Multimodal.ahashAudio(media)))

@@ -18,28 +18,11 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** events.parquet's physical schema: ts is TIMESTAMP(NANOS), which
-    * arrives as a long under nanosAsLong (see graft.Tables.load — the
-    * streaming source needs the same conversion, declared not inferred).
-    */
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def qStreamWindow(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sink = "q_stream_window_sink"
     if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
-    val events = spark.readStream
-      .schema(eventsSchema)
-      // the file source wants a directory; glob down to the one table
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.eventsStream(spark, dir)
     val query = EventStreams
       .windowedAggregates(events, windowDuration = "1 hour", watermark = "2 hours")
       .writeStream
@@ -48,7 +31,7 @@ object StreamingQueries {
       .queryName(sink)
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    graft.util.PhaseTimer.time("stream.window.replay") { query.awaitTermination() }
     spark.table(sink).select(
       unix_micros($"window_start").as("ws_us"),
       $"event_type",
@@ -120,11 +103,7 @@ object StreamingQueries {
     import spark.implicits._
     val sink = "q_stream_dedup_sink"
     if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.eventsStream(spark, dir)
     val query = EventStreams
       .dedupStream(events, Seq("user_id", "event_type"), "ts",
         watermark = "36500 days")
@@ -134,7 +113,7 @@ object StreamingQueries {
       .queryName(sink)
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    graft.util.PhaseTimer.time("stream.dedup.replay") { query.awaitTermination() }
     spark.table(sink).select($"user_id", $"event_type")
   }
 
@@ -152,11 +131,7 @@ object StreamingQueries {
     import spark.implicits._
     val sink = "q_stream_join_sink"
     if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
-    def side(tpe: String, idAs: String, tsAs: String) = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def side(tpe: String, idAs: String, tsAs: String) = graft.Tables.eventsStream(spark, dir)
       .filter($"event_type" === tpe)
       .select($"user_id", $"event_id".as(idAs), $"ts".as(tsAs))
     val clicks = side("click", "click_id", "click_ts")
@@ -173,7 +148,7 @@ object StreamingQueries {
       .queryName(sink)
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    graft.util.PhaseTimer.time("stream.join.replay") { query.awaitTermination() }
     spark.table(sink)
   }
 
@@ -217,7 +192,7 @@ object StreamingQueries {
     val query = EventStreams.dedupIngestStream(
       baseS.unionByName(fromKeptS).unionByName(fromBatchS),
       kept, wh, ref, "doc_id", "text", s"$base/chk")
-    query.awaitTermination()
+    graft.util.PhaseTimer.time("stream.incr.replay") { query.awaitTermination() }
     wh.read(ref).select($"doc_id", $"n_chars")
   }
 
@@ -234,7 +209,9 @@ object StreamingQueries {
     val sink = "q_stream_lm_sink"
     if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
     val docs = graft.Tables.load(spark, dir, "documents")
-    val model = graft.text.NgramLm.train(docs, "doc_id", "text")
+    val model = graft.util.PhaseTimer.time("stream.lm.train") {
+      graft.text.NgramLm.train(docs, "doc_id", "text")
+    }
     val stream = spark.readStream
       .schema(docs.schema)
       .option("pathGlobFilter", "documents.parquet")
@@ -247,7 +224,7 @@ object StreamingQueries {
       .queryName(sink)
       .trigger(Trigger.AvailableNow())
       .start()
-    query.awaitTermination()
+    graft.util.PhaseTimer.time("stream.lm.replay") { query.awaitTermination() }
     spark.table(sink).select($"doc_id", $"n_bigrams", $"logprob_unats")
   }
 
@@ -292,7 +269,7 @@ object StreamingQueries {
       kept, wh, ref, bandsRef, "doc_id", "text",
       numHashes = 32, bands = 8,
       checkpointDir = s"$base/chk")
-    query.awaitTermination()
+    graft.util.PhaseTimer.time("stream.near.replay") { query.awaitTermination() }
     wh.read(ref).select($"doc_id", $"n_chars")
   }
 
@@ -335,13 +312,9 @@ object StreamingQueries {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-cdc").toString
     val wh = new Warehouse(spark, s"$base/warehouse")
     val ref = TableRef("bronze", "stream", "events_cdc")
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    EventStreams.cdcStream(stream, wh, ref, "user_id", "ts", s"$base/chk")
-      .awaitTermination()
+    val stream = graft.Tables.eventsStream(spark, dir)
+    val cdcQuery = EventStreams.cdcStream(stream, wh, ref, "user_id", "ts", s"$base/chk")
+    graft.util.PhaseTimer.time("stream.cdc.replay") { cdcQuery.awaitTermination() }
     wh.read(ref).select($"user_id", $"event_id",
       unix_micros($"ts").as("ts_us"), $"event_type", $"value")
   }

@@ -1,6 +1,7 @@
 package graft.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Per-JVM memoized gate fixtures.
   *
@@ -23,19 +24,88 @@ import org.apache.spark.sql.SparkSession
   * sessions in one JVM; a fixture holding another session's
   * checkpointed data or Warehouse handle must not leak across) and the
   * sf dir (multi-SF specs run the same query at several scales).
+  *
+  * EVICTION (round-8 verdict, What's wrong #1): memoized
+  * `localCheckpoint`ed frames live in the block manager until
+  * something lets go of them. A 100+-query bench that never evicts
+  * runs its last queries under the accumulated storage pressure of
+  * every fixture built before them — which inflated round-8 cold
+  * numbers up to 9× on the alphabetically-last streaming entries. The
+  * bench therefore calls [[drainTouched]] after each query's
+  * cold+warm pair: every key touched since the previous drain has its
+  * remaining-query budget decremented and, once exhausted, is dropped
+  * from the memo with its checkpointed RDD blocks unpersisted. Keys
+  * default to `uses = 1` (private to one gate query); a fixture shared
+  * by N gate queries declares `uses = N` and survives exactly until
+  * its last consumer has run. Verify and the specs never drain, so
+  * they see the old build-once-per-JVM behavior unchanged.
   */
 object Scratch {
 
-  private val memo = scala.collection.concurrent.TrieMap[String, Any]()
+  private final case class Entry(value: Any, var remainingUses: Int)
+
+  private val memo = scala.collection.concurrent.TrieMap[String, Entry]()
+  private val touched = scala.collection.concurrent.TrieMap[String, Unit]()
 
   /** Build-once fixture: `build` runs on the first call per
     * (session, dir, key), timed under phase `key`; later calls return
-    * the memoized value. Single-writer per key by construction (the
+    * the memoized value. `uses` = how many DISTINCT gate queries
+    * consume this fixture (the bench evicts it after that many drains
+    * have seen it touched). Single-writer per key by construction (the
     * bench and Verify are sequential); TrieMap keeps concurrent specs
     * safe at worst building twice.
     */
-  def once[T](spark: SparkSession, dir: String, key: String)(build: => T): T =
-    memo.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}|$dir|$key",
-      PhaseTimer.time(key)(build)).asInstanceOf[T]
+  def once[T](spark: SparkSession, dir: String, key: String, uses: Int = 1)(
+      build: => T): T = {
+    val k = s"${System.identityHashCode(spark)}|$dir|$key"
+    touched.put(k, ())
+    memo.getOrElseUpdate(k, Entry(PhaseTimer.time(key)(build), uses))
+      .value.asInstanceOf[T]
+  }
+
+  /** Bench-only, called between gate queries: decrement the
+    * remaining-query budget of every key touched since the last drain;
+    * evict the exhausted ones, unpersisting any Dataset (and the block
+    * manager storage of its localCheckpointed RDD) reachable through
+    * Product/Iterable nesting of the memoized value. A query's cold
+    * and warm passes both touch its keys, but a drain runs once per
+    * query, so `uses` counts queries, not invocations.
+    */
+  def drainTouched(): Unit = {
+    touched.keySet.foreach { k =>
+      memo.get(k).foreach { e =>
+        e.remainingUses -= 1
+        if (e.remainingUses <= 0) {
+          memo.remove(k)
+          free(e.value)
+        }
+      }
+    }
+    touched.clear()
+  }
+
+  /** Evict everything regardless of remaining uses (end-of-bench). */
+  def drainAll(): Unit = {
+    memo.keySet.foreach(k => memo.remove(k).foreach(e => free(e.value)))
+    touched.clear()
+  }
+
+  /** Release block-manager storage reachable from a memoized value.
+    * `Dataset.unpersist` only drops CacheManager entries; a
+    * localCheckpointed frame's data lives as RDD blocks referenced by
+    * the plan's LogicalRDD leaf, so unpersist THAT rdd directly.
+    * Non-blocking: the bench overlaps the release with the next
+    * query's work.
+    */
+  private def free(v: Any): Unit = v match {
+    case ds: Dataset[_] =>
+      ds.queryExecution.analyzed.foreach {
+        case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+        case _              => ()
+      }
+      ds.unpersist()
+    case p: Product     => p.productIterator.foreach(free)
+    case i: Iterable[_] => i.foreach(free)
+    case _              => ()
+  }
 }
