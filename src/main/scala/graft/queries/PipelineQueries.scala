@@ -499,6 +499,60 @@ object PipelineQueries {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderkey % 7 <> 3""".stripMargin
 
+  /** GDPR erasure end-to-end: delete → compact → vacuum composed into
+    * one right-to-be-forgotten lifecycle, with PHYSICAL erasure proved
+    * inside the gate. [[Warehouse.deleteWhere]] tombstones the rows
+    * logically (old files retired, still on disk for time travel);
+    * [[Warehouse.compact]] bin-packs the rewritten small files;
+    * [[Warehouse.vacuum]] with keepVersions=1 then deletes every
+    * retired file and prunes the pre-delete versions from the log — the
+    * erased keys' bytes are gone, not just unreferenced. The proof is a
+    * RAW recursive parquet scan of the table directory that bypasses
+    * the commit log entirely (what a subpoenaed disk image would show):
+    * it must contain zero erased keys, emitted as `physically_erased` —
+    * a data-derived boolean the oracle pins to literal TRUE. Time
+    * travel to any pre-delete version is impossible afterwards by
+    * construction (the log entries themselves are pruned).
+    *
+    * At 100 TB: deleteWhere plans per-file zero-data-column counts and
+    * rewrites only files containing matches; vacuum is one directory
+    * listing minus the kept version's file set; nothing here is
+    * O(table) beyond the unavoidable matching-file rewrite.
+    */
+  def qGdprErasure(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "gdpr.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-gdpr").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_gdpr")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .repartitionByRange(8, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))
+      (wh, ref)
+    }
+    graft.util.PhaseTimer.time("gdpr.erase") {
+      wh.deleteWhere(ref, $"o_custkey" % 5 === 2)
+      wh.compact(ref)
+      wh.vacuum(ref, keepVersions = 1)
+    }
+    // physical proof: raw bytes on disk, log bypassed (underscore
+    // dirs — _graft_log, the stats manifest — are hidden from parquet
+    // scans by convention). Bounded driver action: one count.
+    val leaked = spark.read.option("recursiveFileLookup", "true")
+      .parquet(wh.path(ref))
+      .filter($"o_custkey" % 5 === 2).count()
+    wh.read(ref)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .withColumn("physically_erased", lit(leaked == 0L))
+  }
+
+  val qGdprErasureSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       true AS physically_erased
+      |FROM orders WHERE o_custkey % 5 <> 2""".stripMargin
+
   /** K5 gold materialized view end-to-end: a reference-shaped
     * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY
     * rewritten, three-part names resolved against the warehouse) CTAS'd
@@ -665,6 +719,7 @@ object PipelineQueries {
 
   def queries: Map[String, Q] = Map(
     "q_delete_where" -> (qDeleteWhere _),
+    "q_gdpr_erasure" -> (qGdprErasure _),
     "q_gold_incr_delete" -> (qGoldIncrDelete _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_csv" -> (qPipelineCsv _),
@@ -682,6 +737,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "q_delete_where" -> qDeleteWhereSql,
+    "q_gdpr_erasure" -> qGdprErasureSql,
     "q_gold_incr_delete" -> qGoldIncrDeleteSql,
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_csv" -> qPipelineFullSql,

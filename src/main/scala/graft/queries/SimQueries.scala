@@ -15,9 +15,16 @@ import graft.sim.Similarity
   *   by unioning each vector with a scaled clone (same direction ⇒
   *   cosine 1, identical sign bits ⇒ candidate guaranteed): the result
   *   is exactly the clone pairs, independent of hash internals.
-  * - `q_ann_ivf`: approximate probe search — rows-only check; its
-  *   agreement with brute force at nprobe=nlist is covered by
-  *   SimilaritySpec.
+  * - `q_ann_ivf`: approximate probe search, made VALUE-checkable via a
+  *   recall bound (the approx_stats pattern): per query, recall vs the
+  *   exhaustive nprobe=nlist ranking is computed and emitted as
+  *   `recall_ok` = recall ≥ 0.2 — a bound that holds STRUCTURALLY,
+  *   whatever centroids are sampled, because each query is a corpus
+  *   vector: it sits in its own argmax-assigned list, that list is
+  *   always the first probe (the probe ranking and the assignment share
+  *   one argmax), and cosine(q,q)=1 puts it at rank 1 on both sides, so
+  *   overlap ≥ 1 of K=5. The empirical recall at nprobe=4/16 is far
+  *   higher; the bound is what is provable.
   */
 object SimQueries {
 
@@ -98,7 +105,14 @@ object SimQueries {
     """SELECT vec_id + 10000000 AS batch_id, vec_id AS kept_id
       |FROM embeddings""".stripMargin
 
-  /** IVF probe search (approximate — rows-only check). */
+  /** IVF probe search in its approximate regime (nprobe = 4 of 16),
+    * VALUE-checked through a provable recall bound (see object doc):
+    * the probe result is joined against the exhaustive nprobe = nlist
+    * ranking over the SAME sampled centroids and per-query recall ≥ 0.2
+    * is emitted as a boolean the oracle pins to literal TRUE. A recall
+    * collapse (probe ranking or assignment breaking) flips the boolean
+    * or drops rows — either way the gate goes red.
+    */
   def qAnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = Tables.load(spark, dir, "embeddings")
@@ -106,10 +120,25 @@ object SimQueries {
     val assigned = Similarity.assign(corpus, "vec_id", "embedding", centroids)
     val queries = corpus.filter($"vec_id" < NQUERIES)
       .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
-    Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
-        queries, "query_id", "qvec", k = K, nprobe = 4)
-      .select("query_id", "rank", "id")
+    def run(nprobe: Int) =
+      Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+          queries, "query_id", "qvec", k = K, nprobe = nprobe)
+        .select("query_id", "id")
+    // overlap@K vs the exhaustive ranking; left join from the query set
+    // so a zero-overlap query still surfaces (as recall_ok = false)
+    val overlap = run(nprobe = 16).join(run(nprobe = 4), Seq("query_id", "id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queries.select($"query_id")
+      .join(overlap, Seq("query_id"), "left")
+      .select($"query_id",
+        (coalesce($"n_overlap", lit(0L)) >= math.ceil(0.2 * K).toLong)
+          .as("recall_ok"))
   }
+
+  val qAnnIvfSql: String =
+    s"""SELECT vec_id AS query_id, true AS recall_ok
+       |FROM embeddings WHERE vec_id < $NQUERIES""".stripMargin
 
   /** IVF in its exhaustive regime (nprobe = nlist): every list is
     * probed, so the approximate machinery — centroid sampling, argmax
@@ -240,6 +269,8 @@ object SimQueries {
 
   def oracles: Map[String, String] = Map(
     "q_ann_topk" -> qAnnTopKSql,
+    // recall-vs-exhaustive ≥ 0.2, provable whatever centroids sampled
+    "q_ann_ivf" -> qAnnIvfSql,
     "q_embed_neardup" -> qEmbedNearDupSql,
     "q_embed_neardup_incr" -> qEmbedNearDupIncrSql,
     // exhaustive probing must equal brute force: same rank oracle

@@ -265,6 +265,56 @@ class EventStreamsSpec extends SparkSpec {
       .as[Long].collect().toSet === Set(1L, 11L))
   }
 
+  test("near-dup ingest loop compacts the band table at the file threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wh = new Warehouse(spark, tmpDir("wh-near-compact"))
+    val ref = TableRef("silver", "stream", "docs")
+    val bandsRef = TableRef("silver", "stream", "bands")
+    val kept = Seq((1L, "the corpus keeps this very first document about distributed dedup today"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    // threshold low enough (3 files) that a handful of batches crosses it
+    def run(ck: String) = EventStreams.dedupIngestStreamNear(
+      stream, kept, wh, ref, bandsRef, "doc_id", "text",
+      threshold = 0.5, compactAtFiles = 3,
+      checkpointDir = tmpDir(ck)).awaitTermination()
+
+    // six single-novel-doc batches: every batch appends band files, so
+    // an unmaintained table's file count grows monotonically per batch
+    val texts = Seq(
+      "entirely fresh streaming material concerning prefix sums and range layouts in engines",
+      "completely unrelated second wave content about watermark state eviction policies",
+      "a third subject treating columnar page encodings and dictionary fallback heuristics",
+      "fourth topic on speculative task retries under straggler mitigation budgets",
+      "fifth piece examining sort order preservation across exchange reuse boundaries",
+      "sixth entry describing manifest caching for iceberg style snapshot pruning")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      input.addData((100L + i, t))
+      run(s"cmp-ck$i")
+    }
+
+    // correctness unchanged by maintenance: every novel doc landed and
+    // the band table still covers kept + all survivors
+    assert(wh.read(ref).select("doc_id").as[Long].collect().sorted.toSeq
+      === (0 until 6).map(100L + _))
+    assert(wh.read(bandsRef).select("id").distinct()
+      .as[Long].collect().sorted.toSeq
+      === (1L +: (0 until 6).map(100L + _)).sorted)
+    // ...and the grown table still gates: a paraphrase of the LAST
+    // survivor (whose bands live in post-compaction files) is dropped
+    input.addData(
+      (200L, "sixth entry describing manifest caching for iceberg style snapshot cleaning"))
+    run("cmp-ck-para")
+    assert(wh.read(ref).count() === 6L)
+    // the bound: compaction kept the file count at threshold scale, not
+    // one-pile-per-batch scale (6 appends + seed, uncompacted, would
+    // exceed it strictly)
+    val files = wh.dataFiles(bandsRef).size
+    assert(files <= 4, s"band table has $files files — compaction never ran?")
+  }
+
   test("streaming CDC merges micro-batches into the warehouse table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
