@@ -113,12 +113,16 @@ final class CheckerHandler(
       .withColumn("failing_cols", col("failing_cols").cast("long"))
     // collectStats = false: the aggregate is |tests|×|tables| rows —
     // the stats jobs would cost more than the full rewrite they avoid.
-    // rebalance: the post-groupBy frame carries the session's shuffle
-    // width; without it the bootstrap write lands one tiny file per
-    // shuffle partition (same pathology as saveChecks, AQE-sized here)
+    // eager: upsert executes its source twice (the prune-bounds action,
+    // then the merge write) and the source HERE is the full scorecard
+    // aggregation — materialize the tiny result once instead of paying
+    // the 150k-row scan+shuffle per action (measured ~2× on the warm
+    // lifecycle). coalesce(1): |tests|×|tables| rows belong in one
+    // file, not one per shuffle partition.
+    val mat = typed.coalesce(1).localCheckpoint()
     new MergeTable(spark, warehouse, aggregatedRef,
       Seq("test_name", "table_name", "test_type", "layer", "run_date", "mandate"),
-      None, collectStats = false).upsert(typed.hint("rebalance"))
+      None, collectStats = false).upsert(mat)
   }
 
   /** Full run (checker_handler.py:209-221), sharing the reference's
