@@ -449,6 +449,34 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.vacuum(ref) === 0)
   }
 
+  test("GDPR composition: delete + compact + vacuum leaves no trace of erased keys") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-gdpr"))
+    val ref = TableRef("silver", "pii", "users")
+    wh.overwrite(ref,
+      (0L until 1000L).map(i => (i, s"user-$i")).toDF("k", "v")
+        .repartitionByRange(4, $"k"),
+      statsColumns = Seq("k"))
+    val preVersion = wh.currentVersion(ref).get
+
+    wh.deleteWhere(ref, $"k" % 10 === 7)
+    wh.compact(ref)
+    assert(wh.vacuum(ref, keepVersions = 1) > 0)
+
+    // logical result correct
+    assert(wh.read(ref).filter($"k" % 10 === 7).count() === 0)
+    assert(wh.read(ref).count() === 900)
+    // the pre-delete version is gone from the log — time travel to the
+    // erased rows is structurally impossible
+    intercept[IllegalArgumentException](wh.readVersion(ref, preVersion))
+    // and PHYSICALLY gone: a raw recursive scan of every parquet byte
+    // under the table dir (commit log bypassed) holds no erased key
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .parquet(wh.path(ref))
+    assert(raw.filter($"k" % 10 === 7).count() === 0)
+    assert(raw.count() === 900) // no stale duplicate copies either
+  }
+
   test("a reader racing a churning writer only ever sees complete committed versions") {
     import spark.implicits._
     import graft.sinks.MergeTable
