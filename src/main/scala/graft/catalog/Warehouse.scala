@@ -279,6 +279,25 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** Delta `RESTORE TABLE ... TO VERSION AS OF` counterpart: make the
+    * table's CURRENT state the exact file list (and schema) of a
+    * historical version, committed as a NEW version. Pure metadata —
+    * no data file is copied, moved, or rewritten, so a rollback of a
+    * 100 TB table is one log append: the restored files are still on
+    * disk because only [[vacuum]] deletes committed data (and vacuum
+    * prunes version entries together with their files, so a restore
+    * past the retention horizon fails loudly in [[snapshotAt]] instead
+    * of committing dangling paths). History is PRESERVED: the
+    * rolled-back versions stay time-travel-readable until vacuumed, and
+    * the change feed sees the restore as a regular commit whose diff is
+    * the inverse of what it undoes. Returns the new version number.
+    */
+  def restore(ref: TableRef, version: Long): Long = withWriterLock(ref) {
+    recoverLocked(ref) // never re-commit files of a half-healed replacement
+    val snap = snapshotAt(ref, version)
+    commitLocked(ref, snap.schemaJson, snap.files)
+  }
+
   /** Delete data files retired from the newest `keepVersions` versions
     * and prune their commit entries — the only operation that ever
     * deletes committed data. Operational contract (same as Delta's

@@ -425,6 +425,43 @@ object PipelineQueries {
       |SELECT o_orderkey, o_custkey, o_totalprice, CAST(2 AS BIGINT) AS version
       |FROM orders WHERE o_orderkey % 5 = 1""".stripMargin
 
+  /** Delta RESTORE end-to-end: bootstrap v1 with every order, then
+    * damage the table twice — a merge-upsert that bumps even-key
+    * prices, then a row-level delete of the %7=3 keys — and roll back
+    * with [[Warehouse.restore]]. The read-back must be EXACTLY the v1
+    * content: restore is a pure-metadata commit of v1's file list (no
+    * data copied or rewritten — the rollback of a 100 TB table is one
+    * log append), so any stale-file bookkeeping, a vacuum that deleted
+    * a still-referenced file, or a half-healed replacement leaking into
+    * the restored list all surface as value mismatches here. Oracle =
+    * the untouched orders table. Idempotent per invocation: each run
+    * appends another restore commit with identical content.
+    */
+  def qRestore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref, v1) = graft.util.Scratch.once(spark, dir, "restore.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-restore").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_restore")
+      val orders = Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      wh.overwrite(ref, orders, statsColumns = Seq("o_orderkey"))
+      val v1 = wh.currentVersion(ref).get
+      val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
+      mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1.0))
+      wh.deleteWhere(ref, $"o_orderkey" % 7 === 3)
+      (wh, ref, v1)
+    }
+    graft.util.PhaseTimer.time("restore.rollback") {
+      wh.restore(ref, v1)
+    }
+    wh.read(ref).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val qRestoreSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin
+
   /** Change data feed end-to-end through the incremental merge engine:
     * bootstrap the table without the %4=0 keys, then upsert every even
     * key at a bumped price — the feed between those two commits must be
@@ -731,6 +768,7 @@ object PipelineQueries {
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_compact_table" -> (qCompactTable _),
     "q_time_travel" -> (qTimeTravel _),
+    "q_restore" -> (qRestore _),
     "q_change_feed" -> (qChangeFeed _),
     "q_gold_incremental" -> (qGoldIncremental _),
     "q_gold_view" -> (qGoldView _))
@@ -749,6 +787,7 @@ object PipelineQueries {
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_compact_table" -> qCompactTableSql,
     "q_time_travel" -> qTimeTravelSql,
+    "q_restore" -> qRestoreSql,
     "q_change_feed" -> qChangeFeedSql,
     "q_gold_incremental" -> qGoldIncrementalSql,
     "q_gold_view" -> qGoldViewSql)

@@ -449,6 +449,40 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.vacuum(ref) === 0)
   }
 
+  test("restore rolls back to a version as pure metadata; vacuum then reclaims the undone commits") {
+    import spark.implicits._
+    import graft.sinks.MergeTable
+    val wh = new Warehouse(spark, tmpDir("wh-restore"))
+    val ref = TableRef("silver", "facts", "restored")
+    val good = (0L until 500L).map(i => (i, i * 10)).toDF("k", "v")
+    wh.overwrite(ref, good.repartitionByRange(4, $"k"), statsColumns = Seq("k"))
+    val v1 = wh.currentVersion(ref).get
+    val v1Files = wh.dataFiles(ref).toSet
+
+    // damage: merge-bump half the rows, then delete a stripe
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(good.filter($"k" % 2 === 0).select($"k", ($"v" + 1).as("v")))
+    wh.deleteWhere(ref, $"k" % 7 === 3)
+    assert(wh.read(ref).collect().toSet !== good.collect().toSet)
+
+    // rollback: content returns bit-for-bit, via v1's ORIGINAL files —
+    // nothing was copied or rewritten
+    val restoredV = wh.restore(ref, v1)
+    assert(restoredV > v1)
+    assert(wh.read(ref).collect().toSet === good.collect().toSet)
+    assert(wh.dataFiles(ref).toSet === v1Files)
+    // history preserved: the damaged intermediate stays time-travelable
+    assert(wh.readVersion(ref, restoredV - 1).filter($"k" % 7 === 3).count() === 0)
+
+    // vacuum after restore: the undone commits' files go, the restored
+    // (current) files — which v1 also referenced — survive
+    assert(wh.vacuum(ref, keepVersions = 1) > 0)
+    assert(wh.read(ref).collect().toSet === good.collect().toSet)
+    intercept[IllegalArgumentException](wh.readVersion(ref, v1))
+    // restoring to a vacuumed-away version fails loudly
+    intercept[IllegalArgumentException](wh.restore(ref, v1))
+  }
+
   test("GDPR composition: delete + compact + vacuum leaves no trace of erased keys") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-gdpr"))
