@@ -91,6 +91,59 @@ object StreamingQueries {
       |FROM sessions
       |GROUP BY user_id, sid""".stripMargin
 
+  /** §2.13 session_window in STREAMING mode — the batch
+    * q_session_window's twin: the same 6-hour-gap sessionization
+    * (EventStreams.sessionWindows, Catalyst's native session state)
+    * driven through a REAL file-source replay into a complete-mode
+    * memory sink. The oracle re-derives sessions with the batch gate's
+    * gaps-and-islands SQL, so streaming session state provably merges
+    * to the same sessions batch computes. Projection: session bounds +
+    * count only (sum(value) is a double whose association order differs
+    * per engine — same discipline as the batch gate).
+    */
+  def qStreamSession(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_session_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val events = graft.Tables.eventsStream(spark, dir)
+    val query = EventStreams
+      .sessionWindows(events, gap = "6 hours", watermark = "36500 days")
+      .writeStream
+      .outputMode("complete") // finite replay: every session must emit
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.util.PhaseTimer.time("stream.session.replay") {
+      query.awaitTermination()
+    }
+    spark.table(sink).select(
+      $"user_id",
+      unix_micros($"session_start").as("session_start_us"),
+      unix_micros($"session_end").as("session_end_us"),
+      $"n_events")
+  }
+
+  val qStreamSessionSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 21600000000
+      |           OR lag(ts) OVER w IS NULL
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT *, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) + 21600000000 AS session_end_us,
+      |  count(*) AS n_events
+      |FROM sessions
+      |GROUP BY user_id, sid""".stripMargin
+
   /** Streaming exact dedup through a REAL file-source replay: WHICH
     * row survives per key is arrival-order dependent (any engine's
     * streaming dedup is), so the gate projects only the KEY columns —
@@ -328,6 +381,7 @@ object StreamingQueries {
     "q_stream_cdc" -> (qStreamCdc _),
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
+    "q_stream_session" -> (qStreamSession _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_dedup_incr" -> (qStreamDedupIncr _),
     "q_stream_lm" -> (qStreamLmScore _),
@@ -338,6 +392,7 @@ object StreamingQueries {
     "q_stream_cdc" -> qStreamCdcSql,
     "q_stream_window" -> qStreamWindowSql,
     "q_session_window" -> qSessionWindowSql,
+    "q_stream_session" -> qStreamSessionSql,
     "q_stream_dedup" -> qStreamDedupSql,
     // streaming and batch incremental ingestion share one oracle
     "q_stream_dedup_incr" -> DedupQueries.qDedupIncrementalSql,
