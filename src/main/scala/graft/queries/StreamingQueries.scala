@@ -144,6 +144,49 @@ object StreamingQueries {
       |FROM sessions
       |GROUP BY user_id, sid""".stripMargin
 
+  /** §2.14 mapGroupsWithState in the gate — the custom-state escape
+    * hatch (EventStreams.runningStats) driven through a REAL
+    * file-source replay: per-user (count, sum, max) accumulated in
+    * arbitrary arrival order across micro-batches. Update-mode memory
+    * sinks APPEND one row per state update, so the final state per user
+    * is recovered as the max-n row (n is strictly increasing per
+    * update) — robust to however many micro-batches the replay splits
+    * into. The oracle is the plain batch GROUP BY; sum is rounded 6dp
+    * on both sides (per-arrival-order double accumulation — the
+    * q_stream_window discipline), count and max are exact.
+    */
+  def qStreamState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_state_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val events = graft.Tables.eventsStream(spark, dir)
+      .select($"user_id", $"ts", $"value")
+      .as[EventStreams.EventRow]
+    val query = EventStreams.runningStats(events)
+      .writeStream
+      .outputMode("update") // mapGroupsWithState's required sink mode
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.util.PhaseTimer.time("stream.state.replay") {
+      query.awaitTermination()
+    }
+    spark.table(sink)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"user_id").orderBy($"n".desc)))
+      .filter($"__rn" === 1)
+      .select($"user_id", $"n".as("n_events"),
+        round($"total", 6).as("total_value"), $"max_value")
+  }
+
+  val qStreamStateSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum(value), 6) AS total_value,
+      |       max(value) AS max_value
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Streaming exact dedup through a REAL file-source replay: WHICH
     * row survives per key is arrival-order dependent (any engine's
     * streaming dedup is), so the gate projects only the KEY columns —
@@ -382,6 +425,7 @@ object StreamingQueries {
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_state" -> (qStreamState _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_dedup_incr" -> (qStreamDedupIncr _),
     "q_stream_lm" -> (qStreamLmScore _),
@@ -393,6 +437,7 @@ object StreamingQueries {
     "q_stream_window" -> qStreamWindowSql,
     "q_session_window" -> qSessionWindowSql,
     "q_stream_session" -> qStreamSessionSql,
+    "q_stream_state" -> qStreamStateSql,
     "q_stream_dedup" -> qStreamDedupSql,
     // streaming and batch incremental ingestion share one oracle
     "q_stream_dedup_incr" -> DedupQueries.qDedupIncrementalSql,
