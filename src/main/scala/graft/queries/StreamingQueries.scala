@@ -187,6 +187,40 @@ object StreamingQueries {
       |       max(value) AS max_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** §2.14 flatMapGroupsWithState in the gate — the 0..n-rows-per-group
+    * state transform (EventStreams.milestones): one milestone row per
+    * 50 cumulative events per user, emitted exactly once whatever the
+    * micro-batch split. The emitted SET depends only on per-user event
+    * totals, so the oracle derives it in batch with generate_series
+    * over count/50 — a streaming emission value-checked row-for-row.
+    */
+  def qStreamFlatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_flatmap_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val events = graft.Tables.eventsStream(spark, dir)
+      .select($"user_id", $"ts", $"value")
+      .as[EventStreams.EventRow]
+    val query = EventStreams.milestones(events, every = 50L)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.util.PhaseTimer.time("stream.flatmap.replay") {
+      query.awaitTermination()
+    }
+    spark.table(sink).select($"user_id", $"nth")
+  }
+
+  val qStreamFlatmapSql: String =
+    """SELECT c.user_id, 50 * g.gs AS nth
+      |FROM (SELECT user_id, count(*) // 50 AS k
+      |      FROM events GROUP BY user_id) c
+      |JOIN (SELECT gs FROM generate_series(1, 100000) AS t(gs)) g
+      |  ON g.gs <= c.k""".stripMargin
+
   /** Streaming exact dedup through a REAL file-source replay: WHICH
     * row survives per key is arrival-order dependent (any engine's
     * streaming dedup is), so the gate projects only the KEY columns —
@@ -426,6 +460,7 @@ object StreamingQueries {
     "q_session_window" -> (qSessionWindow _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_state" -> (qStreamState _),
+    "q_stream_flatmap" -> (qStreamFlatmap _),
     "q_stream_dedup" -> (qStreamDedup _),
     "q_stream_dedup_incr" -> (qStreamDedupIncr _),
     "q_stream_lm" -> (qStreamLmScore _),
@@ -438,6 +473,7 @@ object StreamingQueries {
     "q_session_window" -> qSessionWindowSql,
     "q_stream_session" -> qStreamSessionSql,
     "q_stream_state" -> qStreamStateSql,
+    "q_stream_flatmap" -> qStreamFlatmapSql,
     "q_stream_dedup" -> qStreamDedupSql,
     // streaming and batch incremental ingestion share one oracle
     "q_stream_dedup_incr" -> DedupQueries.qDedupIncrementalSql,

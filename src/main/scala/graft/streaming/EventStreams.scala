@@ -73,6 +73,32 @@ object EventStreams {
       }
   }
 
+  final case class Milestone(user_id: Long, nth: Long)
+
+  /** Custom state via flatMapGroupsWithState — the 0..n-rows-per-group
+    * escape hatch (mapGroupsWithState emits exactly one): a milestone
+    * row is emitted each time a user's cumulative event count crosses a
+    * multiple of `every`, state = the running count. Each milestone is
+    * emitted exactly once across micro-batches, and the emitted SET
+    * depends only on per-user totals — batching-invariant, which is
+    * what lets a batch oracle value-check a streaming emission.
+    */
+  def milestones(events: Dataset[EventRow],
+                 every: Long = 50L): Dataset[Milestone] = {
+    import events.sparkSession.implicits._
+    require(every >= 1, s"every must be >= 1: $every")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Milestone](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          ((prev / every + 1) to next / every)
+            .map(k => Milestone(userId, k * every)).iterator
+      }
+  }
+
   /** Streaming exact deduplication — the ingest-time twin of the batch
     * exact dedup (graft.dedup.Dedup): keep the FIRST occurrence of each
     * key seen on the stream, with state bounded by the watermark

@@ -315,6 +315,44 @@ class EventStreamsSpec extends SparkSpec {
     assert(files <= 4, s"band table has $files files — compaction never ran?")
   }
 
+  test("flatMapGroupsWithState milestones emit exactly once across any batch split") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.EventRow]
+    val sink = "milestones_sink"
+    def run(ck: String): Unit = {
+      val q = EventStreams.milestones(input.toDS(), every = 3L)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", tmpDir(ck))
+        .format("memory")
+        .queryName(sink)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def ev(u: Long, n: Int) = (1 to n).map(i =>
+      EventStreams.EventRow(u, ts(f"2026-01-01 10:${i}%02d:00"), i.toDouble))
+
+    // batch 1: user 1 gets 4 events (crosses 3), user 2 gets 2 (no milestone)
+    input.addData(ev(1L, 4) ++ ev(2L, 2): _*)
+    run("ms-ck")
+    assert(spark.table(sink).as[EventStreams.Milestone].collect().toSet
+      === Set(EventStreams.Milestone(1L, 3L)))
+
+    // batch 2 (same checkpoint → state carries): user 1 +3 (crosses 6, NOT
+    // 3 again), user 2 +5 (crosses 3 and 6 in one batch)
+    input.addData(ev(1L, 3) ++ ev(2L, 5): _*)
+    run("ms-ck")
+    assert(spark.table(sink).as[EventStreams.Milestone].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+      === Map( // every milestone exactly ONCE, batch-split notwithstanding
+        EventStreams.Milestone(1L, 3L) -> 1,
+        EventStreams.Milestone(1L, 6L) -> 1,
+        EventStreams.Milestone(2L, 3L) -> 1,
+        EventStreams.Milestone(2L, 6L) -> 1))
+  }
+
   test("streaming CDC merges micro-batches into the warehouse table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
