@@ -35,6 +35,10 @@ object MultimodalQueries {
     graft.util.Scratch.once(spark, dir, "media.corpus", uses = 3) {
       Tables.load(spark, dir, "documents")
         .select($"doc_id").as[Long]
+        // compute-bound render must not inherit the scan's one-fat-file
+        // partitioning (documents is a single parquet file → ONE task
+        // would encode all 5 renders × |docs| media payloads serially)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
         .flatMap { id =>
           Seq(
             MediaRecord(id, "image", s"mem://scene/$id",
@@ -91,6 +95,7 @@ object MultimodalQueries {
         ($"n_chars" % 48 + 1).cast("int").as("h"),
         ($"doc_id" % 256).cast("int").as("g"))
       .as[(Long, Int, Int, Int)]
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .map { case (id, w, h, g) =>
         MediaRecord(id, "image", s"mem://png/$id",
           Multimodal.synthesizePng(w, h, g), None, None, None)
@@ -207,6 +212,7 @@ object MultimodalQueries {
         ($"n_chars" % 1000 + 100).cast("int").as("n"),
         ($"doc_id" % 16384).cast("int").as("s"))
       .as[(Long, Int, Int)]
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .map { case (id, n, s) =>
         MediaRecord(id, "audio", s"mem://wav/$id",
           Multimodal.synthesizeWav(8000, n, s.toShort), None, None, None)
@@ -282,6 +288,7 @@ object MultimodalQueries {
         ($"n_chars" % 24 + 1).cast("int").as("h"),
         ($"n_chars" % 4 + 2).cast("int").as("nf"))
       .as[(Long, Int, Int, Int)]
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .map { case (id, w, h, nf) =>
         val grays = (0 until nf).map(i => ((id * 7 + i * 31) % 256).toInt)
         MediaRecord(id, "video", s"mem://gif/$id",
@@ -322,6 +329,7 @@ object MultimodalQueries {
         ($"n_chars" % 32 + 16).cast("int").as("w"),
         ($"n_chars" % 24 + 16).cast("int").as("h"))
       .as[(Long, Int, Int, Int)]
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .map { case (id, nf, w, h) =>
         val durations = (0 until nf).map(i => ((id * 13 + i * 7) % 100 + 1).toInt)
         val samples = (0 until nf).map { i =>
