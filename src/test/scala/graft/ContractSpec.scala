@@ -30,9 +30,10 @@ class ContractSpec extends SparkSpec {
   }
 
   test("value-checked coverage stays at the recorded level") {
-    // 91 queries / 83 oracles as of round 5 — a later change that drops
-    // an oracle or query should be a conscious decision, not a drive-by
-    assert(SparkEntry.queries.size >= 91, s"queries: ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 83, s"oracles: ${SparkEntry.oracleSql.size}")
+    // 116 queries / 116 oracles as of round 10 (every gate value-checked)
+    // — a later change that drops an oracle or query should be a
+    // conscious decision, not a drive-by
+    assert(SparkEntry.queries.size >= 116, s"queries: ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 116, s"oracles: ${SparkEntry.oracleSql.size}")
   }
 }
