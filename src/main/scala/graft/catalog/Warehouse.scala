@@ -116,11 +116,19 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def snapshotAt(ref: TableRef, version: Long): TableSnapshot = {
     val p = versionFilePath(ref, version)
-    val filesystem = fs(p)
-    require(filesystem.exists(p),
+    require(fs(p).exists(p),
       s"$ref has no version $version (never committed, or vacuumed); " +
         s"current = ${currentVersion(ref).getOrElse("none")}")
-    val in = filesystem.open(p)
+    val (schemaJson, files) = parseLogEntries(p)
+    TableSnapshot(ref, version, schemaJson, files)
+  }
+
+  /** Parse one log-format file (version commit or staged manifest):
+    * `schema\t<json>` + `file\t<rel>` lines, unknown kinds ignored for
+    * forward compatibility.
+    */
+  private def parseLogEntries(p: Path): (String, Seq[String]) = {
+    val in = fs(p).open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     var schemaJson = ""
@@ -132,7 +140,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         case _ => // forward-compat: unknown entry kinds are ignored
       }
     }
-    TableSnapshot(ref, version, schemaJson, files.result())
+    (schemaJson, files.result())
   }
 
   /** Pin the current version (None for logless directories). */
@@ -298,6 +306,138 @@ final class Warehouse(spark: SparkSession, val root: String,
     commitLocked(ref, snap.schemaJson, snap.files)
   }
 
+  // ---------------------------------------------------------------------
+  // WRITE-AUDIT-PUBLISH (the Iceberg/Netflix WAP pattern). The versioned
+  // log makes this nearly free: files in the table directory are
+  // invisible to readers until a commit references them, so "staging" is
+  // just writing data files plus a side manifest (`_graft_log/
+  // staged-<id>`, same line format as a commit) WITHOUT appending a
+  // version. An audit job reads the exact staged bytes via
+  // [[readStaged]]; [[publishStaged]] then promotes the manifest to a
+  // real version under the writer lock — pure metadata, the files never
+  // move again — and [[discardStaged]] deletes a failed batch without a
+  // trace. [[vacuum]] treats staged-manifest files as live so
+  // maintenance can't sweep an in-flight audit; a crash BEFORE the
+  // manifest lands leaves only unreferenced stragglers, which vacuum
+  // sweeps as usual.
+  // ---------------------------------------------------------------------
+
+  private def stagedManifestPath(ref: TableRef, id: String) =
+    new Path(logDirPath(ref), s"staged-$id")
+
+  /** Stage an overwrite for audit: writes `df`'s files into the table
+    * directory and a staged manifest beside the log, commits NOTHING —
+    * concurrent readers keep resolving the current version. Returns the
+    * staged id. On a table with no committed log an empty version is
+    * committed first (a logless directory read would otherwise see the
+    * staged files), so WAP-bootstrapped tables exist-but-empty during
+    * their first audit.
+    */
+  def stageOverwrite(ref: TableRef, df: DataFrame): String = withWriterLock(ref) {
+    val target = new Path(path(ref))
+    val filesystem = fs(target)
+    filesystem.mkdirs(target)
+    recoverLocked(ref)
+    // a logless dir's readers list the directory physically — commit the
+    // current listing (or empty) so they resolve the log during staging
+    if (currentVersion(ref).isEmpty) {
+      val existing = listDataFiles(target)
+      if (existing.nonEmpty) ensureLogLocked(ref)
+      else commitLocked(ref, df.schema.json, Nil)
+      ()
+    }
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(path(ref) + s".stage-$id")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    try {
+      val staged = listDataFiles(tmp)
+      val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
+      val rels = staged.map(p => filesystem.makeQualified(p).toUri.getPath
+        .stripPrefix(stagedBase).stripPrefix("/"))
+      rels.zip(staged).foreach { case (r, f) =>
+        val dest = new Path(target, r)
+        filesystem.mkdirs(dest.getParent)
+        if (!filesystem.rename(f, dest))
+          throw new RuntimeException(s"failed to move staged file $r into $ref")
+      }
+      // manifest LAST: a crash above leaves only unreferenced stragglers
+      val mp = stagedManifestPath(ref, id)
+      val out = filesystem.create(mp, true)
+      try out.write(
+        (s"schema\t${df.schema.json}\n" + rels.map(f => s"file\t$f\n").mkString)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    } finally {
+      filesystem.delete(tmp, true)
+      ()
+    }
+  }
+
+  /** The staged ids currently awaiting audit/publish for a table. */
+  def stagedIds(ref: TableRef): Seq[String] = {
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) Seq.empty
+    else filesystem.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("staged-") => n.stripPrefix("staged-") }
+      .toSeq.sorted
+  }
+
+  /** Read the exact bytes a staged batch would publish — the audit's
+    * input. Throws if the id is unknown (already published/discarded).
+    */
+  def readStaged(ref: TableRef, id: String): DataFrame = {
+    val mp = stagedManifestPath(ref, id)
+    require(fs(mp).exists(mp),
+      s"$ref has no staged batch '$id' (published or discarded?); " +
+        s"staged = ${stagedIds(ref).mkString(",")}")
+    val (schemaJson, files) = parseLogEntries(mp)
+    readSnapshot(TableSnapshot(ref, -1L, schemaJson, files))
+  }
+
+  /** Promote a staged batch to the table's next version (overwrite
+    * semantics — the manifest's file list becomes the version's). Pure
+    * metadata: the staged files are already in place. The previous
+    * version's files retire normally (time travel until vacuum).
+    */
+  def publishStaged(ref: TableRef, id: String): Long = withWriterLock(ref) {
+    recoverLocked(ref)
+    val mp = stagedManifestPath(ref, id)
+    require(fs(mp).exists(mp),
+      s"$ref has no staged batch '$id' (published or discarded?); " +
+        s"staged = ${stagedIds(ref).mkString(",")}")
+    val (schemaJson, files) = parseLogEntries(mp)
+    val v = commitLocked(ref, schemaJson, files)
+    fs(mp).delete(mp, false)
+    TableStatsRegistry.invalidate(path(ref))
+    v
+  }
+
+  /** Delete a failed staged batch — its files (never referenced by any
+    * version) and its manifest. Returns the number of files removed.
+    */
+  def discardStaged(ref: TableRef, id: String): Int = withWriterLock(ref) {
+    val mp = stagedManifestPath(ref, id)
+    require(fs(mp).exists(mp),
+      s"$ref has no staged batch '$id' (published or discarded?); " +
+        s"staged = ${stagedIds(ref).mkString(",")}")
+    val (_, files) = parseLogEntries(mp)
+    val target = new Path(path(ref))
+    val filesystem = fs(target)
+    // only files no committed version references may be deleted — a
+    // staged manifest can share nothing with the log by construction,
+    // but guard anyway (belt over suspenders for hand-edited logs)
+    val referenced = currentVersion(ref).toSeq
+      .flatMap(_ => snapshot(ref).map(_.files.toSet)).headOption
+      .getOrElse(Set.empty[String])
+    val removed = files.filterNot(referenced.contains).count { f =>
+      filesystem.delete(new Path(target, f), false)
+    }
+    filesystem.delete(mp, false)
+    removed
+  }
+
   /** Delete data files retired from the newest `keepVersions` versions
     * and prune their commit entries — the only operation that ever
     * deletes committed data. Operational contract (same as Delta's
@@ -320,7 +460,13 @@ final class Warehouse(spark: SparkSession, val root: String,
             n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
           .sorted.toSeq
         val keep = versions.takeRight(keepVersions)
-        val keepFiles = keep.flatMap(v => snapshotAt(ref, v).files).toSet
+        // staged (write-audit-publish) batches are live state awaiting
+        // their audit: their files are referenced by no version yet but
+        // must survive maintenance
+        val stagedLive = stagedIds(ref)
+          .flatMap(id => parseLogEntries(stagedManifestPath(ref, id))._2)
+        val keepFiles = (keep.flatMap(v => snapshotAt(ref, v).files) ++
+          stagedLive).toSet
         val base = filesystem.makeQualified(tablePath).toUri.getPath
         val dead = listDataFiles(tablePath).filterNot { p =>
           keepFiles.contains(filesystem.makeQualified(p).toUri.getPath

@@ -425,6 +425,53 @@ object PipelineQueries {
       |SELECT o_orderkey, o_custkey, o_totalprice, CAST(2 AS BIGINT) AS version
       |FROM orders WHERE o_orderkey % 5 = 1""".stripMargin
 
+  /** WRITE-AUDIT-PUBLISH end-to-end (the Iceberg/Netflix WAP pattern on
+    * the versioned log): a BAD batch (negated prices) is staged, its
+    * audit — a real quality predicate over [[Warehouse.readStaged]] —
+    * fails, and it is discarded without ever being reader-visible; a
+    * GOOD batch (prices + 10) stages, audits clean, and publishes as a
+    * pure-metadata commit. The final read value-checks the whole
+    * protocol: a stage that leaked into readers, a discard that left
+    * rows, or a publish that lost files all mismatch the oracle (the
+    * source table with the good transform applied). The audit verdicts
+    * are emitted as data-derived booleans the oracle pins.
+    */
+  def qWapPublish(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "wap.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-wap").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_wap")
+      wh.overwrite(ref, Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice"))
+      (wh, ref)
+    }
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    graft.util.PhaseTimer.time("wap.cycle") {
+      // bad batch: audit rejects, discard — never reader-visible
+      val badId = wh.stageOverwrite(ref,
+        orders.withColumn("o_totalprice", -$"o_totalprice"))
+      val badRejected =
+        wh.readStaged(ref, badId).filter($"o_totalprice" < 0).limit(1).count() > 0
+      wh.discardStaged(ref, badId)
+      // good batch: audit passes, publish
+      val goodId = wh.stageOverwrite(ref,
+        orders.withColumn("o_totalprice", $"o_totalprice" + 10.0))
+      val goodClean =
+        wh.readStaged(ref, goodId).filter($"o_totalprice" < 0).limit(1).count() == 0
+      wh.publishStaged(ref, goodId)
+      wh.read(ref)
+        .withColumn("bad_batch_rejected", lit(badRejected))
+        .withColumn("good_batch_clean", lit(goodClean))
+    }
+  }
+
+  val qWapPublishSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice + 10.0 AS o_totalprice,
+      |       true AS bad_batch_rejected, true AS good_batch_clean
+      |FROM orders""".stripMargin
+
   /** Delta RESTORE end-to-end: bootstrap v1 with every order, then
     * damage the table twice — a merge-upsert that bumps even-key
     * prices, then a row-level delete of the %7=3 keys — and roll back
@@ -769,6 +816,7 @@ object PipelineQueries {
     "q_compact_table" -> (qCompactTable _),
     "q_time_travel" -> (qTimeTravel _),
     "q_restore" -> (qRestore _),
+    "q_wap_publish" -> (qWapPublish _),
     "q_change_feed" -> (qChangeFeed _),
     "q_gold_incremental" -> (qGoldIncremental _),
     "q_gold_view" -> (qGoldView _))
@@ -788,6 +836,7 @@ object PipelineQueries {
     "q_compact_table" -> qCompactTableSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_restore" -> qRestoreSql,
+    "q_wap_publish" -> qWapPublishSql,
     "q_change_feed" -> qChangeFeedSql,
     "q_gold_incremental" -> qGoldIncrementalSql,
     "q_gold_view" -> qGoldViewSql)

@@ -483,6 +483,45 @@ class WarehouseSpec extends SparkSpec {
     intercept[IllegalArgumentException](wh.restore(ref, v1))
   }
 
+  test("write-audit-publish: staged batches are invisible, auditable, publishable, discardable") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-wap"))
+    val ref = TableRef("silver", "facts", "wap")
+    val v1Rows = (0L until 100L).map(i => (i, i * 2)).toDF("k", "v")
+    wh.overwrite(ref, v1Rows)
+    val v1 = wh.currentVersion(ref).get
+
+    // stage a bad batch: readers see NOTHING new, the audit sees it all
+    val bad = (0L until 100L).map(i => (i, -1L)).toDF("k", "v")
+    val badId = wh.stageOverwrite(ref, bad)
+    assert(wh.read(ref).agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0) === 9900L)
+    assert(wh.currentVersion(ref).get === v1)
+    assert(wh.readStaged(ref, badId).filter($"v" < 0).count() === 100L)
+    // maintenance during the audit window must not sweep staged files
+    wh.vacuum(ref, keepVersions = 1)
+    assert(wh.readStaged(ref, badId).count() === 100L)
+    // audit fails → discard: files gone, nothing ever visible
+    assert(wh.discardStaged(ref, badId) > 0)
+    assert(wh.stagedIds(ref).isEmpty)
+    intercept[IllegalArgumentException](wh.readStaged(ref, badId))
+    assert(wh.read(ref).count() === 100L)
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .parquet(wh.path(ref))
+    assert(raw.filter($"v" < 0).count() === 0L) // no bad bytes on disk
+
+    // stage a good batch → audit passes → publish: pure metadata
+    val good = (0L until 100L).map(i => (i, i * 3)).toDF("k", "v")
+    val goodId = wh.stageOverwrite(ref, good)
+    assert(wh.readStaged(ref, goodId).filter($"v" % 3 =!= 0).count() === 0L)
+    val v2 = wh.publishStaged(ref, goodId)
+    assert(v2 > v1)
+    assert(wh.read(ref).agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0) === 3L * 4950L)
+    assert(wh.stagedIds(ref).isEmpty)
+    // double-publish fails loudly; the old version stays time-travelable
+    intercept[IllegalArgumentException](wh.publishStaged(ref, goodId))
+    assert(wh.readVersion(ref, v1).agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0) === 9900L)
+  }
+
   test("GDPR composition: delete + compact + vacuum leaves no trace of erased keys") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-gdpr"))
