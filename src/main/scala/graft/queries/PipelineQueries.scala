@@ -388,6 +388,53 @@ object PipelineQueries {
       |       CAST(1 AS INTEGER) AS files_after
       |FROM orders""".stripMargin
 
+  /** Z-ORDER maintenance end-to-end: a randomly-laid-out table is
+    * compacted on the Morton interleave of (o_orderkey, o_custkey),
+    * then probed through the PRUNED read path on EACH dimension — the
+    * property a linear sort cannot give (its second column's min/max
+    * spans every file). Both probes' results are value-checked against
+    * plain filters, so reclustering must preserve every row AND the
+    * stats manifest must stay truthful through the rewrite
+    * (a file z-ordered out of a probe's range that still held matching
+    * rows would drop them from the result and redden the gate).
+    * Pruning EFFECTIVENESS (files actually skipped on both dims) is
+    * asserted in WarehouseSpec; the gate proves correctness at scale.
+    */
+  def qZorderCompact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "zorder.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-zorder").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_zordered")
+      // random layout: every file spans the whole range of both keys,
+      // so pre-maintenance pruning can skip nothing
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .repartition(8),
+        statsColumns = Seq("o_orderkey", "o_custkey"))
+      (wh, ref)
+    }
+    graft.util.PhaseTimer.time("zorder.compact") {
+      wh.compact(ref, smallFileBytes = 1L << 30, targetFileBytes = 1L << 20,
+        clusterBy = Some(Seq("o_orderkey", "o_custkey")), zOrder = true)
+    }
+    val byOrder = wh.readPruned(ref, "o_orderkey", 1000L, 2999L)
+      .filter($"o_orderkey".between(1000L, 2999L))
+      .withColumn("probe", lit("orderkey"))
+    val byCust = wh.readPruned(ref, "o_custkey", 100L, 299L)
+      .filter($"o_custkey".between(100L, 299L))
+      .withColumn("probe", lit("custkey"))
+    byOrder.unionByName(byCust)
+  }
+
+  val qZorderCompactSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, 'orderkey' AS probe
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, 'custkey' AS probe
+      |FROM orders WHERE o_custkey BETWEEN 100 AND 299""".stripMargin
+
   /** Snapshot isolation + time travel end-to-end: two full overwrites
     * commit versions 1 and 2; a snapshot pinned at v1 AND `readVersion`
     * both still see v1's rows after v2 replaced every file — because a
@@ -814,6 +861,7 @@ object PipelineQueries {
     "q_warehouse_skip" -> (qWarehouseSkip _),
     "q_bucketed_join" -> (qBucketedJoin _),
     "q_compact_table" -> (qCompactTable _),
+    "q_zorder_compact" -> (qZorderCompact _),
     "q_time_travel" -> (qTimeTravel _),
     "q_restore" -> (qRestore _),
     "q_wap_publish" -> (qWapPublish _),
@@ -834,6 +882,7 @@ object PipelineQueries {
     "q_warehouse_skip" -> qWarehouseSkipSql,
     "q_bucketed_join" -> qBucketedJoinSql,
     "q_compact_table" -> qCompactTableSql,
+    "q_zorder_compact" -> qZorderCompactSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_restore" -> qRestoreSql,
     "q_wap_publish" -> qWapPublishSql,
