@@ -303,7 +303,11 @@ final class Warehouse(spark: SparkSession, val root: String,
   def restore(ref: TableRef, version: Long): Long = withWriterLock(ref) {
     recoverLocked(ref) // never re-commit files of a half-healed replacement
     val snap = snapshotAt(ref, version)
-    commitLocked(ref, snap.schemaJson, snap.files)
+    val v = commitLocked(ref, snap.schemaJson, snap.files)
+    // current content just changed shape — JVM-wide cardinality stats
+    // must not keep describing the rolled-back state
+    TableStatsRegistry.invalidate(path(ref))
+    v
   }
 
   // ---------------------------------------------------------------------
@@ -425,12 +429,19 @@ final class Warehouse(spark: SparkSession, val root: String,
     val (_, files) = parseLogEntries(mp)
     val target = new Path(path(ref))
     val filesystem = fs(target)
-    // only files no committed version references may be deleted — a
-    // staged manifest can share nothing with the log by construction,
-    // but guard anyway (belt over suspenders for hand-edited logs)
-    val referenced = currentVersion(ref).toSeq
-      .flatMap(_ => snapshot(ref).map(_.files.toSet)).headOption
-      .getOrElse(Set.empty[String])
+    // only files NO live log version references may be deleted. A fresh
+    // staged manifest shares nothing with the log by construction — but
+    // a manifest left by a publish that crashed between its commit and
+    // its manifest delete references files some committed (and still
+    // time-travelable) version owns; protecting only the CURRENT
+    // version would let this cleanup delete an older version's data.
+    val logDir = logDirPath(ref)
+    val referenced: Set[String] =
+      if (!filesystem.exists(logDir)) Set.empty
+      else filesystem.listStatus(logDir).map(_.getPath.getName)
+        .collect { case n if n.length == 9 && n.startsWith("v") &&
+          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+        .flatMap(v => snapshotAt(ref, v).files).toSet
     val removed = files.filterNot(referenced.contains).count { f =>
       filesystem.delete(new Path(target, f), false)
     }

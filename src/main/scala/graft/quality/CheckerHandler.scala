@@ -120,9 +120,12 @@ final class CheckerHandler(
     // lifecycle). coalesce(1): |tests|×|tables| rows belong in one
     // file, not one per shuffle partition.
     val mat = typed.coalesce(1).localCheckpoint()
-    new MergeTable(spark, warehouse, aggregatedRef,
+    try new MergeTable(spark, warehouse, aggregatedRef,
       Seq("test_name", "table_name", "test_type", "layer", "run_date", "mandate"),
       None, collectStats = false).upsert(mat)
+    // release the checkpoint's block-manager storage: without this every
+    // execute() leaks a resident RDD for the rest of the JVM
+    finally graft.util.Scratch.release(mat)
   }
 
   /** Full run (checker_handler.py:209-221), sharing the reference's

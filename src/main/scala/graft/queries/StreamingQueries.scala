@@ -214,12 +214,15 @@ object StreamingQueries {
     spark.table(sink).select($"user_id", $"nth")
   }
 
+  // the events rows themselves enumerate the milestones (rn % 50 = 0 ⇒
+  // nth = rn) — unbounded by construction, where a generate_series
+  // bound would silently cap very heavy users
   val qStreamFlatmapSql: String =
-    """SELECT c.user_id, 50 * g.gs AS nth
-      |FROM (SELECT user_id, count(*) // 50 AS k
-      |      FROM events GROUP BY user_id) c
-      |JOIN (SELECT gs FROM generate_series(1, 100000) AS t(gs)) g
-      |  ON g.gs <= c.k""".stripMargin
+    """SELECT user_id, rn AS nth FROM (
+      |  SELECT user_id,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      |  FROM events)
+      |WHERE rn % 50 = 0""".stripMargin
 
   /** Streaming exact dedup through a REAL file-source replay: WHICH
     * row survives per key is arrival-order dependent (any engine's

@@ -90,13 +90,18 @@ object Scratch {
     touched.clear()
   }
 
-  /** Release block-manager storage reachable from a memoized value.
-    * `Dataset.unpersist` only drops CacheManager entries; a
-    * localCheckpointed frame's data lives as RDD blocks referenced by
-    * the plan's LogicalRDD leaf, so unpersist THAT rdd directly.
-    * Non-blocking: the bench overlaps the release with the next
-    * query's work.
+  /** Release block-manager storage reachable from a value (public: any
+    * operator that materializes a transient frame via localCheckpoint —
+    * e.g. the checker's scorecard aggregate — must release it the same
+    * way the memo does, or each invocation leaks checkpointed RDD
+    * blocks for the rest of the JVM). `Dataset.unpersist` only drops
+    * CacheManager entries; a localCheckpointed frame's data lives as
+    * RDD blocks referenced by the plan's LogicalRDD leaf, so unpersist
+    * THAT rdd directly. Non-blocking: the caller overlaps the release
+    * with its next work.
     */
+  def release(v: Any): Unit = free(v)
+
   private def free(v: Any): Unit = v match {
     case ds: Dataset[_] =>
       ds.queryExecution.analyzed.foreach {

@@ -522,6 +522,32 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.readVersion(ref, v1).agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0) === 9900L)
   }
 
+  test("discarding a stale manifest left by a crashed publish never deletes committed files") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-wap-crash"))
+    val ref = TableRef("silver", "facts", "wapcrash")
+    wh.overwrite(ref, Seq((1L, "a")).toDF("k", "v"))
+    val id = wh.stageOverwrite(ref, Seq((2L, "b")).toDF("k", "v"))
+    // simulate a publish that crashed between its commit and its
+    // manifest delete: copy the manifest aside, publish, put it back
+    val mp = new org.apache.hadoop.fs.Path(
+      wh.path(ref) + s"/_graft_log/staged-$id")
+    val filesystem = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = filesystem.open(mp)
+    val manifest = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val published = wh.publishStaged(ref, id)
+    val out = filesystem.create(mp, true)
+    out.write(manifest.getBytes("UTF-8")); out.close()
+    // the table moves on: the published version's files retire
+    wh.overwrite(ref, Seq((3L, "c")).toDF("k", "v"))
+    // cleaning up the leftover manifest must NOT touch the published
+    // (still time-travelable) version's files
+    assert(wh.discardStaged(ref, id) === 0)
+    assert(wh.readVersion(ref, published)
+      .selectExpr("k", "v").as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+  }
+
   test("GDPR composition: delete + compact + vacuum leaves no trace of erased keys") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-gdpr"))
