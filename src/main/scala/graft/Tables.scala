@@ -30,9 +30,26 @@ object Tables {
       case _                => df
     }
 
+  /** embeddings.embedding is array<float> in every generation so far,
+    * and the similarity stack (typed Array[Float] Datasets, the native
+    * DotProduct expression) is written against that. If a future
+    * testdata generation ships array<double>, cast it down instead of
+    * failing analysis in eight gates — same probe-and-normalize
+    * treatment events.ts got after the NANOS→MICROS regen.
+    */
+  private def normalizeEmbedding(df: DataFrame): DataFrame =
+    df.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => df
+      case _ =>
+        df.withColumn("embedding", df.col("embedding").cast("array<float>"))
+    }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    } else if (name == "embeddings") {
+      normalizeEmbedding(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
