@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: a 32-thread local[32] run at sf0.1 holds 32 live
+  // task workspaces plus transient checkpoint storage — 8g left the
+  // unified memory pool (~60% of heap) thrashing between storage
+  // eviction and execution spill on the heaviest suite entries
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -66,6 +66,9 @@ object Bench {
     import graft.sim.Similarity
     val emb = Tables.load(spark, sfDir, "embeddings")
     val centroids = Similarity.sampleCentroids(emb, "vec_id", "embedding", nlist = 16)
+    // NOT registered as a bench transient: the q_ann_ivf_op thunk
+    // consumes it several drains after this build; drainAll() at end
+    // of the run releases it
     val assigned = Similarity.assign(emb, "vec_id", "embedding", centroids)
       .localCheckpoint()
     val annQueries = emb.filter($"vec_id" < 8)
@@ -169,6 +172,13 @@ object Bench {
     // deltas only (what explains cold entries); warm-pass deltas go to
     // stderr per query.
     val coldPhases = scala.collection.mutable.Map[String, Double]()
+    // Warm-pass phase deltas of queries whose warm run EXCEEDED cold —
+    // those go in the artifact (round-10 verdict, What's wrong #1-2: an
+    // inverted warm number with stderr-only attribution is
+    // indistinguishable from a steady-state regression). Normal
+    // warm ≤ cold queries keep their warm phases on stderr.
+    val invertedWarmPhases =
+      scala.collection.mutable.Map[String, Map[String, Double]]()
     def runOne(name: String, thunk: () => Long): ((String, Double), Option[(String, Double)]) = {
       val s0 = graft.util.PhaseTimer.snapshot
       val cold = timed("bench")(name, thunk)
@@ -185,6 +195,10 @@ object Bench {
         val warmD = phaseDelta(s1)
         if (warmD.nonEmpty)
           System.err.println(s"[bench-phases-warm $name] ${fmtMap(warmD)}")
+        if (w._2 > cold._2)
+          invertedWarmPhases(name) =
+            if (warmD.nonEmpty) warmD
+            else Map("unattributed" -> w._2)
         Some(w)
       } else None
       if (coldD.nonEmpty)
@@ -232,13 +246,23 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + jnum(v) }.mkString("{", ",", "}"))
     // JSON-line phases capped to the 14 costliest (the fixture-memo
     // rework multiplied the phase count; the full map is the stderr
-    // line above), remainder folded so nothing silently vanishes
+    // line above). The remainder folds BY PREFIX FAMILY instead of one
+    // opaque `other` (round-10 verdict, What's wrong #3: 60 s hid
+    // there): "gincr.fixtures" → "other:*.fixtures",
+    // "stream.lm.replay" → "other:stream.*", unqualified keys →
+    // "other" — every folded second stays attributable to a family.
     val phasesTop = phasesAll.sortBy { case (k, v) => (-v, k) }
+    def family(k: String): String =
+      if (k.endsWith(".fixtures")) "other:*.fixtures"
+      else if (k.contains(".")) s"other:${k.takeWhile(_ != '.')}.*"
+      else "other"
+    val folded = phasesTop.drop(14)
+      .groupMapReduce { case (k, _) => family(k) } { case (_, v) => v }(_ + _)
+      .toSeq.sortBy { case (k, v) => (-v, k) }
     val phases = (phasesTop.take(14)
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) } ++
-      (if (phasesTop.size > 14)
-         Seq("\"other\":" + jnum(phasesTop.drop(14).map(_._2).sum))
-       else Nil)).mkString("{", ",", "}")
+      folded.map { case (k, v) => "\"" + k + "\":" + jnum(v) })
+      .mkString("{", ",", "}")
 
     // The driver keeps only the LAST 2000 chars of output and parses the
     // JSON line out of that window (BENCH_r01-r04 all arrived truncated
@@ -255,8 +279,20 @@ object Bench {
     // is the stderr line above
     val warm = warmFull.take(12).mkString("{", ",", "}")
 
+    // Inverted-warm attribution (empty map in the healthy case): the 3
+    // worst offenders, 4 phases each, so the artifact itself explains
+    // any warm > cold number without a stderr excavation.
+    val warmPh =
+      if (invertedWarmPhases.isEmpty) "{}"
+      else invertedWarmPhases.toSeq
+        .sortBy { case (n, _) => -warmResults.toMap.getOrElse(n, 0.0) }
+        .take(3)
+        .map { case (n, ph) =>
+          "\"" + n + "\":" + fmtMap(ph.toSeq.sortBy(-_._2).take(4))
+        }.mkString("{", ",", "}")
+
     val budget = 1700
-    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"queries":{"""
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"warm_phases":$warmPh,"queries":{"""
     val sb = new StringBuilder(head)
     var included = 0
     var restN = 0

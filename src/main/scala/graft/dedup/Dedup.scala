@@ -257,7 +257,10 @@ object Dedup {
     // left side), and exchange reuse only dedups the shuffle write —
     // each consumer would re-run the post-shuffle min_by aggregation.
     // Measured 2× on the full near-dedup composition at sf0.1.
-    val exact = exactDedupAgainst(batch, kept, textCol, idCol).localCheckpoint()
+    // transient: the checkpoint feeds the returned lazy plan, so only
+    // the bench drain (after the caller's action) may release it
+    val exact = graft.util.Scratch.transientCheckpoint(
+      exactDedupAgainst(batch, kept, textCol, idCol).localCheckpoint())
     val near = minhashCandidatesAgainst(exact, kept, keptBands, idCol, textCol,
       k, numHashes, bands, threshold, maxBucket)
     exact.join(near.select(col("batch_id").as(idCol)).distinct(),
@@ -322,6 +325,9 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      // the edge checkpoint is fully consumed by the collect above;
+      // the returned frame is driver-local
+      graft.util.Scratch.release(edgesRaw)
       return parent.keys.toSeq.map(x => (x, find(x)))
         .toDF("id", "canonical_id")
     }
@@ -331,12 +337,18 @@ object Dedup {
     val parts = math.max(1, math.min(edgesRaw.rdd.getNumPartitions,
       (nEdges / 500000L).toInt + 1))
     val edges =
-      if (parts < edgesRaw.rdd.getNumPartitions)
-        edgesRaw.repartition(parts, col("src")).localCheckpoint()
-      else edgesRaw
+      if (parts < edgesRaw.rdd.getNumPartitions) {
+        val e = edgesRaw.repartition(parts, col("src")).localCheckpoint()
+        graft.util.Scratch.release(edgesRaw) // superseded by the repartitioned copy
+        e
+      } else edgesRaw
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // the current iteration's checkpoint — its predecessor is released
+    // as soon as the successor has materialized, so the loop holds at
+    // most two label snapshots instead of one per iteration
+    var labelsCp: DataFrame = labels
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -355,10 +367,16 @@ object Dedup {
         .select(col("id"),
           coalesce(col("__jl"), col("label")).as("label"), col("__old"))
         .localCheckpoint() // truncate the growing iterative lineage
+      graft.util.Scratch.release(labelsCp) // predecessor snapshot, now dead
+      labelsCp = next
       converged = next.filter(col("label") =!= col("__old")).limit(1).count() == 0
       labels = next.select("id", "label")
       i += 1
     }
+    // edges are consumed; the FINAL label snapshot feeds the returned
+    // lazy plan, so only the bench drain may release it
+    graft.util.Scratch.release(edges)
+    graft.util.Scratch.transientCheckpoint(labelsCp)
     // pointer jumping converges in O(log diameter) so this should never
     // fire in practice — but returning silently would hand the caller
     // possibly-non-canonical groups with no signal (split dup groups →
@@ -472,9 +490,10 @@ object Dedup {
     // the phase timer surfaces sig compute vs the rest in the bench
     // artifact's phases map.
     val sigs = time("simhash.sigs") {
-      spreadThin(df, idCol, textCol).select(col(idCol).as("id"),
-        simhash(TextFunctions.tokens(col(textCol))).as("sig"))
-        .localCheckpoint()
+      graft.util.Scratch.transientCheckpoint(
+        spreadThin(df, idCol, textCol).select(col(idCol).as("id"),
+          simhash(TextFunctions.tokens(col(textCol))).as("sig"))
+          .localCheckpoint())
     }
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until chunks).map { i =>
@@ -483,10 +502,11 @@ object Dedup {
     // tiny frame (surviving (chunk_ix, chunk_val) keys only) — eager so
     // the bucket-count phase is timed apart from the pair join
     val bucketCounts = time("simhash.buckets") {
-      chunked.groupBy("chunk_ix", "chunk_val")
-        .agg(count(lit(1)).as("n"))
-        .filter(col("n") <= maxBucket && col("n") > 1)
-        .localCheckpoint()
+      graft.util.Scratch.transientCheckpoint(
+        chunked.groupBy("chunk_ix", "chunk_val")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxBucket && col("n") > 1)
+          .localCheckpoint())
     }
     val bounded = chunked.join(bucketCounts, Seq("chunk_ix", "chunk_val"), "left_semi")
     bounded.as("l")

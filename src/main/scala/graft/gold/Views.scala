@@ -98,6 +98,9 @@ object Views {
       new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
         .replacePartitions(affected, recomputed)
     }
+    // the replace is committed — the affected-keys checkpoint is dead;
+    // without this every refresh leaked its blocks for the JVM's life
+    graft.util.Scratch.release(affected)
     cur
   }
 }

@@ -210,10 +210,10 @@ object Multimodal {
                    maxBucket: Int = 8): DataFrame = {
     // decode+hash runs once: the thin (hash, id) frame feeds the bucket
     // count AND both self-join sides (multi-consumer subtree)
-    val h = hashes
+    val h = graft.util.Scratch.transientCheckpoint(hashes
       .filter(col("decoded") && col(hashCol) =!= lit(-1L))
       .select(col(hashCol), col(idCol))
-      .localCheckpoint()
+      .localCheckpoint())
     val small = h.groupBy(hashCol).agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucket)
       .select(hashCol)

@@ -50,10 +50,11 @@ object Budget {
     // stages (range-layout pin, slice-totals collect) separately from
     // the final windowed pass the caller's action executes
     val ranged = graft.util.PhaseTimer.time("budget.pin") {
-      df.withColumn("__cost", cost.cast("long"))
-        .repartitionByRange(parts, ordering: _*)
-        .withColumn("__pid", spark_partition_id())
-        .localCheckpoint()
+      graft.util.Scratch.transientCheckpoint(
+        df.withColumn("__cost", cost.cast("long"))
+          .repartitionByRange(parts, ordering: _*)
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint())
     }
     // tiny: ≤ `parts` rows — the per-slice totals that seed the offsets
     val totals = graft.util.PhaseTimer.time("budget.totals") {

@@ -342,7 +342,8 @@ object StreamingQueries {
     val sink = "q_stream_lm_sink"
     if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
     val docs = graft.Tables.load(spark, dir, "documents")
-    val model = graft.util.PhaseTimer.time("stream.lm.train") {
+    // shared with q_ngram_lm (same corpus, same model) — uses = 2
+    val model = graft.util.Scratch.once(spark, dir, "lm.model", uses = 2) {
       graft.text.NgramLm.train(docs, "doc_id", "text")
     }
     val stream = spark.readStream

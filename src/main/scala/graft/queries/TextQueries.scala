@@ -337,7 +337,13 @@ object TextQueries {
     */
   def qNgramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    graft.text.NgramLm.bigramScore(docs, docs, "doc_id", "text")
+    // the corpus-trained model is deployment state shared with the
+    // streaming twin (q_stream_lm scores the same corpus against the
+    // same model) — memoized once, released after both consumers ran
+    val model = graft.util.Scratch.once(spark, dir, "lm.model", uses = 2) {
+      graft.text.NgramLm.train(docs, "doc_id", "text")
+    }
+    graft.text.NgramLm.scoreWithModel(docs, model, "doc_id", "text")
   }
 
   val qNgramLmSql: String =

@@ -427,7 +427,8 @@ object Similarity {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                centroids: DataFrame, threshold: Double = 0.95,
                maxCluster: Int = 10000): DataFrame = {
-    val scored = assignScored(corpus, idCol, vecCol, centroids).localCheckpoint()
+    val scored = graft.util.Scratch.transientCheckpoint(
+      assignScored(corpus, idCol, vecCol, centroids).localCheckpoint())
     val pairs = clusterPairs(
       scored.select(col("cid"), col(idCol).as("id"), col(vecCol).as("__v")),
       threshold, maxCluster)

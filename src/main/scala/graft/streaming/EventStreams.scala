@@ -197,6 +197,10 @@ object EventStreams {
             }
           logBatch(batch.sparkSession, warehouse, ref, batchId,
             obs.get("rows").asInstanceOf[Long], rowsOut, t0)
+          // batch complete — release its checkpoint, or a months-long
+          // loop pins every batch's survivor blocks in the block
+          // manager forever (each batch leaked its RDD pre-round-11)
+          graft.util.Scratch.release(fresh)
         }
       }
       .start()
@@ -293,6 +297,9 @@ object EventStreams {
           val fresh = exact.join(
             near.select(col("batch_id").as(idCol)).distinct(),
             Seq(idCol), "left_anti").localCheckpoint()
+          // fresh is materialized — the exact-survivor checkpoint has no
+          // remaining consumer in this batch
+          graft.util.Scratch.release(exact)
           val rowsOut = fresh.count()
           if (rowsOut > 0) {
             graft.util.PhaseTimer.time("stream.near.merge") {
@@ -312,6 +319,8 @@ object EventStreams {
           }
           logBatch(batch.sparkSession, warehouse, ref, batchId,
             obs.get("rows").asInstanceOf[Long], rowsOut, t0)
+          // per-batch release: see dedupIngestStream
+          graft.util.Scratch.release(fresh)
         }
       }
       .start()

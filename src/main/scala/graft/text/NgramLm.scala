@@ -70,11 +70,22 @@ object NgramLm {
       .localCheckpoint()
     // and the bigram pair stream feeds both count aggregates
     val tb = bigramsFromTokens(toks).localCheckpoint()
-    Model(
-      tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12")),
-      tb.groupBy("w1").agg(count(lit(1)).as("c1")),
+    // The MODEL frames are what scoring joins against — checkpoint the
+    // small aggregates (vocab-bounded), not the fat per-token
+    // intermediates: a streaming consumer joins the model once per
+    // micro-batch, and without this each batch re-ran the corpus-wide
+    // count aggregation over tb. The fat intermediates are released
+    // here (eager checkpoints: the counts no longer reference them);
+    // the returned Model is the CALLER's storage to release (the gate
+    // queries memoize it via Scratch.once, so the bench drain frees it).
+    val m = Model(
+      tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint(),
+      tb.groupBy("w1").agg(count(lit(1)).as("c1")).localCheckpoint(),
       toks.select(explode(col("__toks")).as("w"))
-        .agg(count_distinct(col("w")).as("v")))
+        .agg(count_distinct(col("w")).as("v")).localCheckpoint())
+    graft.util.Scratch.release(tb)
+    graft.util.Scratch.release(toks)
+    m
   }
 
   /** Score a (possibly streaming) document frame against a trained
@@ -99,7 +110,15 @@ object NgramLm {
         sum(col("__unats")).as("logprob_unats"))
       .select(col("__doc").as(idCol), col("n_bigrams"), col("logprob_unats"))
 
+  /** One-shot convenience: train + score. The transient model is
+    * registered for bench-drain release; callers that reuse a model
+    * across queries (or across micro-batches) should hold
+    * [[train]]'s result themselves — typically under a
+    * `Scratch.once` memo so eviction stays use-counted.
+    */
   def bigramScore(trainDocs: DataFrame, scoreDocs: DataFrame,
                   idCol: String, textCol: String): DataFrame =
-    scoreWithModel(scoreDocs, train(trainDocs, idCol, textCol), idCol, textCol)
+    scoreWithModel(scoreDocs,
+      graft.util.Scratch.transientCheckpoint(train(trainDocs, idCol, textCol)),
+      idCol, textCol)
 }

@@ -72,8 +72,10 @@ object SpanDedup {
     require(n >= 1, s"gram size must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs below 2 flags within-doc repeats: $minDocs")
     // one materialization feeds the dup-gram aggregate AND the
-    // position join — the corpus explodes exactly once
-    val grams = positionalGrams(docs, idCol, textCol, n).localCheckpoint()
+    // position join — the corpus explodes exactly once; transient: the
+    // returned lazy plan reads it, so the bench drain releases it
+    val grams = graft.util.Scratch.transientCheckpoint(
+      positionalGrams(docs, idCol, textCol, n).localCheckpoint())
     val dupGrams = grams.select("__doc", "__h").distinct()
       .groupBy("__h").agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= minDocs)
@@ -108,7 +110,8 @@ object SpanDedup {
                              n: Int, minDocs: Int = 2): (DataFrame, DataFrame) = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs below 2 flags within-doc repeats: $minDocs")
-    val grams = positionalGrams(batch, idCol, textCol, n).localCheckpoint()
+    val grams = graft.util.Scratch.transientCheckpoint(
+      positionalGrams(batch, idCol, textCol, n).localCheckpoint())
     val batchCounts = grams.select("__doc", "__h").distinct()
       .groupBy("__h").agg(count(lit(1)).as("__bnd"))
     val merged = batchCounts
@@ -119,6 +122,7 @@ object SpanDedup {
           .as("__total"),
         col("__bnd"))
       .localCheckpoint() // feeds the dup filter AND the updated model
+      .transform(graft.util.Scratch.transientCheckpoint)
     val dupInBatch = merged
       .filter(col("__bnd").isNotNull && col("__total") >= minDocs)
       .select("__h")

@@ -223,8 +223,9 @@ object TfIdf {
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     // tf feeds the df aggregate AND the final join: materialize the
     // thin pair table once instead of re-exploding the corpus per branch
-    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = graft.util.Scratch.transientCheckpoint(
+      toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint())
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(dfreq, "token")
       .withColumn("tfidf", round(col("tf") *
@@ -254,8 +255,9 @@ object TfIdf {
     // tf feeds THREE consumers (doc lengths, document frequencies, the
     // final join): materialize the thin pair table once instead of
     // re-scanning and re-exploding the corpus per branch
-    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = graft.util.Scratch.transientCheckpoint(
+      toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint())
     val doclen = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     // exact integer total / count → the one division is IEEE-identical
     // in any engine; avg(double) would hash-mismatch on association

@@ -46,6 +46,13 @@ object Scratch {
 
   private val memo = scala.collection.concurrent.TrieMap[String, Entry]()
   private val touched = scala.collection.concurrent.TrieMap[String, Unit]()
+  // Strong refs on purpose: the block-manager storage of a
+  // localCheckpointed frame is pinned by SparkContext.persistentRdds,
+  // not by the Dataset object, so a weak ref could be GC-cleared while
+  // the blocks live on. The queue is emptied at every drain, so it
+  // holds at most one query slot's worth of frames.
+  private val transients =
+    new java.util.concurrent.ConcurrentLinkedQueue[Any]()
 
   /** Build-once fixture: `build` runs on the first call per
     * (session, dir, key), timed under phase `key`; later calls return
@@ -61,6 +68,24 @@ object Scratch {
     touched.put(k, ())
     memo.getOrElseUpdate(k, Entry(PhaseTimer.time(key)(build), uses))
       .value.asInstanceOf[T]
+  }
+
+  /** Register a per-invocation materialized frame (or any structure of
+    * them) for release at the NEXT bench drain. Operators that
+    * localCheckpoint an intermediate feeding their RETURNED lazy plan
+    * cannot release it themselves — the consumer hasn't run yet — but
+    * the frame is dead once the caller's action completes. Without
+    * registration each invocation leaks resident RDD blocks for the
+    * rest of the JVM: across a 100+-query bench the accumulation
+    * starved late-alphabet queries' execution memory (BENCH_r10's
+    * q_stream_lm warm pass ran 6× its cold — round-10 verdict, What's
+    * wrong #1-2). Verify and the specs never drain, so there the
+    * registration is a bounded no-op (one invocation per query per
+    * JVM). Returns its argument for expression-position use.
+    */
+  def transientCheckpoint[T](v: T): T = {
+    transients.add(v)
+    v
   }
 
   /** Bench-only, called between gate queries: decrement the
@@ -82,12 +107,22 @@ object Scratch {
       }
     }
     touched.clear()
+    drainTransients()
   }
 
   /** Evict everything regardless of remaining uses (end-of-bench). */
   def drainAll(): Unit = {
     memo.keySet.foreach(k => memo.remove(k).foreach(e => free(e.value)))
     touched.clear()
+    drainTransients()
+  }
+
+  private def drainTransients(): Unit = {
+    var v = transients.poll()
+    while (v != null) {
+      free(v)
+      v = transients.poll()
+    }
   }
 
   /** Release block-manager storage reachable from a value (public: any
@@ -111,6 +146,7 @@ object Scratch {
       ds.unpersist()
     case p: Product     => p.productIterator.foreach(free)
     case i: Iterable[_] => i.foreach(free)
+    case a: Array[_]    => a.foreach(free)
     case _              => ()
   }
 }
