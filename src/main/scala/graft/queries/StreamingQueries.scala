@@ -117,6 +117,7 @@ object StreamingQueries {
     graft.util.PhaseTimer.time("stream.session.replay") {
       query.awaitTermination()
     }
+    EventStreams.recordReplayPhases("stream.session.replay", query)
     spark.table(sink).select(
       $"user_id",
       unix_micros($"session_start").as("session_start_us"),
@@ -143,6 +144,107 @@ object StreamingQueries {
       |  count(*) AS n_events
       |FROM sessions
       |GROUP BY user_id, sid""".stripMargin
+
+  /** The WATERMARK-BOUNDED session path — the one a production stream
+    * actually runs, where q_stream_session's 36500-day complete-mode
+    * replay is the finite-replay harness. Append mode + a real
+    * 365-day watermark over a 4-file replay (maxFilesPerTrigger=1,
+    * file order pinned by mtime):
+    *
+    *   batch 0: the full events table (span ~30 d ≪ the 365-d delay,
+    *            so nothing is late; watermark advances to max ts−365 d)
+    *   batch 1: a sentinel (user −1) at max ts — a SPACER: Spark ≥3.4
+    *            filters late events with the PREVIOUS batch's watermark
+    *            while evicting with the current one (SPARK-42376), so
+    *            late data must arrive two batches after the rows that
+    *            advanced the watermark to actually be dropped (in the
+    *            batch right after, it is admitted under the old
+    *            watermark and instantly evicted-and-EMITTED — observed,
+    *            not theorized: without this spacer every clone session
+    *            appeared in the sink)
+    *   batch 2: every event cloned 3650 d into the past — all beyond
+    *            the now-effective late-event watermark, so all provably
+    *            dropped: were even one kept, its user would gain an
+    *            extra decade-old session row and the value check would
+    *            fail
+    *   batch 3: sentinel at max ts + 800 d — pushes the watermark past
+    *            every real session's end
+    *   batch 4: sentinel +1 h — a real data batch AFTER the watermark
+    *            jump, so emission doesn't depend on the no-data-batch
+    *            config; merges into the open sentinel session
+    *
+    * Bounded state is asserted structurally: after termination the
+    * session operator's numRowsTotal must be ≤ 2 (the sentinel's own
+    * never-closed session — every real session was emitted AND
+    * EVICTED; 2 tolerates a pre-merge snapshot). The oracle is the
+    * batch gaps-and-islands derivation over the original events — late
+    * clones and sentinels must leave no trace.
+    */
+  def qStreamSessionLate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_session_late_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val streamDir = graft.util.Scratch.once(spark, dir, "stream.late.fixtures") {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-late")
+      val in = base.resolve("in")
+      java.nio.file.Files.createDirectory(in)
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select($"user_id", $"ts", $"value")
+      val maxTs = ev.agg(max($"ts")).as[java.sql.Timestamp].head() // 1-row driver agg
+      def sentinel(off: String) = Seq((-1L, 0.0)).toDF("user_id", "value")
+        .select($"user_id", lit(maxTs).cast("timestamp").as("ts"), $"value")
+        .withColumn("ts", expr(s"ts + INTERVAL $off"))
+        .select($"user_id", $"ts", $"value")
+      val batches = Seq(
+        "b0" -> ev,
+        "b1" -> sentinel("0 DAYS"),
+        "b2" -> ev.withColumn("ts", expr("ts - INTERVAL 3650 DAYS")),
+        "b3" -> sentinel("800 DAYS"),
+        "b4" -> sentinel("800 DAYS 1 HOUR"))
+      val t0 = System.currentTimeMillis() - 60000
+      batches.zipWithIndex.foreach { case ((name, df), i) =>
+        val tmp = base.resolve(s"${name}_tmp").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = in.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+      }
+      in.toString
+    }
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val query = EventStreams
+      .sessionWindows(stream, gap = "6 hours", watermark = "365 days")
+      .writeStream
+      .outputMode("append") // the production mode: emit-on-close only
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.util.PhaseTimer.time("stream.late.replay") {
+      query.awaitTermination()
+    }
+    EventStreams.recordReplayPhases("stream.late.replay", query)
+    val finalState = query.recentProgress.reverse.iterator
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      .find(_ => true)
+    require(finalState.exists(_ <= 2L),
+      s"session state not bounded after watermark eviction: $finalState rows " +
+        "remain (expected only the sentinel's open session)")
+    spark.table(sink)
+      .filter($"user_id" >= 0)
+      .select($"user_id",
+        unix_micros($"session_start").as("session_start_us"),
+        unix_micros($"session_end").as("session_end_us"),
+        $"n_events")
+  }
 
   /** §2.14 mapGroupsWithState in the gate — the custom-state escape
     * hatch (EventStreams.runningStats) driven through a REAL
@@ -359,6 +461,7 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     graft.util.PhaseTimer.time("stream.lm.replay") { query.awaitTermination() }
+    EventStreams.recordReplayPhases("stream.lm.replay", query)
     spark.table(sink).select($"doc_id", $"n_bigrams", $"logprob_unats")
   }
 
@@ -463,6 +566,7 @@ object StreamingQueries {
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
     "q_stream_session" -> (qStreamSession _),
+    "q_stream_session_late" -> (qStreamSessionLate _),
     "q_stream_state" -> (qStreamState _),
     "q_stream_flatmap" -> (qStreamFlatmap _),
     "q_stream_dedup" -> (qStreamDedup _),
@@ -476,6 +580,9 @@ object StreamingQueries {
     "q_stream_window" -> qStreamWindowSql,
     "q_session_window" -> qSessionWindowSql,
     "q_stream_session" -> qStreamSessionSql,
+    // late clones + sentinels must leave no trace → the oracle IS the
+    // batch sessionization of the original events
+    "q_stream_session_late" -> qStreamSessionSql,
     "q_stream_state" -> qStreamStateSql,
     "q_stream_flatmap" -> qStreamFlatmapSql,
     "q_stream_dedup" -> qStreamDedupSql,

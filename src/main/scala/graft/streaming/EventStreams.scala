@@ -206,6 +206,32 @@ object EventStreams {
       .start()
   }
 
+  /** Attribute a FINISHED replay's cost from its progress log:
+    * Spark measures each micro-batch's `durationMs` inside the stream
+    * execution thread where `PhaseTimer.time` can't wrap, so the
+    * breakdown is read off `recentProgress` after termination.
+    * `<prefix>.addBatch` = data-plane work (the aggregation + state
+    * commit), `<prefix>.overhead` = trigger machinery (offset WAL,
+    * planning, source listing). Sub-phases of the caller's `.replay`
+    * phase — they overlap it, they don't add to it.
+    */
+  def recordReplayPhases(prefix: String, query: StreamingQuery): Unit = {
+    val ps = query.recentProgress
+    if (ps.nonEmpty) {
+      def tot(k: String): Double =
+        ps.map(p => Option(p.durationMs.get(k)).map(_.toDouble).getOrElse(0.0))
+          .sum / 1000.0
+      val addBatch = tot("addBatch")
+      val overhead = tot("triggerExecution") - addBatch
+      graft.util.PhaseTimer.add(s"$prefix.addBatch", addBatch)
+      if (overhead > 0) graft.util.PhaseTimer.add(s"$prefix.overhead", overhead)
+      System.err.println(s"[$prefix] batches=${ps.length} " +
+        s"rows=${ps.map(_.numInputRows).mkString(",")} " +
+        s"wm=${ps.map(p => Option(p.eventTime.get("watermark")).getOrElse("-")).mkString(",")} " +
+        s"state=${ps.map(_.stateOperators.headOption.map(s => s"${s.numRowsTotal}/${s.numRowsUpdated}/${s.numRowsRemoved}").getOrElse("-")).mkString(",")}")
+    }
+  }
+
   /** One JSON-lines run record per micro-batch (same shape as the batch
     * ingest log — graft.util.RunLog); file-per-record keeps unbounded
     * streams from holding log streams open across batches.

@@ -17,6 +17,13 @@ object PhaseTimer {
     r
   }
 
+  /** Accumulate an externally-measured duration (e.g. a streaming
+    * query's per-batch `durationMs` breakdown, which Spark measures
+    * inside the stream execution thread where `time` can't wrap).
+    */
+  def add(name: String, sec: Double): Unit =
+    buf.updateWith(name) { prev => Some(prev.getOrElse(0.0) + sec) }
+
   def snapshot: Map[String, Double] = buf.toMap
   def reset(): Unit = buf.clear()
 }
