@@ -103,4 +103,151 @@ object Views {
     graft.util.Scratch.release(affected)
     cur
   }
+
+  /** One aggregate column of an aggregate materialized view:
+    * `out` = output column name, `func` ∈ sum | count | min | max
+    * (the distributive aggregates incremental maintenance can merge),
+    * `in` = base column aggregated (ignored for count).
+    */
+  final case class AggSpec(out: String, func: String, in: String = "")
+
+  private val aggFuncs = Set("sum", "count", "min", "max")
+
+  private def aggColumn(a: AggSpec): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    (a.func match {
+      case "sum"   => sum(col(a.in))
+      case "count" => count(lit(1))
+      case "min"   => min(col(a.in))
+      case "max"   => max(col(a.in))
+    }).as(a.out)
+  }
+
+  private def aggPlan(base: org.apache.spark.sql.DataFrame,
+                      groupKeys: Seq[String],
+                      aggs: Seq[AggSpec]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    base.groupBy(groupKeys.map(col): _*)
+      .agg(aggColumn(aggs.head), aggs.tail.map(aggColumn): _*)
+  }
+
+  /** CTAS an aggregate MV (`SELECT keys, agg(...) GROUP BY keys`) —
+    * the declaration [[refreshIncrementalAgg]] later maintains. The
+    * spec list IS the view definition: keeping it structured (instead
+    * of SQL) is what lets the refresher derive the delta-merge
+    * arithmetic per column.
+    */
+  def materializeAgg(spark: SparkSession, warehouse: Warehouse,
+                     viewRef: TableRef, baseRef: TableRef,
+                     groupKeys: Seq[String], aggs: Seq[AggSpec]): Unit = {
+    validate(groupKeys, aggs)
+    warehouse.overwrite(viewRef,
+      aggPlan(warehouse.read(baseRef), groupKeys, aggs))
+  }
+
+  private def validate(groupKeys: Seq[String], aggs: Seq[AggSpec]): Unit = {
+    require(groupKeys.nonEmpty, "aggregate view needs group keys")
+    require(aggs.nonEmpty, "aggregate view needs at least one aggregate")
+    aggs.foreach(a => require(aggFuncs(a.func),
+      s"unsupported aggregate '${a.func}' (supported: $aggFuncs)"))
+    require(aggs.exists(_.func == "count"),
+      "aggregate view must declare a count column: incremental refresh " +
+        "needs the group's row count to drop groups deletes have emptied")
+    require(aggs.map(_.out).distinct.size == aggs.size,
+      s"duplicate output columns in ${aggs.map(_.out)}")
+  }
+
+  /** Incrementally refresh an AGGREGATE materialized view from the
+    * base change feed — the reporting-view analogue of
+    * [[refreshIncremental]]'s latest-per-key family, and strictly
+    * cheaper than its recompute-affected-groups strategy where the
+    * arithmetic allows:
+    *
+    *  - SUM / COUNT merge pure per-group DELTAS (post-images add,
+    *    pre-images and deletes subtract) — the base table is NOT
+    *    rescanned, so a group with a billion rows and a one-row update
+    *    costs one feed row, not a billion-row re-aggregation.
+    *  - MIN / MAX merge deltas for groups the feed only INSERTED into
+    *    (`min' = least(min, Δmin)`); a group with any retraction is
+    *    recomputed from its base slice (a deleted row may have carried
+    *    the extremum — retractable MIN/MAX needs full multiplicity
+    *    state, which is the full group anyway).
+    *  - A group whose merged count reaches 0 is dropped from the view
+    *    (tombstoned by the partition replace).
+    *
+    * The view must have been created by [[materializeAgg]] with the
+    * SAME groupKeys/aggs. FP caveat shared with every delta-merged
+    * IVM: SUM over floating-point columns accumulates in a different
+    * association order than a full recompute — use integer-typed
+    * measures (e.g. bigint cents) where bit-equality matters.
+    * Returns the base version the view now reflects.
+    */
+  def refreshIncrementalAgg(spark: SparkSession, warehouse: Warehouse,
+                            viewRef: TableRef, baseRef: TableRef,
+                            sinceVersion: Long, groupKeys: Seq[String],
+                            aggs: Seq[AggSpec],
+                            baseKeys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.util.PhaseTimer.time
+    validate(groupKeys, aggs)
+    val cur = warehouse.currentVersion(baseRef).getOrElse(
+      throw new IllegalArgumentException(s"$baseRef has no committed version"))
+    if (cur == sinceVersion) return cur
+    val isPost = col("_change_type").isin("insert", "update_post")
+    val sign = when(isPost, lit(1L)).otherwise(lit(-1L))
+    val deltaCols = aggs.map { a =>
+      a.func match {
+        case "count" => sum(sign).as(a.out)
+        case "sum"   => sum(sign * col(a.in)).as(a.out)
+        // retraction-free groups only consume these (see __retract)
+        case "min"   => min(when(isPost, col(a.in))).as(a.out)
+        case "max"   => max(when(isPost, col(a.in))).as(a.out)
+      }
+    } :+ max(when(sign < 0, lit(1)).otherwise(lit(0))).as("__retract")
+    // one feed pass → one thin (group, deltas) frame; materialized
+    // because it feeds the merge, the dirty set, AND the replace bounds
+    val deltas = time("mvagg.feed") {
+      warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
+        .groupBy(groupKeys.map(col): _*)
+        .agg(deltaCols.head, deltaCols.tail: _*)
+        .localCheckpoint()
+    }
+    val needsMM = aggs.exists(a => a.func == "min" || a.func == "max")
+    val countOut = aggs.find(_.func == "count").get.out
+    val replacement = time("mvagg.plan") {
+      val mergeable =
+        if (needsMM) deltas.filter(col("__retract") === 0) else deltas
+      val curView = warehouse.read(viewRef)
+      val merged = mergeable.as("d")
+        .join(curView.as("c"), groupKeys, "left")
+        .select(groupKeys.map(col) ++ aggs.map { a =>
+          val (c, d) = (col(s"c.${a.out}"), col(s"d.${a.out}"))
+          (a.func match {
+            case "count" | "sum" => coalesce(c + d, d)
+            case "min"           => least(c, d)
+            case "max"           => greatest(c, d)
+          }).as(a.out)
+        }: _*)
+        .filter(col(countOut) > 0)
+      if (!needsMM) merged
+      else {
+        // retraction-touched groups: re-aggregate their base slice
+        // (broadcast semi join — untouched groups never scan)
+        val dirty = deltas.filter(col("__retract") === 1)
+          .select(groupKeys.map(col): _*)
+        val recomputed = aggPlan(
+          warehouse.read(baseRef)
+            .join(broadcast(dirty), groupKeys, "left_semi"),
+          groupKeys, aggs)
+        merged.unionByName(recomputed)
+      }
+    }
+    val affected = deltas.select(groupKeys.map(col): _*)
+    time("mvagg.replace") {
+      new graft.sinks.MergeTable(spark, warehouse, viewRef, groupKeys, None)
+        .replacePartitions(affected, replacement)
+    }
+    graft.util.Scratch.release(deltas)
+    cur
+  }
 }

@@ -83,4 +83,59 @@ class ViewsSpec extends SparkSpec {
     assert(Views.bodyOf("create or replace view g.b.p as\nSELECT x FROM t")
       === "SELECT x FROM t")
   }
+
+  test("aggregate incremental refresh: delta merge, min/max recompute, emptied groups, validation") {
+    import spark.implicits._
+    import Views.AggSpec
+    val wh = new Warehouse(spark, tmpDir("wh-gagg"))
+    val base = TableRef("silver", "g", "sales")
+    val gold = TableRef("gold", "g", "sales_stats")
+    val specs = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "cents"),
+      AggSpec("lo", "min", "cents"), AggSpec("hi", "max", "cents"))
+    val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("id"), None)
+    mt.upsert(Seq((1L, 10L, 100L), (2L, 10L, 300L), (3L, 20L, 50L),
+      (4L, 20L, 70L), (5L, 30L, 500L)).toDF("id", "k", "cents"))
+    Views.materializeAgg(spark, wh, gold, base, Seq("k"), specs)
+    val v1 = wh.currentVersion(base).get
+    // no-op: version echoes back
+    assert(Views.refreshIncrementalAgg(spark, wh, gold, base, v1,
+      Seq("k"), specs, Seq("id")) === v1)
+    // k=10: update (retraction → recompute path); k=20: fully deleted
+    // (group must leave the view); k=30: untouched; k=40: brand-new
+    // insert-only group (pure merge path incl. min/max)
+    mt.upsert(Seq((1L, 10L, 150L)).toDF("id", "k", "cents"))
+    wh.deleteWhere(base, $"k" === 20L)
+    mt.upsert(Seq((6L, 40L, 10L), (7L, 40L, 30L)).toDF("id", "k", "cents"))
+    val v2 = Views.refreshIncrementalAgg(spark, wh, gold, base, v1,
+      Seq("k"), specs, Seq("id"))
+    assert(v2 === wh.currentVersion(base).get)
+    val got = wh.read(gold).as[(Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got === Seq((10L, 2L, 450L, 150L, 300L), (30L, 1L, 500L, 500L, 500L),
+      (40L, 2L, 40L, 10L, 30L)))
+    // incremental ≡ full recompute over the final base
+    val full = base
+    val fullAgg = wh.read(full).groupBy("k")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .count()
+    assert(wh.read(gold).count() === fullAgg)
+    // sum/count-only view: retractions go through the pure-delta path
+    val gold2 = TableRef("gold", "g", "sales_totals")
+    val specs2 = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "cents"))
+    Views.materializeAgg(spark, wh, gold2, base, Seq("k"), specs2)
+    val v3 = wh.currentVersion(base).get
+    mt.upsert(Seq((1L, 10L, 250L)).toDF("id", "k", "cents")) // update: -150 +250
+    wh.deleteWhere(base, $"k" === 40L)
+    Views.refreshIncrementalAgg(spark, wh, gold2, base, v3,
+      Seq("k"), specs2, Seq("id"))
+    val got2 = wh.read(gold2).as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 === Seq((10L, 2L, 550L), (30L, 1L, 500L)))
+    // a view without a count column is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Views.materializeAgg(spark, wh, TableRef("gold", "g", "bad"), base,
+        Seq("k"), Seq(AggSpec("total", "sum", "cents")))
+    }
+    assert(err.getMessage.contains("count"))
+  }
 }
