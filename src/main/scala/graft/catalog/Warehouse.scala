@@ -342,18 +342,24 @@ final class Warehouse(spark: SparkSession, val root: String,
     val filesystem = fs(target)
     filesystem.mkdirs(target)
     recoverLocked(ref)
-    // a logless dir's readers list the directory physically — commit the
-    // current listing (or empty) so they resolve the log during staging
-    if (currentVersion(ref).isEmpty) {
-      val existing = listDataFiles(target)
-      if (existing.nonEmpty) ensureLogLocked(ref)
-      else commitLocked(ref, df.schema.json, Nil)
-      ()
-    }
     val id = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(path(ref) + s".stage-$id")
+    // the data write runs FIRST, into a sibling dir no reader lists: a
+    // failed write must leave zero trace — in particular it must NOT
+    // have bootstrapped a previously nonexistent table (readers that
+    // saw 'no table' would suddenly see an empty one as the side
+    // effect of a stage that never succeeded)
     df.write.mode("overwrite").parquet(tmp.toString)
     try {
+      // a logless dir's readers list the directory physically — commit
+      // the current listing (or empty) so they resolve the log while
+      // the staged files sit in the table directory
+      if (currentVersion(ref).isEmpty) {
+        val existing = listDataFiles(target)
+        if (existing.nonEmpty) ensureLogLocked(ref)
+        else commitLocked(ref, df.schema.json, Nil)
+        ()
+      }
       val staged = listDataFiles(tmp)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
       val rels = staged.map(p => filesystem.makeQualified(p).toUri.getPath
@@ -364,13 +370,18 @@ final class Warehouse(spark: SparkSession, val root: String,
         if (!filesystem.rename(f, dest))
           throw new RuntimeException(s"failed to move staged file $r into $ref")
       }
-      // manifest LAST: a crash above leaves only unreferenced stragglers
+      // manifest LAST, via tmp + rename like every other log write: a
+      // crash before the rename leaves only unreferenced stragglers —
+      // never a torn manifest a later publish would trust
       val mp = stagedManifestPath(ref, id)
-      val out = filesystem.create(mp, true)
+      val mtmp = new Path(mp.getParent, s".${mp.getName}.tmp")
+      val out = filesystem.create(mtmp, true)
       try out.write(
         (s"schema\t${df.schema.json}\n" + rels.map(f => s"file\t$f\n").mkString)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      if (!filesystem.rename(mtmp, mp))
+        throw new RuntimeException(s"failed to finalize staged manifest for $ref")
       id
     } finally {
       filesystem.delete(tmp, true)
@@ -473,9 +484,22 @@ final class Warehouse(spark: SparkSession, val root: String,
         val keep = versions.takeRight(keepVersions)
         // staged (write-audit-publish) batches are live state awaiting
         // their audit: their files are referenced by no version yet but
-        // must survive maintenance
-        val stagedLive = stagedIds(ref)
-          .flatMap(id => parseLogEntries(stagedManifestPath(ref, id))._2)
+        // must survive maintenance. They have no lease, so a crashed or
+        // abandoned audit pins its files against vacuum FOREVER — warn
+        // once a manifest outlives any plausible audit so the operator
+        // inspects it (readStaged) and publishes or discards it.
+        val stagedStaleMs = 7L * 24 * 3600 * 1000
+        val stagedLive = stagedIds(ref).flatMap { id =>
+          val mp = stagedManifestPath(ref, id)
+          val ageMs = System.currentTimeMillis() -
+            filesystem.getFileStatus(mp).getModificationTime
+          if (ageMs > stagedStaleMs)
+            System.err.println(s"[warehouse] vacuum($ref): staged batch " +
+              s"'$id' has awaited audit for ${ageMs / 86400000L} days and " +
+              "pins its files against maintenance — publishStaged or " +
+              "discardStaged it")
+          parseLogEntries(mp)._2
+        }
         val keepFiles = (keep.flatMap(v => snapshotAt(ref, v).files) ++
           stagedLive).toSet
         val base = filesystem.makeQualified(tablePath).toUri.getPath
