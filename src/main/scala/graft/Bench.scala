@@ -256,9 +256,16 @@ object Bench {
       if (k.endsWith(".fixtures")) "other:*.fixtures"
       else if (k.contains(".")) s"other:${k.takeWhile(_ != '.')}.*"
       else "other"
-    val folded = phasesTop.drop(14)
+    val foldedAll = phasesTop.drop(14)
       .groupMapReduce { case (k, _) => family(k) } { case (_, v) => v }(_ + _)
       .toSeq.sortBy { case (k, v) => (-v, k) }
+    // families under 2 s re-fold into one terminal bucket: they'd eat
+    // the line budget the per-query section needs, and a sub-2s family
+    // needs no attribution
+    val (foldedBig, foldedSmall) = foldedAll.partition(_._2 >= 2.0)
+    val folded = foldedBig ++
+      (if (foldedSmall.nonEmpty)
+         Seq("other" -> foldedSmall.map(_._2).sum) else Nil)
     val phases = (phasesTop.take(14)
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) } ++
       folded.map { case (k, v) => "\"" + k + "\":" + jnum(v) })
