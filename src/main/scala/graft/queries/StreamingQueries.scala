@@ -561,7 +561,89 @@ object StreamingQueries {
       |FROM events
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1""".stripMargin
 
+  /** Streaming CDC ingest + per-batch incremental AGGREGATE MV
+    * maintenance (EventStreams.aggMvStream): events replay as a 4-file
+    * CDC stream (latest-per-user silver), and after every micro-batch
+    * the per-event-type gold aggregate refreshes from exactly that
+    * batch's change feed — COUNT/SUM deltas, no base rescan, group
+    * moves (a user's latest event changing type) retract from the old
+    * group and add to the new. The oracle recomputes the aggregate
+    * over the batch-derived final state: streaming MV maintenance ≡
+    * full recompute across every batch boundary is what the gate
+    * proves. cents = floor(value·100): IEEE multiply then floor is
+    * bit-identical in both engines (round would diverge at halves).
+    */
+  def qStreamAggMv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    // fixture: the event stream split into 4 WEEKLY replay files —
+    // cross-batch arrival is ts-monotone (the shape a real CDC replay
+    // has), because the underlying merge preserves the reference's
+    // stale-row INSERT quirk (Merge.scala J1): a source row older than
+    // the target's current ts fails the match and inserts as a
+    // duplicate, so an out-of-time-order split would corrupt
+    // latest-per-key. Within a batch, per-user disorder is fine (the
+    // batch reduce resolves it).
+    val streamDir = graft.util.Scratch.once(spark, dir, "stream.aggmv.fixtures") {
+      val base = java.nio.file.Files.createTempDirectory("graft-stream-aggmv")
+      val in = base.resolve("in")
+      java.nio.file.Files.createDirectory(in)
+      val ev = graft.Tables.load(spark, dir, "events")
+        .select($"user_id", $"ts", $"event_type",
+          floor($"value" * 100).cast("long").as("cents"))
+      val weeks = Seq(
+        $"ts" < "2024-01-08",
+        $"ts" >= "2024-01-08" && $"ts" < "2024-01-15",
+        $"ts" >= "2024-01-15" && $"ts" < "2024-01-22",
+        $"ts" >= "2024-01-22")
+      val t0 = System.currentTimeMillis() - 60000
+      weeks.zipWithIndex.foreach { case (wk, i) =>
+        val tmp = base.resolve(s"b${i}_tmp").toString
+        ev.filter(wk)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = in.resolve(s"b$i.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+      }
+      in.toString
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-aggmv-wh").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val silver = TableRef("silver", "stream", "user_latest")
+    val gold = TableRef("gold", "stream", "type_stats")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+    val query = EventStreams.aggMvStream(stream, wh, silver, gold,
+      key = "user_id", tsField = "ts", groupKeys = Seq("event_type"),
+      aggs = Seq(
+        graft.gold.Views.AggSpec("n_users", "count"),
+        graft.gold.Views.AggSpec("cents_total", "sum", "cents")),
+      checkpointDir = s"$base/chk")
+    graft.util.PhaseTimer.time("stream.aggmv.replay") {
+      query.awaitTermination()
+    }
+    EventStreams.recordReplayPhases("stream.aggmv.replay", query)
+    wh.read(gold)
+  }
+
+  val qStreamAggMvSql: String =
+    """WITH latest AS (
+      |  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events
+      |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) = 1)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+      |       CAST(sum(cents) AS BIGINT) AS cents_total
+      |FROM latest GROUP BY event_type""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_stream_agg_mv" -> (qStreamAggMv _),
     "q_stream_cdc" -> (qStreamCdc _),
     "q_stream_window" -> (qStreamWindow _),
     "q_session_window" -> (qSessionWindow _),
@@ -576,6 +658,7 @@ object StreamingQueries {
     "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_agg_mv" -> qStreamAggMvSql,
     "q_stream_cdc" -> qStreamCdcSql,
     "q_stream_window" -> qStreamWindowSql,
     "q_session_window" -> qSessionWindowSql,

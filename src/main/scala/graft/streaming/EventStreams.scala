@@ -384,4 +384,70 @@ object EventStreams {
       }
       .start()
   }
+
+  /** Streaming CDC ingest WITH gold-layer maintenance: each micro-batch
+    * (1) reduces to latest-per-key and merges into the silver table
+    * (the [[cdcStream]] shape), then (2) refreshes an AGGREGATE
+    * materialized view from exactly the silver versions this batch
+    * produced ([[graft.gold.Views.refreshIncrementalAgg]] — COUNT/SUM
+    * deltas off the change feed, no base rescan). The gold view is
+    * therefore consistent with silver after EVERY batch, not on a
+    * nightly recompute — the medallion freshness the reference's DLT
+    * setup gestures at (/root/reference/Pipelines/Test/transformations/
+    * test.sql:1-15), done incrementally at stream cadence. The first
+    * batch CTAS-bootstraps the view.
+    *
+    * Scale shape: the per-batch cost is O(batch + touched groups) —
+    * the silver merge is file-pruned, the feed diffs only the batch's
+    * commits, and the refresh writes only changed view partitions. A
+    * 100 TB silver table with a million-row batch never rescans.
+    *
+    * Caller contract: arrivals must be ts-monotone per key ACROSS
+    * batches (within-batch disorder is fine — the batch reduce
+    * resolves it). The underlying merge preserves the reference's
+    * stale-row insert quirk (Merge.scala J1): a source row older than
+    * the target's current ts INSERTS as a duplicate instead of being
+    * ignored, so an out-of-order replay corrupts latest-per-key.
+    * Production CDC replays (log offsets, time-ordered files) satisfy
+    * this naturally.
+    */
+  def aggMvStream(stream: DataFrame, warehouse: Warehouse,
+                  silverRef: TableRef, viewRef: TableRef,
+                  key: String, tsField: String,
+                  groupKeys: Seq[String],
+                  aggs: Seq[graft.gold.Views.AggSpec],
+                  checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    val mergeTable = new MergeTable(stream.sparkSession, warehouse,
+      silverRef, Seq(key), Some(tsField))
+    stream.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val since = warehouse.currentVersion(silverRef)
+          val w = Window.partitionBy(col(key)).orderBy(col(tsField).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          graft.util.PhaseTimer.time("stream.aggmv.merge") {
+            mergeTable.upsert(latest)
+          }
+          graft.util.PhaseTimer.time("stream.aggmv.refresh") {
+            since match {
+              case None =>
+                graft.gold.Views.materializeAgg(spark, warehouse, viewRef,
+                  silverRef, groupKeys, aggs)
+              case Some(v) =>
+                graft.gold.Views.refreshIncrementalAgg(spark, warehouse,
+                  viewRef, silverRef, v, groupKeys, aggs, Seq(key))
+                ()
+            }
+          }
+        }
+      }
+      .start()
+  }
 }
