@@ -214,13 +214,35 @@ object Views {
     }
     val needsMM = aggs.exists(a => a.func == "min" || a.func == "max")
     val countOut = aggs.find(_.func == "count").get.out
+    // Single-column group keys additionally FILE-PRUNE the view and
+    // base scans by the deltas' key range (one 1-row driver agg off the
+    // checkpointed deltas): at 1e9 groups a 100-group delta must not
+    // read the whole view, let alone shuffle it. readPruned falls back
+    // to a full scan when the table has no manifest for the column;
+    // a delta batch containing a NULL group key disables the prune
+    // (file stats describe non-null values only, so a range could
+    // wrongly drop the file holding the null group's current row).
+    def pruned(ref: TableRef,
+               reader: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      groupKeys match {
+        case Seq(k) =>
+          val b = deltas.agg(min(col(k)), max(col(k)),
+            count(lit(1)) - count(col(k))).head()
+          if (b.isNullAt(0) || b.getLong(2) > 0) reader
+          else warehouse.readPruned(ref, k, b.get(0), b.get(1))
+        case _ => reader
+      }
     val replacement = time("mvagg.plan") {
       val mergeable =
         if (needsMM) deltas.filter(col("__retract") === 0) else deltas
-      val curView = warehouse.read(viewRef)
+      val curView = pruned(viewRef, warehouse.read(viewRef))
+      // null-safe join: a NULL group key is a legitimate group and must
+      // find its current view row (usingColumns equality would not)
+      val joinCond = groupKeys.map(k => col(s"d.$k") <=> col(s"c.$k"))
+        .reduce(_ && _)
       val merged = mergeable.as("d")
-        .join(curView.as("c"), groupKeys, "left")
-        .select(groupKeys.map(col) ++ aggs.map { a =>
+        .join(curView.as("c"), joinCond, "left")
+        .select(groupKeys.map(k => col(s"d.$k").as(k)) ++ aggs.map { a =>
           val (c, d) = (col(s"c.${a.out}"), col(s"d.${a.out}"))
           (a.func match {
             case "count" | "sum" => coalesce(c + d, d)
@@ -236,7 +258,7 @@ object Views {
         val dirty = deltas.filter(col("__retract") === 1)
           .select(groupKeys.map(col): _*)
         val recomputed = aggPlan(
-          warehouse.read(baseRef)
+          pruned(baseRef, warehouse.read(baseRef))
             .join(broadcast(dirty), groupKeys, "left_semi"),
           groupKeys, aggs)
         merged.unionByName(recomputed)
