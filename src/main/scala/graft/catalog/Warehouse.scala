@@ -239,21 +239,80 @@ final class Warehouse(spark: SparkSession, val root: String,
     * rename: readers see the previous complete version or this one.
     */
   private def commitLocked(ref: TableRef, schemaJson: String,
-                           files: Seq[String]): Long = {
+                           files: Seq[String],
+                           meta: Map[String, String] = Map.empty): Long = {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
     filesystem.mkdirs(dir)
+    meta.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\t' || c == '\n' || c == '=') &&
+        !v.exists(c => c == '\t' || c == '\n'),
+        s"commit meta keys/values must be single-line, '=':free key: $k=$v")
+    }
     val next = currentVersion(ref).getOrElse(0L) + 1L
     val tmp = new Path(dir, f".v$next%08d.tmp")
     val out = filesystem.create(tmp, true)
     try out.write(
-      (s"schema\t$schemaJson\n" + files.map(f => s"file\t$f\n").mkString)
+      (s"schema\t$schemaJson\n" + files.map(f => s"file\t$f\n").mkString +
+        meta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val live = versionFilePath(ref, next)
     if (!filesystem.rename(tmp, live))
       throw new RuntimeException(s"failed to commit version $next for $ref")
     next
+  }
+
+  /** Application metadata carried by a version commit (`meta\tk=v`
+    * lines — e.g. an MV refresher records the base version its output
+    * reflects ATOMICALLY with the data commit, which is what makes a
+    * non-idempotent incremental refresh crash-safe). Older readers
+    * ignore the lines (unknown log entry kinds are skipped).
+    */
+  def commitMeta(ref: TableRef, version: Long): Map[String, String] = {
+    val p = versionFilePath(ref, version)
+    val in = fs(p).open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.collect {
+      case l if l.startsWith("meta\t") =>
+        val kv = l.stripPrefix("meta\t")
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+  }
+
+  /** Pure-metadata commit: the current version's schema and file list
+    * re-committed with `meta` attached — zero data movement (the same
+    * shape as RESTORE's log append). Lets an incremental refresher
+    * advance its reflected-version marker when a feed produced no
+    * deltas (e.g. the base was only compacted), so the next refresh
+    * diffs a bounded version range instead of an ever-growing one.
+    */
+  def commitMetaOnly(ref: TableRef, meta: Map[String, String]): Long =
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+        s"$ref has no committed version to re-commit meta onto"))
+      commitLocked(ref, snap.schemaJson, snap.files, meta)
+    }
+
+  /** Newest committed value of a meta key, walking versions backward
+    * (commits by OTHER writers — compaction, vacuum's log rewrite — do
+    * not carry application meta, so the latest version may not have
+    * it). O(log length) file reads in the worst case; logs stay short
+    * under vacuum's version pruning.
+    */
+  def latestCommitMeta(ref: TableRef, key: String): Option[String] = {
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) return None
+    filesystem.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.length == 9 && n.startsWith("v") &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+      .sorted.reverseIterator
+      .map(v => commitMeta(ref, v).get(key))
+      .collectFirst { case Some(v) => v }
   }
 
   /** Adopt a logless directory into the log (first [[replaceDataFiles]]
@@ -673,7 +732,8 @@ final class Warehouse(spark: SparkSession, val root: String,
                 statsColumns: Seq[String] = Nil,
                 staticPartitions: Seq[(String, String)] = Nil,
                 onlyIfAbsent: Boolean = false,
-                expectedVersion: Option[Long] = None): Unit = {
+                expectedVersion: Option[Long] = None,
+                meta: Map[String, String] = Map.empty): Unit = {
     require(partitionBy.isEmpty || staticPartitions.isEmpty,
       "partitionBy and staticPartitions are mutually exclusive")
     staticPartitions.foreach { case (k, _) =>
@@ -732,7 +792,7 @@ final class Warehouse(spark: SparkSession, val root: String,
           throw new RuntimeException(s"failed to move staged bootstrap into $ref")
         // crash between rename and commit leaves a COMPLETE logless
         // dir: plain reads see all rows, the next writer adopts it
-        commitLocked(ref, df.schema.json, rels)
+        commitLocked(ref, df.schema.json, rels, meta)
         if (statsColumns.nonEmpty) registerStatsAt(path(ref))
         else TableStatsRegistry.invalidate(path(ref))
       } else {
@@ -746,7 +806,7 @@ final class Warehouse(spark: SparkSession, val root: String,
           if (!filesystem.rename(f, dest))
             throw new RuntimeException(s"failed to move $r into $ref")
         }
-        commitLocked(ref, df.schema.json, rels)
+        commitLocked(ref, df.schema.json, rels, meta)
         // manifest follows the commit; a crash in between leaves a stale
         // manifest, which pruning tolerates by construction (entries for
         // retired files never match the live list, unknown files are kept)
@@ -1118,7 +1178,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def replaceDataFiles(ref: TableRef, replaced: Seq[String],
                        replacement: DataFrame,
-                       subdir: Option[String] = None): Unit = withWriterLock(ref) {
+                       subdir: Option[String] = None,
+                       meta: Map[String, String] = Map.empty): Unit = withWriterLock(ref) {
     recoverLocked(ref)
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
@@ -1192,7 +1253,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       // vacuum. Schema carried forward: file replacement never changes it.
       val replacedSet = replacedRels.toSet
       commitLocked(ref, snap.schemaJson,
-        snap.files.filterNot(replacedSet.contains) ++ adds)
+        snap.files.filterNot(replacedSet.contains) ++ adds, meta)
       manifestTmp.foreach { tmp =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)

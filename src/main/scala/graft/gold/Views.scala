@@ -96,7 +96,8 @@ object Views {
     }
     time("mvrefresh.replace") {
       new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
-        .replacePartitions(affected, recomputed)
+        .replacePartitions(affected, recomputed,
+          meta = Map(BaseVersionMeta -> cur.toString))
     }
     // the replace is committed — the affected-keys checkpoint is dead;
     // without this every refresh leaked its blocks for the JVM's life
@@ -131,18 +132,54 @@ object Views {
       .agg(aggColumn(aggs.head), aggs.tail.map(aggColumn): _*)
   }
 
+  /** The commit-meta key recording which base version an MV's contents
+    * reflect. Written ATOMICALLY with every materialize/refresh commit —
+    * the property that makes the non-idempotent delta refresh
+    * crash-safe: a replayed batch reads the marker back and re-covers
+    * exactly the missed feed (or no-ops if the refresh had committed).
+    */
+  val BaseVersionMeta = "mv.base_version"
+
   /** CTAS an aggregate MV (`SELECT keys, agg(...) GROUP BY keys`) —
     * the declaration [[refreshIncrementalAgg]] later maintains. The
     * spec list IS the view definition: keeping it structured (instead
     * of SQL) is what lets the refresher derive the delta-merge
-    * arithmetic per column.
+    * arithmetic per column. Returns the pinned base version the view
+    * reflects (also recorded in the commit meta).
     */
   def materializeAgg(spark: SparkSession, warehouse: Warehouse,
                      viewRef: TableRef, baseRef: TableRef,
-                     groupKeys: Seq[String], aggs: Seq[AggSpec]): Unit = {
+                     groupKeys: Seq[String], aggs: Seq[AggSpec]): Long = {
     validate(groupKeys, aggs)
+    val v = warehouse.currentVersion(baseRef).getOrElse(
+      throw new IllegalArgumentException(s"$baseRef has no committed version"))
+    // CTAS from the PINNED version the marker claims, not whatever is
+    // current at scan time — a base commit racing the build would
+    // otherwise leave contents ahead of the recorded version and the
+    // next incremental refresh would double-apply its feed
     warehouse.overwrite(viewRef,
-      aggPlan(warehouse.read(baseRef), groupKeys, aggs))
+      aggPlan(warehouse.readVersion(baseRef, v), groupKeys, aggs),
+      meta = Map(BaseVersionMeta -> v.toString))
+    v
+  }
+
+  /** [[refreshIncrementalAgg]] with `sinceVersion` read from the
+    * view's own commit meta — the crash-safe form a streaming loop
+    * uses: the marker travels atomically with each refresh commit, so
+    * a batch replayed after a crash re-covers exactly the feed the
+    * view is missing, and a replay of an already-refreshed batch
+    * no-ops.
+    */
+  def refreshIncrementalAggAuto(spark: SparkSession, warehouse: Warehouse,
+                                viewRef: TableRef, baseRef: TableRef,
+                                groupKeys: Seq[String], aggs: Seq[AggSpec],
+                                baseKeys: Seq[String]): Long = {
+    val since = warehouse.latestCommitMeta(viewRef, BaseVersionMeta).getOrElse(
+      throw new IllegalArgumentException(
+        s"$viewRef carries no $BaseVersionMeta commit meta — materialize " +
+          "it with materializeAgg first")).toLong
+    refreshIncrementalAgg(spark, warehouse, viewRef, baseRef, since,
+      groupKeys, aggs, baseKeys)
   }
 
   private def validate(groupKeys: Seq[String], aggs: Seq[AggSpec]): Unit = {
@@ -266,8 +303,16 @@ object Views {
     }
     val affected = deltas.select(groupKeys.map(col): _*)
     time("mvagg.replace") {
-      new graft.sinks.MergeTable(spark, warehouse, viewRef, groupKeys, None)
-        .replacePartitions(affected, replacement)
+      if (deltas.isEmpty)
+        // all feed rows cancelled (e.g. the base was only compacted):
+        // no data to replace, but the marker must still advance or a
+        // streaming loop would re-diff an ever-growing version range
+        warehouse.commitMetaOnly(viewRef,
+          Map(BaseVersionMeta -> cur.toString))
+      else
+        new graft.sinks.MergeTable(spark, warehouse, viewRef, groupKeys, None)
+          .replacePartitions(affected, replacement,
+            meta = Map(BaseVersionMeta -> cur.toString))
     }
     graft.util.Scratch.release(deltas)
     cur

@@ -185,8 +185,9 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     * rows are deleted or move partitions. Null-safe on the keys, and
     * retried like [[upsert]] on writer conflicts.
     */
-  def replacePartitions(partitionKeys: DataFrame, replacement: DataFrame): Unit =
-    retryOnConflict(replacePartitionsOnce(partitionKeys, replacement))
+  def replacePartitions(partitionKeys: DataFrame, replacement: DataFrame,
+                        meta: Map[String, String] = Map.empty): Unit =
+    retryOnConflict(replacePartitionsOnce(partitionKeys, replacement, meta))
 
   /** Bounded retry on writer conflicts. A
     * [[graft.catalog.ConcurrentWriteException]] from the warehouse means
@@ -216,10 +217,11 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
   }
 
   private def replacePartitionsOnce(partitionKeys: DataFrame,
-                                    replacement: DataFrame): Unit = {
+                                    replacement: DataFrame,
+                                    meta: Map[String, String] = Map.empty): Unit = {
     if (!warehouse.exists(ref)) {
       warehouse.overwrite(ref, replacement, statsColumns = bootstrapStats,
-        onlyIfAbsent = true)
+        onlyIfAbsent = true, meta = meta)
       return
     }
     warehouse.recover(ref)
@@ -252,7 +254,7 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           else dropAffected(spark.read
               .option("basePath", warehouse.path(ref)).parquet(touched: _*))
             .unionByName(replacement)
-        warehouse.replaceDataFiles(ref, touched, rewritten)
+        warehouse.replaceDataFiles(ref, touched, rewritten, meta = meta)
       case _ =>
         // no manifest (or every file may overlap): full rewrite — and
         // write key stats so the next refresh can prune
@@ -261,7 +263,7 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           else warehouse.statColumns(ref)
         warehouse.overwrite(ref,
           dropAffected(warehouse.read(ref)).unionByName(replacement),
-          statsColumns = statCols, expectedVersion = baseVersion)
+          statsColumns = statCols, expectedVersion = baseVersion, meta = meta)
     }
   }
 

@@ -427,7 +427,6 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val since = warehouse.currentVersion(silverRef)
           val w = Window.partitionBy(col(key)).orderBy(col(tsField).desc)
           val latest = batch
             .withColumn("__rn", row_number().over(w))
@@ -435,16 +434,27 @@ object EventStreams {
           graft.util.PhaseTimer.time("stream.aggmv.merge") {
             mergeTable.upsert(latest)
           }
+          // The refresh's sinceVersion comes from the VIEW's own commit
+          // meta, never from this batch's pre-upsert observation: a
+          // crash between the silver merge and the view refresh would
+          // otherwise lose this batch's deltas forever (the replayed
+          // upsert is a no-change merge → empty feed), and a crash
+          // after the refresh would double-apply them. The marker
+          // travels atomically with each refresh commit, so replays
+          // re-cover exactly the missing feed or no-op.
           graft.util.PhaseTimer.time("stream.aggmv.refresh") {
-            since match {
-              case None =>
-                graft.gold.Views.materializeAgg(spark, warehouse, viewRef,
-                  silverRef, groupKeys, aggs)
-              case Some(v) =>
-                graft.gold.Views.refreshIncrementalAgg(spark, warehouse,
-                  viewRef, silverRef, v, groupKeys, aggs, Seq(key))
-                ()
-            }
+            // bootstrap keys off the VIEW, not this batch's pre-upsert
+            // silver state: a crash between the first upsert and the
+            // CTAS replays with silver populated but no view — that
+            // replay must still CTAS (pinned at current silver, marker
+            // stamped), not attempt a meta-less refresh
+            if (warehouse.currentVersion(viewRef).isEmpty)
+              graft.gold.Views.materializeAgg(spark, warehouse, viewRef,
+                silverRef, groupKeys, aggs)
+            else
+              graft.gold.Views.refreshIncrementalAggAuto(spark, warehouse,
+                viewRef, silverRef, groupKeys, aggs, Seq(key))
+            ()
           }
         }
       }

@@ -138,4 +138,41 @@ class ViewsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("count"))
   }
+
+  test("auto-since aggregate refresh is crash-safe: missed feed re-covered, completed refresh no-ops") {
+    import spark.implicits._
+    import Views.AggSpec
+    val wh = new Warehouse(spark, tmpDir("wh-gagg-auto"))
+    val base = TableRef("silver", "g", "ledger")
+    val gold = TableRef("gold", "g", "ledger_totals")
+    val specs = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "cents"))
+    val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("id"), None)
+    mt.upsert(Seq((1L, 10L, 100L), (2L, 20L, 50L)).toDF("id", "k", "cents"))
+    val v1 = Views.materializeAgg(spark, wh, gold, base, Seq("k"), specs)
+    assert(wh.latestCommitMeta(gold, Views.BaseVersionMeta) === Some(v1.toString))
+    // crash scenario: the silver merge landed but the refresh never ran
+    mt.upsert(Seq((3L, 10L, 25L)).toDF("id", "k", "cents"))
+    // the replayed upsert is a no-change merge — an empty feed for any
+    // refresh keyed off the pre-upsert version; the auto path reads the
+    // view's marker instead and re-covers the missed commits
+    mt.upsert(Seq((3L, 10L, 25L)).toDF("id", "k", "cents"))
+    Views.refreshIncrementalAggAuto(spark, wh, gold, base, Seq("k"), specs, Seq("id"))
+    def read() = wh.read(gold).as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(read() === Seq((10L, 2L, 125L), (20L, 1L, 50L)))
+    // replay of an already-completed refresh: marker says up to date → no-op
+    val cur = wh.currentVersion(base).get
+    assert(Views.refreshIncrementalAggAuto(spark, wh, gold, base,
+      Seq("k"), specs, Seq("id")) === cur)
+    assert(read() === Seq((10L, 2L, 125L), (20L, 1L, 50L)))
+    // an all-cancelled feed (base compaction rewrites bytes, not rows)
+    // must still advance the marker via a pure-metadata commit, or a
+    // long-running loop re-diffs an ever-growing version range
+    wh.compact(base, smallFileBytes = 1L << 30)
+    val cur2 = wh.currentVersion(base).get
+    assert(cur2 > cur)
+    assert(Views.refreshIncrementalAggAuto(spark, wh, gold, base,
+      Seq("k"), specs, Seq("id")) === cur2)
+    assert(wh.latestCommitMeta(gold, Views.BaseVersionMeta) === Some(cur2.toString))
+    assert(read() === Seq((10L, 2L, 125L), (20L, 1L, 50L)))
+  }
 }
