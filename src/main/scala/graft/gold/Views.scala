@@ -157,8 +157,20 @@ object Views {
     // current at scan time — a base commit racing the build would
     // otherwise leave contents ahead of the recorded version and the
     // next incremental refresh would double-apply its feed
-    warehouse.overwrite(viewRef,
-      aggPlan(warehouse.readVersion(baseRef, v), groupKeys, aggs),
+    // group-key stats + range clustering from the first write:
+    // refreshIncrementalAgg's readPruned(view) needs a manifest to
+    // skip files, and skipping only bites when per-file key intervals
+    // are disjoint — a hash-shuffled aggregate output overlaps every
+    // file with every range. (Refresh deltas are small and overlap by
+    // nature; compaction folds them back into the clustered body.)
+    val plan = aggPlan(warehouse.readVersion(baseRef, v), groupKeys, aggs)
+    val clustered = groupKeys match {
+      case Seq(k) => plan.repartitionByRange(
+        org.apache.spark.sql.functions.col(k))
+      case _ => plan
+    }
+    warehouse.overwrite(viewRef, clustered,
+      statsColumns = groupKeys,
       meta = Map(BaseVersionMeta -> v.toString))
     v
   }
