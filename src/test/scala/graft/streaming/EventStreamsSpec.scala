@@ -385,4 +385,61 @@ class EventStreamsSpec extends SparkSpec {
     assert(after2(1L) === 3.0)
     assert(after2(3L) === 7.0)
   }
+
+  test("aggMvStream: gold stays consistent per batch and a restarted stream resumes from the checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("aggmv-spec")
+    val in = base.resolve("in")
+    java.nio.file.Files.createDirectory(in)
+    val wh = new Warehouse(spark, base.resolve("wh").toString)
+    val silver = TableRef("silver", "s", "users")
+    val gold = TableRef("gold", "s", "type_stats")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("cents", LongType)))
+    val aggs = Seq(
+      graft.gold.Views.AggSpec("n", "count"),
+      graft.gold.Views.AggSpec("total", "sum", "cents"))
+    def writeFile(name: String, rows: Seq[(Long, Timestamp, String, Long)], mtime: Long): Unit = {
+      val tmp = base.resolve(name + "_tmp").toString
+      rows.toDF("user_id", "ts", "event_type", "cents")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = in.resolve(name + ".parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      val q = EventStreams.aggMvStream(stream, wh, silver, gold,
+        "user_id", "ts", Seq("event_type"), aggs, base.resolve("chk").toString)
+      q.awaitTermination()
+    }
+    def view() = wh.read(gold).as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val t0 = System.currentTimeMillis() - 60000
+    // run 1: two batches — u1 lands as a click, then flips to a view
+    // (group move: retract from click, add to view)
+    writeFile("b0", Seq((1L, ts("2026-01-01 10:00:00"), "click", 100L),
+      (2L, ts("2026-01-01 10:00:00"), "click", 50L)), t0)
+    writeFile("b1", Seq((1L, ts("2026-01-01 11:00:00"), "view", 70L)), t0 + 10000)
+    run()
+    assert(view() === Seq(("click", 1L, 50L), ("view", 1L, 70L)))
+    // run 2: the SAME checkpoint picks up only the new file; the
+    // view's commit marker carries sinceVersion across the restart
+    writeFile("b2", Seq((2L, ts("2026-01-01 12:00:00"), "purchase", 10L),
+      (3L, ts("2026-01-01 12:00:00"), "click", 5L)), t0 + 20000)
+    run()
+    assert(view() === Seq(("click", 1L, 5L), ("purchase", 1L, 10L), ("view", 1L, 70L)))
+    // gold ≡ full recompute over the final silver, every restart included
+    val recomputed = wh.read(silver).groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("cents").as("total"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(view() === recomputed)
+  }
 }
