@@ -519,6 +519,89 @@ final class Warehouse(spark: SparkSession, val root: String,
     removed
   }
 
+  /** Atomically publish staged WAP batches across MULTIPLE tables —
+    * the medallion case where silver and its gold views must land
+    * together: every entry's audit passed, so either all of them
+    * become their table's next version or (after a crash) the
+    * remainder completes on the next publish/recovery. All-or-nothing
+    * DURABILITY via a write-ahead intent journal + idempotent
+    * roll-forward, NOT isolation: a reader between a mid-publish crash
+    * and its recovery can observe some tables already published —
+    * what it can never observe is a permanently half-published batch.
+    * (Cross-table snapshot isolation would need a catalog-level
+    * version manifest; per-table snapshot isolation is unaffected.)
+    */
+  def publishAtomicStaged(entries: Seq[(TableRef, String)]): Unit = {
+    require(entries.nonEmpty, "publishAtomicStaged needs at least one entry")
+    // a missing manifest AFTER the journal lands means 'already
+    // published by a crashed attempt of this journal' — so it must
+    // mean something different BEFORE: validate loudly now
+    entries.foreach { case (ref, id) =>
+      val mp = stagedManifestPath(ref, id)
+      require(fs(mp).exists(mp),
+        s"$ref has no staged batch '$id' (published or discarded?); " +
+          s"staged = ${stagedIds(ref).mkString(",")}")
+    }
+    recoverStagedPublishes() // heal any predecessor's crashed publish first
+    val dir = publishWalDir
+    val filesystem = fs(dir)
+    filesystem.mkdirs(dir)
+    val id = java.util.UUID.randomUUID().toString.take(12)
+    val tmp = new Path(dir, s".publish-$id.tmp")
+    val out = filesystem.create(tmp, true)
+    try out.write(entries.map { case (r, sid) => s"entry\t$r\t$sid\n" }
+      .mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val live = new Path(dir, s"publish-$id")
+    if (!filesystem.rename(tmp, live))
+      throw new RuntimeException(s"failed to journal atomic publish $id")
+    // the journal IS the commit point: from here the publish completes,
+    // in this call or in whichever recovery runs after a crash
+    rollForwardPublish(live)
+  }
+
+  /** Complete every crashed [[publishAtomicStaged]] found in the
+    * journal dir (idempotent; entries whose staged manifest is gone
+    * were already published). Run on writer startup — also invoked at
+    * the head of every new atomic publish. Returns journals healed.
+    */
+  def recoverStagedPublishes(): Int = {
+    val dir = publishWalDir
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) return 0
+    val pending = filesystem.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("publish-"))
+    pending.foreach(rollForwardPublish)
+    pending.length
+  }
+
+  private def publishWalDir = new Path(s"$root/_graft_wal")
+
+  private def rollForwardPublish(journal: Path): Unit = {
+    val filesystem = fs(journal)
+    if (!filesystem.exists(journal)) return // raced another recoverer
+    val in = filesystem.open(journal)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).foreach { l =>
+      l.split("\t", 3) match {
+        case Array("entry", refStr, sid) =>
+          val ref = TableRef.parse(refStr)
+          val mp = stagedManifestPath(ref, sid)
+          if (filesystem.exists(mp))
+            try publishStaged(ref, sid)
+            catch {
+              // a concurrent recoverer published between our exists
+              // check and the call — exactly the idempotent-skip case
+              case _: IllegalArgumentException if !filesystem.exists(mp) => ()
+            }
+        case _ => // forward-compat: unknown journal entry kinds skipped
+      }
+    }
+    filesystem.delete(journal, false)
+    ()
+  }
+
   /** Delete data files retired from the newest `keepVersions` versions
     * and prune their commit entries — the only operation that ever
     * deletes committed data. Operational contract (same as Delta's

@@ -230,6 +230,15 @@ object Views {
     * association order than a full recompute — use integer-typed
     * measures (e.g. bigint cents) where bit-equality matters.
     * Returns the base version the view now reflects.
+    *
+    * Concurrency contract: ONE refresher per view. The writer lock and
+    * the conflict retry keep concurrent commits physically safe, but a
+    * second refresher that planned against the same marker re-applies
+    * the same deltas on top of the first's committed result — delta
+    * merge is not idempotent. Serialize refreshes per view (the
+    * streaming loop does so naturally; a batch backfill must not race
+    * it) — the same semantic-serialization contract Delta documents
+    * for concurrent MERGE.
     */
   def refreshIncrementalAgg(spark: SparkSession, warehouse: Warehouse,
                             viewRef: TableRef, baseRef: TableRef,

@@ -519,6 +519,55 @@ object PipelineQueries {
       |       true AS bad_batch_rejected, true AS good_batch_clean
       |FROM orders""".stripMargin
 
+  /** ATOMIC multi-table write-audit-publish: silver and its dependent
+    * gold aggregate stage independently, audit, then land as ONE unit
+    * through the intent-journal roll-forward
+    * ([[graft.catalog.Warehouse.publishAtomicStaged]]) — the medallion
+    * case where a reader must never be left with a permanently
+    * half-published (new silver, stale gold) pair after a crash. The
+    * result joins the published gold against a re-aggregation of the
+    * published silver: if EITHER table were still its bootstrap
+    * (half-publish), counts and sums split and the value check fails.
+    */
+  def qWapAtomic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-wapatomic").toString
+    val wh = new Warehouse(spark, s"$base/warehouse")
+    val silver = TableRef("silver", "facts", "orders_atomic")
+    val gold = TableRef("gold", "facts", "order_counts_atomic")
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    def aggOf(df: DataFrame) = df.groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents_total"))
+    graft.util.PhaseTimer.time("wapatomic.cycle") {
+      // bootstrap: a half-sized silver and ITS matching gold
+      val bootstrap = orders.filter($"o_orderkey" % 2 === 1)
+      wh.overwrite(silver, bootstrap)
+      wh.overwrite(gold, aggOf(bootstrap))
+      // stage the full refresh of both; audit; publish as one unit
+      val sId = wh.stageOverwrite(silver, orders)
+      val gId = wh.stageOverwrite(gold, aggOf(orders))
+      val consistent = wh.readStaged(gold, gId)
+        .agg(sum($"n_orders")).as[Long].head() ==
+        wh.readStaged(silver, sId).count()
+      require(consistent, "staged gold disagrees with staged silver")
+      wh.publishAtomicStaged(Seq(silver -> sId, gold -> gId))
+    }
+    wh.read(gold).as("g")
+      .join(aggOf(wh.read(silver)).as("s"), Seq("o_custkey"))
+      .select($"o_custkey", col("g.n_orders").as("n_orders"),
+        col("g.cents_total").as("cents_total"),
+        col("s.n_orders").as("n_check"))
+  }
+
+  val qWapAtomicSql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS cents_total,
+      |       CAST(count(*) AS BIGINT) AS n_check
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   /** Delta RESTORE end-to-end: bootstrap v1 with every order, then
     * damage the table twice — a merge-upsert that bumps even-key
     * prices, then a row-level delete of the %7=3 keys — and roll back
@@ -946,6 +995,7 @@ object PipelineQueries {
     "q_time_travel" -> (qTimeTravel _),
     "q_restore" -> (qRestore _),
     "q_wap_publish" -> (qWapPublish _),
+    "q_wap_atomic" -> (qWapAtomic _),
     "q_change_feed" -> (qChangeFeed _),
     "q_gold_incremental" -> (qGoldIncremental _),
     "q_gold_view" -> (qGoldView _))
@@ -969,6 +1019,7 @@ object PipelineQueries {
     "q_time_travel" -> qTimeTravelSql,
     "q_restore" -> qRestoreSql,
     "q_wap_publish" -> qWapPublishSql,
+    "q_wap_atomic" -> qWapAtomicSql,
     "q_change_feed" -> qChangeFeedSql,
     "q_gold_incremental" -> qGoldIncrementalSql,
     "q_gold_view" -> qGoldViewSql)

@@ -642,4 +642,40 @@ class WarehouseSpec extends SparkSpec {
     assert(pruned.columns.toSet === Set("id", "bucket"))
     assert(pruned.filter($"id" < 10).count() === 10)
   }
+
+  test("atomic multi-table publish: all land together; a crashed half completes by roll-forward") {
+    import spark.implicits._
+    val root = tmpDir("wh-atomic")
+    val wh = new Warehouse(spark, root)
+    val silver = TableRef("silver", "a", "t")
+    val gold = TableRef("gold", "a", "t_view")
+    wh.overwrite(silver, Seq((1L, "old")).toDF("k", "v"))
+    wh.overwrite(gold, Seq((1L, 1L)).toDF("k", "n"))
+    // happy path: both staged batches publish as one unit
+    val s1 = wh.stageOverwrite(silver, Seq((1L, "new"), (2L, "new2")).toDF("k", "v"))
+    val g1 = wh.stageOverwrite(gold, Seq((1L, 1L), (2L, 1L)).toDF("k", "n"))
+    wh.publishAtomicStaged(Seq(silver -> s1, gold -> g1))
+    assert(wh.read(silver).count() === 2)
+    assert(wh.read(gold).count() === 2)
+    assert(wh.stagedIds(silver).isEmpty && wh.stagedIds(gold).isEmpty)
+    // an unknown id is rejected BEFORE any journal is written
+    intercept[IllegalArgumentException] {
+      wh.publishAtomicStaged(Seq(silver -> "nope"))
+    }
+    // crash simulation: journal landed, first table published, crash —
+    // recovery must complete the second and idempotently skip the first
+    val s2 = wh.stageOverwrite(silver, Seq((3L, "x")).toDF("k", "v"))
+    val g2 = wh.stageOverwrite(gold, Seq((3L, 9L)).toDF("k", "n"))
+    wh.publishStaged(silver, s2) // "crashed" after the first entry
+    val wal = new java.io.File(root, "_graft_wal")
+    wal.mkdirs()
+    val j = new java.io.File(wal, "publish-crashtest")
+    val w = new java.io.FileWriter(j)
+    w.write(s"entry\t$silver\t$s2\nentry\t$gold\t$g2\n")
+    w.close()
+    assert(wh.recoverStagedPublishes() === 1)
+    assert(!j.exists())
+    assert(wh.read(silver).as[(Long, String)].collect().toSet === Set((3L, "x")))
+    assert(wh.read(gold).as[(Long, Long)].collect().toSet === Set((3L, 9L)))
+  }
 }
