@@ -191,4 +191,48 @@ class PropertiesSpec extends SparkSpec {
       assert(frames.forall(f => f.width == w && f.height == h))
     }
   }
+
+  test("aggregate IVM: random update/delete/insert sequences keep incremental == full recompute") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    import graft.gold.Views
+    import Views.AggSpec
+    val specs = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "cents"),
+      AggSpec("lo", "min", "cents"), AggSpec("hi", "max", "cents"))
+    for (seed <- 1 to 4) {
+      val rnd = new Random(seed)
+      val wh = new Warehouse(spark, tmpDir(s"wh-ivm-prop-$seed"))
+      val base = TableRef("silver", "p", "rows")
+      val gold = TableRef("gold", "p", "stats")
+      val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("id"), None)
+      var nextId = 0L
+      def freshRows(n: Int): Seq[(Long, Long, Long)] =
+        (0 until n).map { _ =>
+          nextId += 1
+          (nextId, rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong - 200L)
+        }
+      mt.upsert(freshRows(30).toDF("id", "k", "cents"))
+      var since = Views.materializeAgg(spark, wh, gold, base, Seq("k"), specs)
+      for (step <- 1 to 4) {
+        // random mutation mix: re-key/re-price some survivors, delete a
+        // random key class, insert fresh rows (possibly new groups)
+        val survivors = wh.read(base).as[(Long, Long, Long)].collect()
+        val updates = rnd.shuffle(survivors.toSeq).take(survivors.length / 3)
+          .map { case (id, _, _) =>
+            (id, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong - 200L) }
+        if (updates.nonEmpty) mt.upsert(updates.toDF("id", "k", "cents"))
+        wh.deleteWhere(base, $"id" % 7 === (step % 7).toLong)
+        mt.upsert(freshRows(5 + rnd.nextInt(10)).toDF("id", "k", "cents"))
+        since = Views.refreshIncrementalAgg(spark, wh, gold, base, since,
+          Seq("k"), specs, Seq("id"))
+        val incr = wh.read(gold).as[(Long, Long, Long, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+        val full = wh.read(base).groupBy("k")
+          .agg(count(lit(1)).as("n"), sum("cents").as("total"),
+            min("cents").as("lo"), max("cents").as("hi"))
+          .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+        assert(incr === full, s"seed=$seed step=$step")
+      }
+    }
+  }
 }
