@@ -255,7 +255,7 @@ object Bench {
     def family(k: String): String =
       if (k.endsWith(".fixtures")) "other:*.fixtures"
       else if (k.contains(".")) s"other:${k.takeWhile(_ != '.')}.*"
-      else "other"
+      else "other:misc" // distinct from the terminal re-fold bucket
     val foldedAll = phasesTop.drop(14)
       .groupMapReduce { case (k, _) => family(k) } { case (_, v) => v }(_ + _)
       .toSeq.sortBy { case (k, v) => (-v, k) }

@@ -249,12 +249,19 @@ final class Warehouse(spark: SparkSession, val root: String,
         !v.exists(c => c == '\t' || c == '\n'),
         s"commit meta keys/values must be single-line, '=':free key: $k=$v")
     }
-    val next = currentVersion(ref).getOrElse(0L) + 1L
+    val prev = currentVersion(ref)
+    val next = prev.getOrElse(0L) + 1L
+    // application meta is CARRIED FORWARD through every commit (explicit
+    // keys override): without this, a meta-less maintenance commit
+    // (compact, z-order) followed by vacuum's version pruning would
+    // delete the only log file holding a marker like mv.base_version —
+    // killing the streaming MV loop that depends on reading it back
+    val allMeta = prev.map(v => commitMeta(ref, v)).getOrElse(Map.empty) ++ meta
     val tmp = new Path(dir, f".v$next%08d.tmp")
     val out = filesystem.create(tmp, true)
     try out.write(
       (s"schema\t$schemaJson\n" + files.map(f => s"file\t$f\n").mkString +
-        meta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString)
+        allMeta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val live = versionFilePath(ref, next)
@@ -409,6 +416,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // saw 'no table' would suddenly see an empty one as the side
     // effect of a stage that never succeeded)
     df.write.mode("overwrite").parquet(tmp.toString)
+    var bootstrappedEmpty = false
     try {
       // a logless dir's readers list the directory physically — commit
       // the current listing (or empty) so they resolve the log while
@@ -416,8 +424,10 @@ final class Warehouse(spark: SparkSession, val root: String,
       if (currentVersion(ref).isEmpty) {
         val existing = listDataFiles(target)
         if (existing.nonEmpty) ensureLogLocked(ref)
-        else commitLocked(ref, df.schema.json, Nil)
-        ()
+        else {
+          commitLocked(ref, df.schema.json, Nil)
+          bootstrappedEmpty = true
+        }
       }
       val staged = listDataFiles(tmp)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
@@ -442,6 +452,19 @@ final class Warehouse(spark: SparkSession, val root: String,
       if (!filesystem.rename(mtmp, mp))
         throw new RuntimeException(s"failed to finalize staged manifest for $ref")
       id
+    } catch {
+      case e: Throwable =>
+        // zero-trace rollback for a PREVIOUSLY NONEXISTENT table: a
+        // failure after the empty-version bootstrap (mid-move or at
+        // manifest finalize) must not leave readers that saw 'no table'
+        // with a committed empty one. The whole table dir is ours in
+        // this case (our v1 log + our partially-moved stragglers; the
+        // writer lock is a SIBLING file), so removing it restores the
+        // exact pre-stage world. Pre-existing tables keep the standard
+        // contract: stragglers are unreferenced and recovery sweeps
+        // them.
+        if (bootstrappedEmpty) filesystem.delete(target, true)
+        throw e
     } finally {
       filesystem.delete(tmp, true)
       ()

@@ -303,9 +303,14 @@ object Views {
         .select(groupKeys.map(k => col(s"d.$k").as(k)) ++ aggs.map { a =>
           val (c, d) = (col(s"c.${a.out}"), col(s"d.${a.out}"))
           (a.func match {
-            case "count" | "sum" => coalesce(c + d, d)
-            case "min"           => least(c, d)
-            case "max"           => greatest(c, d)
+            case "count" => coalesce(c + d, d) // delta count is never NULL
+            // SUM's delta IS NULL when the feed rows for the group all
+            // carry NULL measures (SQL SUM skips NULLs) — c must survive
+            // that, and a new group whose inserts are all-NULL must stay
+            // NULL like a full recompute would: c+d, else c, else d
+            case "sum"   => coalesce(c + d, c, d)
+            case "min"   => least(c, d)
+            case "max"   => greatest(c, d)
           }).as(a.out)
         }: _*)
         .filter(col(countOut) > 0)
@@ -314,10 +319,16 @@ object Views {
         // retraction-touched groups: re-aggregate their base slice
         // (broadcast semi join — untouched groups never scan)
         val dirty = deltas.filter(col("__retract") === 1)
-          .select(groupKeys.map(col): _*)
+          .select(groupKeys.map(k => col(k).as("__dk_" + k)): _*)
+        // null-safe semi join, like the merge path: a NULL group key
+        // whose rows were retracted still has survivors in the base —
+        // usingColumns equality would match nothing and tombstone the
+        // group without replacement
         val recomputed = aggPlan(
           pruned(baseRef, warehouse.read(baseRef))
-            .join(broadcast(dirty), groupKeys, "left_semi"),
+            .join(broadcast(dirty),
+              groupKeys.map(k => col(k) <=> col("__dk_" + k)).reduce(_ && _),
+              "left_semi"),
           groupKeys, aggs)
         merged.unionByName(recomputed)
       }

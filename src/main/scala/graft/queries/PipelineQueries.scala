@@ -937,9 +937,14 @@ object PipelineQueries {
     */
   def qGoldIncrAgg(spark: SparkSession, dir: String): DataFrame = {
     val f = goldMvFixture(spark, dir)
+    // Auto (marker-based) rather than an explicit sinceVersion: the
+    // first run covers v2->v5, and a RERUN of the same thunk (the
+    // bench's warm pass) reads the refreshed marker and no-ops —
+    // re-applying deltas onto an already-refreshed view would silently
+    // double them (delta merge is not idempotent)
     graft.util.PhaseTimer.time("gagg.refresh") {
-      graft.gold.Views.refreshIncrementalAgg(spark, f.wh, f.aggFullRef,
-        f.silver, f.v2, Seq("o_custkey"), goldAggFullSpecs,
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggFullRef,
+        f.silver, Seq("o_custkey"), goldAggFullSpecs,
         baseKeys = Seq("o_orderkey"))
     }
     f.wh.read(f.aggFullRef)
@@ -961,9 +966,10 @@ object PipelineQueries {
     */
   def qGoldIncrAggDelta(spark: SparkSession, dir: String): DataFrame = {
     val f = goldMvFixture(spark, dir)
+    // Auto for warm-rerun idempotency — see qGoldIncrAgg
     graft.util.PhaseTimer.time("gaggd.refresh") {
-      graft.gold.Views.refreshIncrementalAgg(spark, f.wh, f.aggDeltaRef,
-        f.silver, f.v2, Seq("o_custkey"), goldAggDeltaSpecs,
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggDeltaRef,
+        f.silver, Seq("o_custkey"), goldAggDeltaSpecs,
         baseKeys = Seq("o_orderkey"))
     }
     f.wh.read(f.aggDeltaRef)

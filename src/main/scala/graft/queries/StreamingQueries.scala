@@ -203,14 +203,7 @@ object StreamingQueries {
         "b4" -> sentinel("800 DAYS 1 HOUR"))
       val t0 = System.currentTimeMillis() - 60000
       batches.zipWithIndex.foreach { case ((name, df), i) =>
-        val tmp = base.resolve(s"${name}_tmp").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = in.resolve(s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+        EventStreams.writeReplayFile(df, in, name, t0 + i * 10000L)
       }
       in.toString
     }
@@ -598,15 +591,7 @@ object StreamingQueries {
         $"ts" >= "2024-01-22")
       val t0 = System.currentTimeMillis() - 60000
       weeks.zipWithIndex.foreach { case (wk, i) =>
-        val tmp = base.resolve(s"b${i}_tmp").toString
-        ev.filter(wk)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = in.resolve(s"b$i.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        java.nio.file.Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+        EventStreams.writeReplayFile(ev.filter(wk), in, s"b$i", t0 + i * 10000L)
       }
       in.toString
     }

@@ -206,6 +206,33 @@ object EventStreams {
       .start()
   }
 
+  /** Replay-fixture utility: write `df` as ONE parquet file
+    * `<name>.parquet` in `dir` with a PINNED mtime. The file source
+    * orders new files by (modification time, path), so deterministic
+    * multi-batch replays (`maxFilesPerTrigger=1`) pin strictly
+    * increasing mtimes per file. The staging subdir is dot-prefixed —
+    * Spark's listings ignore hidden paths, so a reader racing the
+    * build never sees partial parts.
+    */
+  def writeReplayFile(df: DataFrame, dir: java.nio.file.Path, name: String,
+                      mtimeMillis: Long): Unit = {
+    val tmp = dir.resolve(s".${name}_tmp")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no parquet part written for replay file $name"))
+    val dst = dir.resolve(s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst)
+    java.nio.file.Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMillis))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(tmp.toString))
+  }
+
   /** Attribute a FINISHED replay's cost from its progress log:
     * Spark measures each micro-batch's `durationMs` inside the stream
     * execution thread where `PhaseTimer.time` can't wrap, so the

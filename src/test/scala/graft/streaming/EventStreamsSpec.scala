@@ -401,17 +401,9 @@ class EventStreamsSpec extends SparkSpec {
     val aggs = Seq(
       graft.gold.Views.AggSpec("n", "count"),
       graft.gold.Views.AggSpec("total", "sum", "cents"))
-    def writeFile(name: String, rows: Seq[(Long, Timestamp, String, Long)], mtime: Long): Unit = {
-      val tmp = base.resolve(name + "_tmp").toString
-      rows.toDF("user_id", "ts", "event_type", "cents")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = in.resolve(name + ".parquet")
-      java.nio.file.Files.move(part.toPath, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-    }
+    def writeFile(name: String, rows: Seq[(Long, Timestamp, String, Long)], mtime: Long): Unit =
+      EventStreams.writeReplayFile(
+        rows.toDF("user_id", "ts", "event_type", "cents"), in, name, mtime)
     def run(): Unit = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(in.toString)
