@@ -186,10 +186,48 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def changeFeed(ref: TableRef, fromVersion: Long, toVersion: Long,
                  keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{array, explode, struct, when}
     require(fromVersion < toVersion,
       s"changeFeed needs fromVersion < toVersion: $fromVersion >= $toVersion")
     require(keyCols.nonEmpty, "changeFeed needs at least one key column")
+    val steps = (fromVersion until toVersion).map { v =>
+      diffSnapshots(ref, snapshotAt(ref, v), snapshotAt(ref, v + 1), keyCols)
+        .withColumn("_commit_version", lit(v + 1))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  /** NET state diff between two committed versions — the one-shot
+    * variant of [[changeFeed]] for validation and delta shipping: a row
+    * updated five times across the range appears ONCE with its v-from
+    * pre-image and v-to post-image; insert-then-delete churn vanishes
+    * entirely. Cost is O(files in the manifests' symmetric difference),
+    * NOT O(commits) like the feed and not O(table): versions are diffed
+    * at the FILE level first, so a 100 TB table where 1% of files
+    * changed scans 1% twice — files common to both manifests are
+    * byte-identical by construction and never read. Same key-uniqueness
+    * contract as [[changeFeed]] (merge targets guarantee it); same
+    * schema-evolution alignment; same cancellation of
+    * rewritten-but-unchanged rows (compaction between the versions is
+    * invisible). Emits `_change_type` only — there is no meaningful
+    * per-commit attribution in a net diff.
+    */
+  def snapshotDiff(ref: TableRef, fromVersion: Long, toVersion: Long,
+                   keyCols: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      s"snapshotDiff needs fromVersion < toVersion: $fromVersion >= $toVersion")
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    diffSnapshots(ref, snapshotAt(ref, fromVersion),
+      snapshotAt(ref, toVersion), keyCols)
+  }
+
+  /** Row-level diff of two snapshots over only the files they do NOT
+    * share: keys + payload + `_change_type` (insert / update_pre /
+    * update_post / delete). The shared core of [[changeFeed]] (adjacent
+    * versions) and [[snapshotDiff]] (arbitrary version pair).
+    */
+  private def diffSnapshots(ref: TableRef, a: TableSnapshot, b: TableSnapshot,
+                            keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, explode, struct, when}
     val base = path(ref)
     def readFiles(files: Seq[String], schemaJson: String): DataFrame =
       if (files.isEmpty) {
@@ -201,37 +239,31 @@ final class Warehouse(spark: SparkSession, val root: String,
         spark.read.option("basePath", base)
           .parquet(files.map(f => s"$base/$f"): _*)
       }
-    val steps = (fromVersion until toVersion).map { v =>
-      val a = snapshotAt(ref, v)
-      val b = snapshotAt(ref, v + 1)
-      val before = readFiles((a.files.toSet -- b.files.toSet).toSeq.sorted, a.schemaJson)
-      val after = readFiles((b.files.toSet -- a.files.toSet).toSeq.sorted, b.schemaJson)
-      val cols = (after.columns ++ before.columns.filterNot(after.columns.contains)).toSeq
-      require(keyCols.forall(cols.contains),
-        s"key columns $keyCols missing from $ref columns $cols")
-      def align(df: DataFrame) = df.select(cols.map(c =>
-        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
-      val payload = cols.filterNot(keyCols.contains)
-      val bK = align(before).select(
-        keyCols.map(col) :+ struct(payload.map(col): _*).as("__bp"): _*)
-      val aK = align(after).select(
-        keyCols.map(col) :+ struct(payload.map(col): _*).as("__ap"): _*)
-      bK.join(aK, keyCols, "full_outer")
-        .filter(!(col("__ap") <=> col("__bp"))) // copied rows cancel
-        .withColumn("__img", explode(
-          when(col("__bp").isNull,
-            array(struct(col("__ap").as("p"), lit("insert").as("t"))))
-          .when(col("__ap").isNull,
-            array(struct(col("__bp").as("p"), lit("delete").as("t"))))
-          .otherwise(array(
-            struct(col("__bp").as("p"), lit("update_pre").as("t")),
-            struct(col("__ap").as("p"), lit("update_post").as("t"))))))
-        .select(keyCols.map(col) ++
-          payload.map(p => col("__img").getField("p").getField(p).as(p)) ++
-          Seq(col("__img").getField("t").as("_change_type"),
-            lit(v + 1).as("_commit_version")): _*)
-    }
-    steps.reduce(_ unionByName _)
+    val before = readFiles((a.files.toSet -- b.files.toSet).toSeq.sorted, a.schemaJson)
+    val after = readFiles((b.files.toSet -- a.files.toSet).toSeq.sorted, b.schemaJson)
+    val cols = (after.columns ++ before.columns.filterNot(after.columns.contains)).toSeq
+    require(keyCols.forall(cols.contains),
+      s"key columns $keyCols missing from $ref columns $cols")
+    def align(df: DataFrame) = df.select(cols.map(c =>
+      if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+    val payload = cols.filterNot(keyCols.contains)
+    val bK = align(before).select(
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("__bp"): _*)
+    val aK = align(after).select(
+      keyCols.map(col) :+ struct(payload.map(col): _*).as("__ap"): _*)
+    bK.join(aK, keyCols, "full_outer")
+      .filter(!(col("__ap") <=> col("__bp"))) // copied rows cancel
+      .withColumn("__img", explode(
+        when(col("__bp").isNull,
+          array(struct(col("__ap").as("p"), lit("insert").as("t"))))
+        .when(col("__ap").isNull,
+          array(struct(col("__bp").as("p"), lit("delete").as("t"))))
+        .otherwise(array(
+          struct(col("__bp").as("p"), lit("update_pre").as("t")),
+          struct(col("__ap").as("p"), lit("update_post").as("t"))))))
+      .select(keyCols.map(col) ++
+        payload.map(p => col("__img").getField("p").getField(p).as(p)) :+
+        col("__img").getField("t").as("_change_type"): _*)
   }
 
   /** Append the next version (caller MUST hold the writer lock — the

@@ -156,6 +156,39 @@ object Sampling {
       .drop("__f")
   }
 
+  /** Fractional-epoch upsampling — the data-recipe stage that repeats
+    * high-quality documents (e.g. "2.5 epochs of curated text, 1 epoch
+    * of the rest"): every row yields `floor(epochs)` copies, plus one
+    * extra copy for rows whose key hashes under the fractional part —
+    * so a 2.5-epoch slice repeats every document twice and a
+    * deterministic, layout-independent half of it a third time. Rows
+    * with `epochs < 1` degrade to plain [[deterministicSample]]
+    * (probability = the fraction). Output gains `epoch`, the 0-based
+    * copy index (bigint), so downstream shuffling/packing can
+    * interleave copies rather than emit them adjacent.
+    *
+    * `epochs` is rounded to 6 decimals before the floor/fraction split
+    * so engines whose arithmetic differs in the last ulp make identical
+    * per-row decisions (same discipline as [[temperatureSample]]).
+    *
+    * Scale shape: a pure per-row expression plus a bounded explode
+    * (fan-out ≤ ceil(max epochs)) — no shuffle, stays inside
+    * whole-stage codegen.
+    */
+  def epochUpsample(df: DataFrame, keyCol: String, epochs: Column,
+                    salt: Long = 0L): DataFrame = {
+    val e = round(epochs, 6)
+    val full = floor(e).cast("long")
+    // truncation (not rounding) on both engines: Spark's cast-to-long
+    // truncates; the oracle must mirror with CAST(floor(...))
+    val extra = (keyHash(col(keyCol), salt) <
+      ((e - full) * lit(4294967296L)).cast("long")).cast("long")
+    df.withColumn("__copies", full + extra)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions, same
     * hash-band rule inside each stratum. Strata absent from `fractions`
     * are dropped (mirrors Spark's `sampleBy`).

@@ -737,6 +737,77 @@ object TextQueries {
       |        FROM documents))
       |WHERE cum_tokens <= 10000""".stripMargin
 
+  /** Domain-mixture selection (Mixture.mixtureSelect): an independent
+    * token budget PER SOURCE — the data-recipe stage ("N tokens of each
+    * domain, best documents first") — resolved in one corpus pass via
+    * the grouped two-phase prefix sum. Budgets derive deterministically
+    * from the source name (1000 + 250·(srcnum mod 4)) so the gate works
+    * at every SF; the oracle is the per-group cumulative window. Rows
+    * AND per-group running totals must match exactly.
+    */
+  def qMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val budgets = docs.select($"source").distinct()
+      .withColumn("__budget",
+        lit(1000L) + lit(250L) *
+          (regexp_extract($"source", "\\d+", 0).cast("long") % 4))
+    graft.operators.Mixture.mixtureSelect(docs, "source",
+        Seq($"n_chars".desc, $"doc_id".asc),
+        TextFunctions.tokenCount($"text"), budgets)
+      .select($"doc_id", $"source", $"n_chars",
+        $"__cum_cost".as("cum_tokens"))
+  }
+
+  val qMixtureSampleSql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |    1000 + 250 * (CAST(regexp_extract(source, '\d+') AS BIGINT) % 4)
+      |      AS budget
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |c AS (
+      |  SELECT doc_id, source, n_chars,
+      |    sum(tok) OVER (PARTITION BY source
+      |                   ORDER BY n_chars DESC, doc_id ASC
+      |                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM (SELECT doc_id, source, n_chars,
+      |          len(list_filter(regexp_split_to_array(text, '\s+'),
+      |              x -> length(x) > 0)) AS tok
+      |        FROM documents))
+      |SELECT doc_id, source, n_chars, CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c JOIN b USING (source)
+      |WHERE cum_tokens <= budget""".stripMargin
+
+  /** Fractional-epoch upsampling (Sampling.epochUpsample): every doc
+    * repeated floor(e) times plus a hash-selected extra copy for the
+    * fractional remainder, e derived deterministically from n_chars
+    * (0.5–2.95 epochs, so the gate covers the sub-1-epoch drop arm,
+    * the exactly-once arm, and multi-copy fan-out). The oracle
+    * re-derives every copy with unnest(range(copies)).
+    */
+  def qUpsampleEpochs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+    val e = lit(0.5) + (col("n_chars") % 50) / lit(20.0)
+    graft.operators.Sampling.epochUpsample(docs, "doc_id", e)
+      .select($"doc_id", $"n_chars", $"epoch")
+  }
+
+  val qUpsampleEpochsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, n_chars,
+      |    round(0.5 + (n_chars % 50) / 20.0, 6) AS e
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(floor(e) AS BIGINT)
+      |    + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+      |             < CAST(floor((e - floor(e)) * 4294967296) AS BIGINT)
+      |           THEN 1 ELSE 0 END AS copies
+      |  FROM t)
+      |SELECT doc_id, n_chars, unnest(range(copies)) AS epoch
+      |FROM c WHERE copies > 0""".stripMargin
+
   /** URL canonicalization + domain capping, VALUE-checked against
     * GROUND TRUTH: each doc gets a deterministically messy URL
     * (uppercase scheme/host, www., default port, tracking params,
@@ -809,6 +880,8 @@ object TextQueries {
     "q_budget_select" -> (qBudgetSelect _),
     "q_budget_filter" -> (qBudgetFilter _),
     "q_temperature_sample" -> (qTemperatureSample _),
+    "q_mixture_sample" -> (qMixtureSample _),
+    "q_upsample_epochs" -> (qUpsampleEpochs _),
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
@@ -833,6 +906,8 @@ object TextQueries {
     "q_budget_select" -> qBudgetSelectSql,
     "q_budget_filter" -> qBudgetFilterSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
+    "q_mixture_sample" -> qMixtureSampleSql,
+    "q_upsample_epochs" -> qUpsampleEpochsSql,
     "q_text_extract" -> qTextExtractSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_langid" -> qTextLangidSql,

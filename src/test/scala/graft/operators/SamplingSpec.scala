@@ -122,4 +122,33 @@ class SamplingSpec extends SparkSpec {
     val plain77 = pt.count() == 1
     assert(trainIds.contains(77L) === plain77)
   }
+
+  test("epochUpsample: integral epochs copy exactly, fraction adds a hash band") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i => (i, i % 4)).toDF("id", "bin")
+    // exactly 2 epochs: every row appears twice, epochs 0 and 1
+    val two = Sampling.epochUpsample(df, "id", lit(2.0))
+    assert(two.count() === 800)
+    assert(two.groupBy("id").count().filter($"count" =!= 2).count() === 0)
+    assert(two.select("epoch").distinct().as[Long].collect().toSet === Set(0L, 1L))
+    // 1.5 epochs: everyone once, about half twice — and the extra-copy
+    // set is exactly the deterministicSample(0.5) set
+    val mid = Sampling.epochUpsample(df, "id", lit(1.5))
+    val twice = mid.groupBy("id").count().filter($"count" === 2)
+      .select("id").as[Long].collect().toSet
+    val band = Sampling.deterministicSample(df, "id", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(twice === band)
+    assert(mid.count() === 400 + band.size)
+    // sub-1 epochs: pure deterministic sample, epoch always 0
+    val sub = Sampling.epochUpsample(df, "id", lit(0.25))
+    val subIds = sub.select("id").as[Long].collect().toSet
+    assert(subIds === Sampling.deterministicSample(df, "id", 0.25)
+      .select("id").as[Long].collect().toSet)
+    assert(sub.filter($"epoch" =!= 0).count() === 0)
+    // layout-invariant: same copies after a repartition
+    val re = Sampling.epochUpsample(df.repartition(13), "id", lit(1.5))
+    assert(re.groupBy("id").count().filter($"count" === 2)
+      .select("id").as[Long].collect().toSet === twice)
+  }
 }
