@@ -497,7 +497,44 @@ object AnalyticQueries {
       |  true AS parts_ok, true AS orders_ok, true AS p50_ok, true AS p99_ok
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Column census (Profile.profile, exact mode): one aggregate pass
+    * over orders → one row per profiled column with row/null/distinct
+    * counts and stringified extremes. A derived nullable column
+    * (status 'O' → NULL) exercises the null arithmetic; the oracle is
+    * the per-column UNION ALL census. The approx (no-Expand) mode is
+    * ProfileSpec's subject — a value oracle can't pin HLL estimates.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val df = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderpriority")
+      .withColumn("status_nullable",
+        when($"o_orderstatus" === "O", lit(null)).otherwise($"o_orderstatus"))
+    graft.operators.Profile.profile(df,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "status_nullable"))
+  }
+
+  val qProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(*) - count($c) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_val,
+         |  CAST(max($c) AS VARCHAR) AS max_val
+         |FROM src""".stripMargin
+    """WITH src AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |    CASE WHEN o_orderstatus = 'O' THEN NULL
+      |         ELSE o_orderstatus END AS status_nullable
+      |  FROM orders)
+      |""".stripMargin +
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+        "status_nullable").map(one).mkString("\nUNION ALL\n")
+  }
+
   def queries: Map[String, Q] = Map(
+    "q_profile" -> (qProfile _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_join" -> (qAsofJoin _),
     "q_asof_bucketed" -> (qAsofBucketed _),
@@ -517,6 +554,7 @@ object AnalyticQueries {
     "q_topk_group" -> (qTopkGroup _))
 
   def oracles: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
     "q_asof_forward" -> qAsofForwardSql,
     "q_asof_join" -> qAsofJoinSql,
     "q_asof_bucketed" -> qAsofJoinSql,

@@ -647,6 +647,49 @@ object PipelineQueries {
       |  'update_pre' AS _change_type
       |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
 
+  /** Net snapshot diff across THREE commits incl. a delete
+    * (Warehouse.snapshotDiff v1→v3): only files in the manifests'
+    * symmetric difference scan; a key updated then deleted nets to one
+    * delete row carrying its v1 pre-image. The oracle re-derives the
+    * net change set from the same deterministic construction: v1 =
+    * keys %4≠0; v2 upserts %2=0 at price+1 (inserting %4=0, updating
+    * %4=2); v3 deletes %3=0. Rewritten-but-unchanged rows must cancel
+    * — they appear in retired and fresh files but with equal payloads.
+    */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref, v1, v3) = graft.util.Scratch.once(spark, dir, "sdiff.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-sdiff").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_sdiff")
+      val orders = Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
+      mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0))
+      val v1 = wh.currentVersion(ref).get
+      mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 1.0))
+      wh.deleteWhere(ref, $"o_orderkey" % 3 === 0)
+      (wh, ref, v1, wh.currentVersion(ref).get)
+    }
+    wh.snapshotDiff(ref, v1, v3, Seq("o_orderkey"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"_change_type")
+  }
+
+  val qSnapshotDiffSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+      |  CASE WHEN o_orderkey % 4 = 0 THEN 'insert'
+      |       ELSE 'update_post' END AS _change_type
+      |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'update_pre' AS _change_type
+      |FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 3 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice,
+      |  'delete' AS _change_type
+      |FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 3 = 0""".stripMargin
+
   /** Row-level DELETE end-to-end (Delta `DELETE FROM ... WHERE`): the
     * table lands range-clustered with a stats manifest, the delete's
     * planning scan finds the files holding matching rows (predicate
@@ -1003,6 +1046,7 @@ object PipelineQueries {
     "q_wap_publish" -> (qWapPublish _),
     "q_wap_atomic" -> (qWapAtomic _),
     "q_change_feed" -> (qChangeFeed _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_gold_incremental" -> (qGoldIncremental _),
     "q_gold_view" -> (qGoldView _))
 
@@ -1027,6 +1071,7 @@ object PipelineQueries {
     "q_wap_publish" -> qWapPublishSql,
     "q_wap_atomic" -> qWapAtomicSql,
     "q_change_feed" -> qChangeFeedSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_gold_incremental" -> qGoldIncrementalSql,
     "q_gold_view" -> qGoldViewSql)
 }

@@ -76,6 +76,35 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.changeFeed(ref, before, after, Seq("k")).isEmpty)
   }
 
+  test("snapshot diff nets multi-commit churn; compaction en route is invisible") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("sdiff"))
+    val ref = TableRef("silver", "facts", "sdiff")
+    wh.overwrite(ref, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").repartition(1))
+    val v1 = wh.currentVersion(ref).get
+    // churn: key 2 updated twice (nets to ONE update pair, v1 pre-image
+    // → final post-image), key 5 inserted then deleted (vanishes), key 3
+    // deleted, key 4 inserted, plus a compaction commit in the middle
+    wh.overwrite(ref, Seq((1L, "a"), (2L, "B"), (3L, "c"), (5L, "e")).toDF("k", "v").repartition(1))
+    wh.compact(ref, smallFileBytes = 32L << 20)
+    wh.overwrite(ref, Seq((1L, "a"), (2L, "BB"), (4L, "d")).toDF("k", "v").repartition(1))
+    val vN = wh.currentVersion(ref).get
+    val net = wh.snapshotDiff(ref, v1, vN, Seq("k"))
+      .as[(Long, String, String)].collect().toSet
+    assert(net === Set(
+      (2L, "b", "update_pre"),   // v1 image, not the intermediate "B"
+      (2L, "BB", "update_post"), // final image
+      (3L, "c", "delete"),
+      (4L, "d", "insert")))      // key 5's insert+delete churn nets away
+    // a pure-compaction range diffs empty (all rewrites cancel)
+    val c0 = wh.currentVersion(ref).get
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8))
+    val c1 = wh.currentVersion(ref).get
+    wh.compact(ref, smallFileBytes = 32L << 20)
+    assert(wh.snapshotDiff(ref, c1, wh.currentVersion(ref).get, Seq("k")).isEmpty)
+    intercept[IllegalArgumentException](wh.snapshotDiff(ref, c0, c0, Seq("k")))
+  }
+
   test("a second in-flight writer fails loudly and the table stays consistent") {
     import spark.implicits._
     val root = tmpDir("wh-lock")
