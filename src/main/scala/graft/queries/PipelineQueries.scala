@@ -618,9 +618,15 @@ object PipelineQueries {
     * (internal numbering); WarehouseSpec asserts it plus the delete
     * path and vacuum interplay.
     */
-  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+  /** One CDC-churn warehouse shared by q_change_feed (diffs v1→v2; the
+    * later delete commit is invisible to a bounded feed range) and
+    * q_snapshot_diff (nets v1→v3): three commits — bootstrap %4≠0,
+    * upsert %2=0 at price+1, delete %3=0 — built once (`uses = 2`).
+    */
+  private def cdcChurnFixture(spark: SparkSession, dir: String)
+      : (Warehouse, TableRef, Long, Long, Long) = {
     import spark.implicits._
-    val (wh, ref, v1, v2) = graft.util.Scratch.once(spark, dir, "cdf.fixtures") {
+    graft.util.Scratch.once(spark, dir, "cdf.fixtures", uses = 2) {
       val base = Files.createTempDirectory("graft-gate-cdf").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
       val ref = TableRef("silver", "facts", "orders_cdf")
@@ -631,8 +637,15 @@ object PipelineQueries {
       val v1 = wh.currentVersion(ref).get
       mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
         .withColumn("o_totalprice", $"o_totalprice" + 1.0))
-      (wh, ref, v1, wh.currentVersion(ref).get)
+      val v2 = wh.currentVersion(ref).get
+      wh.deleteWhere(ref, $"o_orderkey" % 3 === 0)
+      (wh, ref, v1, v2, wh.currentVersion(ref).get)
     }
+  }
+
+  def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref, v1, v2, _) = cdcChurnFixture(spark, dir)
     wh.changeFeed(ref, v1, v2, Seq("o_orderkey"))
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"_change_type")
   }
@@ -658,20 +671,7 @@ object PipelineQueries {
     */
   def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (wh, ref, v1, v3) = graft.util.Scratch.once(spark, dir, "sdiff.fixtures") {
-      val base = Files.createTempDirectory("graft-gate-sdiff").toString
-      val wh = new Warehouse(spark, s"$base/warehouse")
-      val ref = TableRef("silver", "facts", "orders_sdiff")
-      val orders = Tables.load(spark, dir, "orders")
-        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-      val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
-      mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0))
-      val v1 = wh.currentVersion(ref).get
-      mt.upsert(orders.filter($"o_orderkey" % 2 === 0)
-        .withColumn("o_totalprice", $"o_totalprice" + 1.0))
-      wh.deleteWhere(ref, $"o_orderkey" % 3 === 0)
-      (wh, ref, v1, wh.currentVersion(ref).get)
-    }
+    val (wh, ref, v1, _, v3) = cdcChurnFixture(spark, dir)
     wh.snapshotDiff(ref, v1, v3, Seq("o_orderkey"))
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"_change_type")
   }
