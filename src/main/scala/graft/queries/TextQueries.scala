@@ -808,6 +808,67 @@ object TextQueries {
       |SELECT doc_id, n_chars, unnest(range(copies)) AS epoch
       |FROM c WHERE copies > 0""".stripMargin
 
+  /** BPE training fixture shared by q_bpe_train / q_bpe_encode
+    * (`uses = 2`): a repeated-letter word-count ladder whose counts
+    * scale with |documents| (testdata-derived), constructed so the
+    * FULL merge sequence is provable by hand — repeated-letter words
+    * interact only with themselves, so pair frequencies are exact:
+    * (c,c)=300·nd → (b,b)=180·nd → (cc,cc)=100·nd → (bb,b)=90·nd →
+    * (a,a)=80·nd, then no adjacent pairs remain (early stop despite
+    * numMerges=8). The oracle re-derives the same five rows from a
+    * VALUES ladder × count(*).
+    */
+  private def bpeFixture(spark: SparkSession, dir: String)
+      : (Long, Seq[graft.text.Bpe.Merge]) =
+    graft.util.Scratch.once(spark, dir, "bpe.fixtures", uses = 2) {
+      import spark.implicits._
+      val nd = Tables.load(spark, dir, "documents").count()
+      val ladder = Seq(("cccc", 100L * nd), ("bbb", 90L * nd), ("aa", 80L * nd))
+        .toDF("word", "n")
+      (nd, graft.text.Bpe.train(ladder, numMerges = 8, minFreq = 1))
+    }
+
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, merges) = bpeFixture(spark, dir)
+    merges.map(m => (m.rank, m.left, m.right, m.freq))
+      .toDF("rank", "left_sym", "right_sym", "freq")
+  }
+
+  val qBpeTrainSql: String =
+    """SELECT rank, left_sym, right_sym,
+      |  CAST(base * (SELECT count(*) FROM documents) AS BIGINT) AS freq
+      |FROM (VALUES (1, 'c', 'c', 300), (2, 'b', 'b', 180),
+      |             (3, 'cc', 'cc', 100), (4, 'bb', 'b', 90),
+      |             (5, 'a', 'a', 80))
+      |  AS t(rank, left_sym, right_sym, base)""".stripMargin
+
+  /** BPE encoding with the ladder vocabulary over per-doc 'c'-runs of
+    * deterministic length (2 + doc_id mod 13): only the c-merges apply,
+    * and greedy non-overlapping merging of a length-L run has a closed
+    * form — floor(L/2) 'cc' then floor(L/4)... — so the oracle derives
+    * every token sequence and count arithmetically. VALUE-checks the
+    * rank-ordered greedy application end-to-end.
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, merges) = bpeFixture(spark, dir)
+    val runs = Tables.load(spark, dir, "documents")
+      .select($"doc_id",
+        expr("repeat('c', cast(2 + doc_id % 13 AS INT))").as("text"))
+    graft.text.Bpe.encode(runs, "doc_id", "text", merges)
+      .select($"doc_id", concat_ws(" ", $"tokens").as("toks"), $"n_bpe_tokens")
+  }
+
+  val qBpeEncodeSql: String =
+    """SELECT doc_id,
+      |  rtrim(repeat('cccc ', CAST((len // 2) // 2 AS INT))
+      |     || repeat('cc ', CAST((len // 2) % 2 AS INT))
+      |     || repeat('c ', CAST(len % 2 AS INT))) AS toks,
+      |  CAST((len // 2) // 2 + (len // 2) % 2 + len % 2 AS BIGINT)
+      |    AS n_bpe_tokens
+      |FROM (SELECT doc_id, 2 + doc_id % 13 AS len FROM documents)""".stripMargin
+
   /** URL canonicalization + domain capping, VALUE-checked against
     * GROUND TRUTH: each doc gets a deterministically messy URL
     * (uppercase scheme/host, www., default port, tracking params,
@@ -882,6 +943,8 @@ object TextQueries {
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_mixture_sample" -> (qMixtureSample _),
     "q_upsample_epochs" -> (qUpsampleEpochs _),
+    "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_text_extract" -> (qTextExtract _),
     "q_text_stats" -> (qTextStats _),
     "q_text_langid" -> (qTextLangid _),
@@ -908,6 +971,8 @@ object TextQueries {
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_mixture_sample" -> qMixtureSampleSql,
     "q_upsample_epochs" -> qUpsampleEpochsSql,
+    "q_bpe_train" -> qBpeTrainSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_text_extract" -> qTextExtractSql,
     "q_text_stats" -> qTextStatsSql,
     "q_text_langid" -> qTextLangidSql,
