@@ -107,20 +107,68 @@ object Views {
 
   /** One aggregate column of an aggregate materialized view:
     * `out` = output column name, `func` ∈ sum | count | min | max
-    * (the distributive aggregates incremental maintenance can merge),
-    * `in` = base column aggregated (ignored for count).
+    * (distributive — maintenance merges deltas directly) | avg
+    * (ALGEBRAIC — maintained through its (sum, non-null count)
+    * decomposition: the view physically stores `__avg_sum_<out>` and
+    * `__avg_cnt_<out>` beside the derived `out`, each component merges
+    * like any sum, and `out = sum / cnt` is re-derived after every
+    * merge; a group whose measures are all NULL keeps a NULL avg,
+    * exactly like a full recompute). `in` = base column aggregated
+    * (ignored for count).
     */
   final case class AggSpec(out: String, func: String, in: String = "")
 
-  private val aggFuncs = Set("sum", "count", "min", "max")
+  private val aggFuncs = Set("sum", "count", "min", "max", "avg")
 
-  private def aggColumn(a: AggSpec): org.apache.spark.sql.Column = {
+  /** Physical column of the stored view: AggSpec minus `avg`, plus the
+    * component funcs `countcol` (non-null count of `in` — avg's
+    * denominator) that AggSpec doesn't expose directly.
+    */
+  private final case class Phys(out: String, func: String, in: String = "")
+
+  private def avgSumCol(out: String) = s"__avg_sum_$out"
+  private def avgCntCol(out: String) = s"__avg_cnt_$out"
+
+  /** Declared aggs → (physical columns to store/merge, derived
+    * columns re-computed from them after every merge). Non-avg specs
+    * pass through; each avg expands to its two components plus the
+    * derived quotient. Component division: both sides are exact
+    * (integer sums never lose bits; float sums share the FP caveat of
+    * any delta-merged SUM), and Spark's `/` on the components is one
+    * double division — the same arithmetic a full-recompute AVG does.
+    */
+  private def expand(aggs: Seq[AggSpec])
+      : (Seq[Phys], Seq[(String, org.apache.spark.sql.Column)]) = {
+    import org.apache.spark.sql.functions.col
+    val phys = Seq.newBuilder[Phys]
+    val derived = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
+    aggs.foreach {
+      case AggSpec(out, "avg", in) =>
+        phys += Phys(avgSumCol(out), "sum", in)
+        phys += Phys(avgCntCol(out), "countcol", in)
+        derived += out -> (col(avgSumCol(out)) / col(avgCntCol(out)))
+      case AggSpec(out, f, in) => phys += Phys(out, f, in)
+    }
+    (phys.result(), derived.result())
+  }
+
+  /** Stored-view column order: group keys, declared outputs (avg in
+    * its declared place), then the avg component columns.
+    */
+  private def viewColumns(groupKeys: Seq[String], aggs: Seq[AggSpec])
+      : Seq[String] =
+    groupKeys ++ aggs.map(_.out) ++
+      aggs.collect { case AggSpec(out, "avg", _) =>
+        Seq(avgSumCol(out), avgCntCol(out)) }.flatten
+
+  private def aggColumn(a: Phys): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
     (a.func match {
-      case "sum"   => sum(col(a.in))
-      case "count" => count(lit(1))
-      case "min"   => min(col(a.in))
-      case "max"   => max(col(a.in))
+      case "sum"      => sum(col(a.in))
+      case "count"    => count(lit(1))
+      case "countcol" => count(col(a.in))
+      case "min"      => min(col(a.in))
+      case "max"      => max(col(a.in))
     }).as(a.out)
   }
 
@@ -128,8 +176,11 @@ object Views {
                       groupKeys: Seq[String],
                       aggs: Seq[AggSpec]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
-    base.groupBy(groupKeys.map(col): _*)
-      .agg(aggColumn(aggs.head), aggs.tail.map(aggColumn): _*)
+    val (phys, derived) = expand(aggs)
+    val p = base.groupBy(groupKeys.map(col): _*)
+      .agg(aggColumn(phys.head), phys.tail.map(aggColumn): _*)
+    derived.foldLeft(p) { case (df, (name, c)) => df.withColumn(name, c) }
+      .select(viewColumns(groupKeys, aggs).map(col): _*)
   }
 
   /** The commit-meta key recording which base version an MV's contents
@@ -204,6 +255,11 @@ object Views {
         "needs the group's row count to drop groups deletes have emptied")
     require(aggs.map(_.out).distinct.size == aggs.size,
       s"duplicate output columns in ${aggs.map(_.out)}")
+    aggs.foreach(a => require(!a.out.startsWith("__avg_"),
+      s"output '${a.out}' collides with the avg component namespace"))
+    aggs.filter(a => a.func != "count").foreach(a =>
+      require(a.in.nonEmpty, s"aggregate '${a.out}' (${a.func}) needs an " +
+        "input column"))
   }
 
   /** Incrementally refresh an AGGREGATE materialized view from the
@@ -251,15 +307,20 @@ object Views {
     val cur = warehouse.currentVersion(baseRef).getOrElse(
       throw new IllegalArgumentException(s"$baseRef has no committed version"))
     if (cur == sinceVersion) return cur
+    val (phys, derived) = expand(aggs)
     val isPost = col("_change_type").isin("insert", "update_post")
     val sign = when(isPost, lit(1L)).otherwise(lit(-1L))
-    val deltaCols = aggs.map { a =>
+    val deltaCols = phys.map { a =>
       a.func match {
-        case "count" => sum(sign).as(a.out)
-        case "sum"   => sum(sign * col(a.in)).as(a.out)
+        case "count"    => sum(sign).as(a.out)
+        // avg's denominator: only rows whose measure is non-NULL count,
+        // signed like any retractable component
+        case "countcol" =>
+          sum(when(col(a.in).isNotNull, sign).otherwise(lit(0L))).as(a.out)
+        case "sum"      => sum(sign * col(a.in)).as(a.out)
         // retraction-free groups only consume these (see __retract)
-        case "min"   => min(when(isPost, col(a.in))).as(a.out)
-        case "max"   => max(when(isPost, col(a.in))).as(a.out)
+        case "min"      => min(when(isPost, col(a.in))).as(a.out)
+        case "max"      => max(when(isPost, col(a.in))).as(a.out)
       }
     } :+ max(when(sign < 0, lit(1)).otherwise(lit(0))).as("__retract")
     // one feed pass → one thin (group, deltas) frame; materialized
@@ -270,7 +331,7 @@ object Views {
         .agg(deltaCols.head, deltaCols.tail: _*)
         .localCheckpoint()
     }
-    val needsMM = aggs.exists(a => a.func == "min" || a.func == "max")
+    val needsMM = phys.exists(a => a.func == "min" || a.func == "max")
     val countOut = aggs.find(_.func == "count").get.out
     // Single-column group keys additionally FILE-PRUNE the view and
     // base scans by the deltas' key range (one 1-row driver agg off the
@@ -298,12 +359,13 @@ object Views {
       // find its current view row (usingColumns equality would not)
       val joinCond = groupKeys.map(k => col(s"d.$k") <=> col(s"c.$k"))
         .reduce(_ && _)
-      val merged = mergeable.as("d")
+      val mergedPhys = mergeable.as("d")
         .join(curView.as("c"), joinCond, "left")
-        .select(groupKeys.map(k => col(s"d.$k").as(k)) ++ aggs.map { a =>
+        .select(groupKeys.map(k => col(s"d.$k").as(k)) ++ phys.map { a =>
           val (c, d) = (col(s"c.${a.out}"), col(s"d.${a.out}"))
           (a.func match {
-            case "count" => coalesce(c + d, d) // delta count is never NULL
+            // count deltas (row count and non-null count) are never NULL
+            case "count" | "countcol" => coalesce(c + d, d)
             // SUM's delta IS NULL when the feed rows for the group all
             // carry NULL measures (SQL SUM skips NULLs) — c must survive
             // that, and a new group whose inserts are all-NULL must stay
@@ -314,6 +376,11 @@ object Views {
           }).as(a.out)
         }: _*)
         .filter(col(countOut) > 0)
+      // avg re-derives from its merged components — the only
+      // non-physical columns in the stored view
+      val merged = derived.foldLeft(mergedPhys) {
+          case (df, (name, c)) => df.withColumn(name, c)
+        }.select(viewColumns(groupKeys, aggs).map(col): _*)
       if (!needsMM) merged
       else {
         // retraction-touched groups: re-aggregate their base slice

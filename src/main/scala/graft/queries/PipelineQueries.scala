@@ -855,12 +855,19 @@ object PipelineQueries {
     graft.gold.Views.AggSpec("n_orders", "count"),
     graft.gold.Views.AggSpec("cents_total", "sum", "cents"))
 
+  // integer measure on purpose: avg's components delta-merge as sums,
+  // and only integer sums are bit-identical to a full recompute
+  private val goldAggAvgSpecs = Seq(
+    graft.gold.Views.AggSpec("n_orders", "count"),
+    graft.gold.Views.AggSpec("avg_cents", "avg", "cents"))
+
   private final case class GoldMvFixture(
       wh: Warehouse, silver: TableRef, incRef: TableRef, delRef: TableRef,
-      aggFullRef: TableRef, aggDeltaRef: TableRef, v1: Long, v2: Long)
+      aggFullRef: TableRef, aggDeltaRef: TableRef, aggAvgRef: TableRef,
+      v1: Long, v2: Long)
 
   private def goldMvFixture(spark: SparkSession, dir: String): GoldMvFixture =
-    graft.util.Scratch.once(spark, dir, "goldmv.fixtures", uses = 4) {
+    graft.util.Scratch.once(spark, dir, "goldmv.fixtures", uses = 5) {
       import spark.implicits._
       val base = Files.createTempDirectory("graft-gate-goldmv").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
@@ -869,6 +876,7 @@ object PipelineQueries {
       val delRef = TableRef("gold", "gate", "latest_orders_del")
       val aggFullRef = TableRef("gold", "gate", "order_stats")
       val aggDeltaRef = TableRef("gold", "gate", "order_totals")
+      val aggAvgRef = TableRef("gold", "gate", "order_avgs")
       // bigint cents alongside the double price: the delta-merged SUM
       // must be bit-comparable to the oracle's full recompute
       val orders = Tables.load(spark, dir, "orders")
@@ -886,6 +894,8 @@ object PipelineQueries {
         Seq("o_custkey"), goldAggFullSpecs)
       graft.gold.Views.materializeAgg(spark, wh, aggDeltaRef, silver,
         Seq("o_custkey"), goldAggDeltaSpecs)
+      graft.gold.Views.materializeAgg(spark, wh, aggAvgRef, silver,
+        Seq("o_custkey"), goldAggAvgSpecs)
       val v2 = wh.currentVersion(silver).get
       wh.deleteWhere(silver, $"o_custkey" % 3 === 0) // v3
       mt.upsert(orders // v4: survivors' evens at +2 over ORIGINAL
@@ -895,7 +905,8 @@ object PipelineQueries {
       mt.upsert(orders // v5: a cloned order book — brand-new groups
         .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
         .withColumn("o_custkey", $"o_custkey" + 1000000L))
-      GoldMvFixture(wh, silver, incRef, delRef, aggFullRef, aggDeltaRef, v1, v2)
+      GoldMvFixture(wh, silver, incRef, delRef, aggFullRef, aggDeltaRef,
+        aggAvgRef, v1, v2)
     }
 
   /** The final base state every gold-MV oracle recomputes over:
@@ -1025,7 +1036,37 @@ object PipelineQueries {
        |       CAST(sum(cents) AS BIGINT) AS cents_total
        |FROM fin GROUP BY o_custkey""".stripMargin
 
+  /** ALGEBRAIC aggregate IVM: an AVG view maintained through its
+    * (sum, non-null count) decomposition — components delta-merge like
+    * sums (no base rescan, ever — AVG needs no retraction recompute),
+    * the quotient re-derives after each merge, and the oracle full-
+    * recomputes avg from the final state with the same exact-integer-
+    * sum-then-one-double-division arithmetic. The stored component
+    * columns are part of the compare, so the internal state is
+    * value-checked too, not just the derived number.
+    */
+  def qGoldIncrAvg(spark: SparkSession, dir: String): DataFrame = {
+    val f = goldMvFixture(spark, dir)
+    // Auto for warm-rerun idempotency — see qGoldIncrAgg
+    graft.util.PhaseTimer.time("gavg.refresh") {
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggAvgRef,
+        f.silver, Seq("o_custkey"), goldAggAvgSpecs,
+        baseKeys = Seq("o_orderkey"))
+    }
+    f.wh.read(f.aggAvgRef)
+  }
+
+  val qGoldIncrAvgSql: String =
+    s"""WITH fin AS (
+       |$goldMvFinalStateSql)
+       |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       |       CAST(sum(cents) AS DOUBLE) / count(cents) AS avg_cents,
+       |       CAST(sum(cents) AS BIGINT) AS __avg_sum_avg_cents,
+       |       CAST(count(cents) AS BIGINT) AS __avg_cnt_avg_cents
+       |FROM fin GROUP BY o_custkey""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
     "q_gold_incr_delete" -> (qGoldIncrDelete _),
@@ -1055,6 +1096,7 @@ object PipelineQueries {
     "q_gdpr_erasure" -> qGdprErasureSql,
     "q_gold_incr_delete" -> qGoldIncrDeleteSql,
     "q_gold_incr_agg" -> qGoldIncrAggSql,
+    "q_gold_incr_avg" -> qGoldIncrAvgSql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_csv" -> qPipelineFullSql,

@@ -198,7 +198,8 @@ class PropertiesSpec extends SparkSpec {
     import graft.gold.Views
     import Views.AggSpec
     val specs = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "cents"),
-      AggSpec("lo", "min", "cents"), AggSpec("hi", "max", "cents"))
+      AggSpec("lo", "min", "cents"), AggSpec("hi", "max", "cents"),
+      AggSpec("mean", "avg", "cents"))
     for (seed <- 1 to 4) {
       val rnd = new Random(seed)
       val wh = new Warehouse(spark, tmpDir(s"wh-ivm-prop-$seed"))
@@ -225,12 +226,16 @@ class PropertiesSpec extends SparkSpec {
         mt.upsert(freshRows(5 + rnd.nextInt(10)).toDF("id", "k", "cents"))
         since = Views.refreshIncrementalAgg(spark, wh, gold, base, since,
           Seq("k"), specs, Seq("id"))
-        val incr = wh.read(gold).as[(Long, Long, Long, Long, Long)]
+        val incr = wh.read(gold)
+          .select($"k", $"n", $"total", $"lo", $"hi", $"mean")
+          .as[(Long, Long, Long, Long, Long, Double)]
           .collect().sortBy(_._1).toSeq
         val full = wh.read(base).groupBy("k")
           .agg(count(lit(1)).as("n"), sum("cents").as("total"),
-            min("cents").as("lo"), max("cents").as("hi"))
-          .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+            min("cents").as("lo"), max("cents").as("hi"),
+            avg("cents").as("mean"))
+          .as[(Long, Long, Long, Long, Long, Double)]
+          .collect().sortBy(_._1).toSeq
         assert(incr === full, s"seed=$seed step=$step")
       }
     }

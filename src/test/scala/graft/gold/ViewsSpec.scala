@@ -139,6 +139,49 @@ class ViewsSpec extends SparkSpec {
     assert(err.getMessage.contains("count"))
   }
 
+  test("avg view maintains (sum, count) components incl. NULL measures and churn") {
+    import spark.implicits._
+    import Views.AggSpec
+    val wh = new Warehouse(spark, tmpDir("wh-gavg"))
+    val base = TableRef("silver", "g", "scores")
+    val gold = TableRef("gold", "g", "score_avgs")
+    val specs = Seq(AggSpec("n", "count"), AggSpec("mean", "avg", "cents"))
+    val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("id"), None)
+    // k=10 has a NULL measure (avg skips it), k=20 is ALL-NULL (avg NULL)
+    mt.upsert(Seq(
+      (1L, 10L, Some(100L)), (2L, 10L, None), (3L, 10L, Some(200L)),
+      (4L, 20L, None), (5L, 30L, Some(40L)))
+      .toDF("id", "k", "cents"))
+    Views.materializeAgg(spark, wh, gold, base, Seq("k"), specs)
+    val v1 = wh.currentVersion(base).get
+    def view = wh.read(gold)
+      .select($"k", $"n", $"mean", $"__avg_sum_mean", $"__avg_cnt_mean")
+      .as[(Long, Long, Option[Double], Option[Long], Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(view === Seq((10L, 3L, Some(150.0), Some(300L), 2L),
+      (20L, 1L, None, None, 0L), (30L, 1L, Some(40.0), Some(40L), 1L)))
+    // churn: update a measured row, NULL-ify another's measure, give
+    // the all-NULL group its first real measure, delete k=30 entirely
+    mt.upsert(Seq((1L, 10L, Some(700L)), (3L, 10L, None),
+      (4L, 20L, Some(90L))).toDF("id", "k", "cents"))
+    wh.deleteWhere(base, $"k" === 30L)
+    Views.refreshIncrementalAgg(spark, wh, gold, base, v1,
+      Seq("k"), specs, Seq("id"))
+    assert(view === Seq((10L, 3L, Some(700.0), Some(700L), 1L),
+      (20L, 1L, Some(90.0), Some(90L), 1L)))
+    // incremental ≡ full recompute (avg + components) over final state
+    val full = wh.read(base).groupBy("k")
+      .agg(org.apache.spark.sql.functions.avg($"cents").as("mean"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(view.map(r => r._1 -> r._3).toMap === full)
+    // avg without an input column is rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      Views.materializeAgg(spark, wh, TableRef("gold", "g", "bad2"), base,
+        Seq("k"), Seq(AggSpec("n", "count"), AggSpec("m", "avg")))
+    }
+    assert(err.getMessage.contains("input column"))
+  }
+
   test("auto-since aggregate refresh is crash-safe: missed feed re-covered, completed refresh no-ops") {
     import spark.implicits._
     import Views.AggSpec
