@@ -1,8 +1,8 @@
 package graft.catalog
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{approx_count_distinct, col, count, element_at, input_file_name, lit, max, min, split, sum}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{approx_count_distinct, array, col, count, element_at, expr, input_file_name, lit, max, min, split, sum, xxhash64}
 
 /** Three-level table reference, mirroring the reference's
   * `catalog.schema.table` namespace (/root/reference/lib/ingestors.py:95,
@@ -1177,19 +1177,56 @@ final class Warehouse(spark: SparkSession, val root: String,
       .write.mode("overwrite").parquet(s"$dir/$statsDir")
   }
 
-  /** Per-file stats rows (file basename, row count, min_c/max_c/ndv_c
-    * columns) for the given frame — a column-pruned scan of only the
-    * stat columns. The approximate per-file distinct count feeds the
-    * [[TableStatsRegistry]] cardinality signal.
+  /** Per-file bloom sizing: 4096 bits (64 longs ≈ 0.5 KB per file per
+    * column), 2 probe positions per value from one xxhash64. At ~500
+    * distinct values per file the false-positive rate is ~1%; a file
+    * holding far more distinct values saturates its filter, which
+    * degrades to "never excluded" — conservative, same contract as
+    * null min/max stats. Size data files (or add columns selectively)
+    * so per-file NDV stays in the thousands if equality skipping on
+    * that column matters.
+    */
+  private val bloomWords = 64
+  private val bloomBits = bloomWords * 64
+
+  /** Per-file stats rows (file basename, row count, min_c/max_c/ndv_c/
+    * bloom_c columns) for the given frame — a column-pruned scan of
+    * only the stat columns. The approximate per-file distinct count
+    * feeds the [[TableStatsRegistry]] cardinality signal; the bloom
+    * word array feeds equality skipping ([[readPrunedEq]]).
     */
   private def fileStats(data: DataFrame, statsColumns: Seq[String]): DataFrame = {
+    // per column: one word-array bloom built as `bloomWords` bit_or
+    // aggregates (elementwise-OR of arrays has no native aggregate);
+    // NULL values contribute no bits — equality lookup is non-null by
+    // definition (IS NULL prunes on the null-count stats instead).
+    // SQL-expr formulation: shiftleft with a COLUMN bit count exists
+    // only in the SQL surface (the Scala DSL overload takes a literal).
+    // Probes = pmod(xxhash64, bits) and pmod(xxhash64 >> 21, bits) —
+    // splitFilesByValue mirrors this arithmetic on the driver.
+    def bloomWordAggs(c: String): Seq[Column] = {
+      val h = s"xxhash64(`$c`)"
+      val ps = Seq(s"pmod($h, ${bloomBits}L)",
+        s"pmod(shiftright($h, 21), ${bloomBits}L)")
+      (0 until bloomWords).map { i =>
+        val contribs = ps.map(p =>
+          s"(CASE WHEN `$c` IS NOT NULL AND CAST($p DIV 64 AS INT) = $i " +
+            s"THEN shiftleft(1L, CAST($p % 64 AS INT)) ELSE 0L END)")
+        expr(s"bit_or(${contribs.mkString(" | ")})").as(s"__bw_${c}_$i")
+      }
+    }
     val aggs = statsColumns.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-      approx_count_distinct(col(c)).as(s"ndv_$c"))) :+
+      approx_count_distinct(col(c)).as(s"ndv_$c")) ++ bloomWordAggs(c)) :+
       count(lit(1)).as("rows")
-    data
+    val agged = data
       .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
       .agg(aggs.head, aggs.tail: _*)
+    val keep = Seq(col("file"), col("rows")) ++ statsColumns.flatMap(c => Seq(
+      col(s"min_$c"), col(s"max_$c"), col(s"ndv_$c"),
+      array((0 until bloomWords).map(i => col(s"__bw_${c}_$i")): _*)
+        .as(s"bloom_$c")))
+    agged.select(keep: _*)
   }
 
   /** Aggregate the manifest's per-file stats into the JVM-wide
@@ -1263,6 +1300,67 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     }
   }
+
+  /** Equality skipping: partition current files into (possibly-contains,
+    * provably-excludes) for `column = value`, combining the min/max
+    * interval test with the per-file BLOOM filter — the case range
+    * stats cannot help with: a hash-clustered layout overlaps every
+    * file's [min, max] with every point, but each file's bloom still
+    * rejects keys it never saw. Conservative like the range split:
+    * files with a null/absent bloom (pre-bloom manifests, all-null
+    * columns) or a saturated one survive; a bloom hit is "maybe", so
+    * callers still apply the exact row filter. None when the table has
+    * no manifest for the column.
+    */
+  def splitFilesByValue(ref: TableRef, column: String,
+                        value: Any): Option[(Seq[String], Seq[String])] = {
+    val tablePath = path(ref)
+    manifestDf(tablePath).flatMap { manifest =>
+      if (!manifest.columns.contains(s"min_$column")) None
+      else {
+        import org.apache.spark.sql.functions.{element_at => elemAt}
+        // the literal's hash through the SAME Spark expression the
+        // writer used — one local 1-row eval, no job
+        val hRow = spark.range(1)
+          .select(xxhash64(lit(value).cast(
+            manifest.schema(s"min_$column").dataType)))
+          .head()
+        val h = hRow.getLong(0)
+        def pos(hh: Long, shift: Int): Long = {
+          val shifted = hh >> shift
+          ((shifted % bloomBits) + bloomBits) % bloomBits
+        }
+        val (p1, p2) = (pos(h, 0), pos(h, 21))
+        val bloom = col(s"bloom_$column")
+        def miss(p: Long) =
+          elemAt(bloom, (p / 64).toInt + 1)
+            .bitwiseAND(lit(1L << (p % 64).toInt)) === 0L
+        val rangeMiss = col(s"max_$column") < lit(value) ||
+          col(s"min_$column") > lit(value)
+        val bloomMiss =
+          if (!manifest.columns.contains(s"bloom_$column")) lit(false)
+          else bloom.isNotNull && ((miss(p1) || miss(p2)) <=> lit(true))
+        val excluded = (rangeMiss <=> lit(true)) || bloomMiss
+        val excludedNames = manifest.filter(excluded)
+          .select("file").collect().map(_.getString(0)).toSet
+        val (disjoint, overlap) = currentDataFiles(ref)
+          .partition(p => excludedNames.contains(p.getName))
+        Some((overlap.map(_.toString), disjoint.map(_.toString)))
+      }
+    }
+  }
+
+  /** Point-lookup read: [[splitFilesByValue]]'s kept files (falls back
+    * to a full read without a manifest). The caller's `column = value`
+    * filter still applies — bloom hits are "maybe".
+    */
+  def readPrunedEq(ref: TableRef, column: String, value: Any): DataFrame =
+    splitFilesByValue(ref, column, value) match {
+      case None => read(ref)
+      case Some((kept, _)) if kept.isEmpty => read(ref).limit(0)
+      case Some((kept, _)) =>
+        spark.read.option("basePath", path(ref)).parquet(kept: _*)
+    }
 
   /** Range-pruned read: drop files whose [min, max] interval for
     * `column` provably misses [lo, hi] (`max < lo` or `min > hi`).

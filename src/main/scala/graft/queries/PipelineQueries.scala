@@ -1065,7 +1065,49 @@ object PipelineQueries {
        |       CAST(count(cents) AS BIGINT) AS __avg_cnt_avg_cents
        |FROM fin GROUP BY o_custkey""".stripMargin
 
+  /** Bloom-filter equality skipping end-to-end: a fixed 1001-key slice
+    * of orders lands HASH-clustered on o_custkey, so every file's
+    * [min, max] interval over o_orderkey spans the whole key range and
+    * range skipping keeps all files — the per-file blooms still
+    * exclude files that never saw a key. Three point lookups run
+    * through [[Warehouse.readPrunedEq]]; each emits a data-derived
+    * `bloom_pruned` (kept files < total) the oracle pins to literal
+    * TRUE, so a bloom that stops excluding (saturation bug, probe
+    * mismatch between writer and reader) goes red, and a bloom that
+    * excludes a file it shouldn't loses rows and goes red.
+    */
+  def qWarehouseBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "bloom.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-bloom").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_bloom")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1000) // identical slice at every SF
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .repartition(8, $"o_custkey"),
+        statsColumns = Seq("o_orderkey"))
+      (wh, ref)
+    }
+    val total = wh.dataFiles(ref).size
+    Seq(17L, 443L, 901L).map { k =>
+      val kept = wh.splitFilesByValue(ref, "o_orderkey", k)
+        .map(_._1.size).getOrElse(total)
+      wh.readPrunedEq(ref, "o_orderkey", k)
+        .filter($"o_orderkey" === k)
+        .withColumn("bloom_pruned", lit(kept < total))
+    }.reduce(_ unionByName _)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"bloom_pruned")
+  }
+
+  val qWarehouseBloomSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, true AS bloom_pruned
+      |FROM orders
+      |WHERE o_orderkey IN (17, 443, 901)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_warehouse_bloom" -> (qWarehouseBloom _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1097,6 +1139,7 @@ object PipelineQueries {
     "q_gold_incr_delete" -> qGoldIncrDeleteSql,
     "q_gold_incr_agg" -> qGoldIncrAggSql,
     "q_gold_incr_avg" -> qGoldIncrAvgSql,
+    "q_warehouse_bloom" -> qWarehouseBloomSql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_csv" -> qPipelineFullSql,

@@ -286,6 +286,46 @@ class WarehouseSpec extends SparkSpec {
     assert(full.count() === 10000)
   }
 
+  test("bloom equality skipping prunes hash-clustered files where range stats cannot") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.spark_partition_id
+    val wh = new Warehouse(spark, tmpDir("wh-bloom"))
+    val ref = TableRef("silver", "g", "keyed")
+    // hash layout on a DIFFERENT column: every file's [min,max] over
+    // `id` spans nearly the full range, so range skipping keeps all 8
+    val df = (1L to 1000L).map(i => (i, i % 97, s"v$i")).toDF("id", "grp", "v")
+      .repartition(8, $"grp")
+    wh.overwrite(ref, df, statsColumns = Seq("id"))
+    val all = wh.dataFiles(ref).size
+    assert(all === 8)
+    // range split keeps everything (hash layout defeats intervals)...
+    val Some((rangeKept, _)) = wh.splitFilesByRange(ref, "id", 443L, 443L)
+    assert(rangeKept.size === all)
+    // ...the bloom split keeps only files that can hold the key
+    val Some((kept, excluded)) = wh.splitFilesByValue(ref, "id", 443L)
+    assert(kept.size < all, s"bloom never pruned: kept ${kept.size}/$all")
+    assert(kept.size + excluded.size === all)
+    // correctness at every key: pruned read == exact filter
+    for (k <- Seq(1L, 443L, 999L)) {
+      val got = wh.readPrunedEq(ref, "id", k).filter($"id" === k)
+        .select("v").as[String].collect().toSeq
+      assert(got === Seq(s"v$k"), s"key $k")
+    }
+    // absent key: provably excluded everywhere (modulo bloom fpp, a
+    // 1000-distinct corpus over 4096 bits stays far from saturation —
+    // at least SOME files must exclude it)
+    val Some((keptAbsent, _)) = wh.splitFilesByValue(ref, "id", 5555L)
+    assert(keptAbsent.size < all)
+    assert(wh.readPrunedEq(ref, "id", 5555L).filter($"id" === 5555L).count() === 0)
+    // incremental merge keeps blooms live: new files get entries, and
+    // a key landed by the merge is still found through the pruned read
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("id"), None)
+    mt.upsert(Seq((5555L, 5L, "new")).toDF("id", "grp", "v"))
+    val got = wh.readPrunedEq(ref, "id", 5555L).filter($"id" === 5555L)
+      .select("v").as[String].collect().toSeq
+    assert(got === Seq("new"))
+  }
+
   test("file skipping is conservative: null stats and missing manifests keep files") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-skip-edge"))
