@@ -125,7 +125,28 @@ object Bench {
       }),
       "q_curate_pii_op" -> (() =>
         docs.select($"doc_id",
-          graft.text.TextFunctions.redactPii($"text").as("text_redacted"))))
+          graft.text.TextFunctions.redactPii($"text").as("text_redacted"))),
+      // BPE on the ORGANIC corpus (the gate trains on the provable
+      // ladder): 16 merges over the real word-count table — prices the
+      // per-iteration pair-count + rewrite loop the gate's tiny ladder
+      // cannot. Eager by nature (train is a driver loop); the returned
+      // frame is the learned merge table.
+      "q_bpe_vocab_op" -> (() => {
+        val merges = graft.text.Bpe.train(
+          graft.text.Bpe.wordCounts(docs, "text"), numMerges = 16)
+        merges.map(m => (m.rank, m.left, m.right, m.freq))
+          .toDF("rank", "left_sym", "right_sym", "freq")
+      }),
+      // the 100 TB profile mode: HLL NDVs, no Expand — one scan for
+      // the whole census vs the gate's exact (Expand) formulation
+      "q_profile_approx_op" -> (() =>
+        graft.operators.Profile.profile(
+          Tables.load(spark, sfDir, "orders")
+            .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+              $"o_orderpriority", $"o_totalprice"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_totalprice"),
+          exact = false)))
   }
 
   // Locale.ROOT: the default-locale formatter would emit "1,234" under
