@@ -1178,13 +1178,15 @@ final class Warehouse(spark: SparkSession, val root: String,
   }
 
   /** Per-file bloom sizing: 4096 bits (64 longs ≈ 0.5 KB per file per
-    * column), 2 probe positions per value from one xxhash64. At ~500
-    * distinct values per file the false-positive rate is ~1%; a file
-    * holding far more distinct values saturates its filter, which
-    * degrades to "never excluded" — conservative, same contract as
-    * null min/max stats. Size data files (or add columns selectively)
-    * so per-file NDV stays in the thousands if equality skipping on
-    * that column matters.
+    * column), k = 2 probe positions per value from one xxhash64. The
+    * false-positive rate is (1 − e^(−2n/4096))² for n distinct values
+    * per file: ~0.2% at n = 100, ~5% at n = 500, ~22% at n = 1000, and
+    * effectively saturated (fpp > 50%) by n ≈ 2500 — saturation
+    * degrades to "never excluded", conservative like null min/max
+    * stats, it just stops helping. Equality skipping on a column is
+    * therefore worth having when per-file NDV stays in the low
+    * hundreds (small files, or a low-cardinality-per-file clustered
+    * layout); beyond that, rely on range stats + clustering instead.
     */
   private val bloomWords = 64
   private val bloomBits = bloomWords * 64
@@ -1200,27 +1202,33 @@ final class Warehouse(spark: SparkSession, val root: String,
     // aggregates (elementwise-OR of arrays has no native aggregate);
     // NULL values contribute no bits — equality lookup is non-null by
     // definition (IS NULL prunes on the null-count stats instead).
+    // The two probe positions are PROJECTED once per row per column
+    // before the aggregate — inlining them into each of the 64 word
+    // aggregates would re-evaluate the hash O(words) times per row.
     // SQL-expr formulation: shiftleft with a COLUMN bit count exists
     // only in the SQL surface (the Scala DSL overload takes a literal).
     // Probes = pmod(xxhash64, bits) and pmod(xxhash64 >> 21, bits) —
     // splitFilesByValue mirrors this arithmetic on the driver.
-    def bloomWordAggs(c: String): Seq[Column] = {
+    val probed = statsColumns.foldLeft(
+        data.withColumn("__file",
+          element_at(split(input_file_name(), "/"), -1))) { (df, c) =>
       val h = s"xxhash64(`$c`)"
-      val ps = Seq(s"pmod($h, ${bloomBits}L)",
-        s"pmod(shiftright($h, 21), ${bloomBits}L)")
+      df.withColumn(s"__bp1_$c", expr(s"pmod($h, ${bloomBits}L)"))
+        .withColumn(s"__bp2_$c", expr(s"pmod(shiftright($h, 21), ${bloomBits}L)"))
+    }
+    def bloomWordAggs(c: String): Seq[Column] =
       (0 until bloomWords).map { i =>
-        val contribs = ps.map(p =>
-          s"(CASE WHEN `$c` IS NOT NULL AND CAST($p DIV 64 AS INT) = $i " +
-            s"THEN shiftleft(1L, CAST($p % 64 AS INT)) ELSE 0L END)")
+        val contribs = Seq(s"__bp1_$c", s"__bp2_$c").map(p =>
+          s"(CASE WHEN `$c` IS NOT NULL AND CAST(`$p` DIV 64 AS INT) = $i " +
+            s"THEN shiftleft(1L, CAST(`$p` % 64 AS INT)) ELSE 0L END)")
         expr(s"bit_or(${contribs.mkString(" | ")})").as(s"__bw_${c}_$i")
       }
-    }
     val aggs = statsColumns.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
       approx_count_distinct(col(c)).as(s"ndv_$c")) ++ bloomWordAggs(c)) :+
       count(lit(1)).as("rows")
-    val agged = data
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("file"))
+    val agged = probed
+      .groupBy(col("__file").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val keep = Seq(col("file"), col("rows")) ++ statsColumns.flatMap(c => Seq(
       col(s"min_$c"), col(s"max_$c"), col(s"ndv_$c"),

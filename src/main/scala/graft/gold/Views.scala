@@ -376,9 +376,21 @@ object Views {
           }).as(a.out)
         }: _*)
         .filter(col(countOut) > 0)
+      // avg component normalization BEFORE deriving: when retractions
+      // take a surviving group's non-null count to 0, the summed
+      // component is arithmetically 0 but a full recompute (SUM over
+      // no non-null rows) is NULL — the components are part of the
+      // stored, value-checked state, so they must match recompute
+      // exactly, not just the derived quotient
+      val normalized = aggs.collect { case AggSpec(out, "avg", _) => out }
+        .foldLeft(mergedPhys) { (df, out) =>
+          df.withColumn(avgSumCol(out),
+            when(col(avgCntCol(out)) === 0, lit(null))
+              .otherwise(col(avgSumCol(out))))
+        }
       // avg re-derives from its merged components — the only
       // non-physical columns in the stored view
-      val merged = derived.foldLeft(mergedPhys) {
+      val merged = derived.foldLeft(normalized) {
           case (df, (name, c)) => df.withColumn(name, c)
         }.select(viewColumns(groupKeys, aggs).map(col): _*)
       if (!needsMM) merged

@@ -38,41 +38,17 @@ object Budget {
     *         `budget`, with the running total as `__cum_cost`
     */
   def budgetSelect(df: DataFrame, ordering: Seq[Column], cost: Column,
-                   budget: Long): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // localCheckpoint PINS the range layout: the partitioner samples its
-    // bounds with an RDD-id-derived seed, so re-executing the plan for
-    // the totals pass and the final pass could slice the order
-    // differently — offsets computed against one layout must be applied
-    // to the same one. (Cost: one materialization of the corpus, the
-    // price of a stable two-pass prefix sum.)
-    // phase-timed so the bench artifact attributes the two driver-side
-    // stages (range-layout pin, slice-totals collect) separately from
-    // the final windowed pass the caller's action executes
-    val ranged = graft.util.PhaseTimer.time("budget.pin") {
-      graft.util.Scratch.transientCheckpoint(
-        df.withColumn("__cost", cost.cast("long"))
-          .repartitionByRange(parts, ordering: _*)
-          .withColumn("__pid", spark_partition_id())
-          .localCheckpoint())
-    }
-    // tiny: ≤ `parts` rows — the per-slice totals that seed the offsets
-    val totals = graft.util.PhaseTimer.time("budget.totals") {
-      ranged.groupBy("__pid").agg(sum("__cost").as("__psum"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    }
-    val offsets = totals.scanLeft((Int.MinValue, 0L)) {
-      case ((_, acc), (pid, s)) => (pid, acc + s)
-    }.sliding(2).collect { case Array((_, acc), (pid, _)) => (pid, acc) }.toSeq
-    val offsetDf = df.sparkSession.createDataFrame(offsets)
-      .toDF("__pid", "__offset")
-    val w = Window.partitionBy("__pid").orderBy(ordering: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged.join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn("__cum_cost", sum(col("__cost")).over(w) + col("__offset"))
+                   budget: Long): DataFrame =
+    // the grouped core with one constant group IS the ungrouped prefix
+    // sum: a constant leading range key changes no slice boundaries,
+    // and the (slice, group) window degenerates to per-slice. The
+    // delicate machinery (layout pin, exclusive offsets, per-slice
+    // windows) lives once, in Mixture.groupedCumCost; phase rows stay
+    // budget.pin / budget.totals.
+    Mixture.groupedCumCost(
+        df.withColumn("__grp", lit("")), "__grp", ordering, cost, "budget")
       .filter(col("__cum_cost") <= budget)
-      .drop("__pid", "__offset", "__cost")
-  }
+      .drop("__grp")
 
   /** Selection-only variant — the 100 TB path. [[budgetSelect]] moves
     * the corpus twice (range layout + a hash exchange for the per-slice

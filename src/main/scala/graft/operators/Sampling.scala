@@ -180,9 +180,13 @@ object Sampling {
     val e = round(epochs, 6)
     val full = floor(e).cast("long")
     // truncation (not rounding) on both engines: Spark's cast-to-long
-    // truncates; the oracle must mirror with CAST(floor(...))
-    val extra = (keyHash(col(keyCol), salt) <
-      ((e - full) * lit(4294967296L)).cast("long")).cast("long")
+    // truncates; the oracle must mirror with CAST(floor(...)).
+    // NULL keys can't hash: they keep their guaranteed floor(e) copies
+    // and never win the fractional extra (a NULL comparison would
+    // otherwise NULL __copies and silently DROP the row entirely)
+    val extra = when(col(keyCol).isNull, lit(0L))
+      .otherwise((keyHash(col(keyCol), salt) <
+        ((e - full) * lit(4294967296L)).cast("long")).cast("long"))
     df.withColumn("__copies", full + extra)
       .filter(col("__copies") > 0)
       .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))

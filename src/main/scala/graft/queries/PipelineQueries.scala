@@ -1092,11 +1092,16 @@ object PipelineQueries {
     }
     val total = wh.dataFiles(ref).size
     Seq(17L, 443L, 901L).map { k =>
+      // one split per key: both the kept-file read and the pruned
+      // boolean come from the same manifest pass (readPrunedEq would
+      // re-run it)
       val kept = wh.splitFilesByValue(ref, "o_orderkey", k)
-        .map(_._1.size).getOrElse(total)
-      wh.readPrunedEq(ref, "o_orderkey", k)
-        .filter($"o_orderkey" === k)
-        .withColumn("bloom_pruned", lit(kept < total))
+        .map(_._1).getOrElse(Seq.empty)
+      val read =
+        if (kept.isEmpty) wh.read(ref).limit(0)
+        else spark.read.option("basePath", wh.path(ref)).parquet(kept: _*)
+      read.filter($"o_orderkey" === k)
+        .withColumn("bloom_pruned", lit(kept.size < total))
     }.reduce(_ unionByName _)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"bloom_pruned")
   }

@@ -115,11 +115,14 @@ object Bpe {
     * whitespace token), characters are merged in rank order, greedy
     * left-to-right per rank — exactly the training-time application, so
     * encode(train-corpus) reproduces training's final symbol table.
-    * Output: the input columns + `tokens` (array of subword strings,
-    * document order) + `n_bpe_tokens`. A typed per-partition map (the
-    * merge loop is sequence-dependent — not expressible as built-in
-    * array functions); the merge list broadcasts by closure, bounded by
-    * `numMerges`.
+    * Output schema: (`idCol`, `tokens` — array of subword strings in
+    * document order, `n_bpe_tokens`); join back on `idCol` for other
+    * input columns. A typed per-partition map (the merge loop is
+    * sequence-dependent — not expressible as built-in array
+    * functions); the merge list broadcasts by closure, bounded by
+    * `numMerges`. Lowercasing is Locale.ROOT on both paths (wordCounts
+    * uses Spark's locale-agnostic `lower`): a locale-sensitive
+    * toLowerCase would let a tr_TR JVM emit symbols training never saw.
     */
   def encode(df: DataFrame, idCol: String, textCol: String,
              merges: Seq[Merge]): DataFrame = {
@@ -130,7 +133,7 @@ object Bpe {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, text) =>
-          val toks = text.toLowerCase.split("\\s+").iterator
+          val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").iterator
             .filter(_.nonEmpty)
             .flatMap { w =>
               var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq

@@ -200,11 +200,18 @@ class PropertiesSpec extends SparkSpec {
     val specs = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "cents"),
       AggSpec("lo", "min", "cents"), AggSpec("hi", "max", "cents"),
       AggSpec("mean", "avg", "cents"))
+    // second view WITHOUT min/max: with them present every retraction
+    // routes through the full-recompute path, so this list is what
+    // forces avg's signed component deltas (and sum/count's) through
+    // the PURE-DELTA merge under random retractions
+    val deltaOnlySpecs = Seq(AggSpec("n", "count"),
+      AggSpec("total", "sum", "cents"), AggSpec("mean", "avg", "cents"))
     for (seed <- 1 to 4) {
       val rnd = new Random(seed)
       val wh = new Warehouse(spark, tmpDir(s"wh-ivm-prop-$seed"))
       val base = TableRef("silver", "p", "rows")
       val gold = TableRef("gold", "p", "stats")
+      val goldD = TableRef("gold", "p", "stats_delta")
       val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("id"), None)
       var nextId = 0L
       def freshRows(n: Int): Seq[(Long, Long, Long)] =
@@ -214,6 +221,8 @@ class PropertiesSpec extends SparkSpec {
         }
       mt.upsert(freshRows(30).toDF("id", "k", "cents"))
       var since = Views.materializeAgg(spark, wh, gold, base, Seq("k"), specs)
+      var sinceD = Views.materializeAgg(spark, wh, goldD, base, Seq("k"),
+        deltaOnlySpecs)
       for (step <- 1 to 4) {
         // random mutation mix: re-key/re-price some survivors, delete a
         // random key class, insert fresh rows (possibly new groups)
@@ -226,6 +235,8 @@ class PropertiesSpec extends SparkSpec {
         mt.upsert(freshRows(5 + rnd.nextInt(10)).toDF("id", "k", "cents"))
         since = Views.refreshIncrementalAgg(spark, wh, gold, base, since,
           Seq("k"), specs, Seq("id"))
+        sinceD = Views.refreshIncrementalAgg(spark, wh, goldD, base, sinceD,
+          Seq("k"), deltaOnlySpecs, Seq("id"))
         val incr = wh.read(gold)
           .select($"k", $"n", $"total", $"lo", $"hi", $"mean")
           .as[(Long, Long, Long, Long, Long, Double)]
@@ -237,6 +248,10 @@ class PropertiesSpec extends SparkSpec {
           .as[(Long, Long, Long, Long, Long, Double)]
           .collect().sortBy(_._1).toSeq
         assert(incr === full, s"seed=$seed step=$step")
+        val incrD = wh.read(goldD).select($"k", $"n", $"total", $"mean")
+          .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+        assert(incrD === full.map(r => (r._1, r._2, r._3, r._6)),
+          s"delta-only view: seed=$seed step=$step")
       }
     }
   }

@@ -169,6 +169,15 @@ class ViewsSpec extends SparkSpec {
       Seq("k"), specs, Seq("id"))
     assert(view === Seq((10L, 3L, Some(700.0), Some(700L), 1L),
       (20L, 1L, Some(90.0), Some(90L), 1L)))
+    // retract a surviving group's LAST non-null measure through the
+    // pure-delta path: the sum component must normalize to NULL (a
+    // full recompute's SUM over zero non-null rows), not stay 0
+    val v2 = wh.currentVersion(base).get
+    mt.upsert(Seq((4L, 20L, Option.empty[Long])).toDF("id", "k", "cents"))
+    Views.refreshIncrementalAgg(spark, wh, gold, base, v2,
+      Seq("k"), specs, Seq("id"))
+    assert(view === Seq((10L, 3L, Some(700.0), Some(700L), 1L),
+      (20L, 1L, None, None, 0L)))
     // incremental ≡ full recompute (avg + components) over final state
     val full = wh.read(base).groupBy("k")
       .agg(org.apache.spark.sql.functions.avg($"cents").as("mean"))
