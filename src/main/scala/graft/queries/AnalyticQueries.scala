@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -533,7 +533,62 @@ object AnalyticQueries {
         "status_nullable").map(one).mkString("\nUNION ALL\n")
   }
 
+  /** Stored mergeable NDV sketches — the pre-aggregation pattern that
+    * answers "distinct entities over ANY date range" without rescanning
+    * events: per-day HLL sketches land in a parquet table once (one
+    * corpus pass), every later rollup is a union of |days| sketch
+    * binaries. Three rollup ranges (all days, day-of-month ≤ 10,
+    * Mondays) each emit the exact distinct event count (recomputed from
+    * events — the oracle can pin it) plus `est_ok` = the sketch
+    * estimate within 5% of exact, pinned TRUE: a sketch that stops
+    * merging correctly (union bug, binary corruption through the
+    * parquet round-trip) blows the bound and goes red. Estimates
+    * themselves stay out of the projection — no cross-engine HLL
+    * exists to oracle them bit-for-bit.
+    */
+  def qSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sketchDir = graft.util.Scratch.once(spark, dir, "sketch.fixtures") {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-gate-sketch").toString
+      Tables.load(spark, dir, "events")
+        .groupBy(to_date($"ts").as("day"))
+        .agg(hll_sketch_agg($"event_id").as("sk"))
+        .write.mode("overwrite").parquet(s"$base/daily_sketches")
+      base
+    }
+    val sketches = spark.read.parquet(s"$sketchDir/daily_sketches")
+    val events = Tables.load(spark, dir, "events")
+      .select(to_date($"ts").as("day"), $"event_id")
+    def range(id: String, pred: Column): DataFrame = {
+      val est = sketches.filter(pred)
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+        .head().getLong(0)
+      events.filter(pred)
+        .agg(count_distinct($"event_id").as("exact_events"))
+        .select(lit(id).as("range_id"), $"exact_events",
+          (abs(lit(est) - $"exact_events") <=
+            $"exact_events" * lit(0.05)).as("est_ok"))
+    }
+    range("all", lit(true))
+      .unionByName(range("early_month", dayofmonth($"day") <= 10))
+      .unionByName(range("mondays", dayofweek($"day") === 2))
+  }
+
+  val qSketchRollupSql: String =
+    """SELECT 'all' AS range_id,
+      |  CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+      |  true AS est_ok
+      |FROM events
+      |UNION ALL
+      |SELECT 'early_month', CAST(count(DISTINCT event_id) AS BIGINT), true
+      |FROM events WHERE dayofmonth(CAST(ts AS DATE)) <= 10
+      |UNION ALL
+      |SELECT 'mondays', CAST(count(DISTINCT event_id) AS BIGINT), true
+      |FROM events WHERE dayofweek(CAST(ts AS DATE)) = 1""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_sketch_rollup" -> (qSketchRollup _),
     "q_profile" -> (qProfile _),
     "q_asof_forward" -> (qAsofForward _),
     "q_asof_join" -> (qAsofJoin _),
@@ -554,6 +609,7 @@ object AnalyticQueries {
     "q_topk_group" -> (qTopkGroup _))
 
   def oracles: Map[String, String] = Map(
+    "q_sketch_rollup" -> qSketchRollupSql,
     "q_profile" -> qProfileSql,
     "q_asof_forward" -> qAsofForwardSql,
     "q_asof_join" -> qAsofJoinSql,

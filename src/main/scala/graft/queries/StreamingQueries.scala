@@ -47,6 +47,50 @@ object StreamingQueries {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** Sliding (hopping) windows through a REAL file-source replay: each
+    * event lands in window/slide = 4 overlapping hourly windows at a
+    * 15-minute hop. The oracle re-derives every window assignment
+    * arithmetically — generate_series over the 4 slide indices each
+    * event's timestamp covers — so the window generator's boundary
+    * semantics ([start, end), epoch-aligned) are value-checked, not
+    * just row-counted.
+    */
+  def qStreamSliding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sink = "q_stream_sliding_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val events = graft.Tables.eventsStream(spark, dir)
+    val query = EventStreams
+      .slidingAggregates(events, windowDuration = "1 hour",
+        slideDuration = "15 minutes", watermark = "2 hours")
+      .writeStream
+      .outputMode("complete") // finite replay: every window must emit
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.util.PhaseTimer.time("stream.sliding.replay") {
+      query.awaitTermination()
+    }
+    EventStreams.recordReplayPhases("stream.sliding.replay", query)
+    spark.table(sink).select(
+      unix_micros($"window_start").as("ws_us"),
+      $"event_type",
+      $"n_events",
+      round($"total_value", 6).as("total_value"))
+  }
+
+  val qStreamSlidingSql: String =
+    """SELECT ws_us, event_type, count(*) AS n_events,
+      |       round(sum(value), 6) AS total_value
+      |FROM (
+      |  SELECT unnest(generate_series(
+      |           (epoch_us(ts) - 3600000000) // 900000000 + 1,
+      |           epoch_us(ts) // 900000000)) * 900000000 AS ws_us,
+      |         event_type, value
+      |  FROM events)
+      |GROUP BY 1, 2""".stripMargin
+
   /** Gap-based sessionization with the SAME session_window operator
     * the streaming path uses (EventStreams.sessionWindows), run in
     * batch mode: sessions merge while consecutive events per user are
@@ -631,6 +675,7 @@ object StreamingQueries {
     "q_stream_agg_mv" -> (qStreamAggMv _),
     "q_stream_cdc" -> (qStreamCdc _),
     "q_stream_window" -> (qStreamWindow _),
+    "q_stream_sliding" -> (qStreamSliding _),
     "q_session_window" -> (qSessionWindow _),
     "q_stream_session" -> (qStreamSession _),
     "q_stream_session_late" -> (qStreamSessionLate _),
@@ -646,6 +691,7 @@ object StreamingQueries {
     "q_stream_agg_mv" -> qStreamAggMvSql,
     "q_stream_cdc" -> qStreamCdcSql,
     "q_stream_window" -> qStreamWindowSql,
+    "q_stream_sliding" -> qStreamSlidingSql,
     "q_session_window" -> qSessionWindowSql,
     "q_stream_session" -> qStreamSessionSql,
     // late clones + sentinels must leave no trace → the oracle IS the

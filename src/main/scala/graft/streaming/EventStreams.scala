@@ -35,6 +35,26 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Sliding (hopping) windowed aggregates: each event lands in
+    * `window/slide` overlapping windows — Catalyst's window generator
+    * explodes the assignment, state stays one row per (window, type)
+    * like the tumbling path. Same operator family as
+    * [[windowedAggregates]]; a separate entry point because the slide
+    * changes the oracle arithmetic, not just a parameter.
+    */
+  def slidingAggregates(events: DataFrame, windowDuration: String,
+                        slideDuration: String,
+                        watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration, slideDuration),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
   /** Gap-based sessionization with the built-in session_window —
     * Catalyst's native session state management (preferred over custom
     * state when expressible, SURVEY design stance).
