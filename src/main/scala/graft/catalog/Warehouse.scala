@@ -143,6 +143,32 @@ final class Warehouse(spark: SparkSession, val root: String,
     (schemaJson, files.result())
   }
 
+  /** DESCRIBE HISTORY: one row per SURVIVING version ([[vacuum]] prunes
+    * old log entries), newest first — (version, operation, n_files).
+    * The operation is the commit's own `graft.op` stamp (every write
+    * path sets one: OVERWRITE / MERGE / REPLACE / DELETE / COMPACT /
+    * ZORDER / TRUNCATE / RESTORE / META / ADOPT / WAP_*); versions
+    * written before stamping existed show UNKNOWN. O(surviving
+    * versions) driver-side log reads — bounded by vacuum retention,
+    * and each read is one small metadata file, not data.
+    */
+  def history(ref: TableRef): DataFrame = {
+    import spark.implicits._
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    val versions =
+      if (!filesystem.exists(dir)) Seq.empty[Long]
+      else filesystem.listStatus(dir).map(_.getPath.getName)
+        .collect { case n if n.length == 9 && n.startsWith("v") &&
+          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+        .toSeq.sorted.reverse
+    versions.map { v =>
+      val snap = snapshotAt(ref, v)
+      val op = commitMeta(ref, v).getOrElse(Warehouse.OpMeta, "UNKNOWN")
+      (v, op, snap.files.size)
+    }.toDF("version", "operation", "n_files")
+  }
+
   /** Pin the current version (None for logless directories). */
   def snapshot(ref: TableRef): Option[TableSnapshot] =
     currentVersion(ref).map(snapshotAt(ref, _))
@@ -288,7 +314,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     // (compact, z-order) followed by vacuum's version pruning would
     // delete the only log file holding a marker like mv.base_version —
     // killing the streaming MV loop that depends on reading it back
-    val allMeta = prev.map(v => commitMeta(ref, v)).getOrElse(Map.empty) ++ meta
+    // graft.op describes one commit's writer, never its successors —
+    // it is the single meta key excluded from the carry
+    val allMeta = (prev.map(v => commitMeta(ref, v)).getOrElse(Map.empty)
+      - Warehouse.OpMeta) ++ meta
     val tmp = new Path(dir, f".v$next%08d.tmp")
     val out = filesystem.create(tmp, true)
     try out.write(
@@ -333,7 +362,8 @@ final class Warehouse(spark: SparkSession, val root: String,
       recoverLocked(ref)
       val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
         s"$ref has no committed version to re-commit meta onto"))
-      commitLocked(ref, snap.schemaJson, snap.files, meta)
+      commitLocked(ref, snap.schemaJson, snap.files,
+        Warehouse.withOp(meta, "META"))
     }
 
   /** Newest committed value of a meta key, walking versions backward
@@ -367,7 +397,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         filesystem.makeQualified(p).toUri.getPath
           .stripPrefix(base).stripPrefix("/"))
       val schemaJson = spark.read.parquet(path(ref)).schema.json
-      val v = commitLocked(ref, schemaJson, rels)
+      val v = commitLocked(ref, schemaJson, rels,
+        Map(Warehouse.OpMeta -> "ADOPT"))
       snapshotAt(ref, v)
     }
 
@@ -401,7 +432,8 @@ final class Warehouse(spark: SparkSession, val root: String,
   def restore(ref: TableRef, version: Long): Long = withWriterLock(ref) {
     recoverLocked(ref) // never re-commit files of a half-healed replacement
     val snap = snapshotAt(ref, version)
-    val v = commitLocked(ref, snap.schemaJson, snap.files)
+    val v = commitLocked(ref, snap.schemaJson, snap.files,
+      Map(Warehouse.OpMeta -> "RESTORE"))
     // current content just changed shape — JVM-wide cardinality stats
     // must not keep describing the rolled-back state
     TableStatsRegistry.invalidate(path(ref))
@@ -457,7 +489,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         val existing = listDataFiles(target)
         if (existing.nonEmpty) ensureLogLocked(ref)
         else {
-          commitLocked(ref, df.schema.json, Nil)
+          commitLocked(ref, df.schema.json, Nil,
+            Map(Warehouse.OpMeta -> "WAP_BOOTSTRAP"))
           bootstrappedEmpty = true
         }
       }
@@ -537,7 +570,8 @@ final class Warehouse(spark: SparkSession, val root: String,
       s"$ref has no staged batch '$id' (published or discarded?); " +
         s"staged = ${stagedIds(ref).mkString(",")}")
     val (schemaJson, files) = parseLogEntries(mp)
-    val v = commitLocked(ref, schemaJson, files)
+    val v = commitLocked(ref, schemaJson, files,
+      Map(Warehouse.OpMeta -> "WAP_PUBLISH"))
     fs(mp).delete(mp, false)
     TableStatsRegistry.invalidate(path(ref))
     v
@@ -930,7 +964,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           throw new RuntimeException(s"failed to move staged bootstrap into $ref")
         // crash between rename and commit leaves a COMPLETE logless
         // dir: plain reads see all rows, the next writer adopts it
-        commitLocked(ref, df.schema.json, rels, meta)
+        commitLocked(ref, df.schema.json, rels,
+          Warehouse.withOp(meta, "OVERWRITE"))
         if (statsColumns.nonEmpty) registerStatsAt(path(ref))
         else TableStatsRegistry.invalidate(path(ref))
       } else {
@@ -944,7 +979,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           if (!filesystem.rename(f, dest))
             throw new RuntimeException(s"failed to move $r into $ref")
         }
-        commitLocked(ref, df.schema.json, rels, meta)
+        commitLocked(ref, df.schema.json, rels,
+          Warehouse.withOp(meta, "OVERWRITE"))
         // manifest follows the commit; a crash in between leaves a stale
         // manifest, which pruning tolerates by construction (entries for
         // retired files never match the live list, unknown files are kept)
@@ -1011,13 +1047,15 @@ final class Warehouse(spark: SparkSession, val root: String,
     val survivors = spark.read.option("basePath", path(ref))
       .parquet(touched: _*)
       .filter(!matched)
-    replaceDataFiles(ref, touched, survivors)
+    replaceDataFiles(ref, touched, survivors,
+      meta = Map(Warehouse.OpMeta -> "DELETE"))
     perFile.map(_.getLong(1)).sum
   }
 
   /** K4 TRUNCATE (lib/checker_handler.py:119): keep the table, drop rows. */
   def truncate(ref: TableRef): Unit =
-    if (exists(ref)) overwrite(ref, read(ref).limit(0))
+    if (exists(ref)) overwrite(ref, read(ref).limit(0),
+      meta = Map(Warehouse.OpMeta -> "TRUNCATE"))
 
   def drop(ref: TableRef): Unit = {
     val p = new Path(path(ref))
@@ -1497,7 +1535,8 @@ final class Warehouse(spark: SparkSession, val root: String,
       // vacuum. Schema carried forward: file replacement never changes it.
       val replacedSet = replacedRels.toSet
       commitLocked(ref, snap.schemaJson,
-        snap.files.filterNot(replacedSet.contains) ++ adds, meta)
+        snap.files.filterNot(replacedSet.contains) ++ adds,
+        Warehouse.withOp(meta, "REPLACE"))
       manifestTmp.foreach { tmp =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
@@ -1673,7 +1712,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         val subdir =
           if (dir == qualifiedTable) None
           else Some(dir.toString.stripPrefix(qualifiedPrefix))
-        replaceDataFiles(ref, files, packed, subdir)
+        replaceDataFiles(ref, files, packed, subdir,
+          meta = Map(Warehouse.OpMeta -> (if (zOrder) "ZORDER" else "COMPACT")))
         compacted += small.size
       }
     }
@@ -1694,6 +1734,20 @@ final class Warehouse(spark: SparkSession, val root: String,
 }
 
 object Warehouse {
+  /** Commit-meta key naming the operation that produced a version
+    * (OVERWRITE / MERGE / REPLACE / DELETE / COMPACT / ZORDER /
+    * TRUNCATE / RESTORE / META / ADOPT / WAP_BOOTSTRAP / WAP_PUBLISH).
+    * Unlike application meta it is NOT carried forward across commits —
+    * each version describes its own writer ([[Warehouse.history]]).
+    */
+  val OpMeta = "graft.op"
+
+  /** Stamp `op` unless the caller already set one (a higher-level
+    * composition like MERGE wins over the REPLACE primitive under it).
+    */
+  def withOp(meta: Map[String, String], op: String): Map[String, String] =
+    if (meta.contains(OpMeta)) meta else meta + (OpMeta -> op)
+
   /** Process-local writer mutexes keyed by the normalized lock path
     * (JVM-wide, so two [[Warehouse]] instances over one root still
     * serialize) — the exact in-process half of `withWriterLock`'s

@@ -1111,7 +1111,50 @@ object PipelineQueries {
       |FROM orders
       |WHERE o_orderkey IN (17, 443, 901)""".stripMargin
 
+  /** DESCRIBE HISTORY end-to-end: five writes through five DIFFERENT
+    * code paths (overwrite → merge → row-level delete → compaction →
+    * restore) must each stamp their own operation on their commit, and
+    * the stamp must NOT inherit onto later commits (it is the one meta
+    * key excluded from the carry-forward). The oracle is the literal
+    * expected ledger. File counts stay out of the projection (writer
+    * parallelism decides them; WarehouseSpec asserts them relatively).
+    */
+  def qTableHistory(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "history.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-history").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_hist")
+      val orders = Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      // compact runs right after the 8-file overwrite: later rewrites
+      // (merge/delete) re-pack this tiny table into one file via the
+      // scan coalescer, and compact no-ops under 2 small files
+      wh.overwrite(ref, orders.repartitionByRange(8, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))                            // v1
+      wh.compact(ref)                                                // v2
+      new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
+        .upsert(orders.filter($"o_orderkey" % 5 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 1.0))        // v3
+      wh.deleteWhere(ref, $"o_orderkey" % 7 === 3)                   // v4
+      wh.restore(ref, 3)                                             // v5
+      (wh, ref)
+    }
+    wh.history(ref).select($"version", $"operation")
+  }
+
+  val qTableHistorySql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(5 AS BIGINT), 'RESTORE'),
+      |  (CAST(4 AS BIGINT), 'DELETE'),
+      |  (CAST(3 AS BIGINT), 'MERGE'),
+      |  (CAST(2 AS BIGINT), 'COMPACT'),
+      |  (CAST(1 AS BIGINT), 'OVERWRITE'))
+      |  AS t(version, operation)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_table_history" -> (qTableHistory _),
     "q_warehouse_bloom" -> (qWarehouseBloom _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
@@ -1145,6 +1188,7 @@ object PipelineQueries {
     "q_gold_incr_agg" -> qGoldIncrAggSql,
     "q_gold_incr_avg" -> qGoldIncrAvgSql,
     "q_warehouse_bloom" -> qWarehouseBloomSql,
+    "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,
     "q_pipeline_csv" -> qPipelineFullSql,

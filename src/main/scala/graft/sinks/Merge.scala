@@ -218,7 +218,10 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
 
   private def replacePartitionsOnce(partitionKeys: DataFrame,
                                     replacement: DataFrame,
-                                    meta: Map[String, String] = Map.empty): Unit = {
+                                    rawMeta: Map[String, String] = Map.empty): Unit = {
+    // one MERGE stamp covers bootstrap, pruned replace, and full
+    // rewrite (callers' meta still rides; an explicit op wins)
+    val meta = Warehouse.withOp(rawMeta, "MERGE")
     if (!warehouse.exists(ref)) {
       warehouse.overwrite(ref, replacement, statsColumns = bootstrapStats,
         onlyIfAbsent = true, meta = meta)
@@ -273,7 +276,7 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
       // check and our lock acquisition, this throws (nothing written)
       // and the retry loop re-enters through the merge path
       warehouse.overwrite(ref, source, statsColumns = bootstrapStats,
-        onlyIfAbsent = true)
+        onlyIfAbsent = true, meta = Map(Warehouse.OpMeta -> "MERGE"))
       return
     }
     // heal any interrupted prior replacement BEFORE reading the target —
@@ -304,7 +307,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
         val merged = Merge.merge(wTarget, wSource, keys, tsField)
         warehouse.overwrite(ref, merged,
           statsColumns = statCols.filter(merged.columns.contains),
-          expectedVersion = baseVersion)
+          expectedVersion = baseVersion,
+          meta = Map(Warehouse.OpMeta -> "MERGE"))
         return
       }
     }
@@ -334,7 +338,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           else Merge.merge(
             spark.read.option("basePath", warehouse.path(ref)).parquet(touched: _*),
             source, keys, tsField)
-        warehouse.replaceDataFiles(ref, touched, merged)
+        warehouse.replaceDataFiles(ref, touched, merged,
+          meta = Map(Warehouse.OpMeta -> "MERGE"))
       case _ =>
         // no manifest, or every file may overlap: full rewrite — and
         // write key stats (preserving any existing stat columns) so
@@ -344,7 +349,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           else warehouse.statColumns(ref)
         val merged = Merge.merge(warehouse.read(ref), source, keys, tsField)
         warehouse.overwrite(ref, merged, statsColumns = statCols,
-          expectedVersion = baseVersion)
+          expectedVersion = baseVersion,
+          meta = Map(Warehouse.OpMeta -> "MERGE"))
     }
   }
 }

@@ -286,6 +286,30 @@ class WarehouseSpec extends SparkSpec {
     assert(full.count() === 10000)
   }
 
+  test("history stamps each commit's operation; app meta carries but the op never does") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-hist"))
+    val ref = TableRef("silver", "g", "hist")
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4))
+    wh.commitMetaOnly(ref, Map("app.tag" -> "x"))
+    wh.truncate(ref)
+    wh.restore(ref, 1)
+    assert(wh.compact(ref, smallFileBytes = 32L << 20) > 0)
+    val h = wh.history(ref).as[(Long, String, Int)].collect().toSeq
+    assert(h.map(r => (r._1, r._2)) === Seq(
+      (5L, "COMPACT"), (4L, "RESTORE"), (3L, "TRUNCATE"),
+      (2L, "META"), (1L, "OVERWRITE")))
+    // compaction shrank the file count; truncate's version held no rows
+    // (it may still list one empty part file — writers emit at least one)
+    assert(h.head._3 < h.last._3)
+    assert(wh.readVersion(ref, 3L).count() === 0)
+    // app meta carried onto the compact commit, the op did not inherit
+    val m5 = wh.commitMeta(ref, 5L)
+    assert(m5("app.tag") === "x")
+    assert(m5(Warehouse.OpMeta) === "COMPACT")
+  }
+
   test("bloom equality skipping prunes hash-clustered files where range stats cannot") {
     import spark.implicits._
     import org.apache.spark.sql.functions.spark_partition_id
