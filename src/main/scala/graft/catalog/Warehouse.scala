@@ -1038,17 +1038,31 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def deleteWhere(ref: TableRef, cond: org.apache.spark.sql.Column): Long = {
     val matched = cond <=> lit(true) // null predicate = not matched
-    val perFile = read(ref).filter(matched)
+    // one planning pass over the CURRENT files: per-file matched AND
+    // total counts together (zero data columns beyond the predicate's),
+    // so fully-matched files are recognized without a second scan
+    val perFile = read(ref)
       .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(sum(matched.cast("long")).as("__n"), count(lit(1)).as("__total"))
+      .filter(col("__n") > 0)
       .collect()
     if (perFile.isEmpty) return 0L
     val touched = perFile.map(_.getString(0)).toSeq
-    val survivors = spark.read.option("basePath", path(ref))
-      .parquet(touched: _*)
-      .filter(!matched)
-    replaceDataFiles(ref, touched, survivors,
-      meta = Map(Warehouse.OpMeta -> "DELETE"))
+    // partition-drop fast path: a file whose EVERY row matches retires
+    // as pure metadata — no rewrite, no data movement. A predicate
+    // aligned with the clustering (drop a day, a tenant, a key range)
+    // deletes a 100 TB slice for the cost of one log append; only
+    // straddling files pay the rewrite.
+    val partial = perFile.filter(r => r.getLong(1) < r.getLong(2))
+      .map(_.getString(0)).toSeq
+    if (partial.isEmpty)
+      retireDataFiles(ref, touched, meta = Map(Warehouse.OpMeta -> "DELETE"))
+    else
+      replaceDataFiles(ref, touched,
+        spark.read.option("basePath", path(ref))
+          .parquet(partial: _*)
+          .filter(!matched),
+        meta = Map(Warehouse.OpMeta -> "DELETE"))
     perFile.map(_.getLong(1)).sum
   }
 
@@ -1452,6 +1466,56 @@ final class Warehouse(spark: SparkSession, val root: String,
     * interrupted upsert converges either way (MergeSpec proves both
     * arms).
     */
+  /** Retire files with NO replacement — the metadata-only half of
+    * [[replaceDataFiles]] for whole-file deletes (partition drop):
+    * no staging, no task launch, no data movement; one log append plus
+    * a manifest prune. (The replace path cannot express this: Spark
+    * writes one empty part file even for a zero-partition frame, which
+    * would turn a pure-metadata drop into a stray data file.) Same
+    * stale-plan guard as the replace path; crash-safe without a
+    * journal because retirement needs no physical action — the commit
+    * either landed or it didn't.
+    */
+  def retireDataFiles(ref: TableRef, replaced: Seq[String],
+                      meta: Map[String, String] = Map.empty): Unit =
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      val tablePath = new Path(path(ref))
+      val filesystem = fs(tablePath)
+      val snap = ensureLogLocked(ref)
+      val tableBase = filesystem.makeQualified(tablePath).toUri.getPath
+      def relOf(p: String): String =
+        new Path(p).toUri.getPath.stripPrefix(tableBase).stripPrefix("/")
+      val replacedRels = replaced.map(relOf)
+      val currentRels = snap.files.toSet
+      val staleMissing = replacedRels.filterNot(currentRels.contains)
+      if (staleMissing.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"table $ref changed since this retirement was planned: " +
+            s"${staleMissing.size} of ${replaced.size} files are no longer " +
+            s"part of version ${snap.version} (e.g. ${staleMissing.head}) — " +
+            "re-read the table and re-plan")
+      val replacedSet = replacedRels.toSet
+      commitLocked(ref, snap.schemaJson,
+        snap.files.filterNot(replacedSet.contains),
+        Warehouse.withOp(meta, "REPLACE"))
+      // manifest prune: drop the retired files' stats rows (tmp+rename,
+      // like every manifest swap); pruning tolerates a crash in between
+      // (stale entries never match the live list)
+      manifestDf(path(ref)).foreach { old =>
+        val replacedNames = replaced.map(new Path(_).getName)
+        val next = old.filter(!col("file").isin(replacedNames: _*))
+        val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
+        next.coalesce(1).write.parquet(tmp.toString)
+        val live = new Path(tablePath, statsDir)
+        filesystem.delete(live, true)
+        if (!filesystem.rename(tmp, live))
+          throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        registerStatsAt(path(ref))
+      }
+      TableStatsRegistry.invalidate(path(ref))
+    }
+
   /** @param subdir table-relative destination for the new files (e.g.
     *               `"bucket=0"`): partition-directory maintenance places
     *               rewritten files back inside their partition so
@@ -1507,15 +1571,22 @@ final class Warehouse(spark: SparkSession, val root: String,
       val manifestTmp =
         if (statCols.isEmpty) None
         else manifestDf(path(ref)).map { old =>
-          val newStats = fileStats(spark.read.parquet(stage.toString), statCols)
-          // keep only columns the new stats also carry (dropped stat
-          // columns fall away); allowMissingColumns backfills nulls on
-          // pre-rows/ndv manifests — registerStats refuses partial sums
-          val common = old.columns.filter(newStats.columns.contains).toSeq
-          val survivors = old.select(common.map(col): _*)
-          val kept = if (replacedNames.isEmpty) survivors
-            else survivors.filter(!col("file").isin(replacedNames: _*))
-          val next = kept.unionByName(newStats, allowMissingColumns = true)
+          val kept0 = if (replacedNames.isEmpty) old
+            else old.filter(!col("file").isin(replacedNames: _*))
+          // a retire-only replacement (e.g. deleteWhere dropping whole
+          // files) stages ZERO new files — there is nothing to stat and
+          // an empty-dir parquet read would fail schema inference
+          val next =
+            if (newFiles.isEmpty) kept0
+            else {
+              val newStats = fileStats(spark.read.parquet(stage.toString), statCols)
+              // keep only columns the new stats also carry (dropped stat
+              // columns fall away); allowMissingColumns backfills nulls on
+              // pre-rows/ndv manifests — registerStats refuses partial sums
+              val common = old.columns.filter(newStats.columns.contains).toSeq
+              kept0.select(common.map(col): _*)
+                .unionByName(newStats, allowMissingColumns = true)
+            }
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
           next.coalesce(1).write.parquet(tmp.toString)
           tmp

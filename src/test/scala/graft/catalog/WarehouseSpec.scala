@@ -162,6 +162,36 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read(ref).count() === 67)
   }
 
+  test("deleteWhere retires fully-matched files as pure metadata (partition drop)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{input_file_name, max}
+    val wh = new Warehouse(spark, tmpDir("wh-del-drop"))
+    val ref = TableRef("silver", "facts", "deldrop")
+    // 4 range files over 1..100: k <= 50 covers files 1-2 ENTIRELY and
+    // no others — the aligned delete must be retire-only
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, $"k"), statsColumns = Seq("k"))
+    val before = wh.dataFiles(ref).map(_.toString).toSet
+    val cut = wh.read(ref).withColumn("f", input_file_name())
+      .groupBy("f").agg(max($"k")).collect()
+      .map(_.getLong(1)).sorted.apply(1) // end of the second file's range
+    assert(wh.deleteWhere(ref, $"k" <= cut) === cut)
+    val after = wh.dataFiles(ref).map(_.toString).toSet
+    // retire-only: the surviving list is a strict SUBSET of the old one
+    // — zero new files were written for an aligned delete
+    assert(after.subsetOf(before))
+    assert(after.size === before.size - 2)
+    assert(wh.read(ref).count() === 100 - cut)
+    // straddling delete: one file partially matched → exactly one
+    // rewritten file appears, untouched files keep their paths
+    val cut2 = cut + 10
+    assert(wh.deleteWhere(ref, $"k" <= cut2) === 10L)
+    val after2 = wh.dataFiles(ref).map(_.toString).toSet
+    assert((after2 -- after).size === 1, "exactly one rewritten file")
+    assert((after -- after2).size === 1, "exactly one retired original")
+    assert(wh.read(ref).count() === 100 - cut2)
+  }
+
   test("bootstrap overwrite lands whole-dir: metadata leftovers cleared, logless data adopted") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-boot"))
