@@ -280,8 +280,16 @@ object Bench {
     val phasesTop = phasesAll.sortBy { case (k, v) => (-v, k) }
     def family(k: String): String =
       if (k.endsWith(".fixtures")) "other:*.fixtures"
-      else if (k.contains(".")) s"other:${k.takeWhile(_ != '.')}.*"
-      else "other:misc" // distinct from the terminal re-fold bucket
+      else {
+        // two-segment families where the key depth allows: the stream.*
+        // prefix alone folded ~30 s across a dozen unrelated replays —
+        // stream.aggmv.* vs stream.late.* etc. keep each fold small
+        // enough (<~20 s) to need no further explanation
+        val segs = k.split('.')
+        if (segs.length >= 3) s"other:${segs(0)}.${segs(1)}.*"
+        else if (segs.length == 2) s"other:${segs(0)}.*"
+        else "other:misc" // distinct from the terminal re-fold bucket
+      }
     val foldedAll = phasesTop.drop(14)
       .groupMapReduce { case (k, _) => family(k) } { case (_, v) => v }(_ + _)
       .toSeq.sortBy { case (k, v) => (-v, k) }

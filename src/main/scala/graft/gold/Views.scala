@@ -26,13 +26,34 @@ object Views {
     if (m.find() && m.start() == 0) sql.substring(m.end()) else sql
   }
 
-  /** Materialize (create-or-refresh) a gold view into the warehouse. */
+  /** Materialize (create-or-refresh) a gold view into the warehouse.
+    * With `pinBase`, the CTAS reads that base table at its PINNED
+    * current version and records it atomically in the commit meta
+    * (`mv.base_version`) — what [[refreshIncrementalAuto]] later reads,
+    * and the same race-free discipline as [[materializeAgg]]: a base
+    * commit arriving mid-build cannot leave contents ahead of the
+    * recorded marker. Returns the pinned base version (-1 when
+    * unpinned).
+    */
   def materialize(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
-                  viewSql: String): Unit = {
+                  viewSql: String, pinBase: Option[TableRef] = None): Long = {
     val tables = warehouse.listTables().map { t =>
       t.toString -> warehouse.registerView(t)
     }.toMap
-    warehouse.overwrite(ref, Transform.sql(spark, bodyOf(viewSql), tables))
+    pinBase match {
+      case None =>
+        warehouse.overwrite(ref, Transform.sql(spark, bodyOf(viewSql), tables))
+        -1L
+      case Some(b) =>
+        val v = warehouse.currentVersion(b).getOrElse(
+          throw new IllegalArgumentException(s"$b has no committed version"))
+        val pv = s"__graft_pin_${b.catalog}_${b.schema}_${b.table}"
+        warehouse.readVersion(b, v).createOrReplaceTempView(pv)
+        warehouse.overwrite(ref,
+          Transform.sql(spark, bodyOf(viewSql), tables + (b.toString -> pv)),
+          meta = Map(BaseVersionMeta -> v.toString))
+        v
+    }
   }
 
   /** Incrementally refresh a latest-per-key materialized view from the
@@ -103,6 +124,25 @@ object Views {
     // without this every refresh leaked its blocks for the JVM's life
     graft.util.Scratch.release(affected)
     cur
+  }
+
+  /** [[refreshIncremental]] with `sinceVersion` read from the view's
+    * own commit meta (written by [[materialize]] and every refresh) —
+    * the same crash-safe auto form as [[refreshIncrementalAggAuto]]:
+    * a replayed batch re-covers exactly the feed the view is missing,
+    * and a rerun of an already-covered refresh no-ops instead of
+    * re-replacing identical partitions.
+    */
+  def refreshIncrementalAuto(spark: SparkSession, warehouse: Warehouse,
+                             viewRef: TableRef, baseRef: TableRef,
+                             viewSql: String, viewKeys: Seq[String],
+                             baseKeys: Seq[String]): Long = {
+    val since = warehouse.latestCommitMeta(viewRef, BaseVersionMeta).getOrElse(
+      throw new IllegalArgumentException(
+        s"$viewRef carries no $BaseVersionMeta commit meta — materialize " +
+          "it first")).toLong
+    refreshIncremental(spark, warehouse, viewRef, baseRef, since, viewSql,
+      viewKeys, baseKeys)
   }
 
   /** One aggregate column of an aggregate materialized view:
