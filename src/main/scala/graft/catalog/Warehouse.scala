@@ -101,15 +101,21 @@ final class Warehouse(spark: SparkSession, val root: String,
     new Path(logDirPath(ref), f"v$v%08d")
 
   /** Latest committed version, None for logless directories. */
-  def currentVersion(ref: TableRef): Option[Long] = {
+  /** Surviving committed versions, ascending (the single owner of the
+    * `v%08d` filename convention — history/vacuum/currentVersion all
+    * resolve through here).
+    */
+  private def listVersions(ref: TableRef): Seq[Long] = {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
-    if (!filesystem.exists(dir)) return None
-    val vs = filesystem.listStatus(dir).map(_.getPath.getName)
+    if (!filesystem.exists(dir)) Seq.empty
+    else filesystem.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.length == 9 && n.startsWith("v") &&
         n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-    if (vs.isEmpty) None else Some(vs.max)
+      .toSeq.sorted
   }
+
+  def currentVersion(ref: TableRef): Option[Long] = listVersions(ref).lastOption
 
   /** The snapshot a given version committed. Throws when the version was
     * never committed or has been vacuumed away.
@@ -119,7 +125,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(p).exists(p),
       s"$ref has no version $version (never committed, or vacuumed); " +
         s"current = ${currentVersion(ref).getOrElse("none")}")
-    val (schemaJson, files) = parseLogEntries(p)
+    val (schemaJson, files, _) = parseLogEntries(p)
     TableSnapshot(ref, version, schemaJson, files)
   }
 
@@ -127,20 +133,24 @@ final class Warehouse(spark: SparkSession, val root: String,
     * `schema\t<json>` + `file\t<rel>` lines, unknown kinds ignored for
     * forward compatibility.
     */
-  private def parseLogEntries(p: Path): (String, Seq[String]) = {
+  private def parseLogEntries(p: Path): (String, Seq[String], Map[String, String]) = {
     val in = fs(p).open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     var schemaJson = ""
     val files = Seq.newBuilder[String]
+    val meta = Map.newBuilder[String, String]
     text.linesIterator.filter(_.nonEmpty).foreach { l =>
       l.split("\t", 2) match {
         case Array("schema", j) => schemaJson = j
         case Array("file", f) => files += f
+        case Array("meta", kv) =>
+          val i = kv.indexOf('=')
+          meta += kv.take(i) -> kv.drop(i + 1)
         case _ => // forward-compat: unknown entry kinds are ignored
       }
     }
-    (schemaJson, files.result())
+    (schemaJson, files.result(), meta.result())
   }
 
   /** DESCRIBE HISTORY: one row per SURVIVING version ([[vacuum]] prunes
@@ -154,18 +164,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def history(ref: TableRef): DataFrame = {
     import spark.implicits._
-    val dir = logDirPath(ref)
-    val filesystem = fs(dir)
-    val versions =
-      if (!filesystem.exists(dir)) Seq.empty[Long]
-      else filesystem.listStatus(dir).map(_.getPath.getName)
-        .collect { case n if n.length == 9 && n.startsWith("v") &&
-          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-        .toSeq.sorted.reverse
-    versions.map { v =>
-      val snap = snapshotAt(ref, v)
-      val op = commitMeta(ref, v).getOrElse(Warehouse.OpMeta, "UNKNOWN")
-      (v, op, snap.files.size)
+    listVersions(ref).reverse.map { v =>
+      // one parse per version file: files and meta come out together
+      val (_, files, meta) = parseLogEntries(versionFilePath(ref, v))
+      (v, meta.getOrElse(Warehouse.OpMeta, "UNKNOWN"), files.size)
     }.toDF("version", "operation", "n_files")
   }
 
@@ -337,18 +339,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     * non-idempotent incremental refresh crash-safe). Older readers
     * ignore the lines (unknown log entry kinds are skipped).
     */
-  def commitMeta(ref: TableRef, version: Long): Map[String, String] = {
-    val p = versionFilePath(ref, version)
-    val in = fs(p).open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.linesIterator.collect {
-      case l if l.startsWith("meta\t") =>
-        val kv = l.stripPrefix("meta\t")
-        val i = kv.indexOf('=')
-        kv.take(i) -> kv.drop(i + 1)
-    }.toMap
-  }
+  def commitMeta(ref: TableRef, version: Long): Map[String, String] =
+    parseLogEntries(versionFilePath(ref, version))._3
 
   /** Pure-metadata commit: the current version's schema and file list
     * re-committed with `meta` attached — zero data movement (the same
@@ -554,7 +546,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(mp).exists(mp),
       s"$ref has no staged batch '$id' (published or discarded?); " +
         s"staged = ${stagedIds(ref).mkString(",")}")
-    val (schemaJson, files) = parseLogEntries(mp)
+    val (schemaJson, files, _) = parseLogEntries(mp)
     readSnapshot(TableSnapshot(ref, -1L, schemaJson, files))
   }
 
@@ -569,7 +561,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(mp).exists(mp),
       s"$ref has no staged batch '$id' (published or discarded?); " +
         s"staged = ${stagedIds(ref).mkString(",")}")
-    val (schemaJson, files) = parseLogEntries(mp)
+    val (schemaJson, files, _) = parseLogEntries(mp)
     val v = commitLocked(ref, schemaJson, files,
       Map(Warehouse.OpMeta -> "WAP_PUBLISH"))
     fs(mp).delete(mp, false)
@@ -585,7 +577,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(mp).exists(mp),
       s"$ref has no staged batch '$id' (published or discarded?); " +
         s"staged = ${stagedIds(ref).mkString(",")}")
-    val (_, files) = parseLogEntries(mp)
+    val (_, files, _) = parseLogEntries(mp)
     val target = new Path(path(ref))
     val filesystem = fs(target)
     // only files NO live log version references may be deleted. A fresh
@@ -708,10 +700,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       val dir = logDirPath(ref)
       if (!filesystem.exists(dir)) 0
       else {
-        val versions = filesystem.listStatus(dir).map(_.getPath.getName)
-          .collect { case n if n.length == 9 && n.startsWith("v") &&
-            n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-          .sorted.toSeq
+        val versions = listVersions(ref)
         val keep = versions.takeRight(keepVersions)
         // staged (write-audit-publish) batches are live state awaiting
         // their audit: their files are referenced by no version yet but
@@ -1038,13 +1027,12 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def deleteWhere(ref: TableRef, cond: org.apache.spark.sql.Column): Long = {
     val matched = cond <=> lit(true) // null predicate = not matched
-    // one planning pass over the CURRENT files: per-file matched AND
-    // total counts together (zero data columns beyond the predicate's),
-    // so fully-matched files are recognized without a second scan
-    val perFile = read(ref)
+    // planning pass with the predicate PUSHED: parquet row-group stats
+    // skip non-matching groups, so work stays proportional to the files
+    // that COULD match — never the table
+    val perFile = read(ref).filter(matched)
       .groupBy(input_file_name().as("__file"))
-      .agg(sum(matched.cast("long")).as("__n"), count(lit(1)).as("__total"))
-      .filter(col("__n") > 0)
+      .agg(count(lit(1)).as("__n"))
       .collect()
     if (perFile.isEmpty) return 0L
     val touched = perFile.map(_.getString(0)).toSeq
@@ -1052,8 +1040,32 @@ final class Warehouse(spark: SparkSession, val root: String,
     // as pure metadata — no rewrite, no data movement. A predicate
     // aligned with the clustering (drop a day, a tenant, a key range)
     // deletes a 100 TB slice for the cost of one log append; only
-    // straddling files pay the rewrite.
-    val partial = perFile.filter(r => r.getLong(1) < r.getLong(2))
+    // straddling files pay the rewrite. Per-file totals come from the
+    // stats manifest when it has them (zero I/O) and otherwise from a
+    // zero-data-column count over ONLY the touched files — the pushed
+    // planning scan above stays untouched either way.
+    val touchedNames = touched.map(new Path(_).getName)
+    val fromManifest: Map[String, Long] = manifestDf(path(ref)) match {
+      case Some(m) if m.columns.contains("rows") =>
+        m.filter(col("file").isin(touchedNames: _*) && col("rows").isNotNull)
+          .select("file", "rows").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case _ => Map.empty
+    }
+    val missing = touched.filterNot(p =>
+      fromManifest.contains(new Path(p).getName))
+    val counted: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else spark.read.option("basePath", path(ref)).parquet(missing: _*)
+        .groupBy(input_file_name().as("__file"))
+        .agg(count(lit(1)).as("__total"))
+        .collect().map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+        .toMap
+    def totalOf(p: String): Long = {
+      val n = new Path(p).getName
+      fromManifest.getOrElse(n, counted(n))
+    }
+    val partial = perFile.filter(r => r.getLong(1) < totalOf(r.getString(0)))
       .map(_.getString(0)).toSeq
     if (partial.isEmpty)
       retireDataFiles(ref, touched, meta = Map(Warehouse.OpMeta -> "DELETE"))
@@ -1444,6 +1456,71 @@ final class Warehouse(spark: SparkSession, val root: String,
         spark.read.option("basePath", path(ref)).parquet(kept: _*)
     }
 
+  /** Stale-plan guard shared by [[replaceDataFiles]] and
+    * [[retireDataFiles]]: membership in the CURRENT version is the
+    * staleness witness (mere existence no longer is — retired files
+    * stay on disk for snapshot readers). A plan touching a file that
+    * left the version is provably computed from a superseded table
+    * state; failing loudly here is what turns a lost update into a
+    * retryable conflict.
+    */
+  private def requireCurrentFiles(ref: TableRef, snap: TableSnapshot,
+                                  rels: Seq[String], action: String): Unit = {
+    val currentRels = snap.files.toSet
+    val staleMissing = rels.filterNot(currentRels.contains)
+    if (staleMissing.nonEmpty)
+      throw new ConcurrentWriteException(
+        s"table $ref changed since this $action was planned: " +
+          s"${staleMissing.size} of ${rels.size} files are no longer part " +
+          s"of version ${snap.version} (e.g. ${staleMissing.head}) — " +
+          "re-read the table and re-plan")
+  }
+
+  /** Retire files with NO replacement — the metadata-only half of
+    * [[replaceDataFiles]] for whole-file deletes (partition drop):
+    * no staging, no task launch, no data movement; one log append plus
+    * a manifest prune. (The replace path cannot express this: Spark
+    * writes one empty part file even for a zero-partition frame, which
+    * would turn a pure-metadata drop into a stray data file.) Same
+    * stale-plan guard as the replace path; crash-safe without a
+    * journal because retirement needs no physical action — the commit
+    * either landed or it didn't.
+    */
+  def retireDataFiles(ref: TableRef, replaced: Seq[String],
+                      meta: Map[String, String] = Map.empty): Unit =
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      val tablePath = new Path(path(ref))
+      val filesystem = fs(tablePath)
+      val snap = ensureLogLocked(ref)
+      val tableBase = filesystem.makeQualified(tablePath).toUri.getPath
+      def relOf(p: String): String =
+        new Path(p).toUri.getPath.stripPrefix(tableBase).stripPrefix("/")
+      val replacedRels = replaced.map(relOf)
+      requireCurrentFiles(ref, snap, replacedRels, "retirement")
+      val replacedSet = replacedRels.toSet
+      commitLocked(ref, snap.schemaJson,
+        snap.files.filterNot(replacedSet.contains),
+        Warehouse.withOp(meta, "REPLACE"))
+      // manifest prune: drop the retired files' stats rows (tmp+rename,
+      // like every manifest swap); pruning tolerates a crash in between
+      // (stale entries never match the live list)
+      val manifest = manifestDf(path(ref))
+      manifest.foreach { old =>
+        val replacedNames = replaced.map(new Path(_).getName)
+        val next = old.filter(!col("file").isin(replacedNames: _*))
+        val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
+        next.coalesce(1).write.parquet(tmp.toString)
+        val live = new Path(tablePath, statsDir)
+        filesystem.delete(live, true)
+        if (!filesystem.rename(tmp, live))
+          throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        registerStatsAt(path(ref)) // fresh registration — keep it
+      }
+      // registerStatsAt XOR invalidate, like every other write path
+      if (manifest.isEmpty) TableStatsRegistry.invalidate(path(ref))
+    }
+
   /** File-level replacement — the physical primitive behind incremental
     * MERGE (the behavior Delta's transaction log gives `MERGE INTO`:
     * rewrite only touched files, /root/reference/lib/ingestors.py:113-126):
@@ -1466,55 +1543,6 @@ final class Warehouse(spark: SparkSession, val root: String,
     * interrupted upsert converges either way (MergeSpec proves both
     * arms).
     */
-  /** Retire files with NO replacement — the metadata-only half of
-    * [[replaceDataFiles]] for whole-file deletes (partition drop):
-    * no staging, no task launch, no data movement; one log append plus
-    * a manifest prune. (The replace path cannot express this: Spark
-    * writes one empty part file even for a zero-partition frame, which
-    * would turn a pure-metadata drop into a stray data file.) Same
-    * stale-plan guard as the replace path; crash-safe without a
-    * journal because retirement needs no physical action — the commit
-    * either landed or it didn't.
-    */
-  def retireDataFiles(ref: TableRef, replaced: Seq[String],
-                      meta: Map[String, String] = Map.empty): Unit =
-    withWriterLock(ref) {
-      recoverLocked(ref)
-      val tablePath = new Path(path(ref))
-      val filesystem = fs(tablePath)
-      val snap = ensureLogLocked(ref)
-      val tableBase = filesystem.makeQualified(tablePath).toUri.getPath
-      def relOf(p: String): String =
-        new Path(p).toUri.getPath.stripPrefix(tableBase).stripPrefix("/")
-      val replacedRels = replaced.map(relOf)
-      val currentRels = snap.files.toSet
-      val staleMissing = replacedRels.filterNot(currentRels.contains)
-      if (staleMissing.nonEmpty)
-        throw new ConcurrentWriteException(
-          s"table $ref changed since this retirement was planned: " +
-            s"${staleMissing.size} of ${replaced.size} files are no longer " +
-            s"part of version ${snap.version} (e.g. ${staleMissing.head}) — " +
-            "re-read the table and re-plan")
-      val replacedSet = replacedRels.toSet
-      commitLocked(ref, snap.schemaJson,
-        snap.files.filterNot(replacedSet.contains),
-        Warehouse.withOp(meta, "REPLACE"))
-      // manifest prune: drop the retired files' stats rows (tmp+rename,
-      // like every manifest swap); pruning tolerates a crash in between
-      // (stale entries never match the live list)
-      manifestDf(path(ref)).foreach { old =>
-        val replacedNames = replaced.map(new Path(_).getName)
-        val next = old.filter(!col("file").isin(replacedNames: _*))
-        val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
-        next.coalesce(1).write.parquet(tmp.toString)
-        val live = new Path(tablePath, statsDir)
-        filesystem.delete(live, true)
-        if (!filesystem.rename(tmp, live))
-          throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        registerStatsAt(path(ref))
-      }
-      TableStatsRegistry.invalidate(path(ref))
-    }
 
   /** @param subdir table-relative destination for the new files (e.g.
     *               `"bucket=0"`): partition-directory maintenance places
@@ -1535,24 +1563,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     def relOf(p: String): String =
       new Path(p).toUri.getPath.stripPrefix(tableBase).stripPrefix("/")
     val replacedRels = replaced.map(relOf)
-    // Stale-plan guard (inside the lock, before any staging): the lock
-    // serializes write WINDOWS, but a caller that planned its
-    // replacement before another writer's commit would retire files
-    // that are no longer current and land rows computed from the
-    // superseded table state — a lost update. Membership in the CURRENT
-    // version is the staleness witness (mere existence no longer is:
-    // retired files stay on disk for snapshot readers). If any file
-    // this plan wants to replace has left the version, the plan is
-    // provably stale: fail loudly so the caller re-reads and re-plans.
-    val currentRels = snap.files.toSet
-    val staleMissing = replacedRels.filterNot(currentRels.contains)
-    if (staleMissing.nonEmpty)
-      throw new ConcurrentWriteException(
-        s"table $ref changed since this replacement was planned: " +
-          s"${staleMissing.size} of ${replaced.size} files to replace are " +
-          s"no longer part of version ${snap.version} " +
-          s"(e.g. ${staleMissing.head}) — re-read the table " +
-          "and re-plan the merge")
+    // stale-plan guard inside the lock, before any staging (the lock
+    // serializes write WINDOWS, not plan freshness)
+    requireCurrentFiles(ref, snap, replacedRels, "replacement")
     val nonce = System.nanoTime().toString
     // SIBLING staging dir (same convention as overwrite's tmp): outside
     // the table dir so concurrent scans never list it, yet not

@@ -49,9 +49,12 @@ object Views {
           throw new IllegalArgumentException(s"$b has no committed version"))
         val pv = s"__graft_pin_${b.catalog}_${b.schema}_${b.table}"
         warehouse.readVersion(b, v).createOrReplaceTempView(pv)
-        warehouse.overwrite(ref,
+        // dropped after the CTAS consumes it: a session-lingering view
+        // over a historical version would resolve to vacuumed files
+        try warehouse.overwrite(ref,
           Transform.sql(spark, bodyOf(viewSql), tables + (b.toString -> pv)),
           meta = Map(BaseVersionMeta -> v.toString))
+        finally spark.catalog.dropTempView(pv)
         v
     }
   }
@@ -123,6 +126,11 @@ object Views {
     // the replace is committed — the affected-keys checkpoint is dead;
     // without this every refresh leaked its blocks for the JVM's life
     graft.util.Scratch.release(affected)
+    // the slice view resolved into `recomputed`'s plan at analysis
+    // time; the lingering catalog entry would dangle once the feed's
+    // versions vacuum away
+    spark.catalog.dropTempView(
+      s"__graft_incr_${baseRef.catalog}_${baseRef.schema}_${baseRef.table}")
     cur
   }
 
