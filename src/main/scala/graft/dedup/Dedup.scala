@@ -433,6 +433,57 @@ object Dedup {
       Shingles.shingles(TextFunctions.tokens(a), k),
       Shingles.shingles(TextFunctions.tokens(b), k))
 
+  /** Shingle containment C(A, B) = |sh(A) ∩ sh(B)| / |sh(A)| — the
+    * ASYMMETRIC near-dup signal symmetric Jaccard misses: a short
+    * document quoted verbatim inside a much longer one has
+    * Jaccard ≈ |A|/|B| (arbitrarily small) but containment ≈ 1.
+    */
+  def containment(a: Column, b: Column): Column =
+    when(size(a) === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / size(a))
+
+  /** Containment near-dup pairs — the quote/excerpt detector. MinHash
+    * LSH is the WRONG candidate generator here (its band collisions
+    * approximate Jaccard, which is exactly what a contained short doc
+    * lacks against its host); candidates come from a shared-shingle
+    * inverted index instead: two docs are candidates iff they share a
+    * shingle whose posting list is ≤ `maxPostings` (boilerplate
+    * shingles above the cap are dropped — the same documented recall
+    * cap as every banded/bucketed stage; a ≥-threshold pair sharing
+    * ONLY ultra-common shingles is missed). Exact containment then
+    * verifies each candidate in BOTH directions, emitting ordered
+    * (id_a contained-in id_b, containment ≥ threshold) rows.
+    *
+    * Scale shape: one shingle pass, postings bounded per shingle (the
+    * quadratic is Σ n_g² with n_g ≤ maxPostings), thin pair dedup, one
+    * verify join against the checkpointed shingle sets — never
+    * all-pairs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.9,
+                       maxPostings: Int = 1000): DataFrame = {
+    val spread = spreadThin(df, idCol, textCol)
+    val sh = graft.util.Scratch.transientCheckpoint(
+      spread.select(col(idCol).as("id"),
+        Shingles.shingles(TextFunctions.tokens(col(textCol)), k).as("sh"))
+        .localCheckpoint())
+    val postings = sh.select(col("id"), explode(col("sh")).as("g"))
+    val usable = postings.groupBy("g").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 && col("n") <= maxPostings)
+    val bounded = postings.join(usable, Seq("g"), "left_semi")
+    val pairs = bounded.as("l")
+      .join(bounded.as("r"),
+        col("l.g") === col("r.g") && col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("containment", round(containment(col("sh_a"), col("sh_b")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   // -------------------------------------------------------------- simhash
 
   private val simhashBits = 63 // keep the sign bit clear: packed fits a Long

@@ -487,6 +487,7 @@ object DedupQueries {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_against_near" -> (qDedupAgainstNear _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_containment" -> (qContainment _),
     "q_minhash_pairs" -> (qMinhashPairs _),
     "q_dedup_near_e2e" -> (qDedupNearE2e _),
     "q_simhash_pairs" -> (qSimhashPairs _))
@@ -501,5 +502,57 @@ object DedupQueries {
     "q_minhash_pairs" -> qMinhashPairsSql,
     "q_simhash_pairs" -> qSimhashPairsSql,
     "q_dedup_near_e2e" -> qDedupNearE2eSql,
-    "q_ngram_jaccard" -> qNgramJaccardSql)
+    "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_containment" -> qContainmentSql)
+
+  /** Asymmetric containment near-dup (Dedup.containmentPairs): the
+    * corpus is documents ∪ planted QUOTES (tokens 5..24 of every
+    * ≥30-token doc, id +5e6) — pairs symmetric Jaccard scores near
+    * |quote|/|host| ≈ 0.2 but containment scores 1.0. The oracle
+    * re-implements the ENTIRE operator in SQL (shared-shingle
+    * candidates with the same ≤100-posting cap, both-direction exact
+    * containment), so candidates AND scores are value-checked —
+    * including the ~10% organic high-containment pairs the synthetic
+    * corpus happens to contain.
+    */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents").select($"doc_id", $"text")
+    val toks = TextFunctions.tokens($"text")
+    val quotes = docs.filter(size(toks) >= 30)
+      .select(($"doc_id" + 5000000L).as("doc_id"),
+        array_join(slice(toks, 5, 20), " ").as("text"))
+    Dedup.containmentPairs(docs.unionByName(quotes), "doc_id", "text",
+      k = 3, threshold = 0.9, maxPostings = 100)
+  }
+
+  val qContainmentSql: String = {
+    val toks = """list_filter(regexp_split_to_array(text, '\s+'),
+                 |    x -> length(x) > 0)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 5000000,
+       |    array_to_string(($toks)[5:24], ' ')
+       |  FROM documents
+       |  WHERE len($toks) >= 30),
+       |tok AS (SELECT doc_id, $toks AS t FROM corpus),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
+       |  i -> array_to_string(t[i+1:i+3], ' '))) AS s FROM tok),
+       |post AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |usable AS (SELECT g FROM post GROUP BY g
+       |           HAVING count(*) > 1 AND count(*) <= 100),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+       |  FROM post l JOIN usable u ON l.g = u.g JOIN post r ON r.g = l.g
+       |  WHERE l.doc_id <> r.doc_id)
+       |SELECT id_a, id_b,
+       |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+       |    AS containment
+       |FROM cand JOIN sh a ON a.doc_id = cand.id_a
+       |          JOIN sh b ON b.doc_id = cand.id_b
+       |WHERE len(a.s) > 0
+       |  AND round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6)
+       |      >= 0.9""".stripMargin
+  }
 }

@@ -167,6 +167,32 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((1L, 5L)))
   }
 
+  test("containmentPairs finds quotes LSH-Jaccard misses; asymmetric; posting cap drops boilerplate") {
+    import spark.implicits._
+    val host = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 24).map(i => s"w$i").mkString(" ") // 15 tokens of host
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, host), (2L, quote), (3L, other)).toDF("id", "text")
+    val got = Dedup.containmentPairs(df, "id", "text", k = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    // quote fully contained in host; the reverse direction scores
+    // 13/58 and must NOT emit — asymmetry is the point
+    assert(got === Set((2L, 1L, 1.0)))
+    // …and symmetric Jaccard on the same pair is far below any
+    // near-dup threshold (why MinHash banding can't find it)
+    val j = df.filter($"id" === 1).select(
+      Dedup.ngramJaccard(lit(host), lit(quote))).head().getDouble(0)
+    assert(j < 0.3)
+    // boilerplate cap: every doc shares one ubiquitous shingle; with
+    // maxPostings below the corpus size that shingle is unusable and
+    // unrelated docs stop pairing through it
+    val boiler = (1 to 8).map(i =>
+      (i.toLong, s"common a b y$i z$i q$i r$i s$i t$i")).toDF("id", "text")
+    val capped = Dedup.containmentPairs(boiler, "id", "text", k = 3,
+      threshold = 0.1, maxPostings = 4)
+    assert(capped.count() === 0)
+  }
+
   test("dupGroups resolves chains to the min id; keepCanonical drops losers only") {
     import spark.implicits._
     // components: {1,2,3} (chained), {7,9}, isolated pairs absent: 5 not in graph
