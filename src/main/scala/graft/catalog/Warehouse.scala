@@ -1309,9 +1309,19 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def registerStats(ref: TableRef): Unit = registerStatsAt(path(ref))
 
-  private def registerStatsAt(tablePath: String): Unit =
-    manifestDf(tablePath).foreach { m =>
-      if (m.columns.contains("rows")) {
+  /** Returns whether stats were actually registered — false when the
+    * manifest is absent, predates the rows column, or (e.g. after a
+    * retirement that emptied the table) holds zero accountable files.
+    * Callers on a write path must invalidate on false or the registry
+    * keeps serving the PRE-write numbers; the lazy read-path loader
+    * instead leaves the old no-op semantics alone (invalidating there
+    * would clear the attempted marker and re-read the manifest on
+    * every read of a stats-less table).
+    */
+  private def registerStatsAt(tablePath: String): Boolean =
+    manifestDf(tablePath).exists { m =>
+      if (!m.columns.contains("rows")) false
+      else {
         val ndvCols = m.columns.filter(_.startsWith("ndv_")).toSeq
         val aggs = Seq(count(lit(1)).as("nfiles"), count(col("rows")).as("nrows"),
           sum(col("rows")).as("rows")) ++ ndvCols.map(c => sum(col(c)).as(c))
@@ -1323,7 +1333,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           }.toMap
           TableStatsRegistry.put(tablePath,
             TableStatsRegistry.TableStats(r.getLong(2), ndv))
-        }
+          true
+        } else false
       }
     }
 
@@ -1515,7 +1526,12 @@ final class Warehouse(spark: SparkSession, val root: String,
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        registerStatsAt(path(ref)) // fresh registration — keep it
+        // fresh registration — and when retirement emptied the table,
+        // the zero-row manifest is unregistrable: drop the registry
+        // entry rather than keep serving the pre-retire rowcount/NDVs
+        // JVM-wide until the next write
+        if (!registerStatsAt(path(ref)))
+          TableStatsRegistry.invalidate(path(ref))
       }
       // registerStatsAt XOR invalidate, like every other write path
       if (manifest.isEmpty) TableStatsRegistry.invalidate(path(ref))
@@ -1626,7 +1642,10 @@ final class Warehouse(spark: SparkSession, val root: String,
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        registerStatsAt(path(ref))
+        // same write-path contract as retireDataFiles: an unregistrable
+        // swapped manifest must not leave pre-replace stats live
+        if (!registerStatsAt(path(ref)))
+          TableStatsRegistry.invalidate(path(ref))
       }
       filesystem.delete(new Path(tablePath, txnFile), false)
     } finally {

@@ -107,9 +107,12 @@ object Dedup {
     * distinct pairs → join shingle sets back by id (the only wide rows,
     * proportional to candidates) → exact Jaccard filter.
     * `maxBucket` drops degenerate buckets (e.g. boilerplate shared by
-    * millions of docs) whose pair-expansion would be quadratic; dropped
-    * buckets are reported via the returned DataFrame's sibling —
-    * callers at scale should inspect bucket histograms first.
+    * millions of docs) whose pair-expansion would be quadratic; the
+    * number of buckets the cap dropped is recorded per run as
+    * `minhash.dropped_buckets` in [[graft.util.CapCounters]]
+    * (WARN-logged when non-zero) — callers at scale should check it
+    * before trusting the output as deduplicated, and inspect the
+    * bucket histogram when it fires.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -126,10 +129,18 @@ object Dedup {
       .select(col("id"), explode(bandKeys(col("sig"), bands, numHashes)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
-    // guard: cap bucket size before the quadratic self-join
-    val bucketCounts = exploded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket && col("n") > 1)
+    // guard: cap bucket size before the quadratic self-join. The
+    // histogram (one thin row per shared (band, bucket)) is eagerly
+    // materialized so the dropped-bucket diagnostic costs one count on
+    // already-aggregated rows, not a signature recompute.
+    val hist = graft.util.Scratch.transientCheckpoint(
+      exploded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .localCheckpoint())
+    graft.util.CapCounters.set("minhash.dropped_buckets",
+      hist.filter(col("n") > maxBucket).count())
+    val bucketCounts = hist.filter(col("n") <= maxBucket)
     val bounded = exploded.join(bucketCounts, Seq("band", "bucket"), "left_semi")
 
     val pairs = bounded.as("l")
@@ -139,8 +150,14 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
+    // verify on xxhash64'd shingles (the containmentPairs / SpanDedup
+    // pattern): the only wide rows of the plan move 8-byte longs, not
+    // space-joined token strings; Jaccard on the hashed sets equals
+    // Jaccard on the string sets absent a 2^-64 collision, which the
+    // string-side DuckDB oracle (q_minhash_pairs) certifies per corpus
     val shingleSets = spread.select(
-      col(idCol).as("id"), Shingles.shingles(toks, k).as("sh"))
+      col(idCol).as("id"),
+      transform(Shingles.shingles(toks, k), s => xxhash64(s)).as("sh"))
     pairs
       .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -229,12 +246,17 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
       .select(col("l.id").as("batch_id"), col("r.id").as("kept_id"))
       .distinct()
+    // hashed-shingle verify — same width cut (and same 2^-64 caveat)
+    // as minhashCandidates; the incremental gates' oracles stay on
+    // string shingles and certify the equivalence
     val batchSh = spreadThin(batch, idCol, textCol).select(
       col(idCol).as("batch_id"),
-      Shingles.shingles(TextFunctions.tokens(col(textCol)), k).as("__sh_b"))
+      transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
+        s => xxhash64(s)).as("__sh_b"))
     val keptSh = spreadThin(kept, idCol, textCol).select(
       col(idCol).as("kept_id"),
-      Shingles.shingles(TextFunctions.tokens(col(textCol)), k).as("__sh_k"))
+      transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
+        s => xxhash64(s)).as("__sh_k"))
     cands.join(batchSh, "batch_id").join(keptSh, "kept_id")
       .withColumn("jaccard", round(jaccard(col("__sh_b"), col("__sh_k")), 6))
       .filter(col("jaccard") >= threshold)
@@ -457,25 +479,62 @@ object Dedup {
     * Scale shape: one shingle pass, postings bounded per shingle (the
     * quadratic is Σ n_g² with n_g ≤ maxPostings), thin pair dedup, one
     * verify join against the checkpointed shingle sets — never
-    * all-pairs.
+    * all-pairs. Shingles are hashed to 8-byte longs (xxhash64, the
+    * SpanDedup gram pattern) BEFORE anything shuffles or checkpoints:
+    * the postings explode, the candidate self-join key, and the
+    * verify-join arrays all move longs instead of space-joined token
+    * strings (~5× narrower at k=3). A 2^-64 hash collision conflates
+    * two shingles (slightly over-counting an intersection) — the same
+    * accepted tradeoff as [[exactDedup]]'s fingerprint and SpanDedup's
+    * gram hashing, and the string-side DuckDB oracle (`q_containment`)
+    * certifies collision-freeness on every gated corpus.
+    *
+    * Observability: the number of shingles the `maxPostings` recall cap
+    * dropped is recorded per run as `containment.dropped_shingles` in
+    * [[graft.util.CapCounters]] (WARN-logged when non-zero) — at scale,
+    * a large count means boilerplate-heavy duplicate pairs may have
+    * been missed and the corpus needs a boilerplate-strip pass first.
+    * Cost attribution: phases `containment.shingles` / `.postings` /
+    * `.pairs` in the bench artifact; the residual gate time is the
+    * verify join.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 3, threshold: Double = 0.9,
                        maxPostings: Int = 1000): DataFrame = {
+    import graft.util.PhaseTimer.time
     val spread = spreadThin(df, idCol, textCol)
-    val sh = graft.util.Scratch.transientCheckpoint(
-      spread.select(col(idCol).as("id"),
-        Shingles.shingles(TextFunctions.tokens(col(textCol)), k).as("sh"))
-        .localCheckpoint())
+    val sh = time("containment.shingles") {
+      graft.util.Scratch.transientCheckpoint(
+        spread.select(col(idCol).as("id"),
+          transform(
+            Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
+            s => xxhash64(s)).as("sh"))
+          .localCheckpoint())
+    }
     val postings = sh.select(col("id"), explode(col("sh")).as("g"))
-    val usable = postings.groupBy("g").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 && col("n") <= maxPostings)
-    val bounded = postings.join(usable, Seq("g"), "left_semi")
-    val pairs = bounded.as("l")
-      .join(bounded.as("r"),
-        col("l.g") === col("r.g") && col("l.id") =!= col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
+    // posting-list histogram with singletons dropped (useless both as
+    // candidates and as cap diagnostics) — thin (g, n), one row per
+    // shared shingle
+    val hist = time("containment.postings") {
+      val h = graft.util.Scratch.transientCheckpoint(
+        postings.groupBy("g").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .localCheckpoint())
+      graft.util.CapCounters.set("containment.dropped_shingles",
+        h.filter(col("n") > maxPostings).count())
+      h
+    }
+    val bounded = postings.join(
+      hist.filter(col("n") <= maxPostings).select("g"), Seq("g"), "left_semi")
+    val pairs = time("containment.pairs") {
+      graft.util.Scratch.transientCheckpoint(
+        bounded.as("l")
+          .join(bounded.as("r"),
+            col("l.g") === col("r.g") && col("l.id") =!= col("r.id"))
+          .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+          .distinct()
+          .localCheckpoint())
+    }
     pairs
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

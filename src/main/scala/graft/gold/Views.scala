@@ -118,19 +118,24 @@ object Views {
       Transform.sql(spark, bodyOf(viewSql),
         tables + (baseRef.toString -> sliceView))
     }
-    time("mvrefresh.replace") {
-      new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
-        .replacePartitions(affected, recomputed,
-          meta = Map(BaseVersionMeta -> cur.toString))
+    try {
+      time("mvrefresh.replace") {
+        new graft.sinks.MergeTable(spark, warehouse, viewRef, viewKeys, None)
+          .replacePartitions(affected, recomputed,
+            meta = Map(BaseVersionMeta -> cur.toString))
+      }
+    } finally {
+      // the replace is committed (or threw) — the affected-keys
+      // checkpoint is dead either way; without this every refresh
+      // leaked its blocks for the JVM's life
+      graft.util.Scratch.release(affected)
+      // the slice view resolved into `recomputed`'s plan at analysis
+      // time; a lingering catalog entry would dangle once the feed's
+      // versions vacuum away — dropped on the failure path too (the
+      // pinned materialize path guards its cleanup the same way)
+      spark.catalog.dropTempView(
+        s"__graft_incr_${baseRef.catalog}_${baseRef.schema}_${baseRef.table}")
     }
-    // the replace is committed — the affected-keys checkpoint is dead;
-    // without this every refresh leaked its blocks for the JVM's life
-    graft.util.Scratch.release(affected)
-    // the slice view resolved into `recomputed`'s plan at analysis
-    // time; the lingering catalog entry would dangle once the feed's
-    // versions vacuum away
-    spark.catalog.dropTempView(
-      s"__graft_incr_${baseRef.catalog}_${baseRef.schema}_${baseRef.table}")
     cur
   }
 

@@ -128,6 +128,16 @@ object Bpe {
              merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the typed map below carries the id as Long; a non-integral id
+    // (string/UUID/decimal) would CAST-to-NULL silently and corrupt
+    // the join-back key of every output row — reject it loudly instead
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"Bpe.encode requires an integral id column; '$idCol' is $idType — " +
+        "map it to a long (e.g. xxhash64 or a join surrogate) first")
     val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
     df.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]

@@ -192,6 +192,24 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read(ref).count() === 100 - cut2)
   }
 
+  test("retiring every file invalidates the stats registry instead of serving pre-delete stats") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-del-all"))
+    val ref = TableRef("silver", "facts", "delall")
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, $"k"), statsColumns = Seq("k"))
+    val key = wh.path(ref)
+    assert(TableStatsRegistry.get(key).exists(_.rows === 100L))
+    // range-aligned full-table delete → every file retires as pure
+    // metadata, the pruned manifest exists but holds zero rows; the
+    // registry must DROP its entry, not keep the pre-delete 100/NDVs
+    // live JVM-wide until the next write
+    assert(wh.deleteWhere(ref, $"k" <= 100L) === 100L)
+    assert(wh.read(ref).count() === 0)
+    assert(TableStatsRegistry.get(key).isEmpty,
+      "registry kept pre-delete stats after the table emptied")
+  }
+
   test("bootstrap overwrite lands whole-dir: metadata leftovers cleared, logless data adopted") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-boot"))

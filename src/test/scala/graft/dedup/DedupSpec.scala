@@ -35,6 +35,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 4L)))
     assert(!pairs.contains((1L, 5L)))
     assert(!pairs.contains((5L, 6L))) // same topic prefix but jaccard < threshold
+    // no bucket exceeded the (default 1000) cap on this corpus, and
+    // that fact is recorded, not silent
+    assert(graft.util.CapCounters.get("minhash.dropped_buckets") === Some(0L))
+    // a sub-corpus-size cap fires and is observable: with maxBucket=1,
+    // every shared (band, bucket) is dropped, so no pairs AND a
+    // non-zero dropped count
+    val cappedPairs = Dedup.minhashCandidates(
+      docs.filter($"doc_id".isin(1L, 4L, 5L, 6L)),
+      "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+      threshold = 0.3, maxBucket = 1)
+    assert(cappedPairs.count() === 0)
+    assert(graft.util.CapCounters.get("minhash.dropped_buckets").exists(_ > 0L))
   }
 
   test("incremental exact dedup equals whole-corpus recompute on the batch") {
@@ -191,6 +203,18 @@ class DedupSpec extends SparkSpec {
     val capped = Dedup.containmentPairs(boiler, "id", "text", k = 3,
       threshold = 0.1, maxPostings = 4)
     assert(capped.count() === 0)
+    // ...and the drop is OBSERVABLE: "common a b" (8 postings > cap 4)
+    // is the one shared shingle the cap silenced, and CapCounters
+    // reports exactly it — at scale this count is the difference
+    // between "deduplicated" and "silently skipped boilerplate dups"
+    assert(graft.util.CapCounters.get("containment.dropped_shingles")
+      === Some(1L))
+    // the quote corpus above had no over-cap shingle: its run (re-run
+    // here so last-run-wins ordering is explicit) records zero
+    Dedup.containmentPairs(df, "id", "text", k = 3, threshold = 0.9)
+      .count()
+    assert(graft.util.CapCounters.get("containment.dropped_shingles")
+      === Some(0L))
   }
 
   test("dupGroups resolves chains to the min id; keepCanonical drops losers only") {

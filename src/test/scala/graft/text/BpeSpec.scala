@@ -50,6 +50,12 @@ class BpeSpec extends SparkSpec {
       .as[(Long, Seq[String], Long)].collect()
       .map { case (k, _, n) => k -> n }.toMap
     assert(plain(1L) === 7L) // a b a b b a x
+    // a string/UUID id would CAST-to-NULL silently and corrupt every
+    // join-back key — encode must refuse it loudly instead
+    val badId = Seq(("u-1", "ab")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException](
+      Bpe.encode(badId, "id", "text", merges))
+    assert(e.getMessage.contains("integral id column"))
   }
 
   test("training is layout-invariant on an organic corpus") {
