@@ -166,12 +166,21 @@ object Views {
     * `__avg_cnt_<out>` beside the derived `out`, each component merges
     * like any sum, and `out = sum / cnt` is re-derived after every
     * merge; a group whose measures are all NULL keeps a NULL avg,
-    * exactly like a full recompute). `in` = base column aggregated
-    * (ignored for count).
+    * exactly like a full recompute) | approx_ndv (SKETCH-ALGEBRAIC —
+    * maintained through a stored per-group HLL sketch binary
+    * `__ndv_sk_<out>`: insert deltas union in via `hll_union` exactly
+    * like the AVG components merge as sums, and `out` re-derives as
+    * `hll_sketch_estimate` after every merge. Sketches cannot retract
+    * — a delete/update_pre in a group routes it through the dirty-
+    * group base-slice recompute, precisely MIN/MAX's contract. The
+    * union path is estimate-identical to a one-shot recompute: HLL
+    * coupon/register state depends only on the SET of hashed values,
+    * and union-of-subsets covers the same set). `in` = base column
+    * aggregated (ignored for count).
     */
   final case class AggSpec(out: String, func: String, in: String = "")
 
-  private val aggFuncs = Set("sum", "count", "min", "max", "avg")
+  private val aggFuncs = Set("sum", "count", "min", "max", "avg", "approx_ndv")
 
   /** Physical column of the stored view: AggSpec minus `avg`, plus the
     * component funcs `countcol` (non-null count of `in` — avg's
@@ -181,6 +190,7 @@ object Views {
 
   private def avgSumCol(out: String) = s"__avg_sum_$out"
   private def avgCntCol(out: String) = s"__avg_cnt_$out"
+  private def ndvSkCol(out: String) = s"__ndv_sk_$out"
 
   /** Declared aggs → (physical columns to store/merge, derived
     * columns re-computed from them after every merge). Non-avg specs
@@ -192,7 +202,7 @@ object Views {
     */
   private def expand(aggs: Seq[AggSpec])
       : (Seq[Phys], Seq[(String, org.apache.spark.sql.Column)]) = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, hll_sketch_estimate, lit, when}
     val phys = Seq.newBuilder[Phys]
     val derived = Seq.newBuilder[(String, org.apache.spark.sql.Column)]
     aggs.foreach {
@@ -200,6 +210,12 @@ object Views {
         phys += Phys(avgSumCol(out), "sum", in)
         phys += Phys(avgCntCol(out), "countcol", in)
         derived += out -> (col(avgSumCol(out)) / col(avgCntCol(out)))
+      case AggSpec(out, "approx_ndv", in) =>
+        phys += Phys(ndvSkCol(out), "hllsketch", in)
+        // all-NULL (or empty) groups carry a NULL sketch; their NDV is
+        // 0, the approx_count_distinct convention
+        derived += out -> when(col(ndvSkCol(out)).isNull, lit(0L))
+          .otherwise(hll_sketch_estimate(col(ndvSkCol(out))))
       case AggSpec(out, f, in) => phys += Phys(out, f, in)
     }
     (phys.result(), derived.result())
@@ -212,16 +228,18 @@ object Views {
       : Seq[String] =
     groupKeys ++ aggs.map(_.out) ++
       aggs.collect { case AggSpec(out, "avg", _) =>
-        Seq(avgSumCol(out), avgCntCol(out)) }.flatten
+        Seq(avgSumCol(out), avgCntCol(out)) }.flatten ++
+      aggs.collect { case AggSpec(out, "approx_ndv", _) => ndvSkCol(out) }
 
   private def aggColumn(a: Phys): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+    import org.apache.spark.sql.functions.{col, count, hll_sketch_agg, lit, max, min, sum}
     (a.func match {
-      case "sum"      => sum(col(a.in))
-      case "count"    => count(lit(1))
-      case "countcol" => count(col(a.in))
-      case "min"      => min(col(a.in))
-      case "max"      => max(col(a.in))
+      case "sum"       => sum(col(a.in))
+      case "count"     => count(lit(1))
+      case "countcol"  => count(col(a.in))
+      case "min"       => min(col(a.in))
+      case "max"       => max(col(a.in))
+      case "hllsketch" => hll_sketch_agg(col(a.in))
     }).as(a.out)
   }
 
@@ -310,6 +328,8 @@ object Views {
       s"duplicate output columns in ${aggs.map(_.out)}")
     aggs.foreach(a => require(!a.out.startsWith("__avg_"),
       s"output '${a.out}' collides with the avg component namespace"))
+    aggs.foreach(a => require(!a.out.startsWith("__ndv_"),
+      s"output '${a.out}' collides with the NDV sketch namespace"))
     aggs.filter(a => a.func != "count").foreach(a =>
       require(a.in.nonEmpty, s"aggregate '${a.out}' (${a.func}) needs an " +
         "input column"))
@@ -372,8 +392,9 @@ object Views {
           sum(when(col(a.in).isNotNull, sign).otherwise(lit(0L))).as(a.out)
         case "sum"      => sum(sign * col(a.in)).as(a.out)
         // retraction-free groups only consume these (see __retract)
-        case "min"      => min(when(isPost, col(a.in))).as(a.out)
-        case "max"      => max(when(isPost, col(a.in))).as(a.out)
+        case "min"       => min(when(isPost, col(a.in))).as(a.out)
+        case "max"       => max(when(isPost, col(a.in))).as(a.out)
+        case "hllsketch" => hll_sketch_agg(when(isPost, col(a.in))).as(a.out)
       }
     } :+ max(when(sign < 0, lit(1)).otherwise(lit(0))).as("__retract")
     // one feed pass → one thin (group, deltas) frame; materialized
@@ -384,7 +405,11 @@ object Views {
         .agg(deltaCols.head, deltaCols.tail: _*)
         .localCheckpoint()
     }
-    val needsMM = phys.exists(a => a.func == "min" || a.func == "max")
+    // funcs that cannot retract (MIN/MAX lose the evicted value, HLL
+    // sketches cannot subtract): any retraction-touched group routes
+    // through the dirty-group base-slice recompute instead of merging
+    val needsMM = phys.exists(a =>
+      a.func == "min" || a.func == "max" || a.func == "hllsketch")
     val countOut = aggs.find(_.func == "count").get.out
     // Single-column group keys additionally FILE-PRUNE the view and
     // base scans by the deltas' key range (one 1-row driver agg off the
@@ -426,6 +451,14 @@ object Views {
             case "sum"   => coalesce(c + d, c, d)
             case "min"   => least(c, d)
             case "max"   => greatest(c, d)
+            // insert-only sketch merge: union when both sides exist
+            // (hll_union is NULL-intolerant); a NULL side means "no
+            // non-null values seen there" and the other side carries
+            // the group's whole state — estimate-identical to a
+            // one-shot recompute because HLL state depends only on
+            // the hashed-value SET, and union-of-subsets covers it
+            case "hllsketch" =>
+              when(c.isNull, d).when(d.isNull, c).otherwise(hll_union(c, d))
           }).as(a.out)
         }: _*)
         .filter(col(countOut) > 0)

@@ -861,13 +861,23 @@ object PipelineQueries {
     graft.gold.Views.AggSpec("n_orders", "count"),
     graft.gold.Views.AggSpec("avg_cents", "avg", "cents"))
 
+  // sketch-algebraic IVM: "distinct order dates per customer"
+  // maintained through stored HLL sketches that union on insert and
+  // recompute on retraction — the view the round-11 verdict said
+  // needed a full recompute per refresh
+  // order_day (a yyyy-MM-dd STRING in the silver table): hll_sketch_agg
+  // takes int/long/string/binary, not the raw TIMESTAMP_NTZ column
+  private val goldAggHllSpecs = Seq(
+    graft.gold.Views.AggSpec("n_orders", "count"),
+    graft.gold.Views.AggSpec("ndv_dates", "approx_ndv", "order_day"))
+
   private final case class GoldMvFixture(
       wh: Warehouse, silver: TableRef, incRef: TableRef, delRef: TableRef,
       aggFullRef: TableRef, aggDeltaRef: TableRef, aggAvgRef: TableRef,
-      v1: Long, v2: Long)
+      aggHllRef: TableRef, v1: Long, v2: Long)
 
   private def goldMvFixture(spark: SparkSession, dir: String): GoldMvFixture =
-    graft.util.Scratch.once(spark, dir, "goldmv.fixtures", uses = 5) {
+    graft.util.Scratch.once(spark, dir, "goldmv.fixtures", uses = 6) {
       import spark.implicits._
       val base = Files.createTempDirectory("graft-gate-goldmv").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
@@ -877,11 +887,16 @@ object PipelineQueries {
       val aggFullRef = TableRef("gold", "gate", "order_stats")
       val aggDeltaRef = TableRef("gold", "gate", "order_totals")
       val aggAvgRef = TableRef("gold", "gate", "order_avgs")
+      val aggHllRef = TableRef("gold", "gate", "order_date_ndv")
       // bigint cents alongside the double price: the delta-merged SUM
       // must be bit-comparable to the oracle's full recompute
       val orders = Tables.load(spark, dir, "orders")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
         .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+        // string day key for the HLL NDV view (sketches take
+        // int/long/string/binary; day-string ↔ date is bijective so
+        // the oracle can count DISTINCT CAST(o_orderdate AS DATE))
+        .withColumn("order_day", date_format($"o_orderdate", "yyyy-MM-dd"))
       val mt = new graft.sinks.MergeTable(spark, wh, silver, Seq("o_orderkey"), None)
       mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0)) // v1
       graft.gold.Views.materialize(spark, wh, incRef, goldMvViewSql,
@@ -898,6 +913,8 @@ object PipelineQueries {
         Seq("o_custkey"), goldAggDeltaSpecs)
       graft.gold.Views.materializeAgg(spark, wh, aggAvgRef, silver,
         Seq("o_custkey"), goldAggAvgSpecs)
+      graft.gold.Views.materializeAgg(spark, wh, aggHllRef, silver,
+        Seq("o_custkey"), goldAggHllSpecs)
       val v2 = wh.currentVersion(silver).get
       wh.deleteWhere(silver, $"o_custkey" % 3 === 0) // v3
       mt.upsert(orders // v4: survivors' evens at +2 over ORIGINAL
@@ -908,7 +925,7 @@ object PipelineQueries {
         .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
         .withColumn("o_custkey", $"o_custkey" + 1000000L))
       GoldMvFixture(wh, silver, incRef, delRef, aggFullRef, aggDeltaRef,
-        aggAvgRef, v1, v2)
+        aggAvgRef, aggHllRef, v1, v2)
     }
 
   /** The final base state every gold-MV oracle recomputes over:
@@ -1073,6 +1090,49 @@ object PipelineQueries {
        |       CAST(count(cents) AS BIGINT) AS __avg_cnt_avg_cents
        |FROM fin GROUP BY o_custkey""".stripMargin
 
+  /** SKETCH-ALGEBRAIC aggregate IVM (round-11 verdict, next #4): a
+    * "distinct order dates per customer" view maintained through
+    * stored per-group HLL sketch binaries — insert-only groups union
+    * the delta sketch in (`hll_union`, the AVG-component pattern),
+    * retraction-touched groups recompute their base slice (sketches
+    * can't subtract — exactly MIN/MAX's contract). The full mixed feed
+    * (v3 deletes, v4 updates, v5 insert-only clone groups) exercises
+    * all three paths. Sketch binaries have no DuckDB twin, so the gate
+    * emits the q_sketch_rollup shape instead: the exact per-group NDV
+    * (oracle-pinnable) plus two data-derived booleans pinned TRUE —
+    * `incr_eq_full` (the maintained sketch's estimate equals a
+    * ONE-SHOT recompute sketch's estimate: HLL state depends only on
+    * the hashed-value set, so union-of-subsets must agree exactly) and
+    * `est_ok` (estimate within max(5%, 1) of exact — collision slack).
+    */
+  def qGoldIncrHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = goldMvFixture(spark, dir)
+    // Auto for warm-rerun idempotency — see qGoldIncrAgg
+    graft.util.PhaseTimer.time("ghll.refresh") {
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggHllRef,
+        f.silver, Seq("o_custkey"), goldAggHllSpecs,
+        baseKeys = Seq("o_orderkey"))
+    }
+    val full = f.wh.read(f.silver).groupBy($"o_custkey")
+      .agg(count_distinct($"order_day").as("exact_dates"),
+        hll_sketch_estimate(hll_sketch_agg($"order_day")).as("__full_est"))
+    f.wh.read(f.aggHllRef).join(full, "o_custkey")
+      .select($"o_custkey", $"n_orders", $"exact_dates",
+        ($"ndv_dates" === $"__full_est").as("incr_eq_full"),
+        (abs($"ndv_dates" - $"exact_dates") <=
+          greatest($"exact_dates" * lit(0.05), lit(1.0))).as("est_ok"))
+  }
+
+  val qGoldIncrHllSql: String =
+    s"""WITH fin AS (
+       |$goldMvFinalStateSql)
+       |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       |       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+       |         AS exact_dates,
+       |       true AS incr_eq_full, true AS est_ok
+       |FROM fin GROUP BY o_custkey""".stripMargin
+
   /** Bloom-filter equality skipping end-to-end: a fixed 1001-key slice
     * of orders lands HASH-clustered on o_custkey, so every file's
     * [min, max] interval over o_orderkey spans the whole key range and
@@ -1170,6 +1230,7 @@ object PipelineQueries {
     "q_gold_incr_delete" -> (qGoldIncrDelete _),
     "q_gold_incr_agg" -> (qGoldIncrAgg _),
     "q_gold_incr_agg_delta" -> (qGoldIncrAggDelta _),
+    "q_gold_incr_hll" -> (qGoldIncrHll _),
     "q_pipeline_full" -> (qPipelineFull _),
     "q_pipeline_csv" -> (qPipelineCsv _),
     "q_pipeline_orc" -> (qPipelineOrc _),
@@ -1195,6 +1256,7 @@ object PipelineQueries {
     "q_gold_incr_delete" -> qGoldIncrDeleteSql,
     "q_gold_incr_agg" -> qGoldIncrAggSql,
     "q_gold_incr_avg" -> qGoldIncrAvgSql,
+    "q_gold_incr_hll" -> qGoldIncrHllSql,
     "q_warehouse_bloom" -> qWarehouseBloomSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,

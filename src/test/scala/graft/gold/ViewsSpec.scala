@@ -139,6 +139,60 @@ class ViewsSpec extends SparkSpec {
     assert(err.getMessage.contains("count"))
   }
 
+  test("approx-NDV view maintains HLL sketches; retractions recompute; ≡ full recompute") {
+    import spark.implicits._
+    import Views.AggSpec
+    val wh = new Warehouse(spark, tmpDir("wh-gndv"))
+    val base = TableRef("silver", "g", "views")
+    val gold = TableRef("gold", "g", "view_ndv")
+    val specs = Seq(AggSpec("n", "count"),
+      AggSpec("ndv_items", "approx_ndv", "item"))
+    val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("id"), None)
+    mt.upsert(Seq(
+      (1L, 10L, "a"), (2L, 10L, "b"), (3L, 10L, "a"),
+      (4L, 20L, "x"), (5L, 20L, "y"),
+      (6L, 30L, "z"),
+      (7L, 50L, null)).toDF("id", "k", "item"))
+    Views.materializeAgg(spark, wh, gold, base, Seq("k"), specs)
+    val v1 = wh.currentVersion(base).get
+    def readNdv() = wh.read(gold).select("k", "n", "ndv_items")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // at these cardinalities the sketch is in exact (coupon) mode, so
+    // the estimates are pinnable; an all-NULL group stores a NULL
+    // sketch and derives NDV 0 (the approx_count_distinct convention)
+    assert(readNdv() === Seq((10L, 3L, 2L), (20L, 2L, 2L),
+      (30L, 1L, 1L), (50L, 1L, 0L)))
+    // k=10: insert-only growth (sketch UNION merge path — one dup, one
+    // new item); k=20: an update flips an item (retraction → sketches
+    // can't subtract → dirty-group base-slice recompute); k=30: fully
+    // deleted (group leaves); k=40: brand-new group; k=50: a NULL-only
+    // group gains its first real item (NULL stored sketch ∪ delta)
+    mt.upsert(Seq((8L, 10L, "c"), (9L, 10L, "b")).toDF("id", "k", "item"))
+    mt.upsert(Seq((4L, 20L, "y")).toDF("id", "k", "item")) // x→y: ndv 2→1
+    wh.deleteWhere(base, $"k" === 30L)
+    mt.upsert(Seq((10L, 40L, "q"), (11L, 40L, "q")).toDF("id", "k", "item"))
+    mt.upsert(Seq((12L, 50L, "r")).toDF("id", "k", "item"))
+    val v2 = Views.refreshIncrementalAgg(spark, wh, gold, base, v1,
+      Seq("k"), specs, Seq("id"))
+    assert(v2 === wh.currentVersion(base).get)
+    assert(readNdv() === Seq((10L, 5L, 3L), (20L, 2L, 1L),
+      (40L, 2L, 1L), (50L, 2L, 1L)))
+    // incremental ≡ full recompute: a freshly-materialized twin of the
+    // same declaration agrees on every group and estimate
+    val fullRef = TableRef("gold", "g", "view_ndv_full")
+    Views.materializeAgg(spark, wh, fullRef, base, Seq("k"), specs)
+    val full = wh.read(fullRef).select("k", "n", "ndv_items")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(readNdv() === full)
+    // the sketch namespace is reserved like avg's component namespace
+    val err = intercept[IllegalArgumentException] {
+      Views.materializeAgg(spark, wh, TableRef("gold", "g", "bad2"), base,
+        Seq("k"), Seq(AggSpec("n", "count"),
+          AggSpec("__ndv_sk_x", "sum", "id")))
+    }
+    assert(err.getMessage.contains("NDV sketch namespace"))
+  }
+
   test("avg view maintains (sum, count) components incl. NULL measures and churn") {
     import spark.implicits._
     import Views.AggSpec
