@@ -891,6 +891,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def overwrite(ref: TableRef, df: DataFrame, partitionBy: Seq[String] = Nil,
                 statsColumns: Seq[String] = Nil,
+                bloomColumns: Seq[String] = Nil,
                 staticPartitions: Seq[(String, String)] = Nil,
                 onlyIfAbsent: Boolean = false,
                 expectedVersion: Option[Long] = None,
@@ -939,7 +940,16 @@ final class Warehouse(spark: SparkSession, val root: String,
     val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(writeDir.toString)
     try {
-      if (statsColumns.nonEmpty) writeStats(tmp.toString, statsColumns)
+      // bloom presence is a durable table property: requested once via
+      // bloomColumns, preserved by every later stats-maintaining write
+      // (full rewrites here read the pre-swap manifest; incremental
+      // replaceDataFiles mirrors the manifest schema the same way)
+      if (statsColumns.nonEmpty) {
+        val priorBlooms = manifestDf(path(ref)).toSeq.flatMap(
+          _.columns.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
+        writeStats(tmp.toString, statsColumns,
+          (bloomColumns ++ priorBlooms).distinct)
+      }
       val staged = listDataFiles(tmp)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
       val rels = staged.map(p => filesystem.makeQualified(p).toUri.getPath
@@ -1230,13 +1240,14 @@ final class Warehouse(spark: SparkSession, val root: String,
     * discipline Delta/Iceberg use, kept engine-native. Keyed by file
     * BASENAME, which the rename swap preserves.
     */
-  private def writeStats(dir: String, statsColumns: Seq[String]): Unit = {
+  private def writeStats(dir: String, statsColumns: Seq[String],
+                         bloomColumns: Seq[String]): Unit = {
     val data = spark.read.parquet(dir)
     val missing = statsColumns.filterNot(data.columns.contains)
     require(missing.isEmpty,
       s"stats column(s) not in table: ${missing.mkString(",")} " +
         "(partition columns carry no file stats — prune on the partition instead)")
-    fileStats(data, statsColumns)
+    fileStats(data, statsColumns, bloomColumns)
       .coalesce(1) // one manifest row per data file: always tiny
       .write.mode("overwrite").parquet(s"$dir/$statsDir")
   }
@@ -1255,13 +1266,23 @@ final class Warehouse(spark: SparkSession, val root: String,
   private val bloomWords = 64
   private val bloomBits = bloomWords * 64
 
-  /** Per-file stats rows (file basename, row count, min_c/max_c/ndv_c/
-    * bloom_c columns) for the given frame — a column-pruned scan of
-    * only the stat columns. The approximate per-file distinct count
-    * feeds the [[TableStatsRegistry]] cardinality signal; the bloom
-    * word array feeds equality skipping ([[readPrunedEq]]).
+  /** Per-file stats rows (file basename, row count, min_c/max_c/ndv_c
+    * columns, plus bloom_c word arrays for `bloomColumns`) for the
+    * given frame — a column-pruned scan of only the stat columns. The
+    * approximate per-file distinct count feeds the
+    * [[TableStatsRegistry]] cardinality signal; the bloom word array
+    * feeds equality skipping ([[readPrunedEq]]).
+    *
+    * Blooms are OPT-IN per column (`Warehouse.overwrite(bloomColumns)`,
+    * then durable for the table's life): the 64 bit_or word aggregates
+    * plus two hash projections run over every row of every commit, and
+    * only point-lookup-heavy tables earn that write tax — range stats
+    * and clustering serve everything else. An absent bloom_c column
+    * degrades [[splitFilesByValue]] to range-only, never to wrong
+    * answers.
     */
-  private def fileStats(data: DataFrame, statsColumns: Seq[String]): DataFrame = {
+  private def fileStats(data: DataFrame, statsColumns: Seq[String],
+                        bloomColumns: Seq[String] = Nil): DataFrame = {
     // per column: one word-array bloom built as `bloomWords` bit_or
     // aggregates (elementwise-OR of arrays has no native aggregate);
     // NULL values contribute no bits — equality lookup is non-null by
@@ -1273,7 +1294,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     // only in the SQL surface (the Scala DSL overload takes a literal).
     // Probes = pmod(xxhash64, bits) and pmod(xxhash64 >> 21, bits) —
     // splitFilesByValue mirrors this arithmetic on the driver.
-    val probed = statsColumns.foldLeft(
+    val blooms = bloomColumns.filter(statsColumns.contains)
+    val probed = blooms.foldLeft(
         data.withColumn("__file",
           element_at(split(input_file_name(), "/"), -1))) { (df, c) =>
       val h = s"xxhash64(`$c`)"
@@ -1289,15 +1311,18 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     val aggs = statsColumns.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-      approx_count_distinct(col(c)).as(s"ndv_$c")) ++ bloomWordAggs(c)) :+
+      approx_count_distinct(col(c)).as(s"ndv_$c")) ++
+        (if (blooms.contains(c)) bloomWordAggs(c) else Nil)) :+
       count(lit(1)).as("rows")
     val agged = probed
       .groupBy(col("__file").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val keep = Seq(col("file"), col("rows")) ++ statsColumns.flatMap(c => Seq(
-      col(s"min_$c"), col(s"max_$c"), col(s"ndv_$c"),
-      array((0 until bloomWords).map(i => col(s"__bw_${c}_$i")): _*)
-        .as(s"bloom_$c")))
+      col(s"min_$c"), col(s"max_$c"), col(s"ndv_$c")) ++
+      (if (blooms.contains(c))
+         Seq(array((0 until bloomWords).map(i => col(s"__bw_${c}_$i")): _*)
+           .as(s"bloom_$c"))
+       else Nil))
     agged.select(keep: _*)
   }
 
@@ -1608,7 +1633,14 @@ final class Warehouse(spark: SparkSession, val root: String,
           val next =
             if (newFiles.isEmpty) kept0
             else {
-              val newStats = fileStats(spark.read.parquet(stage.toString), statCols)
+              // mirror the table's bloom property: new-file entries
+              // carry blooms exactly for the columns the old manifest
+              // blooms (the `common` intersection below would silently
+              // drop the table's blooms otherwise)
+              val oldBlooms = old.columns.filter(_.startsWith("bloom_"))
+                .map(_.stripPrefix("bloom_")).toSeq
+              val newStats = fileStats(spark.read.parquet(stage.toString),
+                statCols, oldBlooms)
               // keep only columns the new stats also carry (dropped stat
               // columns fall away); allowMissingColumns backfills nulls on
               // pre-rows/ndv manifests — registerStats refuses partial sums

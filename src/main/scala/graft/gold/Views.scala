@@ -36,16 +36,21 @@ object Views {
     * unpinned).
     */
   def materialize(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
-                  viewSql: String, pinBase: Option[TableRef] = None): Long = {
+                  viewSql: String, pinBase: Option[TableRef] = None,
+                  asOf: Option[Long] = None): Long = {
     val tables = warehouse.listTables().map { t =>
       t.toString -> warehouse.registerView(t)
     }.toMap
     pinBase match {
       case None =>
+        require(asOf.isEmpty, "asOf requires pinBase (which table's version?)")
         warehouse.overwrite(ref, Transform.sql(spark, bodyOf(viewSql), tables))
         -1L
       case Some(b) =>
-        val v = warehouse.currentVersion(b).getOrElse(
+        // asOf = CTAS AS OF: build the view from a historical base
+        // version (still on disk until vacuum) — the marker then makes
+        // the next incremental refresh replay exactly v..current
+        val v = asOf.orElse(warehouse.currentVersion(b)).getOrElse(
           throw new IllegalArgumentException(s"$b has no committed version"))
         val pv = s"__graft_pin_${b.catalog}_${b.schema}_${b.table}"
         warehouse.readVersion(b, v).createOrReplaceTempView(pv)
@@ -271,9 +276,11 @@ object Views {
     */
   def materializeAgg(spark: SparkSession, warehouse: Warehouse,
                      viewRef: TableRef, baseRef: TableRef,
-                     groupKeys: Seq[String], aggs: Seq[AggSpec]): Long = {
+                     groupKeys: Seq[String], aggs: Seq[AggSpec],
+                     asOf: Option[Long] = None): Long = {
     validate(groupKeys, aggs)
-    val v = warehouse.currentVersion(baseRef).getOrElse(
+    // asOf = CTAS AS OF a historical base version (see materialize)
+    val v = asOf.orElse(warehouse.currentVersion(baseRef)).getOrElse(
       throw new IllegalArgumentException(s"$baseRef has no committed version"))
     // CTAS from the PINNED version the marker claims, not whatever is
     // current at scan time — a base commit racing the build would

@@ -871,62 +871,78 @@ object PipelineQueries {
     graft.gold.Views.AggSpec("n_orders", "count"),
     graft.gold.Views.AggSpec("ndv_dates", "approx_ndv", "order_day"))
 
-  private final case class GoldMvFixture(
-      wh: Warehouse, silver: TableRef, incRef: TableRef, delRef: TableRef,
-      aggFullRef: TableRef, aggDeltaRef: TableRef, aggAvgRef: TableRef,
-      aggHllRef: TableRef, v1: Long, v2: Long)
+  private final case class GoldMvChurn(wh: Warehouse, silver: TableRef,
+      v1: Long, v2: Long)
 
-  private def goldMvFixture(spark: SparkSession, dir: String): GoldMvFixture =
-    graft.util.Scratch.once(spark, dir, "goldmv.fixtures", uses = 6) {
+  // bigint cents alongside the double price: the delta-merged SUM
+  // must be bit-comparable to the oracle's full recompute; order_day
+  // is the string day key for the HLL NDV view (sketches take
+  // int/long/string/binary; day-string <-> date is bijective so the
+  // oracle can count DISTINCT CAST(o_orderdate AS DATE))
+  private def goldMvOrders(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+      .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
+      .withColumn("order_day", date_format($"o_orderdate", "yyyy-MM-dd"))
+  }
+
+  /** Shared silver churn for the six gold-MV gates. Two build-once
+    * stages (seed = v1+v2 inserts, churn = v3 deletes + v4 updates +
+    * v5 clone inserts) so each lands as its own bounded phase in the
+    * bench artifact; the per-gate view CTAS moved OUT of the shared
+    * fixture entirely — each gate materializes its own view lazily,
+    * CTAS AS OF the pinned historical version (the churn has already
+    * committed, the old versions are still on disk until vacuum).
+    */
+  private def goldMvSeed(spark: SparkSession, dir: String): GoldMvChurn =
+    graft.util.Scratch.once(spark, dir, "goldmv.seed") {
       import spark.implicits._
       val base = Files.createTempDirectory("graft-gate-goldmv").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
       val silver = TableRef("silver", "gate", "orders_mv")
-      val incRef = TableRef("gold", "gate", "latest_orders_inc")
-      val delRef = TableRef("gold", "gate", "latest_orders_del")
-      val aggFullRef = TableRef("gold", "gate", "order_stats")
-      val aggDeltaRef = TableRef("gold", "gate", "order_totals")
-      val aggAvgRef = TableRef("gold", "gate", "order_avgs")
-      val aggHllRef = TableRef("gold", "gate", "order_date_ndv")
-      // bigint cents alongside the double price: the delta-merged SUM
-      // must be bit-comparable to the oracle's full recompute
-      val orders = Tables.load(spark, dir, "orders")
-        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
-        .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
-        // string day key for the HLL NDV view (sketches take
-        // int/long/string/binary; day-string ↔ date is bijective so
-        // the oracle can count DISTINCT CAST(o_orderdate AS DATE))
-        .withColumn("order_day", date_format($"o_orderdate", "yyyy-MM-dd"))
+      val orders = goldMvOrders(spark, dir)
       val mt = new graft.sinks.MergeTable(spark, wh, silver, Seq("o_orderkey"), None)
       mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0)) // v1
-      graft.gold.Views.materialize(spark, wh, incRef, goldMvViewSql,
-        pinBase = Some(silver)) // records mv.base_version = v1
       val v1 = wh.currentVersion(silver).get
       mt.upsert(orders.filter($"o_orderkey" % 2 === 0) // v2: completes keys
         .withColumn("o_totalprice", $"o_totalprice" + 1.0)
         .withColumn("cents", $"cents" + 100))
-      graft.gold.Views.materialize(spark, wh, delRef, goldMvDelViewSql,
-        pinBase = Some(silver)) // records mv.base_version = v2
-      graft.gold.Views.materializeAgg(spark, wh, aggFullRef, silver,
-        Seq("o_custkey"), goldAggFullSpecs)
-      graft.gold.Views.materializeAgg(spark, wh, aggDeltaRef, silver,
-        Seq("o_custkey"), goldAggDeltaSpecs)
-      graft.gold.Views.materializeAgg(spark, wh, aggAvgRef, silver,
-        Seq("o_custkey"), goldAggAvgSpecs)
-      graft.gold.Views.materializeAgg(spark, wh, aggHllRef, silver,
-        Seq("o_custkey"), goldAggHllSpecs)
-      val v2 = wh.currentVersion(silver).get
-      wh.deleteWhere(silver, $"o_custkey" % 3 === 0) // v3
+      GoldMvChurn(wh, silver, v1, wh.currentVersion(silver).get)
+    }
+
+  private def goldMvFixture(spark: SparkSession, dir: String): GoldMvChurn =
+    graft.util.Scratch.once(spark, dir, "goldmv.churn", uses = 6) {
+      import spark.implicits._
+      val f = goldMvSeed(spark, dir)
+      val orders = goldMvOrders(spark, dir)
+      val mt = new graft.sinks.MergeTable(spark, f.wh, f.silver,
+        Seq("o_orderkey"), None)
+      f.wh.deleteWhere(f.silver, $"o_custkey" % 3 === 0) // v3
       mt.upsert(orders // v4: survivors' evens at +2 over ORIGINAL
         .filter($"o_custkey" % 3 =!= 0 && $"o_orderkey" % 2 === 0)
         .withColumn("o_totalprice", $"o_totalprice" + 2.0)
         .withColumn("cents", $"cents" + 200))
-      mt.upsert(orders // v5: a cloned order book — brand-new groups
+      mt.upsert(orders // v5: a cloned order book - brand-new groups
         .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
         .withColumn("o_custkey", $"o_custkey" + 1000000L))
-      GoldMvFixture(wh, silver, incRef, delRef, aggFullRef, aggDeltaRef,
-        aggAvgRef, aggHllRef, v1, v2)
+      f
     }
+
+  /** Build one gate's aggregate view lazily (build-once per JVM+dir),
+    * CTAS AS OF the pinned version, and return its ref.
+    */
+  private def goldAggView(spark: SparkSession, dir: String, key: String,
+                          table: String, specs: Seq[graft.gold.Views.AggSpec])
+      : (GoldMvChurn, TableRef) = {
+    val f = goldMvFixture(spark, dir)
+    val ref = TableRef("gold", "gate", table)
+    graft.util.Scratch.once(spark, dir, key) {
+      graft.gold.Views.materializeAgg(spark, f.wh, ref, f.silver,
+        Seq("o_custkey"), specs, asOf = Some(f.v2))
+    }
+    (f, ref)
+  }
 
   /** The final base state every gold-MV oracle recomputes over:
     * surviving customers (%3 != 0) with even orders at +2, plus the
@@ -955,17 +971,22 @@ object PipelineQueries {
     */
   def qGoldIncremental(spark: SparkSession, dir: String): DataFrame = {
     val f = goldMvFixture(spark, dir)
+    val ref = TableRef("gold", "gate", "latest_orders_inc")
+    graft.util.Scratch.once(spark, dir, "gincr.fixtures") {
+      graft.gold.Views.materialize(spark, f.wh, ref, goldMvViewSql,
+        pinBase = Some(f.silver), asOf = Some(f.v1))
+    }
     // Auto (marker-based): cold covers v1->v5 exactly as before (the
     // CTAS marker IS v1); the bench's warm rerun reads the refreshed
     // marker and no-ops instead of re-replacing identical partitions —
     // the production steady state, and what killed the BENCH warm>cold
     // inversion this gate showed
     graft.util.PhaseTimer.time("gincr.refresh") {
-      graft.gold.Views.refreshIncrementalAuto(spark, f.wh, f.incRef, f.silver,
+      graft.gold.Views.refreshIncrementalAuto(spark, f.wh, ref, f.silver,
         goldMvViewSql,
         viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"))
     }
-    f.wh.read(f.incRef)
+    f.wh.read(ref)
   }
 
   val qGoldIncrementalSql: String =
@@ -987,13 +1008,18 @@ object PipelineQueries {
     */
   def qGoldIncrDelete(spark: SparkSession, dir: String): DataFrame = {
     val f = goldMvFixture(spark, dir)
+    val ref = TableRef("gold", "gate", "latest_orders_del")
+    graft.util.Scratch.once(spark, dir, "gdel.fixtures") {
+      graft.gold.Views.materialize(spark, f.wh, ref, goldMvDelViewSql,
+        pinBase = Some(f.silver), asOf = Some(f.v2))
+    }
     // Auto for warm-rerun no-op — see qGoldIncremental (CTAS marker = v2)
     graft.util.PhaseTimer.time("gdel.refresh") {
-      graft.gold.Views.refreshIncrementalAuto(spark, f.wh, f.delRef, f.silver,
+      graft.gold.Views.refreshIncrementalAuto(spark, f.wh, ref, f.silver,
         goldMvDelViewSql,
         viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"))
     }
-    f.wh.read(f.delRef)
+    f.wh.read(ref)
   }
 
   val qGoldIncrDeleteSql: String =
@@ -1015,18 +1041,19 @@ object PipelineQueries {
     * final base state: incremental ≡ full across all three paths.
     */
   def qGoldIncrAgg(spark: SparkSession, dir: String): DataFrame = {
-    val f = goldMvFixture(spark, dir)
+    val (f, ref) = goldAggView(spark, dir, "gagg.fixtures", "order_stats",
+      goldAggFullSpecs)
     // Auto (marker-based) rather than an explicit sinceVersion: the
     // first run covers v2->v5, and a RERUN of the same thunk (the
     // bench's warm pass) reads the refreshed marker and no-ops —
     // re-applying deltas onto an already-refreshed view would silently
     // double them (delta merge is not idempotent)
     graft.util.PhaseTimer.time("gagg.refresh") {
-      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggFullRef,
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggFullSpecs,
         baseKeys = Seq("o_orderkey"))
     }
-    f.wh.read(f.aggFullRef)
+    f.wh.read(ref)
   }
 
   val qGoldIncrAggSql: String =
@@ -1044,14 +1071,15 @@ object PipelineQueries {
     * group costs one feed row, not a re-aggregation.
     */
   def qGoldIncrAggDelta(spark: SparkSession, dir: String): DataFrame = {
-    val f = goldMvFixture(spark, dir)
+    val (f, ref) = goldAggView(spark, dir, "gaggd.fixtures", "order_totals",
+      goldAggDeltaSpecs)
     // Auto for warm-rerun idempotency — see qGoldIncrAgg
     graft.util.PhaseTimer.time("gaggd.refresh") {
-      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggDeltaRef,
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggDeltaSpecs,
         baseKeys = Seq("o_orderkey"))
     }
-    f.wh.read(f.aggDeltaRef)
+    f.wh.read(ref)
   }
 
   val qGoldIncrAggDeltaSql: String =
@@ -1071,14 +1099,15 @@ object PipelineQueries {
     * value-checked too, not just the derived number.
     */
   def qGoldIncrAvg(spark: SparkSession, dir: String): DataFrame = {
-    val f = goldMvFixture(spark, dir)
+    val (f, ref) = goldAggView(spark, dir, "gavg.fixtures", "order_avgs",
+      goldAggAvgSpecs)
     // Auto for warm-rerun idempotency — see qGoldIncrAgg
     graft.util.PhaseTimer.time("gavg.refresh") {
-      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggAvgRef,
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggAvgSpecs,
         baseKeys = Seq("o_orderkey"))
     }
-    f.wh.read(f.aggAvgRef)
+    f.wh.read(ref)
   }
 
   val qGoldIncrAvgSql: String =
@@ -1107,17 +1136,18 @@ object PipelineQueries {
     */
   def qGoldIncrHll(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val f = goldMvFixture(spark, dir)
+    val (f, ref) = goldAggView(spark, dir, "ghll.fixtures", "order_date_ndv",
+      goldAggHllSpecs)
     // Auto for warm-rerun idempotency — see qGoldIncrAgg
     graft.util.PhaseTimer.time("ghll.refresh") {
-      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, f.aggHllRef,
+      graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggHllSpecs,
         baseKeys = Seq("o_orderkey"))
     }
     val full = f.wh.read(f.silver).groupBy($"o_custkey")
       .agg(count_distinct($"order_day").as("exact_dates"),
         hll_sketch_estimate(hll_sketch_agg($"order_day")).as("__full_est"))
-    f.wh.read(f.aggHllRef).join(full, "o_custkey")
+    f.wh.read(ref).join(full, "o_custkey")
       .select($"o_custkey", $"n_orders", $"exact_dates",
         ($"ndv_dates" === $"__full_est").as("incr_eq_full"),
         (abs($"ndv_dates" - $"exact_dates") <=
@@ -1155,7 +1185,8 @@ object PipelineQueries {
           .filter($"o_orderkey" <= 1000) // identical slice at every SF
           .select($"o_orderkey", $"o_custkey", $"o_totalprice")
           .repartition(8, $"o_custkey"),
-        statsColumns = Seq("o_orderkey"))
+        statsColumns = Seq("o_orderkey"),
+        bloomColumns = Seq("o_orderkey")) // blooms are opt-in write tax
       (wh, ref)
     }
     val total = wh.dataFiles(ref).size

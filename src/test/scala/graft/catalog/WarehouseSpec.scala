@@ -367,7 +367,7 @@ class WarehouseSpec extends SparkSpec {
     // `id` spans nearly the full range, so range skipping keeps all 8
     val df = (1L to 1000L).map(i => (i, i % 97, s"v$i")).toDF("id", "grp", "v")
       .repartition(8, $"grp")
-    wh.overwrite(ref, df, statsColumns = Seq("id"))
+    wh.overwrite(ref, df, statsColumns = Seq("id"), bloomColumns = Seq("id"))
     val all = wh.dataFiles(ref).size
     assert(all === 8)
     // range split keeps everything (hash layout defeats intervals)...
