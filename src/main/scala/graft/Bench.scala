@@ -193,13 +193,17 @@ object Bench {
     // deltas only (what explains cold entries); warm-pass deltas go to
     // stderr per query.
     val coldPhases = scala.collection.mutable.Map[String, Double]()
-    // Warm-pass phase deltas of queries whose warm run EXCEEDED cold —
-    // those go in the artifact (round-10 verdict, What's wrong #1-2: an
-    // inverted warm number with stderr-only attribution is
-    // indistinguishable from a steady-state regression). Normal
-    // warm ≤ cold queries keep their warm phases on stderr.
+    // Warm-pass phase deltas that go IN the artifact (stderr carries
+    // the rest): queries whose warm run EXCEEDED cold (round-10
+    // verdict, What's wrong #1-2 — an inverted warm number with
+    // stderr-only attribution is indistinguishable from a steady-state
+    // regression) AND heavy-warm lifecycle queries (round-11 verdict,
+    // next #7 — a 14s warm replay is legitimate per-pass work, but the
+    // artifact must show WHAT it replays, e.g. stream.aggmv.merge vs
+    // .refresh, not just that it costs 14s).
     val invertedWarmPhases =
       scala.collection.mutable.Map[String, Map[String, Double]]()
+    val heavyWarmSec = 5.0
     def runOne(name: String, thunk: () => Long): ((String, Double), Option[(String, Double)]) = {
       val s0 = graft.util.PhaseTimer.snapshot
       val cold = timed("bench")(name, thunk)
@@ -221,7 +225,8 @@ object Bench {
         // warm ≈ cold ± scheduler jitter, and a noise-level "inversion"
         // in warm_phases would bury the real regressions the map exists
         // to expose (the round-10 offenders were 1.8×-6.3×)
-        if (w._2 > cold._2 * 1.25 && w._2 - cold._2 > 1.0)
+        if ((w._2 > cold._2 * 1.25 && w._2 - cold._2 > 1.0) ||
+            w._2 > heavyWarmSec)
           invertedWarmPhases(name) =
             if (warmD.nonEmpty) warmD
             else Map("unattributed" -> w._2)
@@ -290,16 +295,33 @@ object Bench {
         else if (segs.length == 2) s"other:${segs(0)}.*"
         else "other:misc" // distinct from the terminal re-fold bucket
       }
+    // a fold ≥ 5 s names its shape in the key — member count and the
+    // largest member — so the artifact's biggest folded number is
+    // self-describing ("24 keys, none above 2.4 s" reads as amortized
+    // small builds; "3 keys, max 9 s" reads as a hidden heavy)
     val foldedAll = phasesTop.drop(14)
-      .groupMapReduce { case (k, _) => family(k) } { case (_, v) => v }(_ + _)
+      .groupMap { case (k, _) => family(k) } { case (_, v) => v }
+      .map { case (fam, vs) =>
+        val sum = vs.sum
+        val k =
+          if (sum < 5.0) fam
+          else s"$fam(n=${vs.size},max=${jnum(vs.max)})"
+        k -> sum
+      }
       .toSeq.sortBy { case (k, v) => (-v, k) }
     // families under 2 s re-fold into one terminal bucket: they'd eat
     // the line budget the per-query section needs, and a sub-2s family
     // needs no attribution
     val (foldedBig, foldedSmall) = foldedAll.partition(_._2 >= 2.0)
     val folded = foldedBig ++
-      (if (foldedSmall.nonEmpty)
-         Seq("other" -> foldedSmall.map(_._2).sum) else Nil)
+      (if (foldedSmall.isEmpty) Nil
+       else {
+         val sum = foldedSmall.map(_._2).sum
+         val k =
+           if (sum < 5.0) "other"
+           else s"other(n=${foldedSmall.size},max=${jnum(foldedSmall.map(_._2).max)})"
+         Seq(k -> sum)
+       })
     val phases = (phasesTop.take(14)
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) } ++
       folded.map { case (k, v) => "\"" + k + "\":" + jnum(v) })
