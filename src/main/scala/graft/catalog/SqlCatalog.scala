@@ -1,0 +1,180 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark-SQL-native READ surface for warehouse tables (DataSource V2
+  * `TableCatalog`): register once per session —
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.graft.root", "/path/to/warehouse")
+  * spark.sql("SELECT * FROM graft.silver.gate.orders WHERE o_orderkey = 7")
+  * }}}
+  *
+  * — and plain SQL resolves `graft.<catalog>.<schema>.<table>`
+  * identifiers to the CURRENT COMMITTED VERSION's file list (snapshot-
+  * isolated: retired files on disk are invisible, concurrent commits
+  * don't tear a running query), scanned through Spark's stock
+  * vectorized parquet path with full predicate pushdown and column
+  * pruning. File skipping engages from SQL exactly as from the Scala
+  * API: [[GraftFileIndex.listFiles]] receives the pushed data filters
+  * and prunes the file list through the `_graft_stats` manifest
+  * (min/max intervals; per-file blooms for equality on bloom-indexed
+  * columns) BEFORE any task is scheduled — at 100 TB the difference
+  * between "skip the file" and "open every footer".
+  *
+  * Read-only by design: this catalog exposes no `SupportsWrite`, so
+  * `INSERT INTO graft...` fails with Spark's standard table-does-not-
+  * support-append error, and DDL (create/alter/drop/rename) throws
+  * loudly — writes go through [[Warehouse]]/[[graft.sinks.MergeTable]],
+  * whose commit protocol (locks, intent journal, stats maintenance)
+  * plain SQL writes would bypass.
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null,
+      s"catalog '$name' needs spark.sql.catalog.$name.root = <warehouse dir>")
+  }
+
+  override def name(): String = catalogName
+
+  private def warehouse: Warehouse = new Warehouse(SparkSession.active, root)
+
+  private def refOf(ident: Identifier): TableRef = {
+    if (ident.namespace().length != 2)
+      throw new NoSuchTableException(ident)
+    TableRef(ident.namespace()(0), ident.namespace()(1), ident.name())
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.length != 2) throw new NoSuchNamespaceException(namespace)
+    warehouse.listTables()
+      .filter(t => t.catalog == namespace(0) && t.schema == namespace(1))
+      .map(t => Identifier.of(Array(t.catalog, t.schema), t.table))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val wh = warehouse
+    val ref = refOf(ident)
+    val snap = wh.snapshot(ref).getOrElse(throw new NoSuchTableException(ident))
+    new GraftSqlTable(SparkSession.active, wh, snap)
+  }
+
+  private def readOnly: Nothing = throw new UnsupportedOperationException(
+    "graft SQL catalog is read-only: write through graft.catalog.Warehouse / " +
+      "graft.sinks.MergeTable (SQL writes would bypass the commit protocol)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+                           properties: util.Map[String, String]): Table = readOnly
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
+  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+}
+
+/** One committed snapshot exposed as a DSv2 read-only table. The scan
+  * builder is Spark's own parquet one — pushdown, nested-schema
+  * pruning, vectorization, and codegen are all stock — pointed at a
+  * [[GraftFileIndex]] so manifest file skipping sits underneath.
+  */
+private[catalog] final class GraftSqlTable(spark: SparkSession,
+                                           wh: Warehouse,
+                                           snap: TableSnapshot)
+    extends Table with SupportsRead {
+
+  private val tableSchema =
+    DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+
+  override def name(): String = snap.ref.toString
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    ParquetScanBuilder(spark,
+      new GraftFileIndex(spark, wh, snap, tableSchema),
+      tableSchema, tableSchema, options)
+}
+
+/** File index over one snapshot's live files that applies
+  * `_graft_stats` manifest pruning to the PUSHED data filters: equality
+  * predicates go through [[Warehouse.splitFilesByValue]] (range stats +
+  * per-file blooms when the column is bloom-indexed), bounds through
+  * [[Warehouse.splitFilesByBounds]] (min/max intervals). Conjunctions
+  * intersect; unsupported predicate shapes, non-stat columns, and
+  * null-stats files all degrade to keep-the-file — pruning is an
+  * optimization, never a filter (the retained filters still run on the
+  * scanned rows).
+  */
+private[catalog] final class GraftFileIndex(spark: SparkSession,
+                                            wh: Warehouse,
+                                            snap: TableSnapshot,
+                                            dataSchema: StructType)
+    extends InMemoryFileIndex(
+      spark,
+      snap.files.map(f => new Path(s"${wh.path(snap.ref)}/$f")),
+      Map.empty[String, String],
+      Some(dataSchema)) {
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    keptNames(dataFilters) match {
+      case None => base
+      case Some(keep) =>
+        base.map(pd => pd.copy(files =
+          pd.files.filter(f => keep.contains(f.getPath.getName))))
+    }
+  }
+
+  /** File basenames surviving every prunable predicate; None = no
+    * predicate was prunable (keep everything, skip the set build).
+    */
+  private def keptNames(dataFilters: Seq[Expression]): Option[Set[String]] = {
+    def scala(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    def names(split: Option[(Seq[String], Seq[String])]): Option[Set[String]] =
+      split.map(_._1.map(p => new Path(p).getName).toSet)
+    val keeps = dataFilters.flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        names(wh.splitFilesByValue(snap.ref, a.name, scala(l)))
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        names(wh.splitFilesByValue(snap.ref, a.name, scala(l)))
+      case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+        names(wh.splitFilesByBounds(snap.ref, a.name, Some(scala(l)), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        names(wh.splitFilesByBounds(snap.ref, a.name, Some(scala(l)), None))
+      case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+        names(wh.splitFilesByBounds(snap.ref, a.name, None, Some(scala(l))))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        names(wh.splitFilesByBounds(snap.ref, a.name, None, Some(scala(l))))
+      // literal-on-the-left bound forms arrive normalized by the
+      // optimizer in practice; handle the common flips anyway
+      case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+        names(wh.splitFilesByBounds(snap.ref, a.name, None, Some(scala(l))))
+      case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+        names(wh.splitFilesByBounds(snap.ref, a.name, Some(scala(l)), None))
+      case _ => None
+    }
+    keeps.reduceOption(_ intersect _)
+  }
+}

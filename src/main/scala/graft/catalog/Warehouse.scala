@@ -1389,6 +1389,32 @@ final class Warehouse(spark: SparkSession, val root: String,
     * when the table has no manifest for `column` (caller decides the
     * fallback).
     */
+  /** [[splitFilesByRange]] with OPTIONAL bounds — the form SQL filter
+    * pushdown needs (`c > 5` has no upper bound). None on a side means
+    * unbounded; both-None keeps every file. Same conservative
+    * exclusion-list contract: null-stats and manifest-absent files
+    * survive.
+    */
+  def splitFilesByBounds(ref: TableRef, column: String, lo: Option[Any],
+                         hi: Option[Any]): Option[(Seq[String], Seq[String])] = {
+    val tablePath = path(ref)
+    manifestDf(tablePath).flatMap { manifest =>
+      if (!manifest.columns.contains(s"min_$column")) None
+      else {
+        val mn = col(s"min_$column")
+        val mx = col(s"max_$column")
+        val excluded =
+          lo.map(v => mx < lit(v)).getOrElse(lit(false)) ||
+            hi.map(v => mn > lit(v)).getOrElse(lit(false))
+        val excludedNames = manifest.filter(excluded <=> lit(true))
+          .select("file").collect().map(_.getString(0)).toSet
+        val (disjoint, overlap) = currentDataFiles(ref)
+          .partition(p => excludedNames.contains(p.getName))
+        Some((overlap.map(_.toString), disjoint.map(_.toString)))
+      }
+    }
+  }
+
   def splitFilesByRange(ref: TableRef, column: String, lo: Any,
                         hi: Any): Option[(Seq[String], Seq[String])] = {
     val tablePath = path(ref)
