@@ -79,6 +79,25 @@ final class GraftCatalog extends TableCatalog {
     new GraftSqlTable(SparkSession.active, wh, snap)
   }
 
+  /** `VERSION AS OF <n>` — SQL time travel straight off the commit
+    * log ([[Warehouse.snapshotAt]]); readable until vacuum drops the
+    * version, with the same manifest-pruned scan as the current
+    * snapshot. (`TIMESTAMP AS OF` is unsupported: commits carry no
+    * wall-clock stamp — version numbers are the log's only clock.)
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val wh = warehouse
+    val ref = refOf(ident)
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a numeric commit version, got '$version'")
+      }
+    if (wh.snapshot(ref).isEmpty) throw new NoSuchTableException(ident)
+    new GraftSqlTable(SparkSession.active, wh, wh.snapshotAt(ref, v))
+  }
+
   private def readOnly: Nothing = throw new UnsupportedOperationException(
     "graft SQL catalog is read-only: write through graft.catalog.Warehouse / " +
       "graft.sinks.MergeTable (SQL writes would bypass the commit protocol)")

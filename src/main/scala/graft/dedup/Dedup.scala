@@ -610,13 +610,17 @@ object Dedup {
         shiftrightunsigned(col("sig"), i * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("chunk_ix", "chunk_val")))
     // tiny frame (surviving (chunk_ix, chunk_val) keys only) — eager so
-    // the bucket-count phase is timed apart from the pair join
+    // the bucket-count phase is timed apart from the pair join, and so
+    // the dropped-cap diagnostic costs one count on aggregated rows
     val bucketCounts = time("simhash.buckets") {
-      graft.util.Scratch.transientCheckpoint(
+      val hist = graft.util.Scratch.transientCheckpoint(
         chunked.groupBy("chunk_ix", "chunk_val")
           .agg(count(lit(1)).as("n"))
-          .filter(col("n") <= maxBucket && col("n") > 1)
+          .filter(col("n") > 1)
           .localCheckpoint())
+      graft.util.CapCounters.set("simhash.dropped_buckets",
+        hist.filter(col("n") > maxBucket).count())
+      hist.filter(col("n") <= maxBucket)
     }
     val bounded = chunked.join(bucketCounts, Seq("chunk_ix", "chunk_val"), "left_semi")
     bounded.as("l")

@@ -301,9 +301,19 @@ object Similarity {
                          planes: Int, bands: Int, dim: Int,
                          maxBucket: Int): DataFrame = {
     val keyed = signBandTable(df, idCol, vecCol, planes, bands, dim)
-    val bucketCounts = keyed.groupBy("band", "bits")
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket && col("n") > 1)
+    // shared-bucket histogram materialized (thin, aggregated) so the
+    // dropped-cap diagnostic below costs one count, not a re-hash of
+    // every vector; recorded per run like every recall cap
+    // (graft.util.CapCounters — the all-zero-embedding degenerate
+    // bucket is exactly the silent drop a caller must be able to see)
+    val hist = graft.util.Scratch.transientCheckpoint(
+      keyed.groupBy("band", "bits")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .localCheckpoint())
+    graft.util.CapCounters.set("embed_lsh.dropped_buckets",
+      hist.filter(col("n") > maxBucket).count())
+    val bucketCounts = hist.filter(col("n") <= maxBucket)
     val bounded = keyed.join(bucketCounts, Seq("band", "bits"), "left_semi")
     bounded.as("l").join(bounded.as("r"),
         col("l.band") === col("r.band") && col("l.bits") === col("r.bits") &&

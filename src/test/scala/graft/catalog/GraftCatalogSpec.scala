@@ -57,6 +57,13 @@ class GraftCatalogSpec extends SparkSpec {
     wh.deleteWhere(ref, $"k" <= 500L)
     assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.facts")
       .head().getLong(0) === 500L)
+    // ...and VERSION AS OF time-travels to the pre-delete commit
+    assert(spark.sql(
+        "SELECT count(*) AS n FROM graftsql.silver.g.facts VERSION AS OF 1")
+      .head().getLong(0) === 1000L)
+    val tt = intercept[IllegalArgumentException](spark.sql(
+      "SELECT * FROM graftsql.silver.g.facts VERSION AS OF 'abc'").collect())
+    assert(tt.getMessage.contains("numeric commit version"))
 
     // read-only: INSERT fails (no SupportsWrite), DDL throws loudly
     intercept[Exception](

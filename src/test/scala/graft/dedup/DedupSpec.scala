@@ -177,6 +177,8 @@ class DedupSpec extends SparkSpec {
     assert(out.contains((1L, 2L)))
     assert(out.contains((1L, 4L)))
     assert(!out.contains((1L, 5L)))
+    // no chunk bucket exceeded the default cap here — recorded as zero
+    assert(graft.util.CapCounters.get("simhash.dropped_buckets") === Some(0L))
   }
 
   test("containmentPairs finds quotes LSH-Jaccard misses; asymmetric; posting cap drops boilerplate") {

@@ -106,6 +106,10 @@ class SimilaritySpec extends SparkSpec {
     // no quadratic zero×zero blow-up survives the cap
     assert(!cands.exists { case (a, b) => a >= 100L && b >= 100L })
     assert(cands.contains((0L, 1L)))
+    // ...and the drop is OBSERVABLE: the degenerate zero-bucket(s) the
+    // cap silenced are counted, not silent (graft.util.CapCounters)
+    assert(graft.util.CapCounters.get("embed_lsh.dropped_buckets")
+      .exists(_ > 0L))
     // and the end-to-end operator still finds the real pair only
     val out = Similarity.cosineNearDups(df, "vec_id", "embedding",
         threshold = 0.9, planes = 12, bands = 3, dim = 4, maxBucket = 20)
