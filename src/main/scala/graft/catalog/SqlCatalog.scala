@@ -75,8 +75,20 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = {
     val wh = warehouse
     val ref = refOf(ident)
-    val snap = wh.snapshot(ref).getOrElse(throw new NoSuchTableException(ident))
-    new GraftSqlTable(SparkSession.active, wh, snap)
+    val spark = SparkSession.active
+    val snap = wh.snapshot(ref).getOrElse {
+      // logless dir (e.g. a bucketed saveAsTable output, adopted into
+      // the log only on its next write): synthesize a snapshot from
+      // the physical listing + inferred schema — the same fallback
+      // Warehouse.read uses, so every listed table is also loadable
+      val files = wh.dataFiles(ref)
+      if (files.isEmpty) throw new NoSuchTableException(ident)
+      val base = new Path(wh.path(ref)).toUri.getPath
+      val rels = files.map(f =>
+        new Path(f).toUri.getPath.stripPrefix(base).stripPrefix("/"))
+      TableSnapshot(ref, -1L, spark.read.parquet(files: _*).schema.json, rels)
+    }
+    new GraftSqlTable(spark, wh, snap)
   }
 
   /** `VERSION AS OF <n>` — SQL time travel straight off the commit

@@ -73,6 +73,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("read-only"))
     // unknown table resolves to the standard analysis error
     intercept[Exception](spark.sql("SELECT * FROM graftsql.silver.g.nope"))
+
+    // LOGLESS dir (e.g. a bucketed saveAsTable output): listed tables
+    // must also be loadable — the catalog synthesizes a snapshot from
+    // the physical listing, like Warehouse.read's fallback
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.parquet(s"$root/silver/g/logless")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.logless")
+      .head().getLong(0) === 2L)
   }
 
   test("SQL equality lookups engage bloom skipping where range stats keep everything") {
