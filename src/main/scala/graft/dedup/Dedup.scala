@@ -236,10 +236,22 @@ object Dedup {
     // join; Spark's exchange reuse dedups the repeated subtree at
     // runtime (measured: an explicit localCheckpoint bought nothing)
     val batchBands = minhashBandTable(batch, idCol, textCol, k, numHashes, bands)
-    val widths = batchBands.select("band", "bucket")
-      .union(keptBands.select("band", "bucket"))
-      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket)
+    // shared-bucket histogram materialized (thin, aggregated) so the
+    // dropped-cap diagnostic costs one count, not a batch re-hash;
+    // singleton buckets filter out (a one-member bucket cannot produce
+    // a batch×kept pair) — recorded per run/per micro-batch like every
+    // recall cap (graft.util.CapCounters, last-run-wins)
+    val widths = {
+      val hist = graft.util.Scratch.transientCheckpoint(
+        batchBands.select("band", "bucket")
+          .union(keptBands.select("band", "bucket"))
+          .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .localCheckpoint())
+      graft.util.CapCounters.set("minhash_against.dropped_buckets",
+        hist.filter(col("n") > maxBucket).count())
+      hist.filter(col("n") <= maxBucket)
+    }
     val bb = batchBands.join(widths, Seq("band", "bucket"), "left_semi")
     val kb = keptBands.join(widths, Seq("band", "bucket"), "left_semi")
     val cands = bb.as("l").join(kb.as("r"),

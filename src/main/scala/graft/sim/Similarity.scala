@@ -358,10 +358,19 @@ object Similarity {
                             bands: Int = 4, dim: Int = 64,
                             maxBucket: Int = 1000): DataFrame = {
     val batchBands = signBandTable(batch, idCol, vecCol, planes, bands, dim)
-    val widths = batchBands.select("band", "bits")
-      .union(keptBands.select("band", "bits"))
-      .groupBy("band", "bits").agg(count(lit(1)).as("n"))
-      .filter(col("n") <= maxBucket)
+    // same materialized-histogram + dropped-cap pattern as the batch
+    // path (singleton buckets cannot produce a batch×kept pair)
+    val widths = {
+      val hist = graft.util.Scratch.transientCheckpoint(
+        batchBands.select("band", "bits")
+          .union(keptBands.select("band", "bits"))
+          .groupBy("band", "bits").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .localCheckpoint())
+      graft.util.CapCounters.set("embed_lsh_against.dropped_buckets",
+        hist.filter(col("n") > maxBucket).count())
+      hist.filter(col("n") <= maxBucket)
+    }
     val bb = batchBands.join(widths, Seq("band", "bits"), "left_semi")
     val kb = keptBands.join(widths, Seq("band", "bits"), "left_semi")
     val cands = bb.as("l").join(kb.as("r"),

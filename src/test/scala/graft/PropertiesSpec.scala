@@ -199,7 +199,10 @@ class PropertiesSpec extends SparkSpec {
     import Views.AggSpec
     val specs = Seq(AggSpec("n", "count"), AggSpec("total", "sum", "cents"),
       AggSpec("lo", "min", "cents"), AggSpec("hi", "max", "cents"),
-      AggSpec("mean", "avg", "cents"))
+      AggSpec("mean", "avg", "cents"),
+      // sketch-algebraic arm: insert-only groups union sketches,
+      // retraction-touched groups recompute — the random mix hits both
+      AggSpec("ndv_tags", "approx_ndv", "tag"))
     // second view WITHOUT min/max: with them present every retraction
     // routes through the full-recompute path, so this list is what
     // forces avg's signed component deltas (and sum/count's) through
@@ -214,38 +217,46 @@ class PropertiesSpec extends SparkSpec {
       val goldD = TableRef("gold", "p", "stats_delta")
       val mt = new graft.sinks.MergeTable(spark, wh, base, Seq("id"), None)
       var nextId = 0L
-      def freshRows(n: Int): Seq[(Long, Long, Long)] =
+      def freshRows(n: Int): Seq[(Long, Long, Long, String)] =
         (0 until n).map { _ =>
           nextId += 1
-          (nextId, rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong - 200L)
+          (nextId, rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong - 200L,
+            s"t${rnd.nextInt(4)}")
         }
-      mt.upsert(freshRows(30).toDF("id", "k", "cents"))
+      mt.upsert(freshRows(30).toDF("id", "k", "cents", "tag"))
       var since = Views.materializeAgg(spark, wh, gold, base, Seq("k"), specs)
       var sinceD = Views.materializeAgg(spark, wh, goldD, base, Seq("k"),
         deltaOnlySpecs)
       for (step <- 1 to 4) {
         // random mutation mix: re-key/re-price some survivors, delete a
         // random key class, insert fresh rows (possibly new groups)
-        val survivors = wh.read(base).as[(Long, Long, Long)].collect()
+        val survivors = wh.read(base).as[(Long, Long, Long, String)].collect()
         val updates = rnd.shuffle(survivors.toSeq).take(survivors.length / 3)
-          .map { case (id, _, _) =>
-            (id, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong - 200L) }
-        if (updates.nonEmpty) mt.upsert(updates.toDF("id", "k", "cents"))
+          .map { case (id, _, _, _) =>
+            (id, rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong - 200L,
+              s"t${rnd.nextInt(4)}") }
+        if (updates.nonEmpty) mt.upsert(updates.toDF("id", "k", "cents", "tag"))
         wh.deleteWhere(base, $"id" % 7 === (step % 7).toLong)
-        mt.upsert(freshRows(5 + rnd.nextInt(10)).toDF("id", "k", "cents"))
+        mt.upsert(freshRows(5 + rnd.nextInt(10)).toDF("id", "k", "cents", "tag"))
         since = Views.refreshIncrementalAgg(spark, wh, gold, base, since,
           Seq("k"), specs, Seq("id"))
         sinceD = Views.refreshIncrementalAgg(spark, wh, goldD, base, sinceD,
           Seq("k"), deltaOnlySpecs, Seq("id"))
         val incr = wh.read(gold)
-          .select($"k", $"n", $"total", $"lo", $"hi", $"mean")
-          .as[(Long, Long, Long, Long, Long, Double)]
+          .select($"k", $"n", $"total", $"lo", $"hi", $"mean", $"ndv_tags")
+          .as[(Long, Long, Long, Long, Long, Double, Long)]
           .collect().sortBy(_._1).toSeq
+        // ndv compares the maintained sketch's ESTIMATE to a one-shot
+        // recompute sketch's — exact equality, because HLL state
+        // depends only on the hashed-value set (union-of-subsets
+        // covers the same set); at these cardinalities it also equals
+        // the true distinct count
         val full = wh.read(base).groupBy("k")
           .agg(count(lit(1)).as("n"), sum("cents").as("total"),
             min("cents").as("lo"), max("cents").as("hi"),
-            avg("cents").as("mean"))
-          .as[(Long, Long, Long, Long, Long, Double)]
+            avg("cents").as("mean"),
+            hll_sketch_estimate(hll_sketch_agg($"tag")).as("ndv_tags"))
+          .as[(Long, Long, Long, Long, Long, Double, Long)]
           .collect().sortBy(_._1).toSeq
         assert(incr === full, s"seed=$seed step=$step")
         val incrD = wh.read(goldD).select($"k", $"n", $"total", $"mean")
