@@ -155,6 +155,13 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   * null-stats files all degrade to keep-the-file — pruning is an
   * optimization, never a filter (the retained filters still run on the
   * scanned rows).
+  *
+  * Scale note: construction inherits InMemoryFileIndex's per-file
+  * status listing. At millions of files the natural next step is a
+  * manifest-backed leaf list (the commit log already holds the file
+  * names; it would additionally need byte sizes recorded at write
+  * time) so table resolution costs one manifest read instead of a
+  * filesystem walk — the Delta/Iceberg metadata-only planning model.
   */
 private[catalog] final class GraftFileIndex(spark: SparkSession,
                                             wh: Warehouse,

@@ -898,6 +898,10 @@ final class Warehouse(spark: SparkSession, val root: String,
                 meta: Map[String, String] = Map.empty): Unit = {
     require(partitionBy.isEmpty || staticPartitions.isEmpty,
       "partitionBy and staticPartitions are mutually exclusive")
+    require(bloomColumns.forall(statsColumns.contains),
+      s"bloomColumns must be a subset of statsColumns: " +
+        s"${bloomColumns.filterNot(statsColumns.contains).mkString(",")} " +
+        "has no stats manifest entry to ride on")
     staticPartitions.foreach { case (k, _) =>
       require(!df.columns.contains(k),
         s"static partition column '$k' must be dropped from the frame")
