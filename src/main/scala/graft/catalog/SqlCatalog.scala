@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -42,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * whose commit protocol (locks, intent journal, stats maintenance)
   * plain SQL writes would bypass.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
@@ -120,6 +120,51 @@ final class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
   override def dropTable(ident: Identifier): Boolean = readOnly
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+
+  // -- SupportsNamespaces: SHOW NAMESPACES / SHOW TABLES discovery ----
+
+  /** Top-level namespaces = warehouse catalogs; one level below =
+    * (catalog, schema) pairs — mirroring the on-disk
+    * `root/catalog/schema/table` layout [[Warehouse.listTables]] walks.
+    */
+  override def listNamespaces(): Array[Array[String]] =
+    warehouse.listTables().map(t => Seq(t.catalog)).distinct
+      .map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    namespace.toSeq match {
+      case Seq() => listNamespaces()
+      case Seq(cat) =>
+        val schemas = warehouse.listTables().filter(_.catalog == cat)
+          .map(t => Array(t.catalog, t.schema)).distinct.toArray
+        if (schemas.isEmpty) throw new NoSuchNamespaceException(namespace)
+        schemas
+      case Seq(cat, sch) =>
+        if (warehouse.listTables().exists(t =>
+            t.catalog == cat && t.schema == sch)) Array.empty
+        else throw new NoSuchNamespaceException(namespace)
+      case _ => throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.toSeq match {
+      case Seq(cat) => warehouse.listTables().exists(_.catalog == cat)
+      case Seq(cat, sch) =>
+        warehouse.listTables().exists(t => t.catalog == cat && t.schema == sch)
+      case _ => false
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = readOnly
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit = readOnly
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = readOnly
 }
 
 /** One committed snapshot exposed as a DSv2 read-only table. The scan

@@ -81,6 +81,14 @@ class GraftCatalogSpec extends SparkSpec {
       .write.parquet(s"$root/silver/g/logless")
     assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.logless")
       .head().getLong(0) === 2L)
+
+    // discovery: SHOW NAMESPACES / SHOW TABLES walk the warehouse layout
+    assert(spark.sql("SHOW NAMESPACES IN graftsql")
+      .collect().map(_.getString(0)).toSet === Set("silver"))
+    assert(spark.sql("SHOW NAMESPACES IN graftsql.silver")
+      .collect().map(_.getString(0)).toSet === Set("silver.g"))
+    assert(spark.sql("SHOW TABLES IN graftsql.silver.g")
+      .collect().map(_.getString(1)).toSet === Set("facts", "logless"))
   }
 
   test("SQL equality lookups engage bloom skipping where range stats keep everything") {
