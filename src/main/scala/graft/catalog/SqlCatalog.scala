@@ -94,8 +94,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   /** `VERSION AS OF <n>` — SQL time travel straight off the commit
     * log ([[Warehouse.snapshotAt]]); readable until vacuum drops the
     * version, with the same manifest-pruned scan as the current
-    * snapshot. (`TIMESTAMP AS OF` is unsupported: commits carry no
-    * wall-clock stamp — version numbers are the log's only clock.)
+    * snapshot.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val wh = warehouse
@@ -108,6 +107,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     if (wh.snapshot(ref).isEmpty) throw new NoSuchTableException(ident)
     new GraftSqlTable(SparkSession.active, wh, wh.snapshotAt(ref, v))
+  }
+
+  /** `TIMESTAMP AS OF <t>` — resolves the latest version committed at
+    * or before `t` via the version file's modification time
+    * ([[Warehouse.versionAsOf]]; Spark hands the timestamp down as
+    * epoch MICROseconds).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val wh = warehouse
+    val ref = refOf(ident)
+    if (wh.snapshot(ref).isEmpty) throw new NoSuchTableException(ident)
+    new GraftSqlTable(SparkSession.active, wh,
+      wh.snapshotAt(ref, wh.versionAsOf(ref, timestampMicros / 1000L)))
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(

@@ -196,6 +196,33 @@ final class Warehouse(spark: SparkSession, val root: String,
   def readVersion(ref: TableRef, version: Long): DataFrame =
     readSnapshot(snapshotAt(ref, version))
 
+  /** Latest version committed at or before `tsMillis` — the resolver
+    * behind `TIMESTAMP AS OF`. The commit clock is the version FILE's
+    * modification time (stamped by the atomic rename that IS the
+    * commit), the same source Delta uses by default: no log-format
+    * change, and it works retroactively on every existing table. Same
+    * caveat as Delta's: a filesystem-level copy/restore of the log
+    * directory rewrites mtimes — pin exact versions where that
+    * matters. Fails loudly when the table predates nothing (every
+    * commit is after `tsMillis`) or has no committed log.
+    */
+  def versionAsOf(ref: TableRef, tsMillis: Long): Long = {
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    val versions = listVersions(ref)
+    if (versions.isEmpty)
+      throw new IllegalArgumentException(s"$ref has no committed version")
+    val fits = versions.filter(v =>
+      filesystem.getFileStatus(versionFilePath(ref, v))
+        .getModificationTime <= tsMillis)
+    fits.lastOption.getOrElse(throw new IllegalArgumentException(
+      s"$ref has no version committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest commit: " +
+        s"${java.time.Instant.ofEpochMilli(
+          filesystem.getFileStatus(versionFilePath(ref, versions.head))
+            .getModificationTime)})"))
+  }
+
   /** Delta-CDF-style change feed: row-level changes between two
     * committed versions, one step per commit. Cost is O(files each
     * commit touched), NOT O(table): each step reads only the files the

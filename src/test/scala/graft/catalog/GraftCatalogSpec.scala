@@ -54,6 +54,8 @@ class GraftCatalogSpec extends SparkSpec {
 
     // SNAPSHOT SEMANTICS: SQL resolves the committed version — after a
     // delete commits, a fresh query sees the new version
+    val preDeleteMs = System.currentTimeMillis()
+    Thread.sleep(50) // separate the v1/v2 commit-file mtimes
     wh.deleteWhere(ref, $"k" <= 500L)
     assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.facts")
       .head().getLong(0) === 500L)
@@ -64,6 +66,20 @@ class GraftCatalogSpec extends SparkSpec {
     val tt = intercept[IllegalArgumentException](spark.sql(
       "SELECT * FROM graftsql.silver.g.facts VERSION AS OF 'abc'").collect())
     assert(tt.getMessage.contains("numeric commit version"))
+    // TIMESTAMP AS OF resolves via commit-file mtimes (the Delta
+    // default clock): a pre-delete timestamp reads v1
+    assert(wh.versionAsOf(ref, preDeleteMs) === 1L)
+    assert(wh.versionAsOf(ref, System.currentTimeMillis()) === 2L)
+    intercept[IllegalArgumentException](wh.versionAsOf(ref, 1000L))
+    val preDeleteSql = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.ofEpochMilli(preDeleteMs),
+        java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    assert(spark.sql(
+        s"""SELECT count(*) AS n FROM graftsql.silver.g.facts
+           |TIMESTAMP AS OF '$preDeleteSql'""".stripMargin)
+      .head().getLong(0) === 1000L)
 
     // read-only: INSERT fails (no SupportsWrite), DDL throws loudly
     intercept[Exception](
