@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
@@ -183,35 +183,58 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * builder is Spark's own parquet one — pushdown, nested-schema
   * pruning, vectorization, and codegen are all stock — pointed at a
   * [[GraftFileIndex]] so manifest file skipping sits underneath.
+  *
+  * Partitioned layouts ([[Warehouse.overwrite]]'s `partitionBy` /
+  * `staticPartitions`) split the schema in two, exactly like
+  * [[Warehouse.readSnapshot]]'s `basePath` read does:
+  *
+  *  - DATA columns come from the committed snapshot schema minus the
+  *    directory-encoded names — the parquet files physically lack the
+  *    partition columns, so handing the full committed schema to the
+  *    parquet reader would null-fill them (`partitionBy`), and a
+  *    `staticPartitions` column is absent from the committed schema
+  *    entirely;
+  *  - PARTITION columns come from the file index's directory inference
+  *    (values AND types — the same inference `readSnapshot` relies on,
+  *    so SQL and Scala reads of one table agree by construction), and
+  *    are appended after the data columns, Spark's standard order.
+  *
+  * Flat tables infer an empty partition schema and collapse to the
+  * committed schema unchanged.
   */
 private[catalog] final class GraftSqlTable(spark: SparkSession,
                                            wh: Warehouse,
                                            snap: TableSnapshot)
     extends Table with SupportsRead {
 
-  private val tableSchema =
+  private val committedSchema =
     DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
 
+  // one index per table instance: schema() needs the inferred partition
+  // columns during analysis, and every scan over this resolved table
+  // reuses the same (already listed) index
+  private lazy val index = new GraftFileIndex(spark, wh, snap)
+  private lazy val partitionFields: StructType = index.partitionSchema
+  private lazy val dataFields: StructType = StructType(
+    committedSchema.filterNot(f => partitionFields.fieldNames.contains(f.name)))
+
   override def name(): String = snap.ref.toString
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = StructType(dataFields ++ partitionFields)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(spark,
-      new GraftFileIndex(spark, wh, snap, tableSchema),
-      tableSchema, tableSchema, options)
+    ParquetScanBuilder(spark, index, schema(), dataFields, options)
 }
 
 /** File index over one snapshot's live files that applies
   * `_graft_stats` manifest pruning to the PUSHED data filters: equality
-  * predicates go through [[Warehouse.splitFilesByValue]] (range stats +
+  * predicates go through [[Warehouse.excludedByValue]] (range stats +
   * per-file blooms when the column is bloom-indexed), bounds through
-  * [[Warehouse.splitFilesByBounds]] (min/max intervals). Conjunctions
-  * intersect; unsupported predicate shapes, non-stat columns, and
-  * null-stats files all degrade to keep-the-file — pruning is an
-  * optimization, never a filter (the retained filters still run on the
-  * scanned rows).
+  * [[Warehouse.excludedByBounds]] (min/max intervals). Unsupported
+  * predicate shapes, non-stat columns, and null-stats files all degrade
+  * to keep-the-file — pruning is an optimization, never a filter (the
+  * retained filters still run on the scanned rows).
   *
   * Scale note: construction inherits InMemoryFileIndex's per-file
   * status listing. At millions of files the natural next step is a
@@ -222,54 +245,111 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   */
 private[catalog] final class GraftFileIndex(spark: SparkSession,
                                             wh: Warehouse,
-                                            snap: TableSnapshot,
-                                            dataSchema: StructType)
+                                            snap: TableSnapshot)
     extends InMemoryFileIndex(
       spark,
       snap.files.map(f => new Path(s"${wh.path(snap.ref)}/$f")),
-      Map.empty[String, String],
-      Some(dataSchema)) {
+      // basePath anchors partition-directory inference at the table
+      // root (exactly how Warehouse.readSnapshot reads a file list):
+      // without it each leaf file's parent becomes its own base and
+      // partitionBy/staticPartitions columns silently vanish or
+      // null-fill. No user schema: partition value TYPES come from the
+      // same inference readSnapshot uses, so SQL ≡ Scala reads.
+      Map("basePath" -> wh.path(snap.ref)),
+      None) {
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    keptNames(dataFilters) match {
-      case None => base
-      case Some(keep) =>
-        base.map(pd => pd.copy(files =
-          pd.files.filter(f => keep.contains(f.getPath.getName))))
+    val excluded = excludedNames(dataFilters)
+    if (excluded.isEmpty) base
+    else base.map(pd => pd.copy(files =
+      pd.files.filterNot(f => excluded.contains(f.getPath.getName))))
+  }
+
+  /** Basenames PROVABLY excluded by some pushed predicate — pruning by
+    * EXCLUSION, never by keep-list: this index may wrap a pinned
+    * historical snapshot (`VERSION AS OF`), and a keep-list computed
+    * from the CURRENT version's file list would silently drop snapshot
+    * files retired since (delete/compaction/overwrite). The
+    * [[Warehouse.excludedByBounds]]/[[Warehouse.excludedByValue]] sets
+    * are snapshot-safe (immutable uniquely-named files — see their
+    * contract), and any snapshot file the current manifest no longer
+    * describes is simply absent from them, i.e. kept. A file excluded
+    * by ANY conjunct holds no matching row, so the per-predicate sets
+    * union. Empty = nothing prunable.
+    */
+  private def excludedNames(dataFilters: Seq[Expression]): Set[String] =
+    dataFilters.flatMap(excludedFor)
+      .foldLeft(Set.empty[String])(_ union _)
+
+  /** Exclusion set for ONE predicate tree, None = nothing provable.
+    * Boolean structure composes set-algebraically: a conjunction
+    * excludes what EITHER side excludes (union; one provable side is
+    * enough), a disjunction only what BOTH sides exclude
+    * (intersection; both must be provable) — so `k = 5 OR k = 980`
+    * prunes exactly like `k IN (5, 980)`.
+    */
+  private def excludedFor(filter: Expression): Option[Set[String]] = {
+    def scala(l: Literal): Any =
+      CatalystTypeConverters.convertToScala(l.value, l.dataType)
+    filter match {
+      case And(left, right) =>
+        (excludedFor(left), excludedFor(right)) match {
+          case (Some(a), Some(b)) => Some(a union b)
+          case (a, b) => a.orElse(b)
+        }
+      case Or(left, right) =>
+        for { a <- excludedFor(left); b <- excludedFor(right) }
+          yield a intersect b
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        wh.excludedByValue(snap.ref, a.name, scala(l))
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        wh.excludedByValue(snap.ref, a.name, scala(l))
+      case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, Some(scala(l)), None)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, Some(scala(l)), None)
+      case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, None, Some(scala(l)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, None, Some(scala(l)))
+      // literal-on-the-left bound forms arrive normalized by the
+      // optimizer in practice; handle every flip anyway
+      case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, None, Some(scala(l)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, None, Some(scala(l)))
+      case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, Some(scala(l)), None)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+        wh.excludedByBounds(snap.ref, a.name, Some(scala(l)), None)
+      // point-lookup lists: a file is excludable only when it excludes
+      // EVERY listed value. Bounded at inListCap values — a giant IN
+      // degrades to keep-everything, never to a long manifest pass.
+      case In(a: AttributeReference, list)
+          if list.size <= inListCap &&
+            list.forall { case l: Literal => l.value != null; case _ => false } =>
+        wh.excludedByValues(snap.ref, a.name,
+          list.collect { case l: Literal => scala(l) })
+      case InSet(a: AttributeReference, hset) if hset.size <= inListCap =>
+        val vs = hset.toSeq.filter(_ != null)
+          .map(v => CatalystTypeConverters.convertToScala(v, a.dataType))
+        if (vs.size == hset.size) wh.excludedByValues(snap.ref, a.name, vs)
+        else None // a null member can't match rows, but stay conservative
+      case IsNull(a: AttributeReference) =>
+        wh.excludedByNull(snap.ref, a.name, isNull = true)
+      case IsNotNull(a: AttributeReference) =>
+        wh.excludedByNull(snap.ref, a.name, isNull = false)
+      case StartsWith(a: AttributeReference, l: Literal) if l.value != null =>
+        wh.excludedByPrefix(snap.ref, a.name, l.value.toString)
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        wh.excludedByValue(snap.ref, a.name, scala(l))
+      case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
+        wh.excludedByValue(snap.ref, a.name, scala(l))
+      case _ => None
     }
   }
 
-  /** File basenames surviving every prunable predicate; None = no
-    * predicate was prunable (keep everything, skip the set build).
-    */
-  private def keptNames(dataFilters: Seq[Expression]): Option[Set[String]] = {
-    def scala(l: Literal): Any =
-      CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    def names(split: Option[(Seq[String], Seq[String])]): Option[Set[String]] =
-      split.map(_._1.map(p => new Path(p).getName).toSet)
-    val keeps = dataFilters.flatMap {
-      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
-        names(wh.splitFilesByValue(snap.ref, a.name, scala(l)))
-      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
-        names(wh.splitFilesByValue(snap.ref, a.name, scala(l)))
-      case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
-        names(wh.splitFilesByBounds(snap.ref, a.name, Some(scala(l)), None))
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
-        names(wh.splitFilesByBounds(snap.ref, a.name, Some(scala(l)), None))
-      case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
-        names(wh.splitFilesByBounds(snap.ref, a.name, None, Some(scala(l))))
-      case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
-        names(wh.splitFilesByBounds(snap.ref, a.name, None, Some(scala(l))))
-      // literal-on-the-left bound forms arrive normalized by the
-      // optimizer in practice; handle the common flips anyway
-      case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
-        names(wh.splitFilesByBounds(snap.ref, a.name, None, Some(scala(l))))
-      case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
-        names(wh.splitFilesByBounds(snap.ref, a.name, Some(scala(l)), None))
-      case _ => None
-    }
-    keeps.reduceOption(_ intersect _)
-  }
+  private val inListCap = 64
 }

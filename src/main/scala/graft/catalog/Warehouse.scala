@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{approx_count_distinct, array, col, count, element_at, expr, input_file_name, lit, max, min, split, sum, xxhash64}
+import org.apache.spark.sql.functions.{approx_count_distinct, array, col, count, element_at, expr, input_file_name, lit, max, min, split, substring, sum, xxhash64}
 
 /** Three-level table reference, mirroring the reference's
   * `catalog.schema.table` namespace (/root/reference/lib/ingestors.py:95,
@@ -1342,14 +1342,17 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     val aggs = statsColumns.flatMap(c => Seq(
       min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
-      approx_count_distinct(col(c)).as(s"ndv_$c")) ++
+      approx_count_distinct(col(c)).as(s"ndv_$c"),
+      // per-file null count: IS [NOT] NULL file skipping
+      // (excludedByNull) and a exactness witness next to min/max
+      (count(lit(1)) - count(col(c))).as(s"nulls_$c")) ++
         (if (blooms.contains(c)) bloomWordAggs(c) else Nil)) :+
       count(lit(1)).as("rows")
     val agged = probed
       .groupBy(col("__file").as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val keep = Seq(col("file"), col("rows")) ++ statsColumns.flatMap(c => Seq(
-      col(s"min_$c"), col(s"max_$c"), col(s"ndv_$c")) ++
+      col(s"min_$c"), col(s"max_$c"), col(s"ndv_$c"), col(s"nulls_$c")) ++
       (if (blooms.contains(c))
          Seq(array((0 until bloomWords).map(i => col(s"__bw_${c}_$i")): _*)
            .as(s"bloom_$c"))
@@ -1427,9 +1430,44 @@ final class Warehouse(spark: SparkSession, val root: String,
     * survive.
     */
   def splitFilesByBounds(ref: TableRef, column: String, lo: Option[Any],
-                         hi: Option[Any]): Option[(Seq[String], Seq[String])] = {
-    val tablePath = path(ref)
-    manifestDf(tablePath).flatMap { manifest =>
+                         hi: Option[Any]): Option[(Seq[String], Seq[String])] =
+    excludedByBounds(ref, column, lo, hi).map(partitionCurrent(ref, _))
+
+  def splitFilesByRange(ref: TableRef, column: String, lo: Any,
+                        hi: Any): Option[(Seq[String], Seq[String])] =
+    excludedByBounds(ref, column, Some(lo), Some(hi))
+      .map(partitionCurrent(ref, _))
+
+  /** (mayOverlap, provablyDisjoint) over the CURRENT version's files
+    * for an excluded-basename set — the splitFiles* tail. Snapshot
+    * readers must NOT use this shape: a pinned version's files retired
+    * from the current list land in neither side (use the excludedBy*
+    * sets directly and keep everything not in them).
+    */
+  private def partitionCurrent(ref: TableRef,
+                               excluded: Set[String]): (Seq[String], Seq[String]) = {
+    val (disjoint, overlap) = currentDataFiles(ref)
+      .partition(p => excluded.contains(p.getName))
+    (overlap.map(_.toString), disjoint.map(_.toString))
+  }
+
+  /** Basenames the stats manifest PROVABLY excludes for values in
+    * `[lo, hi]` on `column` (None on a side = unbounded). None when the
+    * table has no manifest entry for the column.
+    *
+    * Exclusion sets are SNAPSHOT-SAFE where keep-lists are not: data
+    * files are immutable and uniquely named (Spark part-file UUIDs), so
+    * a manifest row describes its file forever — a basename in this set
+    * cannot hold a matching row in ANY version. A time-travel reader
+    * ([[graft.catalog.GraftCatalog]] under `VERSION AS OF`) therefore
+    * prunes by dropping members of this set and KEEPING everything
+    * else, including snapshot files the current manifest no longer
+    * lists (they are simply absent here). Files with null stats stay
+    * out of the set — pruning only ever shrinks, never filters.
+    */
+  def excludedByBounds(ref: TableRef, column: String, lo: Option[Any],
+                       hi: Option[Any]): Option[Set[String]] =
+    manifestDf(path(ref)).flatMap { manifest =>
       if (!manifest.columns.contains(s"min_$column")) None
       else {
         val mn = col(s"min_$column")
@@ -1437,34 +1475,10 @@ final class Warehouse(spark: SparkSession, val root: String,
         val excluded =
           lo.map(v => mx < lit(v)).getOrElse(lit(false)) ||
             hi.map(v => mn > lit(v)).getOrElse(lit(false))
-        val excludedNames = manifest.filter(excluded <=> lit(true))
-          .select("file").collect().map(_.getString(0)).toSet
-        val (disjoint, overlap) = currentDataFiles(ref)
-          .partition(p => excludedNames.contains(p.getName))
-        Some((overlap.map(_.toString), disjoint.map(_.toString)))
+        Some(manifest.filter(excluded <=> lit(true))
+          .select("file").collect().map(_.getString(0)).toSet)
       }
     }
-  }
-
-  def splitFilesByRange(ref: TableRef, column: String, lo: Any,
-                        hi: Any): Option[(Seq[String], Seq[String])] = {
-    val tablePath = path(ref)
-    manifestDf(tablePath).flatMap { manifest =>
-      if (!manifest.columns.contains(s"min_$column")) None
-      else {
-        val mn = col(s"min_$column")
-        val mx = col(s"max_$column")
-        // exclusion list, not an allowlist: files with null stats or
-        // absent from the manifest entirely must survive pruning
-        val excluded = mx < lit(lo) || mn > lit(hi)
-        val excludedNames = manifest.filter(excluded <=> lit(true))
-          .select("file").collect().map(_.getString(0)).toSet
-        val (disjoint, overlap) = currentDataFiles(ref)
-          .partition(p => excludedNames.contains(p.getName))
-        Some((overlap.map(_.toString), disjoint.map(_.toString)))
-      }
-    }
-  }
 
   /** Equality skipping: partition current files into (possibly-contains,
     * provably-excludes) for `column = value`, combining the min/max
@@ -1478,42 +1492,112 @@ final class Warehouse(spark: SparkSession, val root: String,
     * no manifest for the column.
     */
   def splitFilesByValue(ref: TableRef, column: String,
-                        value: Any): Option[(Seq[String], Seq[String])] = {
-    val tablePath = path(ref)
-    manifestDf(tablePath).flatMap { manifest =>
+                        value: Any): Option[(Seq[String], Seq[String])] =
+    excludedByValue(ref, column, value).map(partitionCurrent(ref, _))
+
+  /** Basenames the stats manifest provably excludes for `column =
+    * value` (min/max interval + per-file bloom). Same snapshot-safe
+    * exclusion contract as [[excludedByBounds]].
+    */
+  def excludedByValue(ref: TableRef, column: String,
+                      value: Any): Option[Set[String]] =
+    excludedByValues(ref, column, Seq(value))
+
+  /** Basenames provably excluded for `column IN (values...)`: a file
+    * is excludable only when it excludes EVERY value (per-value
+    * min/max interval + bloom tests, AND-ed) — the point-lookup shape
+    * `WHERE k IN (...)` that previously got zero file skipping through
+    * SQL. All value hashes evaluate in ONE local 1-row projection (no
+    * per-value job), and the manifest is scanned once with the
+    * conjunction. Callers should cap the value-list size (the SQL
+    * catalog skips lists past a few dozen — a giant IN degrades to
+    * keep-everything, never to a slow manifest pass). None when the
+    * table has no manifest for the column or `values` is empty.
+    */
+  def excludedByValues(ref: TableRef, column: String,
+                       values: Seq[Any]): Option[Set[String]] = {
+    if (values.isEmpty) return None
+    manifestDf(path(ref)).flatMap { manifest =>
       if (!manifest.columns.contains(s"min_$column")) None
       else {
         import org.apache.spark.sql.functions.{element_at => elemAt}
-        // the literal's hash through the SAME Spark expression the
-        // writer used — one local 1-row eval, no job
-        val hRow = spark.range(1)
-          .select(xxhash64(lit(value).cast(
-            manifest.schema(s"min_$column").dataType)))
-          .head()
-        val h = hRow.getLong(0)
+        val dt = manifest.schema(s"min_$column").dataType
+        val hasBloom = manifest.columns.contains(s"bloom_$column")
+        // every literal's hash through the SAME Spark expression the
+        // writer used — one local 1-row eval for ALL values, no job
+        val hashes: Seq[Long] =
+          if (!hasBloom) Seq.fill(values.size)(0L)
+          else {
+            val hRow = spark.range(1)
+              .select(values.map(v => xxhash64(lit(v).cast(dt))): _*)
+              .head()
+            values.indices.map(hRow.getLong)
+          }
         def pos(hh: Long, shift: Int): Long = {
           val shifted = hh >> shift
           ((shifted % bloomBits) + bloomBits) % bloomBits
         }
-        val (p1, p2) = (pos(h, 0), pos(h, 21))
         val bloom = col(s"bloom_$column")
         def miss(p: Long) =
           elemAt(bloom, (p / 64).toInt + 1)
             .bitwiseAND(lit(1L << (p % 64).toInt)) === 0L
-        val rangeMiss = col(s"max_$column") < lit(value) ||
-          col(s"min_$column") > lit(value)
-        val bloomMiss =
-          if (!manifest.columns.contains(s"bloom_$column")) lit(false)
-          else bloom.isNotNull && ((miss(p1) || miss(p2)) <=> lit(true))
-        val excluded = (rangeMiss <=> lit(true)) || bloomMiss
-        val excludedNames = manifest.filter(excluded)
-          .select("file").collect().map(_.getString(0)).toSet
-        val (disjoint, overlap) = currentDataFiles(ref)
-          .partition(p => excludedNames.contains(p.getName))
-        Some((overlap.map(_.toString), disjoint.map(_.toString)))
+        val excluded = values.zip(hashes).map { case (value, h) =>
+          val rangeMiss = col(s"max_$column") < lit(value) ||
+            col(s"min_$column") > lit(value)
+          val bloomMiss =
+            if (!hasBloom) lit(false)
+            else bloom.isNotNull &&
+              ((miss(pos(h, 0)) || miss(pos(h, 21))) <=> lit(true))
+          (rangeMiss <=> lit(true)) || bloomMiss
+        }.reduce(_ && _)
+        Some(manifest.filter(excluded)
+          .select("file").collect().map(_.getString(0)).toSet)
       }
     }
   }
+
+  /** Basenames provably excluded for `column IS NULL` (`isNull =
+    * true`: files with a ZERO null count) or `column IS NOT NULL`
+    * (files where every row is null). Rides the manifest's per-file
+    * `nulls_<c>` column; manifests written before null counts existed
+    * (null-backfilled rows from a mixed-era incremental merge
+    * included) keep their files — same conservative contract as the
+    * other excludedBy* sets. None when the manifest lacks the column.
+    */
+  def excludedByNull(ref: TableRef, column: String,
+                     isNull: Boolean): Option[Set[String]] =
+    manifestDf(path(ref)).flatMap { manifest =>
+      if (!manifest.columns.contains(s"nulls_$column") ||
+          !manifest.columns.contains("rows")) None
+      else {
+        val excluded =
+          if (isNull) col(s"nulls_$column") === lit(0L)
+          else col(s"nulls_$column") === col("rows")
+        Some(manifest.filter(excluded <=> lit(true))
+          .select("file").collect().map(_.getString(0)).toSet)
+      }
+    }
+
+  /** Basenames provably excluded for `column LIKE 'prefix%'` on a
+    * STRING stats column: `max < prefix` puts every value below the
+    * prefixed range, and `substring(min, 1, len) > prefix` puts every
+    * value above it (any prefixed string compares below `min` on its
+    * first `len` characters). Non-string stat columns return None —
+    * prefix order only matches value order for strings.
+    */
+  def excludedByPrefix(ref: TableRef, column: String,
+                       prefix: String): Option[Set[String]] =
+    manifestDf(path(ref)).flatMap { manifest =>
+      if (!manifest.columns.contains(s"min_$column")) None
+      else manifest.schema(s"min_$column").dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val excluded = col(s"max_$column") < lit(prefix) ||
+            substring(col(s"min_$column"), 1, prefix.length) > lit(prefix)
+          Some(manifest.filter(excluded <=> lit(true))
+            .select("file").collect().map(_.getString(0)).toSet)
+        case _ => None
+      }
+    }
 
   /** Point-lookup read: [[splitFilesByValue]]'s kept files (falls back
     * to a full read without a manifest). The caller's `column = value`

@@ -1242,13 +1242,75 @@ object PipelineQueries {
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
       (cat, wh.dataFiles(ref).size)
     }
-    val q = spark.sql(
-      s"""SELECT o_orderkey, o_custkey, o_totalprice
-         |FROM $cat.silver.facts.orders_sql
-         |WHERE o_orderkey BETWEEN 101 AND 220""".stripMargin)
     // files the DSv2 scan PLANNED (not merely read less of): manifest
     // pruning happens before task scheduling, so the executed plan's
     // input partitions already exclude the skipped files
+    def planned(q: DataFrame): Int = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.partitions.flatten).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty
+    }.distinct.size
+    val qRange = spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $cat.silver.facts.orders_sql
+         |WHERE o_orderkey BETWEEN 101 AND 220""".stripMargin)
+    // point-lookup list: a file skips only when it provably excludes
+    // EVERY listed key (excludedByValues through the pushed In)
+    val qIn = spark.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM $cat.silver.facts.orders_sql
+         |WHERE o_orderkey IN (17, 443, 901)""".stripMargin)
+    val (pRange, pIn) = (planned(qRange), planned(qIn))
+    qRange.withColumn("sql_pruned", lit(pRange > 0 && pRange < total))
+      .unionByName(
+        qIn.withColumn("sql_pruned", lit(pIn > 0 && pIn < total)))
+  }
+
+  val qSqlCatalogSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, true AS sql_pruned
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 101 AND 220
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_totalprice, true AS sql_pruned
+      |FROM orders
+      |WHERE o_orderkey IN (17, 443, 901)""".stripMargin
+
+  /** SQL catalog over a PARTITIONED warehouse table (round-12 verdict
+    * "What's wrong" #1): `partitionBy` directory-encodes the partition
+    * column, so the parquet files physically lack it — the DSv2 read
+    * must re-anchor partition inference at the table root (basePath)
+    * or every `seg` value comes back NULL and the WHERE returns zero
+    * rows. The gate value-checks rows THROUGH the partition column
+    * (selected AND filtered) against DuckDB computing the same derived
+    * column, and pins `part_pruned`: the executed plan touched only
+    * the matching partition's files (partition pruning before task
+    * scheduling, the 100 TB reason partitioned layouts exist).
+    */
+  def qSqlCatalogPart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, total) = graft.util.Scratch.once(spark, dir, "sqlcatpart.fixtures") {
+      val root = Files.createTempDirectory("graft-gate-sqlcatpart").toString + "/wh"
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("silver", "facts", "orders_part")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1000) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice",
+            concat(lit("g"), $"o_orderkey" % 4).as("seg"))
+          .repartition(2), // 2 files per partition dir: pruning is provable
+        partitionBy = Seq("seg"))
+      val cat = s"graftsqlp${java.lang.Integer.toHexString(root.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      (cat, wh.dataFiles(ref).size)
+    }
+    val q = spark.sql(
+      s"""SELECT o_orderkey, o_totalprice, seg
+         |FROM $cat.silver.facts.orders_part
+         |WHERE seg = 'g1'""".stripMargin)
     val planned = q.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
     }.flatMap(_.partitions.flatten).flatMap {
@@ -1256,13 +1318,14 @@ object PipelineQueries {
         fp.files.map(_.filePath.toString).toSeq
       case _ => Seq.empty
     }.distinct.size
-    q.withColumn("sql_pruned", lit(planned > 0 && planned < total))
+    q.withColumn("part_pruned", lit(planned > 0 && planned < total))
   }
 
-  val qSqlCatalogSql: String =
-    """SELECT o_orderkey, o_custkey, o_totalprice, true AS sql_pruned
+  val qSqlCatalogPartSql: String =
+    """SELECT o_orderkey, o_totalprice, 'g' || (o_orderkey % 4) AS seg,
+      |       true AS part_pruned
       |FROM orders
-      |WHERE o_orderkey BETWEEN 101 AND 220""".stripMargin
+      |WHERE o_orderkey <= 1000 AND o_orderkey % 4 = 1""".stripMargin
 
   /** DESCRIBE HISTORY end-to-end: five writes through five DIFFERENT
     * code paths (overwrite → merge → row-level delete → compaction →
@@ -1310,6 +1373,7 @@ object PipelineQueries {
     "q_table_history" -> (qTableHistory _),
     "q_warehouse_bloom" -> (qWarehouseBloom _),
     "q_sql_catalog" -> (qSqlCatalog _),
+    "q_sql_catalog_part" -> (qSqlCatalogPart _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1345,6 +1409,7 @@ object PipelineQueries {
     "q_gold_incr_hll" -> qGoldIncrHllSql,
     "q_warehouse_bloom" -> qWarehouseBloomSql,
     "q_sql_catalog" -> qSqlCatalogSql,
+    "q_sql_catalog_part" -> qSqlCatalogPartSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,

@@ -107,6 +107,151 @@ class GraftCatalogSpec extends SparkSpec {
       .collect().map(_.getString(1)).toSet === Set("facts", "logless"))
   }
 
+  test("partitionBy tables read VALUES (not nulls) through SQL; partition pruning plans a subset") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-part")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "bypart")
+    // committed schema INCLUDES p; the parquet files physically lack it
+    // (directory-encoded) — the round-12 wrong-answer path null-filled p
+    wh.overwrite(ref,
+      (1L to 100L).map(i => (i, s"g${i % 4}", s"v$i")).toDF("k", "p", "v"),
+      partitionBy = Seq("p"))
+
+    spark.conf.set("spark.sql.catalog.graftsqlp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlp.root", root)
+
+    // schema carries the partition column (appended, Spark's order)
+    assert(spark.sql("SELECT * FROM graftsqlp.silver.g.bypart").columns.toSeq
+      === Seq("k", "v", "p"))
+    // every partition value reads back — and agrees with the Scala read
+    val viaSql = spark.sql("SELECT k, p, v FROM graftsqlp.silver.g.bypart")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    assert(viaSql === (1L to 100L).map(i => (i, s"g${i % 4}", s"v$i")))
+    assert(viaSql === wh.read(ref).select($"k", $"p", $"v")
+      .as[(Long, String, String)].collect().sortBy(_._1))
+    // WHERE on the partition column: right rows, and the plan only
+    // touched that partition's files
+    val q = spark.sql(
+      "SELECT k FROM graftsqlp.silver.g.bypart WHERE p = 'g1'")
+    assert(q.as[Long].collect().sorted === (1L to 100L).filter(_ % 4 == 1))
+    val total = wh.dataFiles(ref).size
+    assert(plannedFiles(q).size < total,
+      s"partition pruning never engaged: ${plannedFiles(q).size}/$total files")
+  }
+
+  test("staticPartitions tables restore the partition column through SQL") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-statpart")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "statpart")
+    // run_date must be ABSENT from the frame — and so from the committed
+    // schema; SQL reads must still surface it (the round-12 audit found
+    // the column silently dropped)
+    wh.overwrite(ref, (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"),
+      staticPartitions = Seq("run_date" -> "2024-01-02"))
+
+    spark.conf.set("spark.sql.catalog.graftsqls", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqls.root", root)
+
+    val sqlRows = spark.sql(
+      "SELECT k, v, run_date FROM graftsqls.silver.g.statpart")
+    assert(sqlRows.columns.contains("run_date"))
+    assert(sqlRows.filter($"run_date".isNull).count() === 0)
+    // type AND values agree with the Scala read (both infer from the
+    // directory name: run_date=2024-01-02 → date)
+    val scalaRows = wh.read(ref).select($"k", $"v", $"run_date")
+    assert(sqlRows.schema("run_date").dataType
+      === scalaRows.schema("run_date").dataType)
+    assert(sqlRows.collect().map(_.toSeq).toSet
+      === scalaRows.collect().map(_.toSeq).toSet)
+    assert(sqlRows.count() === 20L)
+  }
+
+  test("time-travel SQL with pushed predicates keeps snapshot files retired from the current version") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-tt")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "ttfacts")
+    wh.overwrite(ref, (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(8, $"k"), statsColumns = Seq("k"))     // v1
+    // v2 retires every file holding k > 250 — their manifest rows are
+    // dropped, so a CURRENT-version keep-list no longer mentions them
+    wh.deleteWhere(ref, $"k" > 250L)                               // v2
+
+    spark.conf.set("spark.sql.catalog.graftsqltt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqltt.root", root)
+
+    // current version: the range is gone
+    assert(spark.sql(
+        """SELECT count(*) AS n FROM graftsqltt.silver.g.ttfacts
+          |WHERE k BETWEEN 600 AND 620""".stripMargin)
+      .head().getLong(0) === 0L)
+    // VERSION AS OF 1 with the SAME pushed predicate must return the
+    // pre-delete rows: exclusion-based pruning keeps v1 files absent
+    // from the current manifest (a keep-list computed from the current
+    // version silently dropped them — the round-12 ADVICE hole)
+    val tt = spark.sql(
+      """SELECT k FROM graftsqltt.silver.g.ttfacts VERSION AS OF 1
+        |WHERE k BETWEEN 600 AND 620""".stripMargin)
+    assert(tt.as[Long].collect().sorted === (600L to 620L))
+    // ...and pruning still engages on the time-travel scan: v1 files
+    // that SURVIVED the delete (all-low ranges) are still manifest-
+    // described and provably excluded
+    assert(plannedFiles(tt).size < wh.snapshotAt(ref, 1L).files.size,
+      "time-travel scan planned every v1 file — manifest exclusion never engaged")
+  }
+
+  test("pruning breadth: IN / OR, IS NULL / IS NOT NULL, LIKE prefix, null-safe equality") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-breadth")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "wide")
+    // range-clustered on k; s mirrors k's order (zero-padded, so string
+    // prefix order == numeric order); n is non-null ONLY in the low band
+    wh.overwrite(ref,
+      (1L to 1000L).map(i =>
+          (i, f"s$i%04d", if (i <= 125) Some(i) else None))
+        .toDF("k", "s", "n").repartitionByRange(8, $"k"),
+      statsColumns = Seq("k", "s", "n"))
+    val total = wh.dataFiles(ref).size
+    assert(total === 8)
+    spark.conf.set("spark.sql.catalog.graftsqlb", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlb.root", root)
+    def t = "graftsqlb.silver.g.wide"
+
+    // IN list: exclusion = files excluding EVERY listed value
+    val qIn = spark.sql(s"SELECT k FROM $t WHERE k IN (5, 980)")
+    assert(qIn.as[Long].collect().sorted === Seq(5L, 980L))
+    assert(plannedFiles(qIn).size < total,
+      s"IN never pruned: ${plannedFiles(qIn).size}/$total")
+    // ...and the equivalent OR of equalities prunes identically
+    val qOr = spark.sql(s"SELECT k FROM $t WHERE k = 5 OR k = 980")
+    assert(qOr.as[Long].collect().sorted === Seq(5L, 980L))
+    assert(plannedFiles(qOr) === plannedFiles(qIn))
+
+    // IS NULL skips the all-non-null low file; IS NOT NULL skips all
+    // the all-null high files (nulls_<c> manifest column)
+    val qNull = spark.sql(s"SELECT k FROM $t WHERE n IS NULL")
+    assert(qNull.count() === 875L)
+    assert(plannedFiles(qNull).size < total, "IS NULL never pruned")
+    val qNotNull = spark.sql(s"SELECT k FROM $t WHERE n IS NOT NULL")
+    assert(qNotNull.count() === 125L)
+    assert(plannedFiles(qNotNull).size === 1,
+      s"IS NOT NULL should plan exactly the low file, " +
+        s"got ${plannedFiles(qNotNull).size}")
+
+    // LIKE prefix on string min/max
+    val qLike = spark.sql(s"SELECT s FROM $t WHERE s LIKE 's012%'")
+    assert(qLike.count() === 10L) // s0120..s0129
+    assert(plannedFiles(qLike).size < total, "prefix never pruned")
+
+    // null-safe equality prunes like equality
+    val qNse = spark.sql(s"SELECT k FROM $t WHERE k <=> 443")
+    assert(qNse.as[Long].collect() === Seq(443L))
+    assert(plannedFiles(qNse).size < total, "<=> never pruned")
+  }
+
   test("SQL equality lookups engage bloom skipping where range stats keep everything") {
     import spark.implicits._
     val root = tmpDir("wh-sqlcat-bloom")
