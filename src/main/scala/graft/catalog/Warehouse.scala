@@ -167,8 +167,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     listVersions(ref).reverse.map { v =>
       // one parse per version file: files and meta come out together
       val (_, files, meta) = parseLogEntries(versionFilePath(ref, v))
-      (v, meta.getOrElse(Warehouse.OpMeta, "UNKNOWN"), files.size)
-    }.toDF("version", "operation", "n_files")
+      (v, meta.getOrElse(Warehouse.OpMeta, "UNKNOWN"), files.size,
+        // the stamped commit instant (epoch ms); null for pre-stamp logs
+        meta.get(Warehouse.TsMeta).flatMap(_.toLongOption))
+    }.toDF("version", "operation", "n_files", "commit_ms")
   }
 
   /** Pin the current version (None for logless directories). */
@@ -197,30 +199,41 @@ final class Warehouse(spark: SparkSession, val root: String,
     readSnapshot(snapshotAt(ref, version))
 
   /** Latest version committed at or before `tsMillis` — the resolver
-    * behind `TIMESTAMP AS OF`. The commit clock is the version FILE's
-    * modification time (stamped by the atomic rename that IS the
-    * commit), the same source Delta uses by default: no log-format
-    * change, and it works retroactively on every existing table. Same
-    * caveat as Delta's: a filesystem-level copy/restore of the log
-    * directory rewrites mtimes — pin exact versions where that
-    * matters. Fails loudly when the table predates nothing (every
-    * commit is after `tsMillis`) or has no committed log.
+    * behind `TIMESTAMP AS OF`. The commit clock is the `graft.ts`
+    * wall-clock each commit stamps into its own meta line
+    * ([[Warehouse.TsMeta]]) — DURABLE: a filesystem-level copy/restore
+    * of the log directory rewrites mtimes but not file contents, so
+    * stamped logs resolve identically after migration. Versions
+    * written before stamping existed fall back to the version FILE's
+    * modification time (the rename that committed it — Delta's default
+    * clock, with Delta's caveat). One `listStatus` of the log
+    * directory covers every fallback; stamped versions cost one small
+    * meta-file read each, O(surviving versions) ≤ vacuum retention.
+    * Fails loudly when the table predates nothing (every commit is
+    * after `tsMillis`) or has no committed log.
     */
   def versionAsOf(ref: TableRef, tsMillis: Long): Long = {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
-    val versions = listVersions(ref)
-    if (versions.isEmpty)
+    // one directory listing supplies names AND fallback mtimes — no
+    // per-version getFileStatus round-trips on object stores
+    val versionStatuses =
+      if (!filesystem.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else filesystem.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        n.length == 9 && n.startsWith("v") && n.drop(1).forall(_.isDigit)
+      }.sortBy(_.getPath.getName)
+    if (versionStatuses.isEmpty)
       throw new IllegalArgumentException(s"$ref has no committed version")
-    val fits = versions.filter(v =>
-      filesystem.getFileStatus(versionFilePath(ref, v))
-        .getModificationTime <= tsMillis)
-    fits.lastOption.getOrElse(throw new IllegalArgumentException(
-      s"$ref has no version committed at or before " +
-        s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest commit: " +
-        s"${java.time.Instant.ofEpochMilli(
-          filesystem.getFileStatus(versionFilePath(ref, versions.head))
-            .getModificationTime)})"))
+    def commitTime(st: org.apache.hadoop.fs.FileStatus): Long =
+      parseLogEntries(st.getPath)._3.get(Warehouse.TsMeta)
+        .flatMap(_.toLongOption).getOrElse(st.getModificationTime)
+    val fits = versionStatuses.filter(st => commitTime(st) <= tsMillis)
+    fits.lastOption.map(_.getPath.getName.drop(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ref has no version committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest commit: " +
+          s"${java.time.Instant.ofEpochMilli(commitTime(versionStatuses.head))})"))
   }
 
   /** Delta-CDF-style change feed: row-level changes between two
@@ -343,10 +356,13 @@ final class Warehouse(spark: SparkSession, val root: String,
     // (compact, z-order) followed by vacuum's version pruning would
     // delete the only log file holding a marker like mv.base_version —
     // killing the streaming MV loop that depends on reading it back
-    // graft.op describes one commit's writer, never its successors —
-    // it is the single meta key excluded from the carry
+    // graft.op / graft.ts describe ONE commit (its writer, its
+    // instant), never its successors — the two meta keys excluded
+    // from the carry. The wall-clock stamp lands after the carry so
+    // a caller can't accidentally forward an old instant either.
     val allMeta = (prev.map(v => commitMeta(ref, v)).getOrElse(Map.empty)
-      - Warehouse.OpMeta) ++ meta
+      - Warehouse.OpMeta - Warehouse.TsMeta) ++ meta +
+      (Warehouse.TsMeta -> System.currentTimeMillis().toString)
     val tmp = new Path(dir, f".v$next%08d.tmp")
     val out = filesystem.create(tmp, true)
     try out.write(
@@ -974,12 +990,22 @@ final class Warehouse(spark: SparkSession, val root: String,
       // bloom presence is a durable table property: requested once via
       // bloomColumns, preserved by every later stats-maintaining write
       // (full rewrites here read the pre-swap manifest; incremental
-      // replaceDataFiles mirrors the manifest schema the same way)
+      // replaceDataFiles mirrors the manifest schema the same way).
+      // Durability includes statsColumns NARROWING: a prior bloom
+      // column missing from this write's stats set is auto-extended
+      // into it (blooms ride on min/max rows), so equality skipping
+      // never lapses silently — only a column leaving the SCHEMA ends
+      // its bloom, and that is warned.
       if (statsColumns.nonEmpty) {
         val priorBlooms = manifestDf(path(ref)).toSeq.flatMap(
           _.columns.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
-        writeStats(tmp.toString, statsColumns,
-          (bloomColumns ++ priorBlooms).distinct)
+        val (carryable, lapsed) = priorBlooms.partition(df.columns.contains)
+        if (lapsed.nonEmpty)
+          Warehouse.log.warn(s"$ref: bloom column(s) " +
+            s"${lapsed.mkString(",")} left the schema; their equality " +
+            "skipping lapses with this overwrite")
+        writeStats(tmp.toString, (statsColumns ++ carryable).distinct,
+          (bloomColumns ++ carryable).distinct)
       }
       val staged = listDataFiles(tmp)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
@@ -2010,6 +2036,9 @@ final class Warehouse(spark: SparkSession, val root: String,
 }
 
 object Warehouse {
+  private[catalog] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
+
   /** Commit-meta key naming the operation that produced a version
     * (OVERWRITE / MERGE / REPLACE / DELETE / COMPACT / ZORDER /
     * TRUNCATE / RESTORE / META / ADOPT / WAP_BOOTSTRAP / WAP_PUBLISH).
@@ -2017,6 +2046,16 @@ object Warehouse {
     * each version describes its own writer ([[Warehouse.history]]).
     */
   val OpMeta = "graft.op"
+
+  /** Commit-meta key holding the commit's wall-clock (epoch millis),
+    * stamped by [[Warehouse]].commitLocked at write time. `TIMESTAMP
+    * AS OF` prefers this over the version file's modification time, so
+    * time travel survives filesystem-level log copies/restores (which
+    * rewrite mtimes — the Delta default-clock caveat); pre-stamp logs
+    * fall back to mtime. Like [[OpMeta]], never carried forward: each
+    * version records its own commit instant.
+    */
+  val TsMeta = "graft.ts"
 
   /** Stamp `op` unless the caller already set one (a higher-level
     * composition like MERGE wins over the REPLACE primitive under it).

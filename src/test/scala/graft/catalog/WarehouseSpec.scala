@@ -344,7 +344,7 @@ class WarehouseSpec extends SparkSpec {
     wh.truncate(ref)
     wh.restore(ref, 1)
     assert(wh.compact(ref, smallFileBytes = 32L << 20) > 0)
-    val h = wh.history(ref).as[(Long, String, Int)].collect().toSeq
+    val h = wh.history(ref).as[(Long, String, Int, Option[Long])].collect().toSeq
     assert(h.map(r => (r._1, r._2)) === Seq(
       (5L, "COMPACT"), (4L, "RESTORE"), (3L, "TRUNCATE"),
       (2L, "META"), (1L, "OVERWRITE")))
@@ -818,5 +818,72 @@ class WarehouseSpec extends SparkSpec {
     assert(!j.exists())
     assert(wh.read(silver).as[(Long, String)].collect().toSet === Set((3L, "x")))
     assert(wh.read(gold).as[(Long, Long)].collect().toSet === Set((3L, 9L)))
+  }
+
+  test("TIMESTAMP AS OF rides the stamped commit clock, surviving mtime rewrites") {
+    import spark.implicits._
+    val root = tmpDir("wh-ts")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "clocked")
+    wh.overwrite(ref, Seq((1L, "a")).toDF("k", "v"))            // v1
+    Thread.sleep(30)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(30)
+    wh.overwrite(ref, Seq((2L, "b")).toDF("k", "v"))            // v2
+    assert(wh.versionAsOf(ref, betweenMs) === 1L)
+    assert(wh.versionAsOf(ref, System.currentTimeMillis()) === 2L)
+    // history surfaces the stamped instants, newest first, monotone
+    val stamps = wh.history(ref).select("commit_ms")
+      .collect().map(_.getLong(0))
+    assert(stamps.length === 2 && stamps(0) >= stamps(1))
+
+    // a filesystem-level log copy rewrites mtimes — simulate by
+    // touching every version file to NOW; the stamped clock still
+    // resolves the pre-v2 instant to v1 (the old mtime source would
+    // find no version at or before it and throw)
+    val logDir = new java.io.File(s"$root/silver/g/clocked/_graft_log")
+    logDir.listFiles().foreach(f => f.setLastModified(System.currentTimeMillis()))
+    assert(wh.versionAsOf(ref, betweenMs) === 1L)
+
+    // pre-stamp logs (graft.ts absent) fall back to the mtime clock:
+    // strip the meta line from every version file, then resolution at
+    // NOW still finds the latest version via mtimes
+    logDir.listFiles().filter(_.getName.startsWith("v")).foreach { f =>
+      val kept = scala.io.Source.fromFile(f).getLines()
+        .filterNot(_.startsWith("meta\tgraft.ts=")).mkString("", "\n", "\n")
+      val w = new java.io.FileWriter(f); w.write(kept); w.close()
+      // raw rewrite invalidates Hadoop LocalFileSystem's checksum
+      // sidecar — drop it (a real pre-stamp log has a matching crc)
+      new java.io.File(logDir, s".${f.getName}.crc").delete()
+    }
+    assert(wh.versionAsOf(ref, System.currentTimeMillis()) === 2L)
+    // ...and a pre-mtime instant has nothing to resolve: loud failure
+    intercept[IllegalArgumentException](wh.versionAsOf(ref, 1000L))
+  }
+
+  test("blooms survive an overwrite that narrows statsColumns; lapse loudly when the column leaves") {
+    import spark.implicits._
+    val root = tmpDir("wh-bloomcarry")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "carried")
+    val df = (1L to 400L).map(i => (i, i % 7, s"v$i")).toDF("id", "grp", "v")
+    wh.overwrite(ref, df.repartition(4, $"grp"),
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    assert(wh.splitFilesByValue(ref, "id", 250L).exists(_._2.nonEmpty),
+      "bloom skipping should prune the hash layout")
+
+    // later load narrows statsColumns to grp only — the id bloom (a
+    // durable table property) must be auto-extended into the stats
+    // set, not silently dropped
+    wh.overwrite(ref, df.repartition(4, $"grp"), statsColumns = Seq("grp"))
+    assert(wh.statColumns(ref).toSet === Set("grp", "id"),
+      "prior bloom column must be carried into the stats manifest")
+    assert(wh.splitFilesByValue(ref, "id", 250L).exists(_._2.nonEmpty),
+      "bloom skipping must survive the statsColumns narrowing")
+
+    // the column leaving the SCHEMA is the one legitimate lapse
+    wh.overwrite(ref, df.select($"grp", $"v").limit(100),
+      statsColumns = Seq("grp"))
+    assert(wh.statColumns(ref).toSet === Set("grp"))
   }
 }
