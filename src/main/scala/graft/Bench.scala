@@ -168,6 +168,7 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     graft.util.PhaseTimer.reset()
+    graft.util.CapCounters.reset() // caps in the artifact are THIS run's
     def timed(tag: String)(name: String, thunk: () => Long): (String, Double) = {
       val t0 = System.nanoTime()
       val n = try thunk() catch { case _: Throwable => -1L }
@@ -354,8 +355,16 @@ object Bench {
           "\"" + n + "\":" + fmtMap(ph.toSeq.sortBy(-_._2).take(4))
         }.mkString("{", ",", "}")
 
+    // Recall-cap observability IN the artifact (round-12 verdict, next
+    // #6): every quadratic-stage cap that ran this bench reports its
+    // dropped-key count — all zeros is the healthy gate-scale record,
+    // a non-zero here means some dedup/ANN output was recall-bounded
+    // and the per-run WARN fired. Keys absent = operator never ran.
+    val caps = graft.util.CapCounters.snapshot.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
     val budget = 1700
-    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"warm_phases":$warmPh,"queries":{"""
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"warm_phases":$warmPh,"caps":$caps,"queries":{"""
     val sb = new StringBuilder(head)
     var included = 0
     var restN = 0
