@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -236,27 +236,32 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   * to keep-the-file — pruning is an optimization, never a filter (the
   * retained filters still run on the scanned rows).
   *
-  * Scale note: construction inherits InMemoryFileIndex's per-file
-  * status listing. At millions of files the natural next step is a
-  * manifest-backed leaf list (the commit log already holds the file
-  * names; it would additionally need byte sizes recorded at write
-  * time) so table resolution costs one manifest read instead of a
-  * filesystem walk — the Delta/Iceberg metadata-only planning model.
+  * Scale note: resolution is METADATA-ONLY when the commit log
+  * recorded per-file (bytes, mtime) — every write path does since the
+  * sized-log format landed. The listing statuses are reconstructed
+  * from [[TableSnapshot.fileMeta]] and pre-seeded into the index's
+  * FileStatusCache, so planning a million-file table costs one log
+  * read and ZERO filesystem calls (the Delta/Iceberg planning model);
+  * pre-size logs miss the cache and degrade to InMemoryFileIndex's
+  * per-file listing.
   */
 private[catalog] final class GraftFileIndex(spark: SparkSession,
                                             wh: Warehouse,
                                             snap: TableSnapshot)
     extends InMemoryFileIndex(
       spark,
-      snap.files.map(f => new Path(s"${wh.path(snap.ref)}/$f")),
+      // qualified roots so cache keys, inferred partition bases, and
+      // listed statuses all live in one path namespace
+      snap.files.map(f => new Path(GraftFileIndex.qualifiedBase(spark, wh, snap), f)),
       // basePath anchors partition-directory inference at the table
       // root (exactly how Warehouse.readSnapshot reads a file list):
       // without it each leaf file's parent becomes its own base and
       // partitionBy/staticPartitions columns silently vanish or
       // null-fill. No user schema: partition value TYPES come from the
       // same inference readSnapshot uses, so SQL ≡ Scala reads.
-      Map("basePath" -> wh.path(snap.ref)),
-      None) {
+      Map("basePath" -> GraftFileIndex.qualifiedBase(spark, wh, snap).toString),
+      None,
+      fileStatusCache = GraftFileIndex.logBackedCache(spark, wh, snap)) {
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -352,4 +357,44 @@ private[catalog] final class GraftFileIndex(spark: SparkSession,
   }
 
   private val inListCap = 64
+}
+
+private[catalog] object GraftFileIndex {
+
+  private[catalog] def qualifiedBase(spark: SparkSession, wh: Warehouse,
+                                     snap: TableSnapshot): Path = {
+    val base = new Path(wh.path(snap.ref))
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(base)
+  }
+
+  /** A FileStatusCache whose entries are reconstructed from the commit
+    * log's recorded per-file (bytes, mtime) — InMemoryFileIndex
+    * consults the cache per root path BEFORE touching the filesystem,
+    * so full coverage makes index construction zero-RPC: at a million
+    * files, one log read replaces a million `getFileStatus` calls.
+    * Seeded ONLY when the log covers every snapshot file (all-or-
+    * nothing keeps cached and listed statuses from mixing path
+    * namespaces); pre-size logs get an empty cache and list normally.
+    */
+  private def logBackedCache(spark: SparkSession, wh: Warehouse,
+                             snap: TableSnapshot): FileStatusCache = {
+    val qBase = qualifiedBase(spark, wh, snap)
+    val complete = snap.files.nonEmpty && snap.files.forall(snap.fileMeta.contains)
+    val statuses: Map[Path, org.apache.hadoop.fs.FileStatus] =
+      if (!complete) Map.empty
+      else snap.files.map { f =>
+        val (bytes, mtime) = snap.fileMeta(f)
+        val p = new Path(qBase, f)
+        p -> new org.apache.hadoop.fs.FileStatus(
+          bytes, false, 1, 128L << 20, mtime, p)
+      }.toMap
+    new FileStatusCache {
+      override def getLeafFiles(path: Path): Option[Array[org.apache.hadoop.fs.FileStatus]] =
+        statuses.get(path).map(Array(_))
+      override def putLeafFiles(path: Path,
+                                leafFiles: Array[org.apache.hadoop.fs.FileStatus]): Unit = ()
+      override def invalidateAll(): Unit = ()
+    }
+  }
 }

@@ -37,8 +37,17 @@ final class ConcurrentWriteException(msg: String) extends IllegalStateException(
   * started from a snapshot survives any concurrent overwrite / merge /
   * compaction.
   */
+/** @param fileMeta per-file (bytes, mtimeMillis) recorded by the commit
+  *        at write time — when it covers every file, readers can plan
+  *        scans from the log alone, no filesystem listing (the
+  *        Delta/Iceberg metadata-only planning model;
+  *        [[graft.catalog.GraftCatalog]] rides this). Logs written
+  *        before sizes existed parse with an empty map and degrade to
+  *        listing.
+  */
 final case class TableSnapshot(ref: TableRef, version: Long,
-                               schemaJson: String, files: Seq[String])
+                               schemaJson: String, files: Seq[String],
+                               fileMeta: Map[String, (Long, Long)] = Map.empty)
 
 /** Path-backed warehouse: each `catalog.schema.table` is a parquet
   * directory `$root/catalog/schema/table`. Replaces the reference's
@@ -125,32 +134,41 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(p).exists(p),
       s"$ref has no version $version (never committed, or vacuumed); " +
         s"current = ${currentVersion(ref).getOrElse("none")}")
-    val (schemaJson, files, _) = parseLogEntries(p)
-    TableSnapshot(ref, version, schemaJson, files)
+    val c = parseLog(p)
+    TableSnapshot(ref, version, c.schemaJson, c.files, c.fileMeta)
   }
 
-  /** Parse one log-format file (version commit or staged manifest):
-    * `schema\t<json>` + `file\t<rel>` lines, unknown kinds ignored for
-    * forward compatibility.
+  import Warehouse.LogContent
+
+  /** Parse one log-format file: `schema\t<json>` +
+    * `file\t<rel>[\t<bytes>\t<mtimeMs>]` (the size/mtime fields are
+    * written since metadata-only planning landed; two-field lines from
+    * older logs parse fine with no fileMeta entry) + `meta\tk=v`,
+    * unknown kinds ignored for forward compatibility.
     */
-  private def parseLogEntries(p: Path): (String, Seq[String], Map[String, String]) = {
+  private def parseLog(p: Path): LogContent = {
     val in = fs(p).open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
     var schemaJson = ""
     val files = Seq.newBuilder[String]
     val meta = Map.newBuilder[String, String]
+    val fileMeta = Map.newBuilder[String, (Long, Long)]
     text.linesIterator.filter(_.nonEmpty).foreach { l =>
-      l.split("\t", 2) match {
+      l.split("\t") match {
         case Array("schema", j) => schemaJson = j
         case Array("file", f) => files += f
+        case Array("file", f, bytes, mtime) =>
+          files += f
+          for (b <- bytes.toLongOption; m <- mtime.toLongOption)
+            fileMeta += f -> (b, m)
         case Array("meta", kv) =>
           val i = kv.indexOf('=')
           meta += kv.take(i) -> kv.drop(i + 1)
         case _ => // forward-compat: unknown entry kinds are ignored
       }
     }
-    (schemaJson, files.result(), meta.result())
+    LogContent(schemaJson, files.result(), meta.result(), fileMeta.result())
   }
 
   /** DESCRIBE HISTORY: one row per SURVIVING version ([[vacuum]] prunes
@@ -166,10 +184,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     import spark.implicits._
     listVersions(ref).reverse.map { v =>
       // one parse per version file: files and meta come out together
-      val (_, files, meta) = parseLogEntries(versionFilePath(ref, v))
-      (v, meta.getOrElse(Warehouse.OpMeta, "UNKNOWN"), files.size,
+      val c = parseLog(versionFilePath(ref, v))
+      (v, c.meta.getOrElse(Warehouse.OpMeta, "UNKNOWN"), c.files.size,
         // the stamped commit instant (epoch ms); null for pre-stamp logs
-        meta.get(Warehouse.TsMeta).flatMap(_.toLongOption))
+        c.meta.get(Warehouse.TsMeta).flatMap(_.toLongOption))
     }.toDF("version", "operation", "n_files", "commit_ms")
   }
 
@@ -226,7 +244,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     if (versionStatuses.isEmpty)
       throw new IllegalArgumentException(s"$ref has no committed version")
     def commitTime(st: org.apache.hadoop.fs.FileStatus): Long =
-      parseLogEntries(st.getPath)._3.get(Warehouse.TsMeta)
+      parseLog(st.getPath).meta.get(Warehouse.TsMeta)
         .flatMap(_.toLongOption).getOrElse(st.getModificationTime)
     val fits = versionStatuses.filter(st => commitTime(st) <= tsMillis)
     fits.lastOption.map(_.getPath.getName.drop(1).toLong)
@@ -337,10 +355,16 @@ final class Warehouse(spark: SparkSession, val root: String,
   /** Append the next version (caller MUST hold the writer lock — the
     * lock serializes version numbering). Atomic appearance via tmp +
     * rename: readers see the previous complete version or this one.
+    *
+    * `fileMeta` (rel → (bytes, mtimeMs)) rides each `file` line so
+    * later readers can plan without listing the filesystem; files
+    * absent from the map (inherited from a pre-size log) write the
+    * two-field legacy line and those readers degrade to listing.
     */
   private def commitLocked(ref: TableRef, schemaJson: String,
                            files: Seq[String],
-                           meta: Map[String, String] = Map.empty): Long = {
+                           meta: Map[String, String] = Map.empty,
+                           fileMeta: Map[String, (Long, Long)] = Map.empty): Long = {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
     filesystem.mkdirs(dir)
@@ -365,8 +389,12 @@ final class Warehouse(spark: SparkSession, val root: String,
       (Warehouse.TsMeta -> System.currentTimeMillis().toString)
     val tmp = new Path(dir, f".v$next%08d.tmp")
     val out = filesystem.create(tmp, true)
+    def fileLine(f: String): String = fileMeta.get(f) match {
+      case Some((bytes, mtime)) => s"file\t$f\t$bytes\t$mtime\n"
+      case None => s"file\t$f\n"
+    }
     try out.write(
-      (s"schema\t$schemaJson\n" + files.map(f => s"file\t$f\n").mkString +
+      (s"schema\t$schemaJson\n" + files.map(fileLine).mkString +
         allMeta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -383,7 +411,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     * ignore the lines (unknown log entry kinds are skipped).
     */
   def commitMeta(ref: TableRef, version: Long): Map[String, String] =
-    parseLogEntries(versionFilePath(ref, version))._3
+    parseLog(versionFilePath(ref, version)).meta
 
   /** Pure-metadata commit: the current version's schema and file list
     * re-committed with `meta` attached — zero data movement (the same
@@ -398,7 +426,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
         s"$ref has no committed version to re-commit meta onto"))
       commitLocked(ref, snap.schemaJson, snap.files,
-        Warehouse.withOp(meta, "META"))
+        Warehouse.withOp(meta, "META"), snap.fileMeta)
     }
 
   /** Newest committed value of a meta key, walking versions backward
@@ -428,12 +456,16 @@ final class Warehouse(spark: SparkSession, val root: String,
       val tablePath = new Path(path(ref))
       val filesystem = fs(tablePath)
       val base = filesystem.makeQualified(tablePath).toUri.getPath
-      val rels = listDataFiles(tablePath).map(p =>
-        filesystem.makeQualified(p).toUri.getPath
+      val statuses = listDataFileStatuses(tablePath)
+      val rels = statuses.map(st =>
+        filesystem.makeQualified(st.getPath).toUri.getPath
           .stripPrefix(base).stripPrefix("/"))
       val schemaJson = spark.read.parquet(path(ref)).schema.json
       val v = commitLocked(ref, schemaJson, rels,
-        Map(Warehouse.OpMeta -> "ADOPT"))
+        Map(Warehouse.OpMeta -> "ADOPT"),
+        rels.zip(statuses).map { case (r, st) =>
+          r -> (st.getLen, st.getModificationTime)
+        }.toMap)
       snapshotAt(ref, v)
     }
 
@@ -468,7 +500,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     recoverLocked(ref) // never re-commit files of a half-healed replacement
     val snap = snapshotAt(ref, version)
     val v = commitLocked(ref, snap.schemaJson, snap.files,
-      Map(Warehouse.OpMeta -> "RESTORE"))
+      Map(Warehouse.OpMeta -> "RESTORE"), snap.fileMeta)
     // current content just changed shape — JVM-wide cardinality stats
     // must not keep describing the rolled-back state
     TableStatsRegistry.invalidate(path(ref))
@@ -529,7 +561,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           bootstrappedEmpty = true
         }
       }
-      val staged = listDataFiles(tmp)
+      val stagedStatuses = listDataFileStatuses(tmp)
+      val staged = stagedStatuses.map(_.getPath)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
       val rels = staged.map(p => filesystem.makeQualified(p).toUri.getPath
         .stripPrefix(stagedBase).stripPrefix("/"))
@@ -541,12 +574,17 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
       // manifest LAST, via tmp + rename like every other log write: a
       // crash before the rename leaves only unreferenced stragglers —
-      // never a torn manifest a later publish would trust
+      // never a torn manifest a later publish would trust. Sized file
+      // lines so the eventual publish commits metadata-only-plannable
+      // versions like every direct write.
       val mp = stagedManifestPath(ref, id)
       val mtmp = new Path(mp.getParent, s".${mp.getName}.tmp")
       val out = filesystem.create(mtmp, true)
       try out.write(
-        (s"schema\t${df.schema.json}\n" + rels.map(f => s"file\t$f\n").mkString)
+        (s"schema\t${df.schema.json}\n" +
+          rels.zip(stagedStatuses).map { case (f, st) =>
+            s"file\t$f\t${st.getLen}\t${st.getModificationTime}\n"
+          }.mkString)
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       if (!filesystem.rename(mtmp, mp))
@@ -589,8 +627,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(mp).exists(mp),
       s"$ref has no staged batch '$id' (published or discarded?); " +
         s"staged = ${stagedIds(ref).mkString(",")}")
-    val (schemaJson, files, _) = parseLogEntries(mp)
-    readSnapshot(TableSnapshot(ref, -1L, schemaJson, files))
+    val c = parseLog(mp)
+    readSnapshot(TableSnapshot(ref, -1L, c.schemaJson, c.files))
   }
 
   /** Promote a staged batch to the table's next version (overwrite
@@ -604,9 +642,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(mp).exists(mp),
       s"$ref has no staged batch '$id' (published or discarded?); " +
         s"staged = ${stagedIds(ref).mkString(",")}")
-    val (schemaJson, files, _) = parseLogEntries(mp)
-    val v = commitLocked(ref, schemaJson, files,
-      Map(Warehouse.OpMeta -> "WAP_PUBLISH"))
+    val c = parseLog(mp)
+    val v = commitLocked(ref, c.schemaJson, c.files,
+      Map(Warehouse.OpMeta -> "WAP_PUBLISH"), c.fileMeta)
     fs(mp).delete(mp, false)
     TableStatsRegistry.invalidate(path(ref))
     v
@@ -620,7 +658,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(fs(mp).exists(mp),
       s"$ref has no staged batch '$id' (published or discarded?); " +
         s"staged = ${stagedIds(ref).mkString(",")}")
-    val (_, files, _) = parseLogEntries(mp)
+    val files = parseLog(mp).files
     val target = new Path(path(ref))
     val filesystem = fs(target)
     // only files NO live log version references may be deleted. A fresh
@@ -761,7 +799,7 @@ final class Warehouse(spark: SparkSession, val root: String,
               s"'$id' has awaited audit for ${ageMs / 86400000L} days and " +
               "pins its files against maintenance — publishStaged or " +
               "discardStaged it")
-          parseLogEntries(mp)._2
+          parseLog(mp).files
         }
         val keepFiles = (keep.flatMap(v => snapshotAt(ref, v).files) ++
           stagedLive).toSet
@@ -1007,10 +1045,15 @@ final class Warehouse(spark: SparkSession, val root: String,
         writeStats(tmp.toString, (statsColumns ++ carryable).distinct,
           (bloomColumns ++ carryable).distinct)
       }
-      val staged = listDataFiles(tmp)
+      val stagedStatuses = listDataFileStatuses(tmp)
+      val staged = stagedStatuses.map(_.getPath)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
       val rels = staged.map(p => filesystem.makeQualified(p).toUri.getPath
         .stripPrefix(stagedBase).stripPrefix("/"))
+      // (bytes, mtime) from the staging listing; rename preserves both
+      val relMeta = rels.zip(stagedStatuses).map { case (r, st) =>
+        r -> (st.getLen, st.getModificationTime)
+      }.toMap
       if (bootstrap) {
         // drop metadata-only leftovers (a crashed writer's journal, an
         // empty partition skeleton) so the rename lands cleanly; no
@@ -1021,7 +1064,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         // crash between rename and commit leaves a COMPLETE logless
         // dir: plain reads see all rows, the next writer adopts it
         commitLocked(ref, df.schema.json, rels,
-          Warehouse.withOp(meta, "OVERWRITE"))
+          Warehouse.withOp(meta, "OVERWRITE"), relMeta)
         if (statsColumns.nonEmpty) registerStatsAt(path(ref))
         else TableStatsRegistry.invalidate(path(ref))
       } else {
@@ -1036,7 +1079,7 @@ final class Warehouse(spark: SparkSession, val root: String,
             throw new RuntimeException(s"failed to move $r into $ref")
         }
         commitLocked(ref, df.schema.json, rels,
-          Warehouse.withOp(meta, "OVERWRITE"))
+          Warehouse.withOp(meta, "OVERWRITE"), relMeta)
         // manifest follows the commit; a crash in between leaves a stale
         // manifest, which pruning tolerates by construction (entries for
         // retired files never match the live list, unknown files are kept)
@@ -1704,7 +1747,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       val replacedSet = replacedRels.toSet
       commitLocked(ref, snap.schemaJson,
         snap.files.filterNot(replacedSet.contains),
-        Warehouse.withOp(meta, "REPLACE"))
+        Warehouse.withOp(meta, "REPLACE"), snap.fileMeta)
       // manifest prune: drop the retired files' stats rows (tmp+rename,
       // like every manifest swap); pruning tolerates a crash in between
       // (stale entries never match the live list)
@@ -1783,8 +1826,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     val stage = new Path(path(ref) + s".tmp-merge-$nonce")
     try {
       replacement.write.parquet(stage.toString)
-      val newFiles = filesystem.listStatus(stage)
-        .map(_.getPath).filter(_.getName.endsWith(".parquet")).toSeq
+      val newStatuses = filesystem.listStatus(stage)
+        .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      val newFiles = newStatuses.map(_.getPath)
       // build the next manifest BEFORE touching data files (it reads
       // the old manifest); swap it in last — see contract above
       val replacedNames = replaced.map(new Path(_).getName)
@@ -1835,7 +1879,12 @@ final class Warehouse(spark: SparkSession, val root: String,
       val replacedSet = replacedRels.toSet
       commitLocked(ref, snap.schemaJson,
         snap.files.filterNot(replacedSet.contains) ++ adds,
-        Warehouse.withOp(meta, "REPLACE"))
+        Warehouse.withOp(meta, "REPLACE"),
+        // survivors keep their recorded sizes; adds record theirs from
+        // the staging listing (rename into the table preserves both)
+        snap.fileMeta ++ adds.zip(newStatuses).map { case (a, st) =>
+          a -> (st.getLen, st.getModificationTime)
+        })
       manifestTmp.foreach { tmp =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
@@ -2023,21 +2072,32 @@ final class Warehouse(spark: SparkSession, val root: String,
   }
 
   /** All parquet data files under a table dir (recursive, skipping
-    * underscore/dot-hidden entries such as the stats manifest).
+    * underscore/dot-hidden entries such as the stats manifest), with
+    * their listing statuses — write paths record (bytes, mtime) into
+    * the commit log from these, which is what lets readers plan
+    * without re-listing.
     */
-  private def listDataFiles(table: Path): Seq[Path] = {
+  private def listDataFileStatuses(table: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
     val filesystem = fs(table)
-    def walk(p: Path): Seq[Path] =
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       filesystem.listStatus(p).toSeq
         .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
-        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s.getPath))
-    walk(table).filter(_.getName.endsWith(".parquet"))
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    walk(table).filter(_.getPath.getName.endsWith(".parquet"))
   }
+
+  private def listDataFiles(table: Path): Seq[Path] =
+    listDataFileStatuses(table).map(_.getPath)
 }
 
 object Warehouse {
   private[catalog] val log =
     org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
+
+  /** One parsed log-format file (version commit or staged manifest). */
+  private[catalog] final case class LogContent(
+      schemaJson: String, files: Seq[String], meta: Map[String, String],
+      fileMeta: Map[String, (Long, Long)])
 
   /** Commit-meta key naming the operation that produced a version
     * (OVERWRITE / MERGE / REPLACE / DELETE / COMPACT / ZORDER /

@@ -252,6 +252,63 @@ class GraftCatalogSpec extends SparkSpec {
     assert(plannedFiles(qNse).size < total, "<=> never pruned")
   }
 
+  test("DSv2 resolution is metadata-only: planning succeeds after a data file vanishes from disk") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-meta")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "mfiles")
+    wh.overwrite(ref, (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4))
+    val total = wh.dataFiles(ref).size
+    assert(total === 4)
+    spark.conf.set("spark.sql.catalog.graftsqlm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlm.root", root)
+
+    // delete one committed data file BEHIND the warehouse's back: if
+    // resolution or scan planning touched the filesystem (listing or
+    // per-file getFileStatus), the hole would surface here — instead
+    // both come entirely from the commit log's recorded (bytes, mtime)
+    val victim = new org.apache.hadoop.fs.Path(wh.dataFiles(ref).head)
+    assert(new java.io.File(victim.toUri.getPath).delete())
+    val q = spark.sql("SELECT k FROM graftsqlm.silver.g.mfiles WHERE k > 0")
+    val planned = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }.flatMap(_.partitions.flatten).flatMap {
+      case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
+      case _                 => Seq.empty
+    }.distinct
+    assert(planned.size === total,
+      s"metadata-only planning should schedule all $total committed files")
+    assert(planned.exists(_.endsWith(victim.getName)),
+      "the vanished file must still be planned — proof nothing re-listed the directory")
+    // execution is where missing bytes surface (different contract)
+    intercept[Exception](q.collect())
+  }
+
+  test("pre-size logs (legacy file lines) degrade to listing and still read through SQL") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-legacy")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "legacy")
+    wh.overwrite(ref, (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2))
+    // rewrite every version file's `file\trel\tbytes\tmtime` lines to
+    // the two-field legacy form (and drop the checksum sidecars)
+    val logDir = new java.io.File(s"$root/silver/g/legacy/_graft_log")
+    logDir.listFiles().filter(_.getName.startsWith("v")).foreach { f =>
+      val stripped = scala.io.Source.fromFile(f).getLines().map { l =>
+        if (l.startsWith("file\t")) l.split("\t").take(2).mkString("\t") else l
+      }.mkString("", "\n", "\n")
+      val w = new java.io.FileWriter(f); w.write(stripped); w.close()
+      new java.io.File(logDir, s".${f.getName}.crc").delete()
+    }
+    spark.conf.set("spark.sql.catalog.graftsqll", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqll.root", root)
+    assert(spark.sql("SELECT count(*) AS n FROM graftsqll.silver.g.legacy")
+      .head().getLong(0) === 50L)
+    assert(wh.snapshot(ref).exists(_.fileMeta.isEmpty))
+  }
+
   test("SQL equality lookups engage bloom skipping where range stats keep everything") {
     import spark.implicits._
     val root = tmpDir("wh-sqlcat-bloom")
