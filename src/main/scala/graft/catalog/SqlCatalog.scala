@@ -221,10 +221,11 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   override def name(): String = snap.ref.toString
   override def schema(): StructType = StructType(dataFields ++ partitionFields)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    ParquetScanBuilder(spark, index, schema(), dataFields, options)
+    new GraftScanBuilder(spark, wh, snap, schema(), dataFields,
+      ParquetScanBuilder(spark, index, schema(), dataFields, options), options)
 }
 
 /** File index over one snapshot's live files that applies

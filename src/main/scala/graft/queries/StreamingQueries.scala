@@ -671,7 +671,63 @@ object StreamingQueries {
       |       CAST(sum(cents) AS BIGINT) AS cents_total
       |FROM latest GROUP BY event_type""".stripMargin
 
+  /** DSv2 streaming source over a warehouse table (round-12 verdict,
+    * next #3): `spark.readStream.table` through [[graft.catalog.GraftCatalog]]
+    * TAILS THE COMMIT LOG — each micro-batch scans the files added by a
+    * commit-version range, planned metadata-only from the sized log
+    * ([[graft.catalog.GraftMicroBatchStream]]), the Delta streaming-
+    * source counterpart. Fixture: an orders slice loaded as v1 then
+    * grown by two range-disjoint INSERT-ONLY merges (provably append-
+    * only via the key-stats manifest, so no rewrite re-emission); the
+    * stream drains under Trigger.AvailableNow into a memory sink and
+    * must equal the table's final contents — for an append-only
+    * history, exactly the union of every commit's inserted rows.
+    */
+  def qStreamFeed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val cat = graft.util.Scratch.once(spark, dir, "streamfeed.fixtures") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-stream-feed").toString + "/wh"
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("silver", "stream", "orders_feed")
+      val orders = graft.Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000) // identical slice at every SF
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      wh.overwrite(ref,
+        orders.filter($"o_orderkey" <= 400)
+          .repartitionByRange(2, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))                            // v1
+      val mt = new graft.sinks.MergeTable(spark, wh, ref,
+        Seq("o_orderkey"), None)
+      mt.upsert(orders.filter($"o_orderkey" > 400 && $"o_orderkey" <= 700)) // v2
+      mt.upsert(orders.filter($"o_orderkey" > 700))                         // v3
+      val cat = s"graftfeed${java.lang.Integer.toHexString(root.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    }
+    val sink = "q_stream_feed_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val query = spark.readStream.table(s"$cat.silver.stream.orders_feed")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.util.PhaseTimer.time("stream.feed.replay") { query.awaitTermination() }
+    spark.table(sink).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val qStreamFeedSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |WHERE o_orderkey <= 1000""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_stream_feed" -> (qStreamFeed _),
     "q_stream_agg_mv" -> (qStreamAggMv _),
     "q_stream_cdc" -> (qStreamCdc _),
     "q_stream_window" -> (qStreamWindow _),
@@ -688,6 +744,7 @@ object StreamingQueries {
     "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_feed" -> qStreamFeedSql,
     "q_stream_agg_mv" -> qStreamAggMvSql,
     "q_stream_cdc" -> qStreamCdcSql,
     "q_stream_window" -> qStreamWindowSql,
