@@ -1,6 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
@@ -8,12 +10,22 @@ import graft.SparkSpec
 
 class GraftCatalogSpec extends SparkSpec {
 
-  /** Distinct parquet files the executed DSv2 scan actually planned. */
+  /** Every DSv2 scan in the plan, descending through AQE wrappers:
+    * AdaptiveSparkPlanExec and the query stages it materializes are
+    * LEAF nodes to a plain collect, so an ORDER BY or join would hide
+    * its scans from the walk without the recursion.
+    */
+  private def deepScans(p: SparkPlan): Seq[BatchScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => deepScans(a.executedPlan)
+    case s: QueryStageExec        => deepScans(s.plan)
+    case b: BatchScanExec         => Seq(b)
+    case other                    => other.children.flatMap(deepScans)
+  }
+
+  /** Distinct parquet files the executed DSv2 scan(s) actually planned. */
   private def plannedFiles(df: DataFrame): Set[String] = {
     df.collect() // force planning through the executed plan
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b
-    }
+    val scans = deepScans(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no DSv2 BatchScanExec in the plan")
     scans.flatMap(_.partitions.flatten).flatMap {
       case fp: FilePartition => fp.files.map(_.filePath.toString).toSeq
@@ -250,6 +262,33 @@ class GraftCatalogSpec extends SparkSpec {
     val qNse = spark.sql(s"SELECT k FROM $t WHERE k <=> 443")
     assert(qNse.as[Long].collect() === Seq(443L))
     assert(plannedFiles(qNse).size < total, "<=> never pruned")
+  }
+
+  test("pruning survives AQE: ORDER BY + broadcast join still plan a pruned fact scan") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-aqe")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "aqefacts")
+    wh.overwrite(ref, (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(8, $"k"), statsColumns = Seq("k"))
+    val total = wh.dataFiles(ref).size
+    spark.conf.set("spark.sql.catalog.graftsqla", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqla.root", root)
+    (100L to 120L).map(i => (i, s"d$i")).toDF("k", "name")
+      .createOrReplaceTempView("aqe_dim")
+
+    // exchanges on both sides: the sort and the join wrap the scans in
+    // AQE query stages — the round-12 plannedFiles walk found nothing
+    val q = spark.sql(
+      """SELECT f.k, f.v, d.name
+        |FROM graftsqla.silver.g.aqefacts f JOIN aqe_dim d ON f.k = d.k
+        |WHERE f.k BETWEEN 100 AND 120
+        |ORDER BY f.k""".stripMargin)
+    assert(q.as[(Long, String, String)].collect().map(_._1).toSeq
+      === (100L to 120L))
+    val planned = plannedFiles(q)
+    assert(planned.nonEmpty && planned.size < total,
+      s"fact scan under AQE never pruned: ${planned.size}/$total files")
   }
 
   test("DSv2 resolution is metadata-only: planning succeeds after a data file vanishes from disk") {
