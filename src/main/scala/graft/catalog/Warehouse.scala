@@ -1466,17 +1466,51 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     }
 
-  /** The manifest as a DataFrame, when present and non-empty. */
+  /** The manifest as a DataFrame, when present and non-empty.
+    *
+    * Served through a JVM-wide DRIVER-LOCAL cache: small manifests
+    * (≤ [[Warehouse.manifestLocalBytes]]) collect once into a
+    * LocalRelation frame, so every later `filter(...).collect()` a
+    * pruning call makes plans driver-side — ZERO Spark jobs per
+    * predicate, which is what keeps a point-lookup-heavy SQL workload
+    * (each query pushes several prunable conjuncts) from paying a
+    * manifest-scan job per conjunct. Freshness is SELF-VALIDATING, no
+    * invalidation plumbing: the cache key fingerprints the manifest's
+    * part files (name+len+mtime from the one listStatus this method
+    * already needs to address them), and every manifest swap writes
+    * fresh UUID-named parts. Oversized manifests skip the local
+    * materialization and read parquet-backed as before.
+    */
   private def manifestDf(tablePath: String): Option[DataFrame] = {
     val manifestPath = new Path(s"$tablePath/$statsDir")
     val filesystem = fs(manifestPath)
     if (!filesystem.exists(manifestPath)) return None
     // address the manifest's part files directly: the _-prefixed dir
     // itself is deliberately hidden from Spark's file index
-    val manifestFiles = filesystem.listStatus(manifestPath)
-      .map(_.getPath).filter(_.getName.endsWith(".parquet")).map(_.toString)
-    if (manifestFiles.isEmpty) None
-    else Some(spark.read.parquet(manifestFiles.toIndexedSeq: _*))
+    val statuses = filesystem.listStatus(manifestPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (statuses.isEmpty) return None
+    val files = statuses.map(_.getPath.toString).toIndexedSeq
+    if (statuses.map(_.getLen).sum > Warehouse.manifestLocalBytes)
+      return Some(spark.read.parquet(files: _*))
+    val fingerprint = statuses.map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    val key = s"${System.identityHashCode(spark)}:$tablePath"
+    Warehouse.manifestCache.get(key) match {
+      case Some((fp, df)) if fp == fingerprint => Some(df)
+      case _ =>
+        val loaded = spark.read.parquet(files: _*)
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(loaded.collect(): _*), loaded.schema)
+        // bound total driver residency: a full flush on overflow is
+        // crude but safe — entries rebuild on demand, and the cap is
+        // far above any one workload's live table count
+        if (Warehouse.manifestCache.size >= Warehouse.manifestCacheMax)
+          Warehouse.manifestCache.clear()
+        Warehouse.manifestCache.put(key, (fingerprint, local))
+        Some(local)
+    }
   }
 
   /** Columns with min/max stats in the table's manifest (empty = none). */
@@ -2098,6 +2132,23 @@ object Warehouse {
   private[catalog] final case class LogContent(
       schemaJson: String, files: Seq[String], meta: Map[String, String],
       fileMeta: Map[String, (Long, Long)])
+
+  /** Manifests at most this big materialize into the driver-local
+    * cache (one row per data file; with blooms ≈ 0.6 KB/row, so 64 MB
+    * ≈ a 100k-file table — beyond that the parquet-backed read path
+    * keeps driver memory bounded).
+    */
+  private val manifestLocalBytes = 64L << 20
+
+  /** (sessionId:tablePath) → (part-file fingerprint, LocalRelation
+    * manifest). See [[Warehouse]].manifestDf. Flushed whole when it
+    * reaches [[manifestCacheMax]] entries so long-lived drivers (and
+    * test JVMs cycling hundreds of temp tables) stay bounded.
+    */
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
+
+  private val manifestCacheMax = 256
 
   /** Commit-meta key naming the operation that produced a version
     * (OVERWRITE / MERGE / REPLACE / DELETE / COMPACT / ZORDER /
