@@ -1,13 +1,17 @@
 package graft.catalog
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, LocalScan, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Forwarding scan builder: batch reads keep Spark's stock parquet
@@ -26,22 +30,122 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
                                               options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  private var sawFilters = false
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // remember that ANY filter exists (pushed or retained): a
+    // metadata-only aggregate answer ignores filters, so their mere
+    // presence disqualifies it
+    if (filters.nonEmpty) sawFilters = true
     delegate.pushFilters(filters)
+  }
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
 
-  override def build(): Scan =
-    new GraftScan(spark, wh, snap, tableSchema, dataFields,
-      delegate.build(), options)
+  // -- metadata-only aggregates -------------------------------------
+  // `SELECT count(*) / count(c) / min(c) / max(c) FROM graft...` with
+  // no WHERE and no GROUP BY answers from the stats manifest alone
+  // (Warehouse.metadataAggregate) — the scan becomes a LocalScan whose
+  // single row was computed at plan time with ZERO data-file access,
+  // Delta/Iceberg's "metadata-only query". Any unprovable piece (a
+  // column without stats, a file missing from the manifest, a filter,
+  // a group-by, DISTINCT) falls back to the normal scan silently —
+  // pushdown is an optimization, never a semantics change.
+
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    tryMetadataAnswer(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    tryMetadataAnswer(aggregation)
+
+  private def tryMetadataAnswer(aggregation: Aggregation): Boolean = {
+    if (sawFilters || aggregation.groupByExpressions.nonEmpty) return false
+    val dataByName = dataFields.map(f => f.name -> f).toMap
+    def dataCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            dataByName.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val mapped: Seq[Option[(Warehouse.MetaAgg, StructField)]] =
+      aggregation.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some((Warehouse.RowCount, StructField("count(*)", LongType, nullable = false)))
+        case c: Count if !c.isDistinct =>
+          dataCol(c.column).map(n =>
+            (Warehouse.ColCount(n), StructField(s"count($n)", LongType, nullable = false)))
+        case m: Min =>
+          dataCol(m.column).map(n =>
+            (Warehouse.ColMin(n), StructField(s"min($n)", dataByName(n).dataType)))
+        case m: Max =>
+          dataCol(m.column).map(n =>
+            (Warehouse.ColMax(n), StructField(s"max($n)", dataByName(n).dataType)))
+        case _ => None
+      }
+    if (mapped.exists(_.isEmpty) || mapped.isEmpty) return false
+    val shapes = mapped.flatten
+    wh.metadataAggregate(snap.ref, snap.files, shapes.map(_._1)) match {
+      case Some(values) =>
+        metaAgg = Some((StructType(shapes.map(_._2)), values))
+        true
+      case None => false
+    }
+  }
+
+  override def build(): Scan = metaAgg match {
+    case Some((schema, values)) => new GraftMetaAggScan(snap, schema, values)
+    case None =>
+      new GraftScan(spark, wh, snap, tableSchema, dataFields,
+        delegate.build(), options)
+  }
 }
 
-/** A [[ParquetScan]] that can also stream. Batch behavior delegates
-  * verbatim; `toMicroBatchStream` tails the COMMIT LOG instead
-  * ([[GraftMicroBatchStream]]).
+/** The pre-computed single-row answer of a metadata-only aggregate:
+  * Spark plans it as a LocalTableScanExec — no BatchScan, no tasks,
+  * no file access (the witness the gate asserts on).
+  */
+private[catalog] final class GraftMetaAggScan(snap: TableSnapshot,
+                                              schema: StructType,
+                                              values: Seq[Any])
+    extends LocalScan {
+
+  override def readSchema(): StructType = schema
+
+  override def rows(): Array[InternalRow] = {
+    val converted = values.zip(schema.fields).map { case (v, f) =>
+      CatalystTypeConverters.createToCatalystConverter(f.dataType)(v)
+    }
+    Array(InternalRow.fromSeq(converted))
+  }
+
+  override def description(): String =
+    s"GraftMetaAggScan(${snap.ref}@v${snap.version}, manifest-only)"
+}
+
+/** A [[ParquetScan]] that can also stream and prune at RUNTIME. Batch
+  * behavior delegates verbatim; `toMicroBatchStream` tails the COMMIT
+  * LOG instead ([[GraftMicroBatchStream]]).
+  *
+  * Runtime (join-time) file skipping — `SupportsRuntimeV2Filtering`:
+  * when this scan is the probe side of a join whose build side is
+  * small and selective, Spark's dynamic-pruning rule plants an IN
+  * subquery on any advertised filter attribute; after the build side
+  * executes (the reused broadcast), [[filter]] receives the actual
+  * join-key values and excludes every file the stats manifest PROVES
+  * key-free (per-value min/max interval + bloom, the same
+  * [[Warehouse.excludedByValues]] sets static pruning uses — snapshot-
+  * safe exclusion, so time-traveling scans prune soundly too).
+  * `toBatch` then re-plans with those files dropped — the dynamic file
+  * pruning a 100 TB star join lives on: the dim's WHERE decides which
+  * fact files are opened, at runtime, with zero manual clustering
+  * hints. Oversized value lists (> [[GraftScan.runtimeInCap]]) skip
+  * pruning — never a long manifest pass, never a wrong answer.
   */
 private[catalog] final class GraftScan(spark: SparkSession,
                                        wh: Warehouse,
@@ -50,15 +154,191 @@ private[catalog] final class GraftScan(spark: SparkSession,
                                        dataFields: StructType,
                                        delegate: ParquetScan,
                                        options: CaseInsensitiveStringMap)
-    extends Scan {
+    extends Scan with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
-  override def toBatch: Batch = delegate.toBatch
+
+  // two exclusion families with DIFFERENT keys: manifest exclusion is
+  // basename-keyed (sound even when partitionBy reuses one task's
+  // part-file name across partition dirs — colliding basenames share a
+  // merged manifest row, so a proof covers every copy), while
+  // partition-value exclusion must key on the `col=value` DIRECTORY
+  // SEGMENT (a basename says nothing about which partition it's in)
+  @volatile private var runtimeExcludedNames: Set[String] = Set.empty
+  @volatile private var runtimeExcludedSegments: Set[String] = Set.empty
+
+  /** Directory-encoded partition columns (table schema minus the
+    * parquet data columns) with their INFERRED types — the second
+    * family of runtime-prunable attributes.
+    */
+  private val partitionFieldTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    tableSchema.fields.filterNot(f => dataFields.fieldNames.contains(f.name))
+      .map(f => f.name -> f.dataType).toMap
+
+  /** Columns worth planting a runtime filter on: columns the manifest
+    * carries stats for, plus directory-encoded partition columns
+    * (anything else could never exclude a file).
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    (wh.statColumns(snap.ref) ++ partitionFieldTypes.keys)
+      .distinct.map(c => Expressions.column(c)).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    var names = Set.empty[String]
+    var segments = Set.empty[String]
+    predicates.foreach { p =>
+      inShape(p).foreach { case (column, values) =>
+        if (partitionFieldTypes.contains(column))
+          segments ++= excludedPartitionSegments(column, values)
+            .getOrElse(Set.empty)
+        else
+          names ++= wh.excludedByValues(snap.ref, column, values)
+            .getOrElse(Set.empty)
+      }
+    }
+    runtimeExcludedNames = names
+    runtimeExcludedSegments = segments
+  }
+
+  /** Decompose one runtime predicate; the only shape Spark's
+    * runtime-filter translation emits today is
+    * `IN(FieldReference, LiteralValue...)` (one entry per build-side
+    * key). LiteralValue carries CATALYST-typed values — convert before
+    * any comparison. None = unrecognized, prune nothing.
+    */
+  private def inShape(p: Predicate): Option[(String, Seq[Any])] = p.name() match {
+    case "IN" =>
+      p.children().toSeq match {
+        case (nr: NamedReference) +: values
+            if nr.fieldNames.length == 1 && values.nonEmpty &&
+              values.size <= GraftScan.runtimeInCap &&
+              values.forall(_.isInstanceOf[V2Literal[_]]) =>
+          val scalaValues = values.map { case lv: V2Literal[_] =>
+            CatalystTypeConverters.convertToScala(lv.value, lv.dataType)
+          }
+          if (scalaValues.contains(null)) None
+          else Some((nr.fieldNames()(0), scalaValues))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** Dynamic PARTITION pruning: the `column=value` directory SEGMENTS
+    * whose value provably matches NONE of the runtime values — any
+    * file under such a directory drops. Stock Spark has no DPP for
+    * DSv2 file scans at all (a v1-only feature), so this is what makes
+    * a partitioned graft fact table prune under a star join.
+    * Comparison happens in the partition column's INFERRED value
+    * space, never raw strings (a `p=07` directory and the long `7`
+    * must match): unparseable or exotically-typed segments, null
+    * partitions, and missing segments all KEEP their files — exclusion
+    * only when a typed comparison proves a mismatch.
+    */
+  private def excludedPartitionSegments(column: String,
+                                        values: Seq[Any]): Option[Set[String]] = {
+    import org.apache.spark.sql.types._
+    val dt = partitionFieldTypes(column)
+    // per-type comparator from the directory's unescaped string to the
+    // runtime value; None = this type is not safely comparable
+    val matches: Option[(String, Any) => Boolean] = dt match {
+      case StringType => Some((dir, v) => dir == v)
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((dir, v) => v match {
+          case n: java.lang.Number => dir.toLongOption.contains(n.longValue)
+          case _ => true // unexpected runtime type: treat as a match → keep
+        })
+      case BooleanType =>
+        Some((dir, v) => dir.toBooleanOption.contains(v))
+      case DateType =>
+        Some((dir, v) => scala.util.Try(
+          java.sql.Date.valueOf(dir) == v).getOrElse(true))
+      case _ => None
+    }
+    matches.map { cmp =>
+      val prefix = column + "="
+      snap.files.flatMap(_.split('/').find(_.startsWith(prefix))).toSet
+        .filter { seg =>
+          val dirVal = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(seg.drop(prefix.length))
+          dirVal != "__HIVE_DEFAULT_PARTITION__" &&
+            !values.exists(v => cmp(dirVal, v))
+        }
+    }
+  }
+
+  override def toBatch: Batch = {
+    val base = delegate.toBatch
+    if (runtimeExcludedNames.isEmpty && runtimeExcludedSegments.isEmpty) base
+    else new RuntimeFilteredBatch(base, runtimeExcludedNames,
+      runtimeExcludedSegments, snap.ref.toString)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(spark, wh, snap, tableSchema, dataFields,
       delegate.readSchema(), options)
+}
+
+private[catalog] object GraftScan {
+  /** Runtime IN lists past this size skip pruning: each value costs a
+    * per-file interval+bloom test over the manifest, and a build side
+    * wide enough to exceed this rarely excludes anything anyway.
+    */
+  val runtimeInCap = 256
+}
+
+/** The delegate batch with runtime-excluded files dropped from its
+  * planned [[FilePartition]]s (empties removed, indexes re-packed):
+  * by BASENAME for manifest exclusions, by `col=value` path SEGMENT
+  * for partition exclusions. Records (planned, kept) into
+  * [[RuntimePrune]] so specs and gates can witness that pruning
+  * actually fired.
+  */
+private[catalog] final class RuntimeFilteredBatch(underlying: Batch,
+                                                  excludedNames: Set[String],
+                                                  excludedSegments: Set[String],
+                                                  table: String)
+    extends Batch {
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = underlying.planInputPartitions()
+    // only prune all-FilePartition plans (the parquet scan's shape);
+    // anything else passes through untouched
+    if (!planned.forall(_.isInstanceOf[FilePartition])) planned
+    else {
+      var total = 0
+      var kept = 0
+      def keep(f: org.apache.spark.sql.execution.datasources.PartitionedFile): Boolean = {
+        val p = f.filePath.toPath
+        !excludedNames.contains(p.getName) &&
+          (excludedSegments.isEmpty ||
+            !p.toUri.getPath.split('/').exists(excludedSegments.contains))
+      }
+      val filtered = planned.flatMap { case fp: FilePartition =>
+        total += fp.files.length
+        val keptFiles = fp.files.filter(keep)
+        kept += keptFiles.length
+        if (keptFiles.isEmpty) None else Some(keptFiles)
+      }
+      RuntimePrune.record(table, total, kept)
+      filtered.zipWithIndex.map { case (files, i) => FilePartition(i, files) }
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    underlying.createReaderFactory()
+}
+
+/** Last runtime-pruning decision per table — (files planned before
+  * pruning, files kept). A plan-side witness: runtime-filtered
+  * partitions only exist during execution, so specs and gates read
+  * this instead of traversing executed plans.
+  */
+private[graft] object RuntimePrune {
+  private val last = scala.collection.concurrent.TrieMap[String, (Int, Int)]()
+  def record(table: String, planned: Int, kept: Int): Unit =
+    last.put(table, (planned, kept))
+  def lastFor(table: String): Option[(Int, Int)] = last.get(table)
 }
 
 /** Stream offset = the last commit version this stream has processed. */

@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{approx_count_distinct, array, col, count, element_at, expr, input_file_name, lit, max, min, split, substring, sum, xxhash64}
+import org.apache.spark.sql.functions.{approx_count_distinct, array, col, count, countDistinct, element_at, expr, input_file_name, lit, max, min, split, substring, sum, when, xxhash64}
 
 /** Three-level table reference, mirroring the reference's
   * `catalog.schema.table` namespace (/root/reference/lib/ingestors.py:95,
@@ -1702,6 +1702,102 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     }
 
+  /** Metadata-only aggregates: answer COUNT(*) / COUNT(col) /
+    * MIN(col) / MAX(col) over a snapshot's file list from the stats
+    * manifest alone — ZERO data-file access (the Delta/Iceberg
+    * "metadata-only query" shape; at 100 TB the difference between an
+    * instant answer and a full-table scan). Returns the aggregate
+    * values in `aggs` order, or None unless EVERY answer is provable:
+    *
+    *  - every snapshot file has exactly one manifest row with a
+    *    non-null `rows` count (a pinned historical snapshot whose
+    *    files the current manifest no longer lists → None);
+    *  - `ColCount` needs the file's `nulls_<c>` count;
+    *  - `ColMin`/`ColMax` accept a null per-file extremum ONLY with
+    *    the all-null witness `nulls_<c> == rows` — a null min from a
+    *    stats-less or mixed-era row is indistinguishable from data, so
+    *    it disqualifies the whole answer (conservative: callers fall
+    *    back to scanning).
+    *
+    * Extrema are EXACT by construction: [[fileStats]] computes
+    * min/max with Spark's own aggregate over every row at write time
+    * (full values, no truncation), so folding per-file extrema equals
+    * the full-scan answer bit-for-bit. The fold itself runs as one
+    * tiny aggregate over the (driver-local cached) manifest.
+    * COUNT answers are `sum(rows)` / `sum(rows - nulls_c)`; an empty
+    * file list answers without a manifest (0 / null extrema).
+    */
+  def metadataAggregate(ref: TableRef, files: Seq[String],
+                        aggs: Seq[Warehouse.MetaAgg]): Option[Seq[Any]] = {
+    import Warehouse.{ColCount, ColMax, ColMin, RowCount}
+    if (aggs.isEmpty) return None
+    val names = files.map(f => new Path(f).getName)
+    if (names.isEmpty)
+      return Some(aggs.map {
+        case RowCount | ColCount(_) => 0L
+        case _ => null
+      })
+    manifestDf(path(ref)).flatMap { m =>
+      val needed = aggs.flatMap {
+        case RowCount => Seq("rows")
+        case ColCount(c) => Seq("rows", s"nulls_$c")
+        case ColMin(c) => Seq(s"min_$c", s"nulls_$c", "rows")
+        case ColMax(c) => Seq(s"max_$c", s"nulls_$c", "rows")
+      }.distinct
+      if (!needed.forall(m.columns.contains)) None
+      else {
+        val f = m.filter(col("file").isin(names: _*))
+        // one pass: validation counts first, then one result column
+        // per requested aggregate (positions are fixed, so the head()
+        // row reads back by index)
+        def exactExtremum(c: String): Column =
+          // a null per-file extremum is legitimate ONLY for an
+          // all-null column in that file; <=> makes a null nulls_c
+          // (mixed-era manifest) count as a violation
+          count(when(col(s"min_$c").isNull.or(col(s"max_$c").isNull)
+            .and(!(col(s"nulls_$c") <=> col("rows"))), 1))
+        val extremaCols = aggs.collect {
+          case ColMin(c) => c
+          case ColMax(c) => c
+        }.distinct.filter(c => m.columns.contains(s"min_$c") &&
+          m.columns.contains(s"max_$c"))
+        val countCols = aggs.collect { case ColCount(c) => c }.distinct
+        val validation: Seq[Column] = Seq(
+          count(lit(1)).as("__nfiles"),
+          countDistinct(col("file")).as("__ndistinct"),
+          count(col("rows")).as("__nrows")) ++
+          countCols.map(c => count(col(s"nulls_$c")).as(s"__nn_$c")) ++
+          extremaCols.map(c => exactExtremum(c).as(s"__bad_$c"))
+        val results: Seq[Column] = aggs.map {
+          case RowCount => sum(col("rows"))
+          case ColCount(c) => sum(col("rows") - col(s"nulls_$c"))
+          case ColMin(c) => min(col(s"min_$c"))
+          case ColMax(c) => max(col(s"max_$c"))
+        }
+        // extrema columns for min/max must both exist (exactExtremum
+        // reads min AND max); reject up front when either is missing
+        val extremaRequested = aggs.collect {
+          case ColMin(c) => c
+          case ColMax(c) => c
+        }.distinct
+        if (extremaRequested.size != extremaCols.size) None
+        else {
+          val all = validation ++ results
+          val row = f.agg(all.head, all.tail: _*).head()
+          val n = names.size.toLong
+          val valid =
+            row.getLong(0) == n && row.getLong(1) == n &&
+              row.getLong(2) == n &&
+              countCols.indices.forall(i => row.getLong(3 + i) == n) &&
+              extremaCols.indices.forall(i =>
+                row.getLong(3 + countCols.size + i) == 0L)
+          if (!valid) None
+          else Some(aggs.indices.map(i => row.get(validation.size + i)))
+        }
+      }
+    }
+  }
+
   /** Point-lookup read: [[splitFilesByValue]]'s kept files (falls back
     * to a full read without a manifest). The caller's `column = value`
     * filter still applies — bloom hits are "maybe".
@@ -2132,6 +2228,19 @@ object Warehouse {
   private[catalog] final case class LogContent(
       schemaJson: String, files: Seq[String], meta: Map[String, String],
       fileMeta: Map[String, (Long, Long)])
+
+  /** One aggregate shape [[Warehouse.metadataAggregate]] can answer
+    * from the stats manifest without touching data files.
+    */
+  sealed trait MetaAgg
+  /** COUNT(*) — `sum(rows)` over the per-file row counts. */
+  case object RowCount extends MetaAgg
+  /** COUNT(col) — `sum(rows - nulls_col)`. */
+  final case class ColCount(column: String) extends MetaAgg
+  /** MIN(col) — fold of the per-file exact minima. */
+  final case class ColMin(column: String) extends MetaAgg
+  /** MAX(col) — fold of the per-file exact maxima. */
+  final case class ColMax(column: String) extends MetaAgg
 
   /** Manifests at most this big materialize into the driver-local
     * cache (one row per data file; with blooms ≈ 0.6 KB/row, so 64 MB

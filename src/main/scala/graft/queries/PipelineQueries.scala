@@ -1323,6 +1323,186 @@ object PipelineQueries {
       |FROM orders
       |WHERE o_orderkey <= 1000 AND o_orderkey % 4 = 1""".stripMargin
 
+  /** Every DSv2 batch scan in a plan, descending through AQE wrappers
+    * (adaptive plans and materialized query stages are leaf nodes to a
+    * plain collect). Shared by the SQL-catalog plan witnesses.
+    */
+  private def deepScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deepScans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deepScans(s.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b)
+      case other => other.children.flatMap(deepScans)
+    }
+
+  /** Metadata-only aggregates through the SQL catalog
+    * ([[graft.catalog.GraftSqlTable]]'s `SupportsPushDownAggregates`):
+    * `count(*) / count(c) / min(c) / max(c)` with no WHERE and no
+    * GROUP BY answer from the `_graft_stats` manifest alone — the scan
+    * plans as a pre-computed single-row LocalScan, ZERO data files
+    * opened (Delta/Iceberg's "metadata-only query"; at 100 TB, an
+    * instant answer instead of a full-table scan). The gate
+    * value-checks all six aggregates against DuckDB computing them the
+    * hard way over the raw table — including a nullable column, so the
+    * per-file null counts and the all-null-file extremum witness are
+    * both exercised — and pins `meta_only`: the executed plan contains
+    * NO batch scan at all.
+    */
+  def qSqlAggMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = graft.util.Scratch.once(spark, dir, "sqlaggmeta.fixtures") {
+      val root = Files.createTempDirectory("graft-gate-sqlaggmeta").toString + "/wh"
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("silver", "facts", "orders_meta")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1000) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice",
+            // a nullable column: count(disc) rides the per-file null
+            // counts, min/max(disc) the all-null-file witness
+            when($"o_orderkey" % 3 === 0, $"o_totalprice").as("disc"))
+          .repartitionByRange(8, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey", "disc"))
+      val cat = s"graftsqlm${java.lang.Integer.toHexString(root.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    }
+    val q = spark.sql(
+      s"""SELECT count(*) AS c, count(disc) AS cd,
+         |       min(o_orderkey) AS mnk, max(o_orderkey) AS mxk,
+         |       min(disc) AS mnd, max(disc) AS mxd
+         |FROM $cat.silver.facts.orders_meta""".stripMargin)
+    q.collect() // force planning through the executed plan
+    val metaOnly = deepScans(q.queryExecution.executedPlan).isEmpty
+    q.withColumn("meta_only", lit(metaOnly))
+  }
+
+  val qSqlAggMetaSql: String =
+    """SELECT count(*) AS c,
+      |       count(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS cd,
+      |       min(o_orderkey) AS mnk, max(o_orderkey) AS mxk,
+      |       min(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS mnd,
+      |       max(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS mxd,
+      |       true AS meta_only
+      |FROM orders
+      |WHERE o_orderkey <= 1000""".stripMargin
+
+  /** Runtime (join-time) file skipping through the SQL catalog
+    * ([[graft.catalog.GraftScan]]'s `SupportsRuntimeV2Filtering`): a
+    * broadcast star join whose fact side is HASH-laid-out (every
+    * file's key range overlaps every probe — static range pruning
+    * can't help, and the probe keys don't exist until the dim side
+    * runs) still opens only the fact files whose BLOOMS may hold the
+    * dim's join keys: Spark plants a dynamic IN filter, the executed
+    * broadcast hands the actual keys to the scan, and the manifest
+    * excludes every file that provably lacks all of them — dynamic
+    * file pruning, the 100 TB star-join path. The gate value-checks
+    * the join rows against DuckDB and pins `runtime_pruned` from the
+    * scan's own (planned, kept) record: pruning engaged and kept a
+    * strict subset.
+    */
+  def qSqlRuntimePrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = graft.util.Scratch.once(spark, dir, "sqlrt.fixtures") {
+      val root = Files.createTempDirectory("graft-gate-sqlrt").toString + "/wh"
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("silver", "facts", "orders_rt")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1000) // identical slice at every SF
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .repartition(8, $"o_custkey"), // hash layout: ranges overlap
+        statsColumns = Seq("o_orderkey"),
+        bloomColumns = Seq("o_orderkey"))
+      val cat = s"graftsqlr${java.lang.Integer.toHexString(root.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    }
+    // the dim is a real parquet scan with a selective filter — the
+    // shape the dynamic-pruning rule plants its IN subquery on
+    Tables.load(spark, dir, "orders")
+      .select($"o_orderkey".as("d_key"))
+      .filter($"d_key" % 250 === 17 && $"d_key" <= 1000)
+      .createOrReplaceTempView("rt_dim_gate")
+    val q = spark.sql(
+      s"""SELECT /*+ BROADCAST(d) */ f.o_orderkey, f.o_custkey, f.o_totalprice
+         |FROM $cat.silver.facts.orders_rt f
+         |JOIN rt_dim_gate d ON f.o_orderkey = d.d_key""".stripMargin)
+    q.collect() // execute: the broadcast feeds the runtime filter
+    val pruned = graft.catalog.RuntimePrune.lastFor("silver.facts.orders_rt")
+      .exists { case (planned, kept) => kept > 0 && kept < planned }
+    q.withColumn("runtime_pruned", lit(pruned))
+  }
+
+  val qSqlRuntimePruneSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, true AS runtime_pruned
+      |FROM orders
+      |WHERE o_orderkey <= 1000 AND o_orderkey % 250 = 17""".stripMargin
+
+  /** Dynamic PARTITION pruning through the SQL catalog: stock Spark
+    * has no DPP for DSv2 file scans at all (a v1-only feature), so
+    * [[graft.catalog.GraftScan]] supplies it — the runtime IN on a
+    * directory-encoded partition column drops whole `seg=…`
+    * directories by a TYPED comparison in the inferred partition value
+    * space (never raw strings), and only the dim-selected partition's
+    * files open. The join result is value-checked against DuckDB
+    * re-deriving both sides, `dpp_pruned` pins the strict-subset
+    * witness from the scan's (planned, kept) record.
+    */
+  def qSqlDpp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = graft.util.Scratch.once(spark, dir, "sqldpp.fixtures") {
+      val root = Files.createTempDirectory("graft-gate-sqldpp").toString + "/wh"
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("silver", "facts", "orders_dpp")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1000) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice",
+            concat(lit("g"), $"o_orderkey" % 4).as("seg"))
+          .repartition(2), // 2 files per partition dir
+        partitionBy = Seq("seg"))
+      val cat = s"graftsqld${java.lang.Integer.toHexString(root.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    }
+    // a scanned dim whose selective filter picks ONE partition value
+    // ('g1'); distinct keeps join multiplicity 1 for the oracle
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" % 500 === 17 && $"o_orderkey" <= 1000)
+      .select(concat(lit("g"), $"o_orderkey" % 4).as("d_seg"))
+      .distinct()
+      .createOrReplaceTempView("dpp_dim_gate")
+    val q = spark.sql(
+      s"""SELECT /*+ BROADCAST(d) */ f.o_orderkey, f.o_totalprice, f.seg
+         |FROM $cat.silver.facts.orders_dpp f
+         |JOIN dpp_dim_gate d ON f.seg = d.d_seg""".stripMargin)
+    q.collect() // execute: the broadcast feeds the runtime filter
+    val pruned = graft.catalog.RuntimePrune.lastFor("silver.facts.orders_dpp")
+      .exists { case (planned, kept) => kept > 0 && kept < planned }
+    q.withColumn("dpp_pruned", lit(pruned))
+  }
+
+  val qSqlDppSql: String =
+    """SELECT f.o_orderkey, f.o_totalprice, 'g' || (f.o_orderkey % 4) AS seg,
+      |       true AS dpp_pruned
+      |FROM orders f
+      |JOIN (SELECT DISTINCT 'g' || (o_orderkey % 4) AS d_seg
+      |      FROM orders
+      |      WHERE o_orderkey % 500 = 17 AND o_orderkey <= 1000) d
+      |  ON 'g' || (f.o_orderkey % 4) = d.d_seg
+      |WHERE f.o_orderkey <= 1000""".stripMargin
+
   /** DESCRIBE HISTORY end-to-end: five writes through five DIFFERENT
     * code paths (overwrite → merge → row-level delete → compaction →
     * restore) must each stamp their own operation on their commit, and
@@ -1370,6 +1550,9 @@ object PipelineQueries {
     "q_warehouse_bloom" -> (qWarehouseBloom _),
     "q_sql_catalog" -> (qSqlCatalog _),
     "q_sql_catalog_part" -> (qSqlCatalogPart _),
+    "q_sql_agg_meta" -> (qSqlAggMeta _),
+    "q_sql_runtime_prune" -> (qSqlRuntimePrune _),
+    "q_sql_dpp" -> (qSqlDpp _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1406,6 +1589,9 @@ object PipelineQueries {
     "q_warehouse_bloom" -> qWarehouseBloomSql,
     "q_sql_catalog" -> qSqlCatalogSql,
     "q_sql_catalog_part" -> qSqlCatalogPartSql,
+    "q_sql_agg_meta" -> qSqlAggMetaSql,
+    "q_sql_runtime_prune" -> qSqlRuntimePruneSql,
+    "q_sql_dpp" -> qSqlDppSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,

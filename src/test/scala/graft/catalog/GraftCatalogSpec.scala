@@ -348,6 +348,140 @@ class GraftCatalogSpec extends SparkSpec {
     assert(wh.snapshot(ref).exists(_.fileMeta.isEmpty))
   }
 
+  test("metadata-only aggregates answer from the manifest: zero file access, exact extrema, honest fallbacks") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-magg")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "magg")
+    // n is null in the high band: count(n) exercises the null counts,
+    // min/max(n) the all-null-file witness (nulls_n == rows)
+    wh.overwrite(ref,
+      (1L to 1000L).map(i => (i, if (i <= 125) Some(i * 2) else None))
+        .toDF("k", "n").repartitionByRange(8, $"k"),
+      statsColumns = Seq("k", "n"))
+    spark.conf.set("spark.sql.catalog.graftsqlg", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlg.root", root)
+    def t = "graftsqlg.silver.g.magg"
+
+    val q = spark.sql(
+      s"""SELECT count(*) AS c, count(n) AS cn, min(k) AS mnk, max(k) AS mxk,
+         |       min(n) AS mnn, max(n) AS mxn FROM $t""".stripMargin)
+    assert(q.collect().map(_.toSeq).toSeq ===
+      Seq(Seq(1000L, 125L, 1L, 1000L, 2L, 250L)))
+    // the witness: no DSv2 batch scan was planned at all
+    assert(deepScans(q.queryExecution.executedPlan).isEmpty,
+      "metadata-only aggregate still planned a file scan")
+
+    // shapes the manifest CANNOT answer keep the real scan: a filter,
+    // a group-by, an unsupported aggregate, a stats-less column
+    Seq(
+      s"SELECT count(*) AS c FROM $t WHERE k > 10",
+      s"SELECT k % 2 AS g, count(*) AS c FROM $t GROUP BY k % 2",
+      s"SELECT avg(k) AS a FROM $t",
+      s"SELECT count(DISTINCT k) AS d FROM $t").foreach { sql =>
+      val fallback = spark.sql(sql)
+      fallback.collect()
+      assert(deepScans(fallback.queryExecution.executedPlan).nonEmpty,
+        s"expected a real scan for: $sql")
+    }
+
+    // the strongest proof of zero data access: delete EVERY data file
+    // behind the warehouse's back — the aggregate still answers (a
+    // scan-backed plan would throw on missing bytes)
+    wh.dataFiles(ref).foreach(f =>
+      assert(new java.io.File(new org.apache.hadoop.fs.Path(f).toUri.getPath).delete()))
+    assert(spark.sql(s"SELECT count(*) AS c, max(k) AS m FROM $t")
+      .collect().map(_.toSeq).toSeq === Seq(Seq(1000L, 1000L)))
+
+    // mutation keeps the answers honest: a delete commit rewrites the
+    // manifest, and the SQL count follows the new version
+    val ref2 = TableRef("silver", "g", "magg2")
+    wh.overwrite(ref2, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))
+    assert(spark.sql(s"SELECT count(*) AS c FROM graftsqlg.silver.g.magg2")
+      .head().getLong(0) === 100L)
+    wh.deleteWhere(ref2, $"k" > 40L)
+    val after = spark.sql(
+      s"SELECT count(*) AS c, max(k) AS m FROM graftsqlg.silver.g.magg2")
+    assert(after.collect().map(_.toSeq).toSeq === Seq(Seq(40L, 40L)))
+    assert(deepScans(after.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("runtime file skipping: a broadcast star join prunes fact files through blooms at execution time") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-rt")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "rtfact")
+    // hash layout on grp: every file's [min,max] over id spans the full
+    // range, so ONLY the runtime bloom lookup can skip files — and the
+    // probe values exist only at execution time (they come from the dim)
+    wh.overwrite(ref,
+      (1L to 1000L).map(i => (i, i % 97, s"v$i")).toDF("id", "grp", "v")
+        .repartition(8, $"grp"),
+      statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    val total = wh.dataFiles(ref).size
+    spark.conf.set("spark.sql.catalog.graftsqlr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlr.root", root)
+    // the dim must be a SCANNED source with a selective filter left in
+    // the plan (a literal LocalRelation folds its filter away before
+    // the dynamic-pruning rule looks, and a bare boolean attribute
+    // doesn't count as selective)
+    val dimPath = tmpDir("rt-dim")
+    (1L to 1000L).map(i => (i, i % 250)).toDF("id", "m")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("rt_dim")
+
+    val q = spark.sql(
+      """SELECT /*+ BROADCAST(d) */ f.id, f.v
+        |FROM graftsqlr.silver.g.rtfact f
+        |JOIN rt_dim d ON f.id = d.id
+        |WHERE d.m = 17""".stripMargin)
+    assert(q.as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      Seq(17L, 267L, 517L, 767L).map(i => (i, s"v$i")))
+    val (planned, kept) = RuntimePrune.lastFor("silver.g.rtfact").getOrElse(
+      fail("runtime filter never reached the scan — DPP was not injected"))
+    assert(planned === total)
+    assert(kept > 0 && kept < planned,
+      s"runtime pruning kept $kept of $planned files — blooms never excluded")
+  }
+
+  test("runtime PARTITION pruning: join keys on a directory-encoded column drop whole partitions") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-dpp")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "dppfact")
+    // partitioned on seg (8 dirs); stock Spark's DSv2 parquet scan has
+    // NO dynamic partition pruning — this path supplies it: the dim's
+    // keys reach the scan at runtime and whole directories drop
+    wh.overwrite(ref,
+      (1L to 1000L).map(i => (i, i % 8, s"v$i")).toDF("k", "seg", "v"),
+      partitionBy = Seq("seg"))
+    val total = wh.dataFiles(ref).size
+    spark.conf.set("spark.sql.catalog.graftsqld", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqld.root", root)
+    // the dim's key type must MATCH the inferred partition type (int):
+    // a cast around the join key defeats the runtime-filter translation
+    val dimPath = tmpDir("dpp-dim")
+    (0 to 7).map(i => (i, i % 4)).toDF("seg", "m")
+      .write.mode("overwrite").parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+
+    val q = spark.sql(
+      """SELECT /*+ BROADCAST(d) */ f.k, f.seg
+        |FROM graftsqld.silver.g.dppfact f
+        |JOIN dpp_dim d ON f.seg = d.seg
+        |WHERE d.m = 1""".stripMargin)
+    // dim keys {1, 5}: exactly rows with k % 8 in {1, 5}
+    assert(q.collect().map(_.getLong(0)).sorted ===
+      (1L to 1000L).filter(i => i % 8 == 1 || i % 8 == 5))
+    val (planned, kept) = RuntimePrune.lastFor("silver.g.dppfact").getOrElse(
+      fail("runtime partition filter never reached the scan"))
+    assert(planned === total)
+    // 2 of 8 partitions survive
+    assert(kept > 0 && kept * 4 <= planned,
+      s"partition pruning kept $kept of $planned files — directories never dropped")
+  }
+
   test("SQL equality lookups engage bloom skipping where range stats keep everything") {
     import spark.implicits._
     val root = tmpDir("wh-sqlcat-bloom")
