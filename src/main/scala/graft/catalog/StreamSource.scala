@@ -102,7 +102,7 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
     case Some((schema, values)) => new GraftMetaAggScan(snap, schema, values)
     case None =>
       new GraftScan(spark, wh, snap, tableSchema, dataFields,
-        delegate.build(), options)
+        delegate.build(), options, hadFilters = sawFilters)
   }
 }
 
@@ -153,11 +153,38 @@ private[catalog] final class GraftScan(spark: SparkSession,
                                        tableSchema: StructType,
                                        dataFields: StructType,
                                        delegate: ParquetScan,
-                                       options: CaseInsensitiveStringMap)
-    extends Scan with SupportsRuntimeV2Filtering {
+                                       options: CaseInsensitiveStringMap,
+                                       hadFilters: Boolean = false)
+    extends Scan
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String = delegate.description()
+
+  /** Planner statistics without ANALYZE: `sizeInBytes` is the
+    * delegate's (file sizes from the log-backed statuses — metadata-
+    * only), and `numRows` is the EXACT committed row count summed from
+    * the manifest when the scan is unfiltered and fully accounted for
+    * (the [[Warehouse.metadataAggregate]] provability rules). Exact
+    * cardinality is what lets join planning pick the broadcast side
+    * correctly on tables nobody ever ANALYZEd — at 100 TB the
+    * difference between a broadcast and a sort-merge of the wrong
+    * side. Filtered scans keep the delegate's estimate (an exact
+    * UNFILTERED count would overstate them).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = delegate.estimateStatistics()
+    lazy val exactRows: Option[Long] =
+      if (hadFilters) None
+      else wh.metadataAggregate(snap.ref, snap.files, Seq(Warehouse.RowCount))
+        .map(_.head.asInstanceOf[Long])
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong =
+        exactRows.map(java.util.OptionalLong.of).getOrElse(base.numRows())
+    }
+  }
 
   // two exclusion families with DIFFERENT keys: manifest exclusion is
   // basename-keyed (sound even when partitionBy reuses one task's
@@ -408,8 +435,76 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(wh.currentVersion(ref).getOrElse(0L))
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.map(GraftStreamOffset(_)).getOrElse(latestOffset())
+  /** Rate limiting (`maxFilesPerTrigger` / `maxBytesPerTrigger`, the
+    * Delta source's knobs): a trigger admits WHOLE COMMITS from the
+    * backlog until the limit fills — a 10k-commit backfill becomes
+    * many bounded micro-batches instead of one giant plan. At least
+    * one commit always admits (progress guarantee: a single commit
+    * larger than the limit must still drain), matching Delta. Sizes
+    * ride the log's recorded per-file bytes; pre-size log entries
+    * count 0 toward a byte limit (degrade to file-count limiting).
+    * Composes with AvailableNow: the pinned target bounds the walk,
+    * the limit paces it, the runner loops until the target drains.
+    */
+  override def getDefaultReadLimit: ReadLimit = {
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    (maxFiles, maxBytes) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget
+      .getOrElse(wh.currentVersion(ref).getOrElse(0L))
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    GraftStreamOffset(admittedEnd(s, target, limit))
+  }
+
+  /** The last version this trigger admits: walk `(startV, targetV]`
+    * commit by commit, accumulating each commit's NEWLY-APPEARED files
+    * (count + recorded bytes), and stop BEFORE the commit that would
+    * push past every active limit — always admitting at least one.
+    */
+  private def admittedEnd(startV: Long, targetV: Long, limit: ReadLimit): Long = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxBytes, ReadMaxFiles}
+    def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft((Option.empty[Int], Option.empty[Long])) {
+          case ((f1, b1), (f2, b2)) => (f1.orElse(f2), b1.orElse(b2))
+        }
+      case _: ReadAllAvailable => (None, None)
+      case _ => (None, None)
+    }
+    val (fileCap, byteCap) = caps(limit)
+    if (fileCap.isEmpty && byteCap.isEmpty || startV >= targetV) return targetV
+    var prev: Set[String] =
+      if (startV == 0) Set.empty else wh.snapshotAt(ref, startV).files.toSet
+    var files = 0L
+    var bytes = 0L
+    var admitted = startV
+    var v = startV + 1
+    while (v <= targetV) {
+      val s = wh.snapshotAt(ref, v)
+      val added = s.files.filterNot(prev)
+      files += added.size
+      bytes += added.flatMap(s.fileMeta.get).map(_._1).sum
+      // the first commit always admits; later commits admit only while
+      // every active cap still holds
+      val overflow = fileCap.exists(files > _) || byteCap.exists(bytes > _)
+      if (admitted == startV || !overflow) admitted = v
+      if (overflow) return admitted
+      prev = s.files.toSet
+      v += 1
+    }
+    admitted
+  }
 
   override def reportLatestOffset(): Offset = latestOffset()
 

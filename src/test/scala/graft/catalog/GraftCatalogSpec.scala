@@ -445,6 +445,33 @@ class GraftCatalogSpec extends SparkSpec {
       s"runtime pruning kept $kept of $planned files — blooms never excluded")
   }
 
+  test("scan statistics report the exact committed row count without ANALYZE") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-stats")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "statfacts")
+    wh.overwrite(ref, (1L to 777L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))
+    spark.conf.set("spark.sql.catalog.graftsqlst", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlst.root", root)
+
+    def scanStats(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectLeaves().collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats
+      }.getOrElse(fail("no DSv2 scan relation in the plan"))
+
+    // unfiltered: the manifest's exact count feeds the planner
+    val s = scanStats(spark.table("graftsqlst.silver.g.statfacts"))
+    assert(s.rowCount.contains(BigInt(777)),
+      s"expected exact rowCount 777, got ${s.rowCount}")
+    // filtered: an exact UNFILTERED count would overstate — stays empty
+    val sf = scanStats(
+      spark.sql("SELECT k FROM graftsqlst.silver.g.statfacts WHERE k > 700"))
+    assert(sf.rowCount.isEmpty,
+      s"filtered scan must not claim the unfiltered count, got ${sf.rowCount}")
+  }
+
   test("runtime PARTITION pruning: join keys on a directory-encoded column drop whole partitions") {
     import spark.implicits._
     val root = tmpDir("wh-sqlcat-dpp")

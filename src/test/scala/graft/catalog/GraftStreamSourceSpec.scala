@@ -61,6 +61,43 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 200L)
   }
 
+  test("maxFilesPerTrigger paces the drain: whole commits per batch, full result, progress guarantee") {
+    import spark.implicits._
+    val root = tmpDir("wh-stream-rate")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "rated")
+    wh.overwrite(ref, (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))             // v1: 2 files
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((51L to 100L).map(i => (i, s"v$i")).toDF("k", "v"))        // v2: pure inserts
+    mt.upsert((101L to 150L).map(i => (i, s"v$i")).toDF("k", "v"))       // v3: pure inserts
+
+    spark.conf.set("spark.sql.catalog.graftstr3", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftstr3.root", root)
+
+    val ckpt = tmpDir("stream-rate-ckpt")
+    val out = tmpDir("stream-rate-out")
+    // each commit wrote >= 1 file and v1 wrote 2: a 2-file budget
+    // admits at most one commit per trigger (the progress guarantee
+    // still drains v1 whole), so AvailableNow needs >= 3 batches
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("graftstr3.silver.g.rated")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet")
+      .option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3,
+      s"a 2-file budget over 3 commits must take >= 3 batches, took $batches")
+    // pacing never loses rows
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted
+      === (1L to 150L).map(i => (i, s"v$i")))
+  }
+
   test("startingVersion tails changes only; rewrites re-emit surviving rows (ignoreChanges contract)") {
     import spark.implicits._
     val root = tmpDir("wh-stream-src2")
