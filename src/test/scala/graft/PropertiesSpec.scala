@@ -266,4 +266,44 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("metadata aggregates equal full recomputation across random churn") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    // every write path (overwrite / insert+update merge / row-level
+    // delete) must leave the manifest able to answer count/min/max
+    // EXACTLY — the provability rules may refuse (None → scan), but a
+    // provable answer must never drift from the full recompute
+    for (seed <- 30 to 32) {
+      val rnd = new Random(seed)
+      val wh = new Warehouse(spark, tmpDir(s"wh-prop-magg-$seed"))
+      val ref = TableRef("p", "g", "magg")
+      def frame(n: Int, lo: Long): DataFrame =
+        (lo until lo + n).map(i =>
+          (i, if (rnd.nextBoolean()) Some(rnd.nextInt(1000).toLong) else None))
+          .toDF("k", "n")
+      wh.overwrite(ref, frame(60 + rnd.nextInt(60), 0).repartition(3),
+        statsColumns = Seq("k", "n"))
+      val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+      val shapes = Seq(Warehouse.RowCount, Warehouse.ColCount("n"),
+        Warehouse.ColMin("k"), Warehouse.ColMax("k"),
+        Warehouse.ColMin("n"), Warehouse.ColMax("n"))
+      for (step <- 1 to 5) {
+        rnd.nextInt(3) match {
+          case 0 => mt.upsert(
+            frame(10 + rnd.nextInt(60), rnd.nextInt(400).toLong).repartition(2))
+          case 1 => wh.deleteWhere(ref, $"k" % (2 + rnd.nextInt(4)).toLong === 0L)
+          case 2 => wh.overwrite(ref,
+            frame(40 + rnd.nextInt(60), rnd.nextInt(200).toLong).repartition(2),
+            statsColumns = Seq("k", "n"))
+        }
+        val got = wh.metadataAggregate(ref, wh.snapshot(ref).get.files, shapes)
+          .getOrElse(fail(s"manifest must stay fully accountable " +
+            s"after warehouse writes: seed=$seed step=$step"))
+        val exp = wh.read(ref).agg(count(lit(1)), count($"n"),
+          min($"k"), max($"k"), min($"n"), max($"n")).head()
+        assert(got.toSeq === exp.toSeq, s"seed=$seed step=$step")
+      }
+    }
+  }
 }
