@@ -1,0 +1,169 @@
+package graft.catalog
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style SQL MAINTENANCE procedures for the graft catalog:
+  *
+  * {{{
+  * CALL graft.system.compact('silver.facts.orders')
+  * CALL graft.system.compact('silver.facts.orders', true, 'o_orderkey')
+  * CALL graft.system.vacuum('silver.facts.orders', 3)
+  * CALL graft.system.restore('silver.facts.orders', 2)
+  * CALL graft.system.history('silver.facts.orders')
+  * }}}
+  *
+  * This is the SANCTIONED write surface of the otherwise read-only SQL
+  * catalog: where `INSERT INTO graft...` would bypass the warehouse
+  * commit protocol (the reason [[GraftCatalog]] exposes no
+  * `SupportsWrite`), every procedure here IS the protocol — each call
+  * routes through the corresponding [[Warehouse]] entry point with its
+  * locks, intent journal, stats maintenance, and atomic log append
+  * intact. Results come back as a one-row summary scan (or the ledger,
+  * for `history`), so `spark.sql("CALL ...")` composes like any query.
+  *
+  * Bind-time is metadata-only; all effects happen inside `call` on the
+  * driver, exactly as the Scala API would.
+  */
+private[catalog] object GraftProcedures {
+
+  val Namespace = "system"
+
+  val names: Seq[String] = Seq("compact", "vacuum", "restore", "history")
+
+  def load(root: String, name: String): Option[UnboundProcedure] =
+    name match {
+      case "compact" => Some(CompactProcedure(root))
+      case "vacuum" => Some(VacuumProcedure(root))
+      case "restore" => Some(RestoreProcedure(root))
+      case "history" => Some(HistoryProcedure(root))
+      case _ => None
+    }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private def paramWithDefault(name: String, dt: DataType,
+                               defaultSql: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(defaultSql).build()
+
+  /** One-row (or collected-frame) result surfaced as a LocalScan. */
+  private final class ResultScan(schema: StructType, rows: Seq[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = rows.toArray
+  }
+
+  private def single(schema: StructType, values: Any*): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](
+      new ResultScan(schema, Seq(InternalRow.fromSeq(values)))).iterator()
+
+  private def warehouse(root: String): Warehouse =
+    new Warehouse(SparkSession.active, root)
+
+  /** Shared shape: a named maintenance procedure bound to fixed
+    * parameters (binding ignores the call-site type hints — the
+    * parameter list is the contract).
+    */
+  private abstract class MaintenanceProcedure extends UnboundProcedure with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  /** Bin-pack small files (optionally re-clustered / z-ordered) —
+    * [[Warehouse.compact]] through SQL.
+    */
+  private final case class CompactProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "bin-pack a table's small files; optional z-order / linear re-clustering"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("zorder", BooleanType, "false"),
+      paramWithDefault("cluster_by", StringType, "NULL"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val zorder = !input.isNullAt(1) && input.getBoolean(1)
+      val clusterBy = Option(input.getUTF8String(2))
+        .map(_.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+      val wh = warehouse(root)
+      val n = wh.compact(ref, clusterBy = clusterBy, zOrder = zorder)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("files_compacted", IntegerType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString), n,
+        wh.currentVersion(ref).getOrElse(-1L))
+    }
+  }
+
+  /** Reclaim retired data files past a version-retention horizon —
+    * [[Warehouse.vacuum]] through SQL.
+    */
+  private final case class VacuumProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "delete data files only retired log history references"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("keep_versions", IntegerType, "1"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val keep = if (input.isNullAt(1)) 1 else input.getInt(1)
+      val n = warehouse(root).vacuum(ref, keep)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("files_deleted", IntegerType))),
+        UTF8String.fromString(ref.toString), n)
+    }
+  }
+
+  /** Roll a table back to a historical version as pure metadata —
+    * [[Warehouse.restore]] through SQL.
+    */
+  private final case class RestoreProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "restore"
+    override def description(): String =
+      "metadata-only rollback to a committed version"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("version", LongType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val newVersion = warehouse(root).restore(ref, input.getLong(1))
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("restored_version", LongType),
+          StructField("new_version", LongType))),
+        UTF8String.fromString(ref.toString), input.getLong(1), newVersion)
+    }
+  }
+
+  /** The operation ledger ([[Warehouse.history]]) as a CALL result —
+    * read-only, bounded by vacuum retention.
+    */
+  private final case class HistoryProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "per-version (version, operation, n_files) ledger, newest first"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val df = warehouse(root).history(ref)
+      val schema = df.schema
+      val rows = df.collect().map { r =>
+        InternalRow.fromSeq(r.toSeq.zip(schema.fields).map { case (v, f) =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(f.dataType)(v)
+        })
+      }.toSeq
+      java.util.List.of[Scan](new ResultScan(schema, rows)).iterator()
+    }
+  }
+}

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
@@ -35,14 +36,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * columns) BEFORE any task is scheduled — at 100 TB the difference
   * between "skip the file" and "open every footer".
   *
-  * Read-only by design: this catalog exposes no `SupportsWrite`, so
-  * `INSERT INTO graft...` fails with Spark's standard table-does-not-
-  * support-append error, and DDL (create/alter/drop/rename) throws
-  * loudly — writes go through [[Warehouse]]/[[graft.sinks.MergeTable]],
-  * whose commit protocol (locks, intent journal, stats maintenance)
-  * plain SQL writes would bypass.
+  * Read-only DML by design: this catalog exposes no `SupportsWrite`,
+  * so `INSERT INTO graft...` fails with Spark's standard
+  * table-does-not-support-append error, and DDL
+  * (create/alter/drop/rename) throws loudly — writes go through
+  * [[Warehouse]]/[[graft.sinks.MergeTable]], whose commit protocol
+  * (locks, intent journal, stats maintenance) plain SQL writes would
+  * bypass. MAINTENANCE, however, has a sanctioned SQL surface:
+  * `CALL graft.system.compact/vacuum/restore/history(...)`
+  * ([[GraftProcedures]]) — procedures route through the same Warehouse
+  * entry points the Scala API uses, protocol intact.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -177,6 +183,24 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
                               changes: NamespaceChange*): Unit = readOnly
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = readOnly
+
+  // -- ProcedureCatalog: CALL graft.system.<proc>(...) maintenance ----
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace().toSeq == Seq(GraftProcedures.Namespace)
+    (if (known) GraftProcedures.load(root, ident.name()) else None)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown procedure $ident; available: " +
+          GraftProcedures.names.map(n =>
+            s"$catalogName.${GraftProcedures.Namespace}.$n").mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty ||
+        namespace.toSeq == Seq(GraftProcedures.Namespace))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array(GraftProcedures.Namespace), n)).toArray
+    else Array.empty
 }
 
 /** One committed snapshot exposed as a DSv2 read-only table. The scan

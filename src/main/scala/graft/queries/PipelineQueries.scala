@@ -1503,6 +1503,54 @@ object PipelineQueries {
       |  ON 'g' || (f.o_orderkey % 4) = d.d_seg
       |WHERE f.o_orderkey <= 1000""".stripMargin
 
+  /** SQL maintenance procedures ([[graft.catalog.GraftProcedures]],
+    * Spark 4 `ProcedureCatalog`): `CALL graft.system.compact/history`
+    * route through the SAME Warehouse entry points the Scala API uses
+    * — the sanctioned write surface of the otherwise read-only-DML
+    * catalog (Iceberg's CALL model). The gate runs a deterministic
+    * overwrite → delete → CALL compact sequence and value-checks the
+    * CALL history ledger against the literal expected operations, plus
+    * two witnesses: compact reported work, and the table's SQL row
+    * count is unchanged by it.
+    */
+  def qSqlCall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cat = graft.util.Scratch.once(spark, dir, "sqlcall.fixtures") {
+      val root = Files.createTempDirectory("graft-gate-sqlcall").toString + "/wh"
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("silver", "facts", "orders_call")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1000) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice")
+          .repartition(8), // small files: compact has provable work
+        statsColumns = Seq("o_orderkey"))                            // v1
+      wh.deleteWhere(ref, $"o_orderkey" > 800L)                      // v2
+      val cat = s"graftsqlc${java.lang.Integer.toHexString(root.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      cat
+    }
+    def count(): Long = spark.sql(
+      s"SELECT count(*) AS n FROM $cat.silver.facts.orders_call").head().getLong(0)
+    val before = count()
+    val compacted = spark.sql(
+      s"CALL $cat.system.compact('silver.facts.orders_call')").head().getInt(1)
+    val intact = count() == before
+    spark.sql(s"CALL $cat.system.history('silver.facts.orders_call')")
+      .select($"version", $"operation")
+      .withColumn("compacted", lit(compacted > 0))
+      .withColumn("data_intact", lit(intact))
+  }
+
+  val qSqlCallSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(3 AS BIGINT), 'COMPACT',   true, true),
+      |  (CAST(2 AS BIGINT), 'DELETE',    true, true),
+      |  (CAST(1 AS BIGINT), 'OVERWRITE', true, true))
+      |  AS t(version, operation, compacted, data_intact)""".stripMargin
+
   /** DESCRIBE HISTORY end-to-end: five writes through five DIFFERENT
     * code paths (overwrite → merge → row-level delete → compaction →
     * restore) must each stamp their own operation on their commit, and
@@ -1553,6 +1601,7 @@ object PipelineQueries {
     "q_sql_agg_meta" -> (qSqlAggMeta _),
     "q_sql_runtime_prune" -> (qSqlRuntimePrune _),
     "q_sql_dpp" -> (qSqlDpp _),
+    "q_sql_call" -> (qSqlCall _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1592,6 +1641,7 @@ object PipelineQueries {
     "q_sql_agg_meta" -> qSqlAggMetaSql,
     "q_sql_runtime_prune" -> qSqlRuntimePruneSql,
     "q_sql_dpp" -> qSqlDppSql,
+    "q_sql_call" -> qSqlCallSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,

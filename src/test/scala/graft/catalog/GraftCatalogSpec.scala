@@ -445,6 +445,52 @@ class GraftCatalogSpec extends SparkSpec {
       s"runtime pruning kept $kept of $planned files — blooms never excluded")
   }
 
+  test("CALL procedures: SQL maintenance routes through the commit protocol") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-proc")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "maint")
+    // many small files → compact has work; several versions → history
+    wh.overwrite(ref, (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8), statsColumns = Seq("k"))                          // v1
+    wh.deleteWhere(ref, $"k" > 300L)                                     // v2
+    spark.conf.set("spark.sql.catalog.graftsqlc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlc.root", root)
+
+    // history: the ledger comes back as CALL results, newest first
+    val hist = spark.sql("CALL graftsqlc.system.history('silver.g.maint')")
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(hist === Seq((2L, "DELETE"), (1L, "OVERWRITE")))
+
+    // compact: files shrink, data identical, a COMPACT commit lands
+    val before = wh.dataFiles(ref).size
+    val res = spark.sql("CALL graftsqlc.system.compact('silver.g.maint')").head()
+    assert(res.getInt(1) > 0, "compact must report compacted files")
+    assert(wh.dataFiles(ref).size < before)
+    assert(wh.read(ref).count() === 300L)
+    assert(wh.history(ref).select($"operation").as[String].head() === "COMPACT")
+
+    // restore: metadata-only rollback through SQL
+    spark.sql("CALL graftsqlc.system.restore('silver.g.maint', 1)")
+    assert(wh.read(ref).count() === 400L)
+
+    // vacuum: reclaims files only retired history references
+    val deleted = spark.sql(
+      "CALL graftsqlc.system.vacuum('silver.g.maint', 1)").head().getInt(1)
+    assert(deleted > 0, "vacuum must reclaim the compacted-away files")
+    assert(wh.read(ref).count() === 400L, "vacuum never touches live data")
+
+    // unknown procedures fail loudly (Spark wraps our listing message
+    // in FAILED_TO_LOAD_ROUTINE; the available-procedure detail rides
+    // the cause chain)
+    val e = intercept[Exception](
+      spark.sql("CALL graftsqlc.system.nope('x')"))
+    assert(e.getMessage.contains("nope"))
+    val causes = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(causes.contains("compact"), s"expected the listing in: $causes")
+  }
+
   test("scan statistics report the exact committed row count without ANALYZE") {
     import spark.implicits._
     val root = tmpDir("wh-sqlcat-stats")
