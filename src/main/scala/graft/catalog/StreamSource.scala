@@ -58,11 +58,21 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
 
   private var metaAgg: Option[(StructType, Seq[Any])] = None
 
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // SAME Aggregation — memoize so the manifest fold runs once
+  private var lastProbe: Option[(Aggregation, Boolean)] = None
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    tryMetadataAnswer(aggregation)
+    lastProbe match {
+      case Some((prev, r)) if prev eq aggregation => r
+      case _ =>
+        val r = tryMetadataAnswer(aggregation)
+        lastProbe = Some((aggregation, r))
+        r
+    }
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    tryMetadataAnswer(aggregation)
+    supportCompletePushDown(aggregation)
 
   private def tryMetadataAnswer(aggregation: Aggregation): Boolean = {
     if (sawFilters || aggregation.groupByExpressions.nonEmpty) return false

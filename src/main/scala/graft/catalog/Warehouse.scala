@@ -1498,7 +1498,11 @@ final class Warehouse(spark: SparkSession, val root: String,
       .sorted.mkString("|")
     val key = s"${System.identityHashCode(spark)}:$tablePath"
     Warehouse.manifestCache.get(key) match {
-      case Some((fp, df)) if fp == fingerprint => Some(df)
+      // the session-identity check guards identityHashCode reuse: a
+      // dead session's hash can recur on a new one, and serving the
+      // dead session's frame would throw downstream
+      case Some((fp, df)) if fp == fingerprint &&
+          (df.sparkSession eq spark) => Some(df)
       case _ =>
         val loaded = spark.read.parquet(files: _*)
         val local = spark.createDataFrame(
