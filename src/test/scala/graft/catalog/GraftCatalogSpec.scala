@@ -445,6 +445,53 @@ class GraftCatalogSpec extends SparkSpec {
       s"runtime pruning kept $kept of $planned files — blooms never excluded")
   }
 
+  test("metadata aggregates on partitioned and time-traveled tables: exact or honest fallback") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-maggtt")
+    val wh = new Warehouse(spark, root)
+    spark.conf.set("spark.sql.catalog.graftsqlmt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsqlmt.root", root)
+
+    // PARTITIONED: partitionBy may reuse one task's part-file name
+    // across partition dirs, which breaks the one-manifest-row-per-
+    // snapshot-file accounting — the answer must be right either way
+    // (metadata-only when basenames happen unique, scan otherwise)
+    val pRef = TableRef("silver", "g", "maggpart")
+    wh.overwrite(pRef,
+      (1L to 200L).map(i => (i, s"g${i % 4}")).toDF("k", "p"),
+      partitionBy = Seq("p"), statsColumns = Seq("k"))
+    val pq = spark.sql(
+      "SELECT count(*) AS c, max(k) AS m FROM graftsqlmt.silver.g.maggpart")
+    assert(pq.collect().map(_.toSeq).toSeq === Seq(Seq(200L, 200L)))
+
+    // TIME TRAVEL, append-only: the pinned version's files are a
+    // SUBSET of the current manifest — the sum over exactly those
+    // rows is provable, so the historical count stays metadata-only
+    val tRef = TableRef("silver", "g", "maggtt")
+    wh.overwrite(tRef, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))          // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, tRef, Seq("k"), None)
+    mt.upsert((101L to 160L).map(i => (i, s"v$i")).toDF("k", "v"))    // v2: inserts
+    val tt = spark.sql(
+      "SELECT count(*) AS c, max(k) AS m FROM graftsqlmt.silver.g.maggtt VERSION AS OF 1")
+    assert(tt.collect().map(_.toSeq).toSeq === Seq(Seq(100L, 100L)))
+    assert(deepScans(tt.queryExecution.executedPlan).isEmpty,
+      "append-only time travel should stay metadata-only")
+    assert(spark.sql(
+        "SELECT count(*) AS c FROM graftsqlmt.silver.g.maggtt")
+      .head().getLong(0) === 160L)
+
+    // TIME TRAVEL past a delete: v1 files retired since are absent
+    // from the current manifest → the provability rules refuse and the
+    // pinned snapshot SCANS — still the right answer
+    wh.deleteWhere(tRef, $"k" <= 50L)                                 // v3
+    val tt2 = spark.sql(
+      "SELECT count(*) AS c FROM graftsqlmt.silver.g.maggtt VERSION AS OF 1")
+    assert(tt2.head().getLong(0) === 100L)
+    assert(deepScans(tt2.queryExecution.executedPlan).nonEmpty,
+      "post-delete time travel must fall back to scanning the snapshot")
+  }
+
   test("CALL procedures: SQL maintenance routes through the commit protocol") {
     import spark.implicits._
     val root = tmpDir("wh-sqlcat-proc")
