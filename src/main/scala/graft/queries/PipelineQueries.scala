@@ -1220,24 +1220,66 @@ object PipelineQueries {
     * catalog instances per name, so a per-root name keeps multi-SF
     * sessions from resolving a stale root.
     */
-  def qSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+  /** ONE fixture family for all six SQL-catalog gates: one warehouse
+    * root, one catalog registration, one cached pass over the orders
+    * slice feeding six table layouts (range-clustered, partitioned ×2,
+    * nullable-stats, hash+bloom, small-files+delete). `uses = 6` keeps
+    * the bench's drain accounting exact; per-gate cost collapses to
+    * the query itself.
+    */
+  private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    val (cat, total) = graft.util.Scratch.once(spark, dir, "sqlcat.fixtures") {
-      val root = Files.createTempDirectory("graft-gate-sqlcat").toString + "/wh"
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 6) {
+      val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
-      val ref = TableRef("silver", "facts", "orders_sql")
-      wh.overwrite(ref,
-        Tables.load(spark, dir, "orders")
-          .filter($"o_orderkey" <= 1000) // identical slice at every SF
-          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-          .repartitionByRange(8, $"o_orderkey"),
+      val slice = Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000) // identical slice at every SF
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .cache()
+      slice.count() // materialize once; six layouts read from memory
+      wh.overwrite(TableRef("silver", "facts", "orders_sql"),
+        slice.repartitionByRange(8, $"o_orderkey"),
         statsColumns = Seq("o_orderkey"))
-      val cat = s"graftsql${java.lang.Integer.toHexString(root.hashCode)}"
+      wh.overwrite(TableRef("silver", "facts", "orders_part"),
+        slice.select($"o_orderkey", $"o_totalprice",
+            concat(lit("g"), $"o_orderkey" % 4).as("seg"))
+          .repartition(2), // 2 files per partition dir: pruning provable
+        partitionBy = Seq("seg"))
+      wh.overwrite(TableRef("silver", "facts", "orders_meta"),
+        slice.select($"o_orderkey", $"o_totalprice",
+            // a nullable column: count(disc) rides the per-file null
+            // counts, min/max(disc) the all-null-file witness
+            when($"o_orderkey" % 3 === 0, $"o_totalprice").as("disc"))
+          .repartitionByRange(8, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey", "disc"))
+      wh.overwrite(TableRef("silver", "facts", "orders_rt"),
+        slice.repartition(8, $"o_custkey"), // hash layout: ranges overlap
+        statsColumns = Seq("o_orderkey"), bloomColumns = Seq("o_orderkey"))
+      wh.overwrite(TableRef("silver", "facts", "orders_dpp"),
+        slice.select($"o_orderkey", $"o_totalprice",
+            concat(lit("g"), $"o_orderkey" % 4).as("seg"))
+          .repartition(2),
+        partitionBy = Seq("seg"))
+      wh.overwrite(TableRef("silver", "facts", "orders_call"),
+        slice.select($"o_orderkey", $"o_totalprice")
+          .repartition(8), // small files: compact has provable work
+        statsColumns = Seq("o_orderkey"))                            // v1
+      wh.deleteWhere(TableRef("silver", "facts", "orders_call"),
+        $"o_orderkey" > 800L)                                        // v2
+      slice.unpersist()
+      val cat = s"graftsqlf${java.lang.Integer.toHexString(root.hashCode)}"
       spark.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.catalog.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      (cat, wh.dataFiles(ref).size)
+      (cat, root)
     }
+  }
+
+  def qSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val total = new Warehouse(spark, root)
+      .dataFiles(TableRef("silver", "facts", "orders_sql")).size
     // files the DSv2 scan PLANNED (not merely read less of): manifest
     // pruning happens before task scheduling, so the executed plan's
     // input partitions already exclude the skipped files
@@ -1285,24 +1327,9 @@ object PipelineQueries {
     * scheduling, the 100 TB reason partitioned layouts exist).
     */
   def qSqlCatalogPart(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val (cat, total) = graft.util.Scratch.once(spark, dir, "sqlcatpart.fixtures") {
-      val root = Files.createTempDirectory("graft-gate-sqlcatpart").toString + "/wh"
-      val wh = new Warehouse(spark, root)
-      val ref = TableRef("silver", "facts", "orders_part")
-      wh.overwrite(ref,
-        Tables.load(spark, dir, "orders")
-          .filter($"o_orderkey" <= 1000) // identical slice at every SF
-          .select($"o_orderkey", $"o_totalprice",
-            concat(lit("g"), $"o_orderkey" % 4).as("seg"))
-          .repartition(2), // 2 files per partition dir: pruning is provable
-        partitionBy = Seq("seg"))
-      val cat = s"graftsqlp${java.lang.Integer.toHexString(root.hashCode)}"
-      spark.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.catalog.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      (cat, wh.dataFiles(ref).size)
-    }
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val total = new Warehouse(spark, root)
+      .dataFiles(TableRef("silver", "facts", "orders_part")).size
     val q = spark.sql(
       s"""SELECT o_orderkey, o_totalprice, seg
          |FROM $cat.silver.facts.orders_part
@@ -1353,26 +1380,7 @@ object PipelineQueries {
     * NO batch scan at all.
     */
   def qSqlAggMeta(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val cat = graft.util.Scratch.once(spark, dir, "sqlaggmeta.fixtures") {
-      val root = Files.createTempDirectory("graft-gate-sqlaggmeta").toString + "/wh"
-      val wh = new Warehouse(spark, root)
-      val ref = TableRef("silver", "facts", "orders_meta")
-      wh.overwrite(ref,
-        Tables.load(spark, dir, "orders")
-          .filter($"o_orderkey" <= 1000) // identical slice at every SF
-          .select($"o_orderkey", $"o_totalprice",
-            // a nullable column: count(disc) rides the per-file null
-            // counts, min/max(disc) the all-null-file witness
-            when($"o_orderkey" % 3 === 0, $"o_totalprice").as("disc"))
-          .repartitionByRange(8, $"o_orderkey"),
-        statsColumns = Seq("o_orderkey", "disc"))
-      val cat = s"graftsqlm${java.lang.Integer.toHexString(root.hashCode)}"
-      spark.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.catalog.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      cat
-    }
+    val (cat, _) = sqlCatalogFamily(spark, dir)
     val q = spark.sql(
       s"""SELECT count(*) AS c, count(disc) AS cd,
          |       min(o_orderkey) AS mnk, max(o_orderkey) AS mxk,
@@ -1409,23 +1417,7 @@ object PipelineQueries {
     */
   def qSqlRuntimePrune(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cat = graft.util.Scratch.once(spark, dir, "sqlrt.fixtures") {
-      val root = Files.createTempDirectory("graft-gate-sqlrt").toString + "/wh"
-      val wh = new Warehouse(spark, root)
-      val ref = TableRef("silver", "facts", "orders_rt")
-      wh.overwrite(ref,
-        Tables.load(spark, dir, "orders")
-          .filter($"o_orderkey" <= 1000) // identical slice at every SF
-          .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-          .repartition(8, $"o_custkey"), // hash layout: ranges overlap
-        statsColumns = Seq("o_orderkey"),
-        bloomColumns = Seq("o_orderkey"))
-      val cat = s"graftsqlr${java.lang.Integer.toHexString(root.hashCode)}"
-      spark.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.catalog.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      cat
-    }
+    val (cat, _) = sqlCatalogFamily(spark, dir)
     // the dim is a real parquet scan with a selective filter — the
     // shape the dynamic-pruning rule plants its IN subquery on
     Tables.load(spark, dir, "orders")
@@ -1459,23 +1451,7 @@ object PipelineQueries {
     */
   def qSqlDpp(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cat = graft.util.Scratch.once(spark, dir, "sqldpp.fixtures") {
-      val root = Files.createTempDirectory("graft-gate-sqldpp").toString + "/wh"
-      val wh = new Warehouse(spark, root)
-      val ref = TableRef("silver", "facts", "orders_dpp")
-      wh.overwrite(ref,
-        Tables.load(spark, dir, "orders")
-          .filter($"o_orderkey" <= 1000) // identical slice at every SF
-          .select($"o_orderkey", $"o_totalprice",
-            concat(lit("g"), $"o_orderkey" % 4).as("seg"))
-          .repartition(2), // 2 files per partition dir
-        partitionBy = Seq("seg"))
-      val cat = s"graftsqld${java.lang.Integer.toHexString(root.hashCode)}"
-      spark.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.catalog.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      cat
-    }
+    val (cat, _) = sqlCatalogFamily(spark, dir)
     // a scanned dim whose selective filter picks ONE partition value
     // ('g1'); distinct keeps join multiplicity 1 for the oracle
     Tables.load(spark, dir, "orders")
@@ -1515,23 +1491,7 @@ object PipelineQueries {
     */
   def qSqlCall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cat = graft.util.Scratch.once(spark, dir, "sqlcall.fixtures") {
-      val root = Files.createTempDirectory("graft-gate-sqlcall").toString + "/wh"
-      val wh = new Warehouse(spark, root)
-      val ref = TableRef("silver", "facts", "orders_call")
-      wh.overwrite(ref,
-        Tables.load(spark, dir, "orders")
-          .filter($"o_orderkey" <= 1000) // identical slice at every SF
-          .select($"o_orderkey", $"o_totalprice")
-          .repartition(8), // small files: compact has provable work
-        statsColumns = Seq("o_orderkey"))                            // v1
-      wh.deleteWhere(ref, $"o_orderkey" > 800L)                      // v2
-      val cat = s"graftsqlc${java.lang.Integer.toHexString(root.hashCode)}"
-      spark.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.catalog.GraftCatalog].getName)
-      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
-      cat
-    }
+    val (cat, _) = sqlCatalogFamily(spark, dir)
     def count(): Long = spark.sql(
       s"SELECT count(*) AS n FROM $cat.silver.facts.orders_call").head().getLong(0)
     val before = count()
