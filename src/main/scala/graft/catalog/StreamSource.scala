@@ -59,10 +59,12 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
   private var metaAgg: Option[(StructType, Seq[Any])] = None
 
   // Spark probes supportCompletePushDown then pushAggregation with the
-  // SAME Aggregation — memoize so the manifest fold runs once
-  private var lastProbe: Option[(Aggregation, Boolean)] = None
+  // SAME Aggregation — memoize so the manifest fold runs once. The
+  // answer only COMMITS (build() returns the aggregate scan) in
+  // pushAggregation: a probe alone must leave the normal scan intact.
+  private var lastProbe: Option[(Aggregation, Option[(StructType, Seq[Any])])] = None
 
-  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+  private def probe(aggregation: Aggregation): Option[(StructType, Seq[Any])] =
     lastProbe match {
       case Some((prev, r)) if prev eq aggregation => r
       case _ =>
@@ -71,11 +73,16 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
         r
     }
 
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    supportCompletePushDown(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    probe(aggregation).isDefined
 
-  private def tryMetadataAnswer(aggregation: Aggregation): Boolean = {
-    if (sawFilters || aggregation.groupByExpressions.nonEmpty) return false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    metaAgg = probe(aggregation)
+    metaAgg.isDefined
+  }
+
+  private def tryMetadataAnswer(aggregation: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (sawFilters || aggregation.groupByExpressions.nonEmpty) return None
     val dataByName = dataFields.map(f => f.name -> f).toMap
     def dataCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -98,14 +105,10 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
             (Warehouse.ColMax(n), StructField(s"max($n)", dataByName(n).dataType)))
         case _ => None
       }
-    if (mapped.exists(_.isEmpty) || mapped.isEmpty) return false
+    if (mapped.exists(_.isEmpty) || mapped.isEmpty) return None
     val shapes = mapped.flatten
-    wh.metadataAggregate(snap.ref, snap.files, shapes.map(_._1)) match {
-      case Some(values) =>
-        metaAgg = Some((StructType(shapes.map(_._2)), values))
-        true
-      case None => false
-    }
+    wh.metadataAggregate(snap.ref, snap.files, shapes.map(_._1))
+      .map(values => (StructType(shapes.map(_._2)), values))
   }
 
   override def build(): Scan = metaAgg match {
