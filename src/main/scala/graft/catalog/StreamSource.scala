@@ -381,14 +381,30 @@ private[graft] object RuntimePrune {
   def lastFor(table: String): Option[(Int, Int)] = last.get(table)
 }
 
-/** Stream offset = the last commit version this stream has processed. */
-private[catalog] final case class GraftStreamOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Stream offset = the last commit version this stream has processed.
+  * `replay` marks a DEFAULT fresh start resolved to just below the
+  * earliest surviving version: the first version walked from such an
+  * offset emits its FULL resolved state (the table's base as of
+  * retention), not just its delta adds — a fresh stream must see the
+  * whole table even when the earliest survivor is a small delta
+  * commit. Later offsets are always plain.
+  */
+private[catalog] final case class GraftStreamOffset(version: Long,
+                                                    replay: Boolean = false)
+    extends Offset {
+  override def json(): String =
+    if (replay) s"""{"version":$version,"replay":true}"""
+    else s"""{"version":$version}"""
 }
 
 private[catalog] object GraftStreamOffset {
-  def parse(json: String): GraftStreamOffset =
-    GraftStreamOffset(json.filter(c => c.isDigit || c == '-').toLong)
+  def parse(json: String): GraftStreamOffset = {
+    val v = """"version"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"malformed graft stream offset: $json"))
+    GraftStreamOffset(v, json.contains("\"replay\":true"))
+  }
 }
 
 /** `spark.readStream` over a warehouse table: TABLE TAILING off the
@@ -398,11 +414,14 @@ private[catalog] object GraftStreamOffset {
   *  - micro-batch `(start, end]` scans the files that FIRST APPEARED
   *    in commit versions `start+1 .. end` (file-level diff of adjacent
   *    snapshots, O(touched files) per batch, never O(table));
-  *  - the default starting offset is version 0, so a fresh stream
-  *    first replays the table's surviving history commit-by-commit —
-  *    for an append-only table exactly the current contents; pass
+  *  - a fresh stream starts just below the EARLIEST SURVIVING version:
+  *    the first batch emits the table's full state as of retention
+  *    (the replay-flagged offset), then history replays commit-by-
+  *    commit — for an append-only table exactly the current contents,
+  *    and sound on tables whose early versions were vacuumed; pass
   *    `option("startingVersion", v)` to begin at commit `v` (use
-  *    `currentVersion + 1` for changes-only tailing);
+  *    `currentVersion + 1` for changes-only tailing — an explicit
+  *    version below retention fails loudly);
   *  - a commit that REWRITES files (merge update, deleteWhere,
   *    compaction rewrites) re-emits the surviving rows of the files it
   *    added — Delta's `ignoreChanges` semantics, the honest shape for
@@ -432,9 +451,27 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
 
   private val ref = snap.ref
 
+  /** Where a new stream starts:
+    *
+    *  - `startingVersion` option → just before it, so version v's own
+    *    changes are the first batch (loud-fail when v predates
+    *    retention, like Delta);
+    *  - default → just before the EARLIEST SURVIVING version, with the
+    *    replay flag: the first batch emits the table's full state as
+    *    of retention, then tails deltas — a fresh stream on a table
+    *    whose v1 was vacuumed (keepVersions=1 is the default!) must
+    *    not walk into the hole below the horizon.
+    */
   override def initialOffset(): Offset = {
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
-    GraftStreamOffset(startingVersion.map(_ - 1).getOrElse(0L))
+    startingVersion match {
+      case Some(v) => GraftStreamOffset(v - 1)
+      case None =>
+        wh.earliestVersion(ref) match {
+          case Some(e) if e > 1 => GraftStreamOffset(e - 1, replay = true)
+          case _ => GraftStreamOffset(0L)
+        }
+    }
   }
 
   override def latestOffset(): Offset =
@@ -474,8 +511,29 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val target = availableNowTarget
       .getOrElse(wh.currentVersion(ref).getOrElse(0L))
-    val s = start.asInstanceOf[GraftStreamOffset].version
-    GraftStreamOffset(admittedEnd(s, target, limit))
+    GraftStreamOffset(
+      admittedEnd(start.asInstanceOf[GraftStreamOffset], target, limit))
+  }
+
+  /** One version's newly-appeared files + recorded sizes for a walk
+    * that started at `start` — O(that commit's churn) off the raw log
+    * file ([[Warehouse.versionChanges]]): a delta commit's `add` lines
+    * answer with no parent resolution, and the replay-flagged first
+    * version emits its full resolved state (the fresh-stream base).
+    * Loud failure when the version fell below vacuum retention, like
+    * Delta's source after vacuum.
+    */
+  private def changesFor(start: GraftStreamOffset,
+                         v: Long): (Seq[String], Map[String, (Long, Long)]) = {
+    if (start.replay && v == start.version + 1) {
+      val s = wh.snapshotAt(ref, v)
+      (s.files, s.fileMeta)
+    } else
+      wh.versionChanges(ref, v).map { case (adds, meta, _) => (adds, meta) }
+        .getOrElse(throw new IllegalStateException(
+          s"stream on $ref needs version $v, which was never committed or " +
+            "fell below vacuum retention — restart the stream (a fresh " +
+            "start replays the surviving history)"))
   }
 
   /** The last version this trigger admits: walk `(startV, targetV]`
@@ -483,7 +541,8 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
     * (count + recorded bytes), and stop BEFORE the commit that would
     * push past every active limit — always admitting at least one.
     */
-  private def admittedEnd(startV: Long, targetV: Long, limit: ReadLimit): Long = {
+  private def admittedEnd(start: GraftStreamOffset, targetV: Long,
+                          limit: ReadLimit): Long = {
     import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxBytes, ReadMaxFiles}
     def caps(l: ReadLimit): (Option[Int], Option[Long]) = l match {
       case f: ReadMaxFiles => (Some(f.maxFiles()), None)
@@ -496,24 +555,21 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
       case _ => (None, None)
     }
     val (fileCap, byteCap) = caps(limit)
+    val startV = start.version
     if (fileCap.isEmpty && byteCap.isEmpty || startV >= targetV) return targetV
-    var prev: Set[String] =
-      if (startV == 0) Set.empty else wh.snapshotAt(ref, startV).files.toSet
     var files = 0L
     var bytes = 0L
     var admitted = startV
     var v = startV + 1
     while (v <= targetV) {
-      val s = wh.snapshotAt(ref, v)
-      val added = s.files.filterNot(prev)
+      val (added, meta) = changesFor(start, v)
       files += added.size
-      bytes += added.flatMap(s.fileMeta.get).map(_._1).sum
+      bytes += added.flatMap(meta.get).map(_._1).sum
       // the first commit always admits; later commits admit only while
       // every active cap still holds
       val overflow = fileCap.exists(files > _) || byteCap.exists(bytes > _)
       if (admitted == startV || !overflow) admitted = v
       if (overflow) return admitted
-      prev = s.files.toSet
       v += 1
     }
     admitted
@@ -527,24 +583,21 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** Files first appearing in versions `(startV, endV]`, with their
+  /** Files first appearing in versions `(start, endV]`, with their
     * recorded sizes — one pseudo-snapshot the stock parquet machinery
     * scans. Files added then retired WITHIN the range are still
     * emitted (their rows were appended; a later delete is a later
     * fact), matching the per-commit replay a slower trigger would see.
+    * O(range churn): each version contributes its recorded adds, no
+    * full-list diffing ([[changesFor]]).
     */
-  private def addedSnapshot(startV: Long, endV: Long): TableSnapshot = {
+  private def addedSnapshot(start: GraftStreamOffset, endV: Long): TableSnapshot = {
     val files = Seq.newBuilder[String]
     val meta = Map.newBuilder[String, (Long, Long)]
-    var prev: Set[String] =
-      if (startV == 0) Set.empty else wh.snapshotAt(ref, startV).files.toSet
-    ((startV + 1) to endV).foreach { v =>
-      val s = wh.snapshotAt(ref, v)
-      s.files.filterNot(prev).foreach { f =>
-        files += f
-        s.fileMeta.get(f).foreach(meta += f -> _)
-      }
-      prev = s.files.toSet
+    ((start.version + 1) to endV).foreach { v =>
+      val (added, m) = changesFor(start, v)
+      files ++= added
+      meta ++= m
     }
     TableSnapshot(ref, endV, snap.schemaJson, files.result().distinct,
       meta.result())
@@ -559,9 +612,9 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftStreamOffset].version
+    val s = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset].version
-    if (e <= s) Array.empty
+    if (e <= s.version) Array.empty
     else scanFor(addedSnapshot(s, e)).toBatch.planInputPartitions()
   }
 

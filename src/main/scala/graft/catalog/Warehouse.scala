@@ -109,12 +109,15 @@ final class Warehouse(spark: SparkSession, val root: String,
   private def versionFilePath(ref: TableRef, v: Long) =
     new Path(logDirPath(ref), f"v$v%08d")
 
-  /** Latest committed version, None for logless directories. */
-  /** Surviving committed versions, ascending (the single owner of the
-    * `v%08d` filename convention — history/vacuum/currentVersion all
-    * resolve through here).
+  private val horizonMarker = "_horizon"
+  private def horizonPath(ref: TableRef) = new Path(logDirPath(ref), horizonMarker)
+
+  /** Version numbers with a log file PRESENT, ascending — including
+    * delta-chain anchors below the vacuum horizon, which survive for
+    * resolution but are not readable. Public readers go through
+    * [[listVersions]] instead.
     */
-  private def listVersions(ref: TableRef): Seq[Long] = {
+  private def listVersionFiles(ref: TableRef): Seq[Long] = {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
     if (!filesystem.exists(dir)) Seq.empty
@@ -124,18 +127,163 @@ final class Warehouse(spark: SparkSession, val root: String,
       .toSeq.sorted
   }
 
+  /** READABLE committed versions, ascending: version files present AND
+    * at or above the vacuum horizon (the single owner of the `v%08d`
+    * convention — history/vacuum/currentVersion all resolve through
+    * here). One directory listing; the horizon marker, when present,
+    * reads through the fingerprint cache.
+    */
+  private def listVersions(ref: TableRef): Seq[Long] = {
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    if (!filesystem.exists(dir)) return Seq.empty
+    val statuses = filesystem.listStatus(dir)
+    val all = statuses.map(_.getPath.getName)
+      .collect { case n if n.length == 9 && n.startsWith("v") &&
+        n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
+      .toSeq.sorted
+    val h = statuses.find(_.getPath.getName == horizonMarker)
+      .map(horizonValue).getOrElse(0L)
+    all.filter(_ >= h)
+  }
+
   def currentVersion(ref: TableRef): Option[Long] = listVersions(ref).lastOption
 
+  /** Earliest version still readable (above the vacuum horizon) — what
+    * a fresh stream's default start resolves against.
+    */
+  def earliestVersion(ref: TableRef): Option[Long] = listVersions(ref).headOption
+
+  /** The vacuum retention horizon: versions below it are unreadable
+    * even when their log files survive as delta-chain anchors. 0 when
+    * the table was never horizon-pruned.
+    */
+  private def horizonOf(ref: TableRef): Long = {
+    val p = horizonPath(ref)
+    val st =
+      try fs(p).getFileStatus(p)
+      catch { case _: java.io.FileNotFoundException => return 0L }
+    horizonValue(st)
+  }
+
+  private def horizonValue(st: org.apache.hadoop.fs.FileStatus): Long = {
+    val key = st.getPath.toString
+    val fp = s"${st.getLen}:${st.getModificationTime}"
+    Warehouse.cachedHorizon(key, fp).getOrElse {
+      val in = fs(st.getPath).open(st.getPath)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .toLongOption.getOrElse(0L)
+        finally in.close()
+      Warehouse.cacheHorizon(key, fp, v)
+      v
+    }
+  }
+
+  private def versionStatus(ref: TableRef, v: Long): Option[org.apache.hadoop.fs.FileStatus] = {
+    val p = versionFilePath(ref, v)
+    try Some(fs(p).getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private def fpOf(st: org.apache.hadoop.fs.FileStatus): String =
+    s"${st.getLen}:${st.getModificationTime}"
+
+  /** Parsed (NOT resolved) content of one version file, through the
+    * fingerprint cache — a delta file's `files` are its ADDS only.
+    * None when the version file is absent.
+    */
+  private[catalog] def rawVersion(ref: TableRef, v: Long): Option[Warehouse.LogContent] =
+    versionStatus(ref, v).map(rawVersionSt)
+
+  private def rawVersionSt(st: org.apache.hadoop.fs.FileStatus): Warehouse.LogContent = {
+    val key = st.getPath.toString
+    val fp = fpOf(st)
+    Warehouse.cachedRaw(key, fp).getOrElse {
+      val c = parseLog(st.getPath)
+      Warehouse.cacheRaw(key, fp, c)
+      c
+    }
+  }
+
+  /** Fully resolved content of one version — delta chains applied
+    * against the predecessor, memoized per version file (fingerprint-
+    * validated, so a dropped-and-recreated table never serves stale
+    * content). Chain depth is bounded by [[Warehouse.checkpointEvery]].
+    * Internal: does NOT apply the vacuum horizon (chain anchors below
+    * it must still resolve); readable-version checks live in
+    * [[snapshotAt]].
+    */
+  private def resolvedVersion(ref: TableRef, v: Long): Option[Warehouse.ResolvedVersion] =
+    versionStatus(ref, v).map { st =>
+      val key = st.getPath.toString
+      val fp = fpOf(st)
+      Warehouse.cachedResolved(key, fp).getOrElse {
+        val c = rawVersionSt(st)
+        val r =
+          if (!c.isDelta)
+            Warehouse.ResolvedVersion(c.schemaJson, c.files, c.fileMeta, c.meta)
+          else {
+            val parent = resolvedVersion(ref, v - 1).getOrElse(
+              throw new IllegalStateException(
+                s"$ref: version $v is a delta commit but its base " +
+                  s"${v - 1} log file is missing — log corrupted or " +
+                  "manually pruned"))
+            val retired = c.retires.toSet
+            Warehouse.ResolvedVersion(c.schemaJson,
+              parent.files.filterNot(retired) ++ c.files,
+              (parent.fileMeta -- retired) ++ c.fileMeta, c.meta)
+          }
+        Warehouse.cacheResolved(key, fp, r)
+        r
+      }
+    }
+
   /** The snapshot a given version committed. Throws when the version was
-    * never committed or has been vacuumed away.
+    * never committed or has been vacuumed away (below the retention
+    * horizon — its log file may survive as a delta-chain anchor, but
+    * its data files are gone).
     */
   def snapshotAt(ref: TableRef, version: Long): TableSnapshot = {
-    val p = versionFilePath(ref, version)
-    require(fs(p).exists(p),
+    val r =
+      if (version < horizonOf(ref)) None else resolvedVersion(ref, version)
+    require(r.nonEmpty,
       s"$ref has no version $version (never committed, or vacuumed); " +
         s"current = ${currentVersion(ref).getOrElse("none")}")
-    val c = parseLog(p)
-    TableSnapshot(ref, version, c.schemaJson, c.files, c.fileMeta)
+    TableSnapshot(ref, version, r.get.schemaJson, r.get.files, r.get.fileMeta)
+  }
+
+  /** The files that first APPEARED in commit `v`, with their recorded
+    * (bytes, mtime) — the streaming source's per-trigger unit, O(that
+    * commit's churn): a delta file's `add` lines answer directly with
+    * NO parent resolution; a checkpoint diffs against a READABLE
+    * predecessor (an overwrite's adds are its whole list anyway), and
+    * falls back to its full resolved list when the predecessor is
+    * below retention — the replay anchor a fresh stream starts from.
+    * Also reports how many files the commit RETIRED (0 for a pure
+    * append — what `skipChangeCommits` filters on). None when version
+    * `v` itself is unreadable (never committed, or vacuumed).
+    */
+  private[catalog] def versionChanges(ref: TableRef, v: Long):
+      Option[(Seq[String], Map[String, (Long, Long)], Int)] = {
+    if (v < horizonOf(ref)) return None
+    rawVersion(ref, v).map { c =>
+      if (c.isDelta) (c.files, c.fileMeta, c.retires.size)
+      else {
+        val parent =
+          if (v - 1 >= math.max(horizonOf(ref), 1L)) resolvedVersion(ref, v - 1)
+          else None
+        parent match {
+          case Some(p) =>
+            val prevSet = p.files.toSet
+            val fileSet = c.files.toSet
+            val adds = c.files.filterNot(prevSet)
+            val addSet = adds.toSet
+            (adds, c.fileMeta.filter { case (f, _) => addSet.contains(f) },
+              p.files.count(f => !fileSet.contains(f)))
+          case None => (c.files, c.fileMeta, 0)
+        }
+      }
+    }
   }
 
   import Warehouse.LogContent
@@ -143,32 +291,67 @@ final class Warehouse(spark: SparkSession, val root: String,
   /** Parse one log-format file: `schema\t<json>` +
     * `file\t<rel>[\t<bytes>\t<mtimeMs>]` (the size/mtime fields are
     * written since metadata-only planning landed; two-field lines from
-    * older logs parse fine with no fileMeta entry) + `meta\tk=v`,
-    * unknown kinds ignored for forward compatibility.
+    * older logs parse fine with no fileMeta entry) + `meta\tk=v` +
+    * the delta-commit kinds `base\t<v>` / `add\t<rel>\t<bytes>\t<mtime>`
+    * / `retire\t<rel>`; unknown kinds ignored for forward
+    * compatibility.
+    *
+    * Splitting is KIND-FIRST with per-kind limits: `schema` and `meta`
+    * payloads take the whole remainder of the line (a schema JSON or a
+    * carried meta VALUE containing a tab must not shear into a
+    * dropped-key unknown-kind line), while `file`/`add` re-split their
+    * remainder for the size fields (path components are filesystem
+    * names, which cannot contain tabs).
     */
   private def parseLog(p: Path): LogContent = {
     val in = fs(p).open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    Warehouse.LogIO.reads.incrementAndGet()
+    Warehouse.LogIO.bytes.addAndGet(text.length.toLong)
     var schemaJson = ""
+    var baseVersion: Option[Long] = None
     val files = Seq.newBuilder[String]
+    val retires = Seq.newBuilder[String]
     val meta = Map.newBuilder[String, String]
     val fileMeta = Map.newBuilder[String, (Long, Long)]
+    var isDelta = false
+    def sizedLine(rest: String, into: (String, Option[(Long, Long)]) => Unit): Unit =
+      rest.split("\t") match {
+        case Array(f) => into(f, None)
+        case Array(f, bytes, mtime) =>
+          into(f, for (b <- bytes.toLongOption; m <- mtime.toLongOption)
+            yield (b, m))
+        case _ => // malformed sized line: skip (conservative)
+      }
     text.linesIterator.filter(_.nonEmpty).foreach { l =>
-      l.split("\t") match {
-        case Array("schema", j) => schemaJson = j
-        case Array("file", f) => files += f
-        case Array("file", f, bytes, mtime) =>
-          files += f
-          for (b <- bytes.toLongOption; m <- mtime.toLongOption)
-            fileMeta += f -> (b, m)
-        case Array("meta", kv) =>
-          val i = kv.indexOf('=')
-          meta += kv.take(i) -> kv.drop(i + 1)
+      val cut = l.indexOf('\t')
+      val kind = if (cut < 0) l else l.substring(0, cut)
+      val rest = if (cut < 0) "" else l.substring(cut + 1)
+      kind match {
+        case "schema" => schemaJson = rest
+        case "file" => sizedLine(rest, (f, m) => {
+          files += f; m.foreach(fileMeta += f -> _)
+        })
+        case "add" =>
+          isDelta = true
+          sizedLine(rest, (f, m) => {
+            files += f; m.foreach(fileMeta += f -> _)
+          })
+        case "retire" =>
+          isDelta = true
+          retires += rest
+        case "base" =>
+          isDelta = true
+          baseVersion = rest.toLongOption
+        case "meta" =>
+          val i = rest.indexOf('=')
+          if (i > 0) meta += rest.take(i) -> rest.drop(i + 1)
         case _ => // forward-compat: unknown entry kinds are ignored
       }
     }
-    LogContent(schemaJson, files.result(), meta.result(), fileMeta.result())
+    LogContent(schemaJson, files.result(), meta.result(), fileMeta.result(),
+      isDelta, baseVersion, retires.result())
   }
 
   /** DESCRIBE HISTORY: one row per SURVIVING version ([[vacuum]] prunes
@@ -183,8 +366,10 @@ final class Warehouse(spark: SparkSession, val root: String,
   def history(ref: TableRef): DataFrame = {
     import spark.implicits._
     listVersions(ref).reverse.map { v =>
-      // one parse per version file: files and meta come out together
-      val c = parseLog(versionFilePath(ref, v))
+      // cached resolution: files and meta come out together, and the
+      // shared delta chain parses once across the whole listing
+      val c = resolvedVersion(ref, v).getOrElse(
+        throw new IllegalStateException(s"$ref: version $v vanished mid-history"))
       (v, c.meta.getOrElse(Warehouse.OpMeta, "UNKNOWN"), c.files.size,
         // the stamped commit instant (epoch ms); null for pre-stamp logs
         c.meta.get(Warehouse.TsMeta).flatMap(_.toLongOption))
@@ -234,24 +419,36 @@ final class Warehouse(spark: SparkSession, val root: String,
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
     // one directory listing supplies names AND fallback mtimes — no
-    // per-version getFileStatus round-trips on object stores
-    val versionStatuses =
+    // per-version getFileStatus round-trips on object stores (stamped
+    // versions read their meta through the fingerprint cache)
+    val listing =
       if (!filesystem.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
-      else filesystem.listStatus(dir).filter { st =>
-        val n = st.getPath.getName
-        n.length == 9 && n.startsWith("v") && n.drop(1).forall(_.isDigit)
-      }.sortBy(_.getPath.getName)
+      else filesystem.listStatus(dir)
+    val h = listing.find(_.getPath.getName == horizonMarker)
+      .map(horizonValue).getOrElse(0L)
+    val versionStatuses = listing.filter { st =>
+      val n = st.getPath.getName
+      n.length == 9 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
+        n.drop(1).toLong >= h
+    }.sortBy(_.getPath.getName)
     if (versionStatuses.isEmpty)
       throw new IllegalArgumentException(s"$ref has no committed version")
-    def commitTime(st: org.apache.hadoop.fs.FileStatus): Long =
-      parseLog(st.getPath).meta.get(Warehouse.TsMeta)
+    def rawTime(st: org.apache.hadoop.fs.FileStatus): Long =
+      rawVersionSt(st).meta.get(Warehouse.TsMeta)
         .flatMap(_.toLongOption).getOrElse(st.getModificationTime)
-    val fits = versionStatuses.filter(st => commitTime(st) <= tsMillis)
-    fits.lastOption.map(_.getPath.getName.drop(1).toLong)
+    // effective commit clocks are forced MONOTONIC (Delta's in-commit-
+    // timestamp rule): a pre-stamp version whose mtime a filesystem
+    // copy pushed forward, or a wall-clock step-back between stamped
+    // commits, must never make version N resolvable while N-1 is not
+    val effective = versionStatuses.scanLeft(0L) { (prev, st) =>
+      math.max(prev, rawTime(st))
+    }.tail
+    val fits = versionStatuses.zip(effective).filter(_._2 <= tsMillis)
+    fits.lastOption.map(_._1.getPath.getName.drop(1).toLong)
       .getOrElse(throw new IllegalArgumentException(
         s"$ref has no version committed at or before " +
           s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest commit: " +
-          s"${java.time.Instant.ofEpochMilli(commitTime(versionStatuses.head))})"))
+          s"${java.time.Instant.ofEpochMilli(effective.head)})"))
   }
 
   /** Delta-CDF-style change feed: row-level changes between two
@@ -375,6 +572,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
     val prev = currentVersion(ref)
     val next = prev.getOrElse(0L) + 1L
+    val prevResolved = prev.flatMap(v => resolvedVersion(ref, v))
     // application meta is CARRIED FORWARD through every commit (explicit
     // keys override): without this, a meta-less maintenance commit
     // (compact, z-order) followed by vacuum's version pruning would
@@ -384,19 +582,45 @@ final class Warehouse(spark: SparkSession, val root: String,
     // instant), never its successors — the two meta keys excluded
     // from the carry. The wall-clock stamp lands after the carry so
     // a caller can't accidentally forward an old instant either.
-    val allMeta = (prev.map(v => commitMeta(ref, v)).getOrElse(Map.empty)
+    val allMeta = (prevResolved.map(_.meta).getOrElse(Map.empty)
       - Warehouse.OpMeta - Warehouse.TsMeta) ++ meta +
       (Warehouse.TsMeta -> System.currentTimeMillis().toString)
     val tmp = new Path(dir, f".v$next%08d.tmp")
     val out = filesystem.create(tmp, true)
-    def fileLine(f: String): String = fileMeta.get(f) match {
-      case Some((bytes, mtime)) => s"file\t$f\t$bytes\t$mtime\n"
-      case None => s"file\t$f\n"
+    def sized(kind: String, f: String): String = fileMeta.get(f) match {
+      case Some((bytes, mtime)) => s"$kind\t$f\t$bytes\t$mtime\n"
+      case None => s"$kind\t$f\n"
     }
-    try out.write(
-      (s"schema\t$schemaJson\n" + files.map(fileLine).mkString +
-        allMeta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // DELTA-ENCODED COMMITS: when the churn (adds + retires vs the
+    // previous version) is smaller than the full list, the version file
+    // records only `add`/`retire` lines against `base` — a tiny merge
+    // on a 10M-file table writes O(churn) bytes, not O(files). Every
+    // [[Warehouse.checkpointEvery]]-th version is a full CHECKPOINT
+    // regardless, bounding resolution chains; overwrites/restores whose
+    // churn rivals the list write checkpoints outright. Readers resolve
+    // either shape identically through [[resolvedVersion]].
+    val delta: Option[(Seq[String], Seq[String])] = prevResolved.flatMap { pr =>
+      if (next % Warehouse.checkpointEvery == 0) None
+      else {
+        val prevSet = pr.files.toSet
+        val fileSet = files.toSet
+        val adds = files.filterNot(prevSet)
+        val retires = pr.files.filterNot(fileSet)
+        if (adds.size + retires.size >= files.size) None
+        else Some((adds, retires))
+      }
+    }
+    val body = delta match {
+      case Some((adds, retires)) =>
+        s"schema\t$schemaJson\n" + s"base\t${prev.get}\n" +
+          adds.map(sized("add", _)).mkString +
+          retires.map(r => s"retire\t$r\n").mkString +
+          allMeta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString
+      case None =>
+        s"schema\t$schemaJson\n" + files.map(sized("file", _)).mkString +
+          allMeta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString
+    }
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val live = versionFilePath(ref, next)
     if (!filesystem.rename(tmp, live))
@@ -411,7 +635,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     * ignore the lines (unknown log entry kinds are skipped).
     */
   def commitMeta(ref: TableRef, version: Long): Map[String, String] =
-    parseLog(versionFilePath(ref, version)).meta
+    rawVersion(ref, version).map(_.meta).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"$ref has no log file for version $version"))
 
   /** Pure-metadata commit: the current version's schema and file list
     * re-committed with `meta` attached — zero data movement (the same
@@ -435,17 +661,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     * it). O(log length) file reads in the worst case; logs stay short
     * under vacuum's version pruning.
     */
-  def latestCommitMeta(ref: TableRef, key: String): Option[String] = {
-    val dir = logDirPath(ref)
-    val filesystem = fs(dir)
-    if (!filesystem.exists(dir)) return None
-    filesystem.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.length == 9 && n.startsWith("v") &&
-        n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-      .sorted.reverseIterator
+  def latestCommitMeta(ref: TableRef, key: String): Option[String] =
+    listVersions(ref).reverseIterator
       .map(v => commitMeta(ref, v).get(key))
       .collectFirst { case Some(v) => v }
-  }
 
   /** Adopt a logless directory into the log (first [[replaceDataFiles]]
     * on a table written by something else): version 1 = the current
@@ -667,13 +886,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     // its manifest delete references files some committed (and still
     // time-travelable) version owns; protecting only the CURRENT
     // version would let this cleanup delete an older version's data.
-    val logDir = logDirPath(ref)
     val referenced: Set[String] =
-      if (!filesystem.exists(logDir)) Set.empty
-      else filesystem.listStatus(logDir).map(_.getPath.getName)
-        .collect { case n if n.length == 9 && n.startsWith("v") &&
-          n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
-        .flatMap(v => snapshotAt(ref, v).files).toSet
+      listVersionFiles(ref) // horizon-agnostic: protect EVERY logged version
+        .flatMap(v => resolvedVersion(ref, v).map(_.files).getOrElse(Nil))
+        .toSet
     val removed = files.filterNot(referenced.contains).count { f =>
       filesystem.delete(new Path(target, f), false)
     }
@@ -771,6 +987,16 @@ final class Warehouse(spark: SparkSession, val root: String,
     * dropped versions are done; a reader that pinned a dropped snapshot
     * mid-scan loses its files. Also sweeps never-committed stragglers
     * from crashed writers. Returns the number of files deleted.
+    *
+    * Log pruning under delta-encoded commits is two-part: the
+    * RETENTION HORIZON (`_graft_log/_horizon`, written first — a crash
+    * leaves versions unreadable-but-present, never readable-but-
+    * dangling) makes dropped versions refuse reads, and version FILES
+    * below the earliest kept version's delta-chain anchor (the nearest
+    * checkpoint) are physically deleted. Chain anchors between the
+    * anchor and the horizon survive as unreadable metadata — a few KB
+    * — so surviving deltas always resolve; data deletion itself stays
+    * exact (GDPR: retired bytes are gone regardless of log shape).
     */
   def vacuum(ref: TableRef, keepVersions: Int = 1): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
@@ -808,12 +1034,51 @@ final class Warehouse(spark: SparkSession, val root: String,
           keepFiles.contains(filesystem.makeQualified(p).toUri.getPath
             .stripPrefix(base).stripPrefix("/"))
         }
+        // horizon FIRST: once it lands, dropped versions refuse reads,
+        // so the data deletions below never produce a readable version
+        // whose files are partially gone (a crash in between leaves
+        // only unreadable-but-present log files — harmless)
+        keep.headOption.foreach(writeHorizon(ref, _))
         dead.foreach(p => filesystem.delete(p, false))
-        versions.dropRight(keepVersions)
-          .foreach(v => filesystem.delete(versionFilePath(ref, v), false))
+        // version files strictly below the earliest kept version's
+        // delta-chain anchor can go; [anchor, horizon) survives
+        // (unreadable) so kept deltas keep resolving
+        keep.headOption.foreach { earliest =>
+          val anchor = chainAnchor(ref, earliest)
+          listVersionFiles(ref).filter(_ < anchor)
+            .foreach(v => filesystem.delete(versionFilePath(ref, v), false))
+        }
         dead.size
       }
     }
+  }
+
+  /** Nearest checkpoint at or below `v` — the version file anchoring
+    * `v`'s delta-resolution chain.
+    */
+  private def chainAnchor(ref: TableRef, v: Long): Long = {
+    var x = v
+    while (rawVersion(ref, x).exists(_.isDelta)) x -= 1
+    x
+  }
+
+  /** Raise the retention horizon (never lowers; atomic tmp + rename —
+    * local rename-over-existing is not atomic in Hadoop's local FS, so
+    * delete-then-rename with the tiny window on the safe side: a crash
+    * between them REVEALS old versions rather than hiding live ones,
+    * and the next vacuum re-lands the marker).
+    */
+  private def writeHorizon(ref: TableRef, h: Long): Unit = {
+    if (h <= horizonOf(ref)) return
+    val p = horizonPath(ref)
+    val filesystem = fs(p)
+    val tmp = new Path(p.getParent, s".$horizonMarker.tmp")
+    val out = filesystem.create(tmp, true)
+    try out.write(s"$h\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    filesystem.delete(p, false)
+    if (!filesystem.rename(tmp, p))
+      throw new RuntimeException(s"failed to write vacuum horizon for $ref")
   }
 
   /** Acquire the per-table writer lock for the duration of `body`.
@@ -1481,7 +1746,20 @@ final class Warehouse(spark: SparkSession, val root: String,
     * fresh UUID-named parts. Oversized manifests skip the local
     * materialization and read parquet-backed as before.
     */
-  private def manifestDf(tablePath: String): Option[DataFrame] = {
+  private def manifestDf(tablePath: String): Option[DataFrame] =
+    manifestDfImpl(tablePath, localOnly = false)
+
+  /** [[manifestDf]] restricted to DRIVER-LOCAL manifests: None past the
+    * materialization cutoff. Planning-time consumers (metadata
+    * aggregates, exact planner statistics — called per QUERY, not per
+    * scan task) use this so a 100k+-file manifest never costs a Spark
+    * job with a giant IN at plan time; they fall back to scanning,
+    * which is what such a query costs anyway.
+    */
+  private def manifestLocalDf(tablePath: String): Option[DataFrame] =
+    manifestDfImpl(tablePath, localOnly = true)
+
+  private def manifestDfImpl(tablePath: String, localOnly: Boolean): Option[DataFrame] = {
     val manifestPath = new Path(s"$tablePath/$statsDir")
     val filesystem = fs(manifestPath)
     if (!filesystem.exists(manifestPath)) return None
@@ -1492,7 +1770,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     if (statuses.isEmpty) return None
     val files = statuses.map(_.getPath.toString).toIndexedSeq
     if (statuses.map(_.getLen).sum > Warehouse.manifestLocalBytes)
-      return Some(spark.read.parquet(files: _*))
+      return if (localOnly) None else Some(spark.read.parquet(files: _*))
     val fingerprint = statuses.map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .sorted.mkString("|")
@@ -1741,7 +2019,11 @@ final class Warehouse(spark: SparkSession, val root: String,
         case RowCount | ColCount(_) => 0L
         case _ => null
       })
-    manifestDf(path(ref)).flatMap { m =>
+    // driver-local manifests only: past the materialization cutoff the
+    // per-query isin over every snapshot basename would itself run a
+    // Spark job at PLAN time — exactly the table size where falling
+    // back to the scan is the honest answer
+    manifestLocalDf(path(ref)).flatMap { m =>
       val needed = aggs.flatMap {
         case RowCount => Seq("rows")
         case ColCount(c) => Seq("rows", s"nulls_$c")
@@ -2228,10 +2510,87 @@ object Warehouse {
   private[catalog] val log =
     org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
 
-  /** One parsed log-format file (version commit or staged manifest). */
+  /** One parsed log-format file (version commit or staged manifest).
+    * For CHECKPOINT files `files` is the complete list; for DELTA files
+    * (`isDelta`) `files`/`fileMeta` hold only the commit's ADDED files,
+    * `retires` the files it retired, and `baseVersion` the version the
+    * delta applies to (always its predecessor).
+    */
   private[catalog] final case class LogContent(
       schemaJson: String, files: Seq[String], meta: Map[String, String],
-      fileMeta: Map[String, (Long, Long)])
+      fileMeta: Map[String, (Long, Long)],
+      isDelta: Boolean = false, baseVersion: Option[Long] = None,
+      retires: Seq[String] = Nil)
+
+  /** Fully resolved content of one version: complete file list +
+    * per-file meta (delta chains applied), plus the version's own
+    * commit meta.
+    */
+  private[catalog] final case class ResolvedVersion(
+      schemaJson: String, files: Seq[String],
+      fileMeta: Map[String, (Long, Long)], meta: Map[String, String])
+
+  /** Commit-log I/O counters (JVM-wide): every [[Warehouse]].parseLog
+    * call — an actual version-file read, cache misses only — bumps
+    * these. The O(churn) specs assert on them: a rate-limited stream
+    * drain or a change feed over N commits must cost O(N) small reads,
+    * not O(N × files) bytes re-parsed per trigger.
+    */
+  private[graft] object LogIO {
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    def snapshot(): (Long, Long) = (reads.get(), bytes.get())
+  }
+
+  /** (version-file path) → (len:mtime fingerprint, parsed content).
+    * Version files are immutable once committed — the fingerprint
+    * guards the one mutation class left: a table dropped and recreated
+    * reusing version numbers. Clear-on-overflow keeps long-lived
+    * drivers bounded.
+    */
+  private val rawLogCache =
+    scala.collection.concurrent.TrieMap[String, (String, LogContent)]()
+
+  /** (version-file path) → (fingerprint, resolved full content). */
+  private val resolvedCache =
+    scala.collection.concurrent.TrieMap[String, (String, ResolvedVersion)]()
+
+  private val logCacheMax = 4096
+
+  private[catalog] def cacheRaw(key: String, fp: String, c: LogContent): Unit = {
+    if (rawLogCache.size >= logCacheMax) rawLogCache.clear()
+    rawLogCache.put(key, (fp, c))
+    ()
+  }
+  private[catalog] def cachedRaw(key: String, fp: String): Option[LogContent] =
+    rawLogCache.get(key).collect { case (f, c) if f == fp => c }
+
+  private[catalog] def cacheResolved(key: String, fp: String,
+                                     r: ResolvedVersion): Unit = {
+    if (resolvedCache.size >= logCacheMax) resolvedCache.clear()
+    resolvedCache.put(key, (fp, r))
+    ()
+  }
+  private[catalog] def cachedResolved(key: String, fp: String): Option[ResolvedVersion] =
+    resolvedCache.get(key).collect { case (f, c) if f == fp => c }
+
+  /** (horizon-marker path) → (fingerprint, horizon version). */
+  private val horizonCache =
+    scala.collection.concurrent.TrieMap[String, (String, Long)]()
+
+  private[catalog] def cacheHorizon(key: String, fp: String, h: Long): Unit = {
+    if (horizonCache.size >= logCacheMax) horizonCache.clear()
+    horizonCache.put(key, (fp, h))
+    ()
+  }
+  private[catalog] def cachedHorizon(key: String, fp: String): Option[Long] =
+    horizonCache.get(key).collect { case (f, h) if f == fp => h }
+
+  /** Every Nth version is a full checkpoint even when the commit's
+    * churn is small — bounds delta-resolution chains (and the log
+    * files vacuum must retain as chain anchors) at N version files.
+    */
+  private[catalog] val checkpointEvery = 16L
 
   /** One aggregate shape [[Warehouse.metadataAggregate]] can answer
     * from the stats manifest without touching data files.

@@ -1222,10 +1222,11 @@ object PipelineQueries {
     */
   /** ONE fixture family for all six SQL-catalog gates: one warehouse
     * root, one catalog registration, one cached pass over the orders
-    * slice feeding six table layouts (range-clustered, partitioned ×2,
-    * nullable-stats, hash+bloom, small-files+delete). `uses = 6` keeps
-    * the bench's drain accounting exact; per-gate cost collapses to
-    * the query itself.
+    * slice feeding five table layouts (range-clustered, partitioned ×2,
+    * nullable-stats, hash+bloom). `uses = 6` keeps the bench's drain
+    * accounting exact (qSqlCall consumes only the root + catalog — its
+    * mutable table is per-invocation); per-gate cost collapses to the
+    * query itself.
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
@@ -1260,12 +1261,6 @@ object PipelineQueries {
             concat(lit("g"), $"o_orderkey" % 4).as("seg"))
           .repartition(2),
         partitionBy = Seq("seg"))
-      wh.overwrite(TableRef("silver", "facts", "orders_call"),
-        slice.select($"o_orderkey", $"o_totalprice")
-          .repartition(8), // small files: compact has provable work
-        statsColumns = Seq("o_orderkey"))                            // v1
-      wh.deleteWhere(TableRef("silver", "facts", "orders_call"),
-        $"o_orderkey" > 800L)                                        // v2
       slice.unpersist()
       val cat = s"graftsqlf${java.lang.Integer.toHexString(root.hashCode)}"
       spark.conf.set(s"spark.sql.catalog.$cat",
@@ -1489,16 +1484,32 @@ object PipelineQueries {
     * two witnesses: compact reported work, and the table's SQL row
     * count is unchanged by it.
     */
+  private val sqlCallNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def qSqlCall(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (cat, _) = sqlCatalogFamily(spark, dir)
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    // PER-INVOCATION table: CALL compact MUTATES its target (appends a
+    // COMPACT commit), so a shared memoized fixture would drift across
+    // the bench's warm re-runs — every invocation builds a fresh
+    // 3-version ledger inside the shared root/catalog instead
+    val table = s"orders_call_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    wh.overwrite(ref,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", $"o_totalprice")
+        .repartition(8), // small files: compact has provable work
+      statsColumns = Seq("o_orderkey"))                              // v1
+    wh.deleteWhere(ref, $"o_orderkey" > 800L)                        // v2
     def count(): Long = spark.sql(
-      s"SELECT count(*) AS n FROM $cat.silver.facts.orders_call").head().getLong(0)
+      s"SELECT count(*) AS n FROM $cat.silver.facts.$table").head().getLong(0)
     val before = count()
     val compacted = spark.sql(
-      s"CALL $cat.system.compact('silver.facts.orders_call')").head().getInt(1)
+      s"CALL $cat.system.compact('silver.facts.$table')").head().getInt(1)
     val intact = count() == before
-    spark.sql(s"CALL $cat.system.history('silver.facts.orders_call')")
+    spark.sql(s"CALL $cat.system.history('silver.facts.$table')")
       .select($"version", $"operation")
       .withColumn("compacted", lit(compacted > 0))
       .withColumn("data_intact", lit(intact))

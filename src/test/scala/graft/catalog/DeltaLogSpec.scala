@@ -1,0 +1,237 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The delta-encoded commit log (round-13 verdict, next-round #1):
+  * version files record add/retire churn against their predecessor
+  * instead of the full file list, with periodic checkpoints bounding
+  * resolution chains; snapshot resolution memoizes per version file.
+  * The specs here pin the SHAPE claims — O(churn) version files,
+  * O(1) re-resolution, O(commits) log reads for feeds and drains —
+  * via the [[Warehouse.LogIO]] read counters, not wall clocks.
+  */
+class DeltaLogSpec extends SparkSpec {
+
+  private def logText(root: String, ref: TableRef, v: Long): String = {
+    val p = Paths.get(s"$root/${ref.catalog}/${ref.schema}/${ref.table}/" +
+      f"_graft_log/v$v%08d")
+    new String(Files.readAllBytes(p), "UTF-8")
+  }
+
+  test("a small merge writes an O(churn) delta version file; resolution is identical") {
+    import spark.implicits._
+    val root = tmpDir("wh-dlog")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "dlog")
+    // v1: checkpoint with 20 range-clustered files
+    wh.overwrite(ref, (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(20, $"k"), statsColumns = Seq("k"))
+    assert(wh.snapshotAt(ref, 1).files.size === 20)
+    // v2: a pure-insert merge touching one new file
+    new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+      .upsert(Seq((401L, "v401"), (402L, "v402")).toDF("k", "v").coalesce(1))
+    val v1Text = logText(root, ref, 1)
+    val v2Text = logText(root, ref, 2)
+    assert(v2Text.contains("base\t1"), "small commit must be delta-encoded")
+    assert(v2Text.linesIterator.count(_.startsWith("add\t")) === 1)
+    assert(!v2Text.linesIterator.exists(_.startsWith("file\t")),
+      "a delta file must not repeat the full list")
+    assert(v2Text.length < v1Text.length / 3,
+      s"delta file (${v2Text.length}B) must be far smaller than the " +
+        s"checkpoint (${v1Text.length}B)")
+    // resolution applies the delta: full list, data readable, meta intact
+    val snap = wh.snapshotAt(ref, 2)
+    assert(snap.files.size === 21)
+    assert(snap.files.forall(f => snap.fileMeta.contains(f)),
+      "inherited files keep their recorded sizes through delta resolution")
+    assert(wh.read(ref).count() === 402L)
+    assert(wh.commitMeta(ref, 2).get(Warehouse.OpMeta).contains("MERGE"))
+  }
+
+  test("every 16th version is a checkpoint; metadata-only commits are near-empty deltas") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-ckpt"))
+    val root = wh.root
+    val ref = TableRef("silver", "g", "ckpt")
+    wh.overwrite(ref, (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(4))                                                   // v1
+    (2L to 17L).foreach(i => wh.commitMetaOnly(ref, Map("mark" -> s"m$i")))
+    val v3 = logText(root, ref, 3)
+    assert(v3.contains("base\t2") && !v3.contains("file\t"),
+      "a zero-churn meta commit is a tiny delta")
+    val v16 = logText(root, ref, 16)
+    assert(v16.linesIterator.count(_.startsWith("file\t")) === 4 &&
+      !v16.contains("base\t"),
+      "the 16th version must be a full checkpoint bounding the chain")
+    // chains resolve through the checkpoint either side of it
+    assert(wh.snapshotAt(ref, 15).files.size === 4)
+    assert(wh.snapshotAt(ref, 17).files.size === 4)
+    assert(wh.latestCommitMeta(ref, "mark").contains("m17"))
+  }
+
+  test("snapshot resolution memoizes: re-resolving a version reads zero log files") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-memo"))
+    val ref = TableRef("silver", "g", "memo")
+    wh.overwrite(ref, (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((51L, "x")).toDF("k", "v").coalesce(1))
+    mt.upsert(Seq((52L, "x")).toDF("k", "v").coalesce(1))
+    val warm = wh.snapshotAt(ref, 3) // populate the cache
+    val before = Warehouse.LogIO.snapshot()._1
+    val again = wh.snapshotAt(ref, 3)
+    val after = Warehouse.LogIO.snapshot()._1
+    assert(again.files === warm.files)
+    assert(after === before,
+      s"cached resolution must not re-read log files (read ${after - before})")
+  }
+
+  test("changeFeed over many commits costs O(commits) log reads, not O(commits × files)") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-feedio"))
+    val ref = TableRef("silver", "g", "feedio")
+    wh.overwrite(ref, (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(10, $"k"), statsColumns = Seq("k"))            // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    (1L to 8L).foreach { i =>
+      mt.upsert(Seq((200L + i, s"n$i")).toDF("k", "v").coalesce(1))     // v2..v9
+    }
+    val fresh = new Warehouse(spark, wh.root) // cold caches? no — JVM-wide, so count raw reads
+    val before = Warehouse.LogIO.snapshot()
+    val feed = fresh.changeFeed(ref, 1L, 9L, Seq("k")).collect()
+    val after = Warehouse.LogIO.snapshot()
+    assert(feed.count(_.getString(2) == "insert") === 8)
+    // each version file parses at most once across the whole feed
+    // (shared cache); generous constant for horizon/meta lookups
+    assert(after._1 - before._1 <= 12,
+      s"9-version feed must cost O(commits) log reads, took ${after._1 - before._1}")
+  }
+
+  test("a rate-limited stream drain reads each version file at most once (O(churn) planning)") {
+    import spark.implicits._
+    val root = tmpDir("wh-drainio")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "drainio")
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))             // v1: 4 files
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    (1L to 6L).foreach { i =>
+      mt.upsert(Seq((100L + i, s"n$i")).toDF("k", "v").coalesce(1))     // v2..v7, 1 file each
+    }
+    spark.conf.set("spark.sql.catalog.graftdio", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdio.root", root)
+    val ckpt = tmpDir("drainio-ckpt")
+    val out = tmpDir("drainio-out")
+    val before = Warehouse.LogIO.snapshot()
+    spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("graftdio.silver.g.drainio")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val after = Warehouse.LogIO.snapshot()
+    assert(spark.read.parquet(out).count() === 106L)
+    // 7 version files; the multi-trigger drain (>= 4 triggers at a
+    // 2-file budget) re-walks offsets every trigger, but the cache
+    // makes each version file read AT MOST once — plus a small
+    // constant for the catalog resolution reads
+    val reads = after._1 - before._1
+    assert(reads <= 14,
+      s"rate-limited drain must not re-parse version files per trigger " +
+        s"(7 versions, $reads reads)")
+  }
+
+  test("fresh default stream on a vacuumed table replays the surviving history (no hole below the horizon)") {
+    import spark.implicits._
+    val root = tmpDir("wh-vacstream")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "vacstream")
+    wh.overwrite(ref, (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2), statsColumns = Seq("k"))                          // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((41L, "x")).toDF("k", "v").coalesce(1))               // v2
+    mt.upsert(Seq((42L, "x")).toDF("k", "v").coalesce(1))               // v3
+    assert(wh.vacuum(ref, keepVersions = 2) >= 0)
+    assert(wh.earliestVersion(ref).contains(2L),
+      "vacuum must raise the horizon to the earliest kept version")
+    spark.conf.set("spark.sql.catalog.graftvs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftvs.root", root)
+    val out = tmpDir("vacstream-out")
+    // the round-13 default (version 0) would throw at snapshotAt(ref, 1);
+    // the fixed default starts just below the earliest survivor and the
+    // replay-flagged first batch emits the full surviving state
+    spark.readStream.table("graftvs.silver.g.vacstream")
+      .writeStream
+      .option("checkpointLocation", tmpDir("vacstream-ckpt"))
+      .format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted
+      === ((1L to 40L).map(i => (i, s"v$i")) ++ Seq((41L, "x"), (42L, "x"))),
+      "default start must replay the full surviving state exactly once")
+    // an EXPLICIT startingVersion below retention still fails loudly
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream
+        .option("startingVersion", "1")
+        .table("graftvs.silver.g.vacstream")
+        .writeStream
+        .option("checkpointLocation", tmpDir("vacstream-ckpt2"))
+        .format("parquet").option("path", tmpDir("vacstream-out2"))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(boom.getMessage.contains("retention") ||
+      Option(boom.getCause).exists(_.getMessage.contains("retention")))
+  }
+
+  test("vacuum keeps delta-chain anchors as unreadable metadata; readers refuse below the horizon") {
+    import spark.implicits._
+    val root = tmpDir("wh-anchor")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "anchor")
+    wh.overwrite(ref, (1L to 60L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(3), statsColumns = Seq("k"))                          // v1 checkpoint
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    (1L to 4L).foreach(i =>
+      mt.upsert(Seq((60L + i, s"n$i")).toDF("k", "v").coalesce(1)))     // v2..v5 deltas
+    wh.vacuum(ref, keepVersions = 2)                                     // keep v4, v5
+    // v4 is a delta: its chain anchor (v1 checkpoint) must survive on
+    // disk for resolution even though v1..v3 are unreadable
+    assert(Files.exists(Paths.get(s"$root/silver/g/anchor/_graft_log/v00000001")),
+      "the chain anchor checkpoint must survive vacuum")
+    assert(wh.currentVersion(ref).contains(5L))
+    assert(wh.snapshotAt(ref, 4).files.nonEmpty)
+    assert(wh.read(ref).count() === 64L)
+    val e = intercept[IllegalArgumentException](wh.snapshotAt(ref, 1))
+    assert(e.getMessage.contains("vacuumed"))
+    assert(wh.history(ref).select("version").as[Long].collect().sorted
+      === Seq(4L, 5L), "history lists only readable versions")
+    // life goes on: further commits and a further vacuum stay sound
+    mt.upsert(Seq((65L, "x")).toDF("k", "v").coalesce(1))               // v6
+    wh.vacuum(ref, keepVersions = 1)
+    assert(wh.read(ref).count() === 65L)
+    assert(wh.earliestVersion(ref).contains(6L))
+  }
+
+  test("meta values containing '=' round-trip; tab/newline are rejected at write time") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-metaesc"))
+    val ref = TableRef("silver", "g", "metaesc")
+    wh.overwrite(ref, Seq((1L, "a")).toDF("k", "v"))
+    wh.commitMetaOnly(ref, Map("expr" -> "a=b=c", "json" -> """{"x":1}"""))
+    assert(wh.latestCommitMeta(ref, "expr").contains("a=b=c"))
+    assert(wh.latestCommitMeta(ref, "json").contains("""{"x":1}"""))
+    intercept[IllegalArgumentException] {
+      wh.commitMetaOnly(ref, Map("bad" -> "has\ttab"))
+    }
+    intercept[IllegalArgumentException] {
+      wh.commitMetaOnly(ref, Map("bad" -> "has\nnewline"))
+    }
+  }
+}
