@@ -162,6 +162,45 @@ object Bench {
     // session startup, not to whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Explicit WARM-UP phase (round-14 verdict, next #2): the run's
+    // first warehouse write, merge, delete, and streaming micro-batch
+    // each pay JVM-wide one-time costs (parquet output committer,
+    // whole-stage codegen families, state-store + stream-execution
+    // init) that otherwise migrate into whichever fixture phase runs
+    // first alphabetically — three rounds running they landed in three
+    // different phases. One representative nonce of each shape runs
+    // BEFORE timing starts; the cost is reported as its own `warmup`
+    // line in the artifact's phases map instead of polluting a query.
+    val warmupT0 = System.nanoTime()
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      import spark.implicits._
+      import graft.catalog.{TableRef, Warehouse}
+      val base = java.nio.file.Files.createTempDirectory("graft-bench-warmup")
+      val wh = new Warehouse(spark, s"$base/wh")
+      val ref = TableRef("bench", "warmup", "t")
+      wh.overwrite(ref, (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("k")),
+        statsColumns = Seq("k"))
+      new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+        .upsert(Seq((2001L, "x")).toDF("k", "v").coalesce(1))
+      wh.deleteWhere(ref, org.apache.spark.sql.functions.col("k") % 500 === 0L)
+      assert(wh.read(ref).count() > 0)
+      val in = base.resolve("in")
+      (1L to 200L).map(i => (i, i % 7)).toDF("id", "g").coalesce(1)
+        .write.parquet(in.toString)
+      spark.readStream.schema(spark.read.parquet(in.toString).schema)
+        .parquet(in.toString)
+        .groupBy($"g").count()
+        .writeStream.outputMode("complete").format("noop")
+        .option("checkpointLocation", base.resolve("chk").toString)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: $e")
+    }
+    val warmupSec = (System.nanoTime() - warmupT0) / 1e9
+    System.err.println(f"[bench] warmup ${warmupSec}%.2fs")
     // optional args = subset of query names (local profiling; the
     // driver invokes with no args → full suite)
     val selected =
@@ -194,6 +233,7 @@ object Bench {
     // deltas only (what explains cold entries); warm-pass deltas go to
     // stderr per query.
     val coldPhases = scala.collection.mutable.Map[String, Double]()
+    coldPhases("warmup") = warmupSec // its own artifact line, outside total
     // Warm-pass phase deltas that go IN the artifact (stderr carries
     // the rest): queries whose warm run EXCEEDED cold (round-10
     // verdict, What's wrong #1-2 — an inverted warm number with
@@ -363,8 +403,16 @@ object Bench {
     val caps = graft.util.CapCounters.snapshot.toSeq.sorted
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+    // Commit-log I/O across the whole run (round-14 verdict, next #5):
+    // the O(churn) log-walk proof in the driver artifact, not just in
+    // specs — reads = version files parsed (cache misses only), bytes
+    // = log bytes parsed. A regression that re-walks logs per trigger
+    // shows up here as an order-of-magnitude jump.
+    val (ioReads, ioBytes) = graft.catalog.Warehouse.LogIO.snapshot()
+    val logIo = s"""{"reads":$ioReads,"bytes":$ioBytes}"""
+
     val budget = 1700
-    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"warm_phases":$warmPh,"caps":$caps,"queries":{"""
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"warm_phases":$warmPh,"caps":$caps,"log_io":$logIo,"queries":{"""
     val sb = new StringBuilder(head)
     var included = 0
     var restN = 0

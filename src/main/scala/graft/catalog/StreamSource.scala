@@ -185,6 +185,18 @@ private[catalog] final class GraftScan(spark: SparkSession,
     * difference between a broadcast and a sort-merge of the wrong
     * side. Filtered scans keep the delegate's estimate (an exact
     * UNFILTERED count would overstate them).
+    *
+    * COLUMN statistics ride along ([[Warehouse.columnStatsFor]] →
+    * DSv2 `columnStats` → catalyst attribute stats): per stat column,
+    * manifest-summed NDV, exact null count, and (numeric columns
+    * only — catalyst stores numeric extrema in their external form,
+    * so the manifest values pass through; other types are skipped
+    * rather than risking a representation mismatch) min/max. This is
+    * what CBO's filter/join cardinality estimation runs on — a
+    * join's output estimate becomes rows₁·rows₂/max(ndv) instead of
+    * a byte-ratio guess, with zero ANALYZE. Emitted for filtered
+    * scans too: they describe the TABLE, and estimation composes
+    * selectivity on top.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val base = delegate.estimateStatistics()
@@ -192,19 +204,47 @@ private[catalog] final class GraftScan(spark: SparkSession,
       if (hadFilters) None
       else wh.metadataAggregate(snap.ref, snap.files, Seq(Warehouse.RowCount))
         .map(_.head.asInstanceOf[Long])
+    lazy val colStats: java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      wh.columnStatsFor(snap.ref, snap.files).foreach(_.foreach { case (c, s) =>
+        m.put(Expressions.column(c),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              s.ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def nullCount(): java.util.OptionalLong =
+              s.nullCount.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            private def numeric(v: Option[Any]): java.util.Optional[Object] =
+              v match {
+                case Some(n: java.lang.Number) =>
+                  java.util.Optional.of(n.asInstanceOf[Object])
+                case _ => java.util.Optional.empty()
+              }
+            override def min(): java.util.Optional[Object] = numeric(s.min)
+            override def max(): java.util.Optional[Object] = numeric(s.max)
+          })
+      })
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
       override def numRows(): java.util.OptionalLong =
         exactRows.map(java.util.OptionalLong.of).getOrElse(base.numRows())
+      override def columnStats(): java.util.Map[NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
   // two exclusion families with DIFFERENT keys: manifest exclusion is
-  // basename-keyed (sound even when partitionBy reuses one task's
-  // part-file name across partition dirs — colliding basenames share a
-  // merged manifest row, so a proof covers every copy), while
-  // partition-value exclusion must key on the `col=value` DIRECTORY
-  // SEGMENT (a basename says nothing about which partition it's in)
+  // keyed by TABLE-RELATIVE path (one manifest row per physical file,
+  // partition dirs included — a basename key would merge the distinct
+  // files partitionBy layouts give one task's part-file name), while
+  // partition-value exclusion keys on the `col=value` DIRECTORY
+  // SEGMENT (an unstatted partition column can still prune)
   @volatile private var runtimeExcludedNames: Set[String] = Set.empty
   @volatile private var runtimeExcludedSegments: Set[String] = Set.empty
 
@@ -311,7 +351,9 @@ private[catalog] final class GraftScan(spark: SparkSession,
     val base = delegate.toBatch
     if (runtimeExcludedNames.isEmpty && runtimeExcludedSegments.isEmpty) base
     else new RuntimeFilteredBatch(base, runtimeExcludedNames,
-      runtimeExcludedSegments, snap.ref.toString)
+      runtimeExcludedSegments, snap.ref.toString,
+      new org.apache.hadoop.fs.Path(wh.path(snap.ref)).toUri.getPath
+        .stripSuffix("/"))
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -329,15 +371,16 @@ private[catalog] object GraftScan {
 
 /** The delegate batch with runtime-excluded files dropped from its
   * planned [[FilePartition]]s (empties removed, indexes re-packed):
-  * by BASENAME for manifest exclusions, by `col=value` path SEGMENT
-  * for partition exclusions. Records (planned, kept) into
-  * [[RuntimePrune]] so specs and gates can witness that pruning
+  * by TABLE-RELATIVE PATH for manifest exclusions, by `col=value`
+  * path SEGMENT for partition exclusions. Records (planned, kept)
+  * into [[RuntimePrune]] so specs and gates can witness that pruning
   * actually fired.
   */
 private[catalog] final class RuntimeFilteredBatch(underlying: Batch,
                                                   excludedNames: Set[String],
                                                   excludedSegments: Set[String],
-                                                  table: String)
+                                                  table: String,
+                                                  tableBase: String)
     extends Batch {
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -350,9 +393,14 @@ private[catalog] final class RuntimeFilteredBatch(underlying: Batch,
       var kept = 0
       def keep(f: org.apache.spark.sql.execution.datasources.PartitionedFile): Boolean = {
         val p = f.filePath.toPath
-        !excludedNames.contains(p.getName) &&
+        val fsPath = p.toUri.getPath
+        val rel =
+          if (fsPath.startsWith(tableBase + "/"))
+            fsPath.substring(tableBase.length + 1)
+          else fsPath
+        !excludedNames.contains(rel) &&
           (excludedSegments.isEmpty ||
-            !p.toUri.getPath.split('/').exists(excludedSegments.contains))
+            !fsPath.split('/').exists(excludedSegments.contains))
       }
       val filtered = planned.flatMap { case fp: FilePartition =>
         total += fp.files.length
@@ -427,7 +475,11 @@ private[catalog] object GraftStreamOffset {
   *    added — Delta's `ignoreChanges` semantics, the honest shape for
   *    a log whose commits carry file lists rather than persisted
   *    row-level change files (the batch [[Warehouse.changeFeed]] is
-  *    the row-exact diff when one is needed);
+  *    the row-exact diff when one is needed); pass
+  *    `option("skipChangeCommits", "true")` to suppress change
+  *    commits entirely (insert-only consumers, Delta's knob of the
+  *    same name), or `option("startingTimestamp", t)` to begin at
+  *    the first commit at-or-after a wall-clock instant;
   *  - a stream lagging past [[Warehouse.vacuum]] retention fails
   *    loudly at `snapshotAt`, like Delta's source after vacuum.
   *
@@ -451,11 +503,24 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
 
   private val ref = snap.ref
 
+  /** Delta's `skipChangeCommits`: commits that RETIRED files (merge
+    * updates, deletes, compaction rewrites) emit NOTHING — only pure
+    * appends flow. The honest knob for consumers that want an
+    * insert-only feed off a table that also gets rewritten; the
+    * default re-emits a rewrite's surviving rows (`ignoreChanges`
+    * semantics, see class doc).
+    */
+  private val skipChangeCommits =
+    Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+
   /** Where a new stream starts:
     *
     *  - `startingVersion` option → just before it, so version v's own
     *    changes are the first batch (loud-fail when v predates
     *    retention, like Delta);
+    *  - `startingTimestamp` option → the earliest version committed
+    *    at or after it ([[Warehouse.versionSince]], Delta's inclusive
+    *    contract; epoch millis or an ISO/SQL timestamp literal);
     *  - default → just before the EARLIEST SURVIVING version, with the
     *    replay flag: the first batch emits the table's full state as
     *    of retention, then tails deltas — a fresh stream on a table
@@ -464,13 +529,36 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
     */
   override def initialOffset(): Offset = {
     val startingVersion = Option(options.get("startingVersion")).map(_.toLong)
-    startingVersion match {
+    val startingTs = Option(options.get("startingTimestamp"))
+    require(startingVersion.isEmpty || startingTs.isEmpty,
+      s"stream on $ref: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    startingVersion.orElse(
+        startingTs.map(t => wh.versionSince(ref, parseTimestamp(t)))) match {
       case Some(v) => GraftStreamOffset(v - 1)
       case None =>
         wh.earliestVersion(ref) match {
           case Some(e) if e > 1 => GraftStreamOffset(e - 1, replay = true)
           case _ => GraftStreamOffset(0L)
         }
+    }
+  }
+
+  /** `startingTimestamp` literal → epoch millis: raw epoch millis, ISO
+    * instant (`2024-01-05T00:00:00Z`), or an unzoned SQL timestamp
+    * (`2024-01-05 00:00:00[.SSS]`) interpreted in UTC — the session
+    * timezone the engine pins everywhere else.
+    */
+  private def parseTimestamp(s: String): Long = {
+    val t = s.trim
+    t.toLongOption.getOrElse {
+      try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime
+            .parse(t.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
     }
   }
 
@@ -529,11 +617,17 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
       val s = wh.snapshotAt(ref, v)
       (s.files, s.fileMeta)
     } else
-      wh.versionChanges(ref, v).map { case (adds, meta, _) => (adds, meta) }
-        .getOrElse(throw new IllegalStateException(
-          s"stream on $ref needs version $v, which was never committed or " +
-            "fell below vacuum retention — restart the stream (a fresh " +
-            "start replays the surviving history)"))
+      wh.versionChanges(ref, v).map { case (adds, meta, retired) =>
+        // a commit that retired files is a CHANGE commit (update /
+        // delete / rewrite): under skipChangeCommits it contributes
+        // nothing — only pure appends flow
+        if (skipChangeCommits && retired > 0)
+          (Seq.empty[String], Map.empty[String, (Long, Long)])
+        else (adds, meta)
+      }.getOrElse(throw new IllegalStateException(
+        s"stream on $ref needs version $v, which was never committed or " +
+          "fell below vacuum retention — restart the stream (a fresh " +
+          "start replays the surviving history)"))
   }
 
   /** The last version this trigger admits: walk `(startV, targetV]`

@@ -110,7 +110,6 @@ final class Warehouse(spark: SparkSession, val root: String,
     new Path(logDirPath(ref), f"v$v%08d")
 
   private val horizonMarker = "_horizon"
-  private def horizonPath(ref: TableRef) = new Path(logDirPath(ref), horizonMarker)
 
   /** Version numbers with a log file PRESENT, ascending — including
     * delta-chain anchors below the vacuum horizon, which survive for
@@ -130,8 +129,8 @@ final class Warehouse(spark: SparkSession, val root: String,
   /** READABLE committed versions, ascending: version files present AND
     * at or above the vacuum horizon (the single owner of the `v%08d`
     * convention — history/vacuum/currentVersion all resolve through
-    * here). One directory listing; the horizon marker, when present,
-    * reads through the fingerprint cache.
+    * here). One directory listing; horizon markers, when present,
+    * resolve from their NAMES ([[horizonFrom]]) — no file reads.
     */
   private def listVersions(ref: TableRef): Seq[Long] = {
     val dir = logDirPath(ref)
@@ -142,8 +141,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       .collect { case n if n.length == 9 && n.startsWith("v") &&
         n.drop(1).forall(_.isDigit) => n.drop(1).toLong }
       .toSeq.sorted
-    val h = statuses.find(_.getPath.getName == horizonMarker)
-      .map(horizonValue).getOrElse(0L)
+    val h = horizonFrom(statuses)
     all.filter(_ >= h)
   }
 
@@ -159,12 +157,34 @@ final class Warehouse(spark: SparkSession, val root: String,
     * the table was never horizon-pruned.
     */
   private def horizonOf(ref: TableRef): Long = {
-    val p = horizonPath(ref)
-    val st =
-      try fs(p).getFileStatus(p)
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    val statuses =
+      try filesystem.listStatus(dir)
       catch { case _: java.io.FileNotFoundException => return 0L }
-    horizonValue(st)
+    horizonFrom(statuses)
   }
+
+  /** The horizon a log-directory listing establishes: the MAX over
+    * every surviving marker. Markers are uniquely named
+    * `_horizon.<h>` (value in the name — zero reads), written by
+    * [[writeHorizon]] new-before-old so a crash between the write and
+    * the sweep leaves TWO markers whose max is still correct — never
+    * a window where versions a previous vacuum already stripped of
+    * data resolve as readable. The legacy unsuffixed `_horizon`
+    * (value inside the file) still reads through the fingerprint
+    * cache for tables vacuumed by earlier builds.
+    */
+  private def horizonFrom(statuses: Array[org.apache.hadoop.fs.FileStatus]): Long =
+    statuses.foldLeft(0L) { (acc, st) =>
+      val n = st.getPath.getName
+      val h =
+        if (n == horizonMarker) horizonValue(st)
+        else if (n.startsWith(horizonMarker + "."))
+          n.drop(horizonMarker.length + 1).toLongOption.getOrElse(0L)
+        else 0L
+      math.max(acc, h)
+    }
 
   private def horizonValue(st: org.apache.hadoop.fs.FileStatus): Long = {
     val key = st.getPath.toString
@@ -229,8 +249,12 @@ final class Warehouse(spark: SparkSession, val root: String,
                   s"${v - 1} log file is missing — log corrupted or " +
                   "manually pruned"))
             val retired = c.retires.toSet
+            // a delta's add may RE-ADD a carried path (meta-only
+            // change: same file, new recorded bytes/mtime) — the
+            // parent's copy drops so the list never duplicates
+            val readded = c.files.toSet
             Warehouse.ResolvedVersion(c.schemaJson,
-              parent.files.filterNot(retired) ++ c.files,
+              parent.files.filterNot(f => retired(f) || readded(f)) ++ c.files,
               (parent.fileMeta -- retired) ++ c.fileMeta, c.meta)
           }
         Warehouse.cacheResolved(key, fp, r)
@@ -269,9 +293,12 @@ final class Warehouse(spark: SparkSession, val root: String,
     rawVersion(ref, v).map { c =>
       if (c.isDelta) (c.files, c.fileMeta, c.retires.size)
       else {
-        val parent =
-          if (v - 1 >= math.max(horizonOf(ref), 1L)) resolvedVersion(ref, v - 1)
-          else None
+        // diff whenever the v-1 log file is PHYSICALLY present — chain
+        // anchors below the horizon still resolve, so an explicit
+        // startingVersion at the earliest survivor gets that commit's
+        // actual churn, not a full-table re-emission; the full-list
+        // fallback is reserved for predecessors vacuum truly deleted
+        val parent = if (v >= 2) resolvedVersion(ref, v - 1) else None
         parent match {
           case Some(p) =>
             val prevSet = p.files.toSet
@@ -416,39 +443,65 @@ final class Warehouse(spark: SparkSession, val root: String,
     * after `tsMillis`) or has no committed log.
     */
   def versionAsOf(ref: TableRef, tsMillis: Long): Long = {
+    val clocks = commitClocks(ref)
+    if (clocks.isEmpty)
+      throw new IllegalArgumentException(s"$ref has no committed version")
+    clocks.filter(_._2 <= tsMillis).lastOption.map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ref has no version committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest commit: " +
+          s"${java.time.Instant.ofEpochMilli(clocks.head._2)})"))
+  }
+
+  /** Earliest version committed AT OR AFTER `tsMillis` — the resolver
+    * behind the streaming source's `startingTimestamp` option (Delta's
+    * inclusive at-or-after contract). Same monotonic commit clock as
+    * [[versionAsOf]]; fails loudly when the timestamp is after the
+    * latest commit (a stream asked to start in the future is a config
+    * error, not an empty stream — Delta's behavior).
+    */
+  def versionSince(ref: TableRef, tsMillis: Long): Long = {
+    val clocks = commitClocks(ref)
+    if (clocks.isEmpty)
+      throw new IllegalArgumentException(s"$ref has no committed version")
+    clocks.find(_._2 >= tsMillis).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$ref has no version committed at or after " +
+          s"${java.time.Instant.ofEpochMilli(tsMillis)} (latest commit: " +
+          s"${java.time.Instant.ofEpochMilli(clocks.last._2)})"))
+  }
+
+  /** (version, effective commit clock) for every READABLE version,
+    * ascending — the shared resolver behind `TIMESTAMP AS OF` and
+    * `startingTimestamp`. One directory listing supplies names AND
+    * fallback mtimes — no per-version getFileStatus round-trips on
+    * object stores (stamped versions read their meta through the
+    * fingerprint cache). Effective clocks are forced MONOTONIC
+    * (Delta's in-commit-timestamp rule): a pre-stamp version whose
+    * mtime a filesystem copy pushed forward, or a wall-clock step-back
+    * between stamped commits, must never make version N resolvable
+    * while N-1 is not.
+    */
+  private def commitClocks(ref: TableRef): Seq[(Long, Long)] = {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
-    // one directory listing supplies names AND fallback mtimes — no
-    // per-version getFileStatus round-trips on object stores (stamped
-    // versions read their meta through the fingerprint cache)
     val listing =
       if (!filesystem.exists(dir)) Array.empty[org.apache.hadoop.fs.FileStatus]
       else filesystem.listStatus(dir)
-    val h = listing.find(_.getPath.getName == horizonMarker)
-      .map(horizonValue).getOrElse(0L)
+    val h = horizonFrom(listing)
     val versionStatuses = listing.filter { st =>
       val n = st.getPath.getName
       n.length == 9 && n.startsWith("v") && n.drop(1).forall(_.isDigit) &&
         n.drop(1).toLong >= h
     }.sortBy(_.getPath.getName)
-    if (versionStatuses.isEmpty)
-      throw new IllegalArgumentException(s"$ref has no committed version")
     def rawTime(st: org.apache.hadoop.fs.FileStatus): Long =
       rawVersionSt(st).meta.get(Warehouse.TsMeta)
         .flatMap(_.toLongOption).getOrElse(st.getModificationTime)
-    // effective commit clocks are forced MONOTONIC (Delta's in-commit-
-    // timestamp rule): a pre-stamp version whose mtime a filesystem
-    // copy pushed forward, or a wall-clock step-back between stamped
-    // commits, must never make version N resolvable while N-1 is not
     val effective = versionStatuses.scanLeft(0L) { (prev, st) =>
       math.max(prev, rawTime(st))
     }.tail
-    val fits = versionStatuses.zip(effective).filter(_._2 <= tsMillis)
-    fits.lastOption.map(_._1.getPath.getName.drop(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(
-        s"$ref has no version committed at or before " +
-          s"${java.time.Instant.ofEpochMilli(tsMillis)} (earliest commit: " +
-          s"${java.time.Instant.ofEpochMilli(effective.head)})"))
+    versionStatuses.map(_.getPath.getName.drop(1).toLong).toSeq
+      .zip(effective)
   }
 
   /** Delta-CDF-style change feed: row-level changes between two
@@ -604,7 +657,12 @@ final class Warehouse(spark: SparkSession, val root: String,
       else {
         val prevSet = pr.files.toSet
         val fileSet = files.toSet
-        val adds = files.filterNot(prevSet)
+        // carried-over paths whose recorded (bytes, mtime) CHANGED are
+        // re-added (resolution drops the parent's copy): keying the
+        // delta on path churn alone would silently inherit the stale
+        // entry into planning sizes and maxBytesPerTrigger accounting
+        val adds = files.filter(f => !prevSet.contains(f) ||
+          fileMeta.get(f).exists(m => !pr.fileMeta.get(f).contains(m)))
         val retires = pr.files.filterNot(fileSet)
         if (adds.size + retires.size >= files.size) None
         else Some((adds, retires))
@@ -989,9 +1047,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     * from crashed writers. Returns the number of files deleted.
     *
     * Log pruning under delta-encoded commits is two-part: the
-    * RETENTION HORIZON (`_graft_log/_horizon`, written first — a crash
-    * leaves versions unreadable-but-present, never readable-but-
-    * dangling) makes dropped versions refuse reads, and version FILES
+    * RETENTION HORIZON (`_graft_log/_horizon.<h>`, written first and
+    * max-over-markers on read — a crash leaves versions unreadable-
+    * but-present, never readable-but-dangling, on EVERY vacuum, not
+    * just the first) makes dropped versions refuse reads, and version FILES
     * below the earliest kept version's delta-chain anchor (the nearest
     * checkpoint) are physically deleted. Chain anchors between the
     * anchor and the horizon survive as unreadable metadata — a few KB
@@ -1062,23 +1121,36 @@ final class Warehouse(spark: SparkSession, val root: String,
     x
   }
 
-  /** Raise the retention horizon (never lowers; atomic tmp + rename —
-    * local rename-over-existing is not atomic in Hadoop's local FS, so
-    * delete-then-rename with the tiny window on the safe side: a crash
-    * between them REVEALS old versions rather than hiding live ones,
-    * and the next vacuum re-lands the marker).
+  /** Raise the retention horizon (never lowers). NEW MARKER FIRST:
+    * the value lands as a uniquely-named `_horizon.<h>` file (atomic
+    * tmp + rename onto a name nothing else writes), and only then are
+    * superseded markers swept. Readers take the MAX over surviving
+    * markers ([[horizonFrom]]), so a crash anywhere in this sequence
+    * leaves the horizon at max(old, new) — versions whose data a
+    * previous vacuum already deleted can NEVER become readable again,
+    * the exact dangling-read window the old delete-then-rename single
+    * marker had between its two operations.
     */
   private def writeHorizon(ref: TableRef, h: Long): Unit = {
     if (h <= horizonOf(ref)) return
-    val p = horizonPath(ref)
-    val filesystem = fs(p)
-    val tmp = new Path(p.getParent, s".$horizonMarker.tmp")
+    val dir = logDirPath(ref)
+    val filesystem = fs(dir)
+    val live = new Path(dir, s"$horizonMarker.$h")
+    val tmp = new Path(dir, s".$horizonMarker.$h.tmp")
     val out = filesystem.create(tmp, true)
     try out.write(s"$h\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    filesystem.delete(p, false)
-    if (!filesystem.rename(tmp, p))
+    if (!filesystem.rename(tmp, live))
       throw new RuntimeException(s"failed to write vacuum horizon for $ref")
+    // sweep strictly-superseded markers (the legacy unsuffixed one
+    // included) — pure garbage collection once the new max is durable
+    filesystem.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stale = n == horizonMarker ||
+        (n.startsWith(horizonMarker + ".") &&
+          n.drop(horizonMarker.length + 1).toLongOption.exists(_ < h))
+      if (stale) filesystem.delete(p, false)
+    }
   }
 
   /** Acquire the per-table writer lock for the duration of `body`.
@@ -1367,6 +1439,101 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** APPEND commit — `INSERT INTO` semantics, the write shape the SQL
+    * catalog's `SupportsWrite` routes through: stage `df`'s files,
+    * move them into the table, and commit a version listing the
+    * previous files PLUS the new ones. Nothing is retired, so under
+    * delta encoding a small insert into a huge table writes O(insert)
+    * log bytes. Same protocol as every other write: writer lock,
+    * crash recovery first, intent journal before any file lands, the
+    * log append as the atomic commit point, stats manifest maintained
+    * (new-file rows appended, table bloom property mirrored).
+    *
+    * Partitioned layouts are honored: the committed file list's
+    * `k=v/` directory components name the partition columns, and the
+    * staged write routes rows through `partitionBy` on them — an
+    * insert into a date-partitioned table lands inside its partitions
+    * and partition pruning keeps working. `df` must carry the
+    * partition columns (the SQL table schema exposes them, so a SQL
+    * INSERT always does). Returns the committed version.
+    */
+  def append(ref: TableRef, df: DataFrame,
+             meta: Map[String, String] = Map.empty): Long = withWriterLock(ref) {
+    recoverLocked(ref)
+    require(exists(ref) || currentVersion(ref).nonEmpty,
+      s"$ref does not exist — append needs a committed table (overwrite creates)")
+    val snap = ensureLogLocked(ref)
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    // partition columns from the committed layout: ordered k=v
+    // directory components of any file's relative path
+    val partCols: Seq[String] = snap.files.headOption.toSeq.flatMap { f =>
+      f.split('/').dropRight(1).toSeq
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    }
+    val missingParts = partCols.filterNot(df.columns.contains)
+    require(missingParts.isEmpty,
+      s"append to $ref needs partition column(s) ${missingParts.mkString(",")} " +
+        "in the frame (the table is directory-partitioned on them)")
+    val nonce = System.nanoTime().toString
+    val stage = new Path(path(ref) + s".tmp-append-$nonce")
+    try {
+      val writer =
+        if (partCols.isEmpty) df.write else df.write.partitionBy(partCols: _*)
+      writer.parquet(stage.toString)
+      val stagedStatuses = listDataFileStatuses(stage)
+      val stagedBase = filesystem.makeQualified(stage).toUri.getPath
+      val rels = stagedStatuses.map(st =>
+        filesystem.makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(stagedBase).stripPrefix("/"))
+      // next manifest BEFORE any file moves (it reads the old one);
+      // swapped in only after the commit, like replaceDataFiles
+      val statCols = statColumns(ref).filter(df.columns.contains)
+      val manifestTmp =
+        if (statCols.isEmpty || rels.isEmpty) None
+        else manifestDf(path(ref)).map { old =>
+          val oldBlooms = old.columns.filter(_.startsWith("bloom_"))
+            .map(_.stripPrefix("bloom_")).toSeq
+          // staged rel paths (partitionBy subdirs included) equal the
+          // committed rel paths — the move preserves them
+          val newStats = fileStats(spark.read.parquet(stage.toString),
+            stage.toString, statCols, oldBlooms)
+          val common = old.columns.filter(newStats.columns.contains).toSeq
+          val next = old.select(common.map(col): _*)
+            .unionByName(newStats, allowMissingColumns = true)
+          val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
+          next.coalesce(1).write.parquet(tmp.toString)
+          tmp
+        }
+      writeTxnJournal(ref, rels, Nil)
+      rels.zip(stagedStatuses).foreach { case (r, st) =>
+        val dest = new Path(tablePath, r)
+        filesystem.mkdirs(dest.getParent)
+        if (!filesystem.rename(st.getPath, dest))
+          throw new RuntimeException(s"failed to move $r into $ref")
+      }
+      val v = commitLocked(ref, snap.schemaJson, snap.files ++ rels,
+        Warehouse.withOp(meta, "APPEND"),
+        snap.fileMeta ++ rels.zip(stagedStatuses).map { case (r, st) =>
+          r -> (st.getLen, st.getModificationTime)
+        })
+      manifestTmp.foreach { tmp =>
+        val live = new Path(tablePath, statsDir)
+        filesystem.delete(live, true)
+        if (!filesystem.rename(tmp, live))
+          throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        if (!registerStatsAt(path(ref)))
+          TableStatsRegistry.invalidate(path(ref))
+      }
+      if (manifestTmp.isEmpty) TableStatsRegistry.invalidate(path(ref))
+      filesystem.delete(new Path(tablePath, txnFile), false)
+      v
+    } finally {
+      filesystem.delete(stage, true)
+      ()
+    }
+  }
+
   /** Current table schema WITHOUT opening data files: the committed
     * snapshot carries the schema as JSON, so logged tables answer from
     * the log alone — schema-compatibility checks on merge/replace paths
@@ -1419,25 +1586,24 @@ final class Warehouse(spark: SparkSession, val root: String,
     // stats manifest when it has them (zero I/O) and otherwise from a
     // zero-data-column count over ONLY the touched files — the pushed
     // planning scan above stays untouched either way.
-    val touchedNames = touched.map(new Path(_).getName)
+    val touchedRels = touched.map(relKey(ref))
     val fromManifest: Map[String, Long] = manifestDf(path(ref)) match {
       case Some(m) if m.columns.contains("rows") =>
-        m.filter(col("file").isin(touchedNames: _*) && col("rows").isNotNull)
+        m.filter(col("file").isin(touchedRels: _*) && col("rows").isNotNull)
           .select("file", "rows").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       case _ => Map.empty
     }
-    val missing = touched.filterNot(p =>
-      fromManifest.contains(new Path(p).getName))
+    val missing = touched.filterNot(p => fromManifest.contains(relKey(ref)(p)))
     val counted: Map[String, Long] =
       if (missing.isEmpty) Map.empty
       else spark.read.option("basePath", path(ref)).parquet(missing: _*)
         .groupBy(input_file_name().as("__file"))
         .agg(count(lit(1)).as("__total"))
-        .collect().map(r => (new Path(r.getString(0)).getName, r.getLong(1)))
+        .collect().map(r => (relKey(ref)(r.getString(0)), r.getLong(1)))
         .toMap
     def totalOf(p: String): Long = {
-      val n = new Path(p).getName
+      val n = relKey(ref)(p)
       fromManifest.getOrElse(n, counted(n))
     }
     val partial = perFile.filter(r => r.getLong(1) < totalOf(r.getString(0)))
@@ -1461,7 +1627,14 @@ final class Warehouse(spark: SparkSession, val root: String,
   def drop(ref: TableRef): Unit = {
     val p = new Path(path(ref))
     fs(p).delete(p, true)
-    ()
+    // the JVM-wide log/manifest caches fingerprint by (len, mtime) —
+    // a recreate that reuses version numbers with byte-identical
+    // content inside the filesystem's mtime granularity would
+    // otherwise serve the DROPPED table's file lists. In-process
+    // drops purge eagerly (the common suite/bench path); a drop by
+    // ANOTHER process remains guarded only by the fingerprint.
+    Warehouse.purgeCaches(path(ref))
+    TableStatsRegistry.invalidate(path(ref))
   }
 
   /** Enumerate all tables as `$root/catalog/schema/table` directories
@@ -1602,8 +1775,12 @@ final class Warehouse(spark: SparkSession, val root: String,
     * The collection pass reads ONLY the stat columns (column-pruned
     * parquet scan — IO proportional to the indexed columns, not the
     * table) and aggregates per input file: the same write-time stats
-    * discipline Delta/Iceberg use, kept engine-native. Keyed by file
-    * BASENAME, which the rename swap preserves.
+    * discipline Delta/Iceberg use, kept engine-native. Keyed by the
+    * file's TABLE-RELATIVE PATH (which the rename swap preserves):
+    * `partitionBy` layouts reuse one task's part-file basename across
+    * partition directories, so a basename key would silently merge
+    * distinct files into one row — killing per-file pruning and the
+    * metadata-aggregate provability exactly on partitioned tables.
     */
   private def writeStats(dir: String, statsColumns: Seq[String],
                          bloomColumns: Seq[String]): Unit = {
@@ -1612,7 +1789,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(missing.isEmpty,
       s"stats column(s) not in table: ${missing.mkString(",")} " +
         "(partition columns carry no file stats — prune on the partition instead)")
-    fileStats(data, statsColumns, bloomColumns)
+    fileStats(data, dir, statsColumns, bloomColumns)
       .coalesce(1) // one manifest row per data file: always tiny
       .write.mode("overwrite").parquet(s"$dir/$statsDir")
   }
@@ -1631,12 +1808,16 @@ final class Warehouse(spark: SparkSession, val root: String,
   private val bloomWords = 64
   private val bloomBits = bloomWords * 64
 
-  /** Per-file stats rows (file basename, row count, min_c/max_c/ndv_c
-    * columns, plus bloom_c word arrays for `bloomColumns`) for the
-    * given frame — a column-pruned scan of only the stat columns. The
-    * approximate per-file distinct count feeds the
-    * [[TableStatsRegistry]] cardinality signal; the bloom word array
-    * feeds equality skipping ([[readPrunedEq]]).
+  /** Per-file stats rows (file key = path RELATIVE to `baseDir`, with
+    * `relPrefix` prepended when the staged flat files land inside a
+    * partition subdir; row count, min_c/max_c/ndv_c columns, plus
+    * bloom_c word arrays for `bloomColumns`) for the given frame — a
+    * column-pruned scan of only the stat columns. The approximate
+    * per-file distinct count feeds the [[TableStatsRegistry]]
+    * cardinality signal; the bloom word array feeds equality skipping
+    * ([[readPrunedEq]]). A file whose URI unexpectedly escapes the
+    * base prefix keys by basename — the conservative pre-r15 shape
+    * consumers simply fail to match (keep-the-file).
     *
     * Blooms are OPT-IN per column (`Warehouse.overwrite(bloomColumns)`,
     * then durable for the table's life): the 64 bit_or word aggregates
@@ -1646,8 +1827,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     * degrades [[splitFilesByValue]] to range-only, never to wrong
     * answers.
     */
-  private def fileStats(data: DataFrame, statsColumns: Seq[String],
-                        bloomColumns: Seq[String] = Nil): DataFrame = {
+  private def fileStats(data: DataFrame, baseDir: String,
+                        statsColumns: Seq[String],
+                        bloomColumns: Seq[String] = Nil,
+                        relPrefix: Option[String] = None): DataFrame = {
     // per column: one word-array bloom built as `bloomWords` bit_or
     // aggregates (elementwise-OR of arrays has no native aggregate);
     // NULL values contribute no bits — equality lookup is non-null by
@@ -1660,9 +1843,22 @@ final class Warehouse(spark: SparkSession, val root: String,
     // Probes = pmod(xxhash64, bits) and pmod(xxhash64 >> 21, bits) —
     // splitFilesByValue mirrors this arithmetic on the driver.
     val blooms = bloomColumns.filter(statsColumns.contains)
+    // base-relative key: strip the scheme from input_file_name's URI
+    // form the same way the driver-side base is normalized, so
+    // "file:///x/seg=a/p.parquet" under base "/x" keys as
+    // "seg=a/p.parquet" — identical to the commit log's rel paths
+    val basePath = new Path(baseDir)
+    val base = fs(basePath).makeQualified(basePath).toUri.getPath
+      .stripSuffix("/")
+    val noScheme = org.apache.spark.sql.functions.regexp_replace(
+      input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    val relRaw = when(noScheme.startsWith(base + "/"),
+        noScheme.substr(lit(base.length + 2), lit(Int.MaxValue)))
+      .otherwise(element_at(split(noScheme, "/"), -1))
+    val rel = relPrefix.fold(relRaw)(d =>
+      org.apache.spark.sql.functions.concat(lit(d + "/"), relRaw))
     val probed = blooms.foldLeft(
-        data.withColumn("__file",
-          element_at(split(input_file_name(), "/"), -1))) { (df, c) =>
+        data.withColumn("__file", rel)) { (df, c) =>
       val h = s"xxhash64(`$c`)"
       df.withColumn(s"__bp1_$c", expr(s"pmod($h, ${bloomBits}L)"))
         .withColumn(s"__bp2_$c", expr(s"pmod(shiftright($h, 21), ${bloomBits}L)"))
@@ -1824,7 +2020,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       .map(partitionCurrent(ref, _))
 
   /** (mayOverlap, provablyDisjoint) over the CURRENT version's files
-    * for an excluded-basename set — the splitFiles* tail. Snapshot
+    * for an excluded-key set — the splitFiles* tail. Snapshot
     * readers must NOT use this shape: a pinned version's files retired
     * from the current list land in neither side (use the excludedBy*
     * sets directly and keep everything not in them).
@@ -1832,17 +2028,31 @@ final class Warehouse(spark: SparkSession, val root: String,
   private def partitionCurrent(ref: TableRef,
                                excluded: Set[String]): (Seq[String], Seq[String]) = {
     val (disjoint, overlap) = currentDataFiles(ref)
-      .partition(p => excluded.contains(p.getName))
+      .partition(p => excluded.contains(relKey(ref)(p.toString)))
     (overlap.map(_.toString), disjoint.map(_.toString))
   }
 
-  /** Basenames the stats manifest PROVABLY excludes for values in
+  /** A (possibly URI-form) data-file path in the manifest's key space:
+    * the table-relative path, or the basename when the path escapes
+    * the table root (the conservative shape consumers fail to match).
+    */
+  private def relKey(ref: TableRef)(p: String): String = {
+    val tablePath = new Path(path(ref))
+    val base = fs(tablePath).makeQualified(tablePath).toUri.getPath
+      .stripSuffix("/")
+    val fsPath = new Path(p).toUri.getPath
+    if (fsPath.startsWith(base + "/")) fsPath.substring(base.length + 1)
+    else fsPath.split('/').last
+  }
+
+  /** Manifest file keys (table-relative paths) the stats manifest
+    * PROVABLY excludes for values in
     * `[lo, hi]` on `column` (None on a side = unbounded). None when the
     * table has no manifest entry for the column.
     *
     * Exclusion sets are SNAPSHOT-SAFE where keep-lists are not: data
     * files are immutable and uniquely named (Spark part-file UUIDs), so
-    * a manifest row describes its file forever — a basename in this set
+    * a manifest row describes its file forever — a key in this set
     * cannot hold a matching row in ANY version. A time-travel reader
     * ([[graft.catalog.GraftCatalog]] under `VERSION AS OF`) therefore
     * prunes by dropping members of this set and KEEPING everything
@@ -1880,7 +2090,7 @@ final class Warehouse(spark: SparkSession, val root: String,
                         value: Any): Option[(Seq[String], Seq[String])] =
     excludedByValue(ref, column, value).map(partitionCurrent(ref, _))
 
-  /** Basenames the stats manifest provably excludes for `column =
+  /** Manifest keys the stats manifest provably excludes for `column =
     * value` (min/max interval + per-file bloom). Same snapshot-safe
     * exclusion contract as [[excludedByBounds]].
     */
@@ -1888,7 +2098,7 @@ final class Warehouse(spark: SparkSession, val root: String,
                       value: Any): Option[Set[String]] =
     excludedByValues(ref, column, Seq(value))
 
-  /** Basenames provably excluded for `column IN (values...)`: a file
+  /** Manifest keys provably excluded for `column IN (values...)`: a file
     * is excludable only when it excludes EVERY value (per-value
     * min/max interval + bloom tests, AND-ed) — the point-lookup shape
     * `WHERE k IN (...)` that previously got zero file skipping through
@@ -1941,7 +2151,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
-  /** Basenames provably excluded for `column IS NULL` (`isNull =
+  /** Manifest keys provably excluded for `column IS NULL` (`isNull =
     * true`: files with a ZERO null count) or `column IS NOT NULL`
     * (files where every row is null). Rides the manifest's per-file
     * `nulls_<c>` column; manifests written before null counts existed
@@ -1963,7 +2173,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     }
 
-  /** Basenames provably excluded for `column LIKE 'prefix%'` on a
+  /** Manifest keys provably excluded for `column LIKE 'prefix%'` on a
     * STRING stats column: `max < prefix` puts every value below the
     * prefixed range, and `substring(min, 1, len) > prefix` puts every
     * value above it (any prefixed string compares below `min` on its
@@ -2013,7 +2223,10 @@ final class Warehouse(spark: SparkSession, val root: String,
                         aggs: Seq[Warehouse.MetaAgg]): Option[Seq[Any]] = {
     import Warehouse.{ColCount, ColMax, ColMin, RowCount}
     if (aggs.isEmpty) return None
-    val names = files.map(f => new Path(f).getName)
+    // `files` are snapshot rel paths — the manifest's key space (a
+    // pre-r15 basename-keyed manifest over a partitioned layout simply
+    // fails the per-file validation below → honest scan fallback)
+    val names = files
     if (names.isEmpty)
       return Some(aggs.map {
         case RowCount | ColCount(_) => 0L
@@ -2080,6 +2293,57 @@ final class Warehouse(spark: SparkSession, val root: String,
           if (!valid) None
           else Some(aggs.indices.map(i => row.get(validation.size + i)))
         }
+      }
+    }
+  }
+
+  /** Per-column PLANNER statistics for a snapshot's file list, folded
+    * from the stats manifest: per stat column, the summed per-file
+    * approximate NDV (an upper estimate — cross-file repeats double-
+    * count — which is the conservative direction for join sizing),
+    * the exact null count, and the exact min/max. ESTIMATES feeding
+    * CBO ([[GraftScan.estimateStatistics]]'s `columnStats`), not query
+    * answers — but still emitted only when every snapshot file has
+    * exactly one manifest row (the metadataAggregate accounting
+    * discipline): a partial manifest yields None and the planner
+    * keeps its size-only estimate rather than mixing eras. One
+    * driver-local aggregate; None past the materialization cutoff.
+    */
+  def columnStatsFor(ref: TableRef, files: Seq[String])
+      : Option[Map[String, Warehouse.ColStats]] = {
+    if (files.isEmpty) return None
+    manifestLocalDf(path(ref)).flatMap { m =>
+      val cols = m.columns.collect {
+        case c if c.startsWith("ndv_") => c.stripPrefix("ndv_")
+      }.toSeq
+      if (cols.isEmpty || !m.columns.contains("rows")) None
+      else {
+        val f = m.filter(col("file").isin(files: _*))
+        val validation: Seq[Column] = Seq(
+          count(lit(1)).as("__n"), countDistinct(col("file")).as("__nd"),
+          count(col("rows")).as("__nr"))
+        val perCol: Seq[Column] = cols.flatMap { c =>
+          Seq(sum(col(s"ndv_$c")), count(col(s"ndv_$c")),
+            if (m.columns.contains(s"nulls_$c")) sum(col(s"nulls_$c"))
+            else lit(null).cast("long"),
+            min(col(s"min_$c")), max(col(s"max_$c")))
+        }
+        val all = validation ++ perCol
+        val row = f.agg(all.head, all.tail: _*).head()
+        val n = files.size.toLong
+        if (row.getLong(0) != n || row.getLong(1) != n || row.getLong(2) != n)
+          None
+        else Some(cols.zipWithIndex.flatMap { case (c, i) =>
+          val base = validation.size + i * 5
+          // NDV present for every file, or the column sits out
+          if (row.getLong(base + 1) != n) None
+          else Some(c -> Warehouse.ColStats(
+            ndv = Some(row.getLong(base)),
+            nullCount = if (row.isNullAt(base + 2)) None
+              else Some(row.getLong(base + 2)),
+            min = Option(row.get(base + 3)),
+            max = Option(row.get(base + 4))))
+        }.toMap).filter(_.nonEmpty)
       }
     }
   }
@@ -2169,8 +2433,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       // (stale entries never match the live list)
       val manifest = manifestDf(path(ref))
       manifest.foreach { old =>
-        val replacedNames = replaced.map(new Path(_).getName)
-        val next = old.filter(!col("file").isin(replacedNames: _*))
+        val next = old.filter(!col("file").isin(replacedRels: _*))
         val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
         next.coalesce(1).write.parquet(tmp.toString)
         val live = new Path(tablePath, statsDir)
@@ -2247,13 +2510,12 @@ final class Warehouse(spark: SparkSession, val root: String,
       val newFiles = newStatuses.map(_.getPath)
       // build the next manifest BEFORE touching data files (it reads
       // the old manifest); swap it in last — see contract above
-      val replacedNames = replaced.map(new Path(_).getName)
       val statCols = statColumns(ref).filter(replacement.columns.contains)
       val manifestTmp =
         if (statCols.isEmpty) None
         else manifestDf(path(ref)).map { old =>
-          val kept0 = if (replacedNames.isEmpty) old
-            else old.filter(!col("file").isin(replacedNames: _*))
+          val kept0 = if (replacedRels.isEmpty) old
+            else old.filter(!col("file").isin(replacedRels: _*))
           // a retire-only replacement (e.g. deleteWhere dropping whole
           // files) stages ZERO new files — there is nothing to stat and
           // an empty-dir parquet read would fail schema inference
@@ -2266,8 +2528,10 @@ final class Warehouse(spark: SparkSession, val root: String,
               // drop the table's blooms otherwise)
               val oldBlooms = old.columns.filter(_.startsWith("bloom_"))
                 .map(_.stripPrefix("bloom_")).toSeq
+              // staged files sit flat; their committed rel paths gain
+              // the partition subdir, and the manifest key must match
               val newStats = fileStats(spark.read.parquet(stage.toString),
-                statCols, oldBlooms)
+                stage.toString, statCols, oldBlooms, relPrefix = subdir)
               // keep only columns the new stats also carry (dropped stat
               // columns fall away); allowMissingColumns backfills nulls on
               // pre-rows/ndv manifests — registerStats refuses partial sums
@@ -2586,11 +2850,36 @@ object Warehouse {
   private[catalog] def cachedHorizon(key: String, fp: String): Option[Long] =
     horizonCache.get(key).collect { case (f, h) if f == fp => h }
 
+  /** Evict every cached log/manifest entry under a table path —
+    * [[Warehouse.drop]]'s same-JVM staleness guard. Cache keys are
+    * qualified file-path strings (or `session:tablePath` for the
+    * manifest cache), so a scheme-insensitive normalized substring
+    * match covers all four maps.
+    */
+  private[catalog] def purgeCaches(tablePath: String): Unit = {
+    // substring on the normalized path: qualified keys embed it with a
+    // scheme prefix, manifest keys with a session prefix. Over-matching
+    // a sibling prefix table only evicts a rebuildable cache entry.
+    val needle = TableStatsRegistry.normalize(tablePath)
+    def hit(key: String): Boolean = key.contains(needle)
+    rawLogCache.keys.filter(hit).foreach(rawLogCache.remove)
+    resolvedCache.keys.filter(hit).foreach(resolvedCache.remove)
+    horizonCache.keys.filter(hit).foreach(horizonCache.remove)
+    manifestCache.keys.filter(hit).foreach(manifestCache.remove)
+  }
+
   /** Every Nth version is a full checkpoint even when the commit's
     * churn is small — bounds delta-resolution chains (and the log
     * files vacuum must retain as chain anchors) at N version files.
     */
   private[catalog] val checkpointEvery = 16L
+
+  /** One column's planner statistics, folded from the manifest —
+    * [[Warehouse.columnStatsFor]]'s row. `min`/`max` carry the
+    * manifest's external JVM values (the parquet read-back types).
+    */
+  final case class ColStats(ndv: Option[Long], nullCount: Option[Long],
+                            min: Option[Any], max: Option[Any])
 
   /** One aggregate shape [[Warehouse.metadataAggregate]] can answer
     * from the stats manifest without touching data files.

@@ -86,10 +86,22 @@ object Views {
     * (the QUALIFY latest-per-key family — each output row depends only
     * on base rows sharing its partition key).
     */
+  /** @param feedFor multi-view feed sharing: invoked with the exact
+    *        `(sinceVersion, currentVersion)` range this refresh needs;
+    *        a `Some` frame MUST be that range's [[Warehouse.changeFeed]]
+    *        (typically computed once and handed to each of N views
+    *        maintained over one base — N refreshes per cycle then cost
+    *        ONE feed scan, the medallion fan-out shape). `None` (the
+    *        default) computes the feed locally. Sound to share because
+    *        committed versions are immutable: a range's row-level diff
+    *        never changes.
+    */
   def refreshIncremental(spark: SparkSession, warehouse: Warehouse,
                          viewRef: TableRef, baseRef: TableRef,
                          sinceVersion: Long, viewSql: String,
-                         viewKeys: Seq[String], baseKeys: Seq[String]): Long = {
+                         viewKeys: Seq[String], baseKeys: Seq[String],
+                         feedFor: (Long, Long) => Option[org.apache.spark.sql.DataFrame] =
+                           (_, _) => None): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     import graft.util.PhaseTimer.time
     val cur = warehouse.currentVersion(baseRef).getOrElse(
@@ -99,7 +111,8 @@ object Views {
     // + delete); materialized once — it feeds the recompute slice, the
     // partition replace, and its pruning bounds
     val affected = time("mvrefresh.feed") {
-      warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
+      feedFor(sinceVersion, cur)
+        .getOrElse(warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys))
         .select(viewKeys.map(col): _*).distinct().localCheckpoint()
     }
     val recomputed = time("mvrefresh.plan") {
@@ -154,13 +167,15 @@ object Views {
   def refreshIncrementalAuto(spark: SparkSession, warehouse: Warehouse,
                              viewRef: TableRef, baseRef: TableRef,
                              viewSql: String, viewKeys: Seq[String],
-                             baseKeys: Seq[String]): Long = {
+                             baseKeys: Seq[String],
+                             feedFor: (Long, Long) => Option[org.apache.spark.sql.DataFrame] =
+                               (_, _) => None): Long = {
     val since = warehouse.latestCommitMeta(viewRef, BaseVersionMeta).getOrElse(
       throw new IllegalArgumentException(
         s"$viewRef carries no $BaseVersionMeta commit meta — materialize " +
           "it first")).toLong
     refreshIncremental(spark, warehouse, viewRef, baseRef, since, viewSql,
-      viewKeys, baseKeys)
+      viewKeys, baseKeys, feedFor)
   }
 
   /** One aggregate column of an aggregate materialized view:
@@ -314,13 +329,15 @@ object Views {
   def refreshIncrementalAggAuto(spark: SparkSession, warehouse: Warehouse,
                                 viewRef: TableRef, baseRef: TableRef,
                                 groupKeys: Seq[String], aggs: Seq[AggSpec],
-                                baseKeys: Seq[String]): Long = {
+                                baseKeys: Seq[String],
+                                feedFor: (Long, Long) => Option[org.apache.spark.sql.DataFrame] =
+                                  (_, _) => None): Long = {
     val since = warehouse.latestCommitMeta(viewRef, BaseVersionMeta).getOrElse(
       throw new IllegalArgumentException(
         s"$viewRef carries no $BaseVersionMeta commit meta — materialize " +
           "it with materializeAgg first")).toLong
     refreshIncrementalAgg(spark, warehouse, viewRef, baseRef, since,
-      groupKeys, aggs, baseKeys)
+      groupKeys, aggs, baseKeys, feedFor)
   }
 
   private def validate(groupKeys: Seq[String], aggs: Seq[AggSpec]): Unit = {
@@ -375,12 +392,17 @@ object Views {
     * streaming loop does so naturally; a batch backfill must not race
     * it) — the same semantic-serialization contract Delta documents
     * for concurrent MERGE.
+    *
+    * `feedFor` shares one feed scan across N views maintained over one
+    * base — see [[refreshIncremental]]'s param doc.
     */
   def refreshIncrementalAgg(spark: SparkSession, warehouse: Warehouse,
                             viewRef: TableRef, baseRef: TableRef,
                             sinceVersion: Long, groupKeys: Seq[String],
                             aggs: Seq[AggSpec],
-                            baseKeys: Seq[String]): Long = {
+                            baseKeys: Seq[String],
+                            feedFor: (Long, Long) => Option[org.apache.spark.sql.DataFrame] =
+                              (_, _) => None): Long = {
     import org.apache.spark.sql.functions._
     import graft.util.PhaseTimer.time
     validate(groupKeys, aggs)
@@ -407,7 +429,8 @@ object Views {
     // one feed pass → one thin (group, deltas) frame; materialized
     // because it feeds the merge, the dirty set, AND the replace bounds
     val deltas = time("mvagg.feed") {
-      warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys)
+      feedFor(sinceVersion, cur)
+        .getOrElse(warehouse.changeFeed(baseRef, sinceVersion, cur, baseKeys))
         .groupBy(groupKeys.map(col): _*)
         .agg(deltaCols.head, deltaCols.tail: _*)
         .localCheckpoint()

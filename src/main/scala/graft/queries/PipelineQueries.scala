@@ -868,7 +868,7 @@ object PipelineQueries {
     graft.gold.Views.AggSpec("ndv_dates", "approx_ndv", "order_day"))
 
   private final case class GoldMvChurn(wh: Warehouse, silver: TableRef,
-      v1: Long, v2: Long)
+      v1: Long, v2: Long, vEnd: Long = -1L)
 
   // bigint cents alongside the double price: the delta-merged SUM
   // must be bit-comparable to the oracle's full recompute; order_day
@@ -922,8 +922,27 @@ object PipelineQueries {
       mt.upsert(orders // v5: a cloned order book - brand-new groups
         .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
         .withColumn("o_custkey", $"o_custkey" + 1000000L))
-      f
+      f.copy(vEnd = f.wh.currentVersion(f.silver).get)
     }
+
+  /** ONE change-feed scan for the five v2→vEnd incremental-MV gates
+    * (four aggregate views + the latest-per-key delete view — the
+    * medallion fan-out shape [[graft.gold.Views]]' `feedFor` hook
+    * exists for): each refresh asks for its exact range, and only the
+    * shared (v2, vEnd) cold range answers from the memo — any other
+    * range (a warm rerun never asks; a future gate might) computes
+    * its own feed. `uses = 5` drains the checkpoint after its last
+    * consumer.
+    */
+  private def goldMvSharedFeed(spark: SparkSession, dir: String,
+                               f: GoldMvChurn)(from: Long, to: Long)
+      : Option[DataFrame] =
+    if (from == f.v2 && to == f.vEnd)
+      Some(graft.util.Scratch.once(spark, dir, "goldmv.feed", uses = 5) {
+        f.wh.changeFeed(f.silver, from, to, Seq("o_orderkey"))
+          .localCheckpoint()
+      })
+    else None
 
   /** Build one gate's aggregate view lazily (build-once per JVM+dir),
     * CTAS AS OF the pinned version, and return its ref.
@@ -1013,7 +1032,8 @@ object PipelineQueries {
     graft.util.PhaseTimer.time("gdel.refresh") {
       graft.gold.Views.refreshIncrementalAuto(spark, f.wh, ref, f.silver,
         goldMvDelViewSql,
-        viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"))
+        viewKeys = Seq("o_custkey"), baseKeys = Seq("o_orderkey"),
+        feedFor = goldMvSharedFeed(spark, dir, f))
     }
     f.wh.read(ref)
   }
@@ -1047,7 +1067,7 @@ object PipelineQueries {
     graft.util.PhaseTimer.time("gagg.refresh") {
       graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggFullSpecs,
-        baseKeys = Seq("o_orderkey"))
+        baseKeys = Seq("o_orderkey"), feedFor = goldMvSharedFeed(spark, dir, f))
     }
     f.wh.read(ref)
   }
@@ -1073,7 +1093,7 @@ object PipelineQueries {
     graft.util.PhaseTimer.time("gaggd.refresh") {
       graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggDeltaSpecs,
-        baseKeys = Seq("o_orderkey"))
+        baseKeys = Seq("o_orderkey"), feedFor = goldMvSharedFeed(spark, dir, f))
     }
     f.wh.read(ref)
   }
@@ -1101,7 +1121,7 @@ object PipelineQueries {
     graft.util.PhaseTimer.time("gavg.refresh") {
       graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggAvgSpecs,
-        baseKeys = Seq("o_orderkey"))
+        baseKeys = Seq("o_orderkey"), feedFor = goldMvSharedFeed(spark, dir, f))
     }
     f.wh.read(ref)
   }
@@ -1138,7 +1158,7 @@ object PipelineQueries {
     graft.util.PhaseTimer.time("ghll.refresh") {
       graft.gold.Views.refreshIncrementalAggAuto(spark, f.wh, ref,
         f.silver, Seq("o_custkey"), goldAggHllSpecs,
-        baseKeys = Seq("o_orderkey"))
+        baseKeys = Seq("o_orderkey"), feedFor = goldMvSharedFeed(spark, dir, f))
     }
     val full = f.wh.read(f.silver).groupBy($"o_custkey")
       .agg(count_distinct($"order_day").as("exact_dates"),
@@ -1220,17 +1240,17 @@ object PipelineQueries {
     * catalog instances per name, so a per-root name keeps multi-SF
     * sessions from resolving a stale root.
     */
-  /** ONE fixture family for all six SQL-catalog gates: one warehouse
+  /** ONE fixture family for all seven SQL-catalog gates: one warehouse
     * root, one catalog registration, one cached pass over the orders
     * slice feeding five table layouts (range-clustered, partitioned ×2,
-    * nullable-stats, hash+bloom). `uses = 6` keeps the bench's drain
-    * accounting exact (qSqlCall consumes only the root + catalog — its
-    * mutable table is per-invocation); per-gate cost collapses to the
-    * query itself.
+    * nullable-stats, hash+bloom). `uses = 7` keeps the bench's drain
+    * accounting exact (qSqlCall and qSqlInsert consume only the root +
+    * catalog — their mutable tables are per-invocation, dropped on
+    * exit); per-gate cost collapses to the query itself.
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 6) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 7) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1509,10 +1529,15 @@ object PipelineQueries {
     val compacted = spark.sql(
       s"CALL $cat.system.compact('silver.facts.$table')").head().getInt(1)
     val intact = count() == before
-    spark.sql(s"CALL $cat.system.history('silver.facts.$table')")
+    // CALL executes eagerly (CommandResult rows are already local), so
+    // the per-invocation table can drop NOW — warm bench re-runs must
+    // not accumulate tables (and data files) in the shared root
+    val out = spark.sql(s"CALL $cat.system.history('silver.facts.$table')")
       .select($"version", $"operation")
       .withColumn("compacted", lit(compacted > 0))
       .withColumn("data_intact", lit(intact))
+    wh.drop(ref)
+    out
   }
 
   val qSqlCallSql: String =
@@ -1521,6 +1546,67 @@ object PipelineQueries {
       |  (CAST(2 AS BIGINT), 'DELETE',    true, true),
       |  (CAST(1 AS BIGINT), 'OVERWRITE', true, true))
       |  AS t(version, operation, compacted, data_intact)""".stripMargin
+
+  /** SQL DML writes end-to-end (round-14 verdict, next #1 —
+    * [[graft.catalog.GraftSqlTable]]'s `SupportsWrite`): `INSERT INTO`
+    * routes through [[Warehouse.append]] (a delta commit under the
+    * writer lock) and `INSERT OVERWRITE` through [[Warehouse.overwrite]]
+    * (the atomic versioned replace) — the commit protocol the
+    * previously read-only-DML catalog would have been bypassed by.
+    * The gate seeds v1 via the Scala API, appends a slice by SQL,
+    * replaces the table by SQL, reads each state back THROUGH SQL and
+    * value-checks both against DuckDB; the `ops` ledger pins that the
+    * three versions carry the three expected operation stamps (i.e.
+    * the writes actually went through the versioned log, not a side
+    * channel). Per-invocation table inside the shared family root,
+    * dropped on exit (results are materialized first).
+    */
+  def qSqlInsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_ins_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val slice = Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" <= 1000) // identical slice at every SF
+      .select($"o_orderkey", $"o_totalprice")
+    wh.overwrite(ref,
+      slice.filter($"o_orderkey" <= 500).repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                              // v1
+    slice.filter($"o_orderkey" > 500).createOrReplaceTempView("sql_ins_src")
+    spark.sql(                                                       // v2
+      s"""INSERT INTO $cat.silver.facts.$table
+         |SELECT o_orderkey, o_totalprice FROM sql_ins_src
+         |WHERE o_orderkey <= 800""".stripMargin)
+    val afterInsert = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("phase", lit("insert"))
+    spark.sql(                                                       // v3
+      s"""INSERT OVERWRITE $cat.silver.facts.$table
+         |SELECT o_orderkey, o_totalprice FROM sql_ins_src
+         |WHERE o_orderkey > 800""".stripMargin)
+    val afterOverwrite = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("phase", lit("overwrite"))
+    val ops = wh.history(ref).select($"version", $"operation").collect()
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}").sorted.mkString(",")
+    val out = afterInsert.unionByName(afterOverwrite)
+      .withColumn("ops", lit(ops))
+    // materialize before dropping the per-invocation table (the lazy
+    // plan references its files)
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qSqlInsertSql: String =
+    """SELECT o_orderkey, o_totalprice, 'insert' AS phase,
+      |       '1:OVERWRITE,2:APPEND,3:OVERWRITE' AS ops
+      |FROM orders WHERE o_orderkey <= 800
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'overwrite' AS phase,
+      |       '1:OVERWRITE,2:APPEND,3:OVERWRITE' AS ops
+      |FROM orders WHERE o_orderkey > 800 AND o_orderkey <= 1000""".stripMargin
 
   /** DESCRIBE HISTORY end-to-end: five writes through five DIFFERENT
     * code paths (overwrite → merge → row-level delete → compaction →
@@ -1573,6 +1659,7 @@ object PipelineQueries {
     "q_sql_runtime_prune" -> (qSqlRuntimePrune _),
     "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_call" -> (qSqlCall _),
+    "q_sql_insert" -> (qSqlInsert _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1613,6 +1700,7 @@ object PipelineQueries {
     "q_sql_runtime_prune" -> qSqlRuntimePruneSql,
     "q_sql_dpp" -> qSqlDppSql,
     "q_sql_call" -> qSqlCallSql,
+    "q_sql_insert" -> qSqlInsertSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,

@@ -219,6 +219,73 @@ class DeltaLogSpec extends SparkSpec {
     assert(wh.earliestVersion(ref).contains(6L))
   }
 
+  test("the vacuum horizon takes the max over surviving markers (crash-safe raise; legacy marker honored)") {
+    import spark.implicits._
+    val root = tmpDir("wh-hmarker")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "hmk")
+    wh.overwrite(ref, (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(2), statsColumns = Seq("k"))                        // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((41L, "x")).toDF("k", "v").coalesce(1))             // v2
+    mt.upsert(Seq((42L, "x")).toDF("k", "v").coalesce(1))             // v3
+    wh.vacuum(ref, keepVersions = 2)
+    val logDir = Paths.get(s"$root/silver/g/hmk/_graft_log")
+    assert(Files.exists(logDir.resolve("_horizon.2")),
+      "the horizon marker carries its value in its unique name")
+    assert(wh.earliestVersion(ref).contains(2L))
+    // a later vacuum that crashed between landing its NEW marker and
+    // sweeping the old one leaves TWO markers: readers take the max,
+    // so versions a vacuum already stripped can never re-surface
+    Files.write(logDir.resolve("_horizon.3"), "3\n".getBytes("UTF-8"))
+    assert(wh.earliestVersion(ref).contains(3L))
+    val e = intercept[IllegalArgumentException](wh.snapshotAt(ref, 2))
+    assert(e.getMessage.contains("vacuumed"))
+    // the next horizon RAISE converges back to a single marker at the
+    // new max, sweeping both stale markers
+    mt.upsert(Seq((43L, "y")).toDF("k", "v").coalesce(1))             // v4
+    wh.vacuum(ref, keepVersions = 1)
+    assert(Files.exists(logDir.resolve("_horizon.4")))
+    assert(!Files.exists(logDir.resolve("_horizon.2")) &&
+      !Files.exists(logDir.resolve("_horizon.3")),
+      "superseded markers are swept once the new max is durable")
+    assert(wh.read(ref).count() === 43L)
+    // legacy unsuffixed marker (tables vacuumed by earlier builds)
+    // still reads — and max() composes it with suffixed ones
+    Files.delete(logDir.resolve("_horizon.4"))
+    Files.write(logDir.resolve("_horizon"), "3\n".getBytes("UTF-8"))
+    assert(wh.earliestVersion(ref).contains(3L))
+  }
+
+  test("drop + recreate sharing (len, mtime) on the log file reads the NEW data, not the cached list") {
+    import spark.implicits._
+    val root = tmpDir("wh-dropre")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "dropre")
+    wh.overwrite(ref, Seq((1L, "aa")).toDF("k", "v").coalesce(1))
+    assert(wh.read(ref).as[(Long, String)].collect() === Array((1L, "aa")))
+    val vPath = Paths.get(s"$root/silver/g/dropre/_graft_log/v00000001")
+    val oldLen = Files.size(vPath)
+    val oldMtime = Files.getLastModifiedTime(vPath).toMillis
+    wh.snapshotAt(ref, 1) // warm the JVM-wide raw+resolved caches
+    wh.drop(ref)
+    wh.overwrite(ref, Seq((2L, "bb")).toDF("k", "v").coalesce(1))
+    // force the worst-case fingerprint collision: same length (UUID
+    // part names + same schema keep it equal) and the SAME mtime
+    if (Files.size(vPath) == oldLen) {
+      Files.setLastModifiedTime(vPath,
+        java.nio.file.attribute.FileTime.fromMillis(oldMtime))
+      assert(new Warehouse(spark, root).read(ref)
+        .as[(Long, String)].collect() === Array((2L, "bb")),
+        "drop() must purge the JVM caches — a recreated table served " +
+          "the dropped table's file list")
+    } else {
+      // lengths diverged (environmental): the fingerprint alone already
+      // distinguishes the logs; nothing to force
+      assert(wh.read(ref).as[(Long, String)].collect() === Array((2L, "bb")))
+    }
+  }
+
   test("meta values containing '=' round-trip; tab/newline are rejected at write time") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-metaesc"))

@@ -93,9 +93,13 @@ class GraftCatalogSpec extends SparkSpec {
            |TIMESTAMP AS OF '$preDeleteSql'""".stripMargin)
       .head().getLong(0) === 1000L)
 
-    // read-only: INSERT fails (no SupportsWrite), DDL throws loudly
-    intercept[Exception](
-      spark.sql("INSERT INTO graftsql.silver.g.facts VALUES (9999, 'x')"))
+    // DML writes route through the commit protocol: INSERT INTO is an
+    // APPEND commit visible to the next query; DDL still throws loudly
+    spark.sql("INSERT INTO graftsql.silver.g.facts VALUES (9999, 'x')")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.facts")
+      .head().getLong(0) === 501L)
+    assert(wh.commitMeta(ref, wh.currentVersion(ref).get)
+      .get(Warehouse.OpMeta).contains("APPEND"))
     val e = intercept[UnsupportedOperationException](
       spark.sql("DROP TABLE graftsql.silver.g.facts"))
     assert(e.getMessage.contains("read-only"))
@@ -452,10 +456,11 @@ class GraftCatalogSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.graftsqlmt", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graftsqlmt.root", root)
 
-    // PARTITIONED: partitionBy may reuse one task's part-file name
-    // across partition dirs, which breaks the one-manifest-row-per-
-    // snapshot-file accounting — the answer must be right either way
-    // (metadata-only when basenames happen unique, scan otherwise)
+    // PARTITIONED: partitionBy reuses one task's part-file name across
+    // partition dirs — the manifest keys by TABLE-RELATIVE PATH, so
+    // every physical file keeps its own row and the one-row-per-
+    // snapshot-file accounting holds: the aggregate answers
+    // METADATA-ONLY (round-14 verdict, next #3)
     val pRef = TableRef("silver", "g", "maggpart")
     wh.overwrite(pRef,
       (1L to 200L).map(i => (i, s"g${i % 4}")).toDF("k", "p"),
@@ -463,6 +468,17 @@ class GraftCatalogSpec extends SparkSpec {
     val pq = spark.sql(
       "SELECT count(*) AS c, max(k) AS m FROM graftsqlmt.silver.g.maggpart")
     assert(pq.collect().map(_.toSeq).toSeq === Seq(Seq(200L, 200L)))
+    assert(deepScans(pq.queryExecution.executedPlan).isEmpty,
+      "a partitioned table's aggregate must answer from the path-keyed " +
+        "manifest alone — zero data files opened")
+    // ...and per-FILE stats prune across partition dirs too: the k
+    // blocks are task-contiguous, so a tight WHERE keeps only one
+    // task's files in each matching partition
+    val ppr = spark.sql(
+      "SELECT k FROM graftsqlmt.silver.g.maggpart WHERE k <= 10")
+    assert(ppr.as[Long].collect().sorted === (1L to 10L))
+    assert(plannedFiles(ppr).size < wh.dataFiles(pRef).size,
+      "per-file range stats must keep pruning on a partitioned layout")
 
     // TIME TRAVEL, append-only: the pinned version's files are a
     // SUBSET of the current manifest — the sum over exactly those
@@ -622,5 +638,148 @@ class GraftCatalogSpec extends SparkSpec {
     assert(q.as[String].collect().toSeq === Seq("v443"))
     assert(plannedFiles(q).size < total,
       s"bloom pushdown never pruned: ${plannedFiles(q).size}/$total files")
+  }
+
+  test("manifest column statistics reach the optimizer: NDV-driven join cardinality without ANALYZE") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcbo")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "cbo")
+    wh.overwrite(ref, (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(8, $"k"), statsColumns = Seq("k"))
+    spark.conf.set("spark.sql.catalog.graftcbo", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftcbo.root", root)
+
+    // the DSv2 columnStats surface lands in catalyst attribute stats
+    val q = spark.sql("SELECT * FROM graftcbo.silver.g.cbo")
+    val rel = q.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    val kStat = rel.stats.attributeStats.find(_._1.name == "k").map(_._2)
+      .getOrElse(fail("no attribute stats for k — columnStats never flowed"))
+    assert(kStat.distinctCount.exists(d => d >= BigInt(900) && d <= BigInt(1100)),
+      s"manifest NDV should be ~1000, got ${kStat.distinctCount}")
+    assert(kStat.nullCount.contains(BigInt(0)))
+    assert(rel.stats.rowCount.contains(BigInt(1000)),
+      "exact committed row count must ride along")
+
+    // with CBO on, join cardinality estimates from rows·rows/max(ndv)
+    // — ~1000 for this 1:1 self join, instead of a byte-ratio guess
+    val cboKeys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = cboKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val j = spark.sql(
+        """SELECT a.k FROM graftcbo.silver.g.cbo a
+          |JOIN graftcbo.silver.g.cbo b ON a.k = b.k""".stripMargin)
+      val jStats = j.queryExecution.optimizedPlan.stats
+      assert(jStats.rowCount.exists(rc => rc >= BigInt(500) && rc <= BigInt(2000)),
+        s"NDV-driven join estimate should be ~1000 rows, got ${jStats.rowCount}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE route through the commit protocol") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlins")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "ins")
+    wh.overwrite(ref, (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, $"k"), statsColumns = Seq("k"))        // v1
+    spark.conf.set("spark.sql.catalog.graftw", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftw.root", root)
+
+    // INSERT INTO = APPEND: a delta commit (O(insert) log bytes), the
+    // previous version still time-travels, stats manifest extended
+    (401L to 420L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("ins_src")
+    spark.sql("INSERT INTO graftw.silver.g.ins SELECT k, v FROM ins_src")
+    assert(spark.sql("SELECT count(*) AS n FROM graftw.silver.g.ins")
+      .head().getLong(0) === 420L)
+    assert(wh.currentVersion(ref).contains(2L))
+    assert(wh.commitMeta(ref, 2).get(Warehouse.OpMeta).contains("APPEND"))
+    val v2Text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/silver/g/ins/_graft_log/v00000002")), "UTF-8")
+    assert(v2Text.contains("base\t1") && !v2Text.contains("file\t"),
+      "a small SQL insert must land as a delta commit")
+    assert(wh.readVersion(ref, 1).count() === 400L)
+    // the manifest covers the inserted file too: a post-insert range
+    // query still prunes AND finds the new rows
+    val q = spark.sql(
+      "SELECT k FROM graftw.silver.g.ins WHERE k BETWEEN 401 AND 405")
+    assert(q.as[Long].collect().sorted === (401L to 405L))
+    assert(plannedFiles(q).size < wh.dataFiles(ref).size)
+
+    // INSERT OVERWRITE = full atomic replace, stats columns preserved
+    spark.sql(
+      """INSERT OVERWRITE graftw.silver.g.ins
+        |SELECT k + 1000, v FROM ins_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graftw.silver.g.ins")
+      .head().getLong(0) === 20L)
+    assert(wh.commitMeta(ref, wh.currentVersion(ref).get)
+      .get(Warehouse.OpMeta).contains("OVERWRITE"))
+    assert(wh.statColumns(ref) === Seq("k"),
+      "SQL overwrite must carry the table's stats-column property")
+    // the replaced version still reads until vacuum (snapshot retention)
+    assert(wh.readVersion(ref, 2).count() === 420L)
+  }
+
+  test("SQL INSERT into a partitioned table lands inside its partitions") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlinspart")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "inspart")
+    wh.overwrite(ref,
+      (1L to 200L).map(i => (i, s"g${i % 4}")).toDF("k", "seg").repartition(2),
+      partitionBy = Seq("seg"))
+    spark.conf.set("spark.sql.catalog.graftwp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftwp.root", root)
+    spark.sql("INSERT INTO graftwp.silver.g.inspart VALUES (201, 'g1'), (202, 'g2')")
+    // rows land in their k=v directories (partition pruning keeps working)
+    val v = wh.currentVersion(ref).get
+    val newFiles = wh.snapshotAt(ref, v).files.toSet --
+      wh.snapshotAt(ref, v - 1).files.toSet
+    assert(newFiles.nonEmpty && newFiles.forall(f =>
+      f.startsWith("seg=g1/") || f.startsWith("seg=g2/")),
+      s"inserted files must live inside partition dirs: $newFiles")
+    assert(spark.sql(
+        "SELECT k FROM graftwp.silver.g.inspart WHERE seg = 'g1'")
+      .as[Long].collect().sorted ===
+      ((1L to 200L).filter(_ % 4 == 1) :+ 201L).sorted)
+  }
+
+  test("a concurrent SQL insert and Scala merge serialize on the writer lock") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlrace")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "race")
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))          // v1
+    spark.conf.set("spark.sql.catalog.graftrace", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftrace.root", root)
+    (101L to 110L).map(i => (i, s"i$i")).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("race_src")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    try {
+      val sqlInsert = Future(spark.sql(
+        "INSERT INTO graftrace.silver.g.race SELECT k, v FROM race_src"))
+      val scalaMerge = Future(
+        new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+          .upsert((111L to 120L).map(i => (i, s"m$i")).toDF("k", "v").coalesce(1)))
+      Await.result(sqlInsert, 120.seconds)
+      Await.result(scalaMerge, 120.seconds)
+    } finally pool.shutdown()
+    // both landed, serialized into distinct versions (no lost update)
+    assert(wh.currentVersion(ref).contains(3L),
+      s"expected two serialized commits after v1, got ${wh.currentVersion(ref)}")
+    assert(wh.read(ref).count() === 120L)
+    assert(spark.sql("SELECT count(*) AS n FROM graftrace.silver.g.race")
+      .head().getLong(0) === 120L)
   }
 }

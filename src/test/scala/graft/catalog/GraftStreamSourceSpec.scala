@@ -131,4 +131,92 @@ class GraftStreamSourceSpec extends SparkSpec {
     val current = wh.read(ref).as[(Long, String)].collect().toSet
     assert(emitted.toSet.subsetOf(current))
   }
+
+  test("skipChangeCommits suppresses rewrite commits: only pure appends flow") {
+    import spark.implicits._
+    val root = tmpDir("wh-stream-skip")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "skipped")
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))             // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((101L to 110L).map(i => (i, s"v$i")).toDF("k", "v"))       // v2: pure insert
+    wh.deleteWhere(ref, $"k" % 10 === 0L)                                // v3: CHANGE commit
+    mt.upsert((111L to 120L).map(i => (i, s"v$i")).toDF("k", "v"))       // v4: pure insert
+    spark.conf.set("spark.sql.catalog.graftskip", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftskip.root", root)
+    val out = tmpDir("stream-skip-out")
+    runAvailable(
+      spark.readStream
+        .option("startingVersion", "2")
+        .option("skipChangeCommits", "true")
+        .table("graftskip.silver.g.skipped"),
+      tmpDir("stream-skip-ckpt"), out)
+    // v3 rewrote files (delete): under skipChangeCommits it emits
+    // NOTHING — the feed is exactly the two pure-append commits
+    assert(spark.read.parquet(out).as[(Long, String)].collect().sorted
+      === (101L to 120L).map(i => (i, s"v$i")),
+      "a change commit must be skipped, not re-emitted")
+  }
+
+  test("startingTimestamp resolves to the same batch set as the equivalent startingVersion") {
+    import spark.implicits._
+    val root = tmpDir("wh-stream-ts")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "tsstart")
+    wh.overwrite(ref, (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))             // v1
+    Thread.sleep(20)
+    val betweenV1V2 = System.currentTimeMillis()
+    Thread.sleep(20)
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((51L to 60L).map(i => (i, s"v$i")).toDF("k", "v"))         // v2
+    mt.upsert((61L to 70L).map(i => (i, s"v$i")).toDF("k", "v"))         // v3
+    assert(wh.versionSince(ref, betweenV1V2) === 2L)
+    spark.conf.set("spark.sql.catalog.graftts", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftts.root", root)
+    val outV = tmpDir("stream-ts-outv")
+    runAvailable(
+      spark.readStream.option("startingVersion", "2")
+        .table("graftts.silver.g.tsstart"),
+      tmpDir("stream-ts-ckptv"), outV)
+    val outT = tmpDir("stream-ts-outt")
+    runAvailable(
+      spark.readStream.option("startingTimestamp", betweenV1V2.toString)
+        .table("graftts.silver.g.tsstart"),
+      tmpDir("stream-ts-ckptt"), outT)
+    val byVersion = spark.read.parquet(outV).as[(Long, String)].collect().sorted
+    assert(byVersion === (51L to 70L).map(i => (i, s"v$i")))
+    assert(spark.read.parquet(outT).as[(Long, String)].collect().sorted
+      === byVersion,
+      "startingTimestamp must resolve to the startingVersion batch set")
+    // a timestamp after the latest commit is a loud config error
+    val boom = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream
+        .option("startingTimestamp",
+          (System.currentTimeMillis() + 3600_000L).toString)
+        .table("graftts.silver.g.tsstart")
+        .writeStream
+        .option("checkpointLocation", tmpDir("stream-ts-ckptf"))
+        .format("parquet").option("path", tmpDir("stream-ts-outf"))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(boom.getMessage.contains("at or after") ||
+      Option(boom.getCause).exists(_.getMessage.contains("at or after")))
+    // the two start options are mutually exclusive
+    val both = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream
+        .option("startingVersion", "2")
+        .option("startingTimestamp", betweenV1V2.toString)
+        .table("graftts.silver.g.tsstart")
+        .writeStream
+        .option("checkpointLocation", tmpDir("stream-ts-ckptb"))
+        .format("parquet").option("path", tmpDir("stream-ts-outb"))
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(both.getMessage.contains("mutually exclusive") ||
+      Option(both.getCause).exists(_.getMessage.contains("mutually exclusive")))
+  }
 }
