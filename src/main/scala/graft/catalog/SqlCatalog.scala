@@ -13,7 +13,10 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
-import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.connector.catalog.SupportsDelete
+import org.apache.spark.sql.functions.{col, lit, not}
+import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue, And => FAnd, EqualNullSafe => FEqualNullSafe, EqualTo => FEqualTo, Filter, GreaterThan => FGreaterThan, GreaterThanOrEqual => FGreaterThanOrEqual, In => FIn, InsertableRelation, IsNotNull => FIsNotNull, IsNull => FIsNull, LessThan => FLessThan, LessThanOrEqual => FLessThanOrEqual, Not => FNot, Or => FOr, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -40,10 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * DML writes are SANCTIONED and protocol-complete: `INSERT INTO`
   * and `INSERT OVERWRITE` resolve through [[GraftSqlTable]]'s
-  * `SupportsWrite` to [[Warehouse.append]] / [[Warehouse.overwrite]]
-  * — writer lock, intent journal, delta-encoded commit, stats/bloom
-  * manifest maintenance, all identical to the Scala API (a SQL
-  * insert and a Scala merge serialize on the same lock). DDL
+  * `SupportsWrite` to [[Warehouse.append]] / [[Warehouse.overwrite]],
+  * and `DELETE FROM ... WHERE` / `TRUNCATE TABLE` through
+  * `SupportsDelete` to [[Warehouse.deleteWhere]] (file-pruned, pure-
+  * metadata partition drops included) — writer lock, intent journal,
+  * delta-encoded commit, stats/bloom manifest maintenance, all
+  * identical to the Scala API (a SQL insert and a Scala merge
+  * serialize on the same lock). DDL
   * (create/alter/drop/rename) still throws loudly — table lifecycle
   * belongs to [[Warehouse]], and a CTAS would bypass the layout
   * decisions (partitioning, stats columns) a table is created with.
@@ -234,7 +240,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[catalog] final class GraftSqlTable(spark: SparkSession,
                                            wh: Warehouse,
                                            snap: TableSnapshot)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val committedSchema =
     DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -277,6 +283,25 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
     * DDL (CREATE/CTAS) stays excluded — see the catalog's `readOnly`
     * contract.
     */
+  /** `DELETE FROM graft... WHERE ...` (and `TRUNCATE TABLE`, which
+    * Spark routes through the inherited `TruncatableTable` default as
+    * an always-true delete) → [[Warehouse.deleteWhere]]: the file-
+    * pruned row-level delete — fully-matched files retire as pure
+    * metadata, straddling files rewrite, the commit protocol intact.
+    * `canDeleteWhere` accepts only conditions every conjunct of which
+    * translates to a Column; Spark fails loudly on the rest instead
+    * of this table guessing (a dropped conjunct would over-delete).
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftSqlTable.filterColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(GraftSqlTable.filterColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    wh.deleteWhere(snap.ref, cond)
+    ()
+  }
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsOverwrite {
       private var replaceAll = false
@@ -314,6 +339,39 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
             }
       }
     }
+}
+
+private[catalog] object GraftSqlTable {
+
+  /** V1 source filter → Column, None when untranslatable (then
+    * `canDeleteWhere` refuses and Spark errors instead of a silent
+    * over- or under-delete). SQL's three-valued logic passes through
+    * unchanged — [[Warehouse.deleteWhere]] keeps NULL-predicate rows,
+    * exactly `DELETE FROM ... WHERE` semantics. An `In` list may
+    * carry NULL members: they match nothing, like SQL `IN`.
+    */
+  private[catalog] def filterColumn(f: Filter): Option[Column] = f match {
+    case FEqualTo(a, v)            => Some(col(a) === lit(v))
+    case FEqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case FGreaterThan(a, v)        => Some(col(a) > lit(v))
+    case FGreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case FLessThan(a, v)           => Some(col(a) < lit(v))
+    case FLessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case FIn(a, vs)                => Some(col(a).isin(vs.toSeq: _*))
+    case FIsNull(a)                => Some(col(a).isNull)
+    case FIsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, p)    => Some(col(a).startsWith(p))
+    case StringEndsWith(a, s)      => Some(col(a).endsWith(s))
+    case StringContains(a, s)      => Some(col(a).contains(s))
+    case FAnd(l, r) =>
+      for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc && rc
+    case FOr(l, r) =>
+      for { lc <- filterColumn(l); rc <- filterColumn(r) } yield lc || rc
+    case FNot(c)    => filterColumn(c).map(not)
+    case _: AlwaysTrue  => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
 }
 
 /** File index over one snapshot's live files that applies

@@ -1240,17 +1240,17 @@ object PipelineQueries {
     * catalog instances per name, so a per-root name keeps multi-SF
     * sessions from resolving a stale root.
     */
-  /** ONE fixture family for all seven SQL-catalog gates: one warehouse
+  /** ONE fixture family for all eight SQL-catalog gates: one warehouse
     * root, one catalog registration, one cached pass over the orders
     * slice feeding five table layouts (range-clustered, partitioned ×2,
-    * nullable-stats, hash+bloom). `uses = 7` keeps the bench's drain
-    * accounting exact (qSqlCall and qSqlInsert consume only the root +
-    * catalog — their mutable tables are per-invocation, dropped on
-    * exit); per-gate cost collapses to the query itself.
+    * nullable-stats, hash+bloom). `uses = 8` keeps the bench's drain
+    * accounting exact (qSqlCall/qSqlInsert/qSqlDelete consume only the
+    * root + catalog — their mutable tables are per-invocation, dropped
+    * on exit); per-gate cost collapses to the query itself.
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 7) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 8) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1599,6 +1599,50 @@ object PipelineQueries {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** SQL row-level DELETE ([[graft.catalog.GraftSqlTable]]'s
+    * `SupportsDelete`): `DELETE FROM graft... WHERE ...` routes
+    * through [[Warehouse.deleteWhere]] — the same file-pruned rewrite
+    * (fully-matched files retire as pure metadata) the Scala API
+    * gets, with the translated Column predicate preserving SQL's
+    * three-valued logic. The gate seeds, deletes a modulo slice by
+    * SQL, reads the survivors back by SQL, and pins the ops ledger
+    * (v2 must be a DELETE commit). Per-invocation table, dropped on
+    * exit.
+    */
+  def qSqlDelete(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_del_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    wh.overwrite(ref,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                              // v1
+    // filter-translatable shapes only (range + IN): SupportsDelete
+    // receives V1 source filters, and Spark loudly refuses conditions
+    // it cannot translate rather than this table guessing
+    spark.sql(                                                       // v2
+      s"""DELETE FROM $cat.silver.facts.$table
+         |WHERE o_orderkey > 900 OR o_orderkey IN (7, 77, 777)""".stripMargin)
+    val ops = wh.history(ref).select($"version", $"operation").collect()
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}").sorted.mkString(",")
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("ops", lit(ops))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qSqlDeleteSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       '1:OVERWRITE,2:DELETE' AS ops
+      |FROM orders
+      |WHERE o_orderkey <= 900 AND o_orderkey NOT IN (7, 77, 777)""".stripMargin
+
   val qSqlInsertSql: String =
     """SELECT o_orderkey, o_totalprice, 'insert' AS phase,
       |       '1:OVERWRITE,2:APPEND,3:OVERWRITE' AS ops
@@ -1660,6 +1704,7 @@ object PipelineQueries {
     "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_call" -> (qSqlCall _),
     "q_sql_insert" -> (qSqlInsert _),
+    "q_sql_delete" -> (qSqlDelete _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1701,6 +1746,7 @@ object PipelineQueries {
     "q_sql_dpp" -> qSqlDppSql,
     "q_sql_call" -> qSqlCallSql,
     "q_sql_insert" -> qSqlInsertSql,
+    "q_sql_delete" -> qSqlDeleteSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,

@@ -750,6 +750,44 @@ class GraftCatalogSpec extends SparkSpec {
       ((1L to 200L).filter(_ % 4 == 1) :+ 201L).sorted)
   }
 
+  test("SQL DELETE FROM and TRUNCATE TABLE route through deleteWhere") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqldel")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "del")
+    wh.overwrite(ref, (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))          // v1
+    spark.conf.set("spark.sql.catalog.graftdel", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdel.root", root)
+    val filesBefore = wh.dataFiles(ref).toSet
+
+    // a range-aligned DELETE drops its fully-matched file as pure
+    // metadata: surviving files keep their exact paths
+    spark.sql("DELETE FROM graftdel.silver.g.del WHERE k > 300")      // v2
+    assert(spark.sql("SELECT count(*) AS n FROM graftdel.silver.g.del")
+      .head().getLong(0) === 300L)
+    assert(wh.commitMeta(ref, 2).get(Warehouse.OpMeta).contains("DELETE"))
+    assert(wh.dataFiles(ref).toSet.subsetOf(filesBefore),
+      "a whole-file SQL delete must retire, not rewrite")
+
+    // untranslatable predicates fail loudly instead of guessing
+    intercept[Exception](spark.sql(
+      "DELETE FROM graftdel.silver.g.del WHERE k % 2 = 0"))
+    assert(spark.sql("SELECT count(*) AS n FROM graftdel.silver.g.del")
+      .head().getLong(0) === 300L, "a refused delete must touch nothing")
+
+    // TRUNCATE TABLE = always-true delete through the same protocol
+    spark.sql("TRUNCATE TABLE graftdel.silver.g.del")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdel.silver.g.del")
+      .head().getLong(0) === 0L)
+    assert(wh.schemaOf(ref).fieldNames.toSeq === Seq("k", "v"),
+      "truncate keeps the schema")
+    // ...and the table still accepts inserts afterwards
+    spark.sql("INSERT INTO graftdel.silver.g.del VALUES (1, 'x')")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdel.silver.g.del")
+      .head().getLong(0) === 1L)
+  }
+
   test("a concurrent SQL insert and Scala merge serialize on the writer lock") {
     import spark.implicits._
     val root = tmpDir("wh-sqlrace")
