@@ -238,8 +238,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   * committed schema unchanged.
   */
 private[catalog] final class GraftSqlTable(spark: SparkSession,
-                                           wh: Warehouse,
-                                           snap: TableSnapshot)
+                                           private[catalog] val wh: Warehouse,
+                                           private[catalog] val snap: TableSnapshot)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private val committedSchema =

@@ -1,0 +1,157 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, And => CAnd}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** SQL `MERGE INTO` over warehouse tables — the Delta approach
+  * (an analyzer extension claiming the `MergeIntoTable` plan), NOT
+  * `SupportsRowLevelOperations`: the engine already HAS the file-pruned
+  * incremental upsert ([[graft.sinks.MergeTable]] — key-range manifest
+  * pruning, schema evolution, CAS retry, the reference's J1
+  * semantics), so the SQL surface routes into it instead of teaching
+  * Spark's group-based rewrite machinery a second implementation.
+  * Registered through `graft.plans.GraftOptimizations`
+  * (`spark.sql.extensions`), so plain `spark.sql("MERGE INTO …")`
+  * works on any `graft.<cat>.<schema>.<table>` identifier:
+  *
+  * {{{
+  * MERGE INTO graft.silver.facts.orders t
+  * USING updates s
+  * ON t.o_orderkey = s.o_orderkey
+  * WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * SUPPORTED SHAPE (the reference's entire merge surface,
+  * /root/reference/lib/ingestors.py:113-126): an equi-join ON clause
+  * over same-named key columns, one unconditional
+  * `WHEN MATCHED THEN UPDATE SET *` (explicit all-column identity
+  * assignments accepted too), one unconditional
+  * `WHEN NOT MATCHED THEN INSERT *`, no NOT-MATCHED-BY-SOURCE
+  * clauses. Anything else falls through UNTOUCHED to Spark's own
+  * row-level machinery, which fails loudly for this table — a merge
+  * this rule cannot faithfully route must never be silently
+  * approximated.
+  */
+object SqlMerge {
+
+  def rule(session: SparkSession): Rule[LogicalPlan] = new Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      case m: MergeIntoTable if m.childrenResolved =>
+        translate(m).getOrElse(plan)
+      case _ => plan
+    }
+  }
+
+  /** Unwrap alias layers to the DSv2 relation over a graft table. */
+  private def graftTarget(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
+    plan match {
+      case SubqueryAlias(_, child) => graftTarget(child)
+      case r: DataSourceV2Relation =>
+        r.table match {
+          case t: GraftSqlTable => Some((r, t))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def translate(m: MergeIntoTable): Option[LogicalPlan] =
+    for {
+      (rel, table) <- graftTarget(m.targetTable)
+      targetIds = rel.output.map(_.exprId).toSet
+      sourceIds = m.sourceTable.output.map(_.exprId).toSet
+      keys <- equiKeys(m.mergeCondition, targetIds, sourceIds)
+      _ <- matchedIsUpdateAll(m.matchedActions, rel.output, sourceIds)
+      _ <- notMatchedIsInsertAll(m.notMatchedActions, rel.output, sourceIds)
+      if m.notMatchedBySourceActions.isEmpty
+    } yield GraftMergeCommand(table.wh.root, table.snap.ref, keys,
+      m.sourceTable)
+
+  /** ON clause → key column names: every conjunct must be an equality
+    * between a target attribute and a same-named source attribute.
+    */
+  private def equiKeys(cond: Expression, targetIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId],
+                       sourceIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Option[Seq[String]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val keys = conjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if targetIds.contains(a.exprId) && sourceIds.contains(b.exprId) &&
+            a.name == b.name => Some(a.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if targetIds.contains(a.exprId) && sourceIds.contains(b.exprId) &&
+            a.name == b.name => Some(a.name)
+      case _ => None
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.flatten)
+    else None
+  }
+
+  /** One unconditional UPDATE covering every target column from the
+    * same-named source column — `UPDATE SET *` pre- or post-expansion.
+    */
+  private def matchedIsUpdateAll(actions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+                                 targetOut: Seq[Attribute],
+                                 sourceIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Option[Unit] =
+    actions match {
+      case Seq(UpdateStarAction(None)) => Some(())
+      case Seq(UpdateAction(None, assignments, _)) if
+          identityAssignments(assignments, targetOut, sourceIds) => Some(())
+      case _ => None
+    }
+
+  private def notMatchedIsInsertAll(actions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+                                    targetOut: Seq[Attribute],
+                                    sourceIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Option[Unit] =
+    actions match {
+      case Seq(InsertStarAction(None)) => Some(())
+      case Seq(InsertAction(None, assignments)) if
+          identityAssignments(assignments, targetOut, sourceIds) => Some(())
+      case _ => None
+    }
+
+  /** Every target column assigned exactly its same-named source
+    * attribute — the expanded form of `SET *` / `INSERT *`.
+    */
+  private def identityAssignments(assignments: Seq[Assignment],
+                                  targetOut: Seq[Attribute],
+                                  sourceIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId]): Boolean = {
+    val covered = assignments.flatMap {
+      case Assignment(t: AttributeReference, v: AttributeReference)
+          if sourceIds.contains(v.exprId) && t.name == v.name => Some(t.name)
+      case _ => None
+    }
+    covered.size == assignments.size &&
+      covered.toSet == targetOut.map(_.name).toSet
+  }
+}
+
+/** The routed merge: resolves the analyzed source plan back to a
+  * DataFrame at EXECUTION time (EXPLAIN stays side-effect-free) and
+  * runs [[graft.sinks.MergeTable.upsert]] — file-pruned incremental
+  * rewrite, writer lock, stats maintenance, MERGE commit stamp, all
+  * identical to the Scala API.
+  */
+final case class GraftMergeCommand(root: String, ref: TableRef,
+                                   keys: Seq[String], source: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val df = new org.apache.spark.sql.classic.Dataset[Row](classic, source,
+      Encoders.row(source.schema))
+    val wh = new Warehouse(session, root)
+    new graft.sinks.MergeTable(session, wh, ref, keys, None).upsert(df)
+    Seq.empty
+  }
+}

@@ -175,6 +175,12 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
   * `spark.sql.extensions=graft.functions.GraftExtensions,graft.plans.GraftOptimizations`.
   */
 class GraftOptimizations extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RowNumberTopKRewrite)
+    // SQL MERGE INTO over graft catalog tables → the engine's own
+    // file-pruned incremental upsert (graft.catalog.SqlMerge — the
+    // Delta-style analyzer claim; unsupported shapes fall through to
+    // Spark's loud row-level-operation error)
+    ext.injectResolutionRule(session => graft.catalog.SqlMerge.rule(session))
+  }
 }

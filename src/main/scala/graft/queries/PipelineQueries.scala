@@ -1240,17 +1240,17 @@ object PipelineQueries {
     * catalog instances per name, so a per-root name keeps multi-SF
     * sessions from resolving a stale root.
     */
-  /** ONE fixture family for all eight SQL-catalog gates: one warehouse
+  /** ONE fixture family for all nine SQL-catalog gates: one warehouse
     * root, one catalog registration, one cached pass over the orders
     * slice feeding five table layouts (range-clustered, partitioned ×2,
-    * nullable-stats, hash+bloom). `uses = 8` keeps the bench's drain
-    * accounting exact (qSqlCall/qSqlInsert/qSqlDelete consume only the
+    * nullable-stats, hash+bloom). `uses = 9` keeps the bench's drain
+    * accounting exact (qSqlCall/qSqlInsert/qSqlDelete/qSqlMerge consume only the
     * root + catalog — their mutable tables are per-invocation, dropped
     * on exit); per-gate cost collapses to the query itself.
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 8) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 9) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1643,6 +1643,54 @@ object PipelineQueries {
       |FROM orders
       |WHERE o_orderkey <= 900 AND o_orderkey NOT IN (7, 77, 777)""".stripMargin
 
+  /** SQL `MERGE INTO` end-to-end ([[graft.catalog.SqlMerge]], the
+    * Delta-style analyzer claim): the reference's whole merge shape —
+    * equi-keys ON, `WHEN MATCHED THEN UPDATE SET *`,
+    * `WHEN NOT MATCHED THEN INSERT *` — runs as plain SQL and routes
+    * into the SAME file-pruned incremental MergeTable.upsert the
+    * Scala API uses (the ops ledger pins the MERGE commit stamp).
+    * Overlap updates (+1.0, IEEE-exact) and disjoint inserts both
+    * value-check against DuckDB recomputing the merged state.
+    * Per-invocation table, dropped on exit.
+    */
+  def qSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_mrg_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val slice = Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" <= 1000) // identical slice at every SF
+      .select($"o_orderkey", $"o_totalprice")
+    wh.overwrite(ref,
+      slice.filter($"o_orderkey" <= 600).repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                              // v1
+    slice.filter($"o_orderkey" > 400 && $"o_orderkey" <= 800)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+      .createOrReplaceTempView("sql_mrg_src")
+    spark.sql(                                                       // v2
+      s"""MERGE INTO $cat.silver.facts.$table t
+         |USING sql_mrg_src s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val ops = wh.history(ref).select($"version", $"operation").collect()
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}").sorted.mkString(",")
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("ops", lit(ops))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qSqlMergeSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey > 400 THEN o_totalprice + 1.0
+      |            ELSE o_totalprice END AS o_totalprice,
+      |       '1:OVERWRITE,2:MERGE' AS ops
+      |FROM orders WHERE o_orderkey <= 800""".stripMargin
+
   val qSqlInsertSql: String =
     """SELECT o_orderkey, o_totalprice, 'insert' AS phase,
       |       '1:OVERWRITE,2:APPEND,3:OVERWRITE' AS ops
@@ -1705,6 +1753,7 @@ object PipelineQueries {
     "q_sql_call" -> (qSqlCall _),
     "q_sql_insert" -> (qSqlInsert _),
     "q_sql_delete" -> (qSqlDelete _),
+    "q_sql_merge" -> (qSqlMerge _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1747,6 +1796,7 @@ object PipelineQueries {
     "q_sql_call" -> qSqlCallSql,
     "q_sql_insert" -> qSqlInsertSql,
     "q_sql_delete" -> qSqlDeleteSql,
+    "q_sql_merge" -> qSqlMergeSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,

@@ -788,6 +788,53 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 1L)
   }
 
+  test("SQL MERGE INTO routes to the engine's incremental upsert") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlmerge")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "m")
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))          // v1
+    spark.conf.set("spark.sql.catalog.graftm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftm.root", root)
+    (51L to 150L).map(i => (i, s"u$i")).toDF("k", "v")
+      .createOrReplaceTempView("msrc")
+
+    spark.sql(
+      """MERGE INTO graftm.silver.g.m t
+        |USING msrc s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)               // v2
+    val rows = spark.sql("SELECT k, v FROM graftm.silver.g.m")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows === ((1L to 50L).map(i => (i, s"v$i")) ++
+      (51L to 150L).map(i => (i, s"u$i"))))
+    assert(wh.currentVersion(ref).contains(2L))
+    assert(wh.commitMeta(ref, 2).get(Warehouse.OpMeta).contains("MERGE"))
+
+    // explicit identity assignments are the same shape post-expansion
+    spark.sql(
+      """MERGE INTO graftm.silver.g.m t
+        |USING msrc s
+        |ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.k = s.k, t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    assert(spark.sql("SELECT count(*) AS n FROM graftm.silver.g.m")
+      .head().getLong(0) === 150L)
+
+    // an unroutable shape (conditional MATCHED clause) must fail
+    // loudly — never silently approximate
+    intercept[Exception](spark.sql(
+      """MERGE INTO graftm.silver.g.m t
+        |USING msrc s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.k > 120 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(spark.sql("SELECT count(*) AS n FROM graftm.silver.g.m")
+      .head().getLong(0) === 150L, "a refused merge must touch nothing")
+  }
+
   test("a concurrent SQL insert and Scala merge serialize on the writer lock") {
     import spark.implicits._
     val root = tmpDir("wh-sqlrace")
