@@ -1,13 +1,15 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Encoders, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, And => CAnd}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, PlanExpression, And => CAnd}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{expr, lit}
 
-/** SQL `MERGE INTO` over warehouse tables — the Delta approach
+/** SQL `MERGE INTO` and `UPDATE` over warehouse tables — the Delta approach
   * (an analyzer extension claiming the `MergeIntoTable` plan), NOT
   * `SupportsRowLevelOperations`: the engine already HAS the file-pruned
   * incremental upsert ([[graft.sinks.MergeTable]] — key-range manifest
@@ -43,9 +45,43 @@ object SqlMerge {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case m: MergeIntoTable if m.childrenResolved =>
         translate(m).getOrElse(plan)
+      case u: UpdateTable if u.resolved =>
+        translateUpdate(u).getOrElse(plan)
       case _ => plan
     }
   }
+
+  /** SQL `UPDATE t SET ... WHERE ...` → [[Warehouse.updateWhere]]
+    * (file-pruned row-level rewrite). Assignment values and the
+    * condition re-render to SQL text (attributes stripped to bare
+    * quoted names — the target frame resolves them) so the command
+    * holds no bound expression state; subqueries and nondeterministic
+    * expressions fall through to Spark's loud unsupported error.
+    */
+  private def translateUpdate(u: UpdateTable): Option[LogicalPlan] =
+    for {
+      (rel, table) <- graftTarget(u.table)
+      targetIds = rel.output.map(_.exprId).toSet
+      if u.condition.forall(renderable) && u.assignments.forall(a =>
+        renderable(a.value) && (a.key match {
+          case k: AttributeReference => targetIds.contains(k.exprId)
+          case _ => false
+        }))
+    } yield GraftUpdateCommand(table.wh.root, table.snap.ref,
+      u.condition.map(render),
+      u.assignments.map(a =>
+        a.key.asInstanceOf[AttributeReference].name -> render(a.value)))
+
+  private def renderable(e: Expression): Boolean =
+    e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])
+
+  /** Expression → re-parseable SQL with attributes as bare quoted
+    * names (the rewrite frame carries the same columns).
+    */
+  private def render(e: Expression): String =
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }.sql
 
   /** Unwrap alias layers to the DSv2 relation over a graft table. */
   private def graftTarget(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
@@ -152,6 +188,25 @@ final case class GraftMergeCommand(root: String, ref: TableRef,
       Encoders.row(source.schema))
     val wh = new Warehouse(session, root)
     new graft.sinks.MergeTable(session, wh, ref, keys, None).upsert(df)
+    Seq.empty
+  }
+}
+
+/** The routed UPDATE: [[Warehouse.updateWhere]] at execution time —
+  * files without a matching row keep their bytes, matched files
+  * rewrite with the SET applied, the commit protocol intact.
+  */
+final case class GraftUpdateCommand(root: String, ref: TableRef,
+                                    condSql: Option[String],
+                                    setSql: Seq[(String, String)])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val wh = new Warehouse(session, root)
+    wh.updateWhere(ref, condSql.map(expr).getOrElse(lit(true)),
+      setSql.map { case (c, s) => c -> expr(s) })
     Seq.empty
   }
 }

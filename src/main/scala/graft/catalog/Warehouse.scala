@@ -1619,6 +1619,74 @@ final class Warehouse(spark: SparkSession, val root: String,
     perFile.map(_.getLong(1)).sum
   }
 
+  /** Row-level UPDATE (Delta `UPDATE ... SET ... WHERE` semantics):
+    * rewrite ONLY the files that contain a matching row — matched rows
+    * get the SET columns re-evaluated, unmatched rows in the same file
+    * pass through unchanged, and every untouched file keeps its bytes
+    * and path. Returns the number of rows updated.
+    *
+    * Same scale shape as [[deleteWhere]]: the planning pass is one
+    * predicate-pushed zero-data-column scan (`input_file_name` +
+    * count), so work is proportional to the files that COULD match,
+    * and the rewrite to the files that DO. SQL's three-valued logic is
+    * honored — rows where the predicate evaluates NULL are NOT
+    * updated. Partitioned layouts rewrite per partition directory
+    * (files go back inside their partitions, one commit per touched
+    * directory — [[compact]]'s crash-recoverable shape); the
+    * predicate may reference partition columns, the SET may NOT (a
+    * partition-moving update is a delete + insert, refused here the
+    * way Delta refuses partition-column updates on partitioned
+    * tables' physical layout).
+    *
+    * Concurrency: the touched-file plan is computed optimistically;
+    * [[replaceDataFiles]] re-validates under the writer lock and
+    * throws [[ConcurrentWriteException]] if the table moved.
+    */
+  def updateWhere(ref: TableRef, cond: org.apache.spark.sql.Column,
+                  set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val matched = cond <=> lit(true) // null predicate = not matched
+    val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+      s"$ref has no committed version"))
+    // SET targets must be physical DATA columns of the files
+    val partCols: Set[String] = snap.files.headOption.toSeq.flatMap {
+      _.split('/').dropRight(1).toSeq
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    }.toSet
+    val dataCols = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq.filterNot(partCols.contains)
+    val badSet = set.map(_._1).filterNot(dataCols.contains)
+    require(badSet.isEmpty,
+      s"updateWhere on $ref cannot SET ${badSet.mkString(",")}: not a " +
+        "data column (partition columns are directory-encoded — a " +
+        "partition-moving update is a delete + insert)")
+    val perFile = read(ref).filter(matched)
+      .groupBy(input_file_name().as("__file"))
+      .agg(count(lit(1)).as("__n"))
+      .collect()
+    if (perFile.isEmpty) return 0L
+    val setMap = set.toMap
+    // rewrite per partition directory so replacement files land back
+    // inside their partitions (compact's layout-preserving shape)
+    perFile.map(_.getString(0)).toSeq
+      .groupBy(f => relKey(ref)(f).split('/').dropRight(1).mkString("/"))
+      .foreach { case (subdir, files) =>
+        // basePath read restores partition columns for the predicate;
+        // only data columns are written back (dirs carry the rest)
+        val rewritten = spark.read.option("basePath", path(ref))
+          .parquet(files: _*)
+          .select(dataCols.map(c =>
+            setMap.get(c)
+              .map(v => when(matched, v).otherwise(col(c)).as(c))
+              .getOrElse(col(c))): _*)
+        replaceDataFiles(ref, files, rewritten,
+          subdir = if (subdir.isEmpty) None else Some(subdir),
+          meta = Map(Warehouse.OpMeta -> "UPDATE"))
+      }
+    perFile.map(_.getLong(1)).sum
+  }
+
   /** K4 TRUNCATE (lib/checker_handler.py:119): keep the table, drop rows. */
   def truncate(ref: TableRef): Unit =
     if (exists(ref)) overwrite(ref, read(ref).limit(0),

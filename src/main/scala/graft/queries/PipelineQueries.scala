@@ -1240,17 +1240,17 @@ object PipelineQueries {
     * catalog instances per name, so a per-root name keeps multi-SF
     * sessions from resolving a stale root.
     */
-  /** ONE fixture family for all nine SQL-catalog gates: one warehouse
+  /** ONE fixture family for all ten SQL-catalog gates: one warehouse
     * root, one catalog registration, one cached pass over the orders
     * slice feeding five table layouts (range-clustered, partitioned ×2,
-    * nullable-stats, hash+bloom). `uses = 9` keeps the bench's drain
-    * accounting exact (qSqlCall/qSqlInsert/qSqlDelete/qSqlMerge consume only the
+    * nullable-stats, hash+bloom). `uses = 10` keeps the bench's drain
+    * accounting exact (qSqlCall and the four DML gates consume only the
     * root + catalog — their mutable tables are per-invocation, dropped
     * on exit); per-gate cost collapses to the query itself.
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 9) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 10) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1691,6 +1691,48 @@ object PipelineQueries {
       |       '1:OVERWRITE,2:MERGE' AS ops
       |FROM orders WHERE o_orderkey <= 800""".stripMargin
 
+  /** SQL row-level UPDATE ([[graft.catalog.SqlMerge]]'s UpdateTable
+    * claim → [[Warehouse.updateWhere]]): files without a matching row
+    * keep their bytes, matched files rewrite with the SET applied —
+    * the last cell of the DML matrix (INSERT/OVERWRITE/DELETE/MERGE/
+    * UPDATE all through one commit protocol). Value-checked against
+    * DuckDB recomputing the updated state (+2.0 is IEEE-exact); ops
+    * ledger pins the UPDATE commit. Per-invocation table, dropped on
+    * exit.
+    */
+  def qSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_upd_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    wh.overwrite(ref,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000)
+        .select($"o_orderkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                              // v1
+    spark.sql(                                                       // v2
+      s"""UPDATE $cat.silver.facts.$table
+         |SET o_totalprice = o_totalprice + 2.0
+         |WHERE o_orderkey > 700""".stripMargin)
+    val ops = wh.history(ref).select($"version", $"operation").collect()
+      .map(r => s"${r.getLong(0)}:${r.getString(1)}").sorted.mkString(",")
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("ops", lit(ops))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qSqlUpdateSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey > 700 THEN o_totalprice + 2.0
+      |            ELSE o_totalprice END AS o_totalprice,
+      |       '1:OVERWRITE,2:UPDATE' AS ops
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   val qSqlInsertSql: String =
     """SELECT o_orderkey, o_totalprice, 'insert' AS phase,
       |       '1:OVERWRITE,2:APPEND,3:OVERWRITE' AS ops
@@ -1754,6 +1796,7 @@ object PipelineQueries {
     "q_sql_insert" -> (qSqlInsert _),
     "q_sql_delete" -> (qSqlDelete _),
     "q_sql_merge" -> (qSqlMerge _),
+    "q_sql_update" -> (qSqlUpdate _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
     "q_gdpr_erasure" -> (qGdprErasure _),
@@ -1797,6 +1840,7 @@ object PipelineQueries {
     "q_sql_insert" -> qSqlInsertSql,
     "q_sql_delete" -> qSqlDeleteSql,
     "q_sql_merge" -> qSqlMergeSql,
+    "q_sql_update" -> qSqlUpdateSql,
     "q_table_history" -> qTableHistorySql,
     "q_gold_incr_agg_delta" -> qGoldIncrAggDeltaSql,
     "q_pipeline_full" -> qPipelineFullSql,

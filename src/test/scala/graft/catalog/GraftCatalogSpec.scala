@@ -835,6 +835,57 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 150L, "a refused merge must touch nothing")
   }
 
+  test("SQL UPDATE rewrites only matching files; partitioned layouts and TVL honored") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlupd")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "upd")
+    wh.overwrite(ref, (1L to 400L).map(i =>
+        (i, s"v$i", if (i % 50 == 0) null else s"n$i")).toDF("k", "v", "note")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))          // v1
+    spark.conf.set("spark.sql.catalog.graftupd", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftupd.root", root)
+    val before = wh.dataFiles(ref).toSet
+
+    // range-aligned UPDATE touches one file's range; others keep paths
+    spark.sql(
+      """UPDATE graftupd.silver.g.upd
+        |SET v = concat('u', CAST(k AS STRING)) WHERE k > 300""".stripMargin)
+    val rows = spark.sql("SELECT k, v FROM graftupd.silver.g.upd")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(rows === (1L to 400L).map(i =>
+      (i, if (i > 300) s"u$i" else s"v$i")))
+    assert(wh.commitMeta(ref, wh.currentVersion(ref).get)
+      .get(Warehouse.OpMeta).contains("UPDATE"))
+    val after = wh.dataFiles(ref).toSet
+    assert((before intersect after).nonEmpty,
+      "files without matches must keep their exact paths")
+
+    // three-valued logic: rows whose predicate evaluates NULL stay
+    spark.sql(
+      "UPDATE graftupd.silver.g.upd SET v = 'nulled' WHERE substring(note, 2) = CAST(k AS STRING)")
+    val kept = spark.sql(
+      "SELECT count(*) AS n FROM graftupd.silver.g.upd WHERE v = 'nulled'")
+      .head().getLong(0)
+    assert(kept === 392L, s"NULL-note rows must not update (got $kept)")
+
+    // partitioned table: predicate on the partition column, rewrite
+    // stays inside the partition dirs
+    val pRef = TableRef("silver", "g", "updpart")
+    wh.overwrite(pRef, (1L to 200L).map(i => (i, s"g${i % 4}", 0L))
+      .toDF("k", "seg", "hits").repartition(2), partitionBy = Seq("seg"))
+    spark.sql(
+      "UPDATE graftupd.silver.g.updpart SET hits = hits + 1 WHERE seg = 'g1'")
+    assert(spark.sql(
+        "SELECT sum(hits) AS s FROM graftupd.silver.g.updpart")
+      .head().getLong(0) === 50L)
+    assert(wh.snapshot(pRef).get.files.forall(_.contains("seg=")),
+      "rewritten files must stay inside their partition dirs")
+    // a partition-moving SET is refused loudly
+    intercept[Exception](spark.sql(
+      "UPDATE graftupd.silver.g.updpart SET seg = 'g9' WHERE k = 1"))
+  }
+
   test("a concurrent SQL insert and Scala merge serialize on the writer lock") {
     import spark.implicits._
     val root = tmpDir("wh-sqlrace")
