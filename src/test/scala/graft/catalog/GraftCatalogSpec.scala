@@ -33,7 +33,7 @@ class GraftCatalogSpec extends SparkSpec {
     }.toSet
   }
 
-  test("SQL over the catalog: current snapshot, manifest range pruning, read-only") {
+  test("SQL over the catalog: current snapshot, manifest range pruning, DML-yes/DDL-no contract") {
     import spark.implicits._
     val root = tmpDir("wh-sqlcat")
     val wh = new Warehouse(spark, root)
