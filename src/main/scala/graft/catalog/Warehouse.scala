@@ -1486,14 +1486,21 @@ final class Warehouse(spark: SparkSession, val root: String,
       val rels = stagedStatuses.map(st =>
         filesystem.makeQualified(st.getPath).toUri.getPath
           .stripPrefix(stagedBase).stripPrefix("/"))
-      // next manifest BEFORE any file moves (it reads the old one);
-      // swapped in only after the commit, like replaceDataFiles
+      // manifest maintenance: the append-part fast path extends the
+      // manifest with ONE new part post-commit (O(insert), the whole
+      // point of an append commit); schema drift or too many parts
+      // fall back to the pre-built rewrite, swapped in post-commit
       val statCols = statColumns(ref).filter(df.columns.contains)
+      val oldManifest =
+        if (statCols.isEmpty || rels.isEmpty) None else manifestDf(path(ref))
+      val oldBlooms = oldManifest.toSeq.flatMap(_.columns
+        .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
+      val appendPart = oldManifest.exists(old =>
+        canAppendManifestPart(tablePath, old.columns.toSeq,
+          statsColumnsOf(statCols, oldBlooms)))
       val manifestTmp =
-        if (statCols.isEmpty || rels.isEmpty) None
-        else manifestDf(path(ref)).map { old =>
-          val oldBlooms = old.columns.filter(_.startsWith("bloom_"))
-            .map(_.stripPrefix("bloom_")).toSeq
+        if (appendPart) None
+        else oldManifest.map { old =>
           // staged rel paths (partitionBy subdirs included) equal the
           // committed rel paths — the move preserves them
           val newStats = fileStats(spark.read.parquet(stage.toString),
@@ -1517,6 +1524,18 @@ final class Warehouse(spark: SparkSession, val root: String,
         snap.fileMeta ++ rels.zip(stagedStatuses).map { case (r, st) =>
           r -> (st.getLen, st.getModificationTime)
         })
+      if (appendPart) {
+        // stats over the files at their FINAL rel paths; a crash
+        // before this write leaves missing rows, which consumers
+        // treat conservatively (keep-the-file / scan fallback)
+        val finalStats = fileStats(
+          spark.read.parquet(rels.map(r =>
+            new Path(tablePath, r).toString): _*),
+          path(ref), statCols, oldBlooms)
+        appendManifestPart(tablePath, finalStats)
+        if (!registerStatsAt(path(ref)))
+          TableStatsRegistry.invalidate(path(ref))
+      }
       manifestTmp.foreach { tmp =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
@@ -1525,7 +1544,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
       }
-      if (manifestTmp.isEmpty) TableStatsRegistry.invalidate(path(ref))
+      if (!appendPart && manifestTmp.isEmpty)
+        TableStatsRegistry.invalidate(path(ref))
       filesystem.delete(new Path(tablePath, txnFile), false)
       v
     } finally {
@@ -2577,11 +2597,24 @@ final class Warehouse(spark: SparkSession, val root: String,
         .filter(_.getPath.getName.endsWith(".parquet")).toSeq
       val newFiles = newStatuses.map(_.getPath)
       // build the next manifest BEFORE touching data files (it reads
-      // the old manifest); swap it in last — see contract above
+      // the old manifest); swap it in last — see contract above.
+      // EXCEPT insert-only commits (a pure-append merge batch, the
+      // streaming-CDC hot path): nothing retires, so the manifest can
+      // be EXTENDED by appending one part file post-commit — O(new
+      // files) instead of an O(table) rewrite per insert.
       val statCols = statColumns(ref).filter(replacement.columns.contains)
+      val oldManifest = if (statCols.isEmpty) None else manifestDf(path(ref))
+      // mirror the table's bloom property: new-file entries carry
+      // blooms exactly for the columns the old manifest blooms (an
+      // intersection below would silently drop the table's blooms)
+      val oldBlooms = oldManifest.toSeq.flatMap(_.columns
+        .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
+      val appendPart = replacedRels.isEmpty && newFiles.nonEmpty &&
+        oldManifest.exists(old => canAppendManifestPart(tablePath,
+          old.columns.toSeq, statsColumnsOf(statCols, oldBlooms)))
       val manifestTmp =
-        if (statCols.isEmpty) None
-        else manifestDf(path(ref)).map { old =>
+        if (appendPart) None
+        else oldManifest.map { old =>
           val kept0 = if (replacedRels.isEmpty) old
             else old.filter(!col("file").isin(replacedRels: _*))
           // a retire-only replacement (e.g. deleteWhere dropping whole
@@ -2590,12 +2623,6 @@ final class Warehouse(spark: SparkSession, val root: String,
           val next =
             if (newFiles.isEmpty) kept0
             else {
-              // mirror the table's bloom property: new-file entries
-              // carry blooms exactly for the columns the old manifest
-              // blooms (the `common` intersection below would silently
-              // drop the table's blooms otherwise)
-              val oldBlooms = old.columns.filter(_.startsWith("bloom_"))
-                .map(_.stripPrefix("bloom_")).toSeq
               // staged files sit flat; their committed rel paths gain
               // the partition subdir, and the manifest key must match
               val newStats = fileStats(spark.read.parquet(stage.toString),
@@ -2633,6 +2660,19 @@ final class Warehouse(spark: SparkSession, val root: String,
         snap.fileMeta ++ adds.zip(newStatuses).map { case (a, st) =>
           a -> (st.getLen, st.getModificationTime)
         })
+      if (appendPart) {
+        // stats over the files at their FINAL paths (the stage is
+        // gone); rel keys derive from the table base directly. A crash
+        // before this write leaves missing manifest rows — consumers
+        // keep unknown files and metadata aggregates fall back.
+        val finalStats = fileStats(
+          spark.read.parquet(adds.map(a =>
+            new Path(tablePath, a).toString): _*),
+          path(ref), statCols, oldBlooms)
+        appendManifestPart(tablePath, finalStats)
+        if (!registerStatsAt(path(ref)))
+          TableStatsRegistry.invalidate(path(ref))
+      }
       manifestTmp.foreach { tmp =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
@@ -2649,6 +2689,46 @@ final class Warehouse(spark: SparkSession, val root: String,
       ()
     }
   }
+
+  /** Whether an INSERT-ONLY commit may extend the stats manifest by
+    * APPENDING a new part file instead of rewriting it — O(new files)
+    * manifest cost instead of O(table), the difference between a
+    * small insert into a million-file table costing one tiny part
+    * write and costing a full manifest rewrite. Conditions: nothing
+    * retired (retired rows would need pruning), the new rows carry
+    * exactly the live manifest's column set (mixed-schema parts would
+    * corrupt by-name parquet reads), and the part count stays under
+    * [[Warehouse.manifestPartCap]] (past it, the rewrite doubles as
+    * manifest compaction). The part is written AFTER the commit: a
+    * crash in between leaves missing rows, which every consumer
+    * treats conservatively (pruning keeps unknown files,
+    * metadata aggregates fall back to the scan).
+    */
+  private def canAppendManifestPart(tablePath: Path, oldCols: Seq[String],
+                                    newCols: Seq[String]): Boolean = {
+    if (!oldCols.sorted.sameElements(newCols.sorted)) return false
+    val dir = new Path(tablePath, statsDir)
+    val filesystem = fs(dir)
+    filesystem.exists(dir) &&
+      filesystem.listStatus(dir).count(_.getPath.getName.endsWith(".parquet")) <
+        Warehouse.manifestPartCap
+  }
+
+  /** The column set [[fileStats]] emits for a stat/bloom declaration —
+    * the schema-compatibility half of the append-part decision, known
+    * WITHOUT building the frame (kept in sync with [[fileStats]]).
+    */
+  private def statsColumnsOf(statsColumns: Seq[String],
+                             bloomColumns: Seq[String]): Seq[String] = {
+    val blooms = bloomColumns.filter(statsColumns.contains)
+    Seq("file", "rows") ++ statsColumns.flatMap(c =>
+      Seq(s"min_$c", s"max_$c", s"ndv_$c", s"nulls_$c") ++
+        (if (blooms.contains(c)) Seq(s"bloom_$c") else Nil))
+  }
+
+  private def appendManifestPart(tablePath: Path, newStats: DataFrame): Unit =
+    newStats.coalesce(1).write.mode("append")
+      .parquet(new Path(tablePath, statsDir).toString)
 
   private val txnFile = "_graft_txn"
 
@@ -2941,6 +3021,13 @@ object Warehouse {
     * files vacuum must retain as chain anchors) at N version files.
     */
   private[catalog] val checkpointEvery = 16L
+
+  /** Insert-only commits append manifest PART files up to this count;
+    * the next one (or any commit with retirements) rewrites the whole
+    * manifest, which doubles as its compaction — the same
+    * bounded-parts-then-checkpoint discipline as the commit log.
+    */
+  private[catalog] val manifestPartCap = 64
 
   /** One column's planner statistics, folded from the manifest —
     * [[Warehouse.columnStatsFor]]'s row. `min`/`max` carry the

@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.SparkSpec
@@ -284,6 +286,46 @@ class DeltaLogSpec extends SparkSpec {
       // distinguishes the logs; nothing to force
       assert(wh.read(ref).as[(Long, String)].collect() === Array((2L, "bb")))
     }
+  }
+
+  test("insert-only commits append a manifest part instead of rewriting it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmpDir("wh-mpart")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "mpart")
+    wh.overwrite(ref, (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))           // v1
+    val mdir = Paths.get(s"$root/silver/g/mpart/_graft_stats")
+    def parts: Set[String] = {
+      val s = Files.list(mdir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally s.close()
+    }
+    val before = parts
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((201L to 210L).map(i => (i, s"n$i")).toDF("k", "v")
+      .coalesce(1))                                                    // v2: insert-only
+    val after = parts
+    assert(before.subsetOf(after),
+      "an insert-only commit must not rewrite existing manifest parts")
+    assert(after.size === before.size + 1,
+      s"expected exactly one appended part: $before -> $after")
+    // the extended manifest stays EXACT: metadata aggregates cover the
+    // new file, range pruning isolates it
+    val snap = wh.snapshot(ref).get
+    assert(wh.metadataAggregate(ref, snap.files,
+      Seq(Warehouse.RowCount, Warehouse.ColMax("k")))
+      === Some(Seq(210L, 210L)))
+    val (kept, _) = wh.splitFilesByRange(ref, "k", 205L, 20000L).get
+    assert(kept.size === 1, s"pruning must isolate the appended file: $kept")
+    // a commit WITH retirements rewrites the whole manifest — which
+    // doubles as part compaction
+    wh.deleteWhere(ref, col("k") > 205L)                               // v3
+    assert(parts.size === 1,
+      "a retiring commit must compact the manifest back to one part")
+    assert(wh.read(ref).count() === 205L)
   }
 
   test("meta values containing '=' round-trip; tab/newline are rejected at write time") {
