@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * CALL graft.system.history('silver.facts.orders')
   * }}}
   *
-  * This is the SANCTIONED write surface of the otherwise read-only SQL
+  * This is the MAINTENANCE write surface beside the DML one of the SQL
   * catalog: where `INSERT INTO graft...` would bypass the warehouse
   * commit protocol (the reason [[GraftCatalog]] exposes no
   * `SupportsWrite`), every procedure here IS the protocol — each call

@@ -140,8 +140,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft SQL catalog is read-only: write through graft.catalog.Warehouse / " +
-      "graft.sinks.MergeTable (SQL writes would bypass the commit protocol)")
+    "graft SQL catalog supports DML (INSERT/DELETE/UPDATE/MERGE) but not " +
+      "DDL: create/alter/drop tables through graft.catalog.Warehouse — " +
+      "table lifecycle and layout decisions (partitioning, stats columns) " +
+      "belong to the engine API")
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
@@ -214,7 +216,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     else Array.empty
 }
 
-/** One committed snapshot exposed as a DSv2 read-only table. The scan
+/** One committed snapshot exposed as a DSv2 table. The scan
   * builder is Spark's own parquet one — pushdown, nested-schema
   * pruning, vectorization, and codegen are all stock — pointed at a
   * [[GraftFileIndex]] so manifest file skipping sits underneath.

@@ -1497,7 +1497,7 @@ object PipelineQueries {
   /** SQL maintenance procedures ([[graft.catalog.GraftProcedures]],
     * Spark 4 `ProcedureCatalog`): `CALL graft.system.compact/history`
     * route through the SAME Warehouse entry points the Scala API uses
-    * — the sanctioned write surface of the otherwise read-only-DML
+    * — the maintenance write surface of the
     * catalog (Iceberg's CALL model). The gate runs a deterministic
     * overwrite → delete → CALL compact sequence and value-checks the
     * CALL history ledger against the literal expected operations, plus

@@ -102,7 +102,7 @@ class GraftCatalogSpec extends SparkSpec {
       .get(Warehouse.OpMeta).contains("APPEND"))
     val e = intercept[UnsupportedOperationException](
       spark.sql("DROP TABLE graftsql.silver.g.facts"))
-    assert(e.getMessage.contains("read-only"))
+    assert(e.getMessage.contains("not") && e.getMessage.contains("DDL"))
     // unknown table resolves to the standard analysis error
     intercept[Exception](spark.sql("SELECT * FROM graftsql.silver.g.nope"))
 
@@ -711,6 +711,11 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT k FROM graftw.silver.g.ins WHERE k BETWEEN 401 AND 405")
     assert(q.as[Long].collect().sorted === (401L to 405L))
     assert(plannedFiles(q).size < wh.dataFiles(ref).size)
+
+    // the DataFrame v2 writer rides the same SupportsWrite surface
+    Seq((421L, "wv")).toDF("k", "v").writeTo("graftw.silver.g.ins").append()
+    assert(spark.sql("SELECT count(*) AS n FROM graftw.silver.g.ins")
+      .head().getLong(0) === 421L)
 
     // INSERT OVERWRITE = full atomic replace, stats columns preserved
     spark.sql(
