@@ -488,7 +488,7 @@ object DedupQueries {
     "q_dedup_against_near" -> (qDedupAgainstNear _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_containment" -> (qContainment _),
-    "q_minhash_pairs" -> (qMinhashPairs _),
+        "q_minhash_pairs" -> (qMinhashPairs _),
     "q_dedup_near_e2e" -> (qDedupNearE2e _),
     "q_simhash_pairs" -> (qSimhashPairs _))
 

@@ -216,6 +216,60 @@ object TextQueries {
       docs, "doc_id", "text", docs.filter($"doc_id" < 50), "text", n = 5)
   }
 
+  /** The RATIO decontamination policy end-to-end
+    * ([[graft.text.Decontaminate.promptContainment]]): per-prompt
+    * fractional containment, length-normalized where the absolute
+    * hit-count gate above is not. The eval set is token-slice
+    * "benchmark prompts" lifted from every 5th >=30-token document —
+    * their 3-grams are a SUBSET of the source doc's, so containment
+    * is 1.0 and those docs (plus any doc organically sharing >= 80%
+    * of a prompt's grams) drop; everything else survives. The oracle
+    * re-implements the whole pass in SQL — same lowered tokenization,
+    * same distinct gram sets, same corpus-side posting cap (mirrored
+    * in HAVING), same round(., 6) threshold — and anti-joins the
+    * contaminated ids.
+    */
+  def qDecontamRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"n_chars")
+    val toks = TextFunctions.tokens(lower($"text"))
+    val prompts = docs
+      .filter(size(toks) >= 30 && $"doc_id" % 5 === 0)
+      .select(($"doc_id" + 7000000L).as("eval_id"),
+        array_join(slice(toks, 5, 20), " ").as("text"))
+    graft.text.Decontaminate.decontaminatedByContainment(
+        docs, "doc_id", "text", prompts, "eval_id", "text",
+        n = 3, threshold = 0.8, maxPostings = 100)
+      .select($"doc_id", $"n_chars")
+  }
+
+  val qDecontamRatioSql: String = {
+    val ltoks = """list_filter(regexp_split_to_array(lower(text), '\s+'),
+                  |    x -> length(x) > 0)""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, $ltoks AS t FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(0, len(t) - 2),
+       |  i -> array_to_string(t[i+1:i+3], ' '))) AS s FROM tok),
+       |cpost AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |usable AS (SELECT g FROM cpost GROUP BY g HAVING count(*) <= 100),
+       |evals AS (
+       |  SELECT doc_id + 7000000 AS eval_id,
+       |    list_distinct(list_transform(range(0, len(t[5:24]) - 2),
+       |      i -> array_to_string((t[5:24])[i+1:i+3], ' '))) AS es
+       |  FROM tok WHERE len(t) >= 30 AND doc_id % 5 = 0),
+       |epost AS (SELECT eval_id, len(es) AS esize, unnest(es) AS g
+       |          FROM evals WHERE len(es) > 0),
+       |contaminated AS (
+       |  SELECT DISTINCT p.doc_id
+       |  FROM (SELECT c.doc_id, c.g FROM cpost c
+       |        JOIN usable u ON c.g = u.g) p
+       |  JOIN epost e ON e.g = p.g
+       |  GROUP BY p.doc_id, e.eval_id, e.esize
+       |  HAVING round(CAST(count(*) AS DOUBLE) / e.esize, 6) >= 0.8)
+       |SELECT doc_id, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin
+  }
+
   val qDecontaminateSql: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -962,6 +1016,7 @@ object TextQueries {
     "q_span_dedup_incr" -> (qSpanDedupIncr _),
     "q_vocab_topk" -> (qVocabTopk _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontam_ratio" -> (qDecontamRatio _),
     "q_pack_sequences" -> (qPackSequences _))
 
   def oracles: Map[String, String] = Map(
@@ -990,5 +1045,6 @@ object TextQueries {
     "q_text_fingerprint" -> qTextFingerprintSql,
     "q_vocab_topk" -> qVocabTopkSql,
     "q_decontaminate" -> qDecontaminateSql,
+    "q_decontam_ratio" -> qDecontamRatioSql,
     "q_pack_sequences" -> qPackSequencesSql)
 }

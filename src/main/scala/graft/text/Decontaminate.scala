@@ -52,4 +52,72 @@ object Decontaminate {
       contaminationHits(docs, docId, docText, bench, benchText, n)
         .withColumnRenamed("doc_id", "__contaminated_id"),
       col(docId) === col("__contaminated_id"), "left_anti")
+
+  // ---------------------------------------- per-prompt containment
+
+  /** The SECOND decontamination policy: per-PROMPT fractional
+    * containment instead of [[contaminationHits]]' absolute shared-
+    * gram count — `|grams(prompt) ∩ grams(doc)| / |grams(prompt)|`
+    * per (doc, prompt) pair, thresholded. Length-normalized: a short
+    * benchmark prompt fully quoted inside a long document scores 1.0
+    * where an absolute hit count would sit below any fixed cutoff,
+    * and a long prompt sharing only boilerplate scores near 0 where
+    * absolute counts would false-positive. The audit view names WHICH
+    * prompt leaked and how fully.
+    *
+    * Same broadcast scale shape as [[contaminationHits]], plus a
+    * corpus-side hot-gram cap: grams appearing in more than
+    * `maxPostings` documents are excluded from matching and COUNTED
+    * (`decontam.dropped_grams` in [[graft.util.CapCounters]]) —
+    * non-zero means measured containment is a LOWER bound for docs
+    * sharing only ultra-common grams, the recall warning to check
+    * before trusting a clean verdict. Prompts shorter than `n` tokens
+    * have no gram and cannot match.
+    *
+    * Returns `(doc_id, eval_id, containment)` pairs at or above
+    * `threshold`; [[decontaminatedByContainment]] is the drop.
+    */
+  def promptContainment(docs: DataFrame, docId: String, docText: String,
+                        prompts: DataFrame, promptId: String,
+                        promptText: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxPostings: Int = 1000): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val cpost = docs.select(col(docId).as("doc_id"),
+      explode(array_distinct(grams(col(docText), n))).as("gram"))
+    val hist = graft.util.Scratch.transientCheckpoint(
+      cpost.groupBy("gram").agg(count(lit(1)).as("__n")).localCheckpoint())
+    graft.util.CapCounters.set("decontam.dropped_grams",
+      hist.filter(col("__n") > maxPostings).count())
+    val epost = prompts.select(col(promptId).as("eval_id"),
+        array_distinct(grams(col(promptText), n)).as("__es"))
+      .withColumn("__esize", size(col("__es")))
+      .filter(col("__esize") > 0)
+      .select(col("eval_id"), col("__esize"), explode(col("__es")).as("gram"))
+    cpost
+      .join(hist.filter(col("__n") <= maxPostings).select("gram"),
+        Seq("gram"), "left_semi")
+      .join(broadcast(epost), Seq("gram"))
+      .groupBy("doc_id", "eval_id", "__esize")
+      .agg(count(lit(1)).as("__m"))
+      .withColumn("containment", round(col("__m") / col("__esize"), 6))
+      .filter(col("containment") >= threshold)
+      .select("doc_id", "eval_id", "containment")
+  }
+
+  /** The training corpus with every row some prompt is contained in
+    * (≥ threshold) removed — the ratio policy's drop. All corpus
+    * columns pass through; the contaminated-id set broadcasts.
+    */
+  def decontaminatedByContainment(docs: DataFrame, docId: String,
+                                  docText: String,
+                                  prompts: DataFrame, promptId: String,
+                                  promptText: String,
+                                  n: Int = 3, threshold: Double = 0.8,
+                                  maxPostings: Int = 1000): DataFrame =
+    docs.join(
+      broadcast(promptContainment(docs, docId, docText, prompts, promptId,
+        promptText, n, threshold, maxPostings)
+        .select(col("doc_id").as("__contaminated_id")).distinct()),
+      col(docId) === col("__contaminated_id"), "left_anti")
 }

@@ -49,4 +49,44 @@ class DecontaminateSpec extends SparkSpec {
       .contaminationHits(docs, "doc_id", "text", bench, "text", n = 3)
       .count() === 0)
   }
+
+  test("ratio policy: contained prompts drop their hosts; threshold, short prompts, and the cap hold") {
+    import spark.implicits._
+    val host = (1 to 40).map(i => s"w$i").mkString(" ")
+    val clean = (100 to 130).map(i => s"x$i").mkString(" ")
+    val partial = "w10 w11 w12 p1 p2 p3 p4 p5 p6 p7" // one prompt gram only
+    val corpus = Seq((1L, host), (2L, clean), (3L, partial))
+      .toDF("doc_id", "text")
+    val prompts = Seq(
+      (100L, (10 to 17).map(i => s"w$i").mkString(" ")), // inside host
+      (101L, "too short")                                 // < n tokens: skipped
+    ).toDF("eval_id", "text")
+    val hits = Decontaminate.promptContainment(corpus, "doc_id", "text",
+      prompts, "eval_id", "text", n = 3, threshold = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    // the 8-token prompt (6 grams) is verbatim inside the host →
+    // containment 1.0; `partial` shares ONE of six grams (1/6 < 0.8)
+    // and must not hit; the short prompt can't match anything
+    assert(hits === Set((1L, 100L, 1.0)))
+    val survivors = Decontaminate.decontaminatedByContainment(
+        corpus, "doc_id", "text", prompts, "eval_id", "text",
+        n = 3, threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(survivors === Seq(2L, 3L))
+    // ...and a lower threshold pulls the partial overlap in too
+    assert(Decontaminate.decontaminatedByContainment(
+        corpus, "doc_id", "text", prompts, "eval_id", "text",
+        n = 3, threshold = 0.1)
+      .select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    // corpus-side hot-gram cap: duplicate the host so its grams exceed
+    // the cap — matching goes silent for them (contamination MISSED)
+    // and the counter says so; at scale non-zero here is the recall
+    // warning to check before trusting a clean verdict
+    val doubled = corpus.unionByName(Seq((4L, host)).toDF("doc_id", "text"))
+    val capped = Decontaminate.promptContainment(doubled, "doc_id", "text",
+      prompts, "eval_id", "text", n = 3, threshold = 0.8, maxPostings = 1)
+    assert(capped.count() === 0)
+    assert(graft.util.CapCounters.get("decontam.dropped_grams")
+      .exists(_ > 0L))
+  }
 }
