@@ -260,6 +260,7 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -320,6 +321,16 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
       }
 
       override def build(): Write = new V1Write {
+        /** `df.writeStream.toTable("graft....")` — the exactly-once
+          * streaming sink ([[GraftStreamingWrite]]): epoch-staged
+          * executor parquet adopted by one txn-stamped append commit
+          * per micro-batch (Complete mode replaces — Spark routes it
+          * through `truncate()`, so `replaceAll` carries over).
+          */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          new GraftStreamingWrite(spark, wh, snap, info.queryId(),
+            info.schema(), replaceAll)
+
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
             if (replaceAll) {

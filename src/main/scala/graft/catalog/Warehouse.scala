@@ -1554,6 +1554,152 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** Staging directory for one streaming-sink epoch: a SIBLING of the
+    * table directory (like append's `.tmp-append-*`), so staged parquet
+    * is invisible to every reader and to vacuum until the epoch
+    * commits. Executors write here; [[commitStreamEpoch]] moves the
+    * committed tasks' files in.
+    */
+  private[catalog] def streamStageDir(ref: TableRef, queryId: String,
+                                      epochId: Long): Path =
+    new Path(path(ref) + s".tmp-stream-$queryId-$epochId")
+
+  /** The last epoch a streaming query committed into this table, read
+    * from the carried commit meta (`graft.txn.<queryId>`) — the
+    * exactly-once handshake of [[commitStreamEpoch]], Delta's
+    * txnVersion by another name.
+    */
+  def streamTxnEpoch(ref: TableRef, queryId: String): Option[Long] =
+    currentVersion(ref).flatMap(v =>
+      commitMeta(ref, v).get(Warehouse.txnMetaKey(queryId)).map(_.toLong))
+
+  /** EXACTLY-ONCE commit of one streaming micro-batch epoch
+    * (`df.writeStream.toTable("graft....")` — the write half of the
+    * commit-log streaming source): adopt the epoch's executor-staged
+    * parquet files (under [[streamStageDir]]) into the table as ONE
+    * append commit (or a full replace, Complete output mode) stamped
+    * with `graft.txn.<queryId> = epochId`. The stamp rides the commit
+    * meta ATOMICALLY with the file list and is carried forward by every
+    * later commit, so a REPLAYED epoch (Spark re-runs the last batch
+    * after a checkpoint-recovery restart) sees `committed >= epochId`,
+    * applies nothing, and just sweeps its re-staged files — the Delta
+    * sink's idempotent-txn protocol. Everything else is the append
+    * protocol verbatim: writer lock (a streaming epoch and a Scala
+    * merge serialize), crash recovery, intent journal before any file
+    * lands, delta-encoded O(batch) log append, stats-manifest part
+    * extension. `stagedRels` MUST be the rel paths from the COMMITTED
+    * task messages only — a dead speculative attempt's partial file
+    * may still sit in the stage dir, and listing would adopt it.
+    *
+    * Returns the committed version (the current one when the epoch was
+    * already applied or staged nothing).
+    */
+  def commitStreamEpoch(ref: TableRef, queryId: String, epochId: Long,
+                        stagedRels: Seq[String],
+                        replaceAll: Boolean = false): Long = withWriterLock(ref) {
+    recoverLocked(ref)
+    require(currentVersion(ref).nonEmpty || exists(ref),
+      s"$ref does not exist — a streaming sink needs a committed table " +
+        "(Warehouse.overwrite creates; DDL is not the sink's job)")
+    val snap = ensureLogLocked(ref)
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    val stage = streamStageDir(ref, queryId, epochId)
+    val txnKey = Warehouse.txnMetaKey(queryId)
+    def sweepStaleStages(): Unit = {
+      // stage dirs of CRASHED earlier epochs of this query (an epoch
+      // that staged but never reached commit): safe to drop once a
+      // later epoch commits — Spark replays at most the last epoch
+      val prefix = s"${ref.table}.tmp-stream-$queryId-"
+      val parent = tablePath.getParent
+      if (filesystem.exists(parent))
+        filesystem.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(prefix) &&
+              n.stripPrefix(prefix).toLongOption.exists(_ < epochId))
+            filesystem.delete(st.getPath, true)
+        }
+    }
+    val already = commitMeta(ref, snap.version).get(txnKey)
+      .exists(_.toLong >= epochId)
+    if (already || (stagedRels.isEmpty && !replaceAll)) {
+      // replayed epoch (apply nothing — exactly-once) or an empty
+      // append batch (nothing to commit; no txn stamp needed, a replay
+      // of an empty epoch is naturally idempotent)
+      filesystem.delete(stage, true)
+      snap.version
+    } else try {
+      sweepStaleStages()
+      writeTxnJournal(ref, stagedRels, Nil)
+      stagedRels.foreach { r =>
+        val dest = new Path(tablePath, r)
+        filesystem.mkdirs(dest.getParent)
+        if (!filesystem.rename(new Path(stage, r), dest))
+          throw new RuntimeException(
+            s"failed to move staged stream file $r into $ref")
+      }
+      val destMeta = stagedRels.map { r =>
+        val st = filesystem.getFileStatus(new Path(tablePath, r))
+        r -> (st.getLen, st.getModificationTime)
+      }
+      val statCols = statColumns(ref)
+        .filter(snapSchemaFieldNames(snap).contains)
+      val oldManifest =
+        if (statCols.isEmpty) None else manifestDf(path(ref))
+      val oldBlooms = oldManifest.toSeq.flatMap(_.columns
+        .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
+      val v =
+        if (replaceAll)
+          commitLocked(ref, snap.schemaJson, stagedRels,
+            Warehouse.withOp(Map(txnKey -> epochId.toString), "STREAM"),
+            destMeta.toMap)
+        else
+          commitLocked(ref, snap.schemaJson, snap.files ++ stagedRels,
+            Warehouse.withOp(Map(txnKey -> epochId.toString), "STREAM"),
+            snap.fileMeta ++ destMeta)
+      // stats manifest follows the commit (crash in between leaves
+      // missing rows — consumers degrade conservatively): append-part
+      // fast path when schema-compatible, else a rewrite mirroring
+      // append's; a replace swaps in a fresh manifest
+      if (statCols.nonEmpty && stagedRels.nonEmpty) {
+        val newData = spark.read.parquet(stagedRels.map(r =>
+          new Path(tablePath, r).toString): _*)
+        val newStats = fileStats(newData, path(ref), statCols, oldBlooms)
+        val appendPart = !replaceAll && oldManifest.exists(old =>
+          canAppendManifestPart(tablePath, old.columns.toSeq,
+            statsColumnsOf(statCols, oldBlooms)))
+        if (appendPart) appendManifestPart(tablePath, newStats)
+        else {
+          val next =
+            if (replaceAll) newStats
+            else oldManifest.map { old =>
+              val common = old.columns.filter(newStats.columns.contains).toSeq
+              old.select(common.map(col): _*)
+                .unionByName(newStats, allowMissingColumns = true)
+            }.getOrElse(newStats)
+          val nonce = System.nanoTime().toString
+          val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
+          next.coalesce(1).write.parquet(tmp.toString)
+          val live = new Path(tablePath, statsDir)
+          filesystem.delete(live, true)
+          if (!filesystem.rename(tmp, live))
+            throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        }
+        if (!registerStatsAt(path(ref)))
+          TableStatsRegistry.invalidate(path(ref))
+      } else TableStatsRegistry.invalidate(path(ref))
+      filesystem.delete(new Path(tablePath, txnFile), false)
+      v
+    } finally {
+      filesystem.delete(stage, true)
+      ()
+    }
+  }
+
+  private def snapSchemaFieldNames(snap: TableSnapshot): Set[String] =
+    org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+
   /** Current table schema WITHOUT opening data files: the committed
     * snapshot carries the schema as JSON, so logged tables answer from
     * the log alone — schema-compatibility checks on merge/replace paths
@@ -3089,6 +3235,12 @@ object Warehouse {
     */
   def withOp(meta: Map[String, String], op: String): Map[String, String] =
     if (meta.contains(OpMeta)) meta else meta + (OpMeta -> op)
+
+  /** Carried commit-meta key recording the last epoch a streaming
+    * query committed ([[Warehouse.commitStreamEpoch]]'s exactly-once
+    * stamp — the Delta sink's per-appId txn version).
+    */
+  def txnMetaKey(queryId: String): String = s"graft.txn.$queryId"
 
   /** Process-local writer mutexes keyed by the normalized lock path
     * (JVM-wide, so two [[Warehouse]] instances over one root still

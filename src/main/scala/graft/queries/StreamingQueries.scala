@@ -726,7 +726,86 @@ object StreamingQueries {
       |FROM orders
       |WHERE o_orderkey <= 1000""".stripMargin
 
+  /** DSv2 streaming SINK over a warehouse table (round 15):
+    * `df.writeStream.toTable("graft....")` through
+    * [[graft.catalog.GraftStreamingWrite]] — each micro-batch's
+    * executor-staged parquet adopted by ONE txn-stamped append commit
+    * ([[graft.catalog.Warehouse.commitStreamEpoch]], the Delta sink's
+    * exactly-once protocol). Fixture: a seed table (orders ≤ 400)
+    * plus a 2-file file-source replay of the 401..1000 slice paced
+    * at one file per trigger, so the run provably commits MULTIPLE
+    * epochs; the gate reads the table back through SQL and must equal
+    * the full ≤ 1000 slice — same oracle as the source gate
+    * (`q_stream_feed`), proving source and sink round-trip one
+    * contract. A per-invocation warehouse keeps warm bench re-runs
+    * from double-appending.
+    */
+  def qStreamSink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    // memoized INPUT files (immutable across invocations)
+    val streamDir = graft.util.Scratch.once(spark, dir, "streamsink.fixtures") {
+      val in = java.nio.file.Files
+        .createTempDirectory("graft-stream-sink-in").toString
+      val orders = graft.Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" > 400 && $"o_orderkey" <= 1000)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      orders.filter($"o_orderkey" <= 700).coalesce(1)
+        .write.mode("append").parquet(in)
+      orders.filter($"o_orderkey" > 700).coalesce(1)
+        .write.mode("append").parquet(in)
+      in
+    }
+    // per-invocation warehouse: the sink MUTATES the table
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-sink-wh").toString + "/wh"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "stream", "orders_sunk")
+    wh.overwrite(ref,
+      graft.Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 400)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartitionByRange(2, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))
+    val cat = s"graftsunk${java.lang.Integer.toHexString(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-stream-sink-ckpt").toString
+    val query = spark.readStream
+      .schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.silver.stream.orders_sunk")
+    graft.util.PhaseTimer.time("stream.sink.replay") { query.awaitTermination() }
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice " +
+      s"FROM $cat.silver.stream.orders_sunk")
+      .withColumn("n_epochs",
+        lit(wh.streamTxnEpoch(ref,
+          // the txn stamp key is graft.txn.<queryId>; recover it from
+          // the commit meta rather than the query handle (the gate
+          // also witnesses the stamp survived in the log)
+          wh.commitMeta(ref, wh.currentVersion(ref).get).keys
+            .find(_.startsWith("graft.txn."))
+            .map(_.stripPrefix("graft.txn.")).getOrElse("missing"))
+          .exists(_ >= 1L)))
+  }
+
+  /** The sink must land every streamed row exactly once on top of the
+    * seed — and the `n_epochs` witness pins that the run really
+    * committed at least two epochs (paced at one input file each).
+    */
+  val qStreamSinkSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, TRUE AS n_epochs
+      |FROM orders
+      |WHERE o_orderkey <= 1000""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_stream_sink" -> (qStreamSink _),
     "q_stream_feed" -> (qStreamFeed _),
     "q_stream_agg_mv" -> (qStreamAggMv _),
     "q_stream_cdc" -> (qStreamCdc _),
@@ -744,6 +823,7 @@ object StreamingQueries {
     "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_stream_sink" -> qStreamSinkSql,
     "q_stream_feed" -> qStreamFeedSql,
     "q_stream_agg_mv" -> qStreamAggMvSql,
     "q_stream_cdc" -> qStreamCdcSql,
