@@ -48,23 +48,26 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
 
   // -- metadata-only aggregates -------------------------------------
   // `SELECT count(*) / count(c) / min(c) / max(c) FROM graft...` with
-  // no WHERE and no GROUP BY answers from the stats manifest alone
-  // (Warehouse.metadataAggregate) — the scan becomes a LocalScan whose
-  // single row was computed at plan time with ZERO data-file access,
-  // Delta/Iceberg's "metadata-only query". Any unprovable piece (a
-  // column without stats, a file missing from the manifest, a filter,
-  // a group-by, DISTINCT) falls back to the normal scan silently —
-  // pushdown is an optimization, never a semantics change.
+  // no WHERE — ungrouped, or GROUP BY partition columns — answers from
+  // the stats manifest alone (Warehouse.metadataAggregate[Grouped]) —
+  // the scan becomes a LocalScan whose rows were computed at plan time
+  // with ZERO data-file access, Delta/Iceberg's "metadata-only query"
+  // (the grouped form is Iceberg's partition-stats shape: one row per
+  // partition value off the manifest). Any unprovable piece (a column
+  // without stats, a file missing from the manifest, a filter, a
+  // group-by on a DATA column, DISTINCT) falls back to the normal
+  // scan silently — pushdown is an optimization, never a semantics
+  // change.
 
-  private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var metaAgg: Option[(StructType, Seq[Seq[Any]])] = None
 
   // Spark probes supportCompletePushDown then pushAggregation with the
   // SAME Aggregation — memoize so the manifest fold runs once. The
   // answer only COMMITS (build() returns the aggregate scan) in
   // pushAggregation: a probe alone must leave the normal scan intact.
-  private var lastProbe: Option[(Aggregation, Option[(StructType, Seq[Any])])] = None
+  private var lastProbe: Option[(Aggregation, Option[(StructType, Seq[Seq[Any]])])] = None
 
-  private def probe(aggregation: Aggregation): Option[(StructType, Seq[Any])] =
+  private def probe(aggregation: Aggregation): Option[(StructType, Seq[Seq[Any]])] =
     lastProbe match {
       case Some((prev, r)) if prev eq aggregation => r
       case _ =>
@@ -81,15 +84,31 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
     metaAgg.isDefined
   }
 
-  private def tryMetadataAnswer(aggregation: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (sawFilters || aggregation.groupByExpressions.nonEmpty) return None
+  private def tryMetadataAnswer(aggregation: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
+    if (sawFilters) return None
     val dataByName = dataFields.map(f => f.name -> f).toMap
+    val partByName = tableSchema.fields
+      .filterNot(f => dataByName.contains(f.name))
+      .map(f => f.name -> f).toMap
     def dataCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case nr: NamedReference if nr.fieldNames.length == 1 &&
             dataByName.contains(nr.fieldNames()(0)) => Some(nr.fieldNames()(0))
         case _ => None
       }
+    // GROUP BY is answerable only over PARTITION columns: each group is
+    // then a set of whole `k=v` directories whose files the manifest
+    // accounts for exactly
+    val groupCols: Option[Seq[StructField]] = {
+      val gs = aggregation.groupByExpressions.toSeq.map {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            partByName.contains(nr.fieldNames()(0)) =>
+          Some(partByName(nr.fieldNames()(0)))
+        case _ => None
+      }
+      if (gs.exists(_.isEmpty)) None else Some(gs.flatten)
+    }
+    if (groupCols.isEmpty) return None
     val mapped: Seq[Option[(Warehouse.MetaAgg, StructField)]] =
       aggregation.aggregateExpressions().toSeq.map {
         case _: CountStar =>
@@ -107,35 +126,95 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
       }
     if (mapped.exists(_.isEmpty) || mapped.isEmpty) return None
     val shapes = mapped.flatten
-    wh.metadataAggregate(snap.ref, snap.files, shapes.map(_._1))
-      .map(values => (StructType(shapes.map(_._2)), values))
+    if (groupCols.get.isEmpty)
+      wh.metadataAggregate(snap.ref, snap.files, shapes.map(_._1))
+        .map(values => (StructType(shapes.map(_._2)), Seq(values)))
+    else {
+      // per-file typed partition key for the grouped columns; any file
+      // missing a segment or carrying an unparseable value → fall back
+      val keyed: Seq[Option[(Seq[Any], String)]] = snap.files.map { f =>
+        val key = groupCols.get.map(g =>
+          GraftScanBuilder.partitionValueOf(f, g.name, g.dataType))
+        if (key.exists(_.isEmpty)) None
+        else Some((key.map(_.get.orNull), f))
+      }
+      if (keyed.exists(_.isEmpty)) return None
+      val byKey: Seq[(Seq[Any], Seq[String])] = keyed.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      val gidOf: Map[String, Int] = byKey.zipWithIndex.flatMap {
+        case ((_, files), gid) => files.map(_ -> gid)
+      }.toMap
+      wh.metadataAggregateGrouped(snap.ref, gidOf, shapes.map(_._1)).map { res =>
+        val schema = StructType(
+          groupCols.get.map(g => StructField(g.name, g.dataType)) ++
+            shapes.map(_._2))
+        val rows = byKey.zipWithIndex.map { case ((key, _), gid) =>
+          key ++ res(gid)
+        }
+        (schema, rows)
+      }
+    }
   }
 
   override def build(): Scan = metaAgg match {
-    case Some((schema, values)) => new GraftMetaAggScan(snap, schema, values)
+    case Some((schema, rows)) => new GraftMetaAggScan(snap, schema, rows)
     case None =>
       new GraftScan(spark, wh, snap, tableSchema, dataFields,
         delegate.build(), options, hadFilters = sawFilters)
   }
 }
 
-/** The pre-computed single-row answer of a metadata-only aggregate:
-  * Spark plans it as a LocalTableScanExec — no BatchScan, no tasks,
-  * no file access (the witness the gate asserts on).
+private[catalog] object GraftScanBuilder {
+
+  /** Typed value of one `col=value` directory segment in a table-
+    * relative file path: outer None = segment missing or unparseable
+    * for the inferred type (caller falls back to the real scan), inner
+    * None = the null partition (`__HIVE_DEFAULT_PARTITION__`). The
+    * parse mirrors [[GraftScan.excludedPartitionSegments]]'s typed
+    * comparison space — never raw strings.
+    */
+  def partitionValueOf(relPath: String, column: String,
+                       dt: org.apache.spark.sql.types.DataType)
+      : Option[Option[Any]] = {
+    import org.apache.spark.sql.types._
+    val prefix = column + "="
+    relPath.split('/').dropRight(1).find(_.startsWith(prefix)).flatMap { seg =>
+      val raw = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(seg.drop(prefix.length))
+      if (raw == "__HIVE_DEFAULT_PARTITION__") Some(None)
+      else dt match {
+        case StringType => Some(Some(raw))
+        case IntegerType => raw.toIntOption.map(v => Some(v))
+        case LongType => raw.toLongOption.map(v => Some(v))
+        case ShortType => raw.toShortOption.map(v => Some(v))
+        case ByteType => raw.toByteOption.map(v => Some(v))
+        case BooleanType => raw.toBooleanOption.map(v => Some(v))
+        case DateType =>
+          scala.util.Try(java.sql.Date.valueOf(raw)).toOption.map(v => Some(v))
+        case _ => None
+      }
+    }
+  }
+}
+
+/** The pre-computed answer of a metadata-only aggregate (one row
+  * ungrouped, one per partition value grouped): Spark plans it as a
+  * LocalTableScanExec — no BatchScan, no tasks, no file access (the
+  * witness the gate asserts on).
   */
 private[catalog] final class GraftMetaAggScan(snap: TableSnapshot,
                                               schema: StructType,
-                                              values: Seq[Any])
+                                              resultRows: Seq[Seq[Any]])
     extends LocalScan {
 
   override def readSchema(): StructType = schema
 
-  override def rows(): Array[InternalRow] = {
-    val converted = values.zip(schema.fields).map { case (v, f) =>
-      CatalystTypeConverters.createToCatalystConverter(f.dataType)(v)
-    }
-    Array(InternalRow.fromSeq(converted))
-  }
+  override def rows(): Array[InternalRow] =
+    resultRows.map { values =>
+      InternalRow.fromSeq(values.zip(schema.fields).map { case (v, f) =>
+        CatalystTypeConverters.createToCatalystConverter(f.dataType)(v)
+      })
+    }.toArray
 
   override def description(): String =
     s"GraftMetaAggScan(${snap.ref}@v${snap.version}, manifest-only)"

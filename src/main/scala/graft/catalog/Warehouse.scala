@@ -2531,6 +2531,88 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** GROUPED metadata-only aggregates — [[metadataAggregate]] with the
+    * snapshot's files partitioned into caller-defined groups (the scan
+    * builder groups by PARTITION-directory values, answering
+    * `SELECT part, count(*), min(c), max(c) ... GROUP BY part` from
+    * the manifest alone — Iceberg's partition-stats query shape). ONE
+    * driver-local aggregate over the manifest joined to the
+    * (file → group) mapping, never a pass per group. Provability is
+    * the ungrouped contract applied PER GROUP, all-or-nothing: every
+    * group's files fully and exactly accounted for, null extrema only
+    * with the all-null witness — any unprovable group fails the whole
+    * answer (callers fall back to the real scan). Returns
+    * group-id → values in `aggs` order.
+    */
+  def metadataAggregateGrouped(ref: TableRef, groupOf: Map[String, Int],
+                               aggs: Seq[Warehouse.MetaAgg])
+      : Option[Map[Int, Seq[Any]]] = {
+    import scala.jdk.CollectionConverters._
+    import Warehouse.{ColCount, ColMax, ColMin, RowCount}
+    if (aggs.isEmpty || groupOf.isEmpty) return None
+    manifestLocalDf(path(ref)).flatMap { m =>
+      val needed = aggs.flatMap {
+        case RowCount => Seq("rows")
+        case ColCount(c) => Seq("rows", s"nulls_$c")
+        case ColMin(c) => Seq(s"min_$c", s"max_$c", s"nulls_$c", "rows")
+        case ColMax(c) => Seq(s"min_$c", s"max_$c", s"nulls_$c", "rows")
+      }.distinct
+      if (!needed.forall(m.columns.contains)) None
+      else {
+        val mapping = spark.createDataFrame(
+          groupOf.toSeq.map { case (f, g) =>
+            org.apache.spark.sql.Row(f, g)
+          }.asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("__gid",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        // inner join: a snapshot file MISSING from the manifest simply
+        // contributes no row, so its group's accounted count falls
+        // short of the expected count below → unprovable → None
+        val f = m.join(mapping, "file")
+        def exactExtremum(c: String): Column =
+          count(when(col(s"min_$c").isNull.or(col(s"max_$c").isNull)
+            .and(!(col(s"nulls_$c") <=> col("rows"))), 1))
+        val countCols = aggs.collect { case ColCount(c) => c }.distinct
+        val extremaCols = aggs.collect {
+          case ColMin(c) => c
+          case ColMax(c) => c
+        }.distinct
+        val validation: Seq[Column] = Seq(
+          count(lit(1)).as("__nfiles"),
+          countDistinct(col("file")).as("__ndistinct"),
+          count(col("rows")).as("__nrows")) ++
+          countCols.map(c => count(col(s"nulls_$c")).as(s"__nn_$c")) ++
+          extremaCols.map(c => exactExtremum(c).as(s"__bad_$c"))
+        val results: Seq[Column] = aggs.map {
+          case RowCount => sum(col("rows"))
+          case ColCount(c) => sum(col("rows") - col(s"nulls_$c"))
+          case ColMin(c) => min(col(s"min_$c"))
+          case ColMax(c) => max(col(s"max_$c"))
+        }
+        val all = validation ++ results
+        val rows = f.groupBy(col("__gid")).agg(all.head, all.tail: _*)
+          .collect()
+        val expected = groupOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val byGid = rows.map(r => r.getInt(0) -> r).toMap
+        val allValid = expected.forall { case (gid, n) =>
+          byGid.get(gid).exists { r =>
+            r.getLong(1) == n && r.getLong(2) == n && r.getLong(3) == n &&
+              countCols.indices.forall(i => r.getLong(4 + i) == n) &&
+              extremaCols.indices.forall(i =>
+                r.getLong(4 + countCols.size + i) == 0L)
+          }
+        }
+        if (!allValid) None
+        else Some(byGid.map { case (gid, r) =>
+          gid -> aggs.indices.map(i => r.get(1 + validation.size + i))
+        })
+      }
+    }
+  }
+
   /** Per-column PLANNER statistics for a snapshot's file list, folded
     * from the stats manifest: per stat column, the summed per-file
     * approximate NDV (an upper estimate — cross-file repeats double-

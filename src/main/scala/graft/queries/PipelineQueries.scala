@@ -1250,7 +1250,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 10) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 11) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1276,6 +1276,14 @@ object PipelineQueries {
       wh.overwrite(TableRef("silver", "facts", "orders_rt"),
         slice.repartition(8, $"o_custkey"), // hash layout: ranges overlap
         statsColumns = Seq("o_orderkey"), bloomColumns = Seq("o_orderkey"))
+      wh.overwrite(TableRef("silver", "facts", "orders_meta_part"),
+        // partitioned AND stats-manifested: the GROUP-BY-partition
+        // metadata aggregate's layout (disc nullable per group)
+        slice.select($"o_orderkey",
+            when($"o_orderkey" % 3 === 0, $"o_totalprice").as("disc"),
+            concat(lit("g"), $"o_orderkey" % 4).as("seg"))
+          .repartition(2),
+        partitionBy = Seq("seg"), statsColumns = Seq("o_orderkey", "disc"))
       wh.overwrite(TableRef("silver", "facts", "orders_dpp"),
         slice.select($"o_orderkey", $"o_totalprice",
             concat(lit("g"), $"o_orderkey" % 4).as("seg"))
@@ -1415,6 +1423,42 @@ object PipelineQueries {
       |       true AS meta_only
       |FROM orders
       |WHERE o_orderkey <= 1000""".stripMargin
+
+  /** GROUP BY partition columns, metadata-only (round 15 — Iceberg's
+    * partition-stats query shape): `SELECT seg, count(*), count(c),
+    * min(k), max(k) ... GROUP BY seg` over a partitioned, stats-
+    * manifested table answers from ONE driver-local manifest aggregate
+    * grouped by the `seg=…` directory values
+    * ([[graft.catalog.Warehouse.metadataAggregateGrouped]]) — one
+    * output row per partition, ZERO data files opened. At 100 TB this
+    * is the daily partition-census query (rows per day, value ranges
+    * per day) costing a manifest read instead of a full scan. Values
+    * checked against DuckDB re-deriving the partition key the hard
+    * way; `meta_only` pins the no-batch-scan plan witness.
+    */
+  def qSqlAggMetaPart(spark: SparkSession, dir: String): DataFrame = {
+    val (cat, _) = sqlCatalogFamily(spark, dir)
+    val q = spark.sql(
+      s"""SELECT seg, count(*) AS c, count(disc) AS cd,
+         |       min(o_orderkey) AS mnk, max(o_orderkey) AS mxk,
+         |       min(disc) AS mnd, max(disc) AS mxd
+         |FROM $cat.silver.facts.orders_meta_part
+         |GROUP BY seg""".stripMargin)
+    q.collect() // force planning through the executed plan
+    val metaOnly = deepScans(q.queryExecution.executedPlan).isEmpty
+    q.withColumn("meta_only", lit(metaOnly))
+  }
+
+  val qSqlAggMetaPartSql: String =
+    """SELECT 'g' || (o_orderkey % 4) AS seg, count(*) AS c,
+      |       count(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS cd,
+      |       min(o_orderkey) AS mnk, max(o_orderkey) AS mxk,
+      |       min(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS mnd,
+      |       max(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice END) AS mxd,
+      |       true AS meta_only
+      |FROM orders
+      |WHERE o_orderkey <= 1000
+      |GROUP BY 1""".stripMargin
 
   /** Runtime (join-time) file skipping through the SQL catalog
     * ([[graft.catalog.GraftScan]]'s `SupportsRuntimeV2Filtering`): a
@@ -1790,6 +1834,7 @@ object PipelineQueries {
     "q_sql_catalog" -> (qSqlCatalog _),
     "q_sql_catalog_part" -> (qSqlCatalogPart _),
     "q_sql_agg_meta" -> (qSqlAggMeta _),
+    "q_sql_agg_meta_part" -> (qSqlAggMetaPart _),
     "q_sql_runtime_prune" -> (qSqlRuntimePrune _),
     "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_call" -> (qSqlCall _),
@@ -1834,6 +1879,7 @@ object PipelineQueries {
     "q_sql_catalog" -> qSqlCatalogSql,
     "q_sql_catalog_part" -> qSqlCatalogPartSql,
     "q_sql_agg_meta" -> qSqlAggMetaSql,
+    "q_sql_agg_meta_part" -> qSqlAggMetaPartSql,
     "q_sql_runtime_prune" -> qSqlRuntimePruneSql,
     "q_sql_dpp" -> qSqlDppSql,
     "q_sql_call" -> qSqlCallSql,

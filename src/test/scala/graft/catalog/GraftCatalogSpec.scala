@@ -923,4 +923,71 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM graftrace.silver.g.race")
       .head().getLong(0) === 120L)
   }
+
+  test("GROUP BY partition columns answers metadata-only: per-partition rows off the manifest") {
+    import spark.implicits._
+    val root = tmpDir("wh-sqlcat-gmagg")
+    val wh = new Warehouse(spark, root)
+    spark.conf.set("spark.sql.catalog.graftgm", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftgm.root", root)
+    val ref = TableRef("silver", "g", "gmagg")
+    // string partition incl. a NULL partition value; n nullable so
+    // count(n) exercises per-group null accounting
+    wh.overwrite(ref,
+      (1L to 300L).map(i => (i,
+        if (i % 7 == 0) None else Some(s"g${i % 3}"),
+        if (i <= 30) None else Some(i * 2))).toDF("k", "p", "n"),
+      partitionBy = Seq("p"), statsColumns = Seq("k", "n"))
+    def t = "graftgm.silver.g.gmagg"
+
+    val q = spark.sql(
+      s"""SELECT p, count(*) AS c, count(n) AS cn, min(k) AS mn, max(k) AS mx
+         |FROM $t GROUP BY p""".stripMargin)
+    val expected = (1L to 300L).map(i => (i,
+        if (i % 7 == 0) None else Some(s"g${i % 3}"),
+        if (i <= 30) None else Some(i * 2)))
+      .groupBy(_._2).map { case (p, rows) =>
+        Seq[Any](p.orNull, rows.size.toLong,
+          rows.count(_._3.nonEmpty).toLong,
+          rows.map(_._1).min, rows.map(_._1).max)
+      }.toSet
+    assert(q.collect().map(_.toSeq).toSet === expected)
+    assert(deepScans(q.queryExecution.executedPlan).isEmpty,
+      "a partition-grouped aggregate must answer from the manifest alone")
+
+    // the zero-data-access proof: every data file deleted raw, the
+    // grouped answer still stands
+    wh.dataFiles(ref).foreach(f =>
+      assert(new java.io.File(new org.apache.hadoop.fs.Path(f).toUri.getPath).delete()))
+    assert(spark.sql(s"SELECT p, count(*) AS c FROM $t GROUP BY p")
+      .collect().map(_.getLong(1)).sum === 300L)
+
+    // honest fallbacks: a grouped query WITH a filter, a group on a
+    // DATA column, and an unsupported aggregate all keep the real scan
+    val ref2 = TableRef("silver", "g", "gmagg2")
+    wh.overwrite(ref2,
+      (1L to 60L).map(i => (i, s"g${i % 2}", i * 3)).toDF("k", "p", "n"),
+      partitionBy = Seq("p"), statsColumns = Seq("k"))
+    Seq(
+      s"SELECT p, count(*) AS c FROM graftgm.silver.g.gmagg2 WHERE k > 5 GROUP BY p",
+      s"SELECT n, count(*) AS c FROM graftgm.silver.g.gmagg2 GROUP BY n",
+      s"SELECT p, avg(k) AS a FROM graftgm.silver.g.gmagg2 GROUP BY p").foreach { sql =>
+      val fb = spark.sql(sql)
+      fb.collect()
+      assert(deepScans(fb.queryExecution.executedPlan).nonEmpty,
+        s"expected a real scan for: $sql")
+    }
+
+    // an INTEGER-typed partition column groups in its inferred value
+    // space (p=07-style dirs would parse, not string-match)
+    val ref3 = TableRef("silver", "g", "gmagg3")
+    wh.overwrite(ref3,
+      (1L to 90L).map(i => (i, i % 3)).toDF("k", "b"),
+      partitionBy = Seq("b"), statsColumns = Seq("k"))
+    val qi = spark.sql(
+      s"SELECT b, count(*) AS c FROM graftgm.silver.g.gmagg3 GROUP BY b")
+    assert(qi.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      === Seq((0, 30L), (1, 30L), (2, 30L)))
+    assert(deepScans(qi.queryExecution.executedPlan).isEmpty)
+  }
 }
