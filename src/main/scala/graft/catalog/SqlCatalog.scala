@@ -329,7 +329,7 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
           */
         override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
           new GraftStreamingWrite(spark, wh, snap, info.queryId(),
-            info.schema(), replaceAll)
+            info.schema(), replaceAll, info.options())
 
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, _: Boolean) =>

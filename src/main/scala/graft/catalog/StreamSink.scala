@@ -54,10 +54,26 @@ private[catalog] final class GraftStreamingWrite(spark: SparkSession,
                                                  snap: TableSnapshot,
                                                  queryId: String,
                                                  writeSchema: StructType,
-                                                 replaceAll: Boolean)
+                                                 replaceAll: Boolean,
+                                                 options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
     extends StreamingWrite {
 
   private val ref = snap.ref
+
+  /** `option("compactAtFiles", n)` — in-loop small-file maintenance
+    * (the knob [[graft.streaming.EventStreams.dedupIngestStreamNear]]
+    * uses for its band table): after an epoch commits, when the
+    * table's LIVE file count exceeds `n`, run [[Warehouse.compact]]
+    * under the same protocol. A forever-running sink then holds
+    * steady-state files at O(n + files-per-batch) instead of growing
+    * one file per task per trigger without bound — at 100 TB the
+    * difference between a healthy table and a million-file manifest.
+    * Downstream commit-log streams see the compaction as a change
+    * commit (re-emission under default semantics, silence under
+    * `skipChangeCommits` — the documented contract).
+    */
+  private val compactAtFiles =
+    Option(options.get("compactAtFiles")).map(_.toInt)
 
   /** Partition columns from the committed layout — ordered `k=v`
     * directory components of any committed file's relative path (the
@@ -102,6 +118,10 @@ private[catalog] final class GraftStreamingWrite(spark: SparkSession,
       case m: GraftStreamCommitMessage => m.files.toSeq
     }.flatten
     wh.commitStreamEpoch(ref, queryId, epochId, rels, replaceAll)
+    if (!replaceAll && rels.nonEmpty)
+      compactAtFiles.foreach { n =>
+        if (wh.dataFiles(ref).size > n) wh.compact(ref)
+      }
     ()
   }
 

@@ -178,6 +178,40 @@ class GraftStreamSinkSpec extends SparkSpec {
       === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
 
+  test("compactAtFiles bounds a long-running sink's file count") {
+    import spark.implicits._
+    val root = tmpDir("wh-sink-compact")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "sunk_bounded")
+    wh.overwrite(ref, Seq((0L, "seed")).toDF("k", "v"))
+    registerCatalog("graftsink5", root)
+
+    val in = tmpDir("sink-compact-in")
+    val ckpt = tmpDir("sink-compact-ckpt")
+    // 6 single-file epochs (one file per trigger), each committing its
+    // own small file — without maintenance the table ends ~7 files
+    (1L to 6L).foreach { i =>
+      Seq((i, s"v$i")).toDF("k", "v").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    spark.readStream.schema("k LONG, v STRING").parquet(in)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .option("maxFilesPerTrigger", "1")
+      .option("compactAtFiles", "3")
+      .trigger(Trigger.AvailableNow())
+      .toTable("graftsink5.silver.g.sunk_bounded")
+      .awaitTermination()
+    assert(wh.read(ref).as[(Long, String)].collect().sorted
+      === (0L to 6L).map(i => (i, if (i == 0) "seed" else s"v$i")))
+    assert(wh.dataFiles(ref).size <= 4,
+      s"compactAtFiles=3 must bound the live file count, " +
+        s"got ${wh.dataFiles(ref).size}")
+    val ops = wh.history(ref).select("operation").as[String].collect().toSeq
+    assert(ops.contains("COMPACT"),
+      s"in-loop maintenance must appear in the ledger: $ops")
+  }
+
   test("catalog-to-catalog: readStream.table into writeStream.toTable") {
     import spark.implicits._
     val root = tmpDir("wh-sink-c2c")
