@@ -91,6 +91,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val wh = warehouse
+    // Iceberg-style metadata table: `graft.<cat>.<sch>.<table>.changes`
+    // is the table's CHANGE DATA FEED ([[GraftChangesTable]]), batch
+    // and streaming. Unambiguous: real tables live in exactly
+    // two-level namespaces, so a four-part identifier can only be a
+    // metadata suffix.
+    if (ident.namespace().length == 3 && ident.name() == "changes") {
+      val base = TableRef(ident.namespace()(0), ident.namespace()(1),
+        ident.namespace()(2))
+      val snap = wh.snapshot(base).getOrElse(throw new NoSuchTableException(ident))
+      return new GraftChangesTable(SparkSession.active, wh, snap)
+    }
     val ref = refOf(ident)
     val spark = SparkSession.active
     val snap = wh.snapshot(ref).getOrElse {

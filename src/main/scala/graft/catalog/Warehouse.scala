@@ -313,6 +313,56 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** Full change resolution of one commit for the CHANGE DATA FEED
+    * reader ([[GraftChangesTable]]): the files that appeared AND the
+    * files that retired, with recorded sizes for both (retired sizes
+    * from the parent's resolution — cached), whether the commit was a
+    * FULL replace (every parent file retired — overwrite semantics,
+    * derivable as delete-all + insert-all without change files), and
+    * the commit meta (the `graft.op` / `graft.cdc` the reader's
+    * resolution rules dispatch on). O(churn) off the raw log for delta
+    * commits; checkpoints diff cached resolutions. None when `v` fell
+    * below vacuum retention.
+    */
+  private[catalog] def versionChangesFull(ref: TableRef, v: Long):
+      Option[Warehouse.CommitChanges] = {
+    if (v < horizonOf(ref)) return None
+    rawVersion(ref, v).map { c =>
+      if (c.isDelta) {
+        val retiredSet = c.retires.toSet
+        val parentMeta =
+          if (c.retires.isEmpty) Map.empty[String, (Long, Long)]
+          else resolvedVersion(ref, v - 1).map(_.fileMeta)
+            .getOrElse(Map.empty).view.filterKeys(retiredSet).toMap
+        // a full replace never delta-encodes (adds+retires >= files
+        // writes a checkpoint), so fullReplace is structurally false
+        Warehouse.CommitChanges(c.files, c.fileMeta, c.retires, parentMeta,
+          fullReplace = false, c.meta)
+      } else {
+        val parent = if (v >= 2) resolvedVersion(ref, v - 1) else None
+        parent match {
+          case Some(p) =>
+            val prevSet = p.files.toSet
+            val fileSet = c.files.toSet
+            val adds = c.files.filterNot(prevSet)
+            val addSet = adds.toSet
+            val retired = p.files.filterNot(fileSet)
+            val retiredSet = retired.toSet
+            Warehouse.CommitChanges(adds,
+              c.fileMeta.view.filterKeys(addSet).toMap,
+              retired, p.fileMeta.view.filterKeys(retiredSet).toMap,
+              fullReplace = retired.nonEmpty && retired.size == p.files.size,
+              c.meta)
+          case None =>
+            // no readable predecessor (v1, or vacuum took it): the full
+            // list is the feed's base — inserts, like a fresh stream
+            Warehouse.CommitChanges(c.files, c.fileMeta, Nil, Map.empty,
+              fullReplace = false, c.meta)
+        }
+      }
+    }
+  }
+
   import Warehouse.LogContent
 
   /** Parse one log-format file: `schema\t<json>` +
@@ -636,7 +686,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // from the carry. The wall-clock stamp lands after the carry so
     // a caller can't accidentally forward an old instant either.
     val allMeta = (prevResolved.map(_.meta).getOrElse(Map.empty)
-      - Warehouse.OpMeta - Warehouse.TsMeta) ++ meta +
+      - Warehouse.OpMeta - Warehouse.TsMeta - Warehouse.CdcMeta) ++ meta +
       (Warehouse.TsMeta -> System.currentTimeMillis().toString)
     val tmp = new Path(dir, f".v$next%08d.tmp")
     val out = filesystem.create(tmp, true)
@@ -1107,6 +1157,19 @@ final class Warehouse(spark: SparkSession, val root: String,
           listVersionFiles(ref).filter(_ < anchor)
             .foreach(v => filesystem.delete(versionFilePath(ref, v), false))
         }
+        // change-file dirs of versions below the horizon can go too
+        // (the feed refuses those versions anyway); crashed writers'
+        // unmarked orphans sweep with them
+        keep.headOption.foreach { earliest =>
+          val cdcRoot = new Path(tablePath, cdcDir)
+          if (filesystem.exists(cdcRoot))
+            filesystem.listStatus(cdcRoot).foreach { st =>
+              val n = st.getPath.getName
+              if (n.startsWith("v") &&
+                  n.drop(1).toLongOption.exists(_ < earliest))
+                filesystem.delete(st.getPath, true)
+            }
+        }
         dead.size
       }
     }
@@ -1313,7 +1376,8 @@ final class Warehouse(spark: SparkSession, val root: String,
                 staticPartitions: Seq[(String, String)] = Nil,
                 onlyIfAbsent: Boolean = false,
                 expectedVersion: Option[Long] = None,
-                meta: Map[String, String] = Map.empty): Unit = {
+                meta: Map[String, String] = Map.empty,
+                changes: Option[DataFrame] = None): Unit = {
     require(partitionBy.isEmpty || staticPartitions.isEmpty,
       "partitionBy and staticPartitions are mutually exclusive")
     require(bloomColumns.forall(statsColumns.contains),
@@ -1392,6 +1456,9 @@ final class Warehouse(spark: SparkSession, val root: String,
         r -> (st.getLen, st.getModificationTime)
       }.toMap
       if (bootstrap) {
+        require(changes.isEmpty,
+          s"overwrite($ref) with change files needs an existing committed " +
+            "table — a bootstrap IS the feed's base (derived as inserts)")
         // drop metadata-only leftovers (a crashed writer's journal, an
         // empty partition skeleton) so the rename lands cleanly; no
         // data files exist, so nothing readable is lost
@@ -1405,6 +1472,11 @@ final class Warehouse(spark: SparkSession, val root: String,
         if (statsColumns.nonEmpty) registerStatsAt(path(ref))
         else TableStatsRegistry.invalidate(path(ref))
       } else {
+        // precise change files (when the caller computed them — e.g. a
+        // merge falling back to a full rewrite) land before the moves;
+        // without them a full replace still derives as delete+insert
+        val cdcMeta = changes.fold(Map.empty[String, String])(
+          stageCdcLocked(ref, currentVersion(ref).getOrElse(0L), _))
         // intent journal BEFORE any file lands: a crash pre-commit leaves
         // only unreferenced stragglers, which the next writer's recovery
         // (or vacuum) removes — readers never saw them
@@ -1416,7 +1488,7 @@ final class Warehouse(spark: SparkSession, val root: String,
             throw new RuntimeException(s"failed to move $r into $ref")
         }
         commitLocked(ref, df.schema.json, rels,
-          Warehouse.withOp(meta, "OVERWRITE"), relMeta)
+          Warehouse.withOp(meta ++ cdcMeta, "OVERWRITE"), relMeta)
         // manifest follows the commit; a crash in between leaves a stale
         // manifest, which pruning tolerates by construction (entries for
         // retired files never match the live list, unknown files are kept)
@@ -1552,6 +1624,52 @@ final class Warehouse(spark: SparkSession, val root: String,
       filesystem.delete(stage, true)
       ()
     }
+  }
+
+  /** Turn the CHANGE DATA FEED on or off for a table: one carried
+    * commit-meta line (`graft.cdf=true`, a pure-metadata commit —
+    * Delta's `delta.enableChangeDataFeed` counterpart). While on,
+    * row-rewriting writers ([[deleteWhere]], [[updateWhere]],
+    * [[graft.sinks.MergeTable]]) materialize their row-level changes
+    * as per-commit change files under `_graft_cdc/` — O(changed rows),
+    * written atomically with the commit (the `graft.cdc=1` marker
+    * rides the commit meta). Append-only commits, pure retirements,
+    * full replaces, and maintenance rewrites never need change files:
+    * the feed derives them from the file lists.
+    */
+  def setChangeDataFeed(ref: TableRef, enabled: Boolean): Long =
+    commitMetaOnly(ref, Map(Warehouse.CdfMeta -> enabled.toString))
+
+  /** Whether the table's carried meta asks writers for change files. */
+  def cdfEnabled(ref: TableRef): Boolean =
+    currentVersion(ref).exists(v =>
+      commitMeta(ref, v).get(Warehouse.CdfMeta).contains("true"))
+
+  private[catalog] val cdcDir = "_graft_cdc"
+
+  /** The change-file directory of one commit (rows of the table schema
+    * plus `_change_type`). Written by [[stageCdcLocked]] under the
+    * writer lock BEFORE its commit; readers trust it only when that
+    * commit's meta carries `graft.cdc=1`, so a pre-commit crash leaves
+    * an ignored orphan (swept by [[vacuum]] below the horizon, or
+    * clobbered by the version number's eventual writer).
+    */
+  private[catalog] def cdcPath(ref: TableRef, version: Long): Path =
+    new Path(path(ref), f"$cdcDir/v$version%08d")
+
+  /** Write `changes` as the change files of the NEXT commit (caller
+    * holds the writer lock; `current` is the version its commit will
+    * build on). Returns the meta marker to merge into that commit.
+    */
+  private def stageCdcLocked(ref: TableRef, current: Long,
+                             changes: DataFrame): Map[String, String] = {
+    require(changes.columns.contains(Warehouse.ChangeTypeCol),
+      s"change files need a ${Warehouse.ChangeTypeCol} column; got " +
+        changes.columns.mkString(","))
+    val dir = cdcPath(ref, current + 1)
+    fs(dir).delete(dir, true) // a crashed predecessor's orphan
+    changes.write.parquet(dir.toString)
+    Map(Warehouse.CdcMeta -> "1")
   }
 
   /** Staging directory for one streaming-sink epoch: a SIBLING of the
@@ -1775,13 +1893,26 @@ final class Warehouse(spark: SparkSession, val root: String,
     val partial = perFile.filter(r => r.getLong(1) < totalOf(r.getString(0)))
       .map(_.getString(0)).toSeq
     if (partial.isEmpty)
+      // pure retirement: the change feed DERIVES these rows as deletes
+      // from the retired files themselves (still on disk until vacuum)
+      // — the metadata-only partition drop stays metadata-only even
+      // with CDF on
       retireDataFiles(ref, touched, meta = Map(Warehouse.OpMeta -> "DELETE"))
-    else
+    else {
+      // mixed rewrite: with CDF on, the deleted rows (from ALL touched
+      // files — the commit marker claims completeness) land as change
+      // files atomically with the commit, O(deleted rows)
+      val changes =
+        if (!cdfEnabled(ref)) None
+        else Some(spark.read.option("basePath", path(ref))
+          .parquet(touched: _*).filter(matched)
+          .withColumn(Warehouse.ChangeTypeCol, lit("delete")))
       replaceDataFiles(ref, touched,
         spark.read.option("basePath", path(ref))
           .parquet(partial: _*)
           .filter(!matched),
-        meta = Map(Warehouse.OpMeta -> "DELETE"))
+        meta = Map(Warehouse.OpMeta -> "DELETE"), changes = changes)
+    }
     perFile.map(_.getLong(1)).sum
   }
 
@@ -1833,6 +1964,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       .collect()
     if (perFile.isEmpty) return 0L
     val setMap = set.toMap
+    val cdfOn = cdfEnabled(ref)
     // rewrite per partition directory so replacement files land back
     // inside their partitions (compact's layout-preserving shape)
     perFile.map(_.getString(0)).toSeq
@@ -1840,15 +1972,31 @@ final class Warehouse(spark: SparkSession, val root: String,
       .foreach { case (subdir, files) =>
         // basePath read restores partition columns for the predicate;
         // only data columns are written back (dirs carry the rest)
-        val rewritten = spark.read.option("basePath", path(ref))
+        val slice = spark.read.option("basePath", path(ref))
           .parquet(files: _*)
+        val rewritten = slice
           .select(dataCols.map(c =>
             setMap.get(c)
               .map(v => when(matched, v).otherwise(col(c)).as(c))
               .getOrElse(col(c))): _*)
+        // CDF: this directory's matched rows, before and after the SET
+        // (full table schema — change files stand alone), atomic with
+        // the commit; O(updated rows) extra per directory
+        val changes =
+          if (!cdfOn) None
+          else {
+            val pre = slice.filter(matched)
+            val allCols = slice.columns.toSeq
+            Some(pre.withColumn(Warehouse.ChangeTypeCol,
+                lit("update_preimage"))
+              .unionByName(pre.select(allCols.map(c =>
+                  setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+                .withColumn(Warehouse.ChangeTypeCol,
+                  lit("update_postimage"))))
+          }
         replaceDataFiles(ref, files, rewritten,
           subdir = if (subdir.isEmpty) None else Some(subdir),
-          meta = Map(Warehouse.OpMeta -> "UPDATE"))
+          meta = Map(Warehouse.OpMeta -> "UPDATE"), changes = changes)
       }
     perFile.map(_.getLong(1)).sum
   }
@@ -2796,10 +2944,18 @@ final class Warehouse(spark: SparkSession, val root: String,
     *               partition discovery still owns the layout. None =
     *               the table root (flat tables).
     */
+  /** @param changes row-level change files to commit ATOMICALLY with
+    *                 the replacement (table schema + `_change_type`) —
+    *                 the change-data-feed contract when this rewrite
+    *                 both adds and retires files; staged under
+    *                 `_graft_cdc/` before any data file moves, marked
+    *                 by `graft.cdc=1` on the commit.
+    */
   def replaceDataFiles(ref: TableRef, replaced: Seq[String],
                        replacement: DataFrame,
                        subdir: Option[String] = None,
-                       meta: Map[String, String] = Map.empty): Unit = withWriterLock(ref) {
+                       meta: Map[String, String] = Map.empty,
+                       changes: Option[DataFrame] = None): Unit = withWriterLock(ref) {
     recoverLocked(ref)
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
@@ -2866,6 +3022,13 @@ final class Warehouse(spark: SparkSession, val root: String,
           next.coalesce(1).write.parquet(tmp.toString)
           tmp
         }
+      // change files land BEFORE the journal and the moves: a crash
+      // here leaves an unmarked orphan cdc dir (ignored by readers,
+      // clobbered by the version's eventual writer) and an untouched
+      // table. The changes frame may read the files being replaced —
+      // they are still in place.
+      val cdcMeta = changes.fold(Map.empty[String, String])(
+        stageCdcLocked(ref, snap.version, _))
       // intent journal FIRST: table-relative add/del entries, atomic
       // create — from here a crash anywhere is recoverable
       val adds = newFiles.map(f => subdir.fold(f.getName)(d => s"$d/${f.getName}"))
@@ -2882,7 +3045,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       val replacedSet = replacedRels.toSet
       commitLocked(ref, snap.schemaJson,
         snap.files.filterNot(replacedSet.contains) ++ adds,
-        Warehouse.withOp(meta, "REPLACE"),
+        Warehouse.withOp(meta ++ cdcMeta, "REPLACE"),
         // survivors keep their recorded sizes; adds record theirs from
         // the staging listing (rename into the table preserves both)
         snap.fileMeta ++ adds.zip(newStatuses).map { case (a, st) =>
@@ -3323,6 +3486,35 @@ object Warehouse {
     * stamp — the Delta sink's per-appId txn version).
     */
   def txnMetaKey(queryId: String): String = s"graft.txn.$queryId"
+
+  /** Commit-meta marker: THIS commit wrote complete row-level change
+    * files under `_graft_cdc/` ([[Warehouse]].stageCdcLocked). Like
+    * [[OpMeta]], never carried forward — it describes one commit.
+    */
+  val CdcMeta = "graft.cdc"
+
+  /** CARRIED table property: change-data-feed enabled
+    * ([[Warehouse.setChangeDataFeed]] — Delta's
+    * `delta.enableChangeDataFeed`).
+    */
+  val CdfMeta = "graft.cdf"
+
+  /** The change-kind column of change files and of the `.changes` read
+    * surface: insert / delete / update_preimage / update_postimage
+    * (Delta CDF's names).
+    */
+  val ChangeTypeCol = "_change_type"
+
+  /** The commit-version column the `.changes` surface stamps per row. */
+  val CommitVersionCol = "_commit_version"
+
+  /** One commit's file-level changes, resolved for the change-data-feed
+    * reader ([[Warehouse]].versionChangesFull).
+    */
+  private[catalog] final case class CommitChanges(
+      adds: Seq[String], addMeta: Map[String, (Long, Long)],
+      retired: Seq[String], retiredMeta: Map[String, (Long, Long)],
+      fullReplace: Boolean, meta: Map[String, String])
 
   /** Process-local writer mutexes keyed by the normalized lock path
     * (JVM-wide, so two [[Warehouse]] instances over one root still

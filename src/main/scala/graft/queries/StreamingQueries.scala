@@ -804,7 +804,110 @@ object StreamingQueries {
       |FROM orders
       |WHERE o_orderkey <= 1000""".stripMargin
 
+  /** CHANGE DATA FEED, streamed (round 15): the `.changes` metadata
+    * table ([[graft.catalog.GraftChangesTable]]) drained as a stream —
+    * write-time change files from a CDF-enabled merge (update
+    * pre/post images + inserts, persisted atomically with the commit),
+    * derived inserts for the bootstrap, derived deletes for a
+    * row-level DELETE — with `_commit_version` stamps. The oracle
+    * re-derives every feed row by formula (IEEE `+1.0` is engine-
+    * deterministic); `batch_matches` pins that the BATCH read of the
+    * same feed (SELECT FROM ....changes) returns the identical row
+    * set, and `has_cdc` that the merge commit really carries the
+    * change-file marker (not a noisy file-level derivation).
+    */
+  def qCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val (cat, root) = graft.util.Scratch.once(spark, dir, "cdffeed.fixtures") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-cdf-feed").toString + "/wh"
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("silver", "stream", "orders_cdf")
+      val orders = graft.Tables.load(spark, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+      wh.overwrite(ref, orders.filter($"o_orderkey" <= 800)
+        .repartitionByRange(2, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))                              // v1
+      wh.setChangeDataFeed(ref, enabled = true)                        // v2
+      val mt = new graft.sinks.MergeTable(spark, wh, ref,
+        Seq("o_orderkey"), None)
+      mt.upsert(                                                       // v3
+        orders.filter($"o_orderkey" <= 800 && $"o_orderkey" % 10 === 3)
+          .select($"o_orderkey", ($"o_totalprice" + 1.0).as("o_totalprice"))
+          .unionByName(orders.filter(
+            $"o_orderkey" > 800 && $"o_orderkey" <= 1000)))
+      wh.deleteWhere(ref, $"o_orderkey" % 250 === 17)                  // v4
+      val cat = s"graftcdf${java.lang.Integer.toHexString(root.hashCode)}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      (cat, root)
+    }
+    val sink = "q_cdf_stream_sink"
+    if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
+    val query = spark.readStream
+      .table(s"$cat.silver.stream.orders_cdf.changes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.util.PhaseTimer.time("cdffeed.replay") { query.awaitTermination() }
+    val cols = Seq($"o_orderkey", $"o_totalprice",
+      col(graft.catalog.Warehouse.ChangeTypeCol),
+      col(graft.catalog.Warehouse.CommitVersionCol))
+    val streamed = spark.table(sink).select(cols: _*)
+    val batch = spark.sql(s"SELECT o_orderkey, o_totalprice, " +
+      s"${graft.catalog.Warehouse.ChangeTypeCol}, " +
+      s"${graft.catalog.Warehouse.CommitVersionCol} " +
+      s"FROM $cat.silver.stream.orders_cdf.changes")
+    val matches = batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty
+    val wh = new graft.catalog.Warehouse(spark, root)
+    val hasCdc = wh.commitMeta(
+        graft.catalog.TableRef("silver", "stream", "orders_cdf"), 3L)
+      .get(graft.catalog.Warehouse.CdcMeta).contains("1")
+    streamed.withColumn("batch_matches", lit(matches))
+      .withColumn("has_cdc", lit(hasCdc))
+  }
+
+  /** Every feed row re-derived: v1 inserts the seed, v3 is the merge's
+    * pre/post/insert classification, v4 deletes the %250==17 keys at
+    * their POST-merge values (none are %10==3, but derive honestly).
+    */
+  val qCdfStreamSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 800),
+      |upd AS (SELECT * FROM base WHERE o_orderkey % 10 = 3),
+      |ins AS (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey > 800 AND o_orderkey <= 1000),
+      |final AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 1.0
+      |              ELSE o_totalprice END AS o_totalprice
+      |  FROM base
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT o_orderkey, o_totalprice, 'insert' AS _change_type,
+      |       CAST(1 AS BIGINT) AS _commit_version,
+      |       TRUE AS batch_matches, TRUE AS has_cdc
+      |FROM base
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'update_preimage', 3, TRUE, TRUE
+      |FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice + 1.0, 'update_postimage', 3, TRUE, TRUE
+      |FROM upd
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'insert', 3, TRUE, TRUE FROM ins
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, 'delete', 4, TRUE, TRUE
+      |FROM final WHERE o_orderkey % 250 = 17""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_cdf_stream" -> (qCdfStream _),
     "q_stream_sink" -> (qStreamSink _),
     "q_stream_feed" -> (qStreamFeed _),
     "q_stream_agg_mv" -> (qStreamAggMv _),
@@ -823,6 +926,7 @@ object StreamingQueries {
     "q_stream_join" -> (qStreamJoin _))
 
   def oracles: Map[String, String] = Map(
+    "q_cdf_stream" -> qCdfStreamSql,
     "q_stream_sink" -> qStreamSinkSql,
     "q_stream_feed" -> qStreamFeedSql,
     "q_stream_agg_mv" -> qStreamAggMvSql,

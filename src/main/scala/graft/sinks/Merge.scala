@@ -94,6 +94,64 @@ object Merge {
 
     updated.unionByName(inserts)
   }
+
+  private val KIND = "__merge_kind"
+
+  /** [[merge]] plus the ROW-LEVEL CHANGE classification — the
+    * change-data-feed producer: returns (merged contents, change rows)
+    * where the change rows are the target schema plus
+    * [[graft.catalog.Warehouse.ChangeTypeCol]] (`insert` for unmatched
+    * source rows incl. the stale-row quirk, `update_preimage` /
+    * `update_postimage` for each replaced target row — Delta CDF's
+    * vocabulary). The classified join is MATERIALIZED once
+    * (localCheckpoint, O(target slice + batch) — the caller prunes the
+    * target to touched files first) so the merged output and the
+    * change rows derive from the SAME multi-match tie-breaks: two
+    * independent executions of a window over equal-ts matches could
+    * otherwise pick different winners and make the feed lie about the
+    * table.
+    */
+  def mergeWithChanges(target: DataFrame, source: DataFrame, keys: Seq[String],
+                       tsField: Option[String]): (DataFrame, DataFrame) = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val cols = target.columns.toSeq
+    require(source.columns.toSeq == cols,
+      s"merge schema mismatch: target ${cols.mkString(",")} vs source ${source.columns.mkString(",")}")
+    val tgt = target.withColumn(TID, monotonically_increasing_id())
+    val src = cols.foldLeft(source)((d, c) => d.withColumnRenamed(c, SRC + c))
+      .withColumn(PRESENT, lit(true))
+    val keyCond = keys.map(k => col(k) === col(SRC + k)).reduce(_ && _)
+    val cond = tsField match {
+      case Some(ts) => keyCond && col(SRC + ts) >= col(ts)
+      case None => keyCond
+    }
+    val joined = tgt.join(src, cond, "full_outer")
+    val w = tsField match {
+      case Some(ts) => Window.partitionBy(TID).orderBy(col(SRC + ts).desc_nulls_last)
+      case None => Window.partitionBy(TID).orderBy(col(SRC + keys.head).asc_nulls_last)
+    }
+    val selectCols = cols.map(col) ++ cols.map(c => col(SRC + c)) :+ col(KIND)
+    val classified = joined.filter(col(TID).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn(KIND,
+        when(col(PRESENT), lit("update")).otherwise(lit("keep")))
+      .select(selectCols: _*)
+      .unionByName(joined.filter(col(TID).isNull)
+        .withColumn(KIND, lit("insert")).select(selectCols: _*))
+      .localCheckpoint()
+    val merged = classified.select(cols.map(c =>
+      when(col(KIND) =!= "keep", col(SRC + c)).otherwise(col(c)).as(c)): _*)
+    val ct = graft.catalog.Warehouse.ChangeTypeCol
+    val changes = classified.filter(col(KIND) === "insert")
+        .select(cols.map(c => col(SRC + c).as(c)) :+ lit("insert").as(ct): _*)
+      .unionByName(classified.filter(col(KIND) === "update")
+        .select(cols.map(col) :+ lit("update_preimage").as(ct): _*))
+      .unionByName(classified.filter(col(KIND) === "update")
+        .select(cols.map(c => col(SRC + c).as(c)) :+
+          lit("update_postimage").as(ct): _*))
+    (merged, changes)
+  }
 }
 
 /** A warehouse-backed merge target: Delta-`DeltaTable.forName` stand-in
@@ -247,17 +305,36 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     def dropAffected(df: DataFrame): DataFrame =
       df.join(broadcast(pk),
         keys.map(k => col(k) <=> col("__pk_" + k)).reduce(_ && _), "left_anti")
+    def keepAffected(df: DataFrame): DataFrame =
+      df.join(broadcast(pk),
+        keys.map(k => col(k) <=> col("__pk_" + k)).reduce(_ && _), "left_semi")
+    // change-data-feed shape of a partition replace: the affected
+    // partitions' OLD rows delete, the replacement rows insert (a
+    // valid CDF rendering — per-row update pairing has no meaning for
+    // a wholesale partition swap)
+    val cdfOn = warehouse.cdfEnabled(ref)
+    val ct = org.apache.spark.sql.functions.lit _
+    def changesFor(oldAffected: DataFrame): Option[DataFrame] =
+      if (!cdfOn) None
+      else Some(oldAffected
+        .withColumn(Warehouse.ChangeTypeCol, ct("delete"))
+        .unionByName(replacement
+          .withColumn(Warehouse.ChangeTypeCol, ct("insert"))))
     val split =
       if (bounds.isNullAt(1)) None // null keys carry no range stats
       else warehouse.splitFilesByRange(ref, pruneKey, bounds.get(1), bounds.get(2))
     split match {
       case Some((touched, untouched)) if untouched.nonEmpty =>
-        val rewritten =
-          if (touched.isEmpty) replacement // nothing holds these partitions
-          else dropAffected(spark.read
-              .option("basePath", warehouse.path(ref)).parquet(touched: _*))
-            .unionByName(replacement)
-        warehouse.replaceDataFiles(ref, touched, rewritten, meta = meta)
+        val touchedDf =
+          if (touched.isEmpty) None
+          else Some(spark.read
+            .option("basePath", warehouse.path(ref)).parquet(touched: _*))
+        val rewritten = touchedDf
+          .map(dropAffected(_).unionByName(replacement))
+          .getOrElse(replacement) // nothing holds these partitions
+        warehouse.replaceDataFiles(ref, touched, rewritten, meta = meta,
+          changes = changesFor(touchedDf.map(keepAffected)
+            .getOrElse(replacement.limit(0))))
       case _ =>
         // no manifest (or every file may overlap): full rewrite — and
         // write key stats so the next refresh can prune
@@ -266,7 +343,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           else warehouse.statColumns(ref)
         warehouse.overwrite(ref,
           dropAffected(warehouse.read(ref)).unionByName(replacement),
-          statsColumns = statCols, expectedVersion = baseVersion, meta = meta)
+          statsColumns = statCols, expectedVersion = baseVersion, meta = meta,
+          changes = changesFor(keepAffected(warehouse.read(ref))))
     }
   }
 
@@ -304,11 +382,15 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
         val wTarget = widen(target, source)
         val wSource = widen(source, target)
           .select(wTarget.columns.map(col).toIndexedSeq: _*)
-        val merged = Merge.merge(wTarget, wSource, keys, tsField)
+        val (merged, changes) =
+          if (warehouse.cdfEnabled(ref)) {
+            val (m, c) = Merge.mergeWithChanges(wTarget, wSource, keys, tsField)
+            (m, Some(c))
+          } else (Merge.merge(wTarget, wSource, keys, tsField), None)
         warehouse.overwrite(ref, merged,
           statsColumns = statCols.filter(merged.columns.contains),
           expectedVersion = baseVersion,
-          meta = Map(Warehouse.OpMeta -> "MERGE"))
+          meta = Map(Warehouse.OpMeta -> "MERGE"), changes = changes)
         return
       }
     }
@@ -319,27 +401,39 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
       if (bounds.isNullAt(1)) // all-null keys: nothing can match
         Some((Seq.empty[String], warehouse.dataFiles(ref)))
       else warehouse.splitFilesByRange(ref, pruneKey, bounds.get(1), bounds.get(2))
+    // change-data-feed production (the table property asks for it):
+    // rewriting merges classify their rows once and commit the change
+    // files atomically; the insert-only fast path stays change-file
+    // free — a pure append DERIVES as inserts at read time, so the
+    // streaming-CDC hot path pays nothing
+    val cdfOn = warehouse.cdfEnabled(ref)
     split match {
       case Some((touched, untouched)) if untouched.nonEmpty =>
-        val merged =
-          if (touched.isEmpty) { // disjoint ranges: insert-only
-            // name AND type must match — an insert-only batch bypasses
-            // the join, so this is the last check before its rows land
-            // in files the table's schema is assumed to describe
-            // (schemaOf answers from the commit log — no footer read)
-            val tsig = warehouse.schemaOf(ref)
-              .map(f => (f.name, f.dataType))
-            val ssig = source.schema.map(f => (f.name, f.dataType))
-            require(ssig == tsig,
-              s"merge schema mismatch: target ${tsig.mkString(",")} vs " +
-                s"source ${ssig.mkString(",")}")
-            source
-          }
-          else Merge.merge(
+        if (touched.isEmpty) { // disjoint ranges: insert-only
+          // name AND type must match — an insert-only batch bypasses
+          // the join, so this is the last check before its rows land
+          // in files the table's schema is assumed to describe
+          // (schemaOf answers from the commit log — no footer read)
+          val tsig = warehouse.schemaOf(ref)
+            .map(f => (f.name, f.dataType))
+          val ssig = source.schema.map(f => (f.name, f.dataType))
+          require(ssig == tsig,
+            s"merge schema mismatch: target ${tsig.mkString(",")} vs " +
+              s"source ${ssig.mkString(",")}")
+          warehouse.replaceDataFiles(ref, touched, source,
+            meta = Map(Warehouse.OpMeta -> "MERGE"))
+        } else if (cdfOn) {
+          val (merged, changes) = Merge.mergeWithChanges(
             spark.read.option("basePath", warehouse.path(ref)).parquet(touched: _*),
             source, keys, tsField)
-        warehouse.replaceDataFiles(ref, touched, merged,
-          meta = Map(Warehouse.OpMeta -> "MERGE"))
+          warehouse.replaceDataFiles(ref, touched, merged,
+            meta = Map(Warehouse.OpMeta -> "MERGE"), changes = Some(changes))
+        } else
+          warehouse.replaceDataFiles(ref, touched,
+            Merge.merge(
+              spark.read.option("basePath", warehouse.path(ref)).parquet(touched: _*),
+              source, keys, tsField),
+            meta = Map(Warehouse.OpMeta -> "MERGE"))
       case _ =>
         // no manifest, or every file may overlap: full rewrite — and
         // write key stats (preserving any existing stat columns) so
@@ -347,10 +441,16 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
         val statCols =
           if (collectStats) (warehouse.statColumns(ref) :+ pruneKey).distinct
           else warehouse.statColumns(ref)
-        val merged = Merge.merge(warehouse.read(ref), source, keys, tsField)
+        val (merged, changes) =
+          if (cdfOn) {
+            val (m, c) = Merge.mergeWithChanges(warehouse.read(ref), source,
+              keys, tsField)
+            (m, Some(c))
+          } else
+            (Merge.merge(warehouse.read(ref), source, keys, tsField), None)
         warehouse.overwrite(ref, merged, statsColumns = statCols,
           expectedVersion = baseVersion,
-          meta = Map(Warehouse.OpMeta -> "MERGE"))
+          meta = Map(Warehouse.OpMeta -> "MERGE"), changes = changes)
     }
   }
 }

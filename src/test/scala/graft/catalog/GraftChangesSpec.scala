@@ -1,0 +1,193 @@
+package graft.catalog
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The change-data-feed surface ([[GraftChangesTable]] — the
+  * `.changes` metadata table): write-time change files from
+  * merge/delete/update under the `graft.cdf` property, join-free
+  * derivations for appends/retirements/replaces, maintenance silence,
+  * loud refusal for rewrites the feed cannot render, batch + stream.
+  */
+class GraftChangesSpec extends SparkSpec {
+
+  private def registerCatalog(name: String, root: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
+
+  private def feedRows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long)] = {
+    import org.apache.spark.sql.functions.col
+    df.select(col("k"), col("v"), col(Warehouse.ChangeTypeCol),
+        col(Warehouse.CommitVersionCol))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSet
+  }
+
+  test("batch .changes: lifecycle of insert, merge update, delete, compact, overwrite") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed")
+    wh.overwrite(ref, (1L to 6L).map(i => (i, s"a$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))          // v1
+    wh.setChangeDataFeed(ref, enabled = true)                         // v2 (meta: no rows)
+    assert(wh.cdfEnabled(ref))
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((2L, "b2")).toDF("k", "v"))                         // v3: update
+    mt.upsert(Seq((5L, "b5"), (7L, "b7")).toDF("k", "v"))             // v4: update + insert
+    assert(wh.deleteWhere(ref, $"k" === 5L) === 1L)                   // v5: delete
+    wh.compact(ref, smallFileBytes = 1L << 30)                        // v6: maintenance (maybe no-op)
+    registerCatalog("graftcdf1", root)
+
+    val got = feedRows(spark.sql("SELECT * FROM graftcdf1.silver.g.fed.changes"))
+    val expected = (1L to 6L).map(i => (i, s"a$i", "insert", 1L)).toSet ++ Set(
+      (2L, "a2", "update_preimage", 3L), (2L, "b2", "update_postimage", 3L),
+      (5L, "a5", "update_preimage", 4L), (5L, "b5", "update_postimage", 4L),
+      (7L, "b7", "insert", 4L),
+      (5L, "b5", "delete", 5L))
+    assert(got === expected)
+
+    // version-scoped batch reads
+    assert(feedRows(spark.read.option("startingVersion", "4")
+        .option("endingVersion", "4").table("graftcdf1.silver.g.fed.changes"))
+      === expected.filter(_._4 == 4L))
+
+    // the commits that wrote change files carry the marker; derived
+    // ones do not
+    assert(wh.commitMeta(ref, 3L).get(Warehouse.CdcMeta).contains("1"))
+    assert(!wh.commitMeta(ref, 1L).contains(Warehouse.CdcMeta))
+
+    // a full overwrite derives as delete-all + insert-all
+    val vBefore = wh.currentVersion(ref).get
+    wh.overwrite(ref, Seq((100L, "z")).toDF("k", "v"))
+    val after = feedRows(spark.read
+      .option("startingVersion", (vBefore + 1).toString)
+      .table("graftcdf1.silver.g.fed.changes"))
+    val survivors = Set((1L, "a1"), (2L, "b2"), (3L, "a3"), (4L, "a4"),
+      (6L, "a6"), (7L, "b7"))
+    assert(after === survivors.map { case (k, v) =>
+      (k, v, "delete", vBefore + 1) } + ((100L, "z", "insert", vBefore + 1)))
+  }
+
+  test("updateWhere emits pre/post images; truncate derives deletes") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf-upd")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_upd")
+    wh.overwrite(ref, (1L to 4L).map(i => (i, s"a$i")).toDF("k", "v"))  // v1
+    wh.setChangeDataFeed(ref, enabled = true)                           // v2
+    assert(wh.updateWhere(ref, $"k" <= 2L,
+      Seq("v" -> org.apache.spark.sql.functions.concat_ws("",
+        $"v", org.apache.spark.sql.functions.lit("!")))) === 2L)        // v3
+    registerCatalog("graftcdf2", root)
+    val got = feedRows(spark.read.option("startingVersion", "3")
+      .table("graftcdf2.silver.g.fed_upd.changes"))
+    assert(got === Set(
+      (1L, "a1", "update_preimage", 3L), (1L, "a1!", "update_postimage", 3L),
+      (2L, "a2", "update_preimage", 3L), (2L, "a2!", "update_postimage", 3L)))
+
+    wh.truncate(ref)                                                    // v4: full replace, zero adds
+    val got4 = feedRows(spark.read.option("startingVersion", "4")
+      .table("graftcdf2.silver.g.fed_upd.changes"))
+    assert(got4 === Set((1L, "a1!", "delete", 4L), (2L, "a2!", "delete", 4L),
+      (3L, "a3", "delete", 4L), (4L, "a4", "delete", 4L)))
+  }
+
+  test("a partial rewrite without change files refuses loudly; later ranges still read") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf-off")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_off")
+    // CDF OFF: a straddling delete produces a partial rewrite commit
+    // the feed cannot render row-exactly
+    wh.overwrite(ref, (1L to 20L).map(i => (i, s"a$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))           // v1
+    assert(wh.deleteWhere(ref, $"k" === 1L) === 1L)                    // v2: partial rewrite, no cdc
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((21L to 23L).map(i => (i, s"a$i")).toDF("k", "v"))       // v3: pure insert
+    registerCatalog("graftcdf3", root)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graftcdf3.silver.g.fed_off.changes").collect()
+    }
+    def rootMessage(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getCause ne c)) c = c.getCause
+      Option(c.getMessage).getOrElse(t.getMessage)
+    }
+    assert(rootMessage(err).contains("setChangeDataFeed"),
+      s"expected the enable-CDF hint, got: ${rootMessage(err)}")
+    // the readable suffix still answers
+    assert(feedRows(spark.read.option("startingVersion", "3")
+        .table("graftcdf3.silver.g.fed_off.changes"))
+      === (21L to 23L).map(i => (i, s"a$i", "insert", 3L)).toSet)
+  }
+
+  test("streaming .changes: drain, restart emits only new commits") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf-stream")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_str")
+    wh.overwrite(ref, (1L to 4L).map(i => (i, s"a$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))           // v1
+    wh.setChangeDataFeed(ref, enabled = true)                          // v2
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((2L, "b2")).toDF("k", "v"))                          // v3
+    registerCatalog("graftcdf4", root)
+
+    val ckpt = tmpDir("cdf-stream-ckpt")
+    val out = tmpDir("cdf-stream-out")
+    def drain(): Unit =
+      spark.readStream.table("graftcdf4.silver.g.fed_str.changes")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain()
+    assert(feedRows(spark.read.parquet(out)) ===
+      (1L to 4L).map(i => (i, s"a$i", "insert", 1L)).toSet ++ Set(
+        (2L, "a2", "update_preimage", 3L), (2L, "b2", "update_postimage", 3L)))
+
+    assert(wh.deleteWhere(ref, $"k" === 4L) === 1L)                    // v4
+    drain()
+    assert(feedRows(spark.read.parquet(out)).count(_._4 == 4L) === 1)
+    assert(feedRows(spark.read.parquet(out)).filter(_._4 == 4L)
+      === Set((4L, "a4", "delete", 4L)))
+    drain() // nothing new
+    assert(spark.read.parquet(out).count() === 7L)
+  }
+
+  test("derived inserts on a partitioned table carry partition values; vacuum sweeps old change files") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf-part")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_part")
+    wh.overwrite(ref,
+      Seq((1L, "a1", "eu"), (2L, "a2", "us")).toDF("k", "v", "region"),
+      partitionBy = Seq("region"))                                     // v1
+    wh.setChangeDataFeed(ref, enabled = true)                          // v2
+    wh.append(ref, Seq((3L, "a3", "eu")).toDF("k", "v", "region"))     // v3
+    registerCatalog("graftcdf5", root)
+    val got = spark.sql(
+      "SELECT k, region, _change_type, _commit_version " +
+        "FROM graftcdf5.silver.g.fed_part.changes")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(got === Set((1L, "eu", "insert", 1L), (2L, "us", "insert", 1L),
+      (3L, "eu", "insert", 3L)))
+
+    // change-file hygiene: a cdc-marked commit, then vacuum under a
+    // 1-version window sweeps the now-unreadable versions' change dirs
+    assert(wh.updateWhere(ref, $"k" === 1L,
+      Seq("v" -> org.apache.spark.sql.functions.lit("x"))) === 1L)     // v4 (cdc)
+    val cdcDir = wh.cdcPath(ref, 4L)
+    val fs = cdcDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(cdcDir))
+    wh.overwrite(ref, Seq((9L, "z", "eu")).toDF("k", "v", "region"))   // v5
+    wh.vacuum(ref, keepVersions = 1)
+    assert(!fs.exists(cdcDir),
+      "vacuum must sweep change files of versions below the horizon")
+  }
+}
