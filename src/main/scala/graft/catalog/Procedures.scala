@@ -33,7 +33,8 @@ private[catalog] object GraftProcedures {
 
   val Namespace = "system"
 
-  val names: Seq[String] = Seq("compact", "vacuum", "restore", "history")
+  val names: Seq[String] =
+    Seq("compact", "vacuum", "restore", "history", "set_cdf")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -41,6 +42,7 @@ private[catalog] object GraftProcedures {
       case "vacuum" => Some(VacuumProcedure(root))
       case "restore" => Some(RestoreProcedure(root))
       case "history" => Some(HistoryProcedure(root))
+      case "set_cdf" => Some(SetCdfProcedure(root))
       case _ => None
     }
 
@@ -141,6 +143,30 @@ private[catalog] object GraftProcedures {
           StructField("restored_version", LongType),
           StructField("new_version", LongType))),
         UTF8String.fromString(ref.toString), input.getLong(1), newVersion)
+    }
+  }
+
+  /** Toggle the change-data-feed table property —
+    * [[Warehouse.setChangeDataFeed]] through SQL (the counterpart of
+    * `ALTER TABLE ... SET TBLPROPERTIES(delta.enableChangeDataFeed)`,
+    * which this catalog's no-DDL stance excludes).
+    */
+  private final case class SetCdfProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "set_cdf"
+    override def description(): String =
+      "enable/disable the table's change data feed (the .changes surface)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("enabled", BooleanType, "true"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val enabled = input.isNullAt(1) || input.getBoolean(1)
+      val v = warehouse(root).setChangeDataFeed(ref, enabled)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("cdf_enabled", BooleanType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString), enabled, v)
     }
   }
 

@@ -159,6 +159,28 @@ class GraftChangesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 7L)
   }
 
+  test("SQL-only lifecycle: CALL set_cdf, SQL UPDATE/DELETE, SELECT from .changes") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf-sql")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_sql")
+    wh.overwrite(ref, (1L to 10L).map(i => (i, s"a$i")).toDF("k", "v"))  // v1
+    registerCatalog("graftcdf6", root)
+    val r = spark.sql(
+      "CALL graftcdf6.system.set_cdf('silver.g.fed_sql')").head()       // v2
+    assert(r.getBoolean(1) === true)
+    assert(wh.cdfEnabled(ref))
+    spark.sql(
+      "UPDATE graftcdf6.silver.g.fed_sql SET v = 'upd' WHERE k = 3")    // v3
+    spark.sql("DELETE FROM graftcdf6.silver.g.fed_sql WHERE k = 7")     // v4
+    val got = feedRows(spark.sql(
+      """SELECT * FROM graftcdf6.silver.g.fed_sql.changes
+        |WHERE _commit_version >= 3""".stripMargin))
+    assert(got === Set(
+      (3L, "a3", "update_preimage", 3L), (3L, "upd", "update_postimage", 3L),
+      (7L, "a7", "delete", 4L)))
+  }
+
   test("derived inserts on a partitioned table carry partition values; vacuum sweeps old change files") {
     import spark.implicits._
     val root = tmpDir("wh-cdf-part")
