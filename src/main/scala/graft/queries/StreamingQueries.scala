@@ -816,10 +816,13 @@ object StreamingQueries {
     * set, and `has_cdc` that the merge commit really carries the
     * change-file marker (not a noisy file-level derivation).
     */
-  def qCdfStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared upstream fixture of the two CDF gates: a CDF-enabled
+    * orders table with a known bootstrap / merge / delete history.
+    */
+  private def cdfFeedFixture(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
     import graft.catalog.{TableRef, Warehouse}
-    val (cat, root) = graft.util.Scratch.once(spark, dir, "cdffeed.fixtures") {
+    graft.util.Scratch.once(spark, dir, "cdffeed.fixtures", uses = 2) {
       val root = java.nio.file.Files
         .createTempDirectory("graft-cdf-feed").toString + "/wh"
       val wh = new Warehouse(spark, root)
@@ -844,6 +847,11 @@ object StreamingQueries {
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
       (cat, root)
     }
+  }
+
+  def qCdfStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = cdfFeedFixture(spark, dir)
     val sink = "q_cdf_stream_sink"
     if (spark.catalog.tableExists(sink)) spark.catalog.dropTempView(sink)
     val query = spark.readStream
@@ -872,6 +880,50 @@ object StreamingQueries {
     streamed.withColumn("batch_matches", lit(matches))
       .withColumn("has_cdc", lit(hasCdc))
   }
+
+  /** CDC REPLICATION off the change feed (round 15 — the `.changes`
+    * surface's canonical consumer, [[EventStreams.cdfApplyStream]]): a
+    * REPLICA table in a second warehouse follows the upstream fixture
+    * by draining its feed — bootstrap inserts create it, merge images
+    * update it, deletes tombstone — each micro-batch applied as ONE
+    * distributed `replacePartitions` (net-effect-per-key reduction
+    * first, no driver-side key collection). The gate reads the replica
+    * back: it must equal the upstream's FINAL state by formula, and
+    * `matches_upstream` pins replica ≡ the live upstream table
+    * row-for-row.
+    */
+  def qCdfReplicate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val (cat, _) = cdfFeedFixture(spark, dir)
+    // the replica mutates: per-invocation warehouse
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdf-repl").toString
+    val wh2 = new Warehouse(spark, s"$base/wh")
+    val target = TableRef("silver", "stream", "orders_replica")
+    val query = EventStreams.cdfApplyStream(
+      spark.readStream.table(s"$cat.silver.stream.orders_cdf.changes"),
+      wh2, target, Seq("o_orderkey"), s"$base/chk")
+    graft.util.PhaseTimer.time("cdfrepl.replay") { query.awaitTermination() }
+    val replica = wh2.read(target)
+    val upstream = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.stream.orders_cdf")
+    val matches = upstream.exceptAll(replica).isEmpty &&
+      replica.exceptAll(upstream).isEmpty
+    replica.withColumn("matches_upstream", lit(matches))
+  }
+
+  /** The replica must be the upstream's final state: seed minus the
+    * deleted keys, %10==3 seed keys at their bumped price, the 801..
+    * 1000 inserts at their original one.
+    */
+  val qCdfReplicateSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey <= 800 AND o_orderkey % 10 = 3
+      |            THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |       TRUE AS matches_upstream
+      |FROM orders
+      |WHERE o_orderkey <= 1000 AND o_orderkey % 250 <> 17""".stripMargin
 
   /** Every feed row re-derived: v1 inserts the seed, v3 is the merge's
     * pre/post/insert classification, v4 deletes the %250==17 keys at
@@ -908,6 +960,7 @@ object StreamingQueries {
 
   def queries: Map[String, Q] = Map(
     "q_cdf_stream" -> (qCdfStream _),
+    "q_cdf_replicate" -> (qCdfReplicate _),
     "q_stream_sink" -> (qStreamSink _),
     "q_stream_feed" -> (qStreamFeed _),
     "q_stream_agg_mv" -> (qStreamAggMv _),
@@ -927,6 +980,7 @@ object StreamingQueries {
 
   def oracles: Map[String, String] = Map(
     "q_cdf_stream" -> qCdfStreamSql,
+    "q_cdf_replicate" -> qCdfReplicateSql,
     "q_stream_sink" -> qStreamSinkSql,
     "q_stream_feed" -> qStreamFeedSql,
     "q_stream_agg_mv" -> qStreamAggMvSql,

@@ -180,6 +180,64 @@ object EventStreams {
     * of the target collapses to its DISTINCT fingerprints inside
     * `exactDedupAgainst` (the corpus side never moves documents).
     */
+  /** CDC REPLICATION off the change feed — the `.changes` surface's
+    * canonical consumer: keep a REPLICA table in sync with an upstream
+    * warehouse table by draining
+    * `spark.readStream.table("graft.<c>.<s>.<t>.changes")` into it.
+    *
+    * Per micro-batch (which may span several upstream commits), the
+    * NET effect per key is computed first — the latest commit's
+    * non-preimage change wins, and within one commit an `insert`
+    * outranks a `delete` (a full replace derives as delete+insert of
+    * the same key) — then applied as ONE distributed
+    * [[MergeTable.replacePartitions]] call: keys whose net change is
+    * a delete end up with no replacement rows (tombstoned), everything
+    * else is replaced by its newest image. No driver-side key
+    * collection, file-pruned on the replica side, idempotent under
+    * foreachBatch's at-least-once replays (re-applying a net state is
+    * a no-op), and the replica bootstraps itself from the feed's base
+    * batch (the stream's default start emits the upstream's full
+    * surviving state as inserts).
+    */
+  def cdfApplyStream(changes: DataFrame, warehouse: Warehouse,
+                     target: TableRef, keys: Seq[String],
+                     checkpointDir: String): StreamingQuery = {
+    import graft.catalog.Warehouse.{ChangeTypeCol, CommitVersionCol}
+    val mergeTable = new MergeTable(changes.sparkSession, warehouse, target,
+      keys, None)
+    changes.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+            .orderBy(col(CommitVersionCol).desc,
+              when(col(ChangeTypeCol) === "delete", 0).otherwise(1).desc)
+          // eager: replacePartitions executes its inputs more than once
+          // (bounds agg + the write); without materialization the net
+          // reduction would recompute per consumer
+          val net = batch.filter(col(ChangeTypeCol) =!= "update_preimage")
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__rn")
+            .localCheckpoint()
+          val targetCols =
+            if (warehouse.exists(target))
+              warehouse.schemaOf(target).fieldNames.toSeq
+            else batch.columns.filterNot(
+              Seq(ChangeTypeCol, CommitVersionCol).contains).toSeq
+          val upserts = net.filter(col(ChangeTypeCol) =!= "delete")
+            .select(targetCols.map(col): _*)
+          mergeTable.replacePartitions(
+            net.select(keys.map(col): _*), upserts)
+          graft.util.Scratch.release(net)
+        }
+      }
+      .start()
+  }
+
   def dedupIngestStream(stream: DataFrame, kept: DataFrame,
                         warehouse: Warehouse, ref: TableRef,
                         idCol: String, textCol: String,
