@@ -85,6 +85,86 @@ private[catalog] final class GraftChangesTable(spark: SparkSession,
       schema(), options)
 }
 
+/** `graft.<c>.<s>.<t>.history` — the operation ledger as a SQL-
+  * readable metadata table ([[Warehouse.history]]'s columns: version,
+  * operation, n_files, commit_ms; newest first). Rows materialize at
+  * plan time from the commit log alone (bounded by vacuum retention),
+  * a LocalScan — zero tasks, zero data files.
+  */
+private[catalog] final class GraftHistoryTable(spark: SparkSession,
+                                               wh: Warehouse,
+                                               ref: TableRef)
+    extends Table with SupportsRead {
+
+  private val historySchema = StructType(Seq(
+    StructField("version", LongType),
+    StructField("operation", StringType),
+    StructField("n_files", org.apache.spark.sql.types.IntegerType),
+    StructField("commit_ms", LongType)))
+
+  override def name(): String = s"$ref.history"
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = historySchema
+      override def rows(): Array[InternalRow] =
+        wh.history(ref).collect().map { r =>
+          InternalRow.fromSeq(r.toSeq.zip(historySchema.fields).map {
+            case (v, f) => org.apache.spark.sql.catalyst
+              .CatalystTypeConverters.createToCatalystConverter(f.dataType)(v)
+          })
+        }
+      override def description(): String = s"GraftHistoryScan($ref)"
+    }
+}
+
+/** `graft.<c>.<s>.<t>.files` — the committed snapshot's FILE-LEVEL
+  * layout as a SQL-readable metadata table (Iceberg's `files` table):
+  * per live data file, its table-relative path, recorded size/mtime
+  * (from the sized commit log — zero filesystem calls), and the stats
+  * manifest's row count when the table keeps one (null otherwise).
+  * The layout-debugging surface a 100 TB table needs — "which
+  * partitions are small-file-sick", "how skewed are my file sizes" —
+  * as plain SQL over a LocalScan.
+  */
+private[catalog] final class GraftFilesTable(spark: SparkSession,
+                                             wh: Warehouse,
+                                             snap: TableSnapshot)
+    extends Table with SupportsRead {
+
+  private val filesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType),
+    StructField("mtime_ms", LongType),
+    StructField("rows", LongType)))
+
+  override def name(): String = s"${snap.ref}.files"
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = filesSchema
+      override def rows(): Array[InternalRow] = {
+        val rowCounts = wh.fileRowCounts(snap.ref)
+        snap.files.map { f =>
+          val (bytes, mtime) = snap.fileMeta.get(f)
+            .map { case (b, m) => (b: java.lang.Long, m: java.lang.Long) }
+            .getOrElse((null, null))
+          InternalRow.fromSeq(Seq(
+            UTF8String.fromString(f), bytes, mtime,
+            rowCounts.get(f).map(Long.box).orNull))
+        }.toArray
+      }
+      override def description(): String =
+        s"GraftFilesScan(${snap.ref}@v${snap.version})"
+    }
+}
+
 /** The feed's scan: batch plans every requested commit's partitions in
   * one shot; `toMicroBatchStream` tails them commit-by-commit. No
   * pushdown surface — the feed's rows are synthesized per commit, and

@@ -91,16 +91,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val wh = warehouse
-    // Iceberg-style metadata table: `graft.<cat>.<sch>.<table>.changes`
-    // is the table's CHANGE DATA FEED ([[GraftChangesTable]]), batch
-    // and streaming. Unambiguous: real tables live in exactly
-    // two-level namespaces, so a four-part identifier can only be a
-    // metadata suffix.
-    if (ident.namespace().length == 3 && ident.name() == "changes") {
+    // Iceberg-style metadata tables: `graft.<cat>.<sch>.<table>.<meta>`
+    // where <meta> is `changes` (the CHANGE DATA FEED,
+    // [[GraftChangesTable]] — batch and streaming), `history` (the
+    // operation ledger) or `files` (the live file-level layout).
+    // Unambiguous: real tables live in exactly two-level namespaces,
+    // so a four-part identifier can only be a metadata suffix.
+    if (ident.namespace().length == 3 &&
+        Seq("changes", "history", "files").contains(ident.name())) {
       val base = TableRef(ident.namespace()(0), ident.namespace()(1),
         ident.namespace()(2))
       val snap = wh.snapshot(base).getOrElse(throw new NoSuchTableException(ident))
-      return new GraftChangesTable(SparkSession.active, wh, snap)
+      return ident.name() match {
+        case "changes" => new GraftChangesTable(SparkSession.active, wh, snap)
+        case "history" => new GraftHistoryTable(SparkSession.active, wh, base)
+        case _ => new GraftFilesTable(SparkSession.active, wh, snap)
+      }
     }
     val ref = refOf(ident)
     val spark = SparkSession.active

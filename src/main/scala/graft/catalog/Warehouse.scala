@@ -1626,6 +1626,18 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
   }
 
+  /** Per-file exact row counts from the stats manifest (driver-local
+    * only; empty when the table keeps no manifest or it is too large
+    * to materialize) — the `.files` metadata table's rows column.
+    */
+  private[catalog] def fileRowCounts(ref: TableRef): Map[String, Long] =
+    manifestLocalDf(path(ref)) match {
+      case Some(m) if m.columns.contains("rows") =>
+        m.filter(col("rows").isNotNull).select("file", "rows").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      case _ => Map.empty
+    }
+
   /** Turn the CHANGE DATA FEED on or off for a table: one carried
     * commit-meta line (`graft.cdf=true`, a pure-metadata commit —
     * Delta's `delta.enableChangeDataFeed` counterpart). While on,

@@ -159,6 +159,36 @@ class GraftChangesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 7L)
   }
 
+  test(".history and .files metadata tables answer from the log and manifest") {
+    import spark.implicits._
+    val root = tmpDir("wh-meta-tables")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "inspected")
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, $"k"), statsColumns = Seq("k"))           // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((101L to 120L).map(i => (i, s"v$i")).toDF("k", "v"))     // v2
+    registerCatalog("graftmeta1", root)
+
+    val hist = spark.sql(
+      "SELECT version, operation FROM graftmeta1.silver.g.inspected.history")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist === Seq((2L, "MERGE"), (1L, "OVERWRITE")))
+
+    val files = spark.sql(
+      "SELECT file, bytes, rows FROM graftmeta1.silver.g.inspected.files")
+      .collect()
+    assert(files.length === wh.dataFiles(ref).size)
+    assert(files.forall(r => r.getLong(1) > 0L),
+      "every live file must carry its recorded size")
+    assert(files.map(_.getLong(2)).sum === 120L,
+      "manifest row counts must sum to the table's row count")
+    // the layout-debugging query the surface exists for
+    assert(spark.sql(
+      """SELECT count(*) AS small FROM graftmeta1.silver.g.inspected.files
+        |WHERE bytes < 1048576""".stripMargin).head().getLong(0) > 0L)
+  }
+
   test("SQL-only lifecycle: CALL set_cdf, SQL UPDATE/DELETE, SELECT from .changes") {
     import spark.implicits._
     val root = tmpDir("wh-cdf-sql")
