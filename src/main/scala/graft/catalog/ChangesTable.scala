@@ -373,12 +373,89 @@ private[catalog] final class GraftCdfMicroBatchStream(spark: SparkSession,
     GraftStreamOffset(availableNowTarget
       .getOrElse(wh.currentVersion(ref).getOrElse(0L)))
 
-  /** No rate limiting on the feed (yet): the AvailableNow pin is the
-    * only admission control, and each trigger drains to the target.
+  /** Rate limiting, the row stream's contract: `maxFilesPerTrigger` /
+    * `maxBytesPerTrigger` admit WHOLE COMMITS from the feed backlog
+    * until the budget fills, always at least one (progress guarantee)
+    * — a month-long feed backfill becomes many bounded micro-batches.
+    * A commit's load counts its derived file scans (adds + retired,
+    * sizes off the log) or its persisted change files (one listing,
+    * only for marked commits); maintenance commits count zero.
     */
+  override def getDefaultReadLimit: org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    (maxFiles, maxBytes) match {
+      case (Some(f), Some(b)) =>
+        ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f), ReadLimit.maxBytes(b)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(b)) => ReadLimit.maxBytes(b)
+      case _ => ReadLimit.allAvailable()
+    }
+  }
+
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxBytes, ReadMaxFiles}
+    def caps(l: org.apache.spark.sql.connector.read.streaming.ReadLimit): (Option[Int], Option[Long]) = l match {
+      case f: ReadMaxFiles => (Some(f.maxFiles()), None)
+      case b: ReadMaxBytes => (None, Some(b.maxBytes()))
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(caps).foldLeft((Option.empty[Int], Option.empty[Long])) {
+          case ((f1, b1), (f2, b2)) => (f1.orElse(f2), b1.orElse(b2))
+        }
+      case _: ReadAllAvailable => (None, None)
+      case _ => (None, None)
+    }
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val target = availableNowTarget
+      .getOrElse(wh.currentVersion(ref).getOrElse(0L))
+    val (fileCap, byteCap) = caps(limit)
+    if (fileCap.isEmpty && byteCap.isEmpty || s.version >= target)
+      return GraftStreamOffset(target)
+    var files = 0L
+    var bytes = 0L
+    var admitted = s.version
+    var v = s.version + 1
+    while (v <= target) {
+      val (f, b) = commitLoad(v, replay = s.replay && v == s.version + 1)
+      files += f
+      bytes += b
+      val overflow = fileCap.exists(files > _) || byteCap.exists(bytes > _)
+      if (admitted == s.version || !overflow) admitted = v
+      if (overflow) return GraftStreamOffset(admitted)
+      v += 1
+    }
+    GraftStreamOffset(admitted)
+  }
+
+  /** One commit's feed load: (scanned files, recorded bytes). */
+  private def commitLoad(v: Long, replay: Boolean): (Long, Long) = {
+    if (replay) {
+      val s = wh.snapshotAt(ref, v)
+      return (s.files.size.toLong, s.fileMeta.values.map(_._1).sum)
+    }
+    wh.versionChangesFull(ref, v) match {
+      case None => (0L, 0L) // planInputPartitions fails loudly later
+      case Some(cc) =>
+        val op = cc.meta.getOrElse(Warehouse.OpMeta, "")
+        if (op == "COMPACT" || op == "ZORDER") (0L, 0L)
+        else if (cc.meta.get(Warehouse.CdcMeta).contains("1")) {
+          val dir = wh.cdcPath(ref, v)
+          val filesystem =
+            dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (!filesystem.exists(dir)) (0L, 0L)
+          else {
+            val sts = filesystem.listStatus(dir)
+              .filter(_.getPath.getName.endsWith(".parquet"))
+            (sts.length.toLong, sts.map(_.getLen).sum)
+          }
+        } else
+          ((cc.adds.size + cc.retired.size).toLong,
+            cc.addMeta.values.map(_._1).sum +
+              cc.retiredMeta.values.map(_._1).sum)
+    }
+  }
 
   private var availableNowTarget: Option[Long] = None
 

@@ -159,6 +159,36 @@ class GraftChangesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 7L)
   }
 
+  test("maxFilesPerTrigger paces the feed: whole commits per batch, full result") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf-rate")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_rate")
+    wh.overwrite(ref, (1L to 40L).map(i => (i, s"a$i")).toDF("k", "v")
+      .repartitionByRange(2, $"k"), statsColumns = Seq("k"))           // v1: 2 files
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((41L to 60L).map(i => (i, s"a$i")).toDF("k", "v"))       // v2: inserts
+    mt.upsert((61L to 80L).map(i => (i, s"a$i")).toDF("k", "v"))       // v3: inserts
+    registerCatalog("graftcdf7", root)
+    val ckpt = tmpDir("cdf-rate-ckpt")
+    val out = tmpDir("cdf-rate-out")
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2")
+      .table("graftcdf7.silver.g.fed_rate.changes")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3,
+      s"a 2-file budget over 3 commits must take >= 3 batches, took $batches")
+    assert(feedRows(spark.read.parquet(out))
+      === (1L to 80L).map(i => (i, s"a$i", "insert",
+        if (i <= 40) 1L else if (i <= 60) 2L else 3L)).toSet)
+  }
+
   test(".history and .files metadata tables answer from the log and manifest") {
     import spark.implicits._
     val root = tmpDir("wh-meta-tables")
