@@ -81,8 +81,38 @@ private[catalog] final class GraftChangesTable(spark: SparkSession,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftChangesScan(spark, wh, snap, baseSchema, dataFields,
-      schema(), options)
+    new GraftChangesScanBuilder(spark, wh, snap, baseSchema, dataFields,
+      options)
+}
+
+/** COLUMN PRUNING for the feed: a consumer selecting two columns of a
+  * wide table must not scan its full width. The required base columns
+  * (kept in physical output order: data fields then partition fields)
+  * prune both underlying parquet shapes; `_change_type` /
+  * `_commit_version` are appended by the reader regardless (declared
+  * in `readSchema`, projected away by Spark when unrequested).
+  */
+private[catalog] final class GraftChangesScanBuilder(spark: SparkSession,
+                                                     wh: Warehouse,
+                                                     snap: TableSnapshot,
+                                                     baseSchema: StructType,
+                                                     dataFields: StructType,
+                                                     options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var requiredBase: StructType = baseSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val names = requiredSchema.fieldNames.toSet
+    // base order preserved (data fields then partition fields — the
+    // parquet scan's physical output order)
+    requiredBase = StructType(baseSchema.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan =
+    new GraftChangesScan(spark, wh, snap, baseSchema, dataFields,
+      requiredBase, options)
 }
 
 /** `graft.<c>.<s>.<t>.history` — the operation ledger as a SQL-
@@ -175,14 +205,16 @@ private[catalog] final class GraftChangesScan(spark: SparkSession,
                                               snap: TableSnapshot,
                                               baseSchema: StructType,
                                               dataFields: StructType,
-                                              outputSchema: StructType,
+                                              requiredBase: StructType,
                                               options: CaseInsensitiveStringMap)
     extends Scan {
 
   private val resolver = new GraftCdfResolver(spark, wh, snap, baseSchema,
-    dataFields, options)
+    dataFields, requiredBase, options)
 
-  override def readSchema(): StructType = outputSchema
+  override def readSchema(): StructType = StructType(requiredBase ++ Seq(
+    StructField(Warehouse.ChangeTypeCol, StringType, nullable = false),
+    StructField(Warehouse.CommitVersionCol, LongType, nullable = false)))
 
   override def description(): String =
     s"GraftChangesScan(${snap.ref}@v${snap.version})"
@@ -214,15 +246,21 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
                                               snap: TableSnapshot,
                                               baseSchema: StructType,
                                               dataFields: StructType,
+                                              requiredBase: StructType,
                                               options: CaseInsensitiveStringMap) {
 
   private val ref = snap.ref
   private val cdcSchema = StructType(baseSchema :+
     StructField(Warehouse.ChangeTypeCol, StringType, nullable = false))
+  // what each shape's parquet reader emits: the PRUNED base columns
+  // (+ the persisted _change_type for change files) — the reader
+  // wrapper appends the constants after these
+  private val requiredCdc = StructType(requiredBase :+
+    StructField(Warehouse.ChangeTypeCol, StringType, nullable = false))
 
   /** Row-shape scan over a pseudo-snapshot of exactly `files` (manifest
     * pruning and partition-directory inference included, like the row
-    * stream's per-batch scans).
+    * stream's per-batch scans), pruned to the required base columns.
     */
   private def rowScanPartitions(files: Seq[String],
                                 meta: Map[String, (Long, Long)],
@@ -232,7 +270,7 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
       val pseudo = TableSnapshot(ref, v, snap.schemaJson, files, meta)
       val b = ParquetScanBuilder(spark, new GraftFileIndex(spark, wh, pseudo),
         baseSchema, dataFields, options)
-      b.pruneColumns(baseSchema)
+      b.pruneColumns(requiredBase)
       b.build().toBatch.planInputPartitions()
     }
 
@@ -248,7 +286,7 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
     else {
       val idx = new InMemoryFileIndex(spark, files, Map.empty, Some(cdcSchema))
       val b = ParquetScanBuilder(spark, idx, cdcSchema, cdcSchema, options)
-      b.pruneColumns(cdcSchema)
+      b.pruneColumns(requiredCdc)
       b.build().toBatch.planInputPartitions()
     }
   }
@@ -291,11 +329,11 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
     val rowB = ParquetScanBuilder(spark,
       new GraftFileIndex(spark, wh, wh.snapshot(ref).getOrElse(snap)),
       baseSchema, dataFields, options)
-    rowB.pruneColumns(baseSchema)
+    rowB.pruneColumns(requiredBase)
     val cdcB = ParquetScanBuilder(spark,
       new InMemoryFileIndex(spark, Nil, Map.empty, Some(cdcSchema)),
       cdcSchema, cdcSchema, options)
-    cdcB.pruneColumns(cdcSchema)
+    cdcB.pruneColumns(requiredCdc)
     new GraftCdfReaderFactory(
       rowB.build().toBatch.createReaderFactory(),
       cdcB.build().toBatch.createReaderFactory())

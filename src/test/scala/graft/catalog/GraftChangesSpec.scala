@@ -54,6 +54,19 @@ class GraftChangesSpec extends SparkSpec {
         .option("endingVersion", "4").table("graftcdf1.silver.g.fed.changes"))
       === expected.filter(_._4 == 4L))
 
+    // column pruning reaches the feed's parquet scans: a two-column
+    // projection reads two base columns, not the table's width
+    val pruned = spark.sql(
+      "SELECT k, _commit_version FROM graftcdf1.silver.g.fed.changes")
+    pruned.collect()
+    val scanSchemas = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scanSchemas.nonEmpty && scanSchemas.forall(_ ===
+      Seq("k", Warehouse.ChangeTypeCol, Warehouse.CommitVersionCol)),
+      s"feed scan must prune to the required base columns: $scanSchemas")
+
     // the commits that wrote change files carry the marker; derived
     // ones do not
     assert(wh.commitMeta(ref, 3L).get(Warehouse.CdcMeta).contains("1"))
