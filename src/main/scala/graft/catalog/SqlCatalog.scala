@@ -274,6 +274,23 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
 
   override def name(): String = snap.ref.toString
   override def schema(): StructType = StructType(dataFields ++ partitionFields)
+
+  /** `SHOW TBLPROPERTIES graft....` — the committed version, the
+    * carried application meta (the CDF flag, MV markers, stream txn
+    * stamps), and the physical design (partition / stats / bloom
+    * columns), all off the log and manifest registries.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (snap.version >= 1) // logless-dir fallback snapshots have no log
+      wh.commitMeta(snap.ref, snap.version).foreach { case (k, v) => m.put(k, v) }
+    m.put("graft.version", snap.version.toString)
+    val partCols = partitionFields.fieldNames
+    if (partCols.nonEmpty) m.put("graft.partition_by", partCols.mkString(","))
+    val statCols = wh.statColumns(snap.ref)
+    if (statCols.nonEmpty) m.put("graft.stats_columns", statCols.mkString(","))
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,

@@ -306,4 +306,49 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("change feed folds to the final table across random churn") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    // the .changes surface's soundness invariant: replaying the feed —
+    // per commit, deletes then upserts (the full-replace derivation's
+    // order), pre-images ignored — must reconstruct the live table
+    // EXACTLY, whatever mix of merge/delete/update/compact produced it
+    for (seed <- 40 to 42) {
+      val rnd = new Random(seed)
+      val root = tmpDir(s"wh-prop-cdf-$seed")
+      val wh = new Warehouse(spark, root)
+      val ref = TableRef("p", "g", "cdf")
+      def frame(n: Int, lo: Long): DataFrame =
+        (lo until lo + n).map(i => (i, rnd.nextInt(1000).toLong)).toDF("k", "v")
+      wh.overwrite(ref, frame(40 + rnd.nextInt(40), 0).repartition(3),
+        statsColumns = Seq("k"))
+      wh.setChangeDataFeed(ref, enabled = true)
+      val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+      for (_ <- 1 to 6) rnd.nextInt(4) match {
+        case 0 => mt.upsert(
+          frame(10 + rnd.nextInt(40), rnd.nextInt(300).toLong).repartition(2))
+        case 1 => wh.deleteWhere(ref, $"k" % (2 + rnd.nextInt(4)).toLong === 0L)
+        case 2 => wh.compact(ref) // maintenance: must contribute nothing
+        case 3 => wh.updateWhere(ref, $"k" % 5L === 1L,
+          Seq("v" -> ($"v" + 1000L)))
+      }
+      val cat = s"graftpcdf$seed"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val feed = spark.sql(s"SELECT k, v, _change_type, _commit_version " +
+        s"FROM $cat.p.g.cdf.changes").collect()
+      val state = scala.collection.mutable.Map.empty[Long, Long]
+      feed.groupBy(_.getLong(3)).toSeq.sortBy(_._1).foreach { case (_, rows) =>
+        rows.filter(_.getString(2) == "delete")
+          .foreach(r => state.remove(r.getLong(0)))
+        rows.filter(r => r.getString(2) == "insert" ||
+            r.getString(2) == "update_postimage")
+          .foreach(r => state.put(r.getLong(0), r.getLong(1)))
+      }
+      val finalState = wh.read(ref).as[(Long, Long)].collect().toMap
+      assert(state.toMap === finalState, s"seed=$seed")
+    }
+  }
 }

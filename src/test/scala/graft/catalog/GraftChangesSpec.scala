@@ -232,6 +232,24 @@ class GraftChangesSpec extends SparkSpec {
         |WHERE bytes < 1048576""".stripMargin).head().getLong(0) > 0L)
   }
 
+  test("SHOW TBLPROPERTIES surfaces version, carried meta, and physical design") {
+    import spark.implicits._
+    val root = tmpDir("wh-tblprops")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "propped")
+    wh.overwrite(ref, Seq((1L, "a", "eu"), (2L, "b", "us")).toDF("k", "v", "p"),
+      partitionBy = Seq("p"))
+    wh.setChangeDataFeed(ref, enabled = true)
+    registerCatalog("graftprops", root)
+    val props = spark.sql(
+      "SHOW TBLPROPERTIES graftprops.silver.g.propped")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.version").contains("2"))
+    assert(props.get("graft.cdf").contains("true"))
+    assert(props.get("graft.partition_by").contains("p"))
+    assert(props.contains("graft.ts"))
+  }
+
   test("SQL-only lifecycle: CALL set_cdf, SQL UPDATE/DELETE, SELECT from .changes") {
     import spark.implicits._
     val root = tmpDir("wh-cdf-sql")
