@@ -1446,6 +1446,12 @@ final class Warehouse(spark: SparkSession, val root: String,
         writeStats(tmp.toString, (statsColumns ++ carryable).distinct,
           (bloomColumns ++ carryable).distinct)
       }
+      // CHECK constraints validate the staged files before anything
+      // moves (partition dirs under tmp restore their columns; the
+      // declared schema keeps an empty TRUNCATE stage readable); a
+      // bootstrap has no committed meta, so no constraints can exist
+      validateConstraintsLocked(ref,
+        spark.read.schema(df.schema).parquet(tmp.toString))
       val stagedStatuses = listDataFileStatuses(tmp)
       val staged = stagedStatuses.map(_.getPath)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
@@ -1553,6 +1559,9 @@ final class Warehouse(spark: SparkSession, val root: String,
       val writer =
         if (partCols.isEmpty) df.write else df.write.partitionBy(partCols: _*)
       writer.parquet(stage.toString)
+      // CHECK constraints validate the staged batch before any move
+      validateConstraintsLocked(ref,
+        spark.read.schema(df.schema).parquet(stage.toString))
       val stagedStatuses = listDataFileStatuses(stage)
       val stagedBase = filesystem.makeQualified(stage).toUri.getPath
       val rels = stagedStatuses.map(st =>
@@ -1637,6 +1646,72 @@ final class Warehouse(spark: SparkSession, val root: String,
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       case _ => Map.empty
     }
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
+    * counterpart): a SQL predicate every row of every future write
+    * must satisfy (NULL passes, SQL CHECK semantics), carried as the
+    * commit-meta key `graft.check.<name>` and ENFORCED BY THE COMMIT
+    * PROTOCOL — overwrite, append, file replacement (merge/update),
+    * and streaming-sink epochs all validate their STAGED files before
+    * any data moves, whatever surface issued the write (Scala, SQL
+    * INSERT/UPDATE/MERGE, `writeStream.toTable`). Existing rows are
+    * validated NOW — a constraint the current table violates is
+    * refused, so a constraint that exists has always held. Maintenance
+    * rewrites (compact/z-order) skip re-validation: they move rows
+    * that already passed.
+    */
+  def setCheckConstraint(ref: TableRef, name: String, predicate: String): Long = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_'), s"constraint name must be word-like: $name")
+    require(predicate.trim.nonEmpty &&
+      !predicate.exists(c => c == '\t' || c == '\n'),
+      s"constraint predicate must be single-line SQL: $predicate")
+    val p = org.apache.spark.sql.functions.expr(predicate) // parse now
+    val current = read(ref)
+    val violations = current.filter(p <=> lit(false)).count()
+    if (violations > 0)
+      throw new IllegalStateException(
+        s"cannot add CHECK constraint '$name' to $ref: $violations " +
+          s"existing row(s) violate ($predicate) — a constraint that " +
+          "exists must have always held")
+    commitMetaOnly(ref, Map(Warehouse.checkMetaKey(name) -> predicate))
+  }
+
+  /** Drop a CHECK constraint. Carried meta cannot be deleted, so the
+    * key keeps an empty tombstone value, which enforcement skips.
+    */
+  def dropCheckConstraint(ref: TableRef, name: String): Long =
+    commitMetaOnly(ref, Map(Warehouse.checkMetaKey(name) -> ""))
+
+  /** Live CHECK constraints (name → predicate) from the carried meta. */
+  def checkConstraints(ref: TableRef): Map[String, String] =
+    currentVersion(ref).map(v => commitMeta(ref, v).collect {
+      case (k, p) if k.startsWith(Warehouse.CheckMetaPrefix) && p.nonEmpty =>
+        k.stripPrefix(Warehouse.CheckMetaPrefix) -> p
+    }).getOrElse(Map.empty)
+
+  /** Validate staged parquet against the table's live constraints in
+    * ONE aggregate pass (zero cost when no constraints exist; rows
+    * where a predicate is NULL pass, SQL CHECK semantics). Throws
+    * before the caller has moved anything.
+    */
+  private def validateConstraintsLocked(ref: TableRef,
+                                        staged: => DataFrame): Unit = {
+    val checks = checkConstraints(ref)
+    if (checks.isEmpty) return
+    val aggs = checks.toSeq.map { case (n, p) =>
+      sum(when(org.apache.spark.sql.functions.expr(p) <=> lit(false), 1L)
+        .otherwise(0L)).as(n)
+    }
+    val row = staged.agg(aggs.head, aggs.tail: _*).head()
+    checks.toSeq.zipWithIndex.foreach { case ((n, p), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (bad > 0)
+        throw new IllegalStateException(
+          s"write to $ref violates CHECK constraint '$n' ($p): " +
+            s"$bad row(s) fail — nothing was committed")
+    }
+  }
 
   /** Turn the CHANGE DATA FEED on or off for a table: one carried
     * commit-meta line (`graft.cdf=true`, a pure-metadata commit —
@@ -1760,6 +1835,13 @@ final class Warehouse(spark: SparkSession, val root: String,
       snap.version
     } else try {
       sweepStaleStages()
+      // CHECK constraints validate exactly the committed tasks' staged
+      // files (never a dead attempt's partial) before any move
+      validateConstraintsLocked(ref, spark.read
+        .schema(org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .option("basePath", stage.toString)
+        .parquet(stagedRels.map(r => new Path(stage, r).toString): _*))
       writeTxnJournal(ref, stagedRels, Nil)
       stagedRels.foreach { r =>
         val dest = new Path(tablePath, r)
@@ -3034,6 +3116,13 @@ final class Warehouse(spark: SparkSession, val root: String,
           next.coalesce(1).write.parquet(tmp.toString)
           tmp
         }
+      // CHECK constraints validate the staged replacement before any
+      // move — except maintenance rewrites (compact / z-order), which
+      // only move rows that already passed
+      val op = meta.getOrElse(Warehouse.OpMeta, "")
+      if (op != "COMPACT" && op != "ZORDER" && newFiles.nonEmpty)
+        validateConstraintsLocked(ref,
+          spark.read.schema(replacement.schema).parquet(stage.toString))
       // change files land BEFORE the journal and the moves: a crash
       // here leaves an unmarked orphan cdc dir (ignored by readers,
       // clobbered by the version's eventual writer) and an untouched
@@ -3510,6 +3599,14 @@ object Warehouse {
     * `delta.enableChangeDataFeed`).
     */
   val CdfMeta = "graft.cdf"
+
+  /** Carried-meta prefix of CHECK constraints
+    * ([[Warehouse.setCheckConstraint]]): `graft.check.<name>` →
+    * predicate SQL; empty value = dropped tombstone.
+    */
+  val CheckMetaPrefix = "graft.check."
+
+  def checkMetaKey(name: String): String = s"$CheckMetaPrefix$name"
 
   /** The change-kind column of change files and of the `.changes` read
     * surface: insert / delete / update_preimage / update_postimage

@@ -1250,7 +1250,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 11) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 12) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1643,6 +1643,57 @@ object PipelineQueries {
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** CHECK constraints enforced by the commit protocol (round 15 —
+    * Delta's `ALTER TABLE ADD CONSTRAINT` counterpart,
+    * [[graft.catalog.Warehouse.setCheckConstraint]]): a carried-meta
+    * predicate every write surface validates against its STAGED files
+    * before anything moves. The gate seeds a table, adds a constraint,
+    * runs one VALID SQL insert (lands) and one VIOLATING one (refused
+    * loudly, nothing committed — the version pin proves it), and
+    * emits the surviving rows plus the `enforced` witness. At 100 TB
+    * this is the write-side contract a lake needs: invariants hold by
+    * construction, not by auditing after the fact.
+    */
+  def qCheckConstraint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_chk_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    wh.overwrite(ref,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000) // identical slice at every SF
+        .select($"o_orderkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                              // v1
+    wh.setCheckConstraint(ref, "price_positive", "o_totalprice > 0") // v2
+    spark.sql(                                                       // v3
+      s"INSERT INTO $cat.silver.facts.$table VALUES (100001, 42.5)")
+    val rejected =
+      try {
+        spark.sql(
+          s"INSERT INTO $cat.silver.facts.$table VALUES (100002, -1.0)")
+        false
+      } catch {
+        case e: Exception =>
+          Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+            .exists(c => Option(c.getMessage).exists(_.contains("price_positive")))
+      }
+    val enforced = rejected && wh.currentVersion(ref).contains(3L)
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("enforced", lit(enforced))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qCheckConstraintSql: String =
+    """SELECT o_orderkey, o_totalprice, TRUE AS enforced
+      |FROM orders WHERE o_orderkey <= 1000
+      |UNION ALL
+      |SELECT 100001, 42.5, TRUE""".stripMargin
+
   /** SQL row-level DELETE ([[graft.catalog.GraftSqlTable]]'s
     * `SupportsDelete`): `DELETE FROM graft... WHERE ...` routes
     * through [[Warehouse.deleteWhere]] — the same file-pruned rewrite
@@ -1839,6 +1890,7 @@ object PipelineQueries {
     "q_sql_dpp" -> (qSqlDpp _),
     "q_sql_call" -> (qSqlCall _),
     "q_sql_insert" -> (qSqlInsert _),
+    "q_check_constraint" -> (qCheckConstraint _),
     "q_sql_delete" -> (qSqlDelete _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_update" -> (qSqlUpdate _),
@@ -1884,6 +1936,7 @@ object PipelineQueries {
     "q_sql_dpp" -> qSqlDppSql,
     "q_sql_call" -> qSqlCallSql,
     "q_sql_insert" -> qSqlInsertSql,
+    "q_check_constraint" -> qCheckConstraintSql,
     "q_sql_delete" -> qSqlDeleteSql,
     "q_sql_merge" -> qSqlMergeSql,
     "q_sql_update" -> qSqlUpdateSql,
