@@ -34,7 +34,8 @@ private[catalog] object GraftProcedures {
   val Namespace = "system"
 
   val names: Seq[String] =
-    Seq("compact", "vacuum", "restore", "history", "set_cdf")
+    Seq("compact", "vacuum", "restore", "history", "set_cdf",
+      "add_constraint", "drop_constraint")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -43,6 +44,8 @@ private[catalog] object GraftProcedures {
       case "restore" => Some(RestoreProcedure(root))
       case "history" => Some(HistoryProcedure(root))
       case "set_cdf" => Some(SetCdfProcedure(root))
+      case "add_constraint" => Some(AddConstraintProcedure(root))
+      case "drop_constraint" => Some(DropConstraintProcedure(root))
       case _ => None
     }
 
@@ -167,6 +170,50 @@ private[catalog] object GraftProcedures {
           StructField("cdf_enabled", BooleanType),
           StructField("version", LongType))),
         UTF8String.fromString(ref.toString), enabled, v)
+    }
+  }
+
+  /** Add a CHECK constraint — [[Warehouse.setCheckConstraint]] through
+    * SQL (Delta's `ALTER TABLE ADD CONSTRAINT`; DDL stays excluded).
+    * Refused when existing rows violate, like the Scala API.
+    */
+  private final case class AddConstraintProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "add_constraint"
+    override def description(): String =
+      "add a CHECK constraint every future write must satisfy"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType),
+      param("predicate", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val cname = input.getUTF8String(1).toString
+      val predicate = input.getUTF8String(2).toString
+      val v = warehouse(root).setCheckConstraint(ref, cname, predicate)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("constraint", StringType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString), UTF8String.fromString(cname), v)
+    }
+  }
+
+  /** Drop a CHECK constraint — [[Warehouse.dropCheckConstraint]]. */
+  private final case class DropConstraintProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "drop_constraint"
+    override def description(): String = "drop a CHECK constraint"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("name", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val cname = input.getUTF8String(1).toString
+      val v = warehouse(root).dropCheckConstraint(ref, cname)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("constraint", StringType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString), UTF8String.fromString(cname), v)
     }
   }
 

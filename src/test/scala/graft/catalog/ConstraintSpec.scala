@@ -98,6 +98,18 @@ class ConstraintSpec extends SparkSpec {
     assert(wh.read(ref).as[(Long, Long)].collect().sorted
       === Seq((1L, 10L), (2L, 500L)))
 
+    // pure-SQL constraint lifecycle: CALL add/drop
+    val r = spark.sql("CALL graftchk.system.add_constraint(" +
+      "'silver.g.checked_sql', 'k_positive', 'k > 0')").head()
+    assert(r.getString(1) === "k_positive")
+    assert(wh.checkConstraints(ref).contains("k_positive"))
+    intercept[Exception] {
+      spark.sql("INSERT INTO graftchk.silver.g.checked_sql VALUES (-9, 1)")
+    }
+    spark.sql("CALL graftchk.system.drop_constraint(" +
+      "'silver.g.checked_sql', 'k_positive')")
+    assert(!wh.checkConstraints(ref).contains("k_positive"))
+
     // streaming sink: a violating epoch fails the query, table intact
     val in = tmpDir("check-sink-in")
     val ckpt = tmpDir("check-sink-ckpt")
