@@ -35,7 +35,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "restore", "history", "set_cdf",
-      "add_constraint", "drop_constraint")
+      "add_constraint", "drop_constraint", "add_columns")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -46,6 +46,7 @@ private[catalog] object GraftProcedures {
       case "set_cdf" => Some(SetCdfProcedure(root))
       case "add_constraint" => Some(AddConstraintProcedure(root))
       case "drop_constraint" => Some(DropConstraintProcedure(root))
+      case "add_columns" => Some(AddColumnsProcedure(root))
       case _ => None
     }
 
@@ -195,6 +196,30 @@ private[catalog] object GraftProcedures {
           StructField("constraint", StringType),
           StructField("version", LongType))),
         UTF8String.fromString(ref.toString), UTF8String.fromString(cname), v)
+    }
+  }
+
+  /** Metadata-only ADD COLUMNS — [[Warehouse.addColumns]] through SQL
+    * (`CALL graft.system.add_columns('c.s.t', 'discount DOUBLE, note STRING')`).
+    */
+  private final case class AddColumnsProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "add_columns"
+    override def description(): String =
+      "widen the committed schema with nullable columns; zero data movement"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("columns", StringType)) // DDL: "name TYPE, name TYPE"
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val ddl = input.getUTF8String(1).toString
+      val fields = StructType.fromDDL(ddl).fields.toSeq
+      val v = warehouse(root).addColumns(ref, fields)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("added", StringType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString),
+        UTF8String.fromString(fields.map(_.name).mkString(",")), v)
     }
   }
 

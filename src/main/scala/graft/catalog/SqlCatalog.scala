@@ -454,7 +454,12 @@ private[catalog] final class GraftFileIndex(spark: SparkSession,
       // null-fill. No user schema: partition value TYPES come from the
       // same inference readSnapshot uses, so SQL ≡ Scala reads.
       Map("basePath" -> GraftFileIndex.qualifiedBase(spark, wh, snap).toString),
-      None,
+      // committed schema as the inference hint: partition columns the
+      // snapshot schema declares keep their COMMITTED types (a string
+      // partition with numeric-looking values stays a string — matching
+      // readSnapshot's declared-schema read, so SQL ≡ Scala by
+      // construction); staticPartitions columns outside it still infer
+      GraftFileIndex.committedSchemaOf(snap),
       fileStatusCache = GraftFileIndex.logBackedCache(spark, wh, snap)) {
 
   private val relBase =
@@ -566,6 +571,10 @@ private[catalog] final class GraftFileIndex(spark: SparkSession,
 }
 
 private[catalog] object GraftFileIndex {
+
+  private[catalog] def committedSchemaOf(snap: TableSnapshot): Option[StructType] =
+    if (snap.schemaJson.isEmpty) None
+    else Some(DataType.fromJson(snap.schemaJson).asInstanceOf[StructType])
 
   private[catalog] def qualifiedBase(spark: SparkSession, wh: Warehouse,
                                      snap: TableSnapshot): Path = {

@@ -468,8 +468,40 @@ final class Warehouse(spark: SparkSession, val root: String,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val base = path(s.ref)
-      spark.read.option("basePath", base)
-        .parquet(s.files.map(f => s"$base/$f"): _*)
+      val paths = s.files.map(f => s"$base/$f")
+      val pathParts = s.files.headOption.toSeq.flatMap { f =>
+        f.split('/').dropRight(1).toSeq
+          .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+      }
+      val committed =
+        if (s.schemaJson.isEmpty) None
+        else Some(org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      committed match {
+        case Some(schema) if pathParts.forall(schema.fieldNames.contains) =>
+          // DECLARED-SCHEMA read — the schema rides the snapshot:
+          //  - mixed-era files after a metadata-only [[addColumns]]
+          //    widening read correctly (default parquet inference takes
+          //    ONE footer, silently dropping a column old files lack);
+          //  - partition values parse in their COMMITTED types (a
+          //    StringType partition with numeric-looking values stays
+          //    a string — inference would flip it to integer);
+          //  - time travel keeps each version's own shape.
+          // staticPartitions columns live outside the committed schema
+          // (the fallback arm keeps their inference).
+          spark.read.option("basePath", base).schema(schema)
+            .parquet(paths: _*)
+        case _ =>
+          val df = spark.read.option("basePath", base).parquet(paths: _*)
+          // static-partition layouts: inference read + null backfill of
+          // committed columns no physical file carries
+          committed.fold(df) { schema =>
+            val present = df.columns.toSet
+            schema.filterNot(f => present.contains(f.name))
+              .foldLeft(df)((d, f) =>
+                d.withColumn(f.name, lit(null).cast(f.dataType)))
+          }
+      }
     }
 
   /** Time travel: the table as of a historical version. Readable until
@@ -1645,6 +1677,38 @@ final class Warehouse(spark: SparkSession, val root: String,
         m.filter(col("rows").isNotNull).select("file", "rows").collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       case _ => Map.empty
+    }
+
+  /** METADATA-ONLY column addition (Delta's `ALTER TABLE ADD COLUMNS`):
+    * widen the committed schema with new NULLABLE fields — one log
+    * append, ZERO data movement (the 100 TB shape: adding a column to
+    * a petabyte table is instant). Existing files simply lack the
+    * columns; every read surface null-backfills by name (the SQL
+    * catalog's parquet scan does this natively for requested-but-
+    * absent columns, [[readSnapshot]] adds the missing committed
+    * columns explicitly), and later writes that carry values mix
+    * freely with old files. Time travel to a pre-widening version
+    * keeps the old schema — the schema rides the snapshot. Same-name
+    * collisions are refused; nullability is forced (a non-null new
+    * column would instantly be violated by every existing row).
+    */
+  def addColumns(ref: TableRef,
+                 fields: Seq[org.apache.spark.sql.types.StructField]): Long =
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      require(fields.nonEmpty, "addColumns needs at least one field")
+      val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+        s"$ref has no committed version — addColumns widens an existing table"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val clash = fields.map(_.name).filter(n =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(clash.isEmpty,
+        s"addColumns to $ref: column(s) ${clash.mkString(",")} already exist")
+      val widened = org.apache.spark.sql.types.StructType(
+        schema ++ fields.map(_.copy(nullable = true)))
+      commitLocked(ref, widened.json, snap.files,
+        Map(Warehouse.OpMeta -> "ADD_COLUMNS"), snap.fileMeta)
     }
 
   /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`

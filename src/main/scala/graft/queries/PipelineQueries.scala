@@ -1250,7 +1250,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 12) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 13) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1694,6 +1694,54 @@ object PipelineQueries {
       |UNION ALL
       |SELECT 100001, 42.5, TRUE""".stripMargin
 
+  /** Metadata-only ADD COLUMNS (round 15 —
+    * [[graft.catalog.Warehouse.addColumns]], Delta's `ALTER TABLE ADD
+    * COLUMNS`): widening the committed schema is ONE log append, zero
+    * data movement — the witness pins that the file set is
+    * bit-identical across the widening. Legacy rows null-backfill by
+    * name on every read surface; a post-widening SQL INSERT carries
+    * values and its files mix freely with the old ones (the
+    * declared-schema read makes mixed-era footers safe — default
+    * parquet inference takes ONE footer and would silently drop the
+    * column). Values vs DuckDB deriving the same null/valued split.
+    */
+  def qAddColumn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_ac_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    wh.overwrite(ref,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 500) // identical slice at every SF
+        .select($"o_orderkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                              // v1
+    val filesBefore = wh.dataFiles(ref).toSet
+    spark.sql(s"CALL $cat.system.add_columns(" +
+      s"'silver.facts.$table', 'discount DOUBLE')")                  // v2
+    val metadataOnly = wh.dataFiles(ref).toSet == filesBefore
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" > 500 && $"o_orderkey" <= 1000)
+      .select($"o_orderkey", $"o_totalprice",
+        ($"o_totalprice" / 10.0).as("discount"))
+      .createOrReplaceTempView("sql_ac_src")
+    spark.sql(                                                       // v3
+      s"INSERT INTO $cat.silver.facts.$table SELECT * FROM sql_ac_src")
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice, discount FROM $cat.silver.facts.$table")
+      .withColumn("metadata_only", lit(metadataOnly))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qAddColumnSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       CASE WHEN o_orderkey > 500 THEN o_totalprice / 10.0 END AS discount,
+      |       TRUE AS metadata_only
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   /** SQL row-level DELETE ([[graft.catalog.GraftSqlTable]]'s
     * `SupportsDelete`): `DELETE FROM graft... WHERE ...` routes
     * through [[Warehouse.deleteWhere]] — the same file-pruned rewrite
@@ -1891,6 +1939,7 @@ object PipelineQueries {
     "q_sql_call" -> (qSqlCall _),
     "q_sql_insert" -> (qSqlInsert _),
     "q_check_constraint" -> (qCheckConstraint _),
+    "q_add_column" -> (qAddColumn _),
     "q_sql_delete" -> (qSqlDelete _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_update" -> (qSqlUpdate _),
@@ -1937,6 +1986,7 @@ object PipelineQueries {
     "q_sql_call" -> qSqlCallSql,
     "q_sql_insert" -> qSqlInsertSql,
     "q_check_constraint" -> qCheckConstraintSql,
+    "q_add_column" -> qAddColumnSql,
     "q_sql_delete" -> qSqlDeleteSql,
     "q_sql_merge" -> qSqlMergeSql,
     "q_sql_update" -> qSqlUpdateSql,

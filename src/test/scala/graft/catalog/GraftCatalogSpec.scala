@@ -978,16 +978,17 @@ class GraftCatalogSpec extends SparkSpec {
         s"expected a real scan for: $sql")
     }
 
-    // an INTEGER-typed partition column groups in its inferred value
-    // space (p=07-style dirs would parse, not string-match)
+    // a numeric partition column groups in its COMMITTED type (written
+    // as bigint → reads back bigint; p=07-style dirs parse, never
+    // string-match)
     val ref3 = TableRef("silver", "g", "gmagg3")
     wh.overwrite(ref3,
       (1L to 90L).map(i => (i, i % 3)).toDF("k", "b"),
       partitionBy = Seq("b"), statsColumns = Seq("k"))
     val qi = spark.sql(
       s"SELECT b, count(*) AS c FROM graftgm.silver.g.gmagg3 GROUP BY b")
-    assert(qi.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
-      === Seq((0, 30L), (1, 30L), (2, 30L)))
+    assert(qi.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      === Seq((0L, 30L), (1L, 30L), (2L, 30L)))
     assert(deepScans(qi.queryExecution.executedPlan).isEmpty)
   }
 }
