@@ -35,7 +35,7 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "restore", "history", "set_cdf",
-      "add_constraint", "drop_constraint", "add_columns")
+      "add_constraint", "drop_constraint", "add_columns", "drop_columns")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -47,6 +47,7 @@ private[catalog] object GraftProcedures {
       case "add_constraint" => Some(AddConstraintProcedure(root))
       case "drop_constraint" => Some(DropConstraintProcedure(root))
       case "add_columns" => Some(AddColumnsProcedure(root))
+      case "drop_columns" => Some(DropColumnsProcedure(root))
       case _ => None
     }
 
@@ -220,6 +221,30 @@ private[catalog] object GraftProcedures {
           StructField("version", LongType))),
         UTF8String.fromString(ref.toString),
         UTF8String.fromString(fields.map(_.name).mkString(",")), v)
+    }
+  }
+
+  /** Metadata-only DROP COLUMNS — [[Warehouse.dropColumns]] through
+    * SQL (`CALL graft.system.drop_columns('c.s.t', 'a, b')`).
+    */
+  private final case class DropColumnsProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "drop_columns"
+    override def description(): String =
+      "narrow the committed schema; zero data movement"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("columns", StringType)) // comma-separated names
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val names = input.getUTF8String(1).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val v = warehouse(root).dropColumns(ref, names)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("dropped", StringType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString),
+        UTF8String.fromString(names.mkString(",")), v)
     }
   }
 

@@ -1525,8 +1525,17 @@ final class Warehouse(spark: SparkSession, val root: String,
           if (!filesystem.rename(f, dest))
             throw new RuntimeException(s"failed to move $r into $ref")
         }
+        // a full replace writes every physical file fresh from df's
+        // declared schema: dropped-column tombstones clear — the bytes
+        // they guarded are gone, the names are safe to re-add
+        val clearDropped = currentVersion(ref)
+          .map(v => commitMeta(ref, v).keys
+            .filter(_.startsWith(Warehouse.DroppedMetaPrefix))
+            .map(_ -> "").toMap)
+          .getOrElse(Map.empty[String, String])
         commitLocked(ref, df.schema.json, rels,
-          Warehouse.withOp(meta ++ cdcMeta, "OVERWRITE"), relMeta)
+          clearDropped ++ Warehouse.withOp(meta ++ cdcMeta, "OVERWRITE"),
+          relMeta)
         // manifest follows the commit; a crash in between leaves a stale
         // manifest, which pruning tolerates by construction (entries for
         // retired files never match the live list, unknown files are kept)
@@ -1705,10 +1714,73 @@ final class Warehouse(spark: SparkSession, val root: String,
         schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(clash.isEmpty,
         s"addColumns to $ref: column(s) ${clash.mkString(",")} already exist")
+      // resurrection guard: a previously-dropped name's bytes still sit
+      // in live files, and a declared-schema read would surface them as
+      // the "new" column's values
+      val meta = commitMeta(ref, snap.version)
+      val dead = fields.map(_.name).filter(n =>
+        meta.get(Warehouse.droppedMetaKey(n.toLowerCase)).exists(_.nonEmpty))
+      require(dead.isEmpty,
+        s"addColumns to $ref: column(s) ${dead.mkString(",")} were " +
+          "previously dropped and live files still carry their bytes — " +
+          "a full overwrite rewrites them, or pick another name")
       val widened = org.apache.spark.sql.types.StructType(
         schema ++ fields.map(_.copy(nullable = true)))
       commitLocked(ref, widened.json, snap.files,
         Map(Warehouse.OpMeta -> "ADD_COLUMNS"), snap.fileMeta)
+    }
+
+  /** METADATA-ONLY column removal (`ALTER TABLE DROP COLUMNS` without
+    * Delta's column-mapping machinery — possible here because reads
+    * are declared-schema, so a column absent from the committed schema
+    * is simply never requested from the files that still carry its
+    * bytes; [[vacuum]]-then-[[compact]] reclaims them physically).
+    * One log append, zero data movement; time travel below the narrow
+    * keeps the column. Refused for partition columns (directory-
+    * encoded — the layout IS the column) and for columns a live CHECK
+    * constraint mentions (the next write's validation would fail
+    * unresolved).
+    */
+  def dropColumns(ref: TableRef, names: Seq[String]): Long =
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      require(names.nonEmpty, "dropColumns needs at least one column")
+      val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+        s"$ref has no committed version — dropColumns narrows an existing table"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val missing = names.filterNot(n =>
+        schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(missing.isEmpty,
+        s"dropColumns on $ref: column(s) ${missing.mkString(",")} do not exist")
+      val partCols = snap.files.headOption.toSeq.flatMap {
+        _.split('/').dropRight(1).toSeq
+          .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+      }.toSet
+      val parts = names.filter(partCols.contains)
+      require(parts.isEmpty,
+        s"dropColumns on $ref cannot drop partition column(s) " +
+          s"${parts.mkString(",")} — the directory layout is the column")
+      val referenced = checkConstraints(ref).filter { case (_, p) =>
+        names.exists(n => p.toLowerCase.contains(n.toLowerCase))
+      }
+      require(referenced.isEmpty,
+        s"dropColumns on $ref: CHECK constraint(s) " +
+          s"${referenced.keys.mkString(",")} mention the column(s) — drop " +
+          "the constraint first")
+      val dropSet = names.map(_.toLowerCase).toSet
+      require(schema.count(f => !dropSet.contains(f.name.toLowerCase)) >= 1,
+        s"dropColumns on $ref would leave no columns")
+      val narrowed = org.apache.spark.sql.types.StructType(
+        schema.filterNot(f => dropSet.contains(f.name.toLowerCase)))
+      // tombstone the names: live files still CARRY the bytes, so a
+      // same-name re-add would resurrect them (the hazard Delta's
+      // column mapping exists for) — [[addColumns]] refuses tombstoned
+      // names until a full rewrite replaces every physical file
+      commitLocked(ref, narrowed.json, snap.files,
+        Map(Warehouse.OpMeta -> "DROP_COLUMNS") ++
+          names.map(n => Warehouse.droppedMetaKey(n.toLowerCase) -> "1"),
+        snap.fileMeta)
     }
 
   /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
@@ -3671,6 +3743,15 @@ object Warehouse {
   val CheckMetaPrefix = "graft.check."
 
   def checkMetaKey(name: String): String = s"$CheckMetaPrefix$name"
+
+  /** Carried-meta prefix of dropped-column tombstones
+    * ([[Warehouse]].dropColumns' resurrection guard): cleared (blanked)
+    * by the next full overwrite, whose fresh files carry no old bytes.
+    */
+  val DroppedMetaPrefix = "graft.dropped."
+
+  def droppedMetaKey(lowerName: String): String =
+    s"$DroppedMetaPrefix$lowerName"
 
   /** The change-kind column of change files and of the `.changes` read
     * surface: insert / delete / update_preimage / update_postimage

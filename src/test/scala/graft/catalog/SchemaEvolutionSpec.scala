@@ -63,6 +63,54 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(ops.count(_ == "ADD_COLUMNS") === 2)
   }
 
+  test("dropColumns narrows metadata-only; refusal arms hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val root = tmpDir("wh-dropcol")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "narrowed")
+    wh.overwrite(ref,
+      Seq((1L, "a", 10L, "eu"), (2L, "b", 20L, "us"))
+        .toDF("k", "v", "n", "p"),
+      partitionBy = Seq("p"))
+    val filesBefore = wh.dataFiles(ref).toSet
+
+    wh.dropColumns(ref, Seq("n"))
+    assert(wh.dataFiles(ref).toSet === filesBefore, "zero data movement")
+    assert(wh.read(ref).columns.toSeq === Seq("k", "v", "p"))
+    // time travel below the narrow keeps the column
+    assert(wh.readVersion(ref, 1L).columns.contains("n"))
+    // SQL agrees
+    spark.conf.set("spark.sql.catalog.graftnarrow", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftnarrow.root", root)
+    assert(spark.sql("SELECT * FROM graftnarrow.silver.g.narrowed")
+      .columns.toSeq === Seq("k", "v", "p"))
+    // re-adding the dropped name is REFUSED: live files still carry
+    // its bytes, and a declared-schema read would resurrect them (the
+    // hazard Delta's column mapping exists for)
+    val e = intercept[IllegalArgumentException] {
+      wh.addColumns(ref, Seq(StructField("n", LongType)))
+    }
+    assert(e.getMessage.contains("previously dropped"))
+
+    // refusals: partition column, constraint-referenced column
+    intercept[IllegalArgumentException] { wh.dropColumns(ref, Seq("p")) }
+    wh.setCheckConstraint(ref, "v_nonempty", "length(v) > 0")
+    intercept[IllegalArgumentException] { wh.dropColumns(ref, Seq("v")) }
+    wh.dropCheckConstraint(ref, "v_nonempty")
+
+    // a full overwrite writes fresh files: the tombstone clears and the
+    // name re-adds as genuinely all-null
+    wh.overwrite(ref, wh.read(ref))
+    wh.addColumns(ref, Seq(StructField("n", LongType)))
+    assert(wh.read(ref).filter($"n".isNotNull).count() === 0L,
+      "post-rewrite re-add must start all-null")
+
+    // SQL lifecycle
+    spark.sql("CALL graftnarrow.system.drop_columns('silver.g.narrowed', 'n')")
+    assert(!wh.read(ref).columns.contains("n"))
+  }
+
   test("merges after a widening demand the new column or evolveSchema") {
     import spark.implicits._
     import org.apache.spark.sql.types.{LongType, StructField}
