@@ -172,6 +172,34 @@ class GraftChangesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 7L)
   }
 
+  test("the feed refuses vacuumed ranges loudly; surviving ranges answer") {
+    import spark.implicits._
+    val root = tmpDir("wh-cdf-vac")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_vac")
+    wh.overwrite(ref, (1L to 10L).map(i => (i, s"a$i")).toDF("k", "v"),
+      statsColumns = Seq("k"))                                         // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((11L to 15L).map(i => (i, s"a$i")).toDF("k", "v"))       // v2
+    mt.upsert((16L to 20L).map(i => (i, s"a$i")).toDF("k", "v"))       // v3
+    wh.vacuum(ref, keepVersions = 2)                                   // horizon = v2
+    registerCatalog("graftcdfv", root)
+    // an explicit start below retention fails loudly
+    val err = intercept[Exception] {
+      spark.read.option("startingVersion", "1")
+        .table("graftcdfv.silver.g.fed_vac.changes").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .flatMap(c => Option(c.getMessage))
+    assert(chain(err).exists(_.contains("vacuum retention")))
+    // the default batch read covers exactly the surviving range
+    assert(feedRows(spark.sql(
+        "SELECT * FROM graftcdfv.silver.g.fed_vac.changes"))
+      === (11L to 20L).map(i =>
+        (i, s"a$i", "insert", if (i <= 15) 2L else 3L)).toSet)
+  }
+
   test("maxFilesPerTrigger paces the feed: whole commits per batch, full result") {
     import spark.implicits._
     val root = tmpDir("wh-cdf-rate")

@@ -178,6 +178,44 @@ class GraftStreamSinkSpec extends SparkSpec {
       === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
 
+  test("a crashed epoch's moved-but-uncommitted files heal; the replay lands once") {
+    import spark.implicits._
+    val root = tmpDir("wh-sink-crash")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "sunk_crash")
+    wh.overwrite(ref, Seq((1L, "a")).toDF("k", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tablePath = new org.apache.hadoop.fs.Path(wh.path(ref))
+
+    // fabricate the crash: stage an epoch, write the intent journal,
+    // move the file into the table — and die before the commit
+    val stage = wh.streamStageDir(ref, "q-crash", 0L)
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val rel = fs.listStatus(stage).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).head
+    wh.writeTxnJournal(ref, Seq(rel), Nil)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(stage, rel),
+      new org.apache.hadoop.fs.Path(tablePath, rel)))
+
+    // readers never saw the straggler (the log defines contents)...
+    assert(wh.read(ref).count() === 1L)
+    // ...and recovery removes it physically
+    assert(wh.recover(ref))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tablePath, rel)),
+      "an uncommitted epoch's moved file must be healed away")
+
+    // the replayed epoch (fresh staging, same epoch id) lands exactly once
+    Seq((2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
+    val rel2 = fs.listStatus(stage).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toSeq
+    wh.commitStreamEpoch(ref, "q-crash", 0L, rel2)
+    assert(wh.read(ref).as[(Long, String)].collect().sorted
+      === Seq((1L, "a"), (2L, "b")))
+  }
+
   test("compactAtFiles bounds a long-running sink's file count") {
     import spark.implicits._
     val root = tmpDir("wh-sink-compact")
