@@ -330,13 +330,21 @@ final class Warehouse(spark: SparkSession, val root: String,
     rawVersion(ref, v).map { c =>
       if (c.isDelta) {
         val retiredSet = c.retires.toSet
+        val parent = resolvedVersion(ref, v - 1)
+        val parentFiles = parent.map(_.files.toSet).getOrElse(Set.empty)
         val parentMeta =
           if (c.retires.isEmpty) Map.empty[String, (Long, Long)]
-          else resolvedVersion(ref, v - 1).map(_.fileMeta)
+          else parent.map(_.fileMeta)
             .getOrElse(Map.empty).view.filterKeys(retiredSet).toMap
+        // a delta `add` can be a META-ONLY re-add of a carried path
+        // (recorded size changed, rows did not): the feed must not
+        // re-emit its rows as inserts — only genuinely NEW paths count
+        val adds = c.files.filterNot(parentFiles.contains)
+        val addSet = adds.toSet
         // a full replace never delta-encodes (adds+retires >= files
         // writes a checkpoint), so fullReplace is structurally false
-        Warehouse.CommitChanges(c.files, c.fileMeta, c.retires, parentMeta,
+        Warehouse.CommitChanges(adds,
+          c.fileMeta.view.filterKeys(addSet).toMap, c.retires, parentMeta,
           fullReplace = false, c.meta)
       } else {
         val parent = if (v >= 2) resolvedVersion(ref, v - 1) else None
