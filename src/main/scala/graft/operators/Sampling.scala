@@ -40,6 +40,24 @@ object Sampling {
     df.filter(keyHash(col(keyCol), salt) < lit((fraction * 4294967296L).toLong))
   }
 
+  /** EXACT-K deterministic sample: the `k` rows whose keys hash LOWEST
+    * on the ring (ties broken by the key itself — a total order, so
+    * the result is a set, not a layout accident). Fraction sampling
+    * can only approximate a target size; dataset recipes that need
+    * "exactly one million documents, the same million every run" need
+    * the order statistic. Plans as TakeOrderedAndProject — each task
+    * keeps a k-bounded heap and the driver merges |tasks| heaps, never
+    * a global sort, never a full shuffle: at 100 TB the cost is one
+    * scan plus k rows of movement. Same hash as every other sampler,
+    * so the DuckDB oracle re-derives the exact set with ORDER BY ...
+    * LIMIT k.
+    */
+  def exactSample(df: DataFrame, keyCol: String, k: Int,
+                  salt: Long = 0L): DataFrame = {
+    require(k >= 0, s"k must be non-negative: $k")
+    df.orderBy(keyHash(col(keyCol), salt).asc, col(keyCol).asc).limit(k)
+  }
+
   /** Disjoint deterministic splits (e.g. train/val/test): returns one
     * DataFrame per fraction, partitioning the keyspace by consecutive
     * hash bands. Fractions must sum to at most 1; rows hashing past the

@@ -407,6 +407,27 @@ object AnalyticQueries {
       |WHERE (o_orderstatus = 'O' AND h < 2147483648)
       |   OR (o_orderstatus = 'F' AND h < 1073741824)""".stripMargin
 
+  /** EXACT-K deterministic sample ([[graft.operators.Sampling
+    * .exactSample]], round 15): the k lowest-hashing keys — "exactly
+    * 200 documents, the same 200 every run, any layout, any engine".
+    * Plans as TakeOrderedAndProject (per-task k-bounded heaps, k rows
+    * to the driver merge — never a global sort); the oracle re-derives
+    * the identical set with the shared Knuth hash + ORDER BY LIMIT.
+    */
+  def qExactSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.operators.Sampling.exactSample(
+        Tables.load(spark, dir, "orders"), "o_orderkey", k = 200)
+      .select($"o_orderkey", $"o_totalprice")
+  }
+
+  val qExactSampleSql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |ORDER BY ((o_orderkey % 2147483648) * 2654435761) % 4294967296 ASC,
+      |         o_orderkey ASC
+      |LIMIT 200""".stripMargin
+
   // ------------------------------------------------------------ top-k
 
   /** Distributed exact top-k: Spark plans orderBy+limit as
@@ -603,6 +624,7 @@ object AnalyticQueries {
     "q_winsorize" -> (qWinsorize _),
     "q_sample_split" -> (qSampleSplit _),
     "q_stratified_sample" -> (qStratifiedSample _),
+    "q_exact_sample" -> (qExactSample _),
     "q_topk" -> (qTopk _),
     "q_approx_stats" -> (qApproxStats _),
     "q_range_join" -> (qRangeJoin _),
@@ -624,6 +646,7 @@ object AnalyticQueries {
     "q_winsorize" -> qWinsorizeSql,
     "q_sample_split" -> qSampleSplitSql,
     "q_stratified_sample" -> qStratifiedSampleSql,
+    "q_exact_sample" -> qExactSampleSql,
     "q_topk" -> qTopkSql,
     "q_range_join" -> qRangeJoinSql,
     "q_topk_group" -> qTopkGroupSql,
