@@ -19,6 +19,23 @@ class SamplingSpec extends SparkSpec {
     assert(a.size > 2000 && a.size < 4000, s"got ${a.size} of 10000 at 0.3")
   }
 
+  test("exactSample: exactly k, layout-invariant, salt-sensitive, k >= n keeps all") {
+    val a = Sampling.exactSample(ids, "id", 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a.size === 500)
+    val b = Sampling.exactSample(ids.repartition(23), "id", 500)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b, "the exact-k set must not depend on physical layout")
+    val c = Sampling.exactSample(ids, "id", 500, salt = 9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a !== c)
+    assert(Sampling.exactSample(ids, "id", 20000).count() === 10000L)
+    // the plan is the distributed top-k, never a global sort
+    val plan = Sampling.exactSample(ids, "id", 500)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+  }
+
   test("different salts draw different samples") {
     val a = Sampling.deterministicSample(ids, "id", 0.3, salt = 0)
       .select("id").collect().map(_.getLong(0)).toSet
