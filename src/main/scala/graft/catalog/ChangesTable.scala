@@ -221,9 +221,21 @@ private[catalog] final class GraftChangesScan(spark: SparkSession,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
+      val ref = snap.ref
+      def exclusive(a: String, b: String): Unit =
+        require(options.get(a) == null || options.get(b) == null,
+          s"change feed on $ref: $a and $b are mutually exclusive")
+      exclusive("startingVersion", "startingTimestamp")
+      exclusive("endingVersion", "endingTimestamp")
       val from = Option(options.get("startingVersion")).map(_.toLong)
-        .orElse(wh.earliestVersion(snap.ref)).getOrElse(1L)
+        .orElse(Option(options.get("startingTimestamp")).map(t =>
+          // first commit at-or-after the instant (the stream's contract)
+          wh.versionSince(ref, GraftCdfMicroBatchStream.parseTimestamp(t))))
+        .orElse(wh.earliestVersion(ref)).getOrElse(1L)
       val to = Option(options.get("endingVersion")).map(_.toLong)
+        .orElse(Option(options.get("endingTimestamp")).map(t =>
+          // latest commit at-or-before the instant
+          wh.versionAsOf(ref, GraftCdfMicroBatchStream.parseTimestamp(t))))
         .getOrElse(snap.version)
       (from to to).toArray.flatMap(v =>
         resolver.versionPartitions(v, replayFull = false))

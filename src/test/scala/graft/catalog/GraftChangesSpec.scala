@@ -67,6 +67,16 @@ class GraftChangesSpec extends SparkSpec {
       Seq("k", Warehouse.ChangeTypeCol, Warehouse.CommitVersionCol)),
       s"feed scan must prune to the required base columns: $scanSchemas")
 
+    // timestamp-scoped batch reads resolve on the durable commit clock
+    // (graft.ts): [v3's instant, v4's instant] covers exactly v3..v4
+    val ts3 = wh.commitMeta(ref, 3L)(Warehouse.TsMeta).toLong
+    val ts4 = wh.commitMeta(ref, 4L)(Warehouse.TsMeta).toLong
+    assert(feedRows(spark.read
+        .option("startingTimestamp", ts3.toString)
+        .option("endingTimestamp", ts4.toString)
+        .table("graftcdf1.silver.g.fed.changes"))
+      === expected.filter(r => r._4 == 3L || r._4 == 4L))
+
     // the commits that wrote change files carry the marker; derived
     // ones do not
     assert(wh.commitMeta(ref, 3L).get(Warehouse.CdcMeta).contains("1"))
