@@ -49,11 +49,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * metadata partition drops included) — writer lock, intent journal,
   * delta-encoded commit, stats/bloom manifest maintenance, all
   * identical to the Scala API (a SQL insert and a Scala merge
-  * serialize on the same lock). DDL
-  * (create/alter/drop/rename) still throws loudly — table lifecycle
-  * belongs to [[Warehouse]], and a CTAS would bypass the layout
-  * decisions (partitioning, stats columns) a table is created with.
-  * MAINTENANCE has its own SQL surface:
+  * serialize on the same lock). DDL is first-class too: `CREATE
+  * TABLE` / CTAS (`PARTITIONED BY`, TBLPROPERTIES-declared stats and
+  * bloom columns) commit an empty version 1 through
+  * [[Warehouse.createTable]], `ALTER TABLE ADD/DROP COLUMNS` maps to
+  * the metadata-only [[Warehouse.addColumns]]/[[Warehouse.dropColumns]]
+  * (guards included), and `DROP TABLE` to [[Warehouse.drop]]; only
+  * RENAME stays refused (name-based files, no column/table mapping
+  * layer by design). MAINTENANCE has its own SQL surface:
   * `CALL graft.system.compact/vacuum/restore/history(...)`
   * ([[GraftProcedures]]) — procedures route through the same Warehouse
   * entry points the Scala API uses, protocol intact.
@@ -114,7 +117,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       // logless dir (e.g. a bucketed saveAsTable output, adopted into
       // the log only on its next write): synthesize a snapshot from
       // the physical listing + inferred schema — the same fallback
-      // Warehouse.read uses, so every listed table is also loadable
+      // Warehouse.read uses, so every listed table is also loadable.
+      // A missing DIRECTORY must surface as NoSuchTableException (not
+      // the listing's FileNotFoundException): Spark's tableExists —
+      // the probe every CREATE/DROP statement runs first — catches
+      // only the former.
+      if (!wh.exists(ref)) throw new NoSuchTableException(ident)
       val files = wh.dataFiles(ref)
       if (files.isEmpty) throw new NoSuchTableException(ident)
       val base = new Path(wh.path(ref)).toUri.getPath
@@ -157,16 +165,112 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft SQL catalog supports DML (INSERT/DELETE/UPDATE/MERGE) but not " +
-      "DDL: create/alter/drop tables through graft.catalog.Warehouse — " +
-      "table lifecycle and layout decisions (partitioning, stats columns) " +
-      "belong to the engine API")
+    "graft SQL catalog does not support this DDL verb: RENAME needs " +
+      "per-file name mapping the name-based layout deliberately avoids, " +
+      "and namespaces are implicit in the on-disk catalog/schema layout")
 
+  /** `CREATE TABLE` (and the metadata half of CTAS) through the commit
+    * protocol ([[Warehouse.createTable]] — round-15 verdict, next #3):
+    * version 1 is an empty-file-list commit carrying the declared
+    * schema, `PARTITIONED BY` columns (identity transforms only — the
+    * directory layout IS the partitioning) and any
+    * TBLPROPERTIES-declared stats/bloom manifest columns
+    * (`graft.stats_columns` / `graft.bloom_columns`) as carried meta;
+    * the CTAS data write then arrives as a normal `SupportsWrite`
+    * append, which routes partitioning and bootstraps the manifest
+    * from those keys. `LOCATION`/`EXTERNAL` are refused — the
+    * warehouse owns the physical layout.
+    */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-                           properties: util.Map[String, String]): Table = readOnly
-  override def alterTable(ident: Identifier, changes: TableChange*): Table = readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
+                           properties: util.Map[String, String]): Table = {
+    val ref = refOf(ident)
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 ||
+          refs(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft tables partition by plain columns (directory layout); " +
+            s"unsupported transform: $t")
+      refs(0).fieldNames()(0)
+    }
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala
+    Seq(TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL).foreach { k =>
+      require(!props.contains(k),
+        s"graft CREATE TABLE does not take $k — the warehouse root owns " +
+          "the physical layout")
+    }
+    def csv(k: String): Seq[String] =
+      props.get(k).toSeq.flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    warehouse.createTable(ref, schema, partCols,
+      statsColumns = csv(Warehouse.StatsColumnsMeta),
+      bloomColumns = csv(Warehouse.BloomColumnsMeta))
+    loadTable(ident)
+  }
+
+  /** `ALTER TABLE ... ADD COLUMNS / DROP COLUMN(S)` mapped onto the
+    * METADATA-ONLY [[Warehouse.addColumns]]/[[Warehouse.dropColumns]]
+    * (round-15 verdict, next #4): one log append, zero data movement,
+    * the same resurrection-tombstone and constraint-reference guards
+    * as the Scala API (SQL ≡ Scala by construction — it IS the same
+    * entry point). Nested fields, column moves, and NOT NULL adds are
+    * refused loudly; everything else (SET TBLPROPERTIES etc.) stays
+    * with the engine API.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ref = refOf(ident)
+    val wh = warehouse
+    val snap = wh.snapshot(ref).getOrElse(throw new NoSuchTableException(ident))
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(adds.size + drops.size == changes.size,
+      s"graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS only; got " +
+        changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
+          c.isInstanceOf[TableChange.DeleteColumn]).mkString(", "))
+    if (adds.nonEmpty) {
+      val fields = adds.map { a =>
+        require(a.fieldNames().length == 1,
+          s"graft ADD COLUMNS takes top-level columns, not nested field " +
+            s"${a.fieldNames().mkString(".")}")
+        require(a.position() == null,
+          "graft ADD COLUMNS appends — FIRST/AFTER positions would need a " +
+            "physical rewrite the metadata-only widening avoids")
+        require(a.isNullable,
+          s"new column ${a.fieldNames()(0)} must be nullable: every " +
+            "existing row lacks a value for it")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType(), nullable = true)
+      }
+      wh.addColumns(ref, fields)
+    }
+    if (drops.nonEmpty) {
+      val committed = DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[StructType].fieldNames.map(_.toLowerCase).toSet
+      val names = drops.map { d =>
+        require(d.fieldNames().length == 1,
+          s"graft DROP COLUMNS takes top-level columns, not nested field " +
+            s"${d.fieldNames().mkString(".")}")
+        d
+      }.filter(d => !d.ifExists() ||
+        committed.contains(d.fieldNames()(0).toLowerCase))
+        .map(_.fieldNames()(0))
+      if (names.nonEmpty) wh.dropColumns(ref, names)
+    }
+    loadTable(ident)
+  }
+
+  /** `DROP TABLE` — the whole table directory (data, log, manifest)
+    * under [[Warehouse.drop]]'s cache purge. False when absent, so
+    * `DROP TABLE IF EXISTS` is quiet.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val ref = refOf(ident)
+    val wh = warehouse
+    if (!wh.exists(ref) && wh.snapshot(ref).isEmpty) false
+    else { wh.drop(ref); true }
+  }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
 
   // -- SupportsNamespaces: SHOW NAMESPACES / SHOW TABLES discovery ----
@@ -369,17 +473,22 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
           (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
             if (replaceAll) {
               // preserve the physical contract across the replace:
-              // directory partitioning (from the committed layout) and
+              // directory partitioning (from the committed layout;
+              // CREATE TABLE's declared meta while still fileless) and
               // the stats-column set (blooms auto-carry inside
               // overwrite's durable-property logic)
-              val partCols = snap.files.headOption.toSeq.flatMap {
-                _.split('/').dropRight(1).toSeq
-                  .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-              }
+              val partCols =
+                if (snap.files.nonEmpty) snap.files.headOption.toSeq.flatMap {
+                  _.split('/').dropRight(1).toSeq
+                    .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+                } else wh.metaColumns(snap.ref, Warehouse.PartitionByMeta)
+              val statCols = (wh.statColumns(snap.ref) ++
+                (if (snap.files.isEmpty)
+                   wh.metaColumns(snap.ref, Warehouse.StatsColumnsMeta)
+                 else Nil)).distinct
               wh.overwrite(snap.ref, data,
                 partitionBy = partCols.filter(data.columns.contains),
-                statsColumns = wh.statColumns(snap.ref)
-                  .filter(data.columns.contains))
+                statsColumns = statCols.filter(data.columns.contains))
             } else {
               wh.append(snap.ref, data)
               ()

@@ -1593,11 +1593,17 @@ final class Warehouse(spark: SparkSession, val root: String,
     val tablePath = new Path(path(ref))
     val filesystem = fs(tablePath)
     // partition columns from the committed layout: ordered k=v
-    // directory components of any file's relative path
-    val partCols: Seq[String] = snap.files.headOption.toSeq.flatMap { f =>
-      f.split('/').dropRight(1).toSeq
-        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-    }
+    // directory components of any file's relative path — files-first,
+    // with the CREATE TABLE declared layout ([[PartitionByMeta]]) as
+    // the authority only while the table is still empty (a fileless
+    // createTable commit has no paths to derive from)
+    val partCols: Seq[String] =
+      if (snap.files.nonEmpty)
+        snap.files.headOption.toSeq.flatMap { f =>
+          f.split('/').dropRight(1).toSeq
+            .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+        }
+      else metaColumns(ref, Warehouse.PartitionByMeta)
     val missingParts = partCols.filterNot(df.columns.contains)
     require(missingParts.isEmpty,
       s"append to $ref needs partition column(s) ${missingParts.mkString(",")} " +
@@ -1620,7 +1626,15 @@ final class Warehouse(spark: SparkSession, val root: String,
       // manifest with ONE new part post-commit (O(insert), the whole
       // point of an append commit); schema drift or too many parts
       // fall back to the pre-built rewrite, swapped in post-commit
-      val statCols = statColumns(ref).filter(df.columns.contains)
+      // declared stats columns (CREATE TABLE TBLPROPERTIES) engage only
+      // while the table is empty and manifestless: the first append
+      // BOOTSTRAPS the manifest; thereafter the manifest is the
+      // authority, exactly as for overwrite-created tables
+      val declaredStats =
+        if (snap.files.nonEmpty) Nil
+        else metaColumns(ref, Warehouse.StatsColumnsMeta)
+      val statCols = (statColumns(ref) ++ declaredStats).distinct
+        .filter(df.columns.contains)
       val oldManifest =
         if (statCols.isEmpty || rels.isEmpty) None else manifestDf(path(ref))
       val oldBlooms = oldManifest.toSeq.flatMap(_.columns
@@ -1630,17 +1644,29 @@ final class Warehouse(spark: SparkSession, val root: String,
           statsColumnsOf(statCols, oldBlooms)))
       val manifestTmp =
         if (appendPart) None
-        else oldManifest.map { old =>
-          // staged rel paths (partitionBy subdirs included) equal the
-          // committed rel paths — the move preserves them
-          val newStats = fileStats(spark.read.parquet(stage.toString),
-            stage.toString, statCols, oldBlooms)
-          val common = old.columns.filter(newStats.columns.contains).toSeq
-          val next = old.select(common.map(col): _*)
-            .unionByName(newStats, allowMissingColumns = true)
-          val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
-          next.coalesce(1).write.parquet(tmp.toString)
-          tmp
+        else oldManifest match {
+          case Some(old) =>
+            // staged rel paths (partitionBy subdirs included) equal the
+            // committed rel paths — the move preserves them
+            val newStats = fileStats(spark.read.parquet(stage.toString),
+              stage.toString, statCols, oldBlooms)
+            val common = old.columns.filter(newStats.columns.contains).toSeq
+            val next = old.select(common.map(col): _*)
+              .unionByName(newStats, allowMissingColumns = true)
+            val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
+            next.coalesce(1).write.parquet(tmp.toString)
+            Some(tmp)
+          case None if declaredStats.nonEmpty && statCols.nonEmpty
+              && rels.nonEmpty =>
+            // manifest bootstrap for a createTable-declared layout
+            val blooms = metaColumns(ref, Warehouse.BloomColumnsMeta)
+              .filter(statCols.contains)
+            val newStats = fileStats(spark.read.parquet(stage.toString),
+              stage.toString, statCols, blooms)
+            val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
+            newStats.coalesce(1).write.parquet(tmp.toString)
+            Some(tmp)
+          case None => None
         }
       writeTxnJournal(ref, rels, Nil)
       rels.zip(stagedStatuses).foreach { case (r, st) =>
@@ -1695,6 +1721,62 @@ final class Warehouse(spark: SparkSession, val root: String,
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       case _ => Map.empty
     }
+
+  /** CREATE TABLE without data — the SQL catalog's DDL entry (plain
+    * `CREATE TABLE` and the metadata half of CTAS): commit VERSION 1
+    * with the declared schema and an EMPTY file list (readable
+    * immediately as zero rows in the declared shape — [[readSnapshot]]
+    * handles fileless snapshots). Partitioning and declared stats /
+    * bloom columns ride the commit as CARRIED meta
+    * ([[Warehouse.PartitionByMeta]] et al.): with no files to derive
+    * the `k=v/` layout from, the meta key is what routes the first
+    * [[append]] through the right `partitionBy` and seeds its stats
+    * manifest. Same bootstrap race guard as overwrite's
+    * `onlyIfAbsent`: two concurrent creators serialize on the writer
+    * lock and the loser fails loudly, nothing touched.
+    */
+  def createTable(ref: TableRef,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionBy: Seq[String] = Nil,
+                  statsColumns: Seq[String] = Nil,
+                  bloomColumns: Seq[String] = Nil): Long = {
+    require(schema.nonEmpty, s"createTable $ref needs at least one column")
+    val missing = (partitionBy ++ statsColumns ++ bloomColumns)
+      .filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"createTable $ref: column(s) ${missing.distinct.mkString(",")} " +
+        "not in the declared schema")
+    require(bloomColumns.forall(statsColumns.contains),
+      s"bloomColumns must be a subset of statsColumns: " +
+        s"${bloomColumns.filterNot(statsColumns.contains).mkString(",")} " +
+        "has no stats manifest entry to ride on")
+    require(partitionBy.size < schema.size,
+      s"createTable $ref: partitioning on every column leaves no data columns")
+    withWriterLock(ref) {
+      val target = new Path(path(ref))
+      fs(target).mkdirs(target.getParent)
+      recoverLocked(ref)
+      if (currentVersion(ref).nonEmpty ||
+          (fs(target).exists(target) && listDataFiles(target).nonEmpty))
+        throw new ConcurrentWriteException(
+          s"table $ref already exists — createTable bootstraps only")
+      def csv(k: String, vs: Seq[String]) =
+        if (vs.isEmpty) Map.empty[String, String] else Map(k -> vs.mkString(","))
+      commitLocked(ref, schema.json, Nil,
+        Map(Warehouse.OpMeta -> "CREATE_TABLE") ++
+          csv(Warehouse.PartitionByMeta, partitionBy) ++
+          csv(Warehouse.StatsColumnsMeta, statsColumns) ++
+          csv(Warehouse.BloomColumnsMeta, bloomColumns))
+    }
+  }
+
+  /** A comma-list carried-meta property of the current version, split
+    * (empty when absent / no committed version) — the declared-layout
+    * keys [[createTable]] writes.
+    */
+  private[catalog] def metaColumns(ref: TableRef, key: String): Seq[String] =
+    currentVersion(ref).toSeq.flatMap(v => commitMeta(ref, v).get(key))
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
 
   /** METADATA-ONLY column addition (Delta's `ALTER TABLE ADD COLUMNS`):
     * widen the committed schema with new NULLABLE fields — one log
@@ -1761,22 +1843,33 @@ final class Warehouse(spark: SparkSession, val root: String,
         schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(missing.isEmpty,
         s"dropColumns on $ref: column(s) ${missing.mkString(",")} do not exist")
-      val partCols = snap.files.headOption.toSeq.flatMap {
+      val partCols = (snap.files.headOption.toSeq.flatMap {
         _.split('/').dropRight(1).toSeq
           .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-      }.toSet
+      } ++ (if (snap.files.isEmpty) // still-empty createTable layout
+              metaColumns(ref, Warehouse.PartitionByMeta)
+            else Nil)).toSet
       val parts = names.filter(partCols.contains)
       require(parts.isEmpty,
         s"dropColumns on $ref cannot drop partition column(s) " +
           s"${parts.mkString(",")} — the directory layout is the column")
+      // the constraint's actual attribute set (the predicate parsed at
+      // set time, so this parse cannot fail) — a column named `r` must
+      // drop cleanly while `price > 0` is live, and only a genuinely
+      // referenced column refuses
+      val dropNames = names.map(_.toLowerCase).toSet
       val referenced = checkConstraints(ref).filter { case (_, p) =>
-        names.exists(n => p.toLowerCase.contains(n.toLowerCase))
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(p).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last.toLowerCase // `t.price` still guards `price`
+          }.exists(n => dropNames.contains(n))
       }
       require(referenced.isEmpty,
         s"dropColumns on $ref: CHECK constraint(s) " +
           s"${referenced.keys.mkString(",")} mention the column(s) — drop " +
           "the constraint first")
-      val dropSet = names.map(_.toLowerCase).toSet
+      val dropSet = dropNames
       require(schema.count(f => !dropSet.contains(f.name.toLowerCase)) >= 1,
         s"dropColumns on $ref would leave no columns")
       val narrowed = org.apache.spark.sql.types.StructType(
@@ -3743,6 +3836,25 @@ object Warehouse {
     * `delta.enableChangeDataFeed`).
     */
   val CdfMeta = "graft.cdf"
+
+  /** CARRIED table property: the partition column list a table was
+    * CREATED with ([[Warehouse.createTable]] — `CREATE TABLE ...
+    * PARTITIONED BY` through the SQL catalog). The layout authority
+    * only while the table has no data files: once files exist, their
+    * `k=v/` directory components are the ground truth (a later
+    * overwrite may re-layout), so every derivation is files-first and
+    * consults this key only for the empty-table gap.
+    */
+  val PartitionByMeta = "graft.partition_by"
+
+  /** CARRIED table properties: stats-manifest / bloom columns declared
+    * at CREATE TABLE time (TBLPROPERTIES `graft.stats_columns` /
+    * `graft.bloom_columns`) — honored by the first [[Warehouse.append]]
+    * into the still-manifestless table, which bootstraps the manifest;
+    * thereafter the manifest itself is the authority (as everywhere).
+    */
+  val StatsColumnsMeta = "graft.stats_columns"
+  val BloomColumnsMeta = "graft.bloom_columns"
 
   /** Carried-meta prefix of CHECK constraints
     * ([[Warehouse.setCheckConstraint]]): `graft.check.<name>` →
