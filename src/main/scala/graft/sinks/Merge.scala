@@ -348,6 +348,25 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     }
   }
 
+  /** DECLARED-SCHEMA read of the touched-file subset (the same
+    * mixed-era contract as [[graft.catalog.Warehouse.readSnapshot]]):
+    * footer inference over old files silently drops columns a
+    * metadata-only ADD COLUMNS widened in (the merge would then refuse
+    * — or worse, write narrow files), and keeps bytes a DROP COLUMNS
+    * tombstoned out (the merge would resurrect them). Missing declared
+    * columns null-backfill by name; undeclared physical columns are
+    * pruned by the final select.
+    */
+  private def readTouched(touched: Seq[String]): DataFrame = {
+    val df = spark.read.option("basePath", warehouse.path(ref))
+      .parquet(touched: _*)
+    val declared = warehouse.schemaOf(ref)
+    val present = df.columns.toSet
+    declared.filterNot(f => present.contains(f.name))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
   private def upsertOnce(source: DataFrame): Unit = {
     if (!warehouse.exists(ref)) {
       // onlyIfAbsent: if another writer bootstraps between the exists
@@ -424,15 +443,12 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
             meta = Map(Warehouse.OpMeta -> "MERGE"))
         } else if (cdfOn) {
           val (merged, changes) = Merge.mergeWithChanges(
-            spark.read.option("basePath", warehouse.path(ref)).parquet(touched: _*),
-            source, keys, tsField)
+            readTouched(touched), source, keys, tsField)
           warehouse.replaceDataFiles(ref, touched, merged,
             meta = Map(Warehouse.OpMeta -> "MERGE"), changes = Some(changes))
         } else
           warehouse.replaceDataFiles(ref, touched,
-            Merge.merge(
-              spark.read.option("basePath", warehouse.path(ref)).parquet(touched: _*),
-              source, keys, tsField),
+            Merge.merge(readTouched(touched), source, keys, tsField),
             meta = Map(Warehouse.OpMeta -> "MERGE"))
       case _ =>
         // no manifest, or every file may overlap: full rewrite — and

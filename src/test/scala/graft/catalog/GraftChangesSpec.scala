@@ -182,6 +182,76 @@ class GraftChangesSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 7L)
   }
 
+  test(".changes straddles schema evolution: null-backfill, dropped columns vanish, streaming exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val root = tmpDir("wh-cdf-evo")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "fed_evo")
+    wh.overwrite(ref, (1L to 3L).map(i => (i, s"a$i")).toDF("k", "v"),
+      statsColumns = Seq("k"))                                         // v1
+    wh.setChangeDataFeed(ref, enabled = true)                          // v2
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((2L, "b2")).toDF("k", "v"))                          // v3: pre-evolution change files
+    registerCatalog("graftcdfe", root)
+
+    val ckpt = tmpDir("cdf-evo-ckpt")
+    val out = tmpDir("cdf-evo-out")
+    def drain(): Unit =
+      spark.readStream.table("graftcdfe.silver.g.fed_evo.changes")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+    def sink() = spark.read.option("mergeSchema", "true").parquet(out)
+    drain() // consumes v1..v3 (the pre-evolution shape)
+    assert(sink().count() === 5L) // 3 base inserts + one update pair
+
+    wh.addColumns(ref, Seq(StructField("score", DoubleType)))          // v4: meta-only
+    new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None,
+      evolveSchema = true)
+      .upsert(Seq((3L, "c3", 1.5)).toDF("k", "v", "score"))            // v5: post-widening pair
+
+    // BATCH read through the widened schema: old change files
+    // null-backfill `score` by name; the post-widening pair carries it
+    val widened = spark.sql("SELECT * FROM graftcdfe.silver.g.fed_evo.changes")
+    assert(widened.columns.contains("score"))
+    assert(widened.filter(col(Warehouse.CommitVersionCol) <= 3L &&
+      col("score").isNotNull).count() === 0L, "pre-widening rows must null-backfill")
+    assert(widened.filter(col(Warehouse.CommitVersionCol) === 5L &&
+        col(Warehouse.ChangeTypeCol) === "update_postimage")
+      .select("score").as[Double].collect().toSeq === Seq(1.5))
+
+    // STREAMING restart ACROSS the evolution commit: exactly-once —
+    // v3's pair is not re-emitted, the meta-only v4 contributes zero
+    // rows, v5's pair arrives once
+    drain()
+    val afterWiden = sink()
+    assert(afterWiden.filter(col(Warehouse.CommitVersionCol) === 3L).count() === 2L)
+    assert(afterWiden.filter(col(Warehouse.CommitVersionCol) === 4L).count() === 0L)
+    assert(afterWiden.filter(col(Warehouse.CommitVersionCol) === 5L).count() === 2L)
+
+    wh.dropColumns(ref, Seq("v"))                                      // v6: meta-only narrow
+    // dropped columns VANISH from the feed (the current snapshot schema
+    // renders every version); the files still physically carry the bytes
+    val narrowed = spark.sql("SELECT * FROM graftcdfe.silver.g.fed_evo.changes")
+    assert(!narrowed.columns.contains("v"))
+    assert(narrowed.count() === widened.count(), "same rows, narrower shape")
+
+    // one more write in the narrowed shape, then a restart across the
+    // DROP commit: still exactly-once, v6 silent, v7's pair lands once
+    new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+      .upsert(Seq((1L, 9.9)).toDF("k", "score"))                       // v7
+    drain()
+    val end = sink()
+    assert(end.filter(col(Warehouse.CommitVersionCol) === 6L).count() === 0L)
+    assert(end.filter(col(Warehouse.CommitVersionCol) === 7L).count() === 2L)
+    assert(end.filter(col(Warehouse.CommitVersionCol) === 3L).count() === 2L,
+      "restarts must never re-emit consumed commits")
+  }
+
   test("the feed refuses vacuumed ranges loudly; surviving ranges answer") {
     import spark.implicits._
     val root = tmpDir("wh-cdf-vac")
