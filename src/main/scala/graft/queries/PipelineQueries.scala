@@ -878,6 +878,14 @@ object PipelineQueries {
   private def goldMvOrders(spark: SparkSession, dir: String) = {
     import spark.implicits._
     Tables.load(spark, dir, "orders")
+      // identical fixture slice at sf0.01 and sf0.1 (orderkeys are
+      // dense 0..N; 15000 is sf0.01's full table) — the six IVM gates
+      // prove incremental ≡ full and the O(batch + touched groups)
+      // plan shape, not scan throughput (the scan/join gates own
+      // that), and this multi-commit churn was the bench's single
+      // largest fixture block three rounds running (round-15 verdict,
+      // next #2)
+      .filter($"o_orderkey" < 15000)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
       .withColumn("cents", round($"o_totalprice" * 100).cast("long"))
       .withColumn("order_day", date_format($"o_orderdate", "yyyy-MM-dd"))
@@ -891,6 +899,20 @@ object PipelineQueries {
     * CTAS AS OF the pinned historical version (the churn has already
     * committed, the old versions are still on disk until vacuum).
     */
+  /** Run `body` under a narrow shuffle width: the 15k-row fixture
+    * commits are task-scheduling-bound at the session's 32 shuffle
+    * partitions (five merges × several shuffles × 32 near-empty
+    * tasks each), so the builds — NOT the gates' timed operator work —
+    * drop to 8. Restored in a finally; the bench runs queries
+    * sequentially on one driver thread.
+    */
+  private def narrowShuffle[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
   private def goldMvSeed(spark: SparkSession, dir: String): GoldMvChurn =
     graft.util.Scratch.once(spark, dir, "goldmv.seed") {
       import spark.implicits._
@@ -899,12 +921,14 @@ object PipelineQueries {
       val silver = TableRef("silver", "gate", "orders_mv")
       val orders = goldMvOrders(spark, dir)
       val mt = new graft.sinks.MergeTable(spark, wh, silver, Seq("o_orderkey"), None)
-      mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0)) // v1
-      val v1 = wh.currentVersion(silver).get
-      mt.upsert(orders.filter($"o_orderkey" % 2 === 0) // v2: completes keys
-        .withColumn("o_totalprice", $"o_totalprice" + 1.0)
-        .withColumn("cents", $"cents" + 100))
-      GoldMvChurn(wh, silver, v1, wh.currentVersion(silver).get)
+      narrowShuffle(spark) {
+        mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0)) // v1
+        val v1 = wh.currentVersion(silver).get
+        mt.upsert(orders.filter($"o_orderkey" % 2 === 0) // v2: completes keys
+          .withColumn("o_totalprice", $"o_totalprice" + 1.0)
+          .withColumn("cents", $"cents" + 100))
+        GoldMvChurn(wh, silver, v1, wh.currentVersion(silver).get)
+      }
     }
 
   private def goldMvFixture(spark: SparkSession, dir: String): GoldMvChurn =
@@ -914,15 +938,17 @@ object PipelineQueries {
       val orders = goldMvOrders(spark, dir)
       val mt = new graft.sinks.MergeTable(spark, f.wh, f.silver,
         Seq("o_orderkey"), None)
-      f.wh.deleteWhere(f.silver, $"o_custkey" % 3 === 0) // v3
-      mt.upsert(orders // v4: survivors' evens at +2 over ORIGINAL
-        .filter($"o_custkey" % 3 =!= 0 && $"o_orderkey" % 2 === 0)
-        .withColumn("o_totalprice", $"o_totalprice" + 2.0)
-        .withColumn("cents", $"cents" + 200))
-      mt.upsert(orders // v5: a cloned order book - brand-new groups
-        .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
-        .withColumn("o_custkey", $"o_custkey" + 1000000L))
-      f.copy(vEnd = f.wh.currentVersion(f.silver).get)
+      narrowShuffle(spark) {
+        f.wh.deleteWhere(f.silver, $"o_custkey" % 3 === 0) // v3
+        mt.upsert(orders // v4: survivors' evens at +2 over ORIGINAL
+          .filter($"o_custkey" % 3 =!= 0 && $"o_orderkey" % 2 === 0)
+          .withColumn("o_totalprice", $"o_totalprice" + 2.0)
+          .withColumn("cents", $"cents" + 200))
+        mt.upsert(orders // v5: a cloned order book - brand-new groups
+          .withColumn("o_orderkey", $"o_orderkey" + 100000000L)
+          .withColumn("o_custkey", $"o_custkey" + 1000000L))
+        f.copy(vEnd = f.wh.currentVersion(f.silver).get)
+      }
     }
 
   /** ONE change-feed scan for the five v2→vEnd incremental-MV gates
@@ -953,8 +979,10 @@ object PipelineQueries {
     val f = goldMvFixture(spark, dir)
     val ref = TableRef("gold", "gate", table)
     graft.util.Scratch.once(spark, dir, key) {
-      graft.gold.Views.materializeAgg(spark, f.wh, ref, f.silver,
-        Seq("o_custkey"), specs, asOf = Some(f.v2))
+      narrowShuffle(spark) {
+        graft.gold.Views.materializeAgg(spark, f.wh, ref, f.silver,
+          Seq("o_custkey"), specs, asOf = Some(f.v2))
+      }
     }
     (f, ref)
   }
@@ -970,11 +998,11 @@ object PipelineQueries {
       |         o_orderdate,
       |         CAST(round(o_totalprice * 100) AS BIGINT)
       |           + CASE WHEN o_orderkey % 2 = 0 THEN 200 ELSE 0 END AS cents
-      |  FROM orders WHERE o_custkey % 3 <> 0
+      |  FROM orders WHERE o_orderkey < 15000 AND o_custkey % 3 <> 0
       |  UNION ALL
       |  SELECT o_orderkey + 100000000, o_custkey + 1000000, o_totalprice,
       |         o_orderdate, CAST(round(o_totalprice * 100) AS BIGINT)
-      |  FROM orders""".stripMargin
+      |  FROM orders WHERE o_orderkey < 15000""".stripMargin
 
   /** Incremental latest-per-key MV maintenance end-to-end over the
     * FULL mixed feed (inserts at v2, deletes at v3, updates at v4,
@@ -988,8 +1016,10 @@ object PipelineQueries {
     val f = goldMvFixture(spark, dir)
     val ref = TableRef("gold", "gate", "latest_orders_inc")
     graft.util.Scratch.once(spark, dir, "gincr.fixtures") {
-      graft.gold.Views.materialize(spark, f.wh, ref, goldMvViewSql,
-        pinBase = Some(f.silver), asOf = Some(f.v1))
+      narrowShuffle(spark) {
+        graft.gold.Views.materialize(spark, f.wh, ref, goldMvViewSql,
+          pinBase = Some(f.silver), asOf = Some(f.v1))
+      }
     }
     // Auto (marker-based): cold covers v1->v5 exactly as before (the
     // CTAS marker IS v1); the bench's warm rerun reads the refreshed
@@ -1025,8 +1055,10 @@ object PipelineQueries {
     val f = goldMvFixture(spark, dir)
     val ref = TableRef("gold", "gate", "latest_orders_del")
     graft.util.Scratch.once(spark, dir, "gdel.fixtures") {
-      graft.gold.Views.materialize(spark, f.wh, ref, goldMvDelViewSql,
-        pinBase = Some(f.silver), asOf = Some(f.v2))
+      narrowShuffle(spark) {
+        graft.gold.Views.materialize(spark, f.wh, ref, goldMvDelViewSql,
+          pinBase = Some(f.silver), asOf = Some(f.v2))
+      }
     }
     // Auto for warm-rerun no-op — see qGoldIncremental (CTAS marker = v2)
     graft.util.PhaseTimer.time("gdel.refresh") {

@@ -329,15 +329,30 @@ object EventStreams {
     * planning, source listing). Sub-phases of the caller's `.replay`
     * phase — they overlap it, they don't add to it.
     */
-  def recordReplayPhases(prefix: String, query: StreamingQuery): Unit = {
+  /** Per-trigger phase breakdown of a finished replay, PARTITIONED
+    * against the caller's `<prefix>` wall-clock wrapper: the
+    * addBatch/overhead credits are SUBTRACTED from the wrapper's
+    * accumulated seconds (they happened inside its window, measured on
+    * the stream-execution thread where the wrapper's nesting stack
+    * can't see them), and `inBatchPhaseSec` — phases the foreachBatch
+    * body itself recorded, e.g. stream.aggmv.merge / mvagg.* —
+    * subtracts from addBatch. The artifact's phase seconds then SUM to
+    * the replay's wall time instead of triple-counting every nesting
+    * level (round-15 verdict read the aggmv family as ~31 s of fixture
+    * cost when its true wall was ~10 s).
+    */
+  def recordReplayPhases(prefix: String, query: StreamingQuery,
+                         inBatchPhaseSec: Double = 0.0): Unit = {
     val ps = query.recentProgress
     if (ps.nonEmpty) {
       def tot(k: String): Double =
         ps.map(p => Option(p.durationMs.get(k)).map(_.toDouble).getOrElse(0.0))
           .sum / 1000.0
       val addBatch = tot("addBatch")
-      val overhead = tot("triggerExecution") - addBatch
-      graft.util.PhaseTimer.add(s"$prefix.addBatch", addBatch)
+      val overhead = math.max(0.0, tot("triggerExecution") - addBatch)
+      graft.util.PhaseTimer.add(prefix, -(addBatch + overhead))
+      graft.util.PhaseTimer.add(s"$prefix.addBatch",
+        math.max(0.0, addBatch - inBatchPhaseSec))
       if (overhead > 0) graft.util.PhaseTimer.add(s"$prefix.overhead", overhead)
       System.err.println(s"[$prefix] batches=${ps.length} " +
         s"rows=${ps.map(_.numInputRows).mkString(",")} " +
