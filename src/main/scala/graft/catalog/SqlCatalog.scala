@@ -214,9 +214,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (round-15 verdict, next #4): one log append, zero data movement,
     * the same resurrection-tombstone and constraint-reference guards
     * as the Scala API (SQL ≡ Scala by construction — it IS the same
-    * entry point). Nested fields, column moves, and NOT NULL adds are
-    * refused loudly; everything else (SET TBLPROPERTIES etc.) stays
-    * with the engine API.
+    * entry point). `SET/UNSET TBLPROPERTIES` maps the two governed
+    * properties — `graft.check.<name>` CHECK constraints (validated at
+    * set time) and the `graft.cdf` change-data-feed toggle — onto
+    * their Warehouse entry points. Nested fields, column moves, NOT
+    * NULL adds, and ungoverned properties are refused loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val ref = refOf(ident)
@@ -224,10 +226,47 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val snap = wh.snapshot(ref).getOrElse(throw new NoSuchTableException(ident))
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
-    require(adds.size + drops.size == changes.size,
-      s"graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS only; got " +
+    val sets = changes.collect { case s: TableChange.SetProperty => s }
+    val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
+    require(adds.size + drops.size + sets.size + unsets.size == changes.size,
+      s"graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS / SET-UNSET " +
+        s"TBLPROPERTIES only; got " +
         changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
-          c.isInstanceOf[TableChange.DeleteColumn]).mkString(", "))
+          c.isInstanceOf[TableChange.DeleteColumn] ||
+          c.isInstanceOf[TableChange.SetProperty] ||
+          c.isInstanceOf[TableChange.RemoveProperty]).mkString(", "))
+    // SET/UNSET TBLPROPERTIES — the SQL spelling of the two governed
+    // table properties (Delta's own idiom for both): CHECK constraints
+    // (`graft.check.<name>` = predicate, validated against existing
+    // rows at set time exactly like the Scala/CALL surface — it IS
+    // setCheckConstraint) and the change-data-feed toggle
+    // (`graft.cdf` = true/false). Other keys are refused loudly: a
+    // silently-carried free-form property would LOOK governed.
+    sets.foreach { s =>
+      (s.property, s.value) match {
+        case (k, v) if k.startsWith(Warehouse.CheckMetaPrefix) =>
+          wh.setCheckConstraint(ref, k.stripPrefix(Warehouse.CheckMetaPrefix), v)
+        case (Warehouse.CdfMeta, v) =>
+          require(v == "true" || v == "false",
+            s"${Warehouse.CdfMeta} takes true/false, got '$v'")
+          wh.setChangeDataFeed(ref, v.toBoolean)
+        case (k, _) => throw new UnsupportedOperationException(
+          s"graft SET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
+            s"<name> and ${Warehouse.CdfMeta} only; '$k' is not a governed " +
+            "table property")
+      }
+    }
+    unsets.foreach { u =>
+      u.property match {
+        case k if k.startsWith(Warehouse.CheckMetaPrefix) =>
+          wh.dropCheckConstraint(ref, k.stripPrefix(Warehouse.CheckMetaPrefix))
+        case Warehouse.CdfMeta => wh.setChangeDataFeed(ref, enabled = false)
+        case k => throw new UnsupportedOperationException(
+          s"graft UNSET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
+            s"<name> and ${Warehouse.CdfMeta} only; '$k' is not a governed " +
+            "table property")
+      }
+    }
     if (adds.nonEmpty) {
       val fields = adds.map { a =>
         require(a.fieldNames().length == 1,

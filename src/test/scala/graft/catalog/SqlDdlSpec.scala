@@ -182,6 +182,54 @@ class SqlDdlSpec extends SparkSpec {
       .count(Set("ADD_COLUMNS", "DROP_COLUMNS")) === 2)
   }
 
+  test("SET/UNSET TBLPROPERTIES govern CHECK constraints and the CDF toggle") {
+    import spark.implicits._
+    val root = tmpDir("wh-ddl-props")
+    val wh = new Warehouse(spark, root)
+    val cat = catalogFor(root, "c7")
+    spark.sql(
+      s"CREATE TABLE $cat.silver.g.gov AS SELECT id AS k, id * 1.0 AS price FROM range(1, 5)")
+    val ref = TableRef("silver", "g", "gov")
+
+    // SET a CHECK constraint through SQL: same entry point as Scala —
+    // validated against existing rows, enforced on the next write
+    spark.sql(s"ALTER TABLE $cat.silver.g.gov SET TBLPROPERTIES " +
+      "('graft.check.pricepos' = 'price > 0')")
+    assert(wh.checkConstraints(ref) === Map("pricepos" -> "price > 0"))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.silver.g.gov VALUES (99, -1.0)")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("pricepos"))))
+    // a constraint the current rows violate is refused at SET time
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.silver.g.gov SET TBLPROPERTIES " +
+        "('graft.check.impossible' = 'price > 100')")
+    }
+    assert(!wh.checkConstraints(ref).contains("impossible"))
+
+    // UNSET drops it; the write then lands
+    spark.sql(
+      s"ALTER TABLE $cat.silver.g.gov UNSET TBLPROPERTIES ('graft.check.pricepos')")
+    assert(wh.checkConstraints(ref).isEmpty)
+    spark.sql(s"INSERT INTO $cat.silver.g.gov VALUES (99, -1.0)")
+    assert(wh.read(ref).count() === 5L)
+
+    // the CDF toggle rides the same verb
+    spark.sql(
+      s"ALTER TABLE $cat.silver.g.gov SET TBLPROPERTIES ('graft.cdf' = 'true')")
+    assert(wh.cdfEnabled(ref))
+    spark.sql(
+      s"ALTER TABLE $cat.silver.g.gov UNSET TBLPROPERTIES ('graft.cdf')")
+    assert(!wh.cdfEnabled(ref))
+
+    // ungoverned keys refuse loudly rather than carrying silently
+    intercept[Exception] {
+      spark.sql(
+        s"ALTER TABLE $cat.silver.g.gov SET TBLPROPERTIES ('owner' = 'me')")
+    }
+  }
+
   test("constraint guard parses attributes: a substring-named column drops clean") {
     import spark.implicits._
     val root = tmpDir("wh-ddl-attr")
