@@ -365,7 +365,7 @@ object PipelineQueries {
     */
   def qCompactTable(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (wh, ref) = graft.util.Scratch.once(spark, dir, "compact.fixtures") {
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "compact.fixtures") { narrowShuffle(spark) {
       val base = Files.createTempDirectory("graft-gate-compact").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
       val ref = TableRef("silver", "facts", "orders_compacted")
@@ -378,7 +378,7 @@ object PipelineQueries {
         mt.upsert(orders.filter($"o_orderkey" >= lo && $"o_orderkey" < hi))
       }
       (wh, ref)
-    }
+    } }
     wh.compact(ref)
     wh.read(ref).withColumn("files_after", lit(wh.dataFiles(ref).size))
   }
@@ -622,7 +622,7 @@ object PipelineQueries {
   private def cdcChurnFixture(spark: SparkSession, dir: String)
       : (Warehouse, TableRef, Long, Long, Long) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "cdf.fixtures", uses = 3) {
+    graft.util.Scratch.once(spark, dir, "cdf.fixtures", uses = 3) { narrowShuffle(spark) {
       val base = Files.createTempDirectory("graft-gate-cdf").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
       val ref = TableRef("silver", "facts", "orders_cdf")
@@ -636,7 +636,7 @@ object PipelineQueries {
       val v2 = wh.currentVersion(ref).get
       wh.deleteWhere(ref, $"o_orderkey" % 3 === 0)
       (wh, ref, v1, v2, wh.currentVersion(ref).get)
-    }
+    } }
   }
 
   def qChangeFeed(spark: SparkSession, dir: String): DataFrame = {
@@ -899,19 +899,13 @@ object PipelineQueries {
     * CTAS AS OF the pinned historical version (the churn has already
     * committed, the old versions are still on disk until vacuum).
     */
-  /** Run `body` under a narrow shuffle width: the 15k-row fixture
-    * commits are task-scheduling-bound at the session's 32 shuffle
-    * partitions (five merges × several shuffles × 32 near-empty
-    * tasks each), so the builds — NOT the gates' timed operator work —
-    * drop to 8. Restored in a finally; the bench runs queries
-    * sequentially on one driver thread.
+  /** Fixture builds — NOT the gates' timed operator work — run under
+    * [[graft.util.Scratch.narrowShuffle]]: a few thousand rows through
+    * several commits are task-scheduling-bound at 32 shuffle
+    * partitions.
     */
-  private def narrowShuffle[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try body finally spark.conf.set(key, prev)
-  }
+  private def narrowShuffle[T](spark: SparkSession)(body: => T): T =
+    graft.util.Scratch.narrowShuffle(spark)(body)
 
   private def goldMvSeed(spark: SparkSession, dir: String): GoldMvChurn =
     graft.util.Scratch.once(spark, dir, "goldmv.seed") {
@@ -1282,7 +1276,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 14) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 14) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1327,7 +1321,7 @@ object PipelineQueries {
         classOf[graft.catalog.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
       (cat, root)
-    }
+    } }
   }
 
   def qSqlCatalog(spark: SparkSession, dir: String): DataFrame = {
@@ -2007,7 +2001,7 @@ object PipelineQueries {
     */
   def qTableHistory(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (wh, ref) = graft.util.Scratch.once(spark, dir, "history.fixtures") {
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "history.fixtures") { narrowShuffle(spark) {
       val base = Files.createTempDirectory("graft-gate-history").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
       val ref = TableRef("silver", "facts", "orders_hist")
@@ -2026,7 +2020,7 @@ object PipelineQueries {
       wh.deleteWhere(ref, $"o_orderkey" % 7 === 3)                   // v4
       wh.restore(ref, 3)                                             // v5
       (wh, ref)
-    }
+    } }
     wh.history(ref).select($"version", $"operation")
   }
 

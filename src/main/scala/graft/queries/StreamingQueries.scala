@@ -846,6 +846,7 @@ object StreamingQueries {
     import spark.implicits._
     import graft.catalog.{TableRef, Warehouse}
     graft.util.Scratch.once(spark, dir, "cdffeed.fixtures", uses = 2) {
+     graft.util.Scratch.narrowShuffle(spark) {
       val root = java.nio.file.Files
         .createTempDirectory("graft-cdf-feed").toString + "/wh"
       val wh = new Warehouse(spark, root)
@@ -869,7 +870,7 @@ object StreamingQueries {
         classOf[graft.catalog.GraftCatalog].getName)
       spark.conf.set(s"spark.sql.catalog.$cat.root", root)
       (cat, root)
-    }
+    } }
   }
 
   def qCdfStream(spark: SparkSession, dir: String): DataFrame = {

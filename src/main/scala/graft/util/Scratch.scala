@@ -70,6 +70,22 @@ object Scratch {
       .value.asInstanceOf[T]
   }
 
+  /** Run a fixture build under a NARROW shuffle width: gate fixtures
+    * move a few thousand rows through several commits each, so the
+    * session's 32 shuffle partitions turn every internal exchange
+    * (merge joins, stats-manifest aggregates) into 32 near-empty tasks
+    * of pure scheduling overhead. Explicit `repartition(n)` calls are
+    * unaffected — file-count witnesses keep their layout; only
+    * defaulted exchanges narrow. Restored in a finally; the bench and
+    * Verify run queries sequentially on one driver thread.
+    */
+  def narrowShuffle[T](spark: SparkSession, width: Int = 8)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, width.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Register a per-invocation materialized frame (or any structure of
     * them) for release at the NEXT bench drain. Operators that
     * localCheckpoint an intermediate feeding their RETURNED lazy plan
