@@ -54,9 +54,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * bloom columns) commit an empty version 1 through
   * [[Warehouse.createTable]], `ALTER TABLE ADD/DROP COLUMNS` maps to
   * the metadata-only [[Warehouse.addColumns]]/[[Warehouse.dropColumns]]
-  * (guards included), and `DROP TABLE` to [[Warehouse.drop]]; only
-  * RENAME stays refused (name-based files, no column/table mapping
-  * layer by design). MAINTENANCE has its own SQL surface:
+  * (guards included), `RENAME COLUMN` to the guarded full-rewrite
+  * [[Warehouse.renameColumn]] (O(data), honestly priced — name-based
+  * files make a metadata flip unsound), and `DROP TABLE` to
+  * [[Warehouse.drop]]; only TABLE rename stays refused (the on-disk
+  * catalog/schema/table path IS the identity). MAINTENANCE has its
+  * own SQL surface:
   * `CALL graft.system.compact/vacuum/restore/history(...)`
   * ([[GraftProcedures]]) — procedures route through the same Warehouse
   * entry points the Scala API uses, protocol intact.
@@ -165,9 +168,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft SQL catalog does not support this DDL verb: RENAME needs " +
-      "per-file name mapping the name-based layout deliberately avoids, " +
-      "and namespaces are implicit in the on-disk catalog/schema layout")
+    "graft SQL catalog does not support this DDL verb: a TABLE rename " +
+      "would change the on-disk path that IS the table's identity, and " +
+      "namespaces are implicit in the catalog/schema directory layout")
 
   /** `CREATE TABLE` (and the metadata half of CTAS) through the commit
     * protocol ([[Warehouse.createTable]] — round-15 verdict, next #3):
@@ -228,13 +231,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
-    require(adds.size + drops.size + sets.size + unsets.size == changes.size,
-      s"graft ALTER TABLE supports ADD COLUMNS / DROP COLUMNS / SET-UNSET " +
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    require(adds.size + drops.size + sets.size + unsets.size +
+        renames.size == changes.size,
+      s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMNS and SET-UNSET " +
         s"TBLPROPERTIES only; got " +
         changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
           c.isInstanceOf[TableChange.DeleteColumn] ||
           c.isInstanceOf[TableChange.SetProperty] ||
-          c.isInstanceOf[TableChange.RemoveProperty]).mkString(", "))
+          c.isInstanceOf[TableChange.RemoveProperty] ||
+          c.isInstanceOf[TableChange.RenameColumn]).mkString(", "))
+    // RENAME COLUMN is a guarded full rewrite (Warehouse.renameColumn):
+    // name-based files make a metadata-only rename unsound, so the verb
+    // is honest about its O(data) cost instead of refusing
+    renames.foreach { r =>
+      require(r.fieldNames().length == 1,
+        s"graft RENAME COLUMN takes top-level columns, not nested field " +
+          s"${r.fieldNames().mkString(".")}")
+      wh.renameColumn(ref, r.fieldNames()(0), r.newName())
+    }
     // SET/UNSET TBLPROPERTIES — the SQL spelling of the two governed
     // table properties (Delta's own idiom for both): CHECK constraints
     // (`graft.check.<name>` = predicate, validated against existing

@@ -1884,6 +1884,70 @@ final class Warehouse(spark: SparkSession, val root: String,
         snap.fileMeta)
     }
 
+  /** RENAME COLUMN — a GUARDED FULL REWRITE through the commit
+    * protocol, NOT a metadata flip: files are name-based by deliberate
+    * design (no Delta-style column-mapping layer — every read surface
+    * would grow a logical→physical translation), so the only sound
+    * rename writes every physical file fresh under the new name. One
+    * versioned OVERWRITE commit, O(data) — the cost is stated, not
+    * hidden (at 100 TB you schedule it like a compaction; per-file
+    * name mapping is the eventual O(1) unlock). What carries across:
+    * stats/bloom manifest columns follow the rename, partition layout
+    * is preserved, dropped-name tombstones clear (the rewrite replaced
+    * the bytes they guarded — renaming INTO a previously-dropped name
+    * is safe), time travel below the rename keeps the old name (the
+    * schema rides the snapshot). Refused for partition columns (the
+    * directory layout IS the column) and for columns a live CHECK
+    * constraint references (drop the constraint first). CAS-guarded:
+    * a concurrent commit between the read and the rewrite fails this
+    * loudly instead of being silently lost.
+    */
+  def renameColumn(ref: TableRef, from: String, to: String): Long = {
+    require(to.nonEmpty && !to.exists(c => c == '\n' || c == '\t'),
+      s"renameColumn on $ref: invalid target name '$to'")
+    val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+      s"$ref has no committed version — renameColumn rewrites an existing table"))
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val field = schema.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"renameColumn on $ref: column '$from' does not exist"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"renameColumn on $ref: column '$to' already exists")
+    val partCols = (snap.files.headOption.toSeq.flatMap {
+      _.split('/').dropRight(1).toSeq
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    } ++ (if (snap.files.isEmpty) metaColumns(ref, Warehouse.PartitionByMeta)
+          else Nil))
+    require(!partCols.exists(_.equalsIgnoreCase(from)),
+      s"renameColumn on $ref cannot rename partition column '$from' — " +
+        "the directory layout is the column")
+    val referenced = checkConstraints(ref).filter { case (_, p) =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(p).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last.toLowerCase
+        }.contains(from.toLowerCase)
+    }
+    require(referenced.isEmpty,
+      s"renameColumn on $ref: CHECK constraint(s) " +
+        s"${referenced.keys.mkString(",")} reference '$from' — drop the " +
+        "constraint first (re-add it against the new name after)")
+    def follow(cols: Seq[String]): Seq[String] =
+      cols.map(c => if (c.equalsIgnoreCase(field.name)) to else c)
+    val statCols = follow(statColumns(ref))
+    val blooms = follow(manifestDf(path(ref)).toSeq.flatMap(_.columns
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))))
+    val df = readSnapshot(snap).withColumnRenamed(field.name, to)
+    overwrite(ref, df,
+      partitionBy = partCols.filter(df.columns.contains),
+      statsColumns = statCols.filter(df.columns.contains),
+      bloomColumns = blooms.filter(df.columns.contains),
+      expectedVersion = Some(snap.version),
+      meta = Map(Warehouse.OpMeta -> "RENAME_COLUMN"))
+    currentVersion(ref).get
+  }
+
   /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
     * counterpart): a SQL predicate every row of every future write
     * must satisfy (NULL passes, SQL CHECK semantics), carried as the
@@ -3306,11 +3370,36 @@ final class Warehouse(spark: SparkSession, val root: String,
     // name inside the table would be filtered by Spark's own reads too
     // (".tmp-" in the name keeps listTables skipping it)
     val stage = new Path(path(ref) + s".tmp-merge-$nonce")
+    // partitioned layouts route the replacement through partitionBy
+    // (an insert-only merge batch staged FLAT into a partition-dir
+    // table produced a mixed layout whose root-level rows partition
+    // discovery silently dropped — the r16 rename spec caught it);
+    // subdir callers (per-partition-directory rewrites, band tables)
+    // are already scoped below the partition level and stay flat
+    val partCols: Seq[String] =
+      if (subdir.nonEmpty) Nil
+      else snap.files.headOption.toSeq.flatMap { f =>
+        f.split('/').dropRight(1).toSeq
+          .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+      }
+    val missingParts = partCols.filterNot(replacement.columns.contains)
+    require(missingParts.isEmpty,
+      s"replaceDataFiles on $ref needs partition column(s) " +
+        s"${missingParts.mkString(",")} in the replacement (the table is " +
+        "directory-partitioned on them)")
     try {
-      replacement.write.parquet(stage.toString)
-      val newStatuses = filesystem.listStatus(stage)
-        .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+      val writer =
+        if (partCols.isEmpty) replacement.write
+        else replacement.write.partitionBy(partCols: _*)
+      writer.parquet(stage.toString)
+      val newStatuses = listDataFileStatuses(stage)
       val newFiles = newStatuses.map(_.getPath)
+      val stagedBase = filesystem.makeQualified(stage).toUri.getPath
+      // staged rel paths (partitionBy subdirs included) equal the
+      // committed rel paths — the move preserves them
+      def stagedRel(p: Path): String =
+        filesystem.makeQualified(p).toUri.getPath
+          .stripPrefix(stagedBase).stripPrefix("/")
       // build the next manifest BEFORE touching data files (it reads
       // the old manifest); swap it in last — see contract above.
       // EXCEPT insert-only commits (a pure-append merge batch, the
@@ -3369,11 +3458,16 @@ final class Warehouse(spark: SparkSession, val root: String,
         stageCdcLocked(ref, snap.version, _))
       // intent journal FIRST: table-relative add/del entries, atomic
       // create — from here a crash anywhere is recoverable
-      val adds = newFiles.map(f => subdir.fold(f.getName)(d => s"$d/${f.getName}"))
+      val adds = newFiles.map { f =>
+        val rel = stagedRel(f)
+        subdir.fold(rel)(d => s"$d/$rel")
+      }
       writeTxnJournal(ref, adds, replacedRels)
       filesystem.mkdirs(destDir)
       newFiles.foreach { f =>
-        if (!filesystem.rename(f, new Path(destDir, f.getName)))
+        val dest = new Path(destDir, stagedRel(f))
+        filesystem.mkdirs(dest.getParent)
+        if (!filesystem.rename(f, dest))
           throw new RuntimeException(s"failed to move ${f.getName} into $ref")
       }
       // THE commit: survivors + adds. The replaced files are retired

@@ -385,6 +385,15 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     // the read→overwrite window conflicts loudly (and the retry loop
     // re-plans) instead of being silently lost
     val baseVersion = warehouse.currentVersion(ref)
+    // committed partition layout (`k=v` path components): full rewrites
+    // re-route partitionBy through it, or a merge falling back to the
+    // rewrite path would silently FLATTEN the table — values intact but
+    // partition pruning gone, the quiet 100 TB regression
+    val partCols: Seq[String] = warehouse.snapshot(ref).toSeq.flatMap(
+      _.files.headOption.toSeq.flatMap { f =>
+        f.split('/').dropRight(1).toSeq
+          .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+      })
     if (evolveSchema) {
       val target = warehouse.read(ref)
       // trigger on name+type signature, not names alone — a same-name
@@ -407,6 +416,7 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
             (m, Some(c))
           } else (Merge.merge(wTarget, wSource, keys, tsField), None)
         warehouse.overwrite(ref, merged,
+          partitionBy = partCols.filter(merged.columns.contains),
           statsColumns = statCols.filter(merged.columns.contains),
           expectedVersion = baseVersion,
           meta = Map(Warehouse.OpMeta -> "MERGE"), changes = changes)
@@ -464,7 +474,9 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
             (m, Some(c))
           } else
             (Merge.merge(warehouse.read(ref), source, keys, tsField), None)
-        warehouse.overwrite(ref, merged, statsColumns = statCols,
+        warehouse.overwrite(ref, merged,
+          partitionBy = partCols.filter(merged.columns.contains),
+          statsColumns = statCols,
           expectedVersion = baseVersion,
           meta = Map(Warehouse.OpMeta -> "MERGE"), changes = changes)
     }

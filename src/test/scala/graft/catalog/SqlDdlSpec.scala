@@ -230,6 +230,65 @@ class SqlDdlSpec extends SparkSpec {
     }
   }
 
+  test("RENAME COLUMN: guarded full rewrite — values, stats, tombstones, time travel") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{DoubleType, StructField}
+    val root = tmpDir("wh-ddl-rename")
+    val wh = new Warehouse(spark, root)
+    val cat = catalogFor(root, "c8")
+    val ref = TableRef("silver", "g", "renamed")
+    wh.overwrite(ref,
+      (1L to 40L).map(i => (i, s"g${i % 2}", i * 1.5)).toDF("k", "seg", "price")
+        .repartitionByRange(4, $"k"),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))               // v1
+    val filesBefore = wh.dataFiles(ref).toSet
+
+    spark.sql(s"ALTER TABLE $cat.silver.g.renamed RENAME COLUMN k TO order_id") // v2
+    // values survive under the new name; the old name is gone
+    assert(wh.read(ref).columns.sorted.toSeq === Seq("order_id", "price", "seg"))
+    assert(wh.read(ref).agg(org.apache.spark.sql.functions.sum("order_id"))
+      .as[Long].head() === 820L)
+    // it IS a rewrite: every physical file is fresh, and the ledger says why
+    assert(wh.dataFiles(ref).toSet.intersect(filesBefore).isEmpty)
+    assert(wh.history(ref).filter($"operation" === "RENAME_COLUMN").count() === 1L)
+    // the stats manifest followed the rename and still prunes
+    assert(wh.statColumns(ref) === Seq("order_id"))
+    assert(wh.excludedByBounds(ref, "order_id", Some(10000L), None)
+      .exists(_.nonEmpty))
+    // time travel below the rename keeps the OLD name
+    assert(wh.readVersion(ref, 1L).columns.contains("k"))
+    // SQL reads agree
+    assert(spark.sql(
+        s"SELECT sum(order_id) FROM $cat.silver.g.renamed WHERE seg = 'g1'")
+      .as[Long].head() === 400L)
+
+    // refusals: partition column, constraint-referenced column, clash
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.silver.g.renamed RENAME COLUMN seg TO region")
+    }
+    wh.setCheckConstraint(ref, "pricepos", "price > 0")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.silver.g.renamed RENAME COLUMN price TO cost")
+    }
+    wh.dropCheckConstraint(ref, "pricepos")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.silver.g.renamed RENAME COLUMN price TO seg")
+    }
+
+    // renaming INTO a previously-dropped name is safe: the rewrite
+    // replaced the bytes the tombstone guarded
+    wh.addColumns(ref, Seq(StructField("note", DoubleType)))
+    wh.dropColumns(ref, Seq("note"))
+    spark.sql(s"ALTER TABLE $cat.silver.g.renamed RENAME COLUMN price TO note")
+    assert(wh.read(ref).filter($"note".isNull).count() === 0L,
+      "renamed values must land, not the dropped column's ghosts")
+
+    // a merge against the renamed table works on the new key name
+    new graft.sinks.MergeTable(spark, wh, ref, Seq("order_id"), None)
+      .upsert(Seq((100L, 9.0, "g0")).toDF("order_id", "note", "seg"))
+    assert(wh.read(ref).count() === 41L)
+  }
+
   test("constraint guard parses attributes: a substring-named column drops clean") {
     import spark.implicits._
     val root = tmpDir("wh-ddl-attr")

@@ -265,6 +265,38 @@ class MergeSpec extends SparkSpec {
       Seq((1000, ts("2024-03-01 00:00:00"), -1000.0)))
   }
 
+  test("merges into a PARTITIONED table keep the layout: inserts land in partition dirs, rewrites re-route") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = new Warehouse(spark, tmpDir("wh-merge-part"))
+    val ref = TableRef("silver", "cdc", "parted")
+    wh.overwrite(ref,
+      (1L to 40L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("k", "seg", "v"),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+
+    // insert-only (disjoint range) batch: staged FLAT it produced a
+    // mixed layout whose root-level rows partition discovery silently
+    // DROPPED — the row must land inside its partition directory
+    mt.upsert(Seq((100L, "g0", 100.0)).toDF("k", "seg", "v"))
+    assert(wh.read(ref).count() === 41L)
+    assert(wh.read(ref).filter(col("k") === 100L)
+      .select("seg", "v").as[(String, Double)].collect().toSeq
+      === Seq(("g0", 100.0)))
+    assert(wh.dataFiles(ref).forall(_.contains("seg=g")),
+      s"every committed file must sit in a partition dir: ${wh.dataFiles(ref)}")
+
+    // a full-rewrite merge (key overlap across every file) must NOT
+    // flatten the layout — partition pruning would silently lapse
+    mt.upsert((1L to 40L).map(i => (i, s"g${i % 2}", i * 2.0))
+      .toDF("k", "seg", "v"))
+    assert(wh.dataFiles(ref).forall(_.contains("seg=g")),
+      "a rewrite-path merge flattened the partition layout")
+    assert(wh.read(ref).filter(col("seg") === "g1").count() === 20L)
+    assert(wh.read(ref).agg(org.apache.spark.sql.functions.sum("v"))
+      .as[Double].head() === (1 to 40).map(_ * 2.0).sum + 100.0)
+  }
+
   test("concurrent writers to one merge target all land: lock + retry serialize them") {
     import spark.implicits._
     // four threads race upserts of DISJOINT key batches into a table
