@@ -1276,7 +1276,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 14) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 16) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1749,6 +1749,113 @@ object PipelineQueries {
       |       'parted' AS phase, TRUE AS ddl_protocol
       |FROM orders WHERE o_orderkey <= 600 AND o_orderkey % 4 = 1""".stripMargin
 
+  /** Merges into a PARTITIONED table keep the layout (round 16 —
+    * [[graft.catalog.Warehouse.replaceDataFiles]] partition routing +
+    * the merge's full-rewrite partitionBy re-route): CDC into a
+    * date/segment-partitioned table is THE 100 TB merge shape, and
+    * both incremental paths must land rows INSIDE partition
+    * directories — the insert-only fast path staged flat produced a
+    * mixed layout whose root-level rows partition discovery silently
+    * dropped (row loss, caught r16), and a rewrite fallback that
+    * flattens the layout silently lapses partition pruning. The gate
+    * seeds a partitioned table, runs an UPDATE merge (touched-file
+    * path) and a disjoint INSERT merge (insert-only path), value-
+    * checks the merged state against DuckDB, and pins `part_layout`:
+    * every committed file sits in a `seg=` directory AND a SQL scan of
+    * one segment plans a strict file subset.
+    */
+  def qMergePart(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_mpart_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val slice = Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" <= 1000) // identical slice at every SF
+      .select($"o_orderkey", $"o_totalprice",
+        concat(lit("g"), $"o_orderkey" % 4).as("seg"))
+    wh.overwrite(ref, slice.filter($"o_orderkey" <= 600).repartition(2),
+      partitionBy = Seq("seg"), statsColumns = Seq("o_orderkey"))     // v1
+    val mt = new graft.sinks.MergeTable(spark, wh, ref,
+      Seq("o_orderkey"), None)
+    mt.upsert(slice.filter($"o_orderkey" <= 600 &&                    // v2
+        $"o_orderkey" % 10 === 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 1.0))
+    mt.upsert(slice.filter($"o_orderkey" > 600 && $"o_orderkey" <= 800)) // v3
+    val layoutOk = wh.dataFiles(ref).forall(_.contains("seg=g"))
+    val q = spark.sql(
+      s"""SELECT o_orderkey, o_totalprice, seg
+         |FROM $cat.silver.facts.$table WHERE seg = 'g1'""".stripMargin)
+    val planned = deepScans(q.queryExecution.executedPlan)
+      .flatMap(_.partitions.flatten).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty
+      }.distinct.size
+    val total = wh.dataFiles(ref).size
+    val out = wh.read(ref)
+      .select($"o_orderkey", $"o_totalprice", $"seg")
+      .withColumn("part_layout",
+        lit(layoutOk && planned > 0 && planned < total))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qMergePartSql: String =
+    """SELECT o_orderkey,
+      |       o_totalprice
+      |         + CASE WHEN o_orderkey <= 600 AND o_orderkey % 10 = 3
+      |                THEN 1.0 ELSE 0.0 END AS o_totalprice,
+      |       'g' || (o_orderkey % 4) AS seg,
+      |       TRUE AS part_layout
+      |FROM orders WHERE o_orderkey <= 800""".stripMargin
+
+  /** RENAME COLUMN end-to-end (round 16 —
+    * [[graft.catalog.Warehouse.renameColumn]]): the last DDL verb,
+    * landed as a GUARDED FULL REWRITE because name-based files make a
+    * metadata-only rename unsound (the dropped-name tombstone guard
+    * exists for exactly that byte-resurrection hazard). One OVERWRITE
+    * commit, honestly O(data); the gate renames the table's STAT
+    * column through SQL and pins `rename_protocol`: the ops ledger
+    * names RENAME_COLUMN, the stats manifest followed the rename and
+    * still excludes out-of-range probes under the new name, and time
+    * travel below the rename keeps the old name (the schema rides the
+    * snapshot).
+    */
+  def qRenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_ren_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    wh.overwrite(ref,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000) // identical slice at every SF
+        .select($"o_orderkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                               // v1
+    spark.sql(                                                        // v2
+      s"ALTER TABLE $cat.silver.facts.$table RENAME COLUMN o_orderkey TO order_id")
+    val renamed = wh.history(ref)
+      .filter($"operation" === "RENAME_COLUMN").count() == 1L
+    val statsFollowed = wh.statColumns(ref) == Seq("order_id") &&
+      wh.excludedByBounds(ref, "order_id", Some(100000L), None)
+        .exists(_.nonEmpty)
+    val travelKeeps = wh.readVersion(ref, 1L).columns.contains("o_orderkey")
+    val out = spark.sql(
+      s"SELECT order_id, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("rename_protocol",
+        lit(renamed && statsFollowed && travelKeeps))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qRenameColumnSql: String =
+    """SELECT o_orderkey AS order_id, o_totalprice, TRUE AS rename_protocol
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   /** CHECK constraints enforced by the commit protocol (round 15 —
     * Delta's `ALTER TABLE ADD CONSTRAINT` counterpart,
     * [[graft.catalog.Warehouse.setCheckConstraint]]): a carried-meta
@@ -2045,6 +2152,8 @@ object PipelineQueries {
     "q_sql_call" -> (qSqlCall _),
     "q_sql_insert" -> (qSqlInsert _),
     "q_sql_ctas" -> (qSqlCtas _),
+    "q_merge_part" -> (qMergePart _),
+    "q_rename_column" -> (qRenameColumn _),
     "q_check_constraint" -> (qCheckConstraint _),
     "q_add_column" -> (qAddColumn _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -2093,6 +2202,8 @@ object PipelineQueries {
     "q_sql_call" -> qSqlCallSql,
     "q_sql_insert" -> qSqlInsertSql,
     "q_sql_ctas" -> qSqlCtasSql,
+    "q_merge_part" -> qMergePartSql,
+    "q_rename_column" -> qRenameColumnSql,
     "q_check_constraint" -> qCheckConstraintSql,
     "q_add_column" -> qAddColumnSql,
     "q_sql_delete" -> qSqlDeleteSql,
