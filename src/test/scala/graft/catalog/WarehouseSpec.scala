@@ -162,6 +162,28 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.read(ref).count() === 67)
   }
 
+  test("deleteWhere straddle rewrites on a PARTITIONED table keep the layout") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-del-part"))
+    val ref = TableRef("silver", "facts", "del_part")
+    wh.overwrite(ref,
+      (1L to 100L).map(i => (i, s"g${i % 2}", s"v$i")).toDF("k", "seg", "v")
+        .repartition(2),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))
+    // the range straddles files inside BOTH partition dirs: survivors
+    // must be rewritten INTO their partition directories — flat-staged
+    // rewrites produced a mixed layout whose rows partition discovery
+    // silently dropped (the r16 replaceDataFiles class)
+    assert(wh.deleteWhere(ref, $"k".between(10L, 30L)) === 21L)
+    assert(wh.read(ref).count() === 79L)
+    assert(wh.dataFiles(ref).forall(_.contains("seg=g")),
+      s"survivor rewrites must land in partition dirs: ${wh.dataFiles(ref)}")
+    // partition VALUES intact through the rewrite (not null-filled)
+    assert(wh.read(ref).filter($"seg".isNull).count() === 0L)
+    assert(wh.read(ref).filter($"seg" === "g1").count() ===
+      (1L to 100L).count(i => i % 2 == 1 && (i < 10 || i > 30)))
+  }
+
   test("deleteWhere retires fully-matched files as pure metadata (partition drop)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{input_file_name, max}

@@ -297,6 +297,29 @@ class MergeSpec extends SparkSpec {
       .as[Double].head() === (1 to 40).map(_ * 2.0).sum + 100.0)
   }
 
+  test("replacePartitions on a PARTITIONED table lands replacements in partition dirs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val wh = new Warehouse(spark, tmpDir("wh-repl-part"))
+    val ref = TableRef("silver", "cdc", "repl_part")
+    wh.overwrite(ref,
+      (1L to 30L).map(i => (i, s"g${i % 3}", i * 1.0)).toDF("k", "seg", "v"),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+    // keyed replace: k=5 replaced, k=6 tombstoned (no replacement row)
+    mt.replacePartitions(
+      Seq(5L, 6L).toDF("k"),
+      Seq((5L, "g2", 50.0)).toDF("k", "seg", "v"))
+    assert(wh.read(ref).count() === 29L)
+    assert(wh.read(ref).filter(col("k") === 5L)
+      .select("seg", "v").as[(String, Double)].collect().toSeq
+      === Seq(("g2", 50.0)))
+    assert(wh.read(ref).filter(col("k") === 6L).count() === 0L)
+    assert(wh.dataFiles(ref).forall(_.contains("seg=g")),
+      s"replacement files must sit in partition dirs: ${wh.dataFiles(ref)}")
+    assert(wh.read(ref).filter(col("seg").isNull).count() === 0L)
+  }
+
   test("concurrent writers to one merge target all land: lock + retry serialize them") {
     import spark.implicits._
     // four threads race upserts of DISJOINT key batches into a table
