@@ -35,7 +35,8 @@ private[catalog] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("compact", "vacuum", "restore", "history", "set_cdf",
-      "add_constraint", "drop_constraint", "add_columns", "drop_columns")
+      "add_constraint", "drop_constraint", "add_columns", "drop_columns",
+      "clone")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -48,6 +49,7 @@ private[catalog] object GraftProcedures {
       case "drop_constraint" => Some(DropConstraintProcedure(root))
       case "add_columns" => Some(AddColumnsProcedure(root))
       case "drop_columns" => Some(DropColumnsProcedure(root))
+      case "clone" => Some(CloneProcedure(root))
       case _ => None
     }
 
@@ -221,6 +223,40 @@ private[catalog] object GraftProcedures {
           StructField("version", LongType))),
         UTF8String.fromString(ref.toString),
         UTF8String.fromString(fields.map(_.name).mkString(",")), v)
+    }
+  }
+
+  /** DEEP CLONE — [[Warehouse.cloneTable]] through SQL
+    * (`CALL graft.system.clone('silver.g.src', 'dev.g.copy', 3)`):
+    * copy the current or a pinned historical version into a fresh
+    * table, properties included. The version-pinning use case: an
+    * immutable named snapshot of the exact corpus a run trained on,
+    * outliving the source's vacuum horizon.
+    */
+  private final case class CloneProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "clone"
+    override def description(): String =
+      "deep-clone a table (optionally a pinned version) into a fresh name"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("source", StringType),
+      param("target", StringType),
+      paramWithDefault("version", LongType, "NULL"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = TableRef.parse(input.getUTF8String(0).toString)
+      val dst = TableRef.parse(input.getUTF8String(1).toString)
+      val asOf = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val wh = warehouse(root)
+      val v = wh.cloneTable(src, dst, asOf)
+      // the version ACTUALLY cloned, read back from the clone's own
+      // lineage meta (asOf-None resolution raced past us otherwise)
+      val srcV = wh.commitMeta(dst, v)
+        .getOrElse("graft.clone.source_version", "-1").toLong
+      single(
+        StructType(Seq(StructField("source", StringType),
+          StructField("target", StringType),
+          StructField("source_version", LongType))),
+        UTF8String.fromString(src.toString), UTF8String.fromString(dst.toString),
+        srcV)
     }
   }
 

@@ -1948,6 +1948,54 @@ final class Warehouse(spark: SparkSession, val root: String,
     currentVersion(ref).get
   }
 
+  /** DEEP CLONE (Delta's `CREATE TABLE ... CLONE src [VERSION AS OF]`):
+    * copy a committed snapshot — the CURRENT one or a pinned
+    * historical version — into a fresh table through one bootstrap
+    * OVERWRITE commit. The training-data use case is version pinning:
+    * clone the exact corpus version a run trained on into an immutable
+    * name, and the source stays free to churn/vacuum (time travel on
+    * the source dies at its vacuum horizon; the clone is forever).
+    * What carries: data at the pinned version, partition layout,
+    * stats/bloom manifest columns, CHECK constraints and the CDF flag
+    * (properties copy verbatim, Delta's clone semantics); what does
+    * NOT: the source's history (the clone starts at version 1) and its
+    * change feed. Lineage rides the commit meta
+    * (`graft.clone.source`/`source_version`). Refuses an existing
+    * destination (overwrite's `onlyIfAbsent` race guard). Deep by
+    * design: a shallow (zero-copy) clone needs absolute-path file
+    * entries the table-relative log deliberately avoids.
+    */
+  def cloneTable(ref: TableRef, dst: TableRef,
+                 asOf: Option[Long] = None): Long = {
+    require(ref != dst, s"cloneTable: source and destination are both $ref")
+    val snap = asOf.map(snapshotAt(ref, _)).orElse(snapshot(ref)).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ref has no committed version — cloneTable copies a committed table"))
+    val df = readSnapshot(snap)
+    val partCols = (snap.files.headOption.toSeq.flatMap {
+      _.split('/').dropRight(1).toSeq
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    } ++ (if (snap.files.isEmpty) metaColumns(ref, Warehouse.PartitionByMeta)
+          else Nil))
+    val statCols = statColumns(ref).filter(df.columns.contains)
+    val blooms = manifestDf(path(ref)).toSeq.flatMap(_.columns
+      .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
+      .filter(statCols.contains)
+    val carried = currentVersion(ref).map(v => commitMeta(ref, v))
+      .getOrElse(Map.empty).filter { case (k, v) =>
+        v.nonEmpty && (k.startsWith(Warehouse.CheckMetaPrefix) ||
+          k == Warehouse.CdfMeta)
+      }
+    overwrite(dst, df,
+      partitionBy = partCols.filter(df.columns.contains),
+      statsColumns = statCols, bloomColumns = blooms,
+      onlyIfAbsent = true,
+      meta = carried ++ Map(Warehouse.OpMeta -> "CLONE",
+        "graft.clone.source" -> ref.toString,
+        "graft.clone.source_version" -> snap.version.toString))
+    currentVersion(dst).get
+  }
+
   /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
     * counterpart): a SQL predicate every row of every future write
     * must satisfy (NULL passes, SQL CHECK semantics), carried as the

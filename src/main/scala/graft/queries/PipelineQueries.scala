@@ -1276,7 +1276,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 16) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 17) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1856,6 +1856,60 @@ object PipelineQueries {
     """SELECT o_orderkey AS order_id, o_totalprice, TRUE AS rename_protocol
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  /** DEEP CLONE at a pinned version (round 16 —
+    * [[graft.catalog.Warehouse.cloneTable]], Delta's `CREATE TABLE ...
+    * CLONE src VERSION AS OF`): the training-data REPRODUCIBILITY
+    * primitive — pin the exact corpus version a run trained on into an
+    * immutable name that outlives the source's churn and vacuum
+    * horizon. The gate seeds a source, churns it with a delete, clones
+    * the PRE-DELETE version through `CALL graft.system.clone`, and
+    * value-checks the clone against DuckDB recomputing the pinned
+    * state; `clone_protocol` pins the lineage meta (source +
+    * source_version), the CLONE ledger entry, carried stats (manifest
+    * prunes on the clone), and source isolation (its churned state is
+    * untouched).
+    */
+  def qCloneTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val srcTable = s"orders_clsrc_$n"
+    val dstTable = s"orders_cldst_$n"
+    val wh = new Warehouse(spark, root)
+    val src = TableRef("silver", "facts", srcTable)
+    val dst = TableRef("silver", "facts", dstTable)
+    wh.overwrite(src,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000) // identical slice at every SF
+        .select($"o_orderkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                               // v1
+    wh.deleteWhere(src, $"o_orderkey" % 7 === 0)                      // v2
+    val row = spark.sql(
+      s"CALL $cat.system.clone('silver.facts.$srcTable', " +
+        s"'silver.facts.$dstTable', 1)").head()
+    val lineageOk = row.getLong(2) == 1L &&
+      wh.commitMeta(dst, 1L).get("graft.clone.source")
+        .contains(src.toString) &&
+      wh.commitMeta(dst, 1L).get(Warehouse.OpMeta).contains("CLONE")
+    val statsOk = wh.statColumns(dst) == Seq("o_orderkey") &&
+      wh.excludedByBounds(dst, "o_orderkey", Some(100000L), None)
+        .exists(_.nonEmpty)
+    val isolated = wh.read(src).count() ==
+      wh.read(dst).filter($"o_orderkey" % 7 =!= 0).count()
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$dstTable")
+      .withColumn("clone_protocol", lit(lineageOk && statsOk && isolated))
+    val rows = out.collect()
+    wh.drop(src)
+    wh.drop(dst)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qCloneTableSql: String =
+    """SELECT o_orderkey, o_totalprice, TRUE AS clone_protocol
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   /** CHECK constraints enforced by the commit protocol (round 15 —
     * Delta's `ALTER TABLE ADD CONSTRAINT` counterpart,
     * [[graft.catalog.Warehouse.setCheckConstraint]]): a carried-meta
@@ -2154,6 +2208,7 @@ object PipelineQueries {
     "q_sql_ctas" -> (qSqlCtas _),
     "q_merge_part" -> (qMergePart _),
     "q_rename_column" -> (qRenameColumn _),
+    "q_clone_table" -> (qCloneTable _),
     "q_check_constraint" -> (qCheckConstraint _),
     "q_add_column" -> (qAddColumn _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -2204,6 +2259,7 @@ object PipelineQueries {
     "q_sql_ctas" -> qSqlCtasSql,
     "q_merge_part" -> qMergePartSql,
     "q_rename_column" -> qRenameColumnSql,
+    "q_clone_table" -> qCloneTableSql,
     "q_check_constraint" -> qCheckConstraintSql,
     "q_add_column" -> qAddColumnSql,
     "q_sql_delete" -> qSqlDeleteSql,

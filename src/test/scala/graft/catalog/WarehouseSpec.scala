@@ -184,6 +184,52 @@ class WarehouseSpec extends SparkSpec {
       (1L to 100L).count(i => i % 2 == 1 && (i < 10 || i > 30)))
   }
 
+  test("cloneTable: deep copy at a pinned version, properties carried, source decoupled") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-clone"))
+    val src = TableRef("silver", "g", "corpus")
+    val dst = TableRef("dev", "g", "corpus_run17")
+    wh.overwrite(src,
+      (1L to 40L).map(i => (i, s"g${i % 2}", i * 1.0)).toDF("k", "seg", "price"),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))              // v1
+    wh.setCheckConstraint(src, "pricepos", "price > 0")               // v2
+    wh.deleteWhere(src, $"k" <= 10L)                                  // v3
+
+    // pin the PRE-DELETE version into an immutable name
+    val v = wh.cloneTable(src, dst, asOf = Some(1L))
+    assert(v === 1L)
+    assert(wh.read(dst).count() === 40L, "clone carries the pinned version")
+    assert(wh.read(src).count() === 30L, "source unaffected")
+    // layout, stats, constraints, lineage all carried
+    assert(wh.dataFiles(dst).forall(_.contains("seg=g")))
+    assert(wh.statColumns(dst) === Seq("k"))
+    assert(wh.checkConstraints(dst) === Map("pricepos" -> "price > 0"))
+    val meta = wh.commitMeta(dst, 1L)
+    assert(meta.get("graft.clone.source").contains(src.toString))
+    assert(meta.get("graft.clone.source_version").contains("1"))
+    assert(meta.get(Warehouse.OpMeta).contains("CLONE"))
+    // the carried constraint ENFORCES on the clone
+    intercept[Exception] {
+      wh.append(dst, Seq((99L, "g1", -1.0)).toDF("k", "seg", "price"))
+    }
+    // the clone outlives the source's history: vacuum the source past
+    // v1 — the clone still reads
+    wh.vacuum(src, keepVersions = 1)
+    intercept[Exception] { wh.readVersion(src, 1L).count() }
+    assert(wh.read(dst).count() === 40L)
+    // writes to the clone never touch the source
+    wh.deleteWhere(dst, $"k" > 20L)
+    assert(wh.read(src).count() === 30L)
+    // an existing destination refuses (bootstrap race guard)
+    intercept[Exception] { wh.cloneTable(src, dst) }
+    // latest-version clone (no pin)
+    val dst2 = TableRef("dev", "g", "corpus_latest")
+    wh.cloneTable(src, dst2)
+    assert(wh.read(dst2).count() === 30L)
+    assert(wh.commitMeta(dst2, 1L)
+      .get("graft.clone.source_version").contains("3"))
+  }
+
   test("deleteWhere retires fully-matched files as pure metadata (partition drop)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{input_file_name, max}
