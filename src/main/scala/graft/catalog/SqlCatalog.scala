@@ -433,6 +433,18 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   override def name(): String = snap.ref.toString
   override def schema(): StructType = StructType(dataFields ++ partitionFields)
 
+  /** The directory-encoded layout as identity transforms — DESCRIBE /
+    * SHOW TBLPROPERTIES fidelity and what a CTAS-created table reports
+    * back; an empty table answers from the CREATE TABLE declared meta.
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val cols =
+      if (snap.files.nonEmpty) partitionFields.fieldNames.toSeq
+      else wh.metaColumns(snap.ref, Warehouse.PartitionByMeta)
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.identity)
+      .toArray
+  }
+
   /** `SHOW TBLPROPERTIES graft....` — the committed version, the
     * carried application meta (the CDF flag, MV markers, stream txn
     * stamps), and the physical design (partition / stats / bloom

@@ -81,6 +81,13 @@ class SqlDdlSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $cat.silver.g.laid DROP COLUMN seg")
     }
+    // the table REPORTS its layout (DESCRIBE fidelity): identity
+    // transform over seg, from the declared meta pre-insert and the
+    // directory layout post-insert alike
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.silver.g.laid")
+      .collect().map(_.getString(0))
+    assert(desc.contains("# Partition Information") &&
+      desc.count(_ == "seg") == 2, s"DESCRIBE must list the layout: ${desc.toSeq}")
   }
 
   test("CTAS: create + append through the protocol, flat and partitioned") {
