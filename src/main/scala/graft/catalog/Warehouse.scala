@@ -1984,7 +1984,12 @@ final class Warehouse(spark: SparkSession, val root: String,
     val carried = currentVersion(ref).map(v => commitMeta(ref, v))
       .getOrElse(Map.empty).filter { case (k, v) =>
         v.nonEmpty && (k.startsWith(Warehouse.CheckMetaPrefix) ||
-          k == Warehouse.CdfMeta)
+          k == Warehouse.CdfMeta ||
+          // a still-EMPTY source's declared layout lives only in meta
+          // (no files to derive from) — the clone must keep declaring it
+          (snap.files.isEmpty &&
+            Seq(Warehouse.PartitionByMeta, Warehouse.StatsColumnsMeta,
+              Warehouse.BloomColumnsMeta).contains(k)))
       }
     overwrite(dst, df,
       partitionBy = partCols.filter(df.columns.contains),

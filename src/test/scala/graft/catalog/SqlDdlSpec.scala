@@ -296,6 +296,42 @@ class SqlDdlSpec extends SparkSpec {
     assert(wh.read(ref).count() === 41L)
   }
 
+  test("concurrent CREATE TABLE racers: exactly one wins, the loser fails loudly") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val root = tmpDir("wh-ddl-race")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "raced")
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        try { wh.createTable(ref, schema); outcomes.add("won"); () }
+        catch { case _: ConcurrentWriteException => outcomes.add("lost"); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.count(_ == "won") === 1,
+      s"outcomes: ${outcomes.asScala.toList}")
+    assert(wh.currentVersion(ref).contains(1L))
+
+    // clone of a STILL-EMPTY created table keeps the declared layout:
+    // the meta is the only place it lives (no files to derive from)
+    val src = TableRef("silver", "g", "declared_src")
+    wh.createTable(src,
+      StructType(Seq(StructField("k", LongType),
+        StructField("seg", org.apache.spark.sql.types.StringType))),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))
+    val dst = TableRef("silver", "g", "declared_dst")
+    wh.cloneTable(src, dst)
+    import spark.implicits._
+    wh.append(dst, Seq((1L, "g0"), (2L, "g1")).toDF("k", "seg"))
+    assert(wh.dataFiles(dst).forall(_.contains("seg=g")),
+      "the clone's first append must route the declared partitioning")
+    assert(wh.statColumns(dst) === Seq("k"),
+      "the clone's first append must bootstrap the declared manifest")
+  }
+
   test("constraint guard parses attributes: a substring-named column drops clean") {
     import spark.implicits._
     val root = tmpDir("wh-ddl-attr")
