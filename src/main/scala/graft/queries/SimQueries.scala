@@ -257,7 +257,64 @@ object SimQueries {
       .select($"vec_id", $"cid")
   }
 
+  /** SEMANTIC decontamination (Decontaminate.semanticHits — the third
+    * policy next to absolute n-gram hits and per-prompt containment):
+    * embedding-cosine screening of the corpus against a SMALL eval
+    * set, catching paraphrased contamination no gram policy sees. The
+    * corpus is embeddings ∪ SCALED copies of the eval vectors (×1.5
+    * per component, ids +2e7): scaling preserves direction, so the
+    * copies share no bytes with the evals yet sit at cosine ≈ 1 —
+    * exactly a paraphrase's signature — while the organic corpus
+    * ceiling is ~0.48, far under the 0.95 threshold. The gate emits
+    * every corpus row's verdict (best-matching eval id or NULL +
+    * `kept`); the oracle recomputes the full cross product in DuckDB.
+    * Plan shape: one corpus scan, zero shuffle — the eval side unfolds
+    * into a per-row greatest-of-struct projection.
+    */
+  def qDecontamSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.load(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding")
+    val eval = base.filter($"vec_id" < NQUERIES)
+    val paraphrases = eval.select(
+      ($"vec_id" + 20000000L).as("vec_id"),
+      transform($"embedding", x => x * lit(1.5f)).as("embedding"))
+    val corpus = base.unionByName(paraphrases)
+    val hits = graft.text.Decontaminate.semanticHits(
+      corpus, "vec_id", "embedding", eval, "vec_id", "embedding",
+      threshold = 0.95)
+    corpus.join(hits.withColumnRenamed("id", "vec_id")
+        .select($"vec_id", $"eval_id"),
+        Seq("vec_id"), "left")
+      .select($"vec_id".as("id"), $"eval_id", $"eval_id".isNull.as("kept"))
+  }
+
+  val qDecontamSemanticSql: String =
+    s"""WITH ev AS (
+       |  SELECT vec_id AS eval_id, embedding FROM embeddings
+       |  WHERE vec_id < $NQUERIES),
+       |corpus AS (
+       |  SELECT vec_id AS id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT eval_id + 20000000,
+       |         list_transform(embedding, x -> CAST(x * 1.5 AS FLOAT))
+       |  FROM ev),
+       |best AS (
+       |  SELECT id, eval_id FROM (
+       |    SELECT c.id, ev.eval_id,
+       |      list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                             CAST(ev.embedding AS DOUBLE[])) AS sim,
+       |      row_number() OVER (PARTITION BY c.id ORDER BY
+       |        list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |                               CAST(ev.embedding AS DOUBLE[])) DESC,
+       |        ev.eval_id DESC) AS rn
+       |    FROM corpus c CROSS JOIN ev)
+       |  WHERE rn = 1 AND sim >= 0.95)
+       |SELECT c.id, b.eval_id, b.eval_id IS NULL AS kept
+       |FROM corpus c LEFT JOIN best b ON c.id = b.id""".stripMargin
+
   def queries: Map[String, Q] = Map(
+    "q_decontam_semantic" -> (qDecontamSemantic _),
     "q_ann_topk" -> (qAnnTopK _),
     "q_embed_neardup" -> (qEmbedNearDup _),
     "q_embed_neardup_incr" -> (qEmbedNearDupIncr _),
@@ -268,6 +325,7 @@ object SimQueries {
     "q_semdedup" -> (qSemDedup _))
 
   def oracles: Map[String, String] = Map(
+    "q_decontam_semantic" -> qDecontamSemanticSql,
     "q_ann_topk" -> qAnnTopKSql,
     // recall-vs-exhaustive ≥ 0.2, provable whatever centroids sampled
     "q_ann_ivf" -> qAnnIvfSql,

@@ -60,7 +60,7 @@ object Similarity {
     * and fall back to the interpreted HOF form — identical semantics
     * either way (SimilaritySpec asserts value equality).
     */
-  private def cosineAuto(a: Column, b: Column): Column =
+  private[graft] def cosineAuto(a: Column, b: Column): Column =
     if (nativeFns) call_function("graft_cosine", a, b) else cosine(a, b)
 
   private def dotAuto(a: Column, b: Column): Column =

@@ -120,4 +120,69 @@ object Decontaminate {
         promptText, n, threshold, maxPostings)
         .select(col("doc_id").as("__contaminated_id")).distinct()),
       col(docId) === col("__contaminated_id"), "left_anti")
+
+  // ---------------------------------------- semantic (embedding) policy
+
+  /** The THIRD decontamination policy: SEMANTIC — embedding cosine
+    * against the benchmark's vectors, catching PARAPHRASED
+    * contamination no n-gram policy can see (a reworded prompt shares
+    * zero grams but sits near cosine 1 in embedding space — the
+    * GPT-3-era lesson behind embedding-based decontam).
+    *
+    * Scale shape: an eval set is SMALL by nature (hundreds to low
+    * thousands of prompts), so its vectors COLLECT to the driver
+    * (bounded at `maxEval`; the overflow count is recorded as
+    * `decontam.dropped_evals` in [[graft.util.CapCounters]] — non-zero
+    * means verdicts are a LOWER bound) and unfold into ONE per-row
+    * `array_max(struct(cosine, eval_id))` projection over the corpus:
+    * one scan, ZERO shuffle, the native codegen'd `graft_cosine` where
+    * registered. At 100 TB the only moving part is the corpus scan
+    * itself — no join, no exchange, nothing keyed on the corpus.
+    *
+    * Returns `(id, eval_id, cosine)` — each corpus row's BEST match
+    * (max cosine, ties to the larger eval_id via struct ordering) at
+    * or above `threshold`; rows below threshold are absent.
+    * [[decontaminatedSemantic]] is the drop.
+    */
+  def semanticHits(corpus: DataFrame, corpusId: String, corpusVec: String,
+                   eval: DataFrame, evalId: String, evalVec: String,
+                   threshold: Double, maxEval: Int = 1024): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"cosine threshold must be in (0, 1], got $threshold")
+    val nEval = eval.count()
+    graft.util.CapCounters.set("decontam.dropped_evals",
+      math.max(0L, nEval - maxEval))
+    val evals = eval
+      .select(col(evalId).cast("long").as("__eid"),
+        col(evalVec).cast("array<double>").as("__v"))
+      .limit(maxEval).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(evals.nonEmpty, "semanticHits needs at least one eval vector")
+    val v = col(corpusVec).cast("array<double>")
+    val scored = evals.map { case (eid, vec) =>
+      struct(
+        graft.sim.Similarity.cosineAuto(v, typedlit(vec)).as("c"),
+        lit(eid).as("e"))
+    }
+    corpus
+      .select(col(corpusId).as("id"), array_max(array(scored.toSeq: _*)).as("__b"))
+      .filter(col("__b.c") >= threshold)
+      .select(col("id"), col("__b.e").as("eval_id"), col("__b.c").as("cosine"))
+  }
+
+  /** The training corpus with every row semantically matching some
+    * eval vector (cosine ≥ threshold) removed. All corpus columns pass
+    * through; the contaminated-id set broadcasts.
+    */
+  def decontaminatedSemantic(corpus: DataFrame, corpusId: String,
+                             corpusVec: String,
+                             eval: DataFrame, evalId: String,
+                             evalVec: String,
+                             threshold: Double,
+                             maxEval: Int = 1024): DataFrame =
+    corpus.join(
+      broadcast(semanticHits(corpus, corpusId, corpusVec, eval, evalId,
+        evalVec, threshold, maxEval)
+        .select(col("id").as("__contaminated_id")).distinct()),
+      col(corpusId) === col("__contaminated_id"), "left_anti")
 }

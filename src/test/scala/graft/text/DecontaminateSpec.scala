@@ -89,4 +89,44 @@ class DecontaminateSpec extends SparkSpec {
     assert(graft.util.CapCounters.get("decontam.dropped_grams")
       .exists(_ > 0L))
   }
+
+  test("semantic policy: paraphrases (scaled vectors) match, orthogonal survive, eval cap counted") {
+    import spark.implicits._
+    // unit-ish axis vectors: e1-ish rows match eval 100 (scaled copy =
+    // same direction), the orthogonal e2 row survives, and a negated
+    // copy (cosine -1) survives too — direction matters, not magnitude
+    val eval = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("eval_id", "vec")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // scaled paraphrase of eval 100
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal — clean
+      (3L, Array(-1.0f, 0.0f, 0.0f)),  // negated — cosine -1, clean
+      (4L, Array(0.99f, 0.14f, 0.0f))) // near-parallel ~0.99 — hits
+      .toDF("doc_id", "vec")
+    val hits = Decontaminate.semanticHits(corpus, "doc_id", "vec",
+      eval, "eval_id", "vec", threshold = 0.95)
+      .select("id", "eval_id").as[(Long, Long)].collect().toSet
+    assert(hits === Set((1L, 100L), (4L, 100L)))
+    val clean = Decontaminate.decontaminatedSemantic(corpus, "doc_id", "vec",
+      eval, "eval_id", "vec", threshold = 0.95)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L, 3L))
+    // best-match resolution: a row matching TWO evals reports the max-
+    // cosine one
+    val eval2 = Seq(
+      (200L, Array(1.0f, 0.0f, 0.0f)),
+      (201L, Array(0.99f, 0.14f, 0.0f)))
+      .toDF("eval_id", "vec")
+    val best = Decontaminate.semanticHits(
+      Seq((9L, Array(0.99f, 0.14f, 0.0f))).toDF("doc_id", "vec"),
+      "doc_id", "vec", eval2, "eval_id", "vec", threshold = 0.9)
+      .select("eval_id").as[Long].collect().toSeq
+    assert(best === Seq(201L), "the exact-direction eval must win the argmax")
+    // eval cap: overflow is COUNTED, never silent
+    graft.util.CapCounters.reset()
+    Decontaminate.semanticHits(corpus, "doc_id", "vec",
+      eval2, "eval_id", "vec", threshold = 0.95, maxEval = 1).count()
+    assert(graft.util.CapCounters.get("decontam.dropped_evals")
+      .contains(1L))
+  }
 }
