@@ -204,11 +204,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft CREATE TABLE does not take $k — the warehouse root owns " +
           "the physical layout")
     }
+    // same loud-refusal contract as alterTable: every key is either
+    // GOVERNED (routed through its Warehouse entry point below),
+    // Spark-reserved bookkeeping, or an error — a silently-dropped
+    // `graft.cdf` or `graft.check.*` at CREATE time would yield a
+    // table that LOOKS governed but enforces nothing
+    val sparkReserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_OWNER)
+    val ungoverned = props.keys.filterNot { k =>
+      sparkReserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
+        k == Warehouse.StatsColumnsMeta || k == Warehouse.BloomColumnsMeta ||
+        k == Warehouse.CdfMeta || k.startsWith(Warehouse.CheckMetaPrefix)
+    }.toSeq.sorted
+    require(ungoverned.isEmpty,
+      s"graft CREATE TABLE TBLPROPERTIES governs " +
+        s"${Warehouse.StatsColumnsMeta}, ${Warehouse.BloomColumnsMeta}, " +
+        s"${Warehouse.CdfMeta} and " +
+        s"${Warehouse.CheckMetaPrefix}<name> only; not governed: " +
+        ungoverned.mkString(", "))
     def csv(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    def flag(k: String): Option[Boolean] = props.get(k).map { v =>
+      require(v == "true" || v == "false", s"$k takes true/false, got '$v'")
+      v.toBoolean
+    }
     warehouse.createTable(ref, schema, partCols,
       statsColumns = csv(Warehouse.StatsColumnsMeta),
       bloomColumns = csv(Warehouse.BloomColumnsMeta))
+    // governed properties route through the SAME entry points as ALTER
+    // TABLE — a constraint declared at CREATE validates (trivially, the
+    // table is empty) and then gates the CTAS data write and every
+    // later one exactly like one added afterwards
+    props.foreach {
+      case (k, v) if k.startsWith(Warehouse.CheckMetaPrefix) =>
+        warehouse.setCheckConstraint(ref,
+          k.stripPrefix(Warehouse.CheckMetaPrefix), v)
+      case _ => ()
+    }
+    flag(Warehouse.CdfMeta).foreach(warehouse.setChangeDataFeed(ref, _))
     loadTable(ident)
   }
 

@@ -518,6 +518,44 @@ final class Warehouse(spark: SparkSession, val root: String,
   def readVersion(ref: TableRef, version: Long): DataFrame =
     readSnapshot(snapshotAt(ref, version))
 
+  /** DECLARED-SCHEMA read of a CURRENT-version file subset (absolute
+    * paths, e.g. a merge's pruned touched set): the same mixed-era
+    * contract as [[readSnapshot]] — after a metadata-only
+    * [[addColumns]], footer inference over one old file would silently
+    * DROP the widened column from the read (and a null backfill would
+    * then overwrite real values in files that carry it), and after
+    * [[dropColumns]] it could resurrect tombstoned bytes. Missing
+    * declared columns null-backfill; undeclared physical columns are
+    * pruned. Static-partition layouts (partition dirs outside the
+    * committed schema) keep the inference arm, like readSnapshot.
+    */
+  def readFiles(ref: TableRef, files: Seq[String]): DataFrame = {
+    val base = path(ref)
+    val declared = schemaOf(ref)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    val pathParts = files.headOption.toSeq.flatMap { f =>
+      relKey(ref)(f).split('/').dropRight(1).toSeq
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    }
+    if (pathParts.forall(declared.fieldNames.contains))
+      // the final select restores DECLARED column order: a schema read
+      // over a partitioned layout appends partition columns after the
+      // data columns regardless of their declared position
+      spark.read.option("basePath", base).schema(declared)
+        .parquet(files: _*)
+        .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
+    else {
+      val df = spark.read.option("basePath", base).parquet(files: _*)
+      val present = df.columns.toSet
+      declared.filterNot(f => present.contains(f.name))
+        .foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
+    }
+  }
+
   /** Latest version committed at or before `tsMillis` — the resolver
     * behind `TIMESTAMP AS OF`. The commit clock is the `graft.ts`
     * wall-clock each commit stamps into its own meta line
@@ -1981,8 +2019,12 @@ final class Warehouse(spark: SparkSession, val root: String,
     val blooms = manifestDf(path(ref)).toSeq.flatMap(_.columns
       .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
       .filter(statCols.contains)
-    val carried = currentVersion(ref).map(v => commitMeta(ref, v))
-      .getOrElse(Map.empty).filter { case (k, v) =>
+    // carried meta comes from the PINNED version, not the current one
+    // (Delta's VERSION AS OF clone copies that version's metadata): a
+    // constraint added after asOf must not land on a clone whose pinned
+    // rows never passed it, and a post-asOf CDF toggle isn't part of
+    // the state being pinned
+    val carried = commitMeta(ref, snap.version).filter { case (k, v) =>
         v.nonEmpty && (k.startsWith(Warehouse.CheckMetaPrefix) ||
           k == Warehouse.CdfMeta ||
           // a still-EMPTY source's declared layout lives only in meta

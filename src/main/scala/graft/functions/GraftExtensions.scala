@@ -41,6 +41,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_shingles", "graft_shingles(tokens, k) - distinct space-joined k-token shingles"),
       (children: Seq[Expression]) => TokenShingles(children(0), intLit(children(1), "k"))))
     ext.injectFunction((
+      FunctionIdentifier("graft_best_cosine"),
+      info("graft_best_cosine",
+        "graft_best_cosine(vec, evalVecs, evalIds) - struct(c, e): max cosine against the literal eval matrix, ties to the larger id"),
+      (children: Seq[Expression]) => BestCosineMatch(children(0), children(1),
+        children(2))))
+    ext.injectFunction((
       FunctionIdentifier("graft_topk_by"),
       info("graft_topk_by",
         "graft_topk_by(payload, ord, tie, k) - array of the k payloads with highest ord (ties: lowest tie), best-first"),

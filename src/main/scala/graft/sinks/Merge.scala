@@ -357,15 +357,13 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     * columns null-backfill by name; undeclared physical columns are
     * pruned by the final select.
     */
-  private def readTouched(touched: Seq[String]): DataFrame = {
-    val df = spark.read.option("basePath", warehouse.path(ref))
-      .parquet(touched: _*)
-    val declared = warehouse.schemaOf(ref)
-    val present = df.columns.toSet
-    declared.filterNot(f => present.contains(f.name))
-      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
-      .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
-  }
+  private def readTouched(touched: Seq[String]): DataFrame =
+    // Warehouse.readFiles hands the COMMITTED schema to the reader
+    // (spark.read.schema), never single-footer inference: a mixed-era
+    // touched set after a metadata-only ADD COLUMNS could otherwise
+    // infer from an old file, drop the widened column from the read,
+    // and commit a null backfill over real values.
+    warehouse.readFiles(ref, touched)
 
   private def upsertOnce(source: DataFrame): Unit = {
     if (!warehouse.exists(ref)) {

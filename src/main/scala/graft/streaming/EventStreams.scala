@@ -350,7 +350,14 @@ object EventStreams {
           .sum / 1000.0
       val addBatch = tot("addBatch")
       val overhead = math.max(0.0, tot("triggerExecution") - addBatch)
-      graft.util.PhaseTimer.add(prefix, -(addBatch + overhead))
+      // re-credit at most the wall the wrapper actually recorded:
+      // triggers that executed between query.start() and the caller's
+      // awaitReplay wrapper are in recentProgress but not in the
+      // wrapper's window, and an unclamped subtraction would push the
+      // prefix phase negative and skew the artifact's phase sums
+      val recorded = graft.util.PhaseTimer.snapshot.getOrElse(prefix, 0.0)
+      graft.util.PhaseTimer.add(prefix,
+        -math.min(addBatch + overhead, math.max(0.0, recorded)))
       graft.util.PhaseTimer.add(s"$prefix.addBatch",
         math.max(0.0, addBatch - inBatchPhaseSec))
       if (overhead > 0) graft.util.PhaseTimer.add(s"$prefix.overhead", overhead)

@@ -107,7 +107,10 @@ object Decontaminate {
 
   /** The training corpus with every row some prompt is contained in
     * (≥ threshold) removed — the ratio policy's drop. All corpus
-    * columns pass through; the contaminated-id set broadcasts.
+    * columns pass through. Like [[decontaminatedSemantic]], the
+    * contaminated-id side is corpus-derived (unbounded by
+    * construction), so no broadcast hint — AQE broadcasts when it is
+    * actually small.
     */
   def decontaminatedByContainment(docs: DataFrame, docId: String,
                                   docText: String,
@@ -116,9 +119,9 @@ object Decontaminate {
                                   n: Int = 3, threshold: Double = 0.8,
                                   maxPostings: Int = 1000): DataFrame =
     docs.join(
-      broadcast(promptContainment(docs, docId, docText, prompts, promptId,
+      promptContainment(docs, docId, docText, prompts, promptId,
         promptText, n, threshold, maxPostings)
-        .select(col("doc_id").as("__contaminated_id")).distinct()),
+        .select(col("doc_id").as("__contaminated_id")).distinct(),
       col(docId) === col("__contaminated_id"), "left_anti")
 
   // ---------------------------------------- semantic (embedding) policy
@@ -152,27 +155,72 @@ object Decontaminate {
     val nEval = eval.count()
     graft.util.CapCounters.set("decontam.dropped_evals",
       math.max(0L, nEval - maxEval))
+    // ordered truncation: WHICH evals screen when the set exceeds
+    // maxEval must be deterministic run to run — an unordered limit()
+    // takes whichever partitions answer first, and the verdict set
+    // would drift under the very overflow the counter warns about
     val evals = eval
       .select(col(evalId).cast("long").as("__eid"),
         col(evalVec).cast("array<double>").as("__v"))
+      .orderBy(col("__eid"))
       .limit(maxEval).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"semanticHits: eval rows need a non-null long-castable " +
+            s"'$evalId' and a non-null '$evalVec' vector")
+        (r.getLong(0), r.getSeq[Double](1).toArray)
+      }
     require(evals.nonEmpty, "semanticHits needs at least one eval vector")
-    val v = col(corpusVec).cast("array<double>")
-    val scored = evals.map { case (eid, vec) =>
-      struct(
-        graft.sim.Similarity.cosineAuto(v, typedlit(vec)).as("c"),
-        lit(eid).as("e"))
-    }
+    // NATIVE argmax: the whole eval matrix rides ONE expression
+    // (graft.functions.BestCosineMatch — a single reference object and
+    // one generated call per row), so whole-stage codegen survives any
+    // maxEval; an unfolded per-eval projection at 1024 evals blows
+    // Janino's method-size limit and silently de-codegens the stage
+    // (DecontaminateSpec pins compilation with fallback disabled).
+    // Sessions without the graft extensions fall back to a BLOCKED
+    // greatest()-of-array_max unfold — same (cosine, eval_id) total
+    // order and values, interpreted at worst.
+    val best =
+      if (nativeFns)
+        call_function("graft_best_cosine", col(corpusVec),
+          typedlit(evals.map(_._2.toSeq).toSeq),
+          typedlit(evals.map(_._1).toSeq))
+      else {
+        val v = col(corpusVec).cast("array<double>")
+        val blocks = evals.grouped(evalBlock).toSeq
+        val blockCols = blocks.map { block =>
+          array_max(array(block.map { case (eid, vec) =>
+            struct(
+              graft.sim.Similarity.cosine(v, typedlit(vec)).as("c"),
+              lit(eid).as("e"))
+          }.toSeq: _*))
+        }
+        if (blockCols.size == 1) blockCols.head else greatest(blockCols: _*)
+      }
     corpus
-      .select(col(corpusId).as("id"), array_max(array(scored.toSeq: _*)).as("__b"))
+      .select(col(corpusId).as("id"), best.as("__b"))
       .filter(col("__b.c") >= threshold)
       .select(col("id"), col("__b.e").as("eval_id"), col("__b.c").as("cosine"))
   }
 
+  private def nativeFns: Boolean =
+    try org.apache.spark.sql.SparkSession.active.catalog
+      .functionExists("graft_best_cosine")
+    catch { case _: Exception => false }
+
+  /** Eval vectors per codegen block in the portable [[semanticHits]]
+    * fallback — bounds one block's generated cosine chain.
+    */
+  private val evalBlock = 64
+
   /** The training corpus with every row semantically matching some
     * eval vector (cosine ≥ threshold) removed. All corpus columns pass
-    * through; the contaminated-id set broadcasts.
+    * through. The contaminated-id side is CORPUS-derived — its size is
+    * a function of corpus size × threshold, unbounded by construction
+    * (a loose threshold or a genuinely contaminated crawl at 100 TB
+    * would OOM a forced broadcast) — so no broadcast hint: AQE picks
+    * broadcast when the hit set is actually small, exactly like the
+    * n-gram policy's [[decontaminated]].
     */
   def decontaminatedSemantic(corpus: DataFrame, corpusId: String,
                              corpusVec: String,
@@ -181,8 +229,8 @@ object Decontaminate {
                              threshold: Double,
                              maxEval: Int = 1024): DataFrame =
     corpus.join(
-      broadcast(semanticHits(corpus, corpusId, corpusVec, eval, evalId,
+      semanticHits(corpus, corpusId, corpusVec, eval, evalId,
         evalVec, threshold, maxEval)
-        .select(col("id").as("__contaminated_id")).distinct()),
+        .select(col("id").as("__contaminated_id")).distinct(),
       col(corpusId) === col("__contaminated_id"), "left_anti")
 }

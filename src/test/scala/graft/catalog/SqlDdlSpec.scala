@@ -237,6 +237,43 @@ class SqlDdlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TABLE TBLPROPERTIES: governed keys route at create time, ungoverned refuse") {
+    import spark.implicits._
+    val root = tmpDir("wh-ddl-createprops")
+    val wh = new Warehouse(spark, root)
+    val cat = catalogFor(root, "c9")
+    // graft.cdf and graft.check.* at CREATE time are LIVE, not dropped:
+    // the very first INSERT is gated and change-tracked
+    spark.sql(s"CREATE TABLE $cat.silver.g.gated (k BIGINT, price DOUBLE) " +
+      "TBLPROPERTIES ('graft.cdf' = 'true', 'graft.check.pricepos' = 'price > 0')")
+    val ref = TableRef("silver", "g", "gated")
+    assert(wh.cdfEnabled(ref), "graft.cdf declared at CREATE must be on")
+    assert(wh.checkConstraints(ref) === Map("pricepos" -> "price > 0"))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.silver.g.gated VALUES (1, -1.0)")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("pricepos"))))
+    spark.sql(s"INSERT INTO $cat.silver.g.gated VALUES (1, 2.0)")
+    assert(wh.read(ref).count() === 1L)
+    // CTAS with a constraint the SELECT violates: refused, and the
+    // loud failure must not leave a half-governed table behind the
+    // caller believes was created clean
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.silver.g.ctasbad " +
+        "TBLPROPERTIES ('graft.check.pos' = 'id > 10') " +
+        "AS SELECT id FROM range(0, 5)")
+    }
+    // ungoverned keys refuse loudly at CREATE, mirroring ALTER
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.silver.g.badprop (k BIGINT) " +
+        "TBLPROPERTIES ('my.custom.key' = 'x')")
+    }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("not governed"))))
+    assert(!wh.exists(TableRef("silver", "g", "badprop")))
+  }
+
   test("RENAME COLUMN: guarded full rewrite — values, stats, tombstones, time travel") {
     import spark.implicits._
     import org.apache.spark.sql.types.{DoubleType, StructField}

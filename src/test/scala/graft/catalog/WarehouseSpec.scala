@@ -195,8 +195,9 @@ class WarehouseSpec extends SparkSpec {
     wh.setCheckConstraint(src, "pricepos", "price > 0")               // v2
     wh.deleteWhere(src, $"k" <= 10L)                                  // v3
 
-    // pin the PRE-DELETE version into an immutable name
-    val v = wh.cloneTable(src, dst, asOf = Some(1L))
+    // pin the PRE-DELETE version into an immutable name (v2 = post-
+    // constraint: carried meta is the PINNED version's, see below)
+    val v = wh.cloneTable(src, dst, asOf = Some(2L))
     assert(v === 1L)
     assert(wh.read(dst).count() === 40L, "clone carries the pinned version")
     assert(wh.read(src).count() === 30L, "source unaffected")
@@ -206,7 +207,16 @@ class WarehouseSpec extends SparkSpec {
     assert(wh.checkConstraints(dst) === Map("pricepos" -> "price > 0"))
     val meta = wh.commitMeta(dst, 1L)
     assert(meta.get("graft.clone.source").contains(src.toString))
-    assert(meta.get("graft.clone.source_version").contains("1"))
+    assert(meta.get("graft.clone.source_version").contains("2"))
+    // metadata rides the PIN, not the source's present: a clone of v1
+    // (before the constraint existed) must NOT carry it — its pinned
+    // rows were never validated against it
+    val dstPre = TableRef("dev", "g", "corpus_preconstraint")
+    wh.cloneTable(src, dstPre, asOf = Some(1L))
+    assert(wh.checkConstraints(dstPre).isEmpty,
+      "a post-pin constraint must not land on the clone")
+    wh.append(dstPre, Seq((99L, "g1", -1.0)).toDF("k", "seg", "price"))
+    assert(wh.read(dstPre).count() === 41L)
     assert(meta.get(Warehouse.OpMeta).contains("CLONE"))
     // the carried constraint ENFORCES on the clone
     intercept[Exception] {

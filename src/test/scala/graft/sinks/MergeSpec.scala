@@ -386,6 +386,39 @@ class MergeSpec extends SparkSpec {
     assert(wh.read(ref).count() === 5)
   }
 
+  test("mixed-era touched set after metadata-only ADD COLUMNS merges with the committed schema") {
+    import spark.implicits._
+    import graft.catalog.{TableRef, Warehouse}
+    val wh = new Warehouse(spark, tmpDir("wh-mixed-era"))
+    val ref = TableRef("silver", "cdc", "mixed")
+    // era 1: files WITHOUT column w (bootstrap writes key stats so the
+    // next upsert prunes instead of full-rewriting)
+    val mt = new MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // metadata-only widening, then era-2 files WITH real w values
+    wh.addColumns(ref, Seq(org.apache.spark.sql.types.StructField(
+      "w", org.apache.spark.sql.types.DoubleType)))
+    wh.append(ref, (21L to 40L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "v", "w"))
+    // a batch whose key range straddles BOTH eras: the touched-file
+    // read must use the COMMITTED schema — single-footer inference
+    // over an era-1 file would drop w and null-backfill over the real
+    // era-2 values, committing silent data loss
+    val mt2 = new MergeTable(spark, wh, ref, Seq("k"), None)
+    mt2.upsert(Seq((5L, "v5x", None: Option[Double]),
+      (25L, "v25x", Some(250.0))).toDF("k", "v", "w"))
+    val out = wh.read(ref).as[(Long, String, Option[Double])].collect().toMap2
+    assert(out(25L) === ("v25x", Some(250.0)))
+    assert(out(5L) === ("v5x", None))
+    // every untouched era-2 row keeps its physical w value
+    (26L to 40L).foreach(i => assert(out(i) === (s"v$i", Some(i * 1.0)),
+      s"era-2 row $i lost its widened value"))
+    (1L to 4L).foreach(i => assert(out(i) === (s"v$i", None)))
+  }
+
+  private implicit class Map2[K, A, B](rows: Array[(K, A, B)]) {
+    def toMap2: Map[K, (A, B)] = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("schema evolution rejects type conflicts and keyless batches") {
     import spark.implicits._
     import graft.catalog.{TableRef, Warehouse}

@@ -129,4 +129,115 @@ class DecontaminateSpec extends SparkSpec {
     assert(graft.util.CapCounters.get("decontam.dropped_evals")
       .contains(1L))
   }
+
+  test("semantic policy at maxEval=1024 whole-stage codegens (no interpreted fallback) and matches brute force") {
+    import spark.implicits._
+    // deterministic pseudo-vectors, dim 8
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 7 + 3) % 17) - 8).toFloat)
+    val evals = (0L until 1024L).map(e => (e, vec(e))).toDF("eval_id", "vec")
+    // a REAL file scan: a local relation would constant-fold the whole
+    // projection on the driver and leave nothing to codegen-assert
+    val corpusDir = tmpDir("decontam-codegen")
+    (0L until 64L).map(c => (c, vec(c * 13 + 5))).toDF("doc_id", "vec")
+      .write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val expected = (0L until 64L).flatMap { c =>
+      val cv = vec(c * 13 + 5)
+      val best = (0L until 1024L).map(e => (cos(cv, vec(e)), e)).max
+      if (best._1 >= 0.9) Some((c, best._2)) else None
+    }.toSet
+    // fallback=false: a Janino compile failure (the un-blocked 1024-way
+    // unfold blew the method-size limit and silently interpreted)
+    // becomes a loud exception here
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val hits = Decontaminate.semanticHits(corpus, "doc_id", "vec",
+        evals, "eval_id", "vec", threshold = 0.9, maxEval = 1024)
+      // the scoring projections sit INSIDE whole-stage codegen spans
+      val exec = hits.queryExecution.executedPlan
+      val wscg = exec.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(wscg.nonEmpty, s"no WholeStageCodegen span in:\n$exec")
+      // codegen'd operators print as "*(n) Project"; a bare "Project"
+      // line is an interpreted fallback of the scoring stage
+      val bare = exec.toString.linesIterator
+        .filter(_.matches("""[\s+:-]*Project .*""")).toSeq
+      assert(bare.isEmpty,
+        s"scoring Project fell outside whole-stage codegen:\n$exec")
+      val got = hits.select("id", "eval_id").as[(Long, Long)].collect().toSet
+      assert(got === expected)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("eval truncation is ordered (deterministic) and null eval rows are refused") {
+    import spark.implicits._
+    // three evals across three partitions in scrambled order: maxEval=2
+    // must screen ids {1,2} — the ORDERED prefix — every run
+    val evals = Seq(
+      (3L, Array(0.0f, 0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("eval_id", "vec").repartition(3)
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),  // matches eval 1 (kept)
+      (30L, Array(0.0f, 0.0f, 1.0f)))  // matches only eval 3 (dropped)
+      .toDF("doc_id", "vec")
+    (1 to 3).foreach { _ =>
+      val hits = Decontaminate.semanticHits(corpus, "doc_id", "vec",
+        evals, "eval_id", "vec", threshold = 0.95, maxEval = 2)
+        .select("id", "eval_id").as[(Long, Long)].collect().toSet
+      assert(hits === Set((10L, 1L)),
+        "truncation must keep the ordered eval prefix {1,2}")
+    }
+    val nullEval = Seq((null.asInstanceOf[java.lang.Long], Array(1.0f, 0.0f, 0.0f)))
+      .toDF("eval_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.semanticHits(corpus, "doc_id", "vec",
+        nullEval, "eval_id", "vec", threshold = 0.9)
+    }
+    assert(e.getMessage.contains("non-null"))
+  }
+
+  test("drop plans carry no corpus-derived broadcast hint (AQE decides)") {
+    import spark.implicits._
+    val eval = Seq((1L, Array(1.0f, 0.0f))).toDF("eval_id", "vec")
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("doc_id", "vec")
+    val sem = Decontaminate.decontaminatedSemantic(corpus, "doc_id", "vec",
+      eval, "eval_id", "vec", threshold = 0.9)
+    val prompts = Seq((1L, "a b c d")).toDF("p_id", "text")
+    val docs = Seq((1L, "a b c d e"), (2L, "x y z w q")).toDF("doc_id", "text")
+    val cont = Decontaminate.decontaminatedByContainment(docs, "doc_id",
+      "text", prompts, "p_id", "text", n = 3, threshold = 0.5)
+    // the anti-join's right side (the corpus-derived contaminated-id
+    // set) must carry no broadcast hint; promptContainment's inner
+    // broadcast of the PROMPT side (bounded by the eval suite) is fine
+    Seq(sem, cont).foreach { df =>
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      val antiRights = df.queryExecution.analyzed.collect {
+        case j: Join if j.joinType == LeftAnti => j.right
+      }
+      assert(antiRights.nonEmpty)
+      antiRights.foreach { r =>
+        assert(!r.isInstanceOf[ResolvedHint],
+          s"corpus-derived anti-join side must not be hint-broadcast:\n$r")
+      }
+    }
+    // values unchanged by the hint removal
+    assert(sem.select("doc_id").as[Long].collect().toSet === Set(2L))
+    assert(cont.select("doc_id").as[Long].collect().toSet === Set(2L))
+  }
 }
