@@ -169,7 +169,11 @@ private[catalog] final class GraftFilesTable(spark: SparkSession,
     StructField("file", StringType, nullable = false),
     StructField("bytes", LongType),
     StructField("mtime_ms", LongType),
-    StructField("rows", LongType)))
+    StructField("rows", LongType),
+    // deletion-vector sidecar directory, null when the file is clean
+    // (`rows` stays the PHYSICAL count — live rows = rows minus the
+    // sidecar's positions for this file)
+    StructField("dv", StringType)))
 
   override def name(): String = s"${snap.ref}.files"
   override def schema(): StructType = filesSchema
@@ -187,7 +191,8 @@ private[catalog] final class GraftFilesTable(spark: SparkSession,
             .getOrElse((null, null))
           InternalRow.fromSeq(Seq(
             UTF8String.fromString(f), bytes, mtime,
-            rowCounts.get(f).map(Long.box).orNull))
+            rowCounts.get(f).map(Long.box).orNull,
+            snap.dvMap.get(f).map(UTF8String.fromString).orNull))
         }.toArray
       }
       override def description(): String =
@@ -310,6 +315,11 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
   def versionPartitions(v: Long, replayFull: Boolean): Array[InputPartition] = {
     if (replayFull) {
       val s = wh.snapshotAt(ref, v)
+      require(s.dvMap.isEmpty,
+        s"change-feed stream on $ref: the replay base (version $v) " +
+          "carries live deletion vectors, which this join-free reader " +
+          "cannot apply — compact(ref) to materialize them, or start " +
+          "the stream from a later version")
       return rowScanPartitions(s.files, s.fileMeta, v)
         .map(GraftCdfInputPartition(_, Some("insert"), v, cdcShape = false))
     }
@@ -327,6 +337,24 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
     else if (cc.meta.get(Warehouse.CdcMeta).contains("1"))
       cdcScanPartitions(v)
         .map(GraftCdfInputPartition(_, None, v, cdcShape = true))
+    else if (cc.dvChanged.nonEmpty)
+      // a merge-on-read delete adds and retires NOTHING — its row-level
+      // deletes exist only as position sidecars, which this join-free
+      // reader cannot render; with the CDF property on the delete
+      // stages change files and lands in the marked arm above
+      throw new IllegalStateException(
+        s"change feed on $ref: version $v ($op) committed deletion " +
+          "vectors without change files — Warehouse.setChangeDataFeed(" +
+          "ref, true) before DV deletes, or use the batch " +
+          "Warehouse.changeFeed/snapshotDiff (both derive DV deltas)")
+    else if (cc.retiredWithDv.nonEmpty)
+      // a retired file that carried a vector cannot derive as whole-
+      // file deletes: its already-dead positions would double-report
+      throw new IllegalStateException(
+        s"change feed on $ref: version $v ($op) retired files carrying " +
+          "deletion vectors without change files — enable " +
+          "Warehouse.setChangeDataFeed first, or use the batch " +
+          "Warehouse.changeFeed/snapshotDiff")
     else if (cc.retired.isEmpty) inserts
     else if (cc.adds.isEmpty) deletes
     else if (cc.fullReplace || op == "RESTORE") deletes ++ inserts

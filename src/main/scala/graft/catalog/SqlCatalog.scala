@@ -214,12 +214,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val ungoverned = props.keys.filterNot { k =>
       sparkReserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
         k == Warehouse.StatsColumnsMeta || k == Warehouse.BloomColumnsMeta ||
-        k == Warehouse.CdfMeta || k.startsWith(Warehouse.CheckMetaPrefix)
+        k == Warehouse.CdfMeta || k == Warehouse.DvMeta ||
+        k.startsWith(Warehouse.CheckMetaPrefix)
     }.toSeq.sorted
     require(ungoverned.isEmpty,
       s"graft CREATE TABLE TBLPROPERTIES governs " +
         s"${Warehouse.StatsColumnsMeta}, ${Warehouse.BloomColumnsMeta}, " +
-        s"${Warehouse.CdfMeta} and " +
+        s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta} and " +
         s"${Warehouse.CheckMetaPrefix}<name> only; not governed: " +
         ungoverned.mkString(", "))
     def csv(k: String): Seq[String] =
@@ -242,6 +243,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case _ => ()
     }
     flag(Warehouse.CdfMeta).foreach(warehouse.setChangeDataFeed(ref, _))
+    flag(Warehouse.DvMeta).foreach(warehouse.setDeletionVectors(ref, _))
     loadTable(ident)
   }
 
@@ -298,10 +300,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           require(v == "true" || v == "false",
             s"${Warehouse.CdfMeta} takes true/false, got '$v'")
           wh.setChangeDataFeed(ref, v.toBoolean)
+        case (Warehouse.DvMeta, v) =>
+          require(v == "true" || v == "false",
+            s"${Warehouse.DvMeta} takes true/false, got '$v'")
+          wh.setDeletionVectors(ref, v.toBoolean)
         case (k, _) => throw new UnsupportedOperationException(
           s"graft SET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
-            s"<name> and ${Warehouse.CdfMeta} only; '$k' is not a governed " +
-            "table property")
+            s"<name>, ${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
+            s"'$k' is not a governed table property")
       }
     }
     unsets.foreach { u =>
@@ -309,10 +315,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case k if k.startsWith(Warehouse.CheckMetaPrefix) =>
           wh.dropCheckConstraint(ref, k.stripPrefix(Warehouse.CheckMetaPrefix))
         case Warehouse.CdfMeta => wh.setChangeDataFeed(ref, enabled = false)
+        case Warehouse.DvMeta => wh.setDeletionVectors(ref, enabled = false)
         case k => throw new UnsupportedOperationException(
           s"graft UNSET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
-            s"<name> and ${Warehouse.CdfMeta} only; '$k' is not a governed " +
-            "table property")
+            s"<name>, ${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
+            s"'$k' is not a governed table property")
       }
     }
     if (adds.nonEmpty) {

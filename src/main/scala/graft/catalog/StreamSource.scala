@@ -159,6 +159,17 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
   override def build(): Scan = metaAgg match {
     case Some((schema, rows)) => new GraftMetaAggScan(snap, schema, rows)
     case None =>
+      // DELETION-VECTOR reader gating (Delta's reader-protocol-version
+      // refusal): this file-level scan cannot apply position sidecars.
+      // Sessions with graft.plans.GraftOptimizations never get here —
+      // DvReadRewrite rewrites the relation into the DV-applying plan
+      // before scan planning; a bare session must refuse rather than
+      // silently resurrect deleted rows.
+      require(snap.dvMap.isEmpty,
+        s"${snap.ref}@v${snap.version} carries live deletion vectors; " +
+          "reading it through SQL needs the graft optimizer extensions " +
+          "(spark.sql.extensions=graft.plans.GraftOptimizations) or a " +
+          "compact(ref) to materialize the vectors first")
       new GraftScan(spark, wh, snap, tableSchema, dataFields,
         delegate.build(), options, hadFilters = sawFilters)
   }
@@ -694,6 +705,11 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
                          v: Long): (Seq[String], Map[String, (Long, Long)]) = {
     if (start.replay && v == start.version + 1) {
       val s = wh.snapshotAt(ref, v)
+      require(s.dvMap.isEmpty,
+        s"stream on $ref: the replay base (version $v) carries live " +
+          "deletion vectors, which a file-level replay cannot apply — " +
+          "compact(ref) to materialize them, or start the stream from " +
+          "a later version")
       (s.files, s.fileMeta)
     } else
       wh.versionChanges(ref, v).map { case (adds, meta, retired) =>
@@ -702,7 +718,19 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
         // nothing — only pure appends flow
         if (skipChangeCommits && retired > 0)
           (Seq.empty[String], Map.empty[String, (Long, Long)])
-        else (adds, meta)
+        else {
+          // a commit whose ADDED files carry deletion vectors (RESTORE
+          // to a DV'd version) cannot stream file-level: the emission
+          // would include merge-on-read-deleted rows
+          if (adds.nonEmpty) {
+            val dv = wh.snapshotAt(ref, v).dvMap
+            require(adds.forall(f => !dv.contains(f)),
+              s"stream on $ref: version $v adds files carrying deletion " +
+                "vectors — compact(ref) to materialize them, or " +
+                "skipChangeCommits to skip change commits")
+          }
+          (adds, meta)
+        }
       }.getOrElse(throw new IllegalStateException(
         s"stream on $ref needs version $v, which was never committed or " +
           "fell below vacuum retention — restart the stream (a fresh " +

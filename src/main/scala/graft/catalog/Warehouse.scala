@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{approx_count_distinct, array, col, count, countDistinct, element_at, expr, input_file_name, lit, max, min, split, substring, sum, when, xxhash64}
+import org.apache.spark.sql.functions.{approx_count_distinct, array, col, concat, count, countDistinct, element_at, expr, input_file_name, lit, max, min, split, substring, sum, when, xxhash64}
 
 /** Three-level table reference, mirroring the reference's
   * `catalog.schema.table` namespace (/root/reference/lib/ingestors.py:95,
@@ -45,9 +45,17 @@ final class ConcurrentWriteException(msg: String) extends IllegalStateException(
   *        before sizes existed parse with an empty map and degrade to
   *        listing.
   */
+/** @param dvMap deletion-vector sidecars: data-file rel path → sidecar
+  *        directory rel path (parquet of (file, pos) row positions).
+  *        A mapped file's listed rows MINUS its positions are its live
+  *        rows — [[Warehouse.readSnapshot]] applies this as an
+  *        anti-join on `_metadata.row_index`. Empty for tables that
+  *        never merge-on-read-deleted (the common case).
+  */
 final case class TableSnapshot(ref: TableRef, version: Long,
                                schemaJson: String, files: Seq[String],
-                               fileMeta: Map[String, (Long, Long)] = Map.empty)
+                               fileMeta: Map[String, (Long, Long)] = Map.empty,
+                               dvMap: Map[String, String] = Map.empty)
 
 /** Path-backed warehouse: each `catalog.schema.table` is a parquet
   * directory `$root/catalog/schema/table`. Replaces the reference's
@@ -241,7 +249,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         val c = rawVersionSt(st)
         val r =
           if (!c.isDelta)
-            Warehouse.ResolvedVersion(c.schemaJson, c.files, c.fileMeta, c.meta)
+            Warehouse.ResolvedVersion(c.schemaJson, c.files, c.fileMeta,
+              c.meta, c.dvAdds)
           else {
             val parent = resolvedVersion(ref, v - 1).getOrElse(
               throw new IllegalStateException(
@@ -255,7 +264,11 @@ final class Warehouse(spark: SparkSession, val root: String,
             val readded = c.files.toSet
             Warehouse.ResolvedVersion(c.schemaJson,
               parent.files.filterNot(f => retired(f) || readded(f)) ++ c.files,
-              (parent.fileMeta -- retired) ++ c.fileMeta, c.meta)
+              (parent.fileMeta -- retired) ++ c.fileMeta, c.meta,
+              // dv resolution mirrors fileMeta: a retired file's vector
+              // dies with it, tombstones clear a live file's vector,
+              // adds override
+              (parent.dvMap -- retired -- c.dvDrops) ++ c.dvAdds)
           }
         Warehouse.cacheResolved(key, fp, r)
         r
@@ -273,7 +286,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(r.nonEmpty,
       s"$ref has no version $version (never committed, or vacuumed); " +
         s"current = ${currentVersion(ref).getOrElse("none")}")
-    TableSnapshot(ref, version, r.get.schemaJson, r.get.files, r.get.fileMeta)
+    TableSnapshot(ref, version, r.get.schemaJson, r.get.files, r.get.fileMeta,
+      r.get.dvMap)
   }
 
   /** The files that first APPEARED in commit `v`, with their recorded
@@ -291,7 +305,12 @@ final class Warehouse(spark: SparkSession, val root: String,
       Option[(Seq[String], Map[String, (Long, Long)], Int)] = {
     if (v < horizonOf(ref)) return None
     rawVersion(ref, v).map { c =>
-      if (c.isDelta) (c.files, c.fileMeta, c.retires.size)
+      // deletion-vector churn counts as CHANGE: a merge-on-read delete
+      // retires nothing, but its commit modified live rows — the row
+      // stream's skipChangeCommits contract must see it
+      if (c.isDelta)
+        (c.files, c.fileMeta,
+          c.retires.size + c.dvAdds.size + c.dvDrops.size)
       else {
         // diff whenever the v-1 log file is PHYSICALLY present — chain
         // anchors below the horizon still resolve, so an explicit
@@ -305,8 +324,10 @@ final class Warehouse(spark: SparkSession, val root: String,
             val fileSet = c.files.toSet
             val adds = c.files.filterNot(prevSet)
             val addSet = adds.toSet
+            val dvChanged = c.files.count(f =>
+              prevSet.contains(f) && p.dvMap.get(f) != c.dvAdds.get(f))
             (adds, c.fileMeta.filter { case (f, _) => addSet.contains(f) },
-              p.files.count(f => !fileSet.contains(f)))
+              p.files.count(f => !fileSet.contains(f)) + dvChanged)
           case None => (c.files, c.fileMeta, 0)
         }
       }
@@ -345,7 +366,13 @@ final class Warehouse(spark: SparkSession, val root: String,
         // writes a checkpoint), so fullReplace is structurally false
         Warehouse.CommitChanges(adds,
           c.fileMeta.view.filterKeys(addSet).toMap, c.retires, parentMeta,
-          fullReplace = false, c.meta)
+          fullReplace = false, c.meta,
+          // live files whose vector changed this commit (adds override,
+          // tombstones clear): the merge-on-read delete footprint
+          dvChanged = (c.dvAdds.keys.filterNot(retiredSet) ++
+            c.dvDrops.filterNot(retiredSet)).toSeq.distinct.sorted,
+          retiredWithDv = parent.map(_.dvMap.keySet).getOrElse(Set.empty)
+            .intersect(retiredSet).toSeq.sorted)
       } else {
         val parent = if (v >= 2) resolvedVersion(ref, v - 1) else None
         parent match {
@@ -360,7 +387,11 @@ final class Warehouse(spark: SparkSession, val root: String,
               c.fileMeta.view.filterKeys(addSet).toMap,
               retired, p.fileMeta.view.filterKeys(retiredSet).toMap,
               fullReplace = retired.nonEmpty && retired.size == p.files.size,
-              c.meta)
+              c.meta,
+              dvChanged = c.files.filter(f => prevSet.contains(f) &&
+                p.dvMap.get(f) != c.dvAdds.get(f)).sorted,
+              retiredWithDv = p.dvMap.keySet.intersect(retiredSet)
+                .toSeq.sorted)
           case None =>
             // no readable predecessor (v1, or vacuum took it): the full
             // list is the feed's base — inserts, like a fresh stream
@@ -400,6 +431,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     val retires = Seq.newBuilder[String]
     val meta = Map.newBuilder[String, String]
     val fileMeta = Map.newBuilder[String, (Long, Long)]
+    val dvAdds = Map.newBuilder[String, String]
+    val dvDrops = Seq.newBuilder[String]
     var isDelta = false
     def sizedLine(rest: String, into: (String, Option[(Long, Long)]) => Unit): Unit =
       rest.split("\t") match {
@@ -426,6 +459,14 @@ final class Warehouse(spark: SparkSession, val root: String,
         case "retire" =>
           isDelta = true
           retires += rest
+        case "dv" =>
+          // `dv\t<file>\t<sidecarDir>` — NOT a delta marker (checkpoints
+          // carry the complete map as dv lines too)
+          val i = rest.indexOf('\t')
+          if (i > 0) dvAdds += rest.take(i) -> rest.drop(i + 1)
+        case "dvdrop" =>
+          isDelta = true
+          dvDrops += rest
         case "base" =>
           isDelta = true
           baseVersion = rest.toLongOption
@@ -436,7 +477,8 @@ final class Warehouse(spark: SparkSession, val root: String,
       }
     }
     LogContent(schemaJson, files.result(), meta.result(), fileMeta.result(),
-      isDelta, baseVersion, retires.result())
+      isDelta, baseVersion, retires.result(), dvAdds.result(),
+      dvDrops.result())
   }
 
   /** DESCRIBE HISTORY: one row per SURVIVING version ([[vacuum]] prunes
@@ -466,18 +508,44 @@ final class Warehouse(spark: SparkSession, val root: String,
     currentVersion(ref).map(snapshotAt(ref, _))
 
   /** Read a pinned snapshot: exactly its file list, immune to concurrent
-    * writers (their commits retire files without deleting them).
+    * writers (their commits retire files without deleting them). Files
+    * with a deletion vector read MERGE-ON-READ: their sidecar
+    * positions anti-join out on `_metadata.row_index`, clean files
+    * scan untouched — cost is O(clean scan + dv'd scan + positions),
+    * never a rewrite.
     */
   def readSnapshot(s: TableSnapshot): DataFrame =
-    if (s.files.isEmpty) {
+    if (s.dvMap.isEmpty) readFileSubset(s, s.files)
+    else {
+      val (dvd, clean) = s.files.partition(s.dvMap.contains)
+      val cleanDf = readFileSubset(s, clean)
+      if (dvd.isEmpty) cleanDf
+      else {
+        val applied = applyDv(s, readFileSubset(s, dvd, withPos = true), dvd)
+        if (clean.isEmpty) applied.select(cleanDf.columns.map(col).toIndexedSeq: _*)
+        else cleanDf.unionByName(
+          applied.select(cleanDf.columns.map(col).toIndexedSeq: _*))
+      }
+    }
+
+  /** One snapshot-consistent scan over a subset of the snapshot's
+    * files (the whole list for DV-free tables) — the declared-schema /
+    * inference-arm logic [[readSnapshot]] documents. `withPos` captures
+    * `__gdv_file` (table-rel path) and `__gdv_pos` (row index) straight
+    * off the scan — `_metadata` resolves only against the file
+    * relation itself, before any projection.
+    */
+  private def readFileSubset(s: TableSnapshot, subset: Seq[String],
+                             withPos: Boolean = false): DataFrame =
+    if (subset.isEmpty) {
       val schema = org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
       val base = path(s.ref)
-      val paths = s.files.map(f => s"$base/$f")
-      val pathParts = s.files.headOption.toSeq.flatMap { f =>
+      val paths = subset.map(f => s"$base/$f")
+      val pathParts = subset.headOption.toSeq.flatMap { f =>
         f.split('/').dropRight(1).toSeq
           .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
       }
@@ -485,6 +553,10 @@ final class Warehouse(spark: SparkSession, val root: String,
         if (s.schemaJson.isEmpty) None
         else Some(org.apache.spark.sql.types.DataType.fromJson(s.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType])
+      // position capture must happen directly over the file relation
+      // (metadata columns do not survive a later projection)
+      def pos(df: DataFrame): DataFrame =
+        if (!withPos) df else capturePos(s.ref, df)
       committed match {
         case Some(schema) if pathParts.forall(schema.fieldNames.contains) =>
           // DECLARED-SCHEMA read — the schema rides the snapshot:
@@ -497,10 +569,10 @@ final class Warehouse(spark: SparkSession, val root: String,
           //  - time travel keeps each version's own shape.
           // staticPartitions columns live outside the committed schema
           // (the fallback arm keeps their inference).
-          spark.read.option("basePath", base).schema(schema)
-            .parquet(paths: _*)
+          pos(spark.read.option("basePath", base).schema(schema)
+            .parquet(paths: _*))
         case _ =>
-          val df = spark.read.option("basePath", base).parquet(paths: _*)
+          val df = pos(spark.read.option("basePath", base).parquet(paths: _*))
           // static-partition layouts: inference read + null backfill of
           // committed columns no physical file carries
           committed.fold(df) { schema =>
@@ -530,29 +602,114 @@ final class Warehouse(spark: SparkSession, val root: String,
     * committed schema) keep the inference arm, like readSnapshot.
     */
   def readFiles(ref: TableRef, files: Seq[String]): DataFrame = {
-    val base = path(ref)
     val declared = schemaOf(ref)
     if (files.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-    val pathParts = files.headOption.toSeq.flatMap { f =>
-      relKey(ref)(f).split('/').dropRight(1).toSeq
-        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-    }
-    if (pathParts.forall(declared.fieldNames.contains))
-      // the final select restores DECLARED column order: a schema read
-      // over a partitioned layout appends partition columns after the
-      // data columns regardless of their declared position
-      spark.read.option("basePath", base).schema(declared)
-        .parquet(files: _*)
-        .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
+    // route through the snapshot-subset reader so live DELETION
+    // VECTORS apply: a merge/update reading its touched files must
+    // never resurrect merge-on-read-deleted rows
+    val snap = snapshot(ref).getOrElse(
+      TableSnapshot(ref, -1L, declared.json, files.map(relKey(ref))))
+    val rels = files.map(relKey(ref))
+    val pseudo = snap.copy(schemaJson = declared.json, files = rels,
+      dvMap = snap.dvMap.view.filterKeys(rels.toSet).toMap)
+    readSnapshot(pseudo)
+      .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------- deletion vectors
+
+  /** Sidecar root: one parquet directory per DV-writing commit
+    * (`_graft_dv/v%08d`), rows `(file: string, pos: long)` — the
+    * positions deleted from `file`, which the commit's `dv` log lines
+    * map file-by-file. Underscore-prefixed like the log and the cdc
+    * dir, so data scans never list it.
+    */
+  private[catalog] val dvDir = "_graft_dv"
+
+  private[catalog] def dvPath(ref: TableRef, version: Long): Path =
+    new Path(path(ref), f"$dvDir/v$version%08d")
+
+  /** Turn merge-on-read DELETE on or off (Delta's
+    * `delta.enableDeletionVectors`): one carried commit-meta line.
+    * While on, [[deleteWhere]] commits position sidecars instead of
+    * rewriting straddled files; [[compact]] materializes them away.
+    * Turning it OFF stops NEW vectors — existing ones keep applying
+    * (and keep read-correct) until a compact/rewrite retires them.
+    */
+  def setDeletionVectors(ref: TableRef, enabled: Boolean): Long =
+    commitMetaOnly(ref, Map(Warehouse.DvMeta -> enabled.toString))
+
+  /** Whether the table's carried meta routes deletes merge-on-read. */
+  def dvEnabled(ref: TableRef): Boolean =
+    currentVersion(ref).exists(v =>
+      commitMeta(ref, v).get(Warehouse.DvMeta).contains("true"))
+
+  /** The deleted (file, pos) rows of a snapshot's vectors, restricted
+    * to `subset` (rel paths). One read per distinct sidecar dir; rows
+    * are matched back to their OWN commit's mapping, so a file whose
+    * vector a later delete superseded never double-applies.
+    */
+  private def dvRows(s: TableSnapshot, subset: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val base = path(s.ref)
+    val pairs = subset.flatMap(f => s.dvMap.get(f).map(f -> _))
+    val byDir = pairs.groupBy(_._2)
+    byDir.toSeq.sortBy(_._1).map { case (dir, fs) =>
+      val files = fs.map(_._1).toSet
+      spark.read.parquet(s"$base/$dir")
+        .join(files.toSeq.toDF("file"), Seq("file"), "left_semi")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Anti-join a position-captured scan (built with
+    * `readFileSubset(withPos = true)` — carries `__gdv_file` /
+    * `__gdv_pos`) against its deletion vectors: deleted positions drop
+    * out, the helper columns stay for callers that plan per-file (the
+    * DV delete path) and are projected away by [[readSnapshot]]'s
+    * final select. The join's right side is O(unmaterialized deleted
+    * positions) — AQE broadcasts when small; data filters still push
+    * below the join to the scan.
+    */
+  private def applyDv(s: TableSnapshot, withPos: DataFrame,
+                      subset: Seq[String]): DataFrame = {
+    val del = dvRows(s, subset)
+      .select(col("file").as("__dvf"), col("pos").as("__dvp"))
+    withPos.join(del,
+      col("__gdv_file") === col("__dvf") &&
+        col("__gdv_pos") === col("__dvp"), "left_anti")
+  }
+
+  /** Capture `__gdv_file` (table-rel path) and `__gdv_pos` (row index)
+    * straight off a file scan — `_metadata` resolves only against the
+    * file relation itself, before any projection.
+    */
+  private def capturePos(ref: TableRef, scan: DataFrame): DataFrame = {
+    val tablePath = new Path(path(ref))
+    val qBase = fs(tablePath).makeQualified(tablePath).toString
+    scan.withColumn("__gdv_file",
+        expr(s"substring(_metadata.file_path, ${qBase.length + 2})"))
+      .withColumn("__gdv_pos", col("_metadata.row_index"))
+  }
+
+  /** EFFECTIVE rows of a snapshot file subset with `__gdv_file` /
+    * `__gdv_pos` attached and live vectors applied — the per-file
+    * planning read of the DV-aware writers ([[deleteWhereDv]],
+    * [[updateWhere]]): `input_file_name()` is useless once an
+    * anti-join sits above the scan, so file attribution rides the
+    * captured metadata column instead.
+    */
+  private def readSubsetWithPos(s: TableSnapshot,
+                                subset: Seq[String]): DataFrame = {
+    val (dvd, clean) = subset.partition(s.dvMap.contains)
+    val cleanDf = readFileSubset(s, clean, withPos = true)
+    if (dvd.isEmpty) cleanDf
     else {
-      val df = spark.read.option("basePath", base).parquet(files: _*)
-      val present = df.columns.toSet
-      declared.filterNot(f => present.contains(f.name))
-        .foldLeft(df)((d, f) =>
-          d.withColumn(f.name, lit(null).cast(f.dataType)))
-        .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
+      val applied = applyDv(s, readFileSubset(s, dvd, withPos = true), dvd)
+      if (clean.isEmpty) applied
+      else cleanDf.unionByName(applied.select(cleanDf.columns.map(col)
+        .toIndexedSeq: _*))
     }
   }
 
@@ -692,19 +849,21 @@ final class Warehouse(spark: SparkSession, val root: String,
   private def diffSnapshots(ref: TableRef, a: TableSnapshot, b: TableSnapshot,
                             keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{array, explode, struct, when}
-    val base = path(ref)
-    def readFiles(files: Seq[String], schemaJson: String): DataFrame =
-      if (files.isEmpty) {
-        val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      } else {
-        spark.read.option("basePath", base)
-          .parquet(files.map(f => s"$base/$f"): _*)
-      }
-    val before = readFiles((a.files.toSet -- b.files.toSet).toSeq.sorted, a.schemaJson)
-    val after = readFiles((b.files.toSet -- a.files.toSet).toSeq.sorted, b.schemaJson)
+    // a file whose DELETION-VECTOR mapping differs between the
+    // versions changed CONTENT without changing path: it reads on both
+    // sides (each with its own version's vectors applied) and the
+    // unchanged rows cancel, leaving exactly the merge-on-read deletes
+    val shared = a.files.toSet intersect b.files.toSet
+    val dvChanged = shared.filter(f => a.dvMap.get(f) != b.dvMap.get(f))
+    def readSide(s: TableSnapshot, files: Seq[String]): DataFrame = {
+      val sub = s.copy(files = files,
+        dvMap = s.dvMap.view.filterKeys(files.toSet).toMap)
+      readSnapshot(sub)
+    }
+    val before = readSide(a,
+      ((a.files.toSet -- b.files.toSet) ++ dvChanged).toSeq.sorted)
+    val after = readSide(b,
+      ((b.files.toSet -- a.files.toSet) ++ dvChanged).toSeq.sorted)
     val cols = (after.columns ++ before.columns.filterNot(after.columns.contains)).toSeq
     require(keyCols.forall(cols.contains),
       s"key columns $keyCols missing from $ref columns $cols")
@@ -739,10 +898,19 @@ final class Warehouse(spark: SparkSession, val root: String,
     * absent from the map (inherited from a pre-size log) write the
     * two-field legacy line and those readers degrade to listing.
     */
+  /** @param dv the new version's COMPLETE deletion-vector map, or None
+    *        to CARRY the parent's forward (restricted to files still
+    *        committed — a retired or replaced file's vector dies with
+    *        it). Only the DV writers ([[deleteWhere]]'s merge-on-read
+    *        path, [[restore]]) pass Some; every other commit inherits,
+    *        so an append or stream epoch can never silently resurrect
+    *        deleted rows by dropping the map.
+    */
   private def commitLocked(ref: TableRef, schemaJson: String,
                            files: Seq[String],
                            meta: Map[String, String] = Map.empty,
-                           fileMeta: Map[String, (Long, Long)] = Map.empty): Long = {
+                           fileMeta: Map[String, (Long, Long)] = Map.empty,
+                           dv: Option[Map[String, String]] = None): Long = {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
     filesystem.mkdirs(dir)
@@ -796,14 +964,32 @@ final class Warehouse(spark: SparkSession, val root: String,
         else Some((adds, retires))
       }
     }
+    // the committed dv map: explicit, or the parent's carried forward
+    // restricted to still-committed files
+    val fileSet0 = files.toSet
+    val parentDv = prevResolved.map(_.dvMap).getOrElse(Map.empty)
+    val effectiveDv = dv.getOrElse(parentDv).view
+      .filterKeys(fileSet0).toMap
     val body = delta match {
       case Some((adds, retires)) =>
+        // dv delta lines: changed/new mappings, plus tombstones for
+        // mappings cleared while their file stays live (a retired
+        // file's mapping dies in resolution without a line)
+        val dvAdds = effectiveDv.toSeq.sortBy(_._1).filter { case (f, d) =>
+          !parentDv.get(f).contains(d)
+        }
+        val dvDrops = parentDv.keys.toSeq.sorted.filter(f =>
+          fileSet0.contains(f) && !effectiveDv.contains(f))
         s"schema\t$schemaJson\n" + s"base\t${prev.get}\n" +
           adds.map(sized("add", _)).mkString +
           retires.map(r => s"retire\t$r\n").mkString +
+          dvAdds.map { case (f, d) => s"dv\t$f\t$d\n" }.mkString +
+          dvDrops.map(f => s"dvdrop\t$f\n").mkString +
           allMeta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString
       case None =>
         s"schema\t$schemaJson\n" + files.map(sized("file", _)).mkString +
+          effectiveDv.toSeq.sorted
+            .map { case (f, d) => s"dv\t$f\t$d\n" }.mkString +
           allMeta.toSeq.sorted.map { case (k, v) => s"meta\t$k=$v\n" }.mkString
     }
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -904,8 +1090,11 @@ final class Warehouse(spark: SparkSession, val root: String,
   def restore(ref: TableRef, version: Long): Long = withWriterLock(ref) {
     recoverLocked(ref) // never re-commit files of a half-healed replacement
     val snap = snapshotAt(ref, version)
+    // the restored version's deletion vectors restore WITH it (its
+    // sidecars survive on disk for the same reason its files do)
     val v = commitLocked(ref, snap.schemaJson, snap.files,
-      Map(Warehouse.OpMeta -> "RESTORE"), snap.fileMeta)
+      Map(Warehouse.OpMeta -> "RESTORE"), snap.fileMeta,
+      dv = Some(snap.dvMap))
     // current content just changed shape — JVM-wide cardinality stats
     // must not keep describing the rolled-back state
     TableStatsRegistry.invalidate(path(ref))
@@ -1248,6 +1437,20 @@ final class Warehouse(spark: SparkSession, val root: String,
                 filesystem.delete(st.getPath, true)
             }
         }
+        // deletion-vector sidecars: keep exactly the dirs some KEPT
+        // version's dv map references (a superseded sidecar — its
+        // file's vector re-merged by a later delete — and a
+        // materialized one both fall out of every kept map). This is
+        // the physical-erasure tail: after compact retired a DV'd
+        // file, this sweep erases the position record too.
+        val keptDvDirs = keep.flatMap(v =>
+          snapshotAt(ref, v).dvMap.values).toSet
+        val dvRoot = new Path(tablePath, dvDir)
+        if (filesystem.exists(dvRoot))
+          filesystem.listStatus(dvRoot).foreach { st =>
+            if (!keptDvDirs.contains(s"$dvDir/${st.getPath.getName}"))
+              filesystem.delete(st.getPath, true)
+          }
         dead.size
       }
     }
@@ -2342,6 +2545,11 @@ final class Warehouse(spark: SparkSession, val root: String,
     * with contention re-run (nothing was touched).
     */
   def deleteWhere(ref: TableRef, cond: org.apache.spark.sql.Column): Long = {
+    // merge-on-read routing: the table property asks for it, or live
+    // vectors exist (a copy-on-write rewrite of a DV'd file would need
+    // the DV-aware read anyway — one code path owns that composition)
+    if (dvEnabled(ref) || snapshot(ref).exists(_.dvMap.nonEmpty))
+      return deleteWhereDv(ref, cond)
     val matched = cond <=> lit(true) // null predicate = not matched
     // planning pass with the predicate PUSHED: parquet row-group stats
     // skip non-matching groups, so work stays proportional to the files
@@ -2406,6 +2614,111 @@ final class Warehouse(spark: SparkSession, val root: String,
     perFile.map(_.getLong(1)).sum
   }
 
+  /** MERGE-ON-READ delete (Delta deletion vectors / Iceberg position
+    * deletes): instead of rewriting every file that contains a match
+    * (copy-on-write — O(files straddling the predicate) data movement,
+    * the 100 TB pain for scattered keys), the commit writes ONE
+    * parquet sidecar of `(file, pos)` row positions — O(matches) — and
+    * maps each touched file to it via `dv` log lines. ZERO data files
+    * are added or retired unless a file's EVERY live row matched, in
+    * which case it retires as pure metadata exactly like the
+    * copy-on-write partition-drop fast path. Reads apply the vectors
+    * as an anti-join on `_metadata.row_index`; [[compact]]
+    * materializes them away; [[vacuum]] sweeps sidecars no surviving
+    * version references. A second delete COMPOSES: its sidecar holds
+    * the union of old and new positions for the files it touches.
+    *
+    * Change feed: with the CDF property on, the deleted rows land as
+    * change files atomically with the commit (O(deleted rows)), same
+    * contract as the copy-on-write path; the keyed
+    * [[changeFeed]]/[[snapshotDiff]] derive DV deltas without them.
+    *
+    * Physical erasure contract (GDPR): the deleted BYTES stay in the
+    * data file until a [[compact]] rewrite plus [[vacuum]] — identical
+    * to Delta's REORG + VACUUM sequence; the proof query in the gate
+    * suite pins it.
+    */
+  private def deleteWhereDv(ref: TableRef, cond: org.apache.spark.sql.Column): Long = {
+    val matched = cond <=> lit(true)
+    val planned = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+      s"$ref has no committed version — DV deletes need the commit log"))
+    if (planned.files.isEmpty) return 0L
+    // effective rows WITH positions, existing vectors applied: the
+    // predicate pushes to the scan, so planning work is proportional
+    // to the files that could match
+    def effective(subset: Seq[String]): DataFrame =
+      readSubsetWithPos(planned, subset)
+    val perFile = effective(planned.files).filter(matched)
+      .groupBy(col("__gdv_file")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (perFile.isEmpty) return 0L
+    val touched = perFile.keys.toSeq.sorted
+    // live totals over ONLY the touched files (existing vectors
+    // already subtracted): a file whose every live row matched
+    // retires as pure metadata — no sidecar entry needed
+    val liveTotals = effective(touched)
+      .groupBy(col("__gdv_file")).agg(count(lit(1)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (dead, partial) = touched.partition(f => perFile(f) >= liveTotals(f))
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      val snap = ensureLogLocked(ref)
+      if (snap.version != planned.version)
+        throw new ConcurrentWriteException(
+          s"table $ref moved from version ${planned.version} to " +
+            s"${snap.version} since this DV delete was planned — re-run")
+      val tablePath = new Path(path(ref))
+      val filesystem = fs(tablePath)
+      val newDvMap: Map[String, String] =
+        if (partial.isEmpty) snap.dvMap -- dead
+        else {
+          // one sidecar dir for this commit: the touched files' MERGED
+          // positions (previous vector ∪ this delete) — superseded
+          // dirs become garbage for vacuum once no version references
+          // them
+          val dir = dvPath(ref, snap.version + 1)
+          filesystem.delete(dir, true) // a crashed predecessor's orphan
+          val newPositions = effective(partial).filter(matched)
+            .select(col("__gdv_file").as("file"), col("__gdv_pos").as("pos"))
+          val carried = partial.filter(snap.dvMap.contains)
+          val merged =
+            if (carried.isEmpty) newPositions
+            else newPositions.unionByName(dvRows(snap, carried))
+          merged.write.parquet(dir.toString)
+          val rel = f"$dvDir/v${snap.version + 1}%08d"
+          (snap.dvMap -- dead) ++ partial.map(_ -> rel)
+        }
+      // CDF: the deleted rows as change files, atomic with the commit
+      val cdcMeta =
+        if (!cdfEnabled(ref)) Map.empty[String, String]
+        else stageCdcLocked(ref, snap.version,
+          effective(touched).filter(matched)
+            .drop("__gdv_file", "__gdv_pos")
+            .withColumn(Warehouse.ChangeTypeCol, lit("delete")))
+      val deadSet = dead.toSet
+      commitLocked(ref, snap.schemaJson,
+        snap.files.filterNot(deadSet.contains),
+        cdcMeta + (Warehouse.OpMeta -> "DELETE"),
+        snap.fileMeta -- dead, dv = Some(newDvMap))
+      // fully-dead files leave the stats manifest like a retirement
+      if (dead.nonEmpty) {
+        val manifest = manifestDf(path(ref))
+        manifest.foreach { old =>
+          val next = old.filter(!col("file").isin(dead: _*))
+          val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
+          next.coalesce(1).write.parquet(tmp.toString)
+          val live = new Path(tablePath, statsDir)
+          filesystem.delete(live, true)
+          if (!filesystem.rename(tmp, live))
+            throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        }
+      }
+      // row counts changed shape for the planner either way
+      TableStatsRegistry.invalidate(path(ref))
+    }
+    perFile.values.sum
+  }
+
   /** Row-level UPDATE (Delta `UPDATE ... SET ... WHERE` semantics):
     * rewrite ONLY the files that contain a matching row — matched rows
     * get the SET columns re-evaluated, unmatched rows in the same file
@@ -2448,10 +2761,19 @@ final class Warehouse(spark: SparkSession, val root: String,
       s"updateWhere on $ref cannot SET ${badSet.mkString(",")}: not a " +
         "data column (partition columns are directory-encoded — a " +
         "partition-moving update is a delete + insert)")
-    val perFile = read(ref).filter(matched)
-      .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__n"))
-      .collect()
+    // with live deletion vectors the read is an anti-join, where
+    // input_file_name() no longer attributes — plan off the captured
+    // metadata column instead (same pushed-predicate scan shape)
+    val perFile =
+      if (snap.dvMap.isEmpty)
+        read(ref).filter(matched)
+          .groupBy(input_file_name().as("__file"))
+          .agg(count(lit(1)).as("__n"))
+          .collect()
+      else readSubsetWithPos(snap, snap.files).filter(matched)
+        .groupBy(concat(lit(path(ref) + "/"), col("__gdv_file")).as("__file"))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
     if (perFile.isEmpty) return 0L
     val setMap = set.toMap
     val cdfOn = cdfEnabled(ref)
@@ -2461,9 +2783,11 @@ final class Warehouse(spark: SparkSession, val root: String,
       .groupBy(f => relKey(ref)(f).split('/').dropRight(1).mkString("/"))
       .foreach { case (subdir, files) =>
         // basePath read restores partition columns for the predicate;
-        // only data columns are written back (dirs carry the rest)
-        val slice = spark.read.option("basePath", path(ref))
-          .parquet(files: _*)
+        // only data columns are written back (dirs carry the rest).
+        // readFiles applies live deletion vectors, so a rewrite can
+        // never resurrect merge-on-read-deleted rows — and the
+        // rewritten files' vector mappings die with the retirement.
+        val slice = readFiles(ref, files)
         val rewritten = slice
           .select(dataCols.map(c =>
             setMap.get(c)
@@ -3095,6 +3419,11 @@ final class Warehouse(spark: SparkSession, val root: String,
                         aggs: Seq[Warehouse.MetaAgg]): Option[Seq[Any]] = {
     import Warehouse.{ColCount, ColMax, ColMin, RowCount}
     if (aggs.isEmpty) return None
+    // live deletion vectors: manifest rows/counts are PHYSICAL — a
+    // metadata-only COUNT would include merge-on-read-deleted rows.
+    // (min/max would still be safe bounds but not exact answers.)
+    // Honest fallback to the scan until a compact materializes.
+    if (snapshot(ref).exists(_.dvMap.nonEmpty)) return None
     // `files` are snapshot rel paths — the manifest's key space (a
     // pre-r15 basename-keyed manifest over a partitioned layout simply
     // fails the per-file validation below → honest scan fallback)
@@ -3188,6 +3517,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     import scala.jdk.CollectionConverters._
     import Warehouse.{ColCount, ColMax, ColMin, RowCount}
     if (aggs.isEmpty || groupOf.isEmpty) return None
+    // same DV guard as the ungrouped form: physical manifest counts
+    // lie about live rows while vectors are unmaterialized
+    if (snapshot(ref).exists(_.dvMap.nonEmpty)) return None
     manifestLocalDf(path(ref)).flatMap { m =>
       val needed = aggs.flatMap {
         case RowCount => Seq("rows")
@@ -3784,19 +4116,33 @@ final class Warehouse(spark: SparkSession, val root: String,
     // listStatus yields scheme-qualified paths; qualify ours to match
     val qualifiedTable = filesystem.makeQualified(tablePath)
     val qualifiedPrefix = qualifiedTable.toString + "/"
+    val snapDv = snapshot(ref).map(_.dvMap).getOrElse(Map.empty)
     val byDir = currentDataFiles(ref)
       .map(p => p -> filesystem.getFileStatus(p).getLen)
       .groupBy(_._1.getParent)
     var compacted = 0
     byDir.foreach { case (dir, sized) =>
-      val small = sized.filter(_._2 < smallFileBytes)
-      if (small.size >= 2) {
+      def isDvd(p: Path): Boolean = snapDv.contains(relKey(ref)(p.toString))
+      // DV MATERIALIZATION rides compaction (Delta's REORG ... APPLY
+      // (PURGE)): a file with a deletion vector rewrites regardless of
+      // size — the rewrite drops the deleted rows physically and the
+      // retirement drops the mapping, so post-compact reads are plain
+      // scans again (and vacuum can erase the deleted bytes)
+      val small = sized.filter { case (p, len) =>
+        len < smallFileBytes || isDvd(p)
+      }
+      if (small.size >= 2 || small.exists(s => isDvd(s._1))) {
         val nOut = math.max(1,
           math.ceil(small.map(_._2).sum.toDouble / targetFileBytes).toInt)
         val files = small.map(_._1.toString)
         // no basePath: partition values stay in the directory name and
         // must NOT be materialized into the packed files' schema
-        val data = spark.read.parquet(files: _*)
+        val raw = spark.read.parquet(files: _*)
+        val dvd = files.map(relKey(ref)).filter(snapDv.contains)
+        val data =
+          if (dvd.isEmpty) raw
+          else applyDv(snapshot(ref).get, capturePos(ref, raw), dvd)
+            .drop("__gdv_file", "__gdv_pos")
         val cluster = clusterBy.getOrElse(statColumns(ref))
           .filter(data.columns.contains)
         val packed =
@@ -3846,11 +4192,19 @@ object Warehouse {
     * `retires` the files it retired, and `baseVersion` the version the
     * delta applies to (always its predecessor).
     */
+  /** @param dvAdds deletion-vector mappings this file declares
+    *        (`dv\t<file>\t<sidecarDir>` lines): for a CHECKPOINT the
+    *        complete map, for a DELTA the added/changed mappings.
+    * @param dvDrops delta-only tombstones (`dvdrop\t<file>`): the
+    *        file stays live but its deletion vector is gone.
+    */
   private[catalog] final case class LogContent(
       schemaJson: String, files: Seq[String], meta: Map[String, String],
       fileMeta: Map[String, (Long, Long)],
       isDelta: Boolean = false, baseVersion: Option[Long] = None,
-      retires: Seq[String] = Nil)
+      retires: Seq[String] = Nil,
+      dvAdds: Map[String, String] = Map.empty,
+      dvDrops: Seq[String] = Nil)
 
   /** Fully resolved content of one version: complete file list +
     * per-file meta (delta chains applied), plus the version's own
@@ -3858,7 +4212,8 @@ object Warehouse {
     */
   private[catalog] final case class ResolvedVersion(
       schemaJson: String, files: Seq[String],
-      fileMeta: Map[String, (Long, Long)], meta: Map[String, String])
+      fileMeta: Map[String, (Long, Long)], meta: Map[String, String],
+      dvMap: Map[String, String] = Map.empty)
 
   /** Commit-log I/O counters (JVM-wide): every [[Warehouse]].parseLog
     * call — an actual version-file read, cache misses only — bumps
@@ -4026,6 +4381,15 @@ object Warehouse {
     */
   val CdfMeta = "graft.cdf"
 
+  /** CARRIED table property: DELETION VECTORS enabled
+    * ([[Warehouse.setDeletionVectors]] — Delta's
+    * `delta.enableDeletionVectors`). While on, [[Warehouse.deleteWhere]]
+    * commits row-position sidecars instead of rewriting straddled
+    * files — merge-on-read deletes, O(matches) instead of O(files
+    * containing a match).
+    */
+  val DvMeta = "graft.dv"
+
   /** CARRIED table property: the partition column list a table was
     * CREATED with ([[Warehouse.createTable]] — `CREATE TABLE ...
     * PARTITIONED BY` through the SQL catalog). The layout authority
@@ -4074,10 +4438,23 @@ object Warehouse {
   /** One commit's file-level changes, resolved for the change-data-feed
     * reader ([[Warehouse]].versionChangesFull).
     */
+  /** @param dvChanged files whose deletion-vector mapping CHANGED in
+    *        this commit while the file itself stayed live — a
+    *        merge-on-read delete's footprint (no adds, no retires);
+    *        the feed reader must not render such a commit as "nothing
+    *        happened".
+    */
   private[catalog] final case class CommitChanges(
       adds: Seq[String], addMeta: Map[String, (Long, Long)],
       retired: Seq[String], retiredMeta: Map[String, (Long, Long)],
-      fullReplace: Boolean, meta: Map[String, String])
+      fullReplace: Boolean, meta: Map[String, String],
+      dvChanged: Seq[String] = Nil,
+      /** retired files that carried a deletion vector in the parent —
+        * their whole-file delete derivation would double-report the
+        * already-dead positions, so the feed refuses without change
+        * files.
+        */
+      retiredWithDv: Seq[String] = Nil)
 
   /** Process-local writer mutexes keyed by the normalized lock path
     * (JVM-wide, so two [[Warehouse]] instances over one root still

@@ -177,6 +177,10 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
 class GraftOptimizations extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RowNumberTopKRewrite)
+    // SQL reads over tables with live deletion vectors rewrite into
+    // the warehouse's DV-applying plan (graft.catalog.DvReadRewrite);
+    // without this rule the scan builder refuses loudly
+    ext.injectOptimizerRule(_ => graft.catalog.DvReadRewrite)
     // SQL MERGE INTO over graft catalog tables → the engine's own
     // file-pruned incremental upsert (graft.catalog.SqlMerge — the
     // Delta-style analyzer claim; unsupported shapes fall through to

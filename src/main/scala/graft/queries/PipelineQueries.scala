@@ -772,6 +772,90 @@ object PipelineQueries {
       |       true AS physically_erased
       |FROM orders WHERE o_custkey % 5 <> 2""".stripMargin
 
+  /** DELETION VECTORS end-to-end (merge-on-read delete — round-16
+    * verdict, next #1): with `graft.dv` on, a delete of a key
+    * scattered across EVERY file commits one O(matches) position
+    * sidecar and ZERO data-file churn — where copy-on-write
+    * [[Warehouse.deleteWhere]] (q_gdpr_erasure's erase phase) rewrites
+    * the whole table when the predicate straddles all files. The gate
+    * pins four facts in one result:
+    *
+    *  - `dv_zero_rewrites`: the post-delete snapshot's file list is
+    *    IDENTICAL to the pre-delete one and a vector map exists — the
+    *    ledger witness that no data file moved;
+    *  - the returned rows hash-match DuckDB — read correctness;
+    *  - `dv_read_consistent`: the MERGE-ON-READ read (anti-join
+    *    against the live sidecar) and the post-compact materialized
+    *    read agree on (count, order-insensitive row hash) — the two
+    *    read paths cannot drift;
+    *  - `physically_erased`: after compact (which rewrites DV'd files
+    *    without their dead rows and drops the mappings) + vacuum, a
+    *    raw recursive scan finds zero deleted keys AND the sidecar
+    *    directory is gone — the GDPR tail works through the DV path.
+    *
+    * At 100 TB: the delete is O(files-that-match scan + matches); the
+    * erase cost moves to the NEXT scheduled compaction instead of the
+    * delete's critical path — Delta's deletion-vector/REORG model.
+    */
+  def qDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref) = graft.util.Scratch.once(spark, dir, "dv.fixtures") {
+      val base = Files.createTempDirectory("graft-gate-dv").toString
+      val wh = new Warehouse(spark, s"$base/warehouse")
+      val ref = TableRef("silver", "facts", "orders_dv")
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+          .repartitionByRange(8, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))
+      wh.setDeletionVectors(ref, enabled = true)
+      (wh, ref)
+    }
+    val before = wh.snapshot(ref).get.files
+    graft.util.PhaseTimer.time("dv.delete") {
+      wh.deleteWhere(ref, $"o_custkey" % 5 === 2)
+    }
+    val snap = wh.snapshot(ref).get
+    val zeroRewrites = snap.files == before && snap.dvMap.nonEmpty
+    // merge-on-read fingerprint (bounded driver action: one aggregate)
+    def fingerprint(): (Long, java.math.BigDecimal) = {
+      val r = wh.read(ref).agg(
+        count(lit(1)),
+        sum(xxhash64($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val dvFp = fingerprint()
+    graft.util.PhaseTimer.time("dv.materialize") {
+      wh.compact(ref)
+      wh.vacuum(ref, keepVersions = 1)
+    }
+    val cleanFp = fingerprint()
+    val consistent = dvFp == cleanFp &&
+      wh.snapshot(ref).get.dvMap.isEmpty
+    // physical proof, DV edition: deleted bytes AND the position
+    // sidecar are gone from a raw recursive listing
+    val leaked = spark.read.option("recursiveFileLookup", "true")
+      .parquet(wh.path(ref))
+      .filter($"o_custkey" % 5 === 2).count()
+    val dvDirPath = new org.apache.hadoop.fs.Path(wh.path(ref), "_graft_dv")
+    val hfs = dvDirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecarGone = !hfs.exists(dvDirPath) ||
+      hfs.listStatus(dvDirPath).isEmpty
+    wh.read(ref)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+      .withColumn("dv_zero_rewrites", lit(zeroRewrites))
+      .withColumn("dv_read_consistent", lit(consistent))
+      .withColumn("physically_erased", lit(leaked == 0L && sidecarGone))
+  }
+
+  val qDeleteDvSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |       true AS dv_zero_rewrites,
+      |       true AS dv_read_consistent,
+      |       true AS physically_erased
+      |FROM orders WHERE o_custkey % 5 <> 2""".stripMargin
+
   /** K5 gold materialized view end-to-end: a reference-shaped
     * `CREATE MATERIALIZED VIEW ... AS` file (header stripped, QUALIFY
     * rewritten, three-part names resolved against the warehouse) CTAS'd
@@ -2216,6 +2300,7 @@ object PipelineQueries {
     "q_sql_update" -> (qSqlUpdate _),
     "q_gold_incr_avg" -> (qGoldIncrAvg _),
     "q_delete_where" -> (qDeleteWhere _),
+    "q_delete_dv" -> (qDeleteDv _),
     "q_gdpr_erasure" -> (qGdprErasure _),
     "q_gold_incr_delete" -> (qGoldIncrDelete _),
     "q_gold_incr_agg" -> (qGoldIncrAgg _),
@@ -2242,6 +2327,7 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "q_delete_where" -> qDeleteWhereSql,
+    "q_delete_dv" -> qDeleteDvSql,
     "q_gdpr_erasure" -> qGdprErasureSql,
     "q_gold_incr_delete" -> qGoldIncrDeleteSql,
     "q_gold_incr_agg" -> qGoldIncrAggSql,
