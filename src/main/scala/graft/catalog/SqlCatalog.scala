@@ -168,9 +168,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft SQL catalog does not support this DDL verb: a TABLE rename " +
-      "would change the on-disk path that IS the table's identity, and " +
-      "namespaces are implicit in the catalog/schema directory layout")
+    "graft SQL catalog does not support this DDL verb: namespaces are " +
+      "implicit in the catalog/schema directory layout")
 
   /** `CREATE TABLE` (and the metadata half of CTAS) through the commit
     * protocol ([[Warehouse.createTable]] — round-15 verdict, next #3):
@@ -365,7 +364,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     else { wh.drop(ref); true }
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = readOnly
+  /** `ALTER TABLE ... RENAME TO` → [[Warehouse.renameTable]]: one
+    * directory move under both tables' writer locks — history, time
+    * travel, stats, constraints, CDF and deletion vectors all ride
+    * inside the directory; the old name refuses reads afterwards.
+    * Cross-schema moves are allowed (the warehouse layout is
+    * `catalog/schema/table` directories all the way down).
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val wh = warehouse
+    val src = refOf(oldIdent)
+    if (!wh.exists(src) && wh.snapshot(src).isEmpty)
+      throw new NoSuchTableException(oldIdent)
+    try wh.renameTable(src, refOf(newIdent))
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("already exists") =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(newIdent)
+    }
+  }
 
   // -- SupportsNamespaces: SHOW NAMESPACES / SHOW TABLES discovery ----
 

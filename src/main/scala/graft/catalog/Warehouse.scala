@@ -2246,6 +2246,55 @@ final class Warehouse(spark: SparkSession, val root: String,
     currentVersion(dst).get
   }
 
+  /** TABLE RENAME (`ALTER TABLE ... RENAME TO`): one directory move
+    * under BOTH tables' writer locks — pure metadata (O(1) rename on
+    * a real filesystem; on object stores the same O(files) server-side
+    * copy every engine pays). The commit log, stats manifest, change
+    * files, and deletion-vector sidecars all live INSIDE the table
+    * directory, so history, time travel, constraints, CDF and vectors
+    * move intact; a post-move META commit stamps the lineage
+    * (`graft.renamed_from`). The old name refuses reads afterwards
+    * (its directory is gone). Locks: source and destination are
+    * acquired in path order, so two opposite renames cannot deadlock;
+    * holding the DESTINATION lock closes the race with a concurrent
+    * CREATE TABLE at the new name.
+    *
+    * Not snapshot-isolated against IN-FLIGHT scans of the old path: a
+    * reader that planned before the rename fails on its next file
+    * open (the object-store move caveat every table format shares).
+    */
+  def renameTable(src: TableRef, dst: TableRef): Unit = {
+    require(src != dst, s"renameTable: source and destination are both $src")
+    // deterministic lock order prevents rename-swap deadlock
+    val (first, second) =
+      if (path(src) < path(dst)) (src, dst) else (dst, src)
+    withWriterLock(first) {
+      withWriterLock(second) {
+        recoverLocked(src)
+        require(exists(src) && snapshot(src).nonEmpty,
+          s"renameTable: $src has no committed table")
+        require(!exists(dst) && snapshot(dst).isEmpty,
+          s"renameTable: destination $dst already exists")
+        val srcPath = new Path(path(src))
+        val dstPath = new Path(path(dst))
+        val filesystem = fs(srcPath)
+        filesystem.mkdirs(dstPath.getParent)
+        if (!filesystem.rename(srcPath, dstPath))
+          throw new RuntimeException(s"failed to move $src to $dst")
+        // same-JVM caches key by path: both names must drop
+        Warehouse.purgeCaches(path(src))
+        Warehouse.purgeCaches(path(dst))
+        TableStatsRegistry.invalidate(path(src))
+        TableStatsRegistry.invalidate(path(dst))
+      }
+    }
+    // lineage stamp AFTER the locks release (commitMetaOnly takes the
+    // destination's lock itself)
+    commitMetaOnly(dst, Map(Warehouse.OpMeta -> "RENAME",
+      "graft.renamed_from" -> src.toString))
+    ()
+  }
+
   /** Add a CHECK constraint (Delta's `ALTER TABLE ADD CONSTRAINT`
     * counterpart): a SQL predicate every row of every future write
     * must satisfy (NULL passes, SQL CHECK semantics), carried as the

@@ -333,6 +333,71 @@ class SqlDdlSpec extends SparkSpec {
     assert(wh.read(ref).count() === 41L)
   }
 
+  test("ALTER TABLE RENAME TO: metadata move preserves history, stats, constraints; old name dies") {
+    import spark.implicits._
+    val root = tmpDir("wh-ddl-rename")
+    val wh = new Warehouse(spark, root)
+    val cat = catalogFor(root, "c10")
+    spark.sql(s"CREATE TABLE $cat.silver.g.orig (k BIGINT, price DOUBLE) " +
+      "TBLPROPERTIES ('graft.stats_columns' = 'k', " +
+      "'graft.check.pricepos' = 'price > 0')")
+    spark.sql(s"INSERT INTO $cat.silver.g.orig " +
+      "SELECT id, id * 2.0 FROM range(1, 51)")
+    spark.sql(s"DELETE FROM $cat.silver.g.orig WHERE k > 40")
+    val ref = TableRef("silver", "g", "orig")
+    val versions = wh.currentVersion(ref).get
+
+    spark.sql(s"ALTER TABLE $cat.silver.g.orig RENAME TO silver.g.fresh")
+    val dst = TableRef("silver", "g", "fresh")
+    // data, history (+ the lineage stamp), stats, constraints carried
+    assert(spark.sql(s"SELECT count(*) FROM $cat.silver.g.fresh")
+      .as[Long].head() === 40L)
+    assert(wh.currentVersion(dst).contains(versions + 1))
+    assert(wh.history(dst).filter($"operation" === "RENAME").count() === 1L)
+    assert(wh.commitMeta(dst, versions + 1)
+      .get("graft.renamed_from").contains(ref.toString))
+    assert(wh.readVersion(dst, 2L).count() === 0L, "time travel survives")
+    assert(wh.statColumns(dst) === Seq("k"))
+    assert(wh.checkConstraints(dst) === Map("pricepos" -> "price > 0"))
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.silver.g.fresh VALUES (99, -1.0)")
+    }
+    // the old name refuses reads and writes
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.silver.g.orig") }
+    assert(!wh.exists(ref))
+    // renaming onto an existing table refuses
+    spark.sql(s"CREATE TABLE $cat.silver.g.occupied (k BIGINT)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.silver.g.fresh RENAME TO silver.g.occupied")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.silver.g.fresh")
+      .as[Long].head() === 40L, "failed rename leaves the source intact")
+    // cross-schema move is a legal directory relocation
+    spark.sql(s"ALTER TABLE $cat.silver.g.fresh RENAME TO silver.h.moved")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.silver.h.moved")
+      .as[Long].head() === 40L)
+  }
+
+  test("renameTable respects the writer lock: a held source lock refuses the move") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-rename-lock"), writerLeaseMs = 60000)
+    val src = TableRef("silver", "g", "locked")
+    val dst = TableRef("silver", "g", "elsewhere")
+    wh.overwrite(src, Seq((1L, "a")).toDF("k", "v"))
+    // a live competitor's lease file on the SOURCE: the rename must
+    // conflict loudly, touching nothing
+    val lock = new org.apache.hadoop.fs.Path(wh.path(src) + ".lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.write("competitor@test 999999999999999".getBytes("UTF-8"))
+    out.close()
+    try {
+      intercept[ConcurrentWriteException] { wh.renameTable(src, dst) }
+      assert(wh.read(src).count() === 1L)
+      assert(!wh.exists(dst))
+    } finally fs.delete(lock, false)
+  }
+
   test("concurrent CREATE TABLE racers: exactly one wins, the loser fails loudly") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val root = tmpDir("wh-ddl-race")
