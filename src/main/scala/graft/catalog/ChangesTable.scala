@@ -284,6 +284,10 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
                                 v: Long): Array[InputPartition] =
     if (files.isEmpty) Array.empty
     else {
+      require(files.forall(!_.startsWith(Warehouse.ForeignPrefix)),
+        s"change feed on $ref: version $v references a SHALLOW clone's " +
+          "foreign files — materialize the clone (overwrite) before " +
+          "reading its feed")
       val pseudo = TableSnapshot(ref, v, snap.schemaJson, files, meta)
       val b = ParquetScanBuilder(spark, new GraftFileIndex(spark, wh, pseudo),
         baseSchema, dataFields, options)

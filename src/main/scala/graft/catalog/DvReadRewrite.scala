@@ -33,7 +33,10 @@ object DvReadRewrite extends Rule[LogicalPlan] {
   }
 
   private def needsDv(r: DataSourceV2Relation): Boolean = r.table match {
-    case t: GraftSqlTable => t.snap.dvMap.nonEmpty
+    // live deletion vectors OR shallow-clone foreign entries: either
+    // way the plain file-index scan would lie, and readSnapshot is
+    // the plan that tells the truth
+    case t: GraftSqlTable => t.snap.dvMap.nonEmpty || t.hasForeign
     case _ => false
   }
 

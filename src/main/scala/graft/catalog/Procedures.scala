@@ -36,10 +36,11 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "restore", "history", "set_cdf",
       "add_constraint", "drop_constraint", "add_columns", "drop_columns",
-      "clone")
+      "clone", "release_pin")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
+      case "release_pin" => Some(ReleasePinProcedure(root))
       case "compact" => Some(CompactProcedure(root))
       case "vacuum" => Some(VacuumProcedure(root))
       case "restore" => Some(RestoreProcedure(root))
@@ -226,27 +227,32 @@ private[catalog] object GraftProcedures {
     }
   }
 
-  /** DEEP CLONE — [[Warehouse.cloneTable]] through SQL
-    * (`CALL graft.system.clone('silver.g.src', 'dev.g.copy', 3)`):
-    * copy the current or a pinned historical version into a fresh
-    * table, properties included. The version-pinning use case: an
-    * immutable named snapshot of the exact corpus a run trained on,
-    * outliving the source's vacuum horizon.
+  /** CLONE — [[Warehouse.cloneTable]] through SQL
+    * (`CALL graft.system.clone('silver.g.src', 'dev.g.copy', 3)`;
+    * add `shallow => true` for the zero-copy variant): copy the
+    * current or a pinned historical version into a fresh table,
+    * properties included. Deep = vacuum-immune byte copy (the
+    * reproducibility pin); shallow = metadata-only file sharing with
+    * a retention pin on the source ([[Warehouse.releasePin]] when
+    * done — `CALL graft.system.release_pin`).
     */
   private final case class CloneProcedure(root: String) extends MaintenanceProcedure {
     override def name(): String = "clone"
     override def description(): String =
-      "deep-clone a table (optionally a pinned version) into a fresh name"
+      "clone a table (optionally a pinned version; shallow => true shares files) into a fresh name"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("source", StringType),
       param("target", StringType),
-      paramWithDefault("version", LongType, "NULL"))
+      paramWithDefault("version", LongType, "NULL"),
+      paramWithDefault("shallow", org.apache.spark.sql.types.BooleanType,
+        "false"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val src = TableRef.parse(input.getUTF8String(0).toString)
       val dst = TableRef.parse(input.getUTF8String(1).toString)
       val asOf = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      val shallow = !input.isNullAt(3) && input.getBoolean(3)
       val wh = warehouse(root)
-      val v = wh.cloneTable(src, dst, asOf)
+      val v = wh.cloneTable(src, dst, asOf, shallow = shallow)
       // the version ACTUALLY cloned, read back from the clone's own
       // lineage meta (asOf-None resolution raced past us otherwise)
       val srcV = wh.commitMeta(dst, v)
@@ -257,6 +263,33 @@ private[catalog] object GraftProcedures {
           StructField("source_version", LongType))),
         UTF8String.fromString(src.toString), UTF8String.fromString(dst.toString),
         srcV)
+    }
+  }
+
+  /** Release a shallow clone's retention pin —
+    * [[Warehouse.releasePin]] through SQL
+    * (`CALL graft.system.release_pin('silver.g.src', 'dev.g.clone')`):
+    * the source's next vacuum may then reclaim the pinned version's
+    * files. Call after dropping or materializing the clone.
+    */
+  private final case class ReleasePinProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "release_pin"
+    override def description(): String =
+      "release a shallow clone's retention pin on its source"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("source", StringType),
+      param("clone", StringType))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = TableRef.parse(input.getUTF8String(0).toString)
+      val clone = TableRef.parse(input.getUTF8String(1).toString)
+      val wh = warehouse(root)
+      val v = wh.releasePin(src, clone)
+      single(
+        StructType(Seq(StructField("source", StringType),
+          StructField("released", StringType),
+          StructField("version", LongType))),
+        UTF8String.fromString(src.toString),
+        UTF8String.fromString(clone.toString), v)
     }
   }
 

@@ -56,9 +56,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the metadata-only [[Warehouse.addColumns]]/[[Warehouse.dropColumns]]
   * (guards included), `RENAME COLUMN` to the guarded full-rewrite
   * [[Warehouse.renameColumn]] (O(data), honestly priced — name-based
-  * files make a metadata flip unsound), and `DROP TABLE` to
-  * [[Warehouse.drop]]; only TABLE rename stays refused (the on-disk
-  * catalog/schema/table path IS the identity). MAINTENANCE has its
+  * files make a metadata flip unsound), `ALTER TABLE ... RENAME TO`
+  * to the pure-metadata directory move [[Warehouse.renameTable]], and
+  * `DROP TABLE` to [[Warehouse.drop]]. MAINTENANCE has its
   * own SQL surface:
   * `CALL graft.system.compact/vacuum/restore/history(...)`
   * ([[GraftProcedures]]) — procedures route through the same Warehouse
@@ -480,11 +480,25 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   private val committedSchema =
     DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
 
+  private[catalog] def hasForeign: Boolean =
+    snap.files.exists(_.startsWith(Warehouse.ForeignPrefix))
+
   // one index per table instance: schema() needs the inferred partition
   // columns during analysis, and every scan over this resolved table
-  // reuses the same (already listed) index
+  // reuses the same (already listed) index. SHALLOW-CLONE snapshots
+  // (foreign entries resolve outside this table's directory) never
+  // build an index — their partition columns derive from the entries'
+  // `k=v` components typed by the committed schema, and their scans
+  // are rewritten into the warehouse read plan (DvReadRewrite) before
+  // scan planning.
   private lazy val index = new GraftFileIndex(spark, wh, snap)
-  private lazy val partitionFields: StructType = index.partitionSchema
+  private lazy val partitionFields: StructType =
+    if (!hasForeign) index.partitionSchema
+    else StructType(Warehouse.partDirCols(snap.files).map { n =>
+      committedSchema.fields.find(_.name.equalsIgnoreCase(n))
+        .getOrElse(org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType))
+    })
   private lazy val dataFields: StructType = StructType(
     committedSchema.filterNot(f => partitionFields.fieldNames.contains(f.name)))
 
@@ -525,9 +539,20 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
       TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // reader gating, shallow-clone edition (mirrors the DV refusal in
+    // GraftScanBuilder.build): foreign entries cannot list into this
+    // table's file index — DvReadRewrite substitutes the warehouse
+    // read plan before any scan builds; a bare session refuses loudly
+    require(!hasForeign,
+      s"${snap.ref}@v${snap.version} is a SHALLOW clone referencing its " +
+        "source's files; reading it through SQL needs the graft " +
+        "optimizer extensions " +
+        "(spark.sql.extensions=graft.plans.GraftOptimizations) or a " +
+        "materializing overwrite first")
     new GraftScanBuilder(spark, wh, snap, schema(), dataFields,
       ParquetScanBuilder(spark, index, schema(), dataFields, options), options)
+  }
 
   /** SQL DML through the COMMIT PROTOCOL (round-14 verdict, next #1):
     * `INSERT INTO graft...` routes to [[Warehouse.append]] (an
@@ -602,10 +627,8 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
               // the stats-column set (blooms auto-carry inside
               // overwrite's durable-property logic)
               val partCols =
-                if (snap.files.nonEmpty) snap.files.headOption.toSeq.flatMap {
-                  _.split('/').dropRight(1).toSeq
-                    .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-                } else wh.metaColumns(snap.ref, Warehouse.PartitionByMeta)
+                if (snap.files.nonEmpty) Warehouse.partDirCols(snap.files)
+                else wh.metaColumns(snap.ref, Warehouse.PartitionByMeta)
               val statCols = (wh.statColumns(snap.ref) ++
                 (if (snap.files.isEmpty)
                    wh.metaColumns(snap.ref, Warehouse.StatsColumnsMeta)

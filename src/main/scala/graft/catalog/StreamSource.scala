@@ -710,6 +710,9 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
           "deletion vectors, which a file-level replay cannot apply — " +
           "compact(ref) to materialize them, or start the stream from " +
           "a later version")
+      require(s.files.forall(!_.startsWith(Warehouse.ForeignPrefix)),
+        s"stream on $ref: the replay base (version $v) references a " +
+          "SHALLOW clone's foreign files — materialize the clone first")
       (s.files, s.fileMeta)
     } else
       wh.versionChanges(ref, v).map { case (adds, meta, retired) =>
@@ -728,6 +731,9 @@ private[catalog] final class GraftMicroBatchStream(spark: SparkSession,
               s"stream on $ref: version $v adds files carrying deletion " +
                 "vectors — compact(ref) to materialize them, or " +
                 "skipChangeCommits to skip change commits")
+            require(adds.forall(!_.startsWith(Warehouse.ForeignPrefix)),
+              s"stream on $ref: version $v adds a SHALLOW clone's " +
+                "foreign files — materialize the clone first")
           }
           (adds, meta)
         }

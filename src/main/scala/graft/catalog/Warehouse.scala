@@ -542,6 +542,23 @@ final class Warehouse(spark: SparkSession, val root: String,
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else if (subset.exists(_.startsWith(Warehouse.ForeignPrefix))) {
+      // FOREIGN entries (shallow clone): resolve each group against
+      // its source table's directory — one homogeneous read per
+      // source (plus one for any local files), unioned by name
+      val (foreign, local) = subset.partition(
+        _.startsWith(Warehouse.ForeignPrefix))
+      val bySource = foreign.groupBy(
+        _.stripPrefix(Warehouse.ForeignPrefix).split('/').take(3).mkString("/"))
+      val reads = bySource.toSeq.sortBy(_._1).map { case (srcDir, fs) =>
+        val Array(c, sc, t) = srcDir.split('/')
+        val rels = fs.map(_.stripPrefix(Warehouse.ForeignPrefix)
+          .stripPrefix(srcDir).stripPrefix("/"))
+        readFileSubset(s.copy(ref = TableRef(c, sc, t), files = rels,
+          dvMap = Map.empty), rels, withPos)
+      } ++ (if (local.isEmpty) Nil
+            else Seq(readFileSubset(s.copy(files = local), local, withPos)))
+      reads.reduce(_ unionByName _)
     } else {
       val base = path(s.ref)
       val paths = subset.map(f => s"$base/$f")
@@ -1069,7 +1086,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     val filesystem = fs(tablePath)
     snapshot(ref) match {
       case Some(s) =>
-        s.files.map(r => filesystem.makeQualified(new Path(tablePath, r)))
+        // foreign (shallow-clone) entries resolve outside this table's
+        // directory and are not this table's to maintain — excluded
+        s.files.filterNot(_.startsWith(Warehouse.ForeignPrefix))
+          .map(r => filesystem.makeQualified(new Path(tablePath, r)))
       case None => listDataFiles(tablePath)
     }
   }
@@ -1403,8 +1423,23 @@ final class Warehouse(spark: SparkSession, val root: String,
               "discardStaged it")
           parseLog(mp).files
         }
+        // shallow-clone pins: every pinned version's files (and below,
+        // its log chain and dv sidecars) survive however far retention
+        // advances — the explicit source-vacuum contract that keeps
+        // clones readable. Resolution bypasses the horizon check: a
+        // pinned version may already sit below it.
+        val pins = pinnedVersions(ref).values.toSeq.distinct.sorted
+        val pinnedFiles = pins.flatMap { pv =>
+          resolvedVersion(ref, pv) match {
+            case Some(r) => r.files
+            case None =>
+              System.err.println(s"[warehouse] vacuum($ref): pinned " +
+                s"version $pv no longer resolves — its clone is broken")
+              Nil
+          }
+        }
         val keepFiles = (keep.flatMap(v => snapshotAt(ref, v).files) ++
-          stagedLive).toSet
+          stagedLive ++ pinnedFiles).toSet
         val base = filesystem.makeQualified(tablePath).toUri.getPath
         val dead = listDataFiles(tablePath).filterNot { p =>
           keepFiles.contains(filesystem.makeQualified(p).toUri.getPath
@@ -1418,10 +1453,14 @@ final class Warehouse(spark: SparkSession, val root: String,
         dead.foreach(p => filesystem.delete(p, false))
         // version files strictly below the earliest kept version's
         // delta-chain anchor can go; [anchor, horizon) survives
-        // (unreadable) so kept deltas keep resolving
+        // (unreadable) so kept deltas keep resolving — and every
+        // pinned version's own chain [anchor(pin), pin] survives so
+        // the NEXT vacuum can still resolve its file list
         keep.headOption.foreach { earliest =>
           val anchor = chainAnchor(ref, earliest)
-          listVersionFiles(ref).filter(_ < anchor)
+          val pinRanges = pins.map(pv => (chainAnchor(ref, pv), pv))
+          listVersionFiles(ref).filter(v => v < anchor &&
+              !pinRanges.exists { case (a, p) => v >= a && v <= p })
             .foreach(v => filesystem.delete(versionFilePath(ref, v), false))
         }
         // change-file dirs of versions below the horizon can go too
@@ -1443,8 +1482,9 @@ final class Warehouse(spark: SparkSession, val root: String,
         // materialized one both fall out of every kept map). This is
         // the physical-erasure tail: after compact retired a DV'd
         // file, this sweep erases the position record too.
-        val keptDvDirs = keep.flatMap(v =>
-          snapshotAt(ref, v).dvMap.values).toSet
+        val keptDvDirs = (keep.flatMap(v => snapshotAt(ref, v).dvMap.values) ++
+          pins.flatMap(pv => resolvedVersion(ref, pv).toSeq
+            .flatMap(_.dvMap.values))).toSet
         val dvRoot = new Path(tablePath, dvDir)
         if (filesystem.exists(dvRoot))
           filesystem.listStatus(dvRoot).foreach { st =>
@@ -1839,11 +1879,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // the authority only while the table is still empty (a fileless
     // createTable commit has no paths to derive from)
     val partCols: Seq[String] =
-      if (snap.files.nonEmpty)
-        snap.files.headOption.toSeq.flatMap { f =>
-          f.split('/').dropRight(1).toSeq
-            .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-        }
+      if (snap.files.nonEmpty) Warehouse.partDirCols(snap.files)
       else metaColumns(ref, Warehouse.PartitionByMeta)
     val missingParts = partCols.filterNot(df.columns.contains)
     require(missingParts.isEmpty,
@@ -2084,10 +2120,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(missing.isEmpty,
         s"dropColumns on $ref: column(s) ${missing.mkString(",")} do not exist")
-      val partCols = (snap.files.headOption.toSeq.flatMap {
-        _.split('/').dropRight(1).toSeq
-          .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-      } ++ (if (snap.files.isEmpty) // still-empty createTable layout
+      val partCols = (Warehouse.partDirCols(snap.files)
+        ++ (if (snap.files.isEmpty) // still-empty createTable layout
               metaColumns(ref, Warehouse.PartitionByMeta)
             else Nil)).toSet
       val parts = names.filter(partCols.contains)
@@ -2155,10 +2189,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         s"renameColumn on $ref: column '$from' does not exist"))
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"renameColumn on $ref: column '$to' already exists")
-    val partCols = (snap.files.headOption.toSeq.flatMap {
-      _.split('/').dropRight(1).toSeq
-        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-    } ++ (if (snap.files.isEmpty) metaColumns(ref, Warehouse.PartitionByMeta)
+    val partCols = (Warehouse.partDirCols(snap.files)
+      ++ (if (snap.files.isEmpty) metaColumns(ref, Warehouse.PartitionByMeta)
           else Nil))
     require(!partCols.exists(_.equalsIgnoreCase(from)),
       s"renameColumn on $ref cannot rename partition column '$from' — " +
@@ -2207,16 +2239,16 @@ final class Warehouse(spark: SparkSession, val root: String,
     * entries the table-relative log deliberately avoids.
     */
   def cloneTable(ref: TableRef, dst: TableRef,
-                 asOf: Option[Long] = None): Long = {
+                 asOf: Option[Long] = None,
+                 shallow: Boolean = false): Long = {
     require(ref != dst, s"cloneTable: source and destination are both $ref")
     val snap = asOf.map(snapshotAt(ref, _)).orElse(snapshot(ref)).getOrElse(
       throw new IllegalArgumentException(
         s"$ref has no committed version — cloneTable copies a committed table"))
+    if (shallow) return shallowClone(ref, dst, snap)
     val df = readSnapshot(snap)
-    val partCols = (snap.files.headOption.toSeq.flatMap {
-      _.split('/').dropRight(1).toSeq
-        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-    } ++ (if (snap.files.isEmpty) metaColumns(ref, Warehouse.PartitionByMeta)
+    val partCols = (Warehouse.partDirCols(snap.files)
+      ++ (if (snap.files.isEmpty) metaColumns(ref, Warehouse.PartitionByMeta)
           else Nil))
     val statCols = statColumns(ref).filter(df.columns.contains)
     val blooms = manifestDf(path(ref)).toSeq.flatMap(_.columns
@@ -2245,6 +2277,74 @@ final class Warehouse(spark: SparkSession, val root: String,
         "graft.clone.source_version" -> snap.version.toString))
     currentVersion(dst).get
   }
+
+  /** SHALLOW clone: the cheap-experimentation variant of
+    * [[cloneTable]] — ZERO data movement, O(files) log bytes. The
+    * clone's version 1 lists the source snapshot's files as FOREIGN
+    * entries (`@cat/schema/table/<rel>`, [[Warehouse.ForeignPrefix]]),
+    * resolved against the source directory at read time; the pinned
+    * version's constraints/CDF carry exactly like the deep clone, and
+    * lineage meta adds `graft.clone.shallow=true`.
+    *
+    * VACUUM CONTRACT (explicit, unlike Delta's): before the clone
+    * commits, the source gains a carried PIN
+    * (`graft.pin.<clone> = version`), and [[vacuum]] on the source
+    * keeps every pinned version's files regardless of retention — a
+    * source vacuum can never break a shallow clone. Dropping or
+    * materializing the clone should [[releasePin]] (and the pin-first
+    * ordering means a crash between the two commits leaves only a
+    * harmless extra-retention pin).
+    *
+    * Mutation contract: append / overwrite / TRUNCATE / DROP work
+    * (an overwrite materializes the clone into its own files — the
+    * explicit upgrade path is `overwrite(dst, read(dst))`); row-level
+    * delete/update/merge-rewrites and compact REFUSE while foreign
+    * entries remain, naming that remedy — rewriting another table's
+    * bytes in place is never sound. Shallow-cloning a snapshot that
+    * itself holds foreign entries or live deletion vectors is refused.
+    */
+  private def shallowClone(ref: TableRef, dst: TableRef,
+                           snap: TableSnapshot): Long = {
+    require(snap.dvMap.isEmpty,
+      s"shallow clone of $ref@v${snap.version}: the snapshot carries " +
+        "live deletion vectors — compact(ref) to materialize them first")
+    require(snap.files.forall(!_.startsWith(Warehouse.ForeignPrefix)),
+      s"shallow clone of $ref@v${snap.version}: the source is itself a " +
+        "shallow clone — materialize it (overwrite(ref, read(ref))) or " +
+        "deep-clone instead")
+    val prefix = s"${Warehouse.ForeignPrefix}${ref.catalog}/${ref.schema}/${ref.table}/"
+    val carried = commitMeta(ref, snap.version).filter { case (k, v) =>
+      v.nonEmpty && (k.startsWith(Warehouse.CheckMetaPrefix) ||
+        k == Warehouse.CdfMeta)
+    }
+    // PIN FIRST: from this commit on, source vacuum keeps the pinned
+    // version's files — the clone can then never observe a torn source
+    commitMetaOnly(ref, Map(Warehouse.pinMetaKey(dst) -> snap.version.toString))
+    withWriterLock(dst) {
+      require(snapshot(dst).isEmpty && !exists(dst),
+        s"cloneTable: destination $dst already exists")
+      commitLocked(dst, snap.schemaJson, snap.files.map(prefix + _),
+        carried ++ Map(Warehouse.OpMeta -> "CLONE",
+          "graft.clone.source" -> ref.toString,
+          "graft.clone.source_version" -> snap.version.toString,
+          "graft.clone.shallow" -> "true"),
+        snap.fileMeta.map { case (f, m) => (prefix + f, m) })
+    }
+  }
+
+  /** Release a shallow clone's retention pin on this SOURCE table —
+    * call after dropping or materializing the clone; the next
+    * [[vacuum]] may then reclaim the pinned version's files.
+    */
+  def releasePin(ref: TableRef, clone: TableRef): Long =
+    commitMetaOnly(ref, Map(Warehouse.pinMetaKey(clone) -> ""))
+
+  /** Versions of this table pinned by live shallow clones. */
+  def pinnedVersions(ref: TableRef): Map[String, Long] =
+    currentVersion(ref).map(v => commitMeta(ref, v).collect {
+      case (k, pv) if k.startsWith(Warehouse.PinMetaPrefix) && pv.nonEmpty =>
+        k.stripPrefix(Warehouse.PinMetaPrefix) -> pv.toLong
+    }).getOrElse(Map.empty)
 
   /** TABLE RENAME (`ALTER TABLE ... RENAME TO`): one directory move
     * under BOTH tables' writer locks — pure metadata (O(1) rename on
@@ -2275,6 +2375,13 @@ final class Warehouse(spark: SparkSession, val root: String,
           s"renameTable: $src has no committed table")
         require(!exists(dst) && snapshot(dst).isEmpty,
           s"renameTable: destination $dst already exists")
+        // shallow clones resolve their foreign entries against this
+        // NAME-derived path: moving it would break every one of them
+        val pinned = pinnedVersions(src)
+        require(pinned.isEmpty,
+          s"renameTable: $src is pinned by shallow clone(s) " +
+            s"${pinned.keys.mkString(", ")} — materialize or drop them " +
+            "(releasePin) before renaming")
         val srcPath = new Path(path(src))
         val dstPath = new Path(path(dst))
         val filesystem = fs(srcPath)
@@ -2593,7 +2700,20 @@ final class Warehouse(spark: SparkSession, val root: String,
     * throws [[ConcurrentWriteException]] if the table moved — callers
     * with contention re-run (nothing was touched).
     */
+  /** Row-level mutation and in-place maintenance refuse while FOREIGN
+    * (shallow-clone) entries remain — rewriting another table's bytes
+    * is never sound; the remedy is one materializing overwrite.
+    */
+  private def requireNoForeign(ref: TableRef, action: String): Unit =
+    snapshot(ref).foreach { s =>
+      require(s.files.forall(!_.startsWith(Warehouse.ForeignPrefix)),
+        s"$action on $ref: the table is a SHALLOW clone still " +
+          "referencing its source's files — materialize it first " +
+          "(overwrite(ref, read(ref)), then releasePin on the source)")
+    }
+
   def deleteWhere(ref: TableRef, cond: org.apache.spark.sql.Column): Long = {
+    requireNoForeign(ref, "deleteWhere")
     // merge-on-read routing: the table property asks for it, or live
     // vectors exist (a copy-on-write rewrite of a DV'd file would need
     // the DV-aware read anyway — one code path owns that composition)
@@ -2794,14 +2914,12 @@ final class Warehouse(spark: SparkSession, val root: String,
   def updateWhere(ref: TableRef, cond: org.apache.spark.sql.Column,
                   set: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    requireNoForeign(ref, "updateWhere")
     val matched = cond <=> lit(true) // null predicate = not matched
     val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
       s"$ref has no committed version"))
     // SET targets must be physical DATA columns of the files
-    val partCols: Set[String] = snap.files.headOption.toSeq.flatMap {
-      _.split('/').dropRight(1).toSeq
-        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-    }.toSet
+    val partCols: Set[String] = Warehouse.partDirCols(snap.files).toSet
     val dataCols = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
       .fieldNames.toSeq.filterNot(partCols.contains)
@@ -3854,10 +3972,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // are already scoped below the partition level and stay flat
     val partCols: Seq[String] =
       if (subdir.nonEmpty) Nil
-      else snap.files.headOption.toSeq.flatMap { f =>
-        f.split('/').dropRight(1).toSeq
-          .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-      }
+      else Warehouse.partDirCols(snap.files)
     val missingParts = partCols.filterNot(replacement.columns.contains)
     require(missingParts.isEmpty,
       s"replaceDataFiles on $ref needs partition column(s) " +
@@ -4166,6 +4281,14 @@ final class Warehouse(spark: SparkSession, val root: String,
     val qualifiedTable = filesystem.makeQualified(tablePath)
     val qualifiedPrefix = qualifiedTable.toString + "/"
     val snapDv = snapshot(ref).map(_.dvMap).getOrElse(Map.empty)
+    // foreign (shallow-clone) entries are another table's bytes —
+    // compaction skips them; the clone's own appended files still pack
+    val foreignSkipped = snapshot(ref).map(_.files
+      .count(_.startsWith(Warehouse.ForeignPrefix))).getOrElse(0)
+    if (foreignSkipped > 0)
+      Warehouse.log.info(s"compact($ref): skipping $foreignSkipped " +
+        "foreign shallow-clone entries (materialize with overwrite to " +
+        "compact them)")
     val byDir = currentDataFiles(ref)
       .map(p => p -> filesystem.getFileStatus(p).getLen)
       .groupBy(_._1.getParent)
@@ -4457,6 +4580,42 @@ object Warehouse {
     */
   val StatsColumnsMeta = "graft.stats_columns"
   val BloomColumnsMeta = "graft.bloom_columns"
+
+  /** File-list entries beginning with this prefix reference ANOTHER
+    * table's data file inside the same warehouse
+    * (`@cat/schema/table/<rel>`) — how a SHALLOW clone shares its
+    * source's bytes without copying them. Reads resolve them against
+    * the referenced table's directory; row-level mutation of a table
+    * holding foreign entries is refused (materialize first).
+    */
+  val ForeignPrefix = "@"
+
+  /** Carried-meta prefix on a SOURCE table recording that a shallow
+    * clone references one of its versions (`graft.pin.<clone> = v`):
+    * [[Warehouse.vacuum]] keeps the pinned version's files however far
+    * retention advances, so a source vacuum can never break the clone
+    * — the explicit contract Delta leaves undefined. Released with
+    * [[Warehouse.releasePin]] (empty tombstone) when the clone is
+    * dropped or materialized.
+    */
+  val PinMetaPrefix = "graft.pin."
+
+  def pinMetaKey(clone: TableRef): String = s"$PinMetaPrefix$clone"
+
+  /** Partition columns a committed file list implies: the `k=v`
+    * directory components of the FIRST entry — the one idiom every
+    * layout derivation uses, centralized so foreign (shallow-clone)
+    * entries parse their partition dirs past the `@cat/schema/table/`
+    * prefix instead of reporting a flat layout.
+    */
+  def partDirCols(files: Seq[String]): Seq[String] =
+    files.headOption.toSeq.flatMap { f0 =>
+      val f = if (f0.startsWith(ForeignPrefix))
+        f0.stripPrefix(ForeignPrefix).split('/').drop(3).mkString("/")
+      else f0
+      f.split('/').dropRight(1).toSeq
+        .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
+    }
 
   /** Carried-meta prefix of CHECK constraints
     * ([[Warehouse.setCheckConstraint]]): `graft.check.<name>` →

@@ -387,11 +387,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     // re-route partitionBy through it, or a merge falling back to the
     // rewrite path would silently FLATTEN the table — values intact but
     // partition pruning gone, the quiet 100 TB regression
-    val partCols: Seq[String] = warehouse.snapshot(ref).toSeq.flatMap(
-      _.files.headOption.toSeq.flatMap { f =>
-        f.split('/').dropRight(1).toSeq
-          .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
-      })
+    val partCols: Seq[String] = warehouse.snapshot(ref).toSeq
+      .flatMap(s => Warehouse.partDirCols(s.files))
     if (evolveSchema) {
       val target = warehouse.read(ref)
       // trigger on name+type signature, not names alone — a same-name
