@@ -94,17 +94,23 @@ class GraftCatalogSpec extends SparkSpec {
       .head().getLong(0) === 1000L)
 
     // DML writes route through the commit protocol: INSERT INTO is an
-    // APPEND commit visible to the next query; RENAME (the one DDL verb
-    // the name-based layout can't honor) still throws loudly — CREATE/
-    // CTAS/ALTER/DROP are first-class now (SqlDdlSpec)
+    // APPEND commit visible to the next query; RENAME is a pure-metadata
+    // directory move (full semantics pinned in SqlDdlSpec:336) — here we
+    // assert the catalog wiring: new name reads, old name dies
     spark.sql("INSERT INTO graftsql.silver.g.facts VALUES (9999, 'x')")
     assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.facts")
       .head().getLong(0) === 501L)
     assert(wh.commitMeta(ref, wh.currentVersion(ref).get)
       .get(Warehouse.OpMeta).contains("APPEND"))
-    val e = intercept[UnsupportedOperationException](
-      spark.sql("ALTER TABLE graftsql.silver.g.facts RENAME TO silver.g.facts2"))
-    assert(e.getMessage.contains("not") && e.getMessage.contains("DDL"))
+    spark.sql("ALTER TABLE graftsql.silver.g.facts RENAME TO silver.g.facts2")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.facts2")
+      .head().getLong(0) === 501L)
+    intercept[Exception](
+      spark.sql("SELECT * FROM graftsql.silver.g.facts").collect())
+    // move it back: the rest of the spec (and `ref`) addresses `facts`
+    spark.sql("ALTER TABLE graftsql.silver.g.facts2 RENAME TO silver.g.facts")
+    assert(spark.sql("SELECT count(*) AS n FROM graftsql.silver.g.facts")
+      .head().getLong(0) === 501L)
     // unknown table resolves to the standard analysis error
     intercept[Exception](spark.sql("SELECT * FROM graftsql.silver.g.nope"))
 
