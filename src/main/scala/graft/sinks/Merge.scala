@@ -325,10 +325,15 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
       else warehouse.splitFilesByRange(ref, pruneKey, bounds.get(1), bounds.get(2))
     split match {
       case Some((touched, untouched)) if untouched.nonEmpty =>
+        // route through the warehouse's subset reader (same contract as
+        // readTouched): the COMMITTED schema guards mixed-era files and
+        // live DELETION VECTORS apply — a raw parquet read here would
+        // rewrite merge-on-read-deleted rows of unaffected partitions
+        // into new files, permanently resurrecting them once the old
+        // file (and its dv mapping) retires
         val touchedDf =
           if (touched.isEmpty) None
-          else Some(spark.read
-            .option("basePath", warehouse.path(ref)).parquet(touched: _*))
+          else Some(warehouse.readFiles(ref, touched))
         val rewritten = touchedDf
           .map(dropAffected(_).unionByName(replacement))
           .getOrElse(replacement) // nothing holds these partitions

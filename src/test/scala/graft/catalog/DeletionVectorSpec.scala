@@ -153,6 +153,40 @@ class DeletionVectorSpec extends SparkSpec {
       === "merged")
   }
 
+  test("replacePartitions over DV'd touched files never resurrects deleted rows") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-dv-replpart"))
+    val ref = TableRef("silver", "dv", "replpart")
+    // range-correlated partitions so the k-range split leaves files
+    // UNTOUCHED (seg=g0 holds 1-10, g1 11-20, g2 21-30): the pruned
+    // branch — the one that reads touched files back — must engage
+    wh.overwrite(ref,
+      (1L to 30L).map(i => (i, s"g${(i - 1) / 10}", i * 1.0))
+        .toDF("k", "seg", "v"),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))
+    wh.setDeletionVectors(ref, enabled = true)
+    // merge-on-read delete inside the partition the replace will touch
+    assert(wh.deleteWhere(ref, col("k") === 3L) === 1L)
+    assert(wh.snapshot(ref).get.dvMap.nonEmpty, "delete must be merge-on-read")
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.replacePartitions(
+      Seq(5L, 6L).toDF("k"),
+      Seq((5L, "g0", 50.0)).toDF("k", "seg", "v"))
+    val got = wh.read(ref)
+    assert(got.filter(col("k") === 3L).count() === 0L,
+      "the touched-file rewrite resurrected a DV-deleted row")
+    // 30 - deleted(3) - tombstoned(6) = 28; k=5 replaced in place
+    assert(got.count() === 28L)
+    assert(got.filter(col("k") === 5L).select("v").as[Double].head() === 50.0)
+    // untouched partitions were not rewritten (their files survive)
+    val files = wh.snapshot(ref).get.files
+    assert(files.exists(_.contains("seg=g2")), "untouched partition rewritten")
+    // and the deletion stays gone after compaction materializes vectors
+    wh.compact(ref)
+    assert(wh.read(ref).filter(col("k") === 3L).count() === 0L)
+    assert(wh.read(ref).count() === 28L)
+  }
+
   test("keyed changeFeed and snapshotDiff derive merge-on-read deletes") {
     import spark.implicits._
     val (wh, ref) = freshTable("feed")
