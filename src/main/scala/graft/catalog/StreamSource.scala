@@ -86,6 +86,13 @@ private[catalog] final class GraftScanBuilder(spark: SparkSession,
 
   private def tryMetadataAnswer(aggregation: Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
     if (sawFilters) return None
+    // live deletion vectors on the SCANNED snapshot: manifest counts
+    // are physical and would include merge-on-read-deleted rows. The
+    // warehouse guards the CURRENT snapshot too, but a time-travel
+    // scan of a DV'd version after a RESTORE cleared the current
+    // dvMap would slip past that backstop — guard the snapshot this
+    // scan actually holds.
+    if (snap.dvMap.nonEmpty) return None
     val dataByName = dataFields.map(f => f.name -> f).toMap
     val partByName = tableSchema.fields
       .filterNot(f => dataByName.contains(f.name))

@@ -2382,6 +2382,19 @@ final class Warehouse(spark: SparkSession, val root: String,
           s"renameTable: $src is pinned by shallow clone(s) " +
             s"${pinned.keys.mkString(", ")} — materialize or drop them " +
             "(releasePin) before renaming")
+        // renaming a shallow CLONE re-keys its retention pin on the
+        // source (pins key by clone NAME): stamp the NEW name's pin
+        // BEFORE the move — a crash in between leaves one harmless
+        // extra-retention pin, never an unpinned clone — and release
+        // the old name's pin after
+        val pinRekeys = snapshot(src).toSeq.flatMap(_.files)
+          .filter(_.startsWith(Warehouse.ForeignPrefix))
+          .map(_.stripPrefix(Warehouse.ForeignPrefix).split('/').take(3))
+          .collect { case Array(c, s, t) => TableRef(c, s, t) }.distinct
+          .flatMap(st => pinnedVersions(st).get(src.toString).map(st -> _))
+        pinRekeys.foreach { case (st, pv) =>
+          commitMetaOnly(st, Map(Warehouse.pinMetaKey(dst) -> pv.toString))
+        }
         val srcPath = new Path(path(src))
         val dstPath = new Path(path(dst))
         val filesystem = fs(srcPath)
@@ -2393,6 +2406,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         Warehouse.purgeCaches(path(dst))
         TableStatsRegistry.invalidate(path(src))
         TableStatsRegistry.invalidate(path(dst))
+        // old name's pin releases only once the move committed
+        pinRekeys.foreach { case (st, _) => releasePin(st, src) }
       }
     }
     // lineage stamp AFTER the locks release (commitMetaOnly takes the
@@ -2988,6 +3003,24 @@ final class Warehouse(spark: SparkSession, val root: String,
       meta = Map(Warehouse.OpMeta -> "TRUNCATE"))
 
   def drop(ref: TableRef): Unit = {
+    // shallow clones resolve their foreign entries against this
+    // NAME-derived directory: deleting it would break every one of
+    // them at file open, with no remediation path — same contract as
+    // renameTable's guard
+    val pinned = pinnedVersions(ref)
+    require(pinned.isEmpty,
+      s"drop: $ref is pinned by shallow clone(s) " +
+        s"${pinned.keys.mkString(", ")} — materialize or drop them " +
+        "(releasePin) before dropping the source")
+    // dropping a shallow CLONE releases its retention pin on the
+    // source (the lifecycle the clone contract prescribes), so the
+    // source's next vacuum may reclaim the pinned version. Release
+    // AFTER the delete: a crash in between leaves only a harmless
+    // extra-retention pin (the pin-first ordering, in reverse).
+    val pinSources = snapshot(ref).toSeq.flatMap(_.files)
+      .filter(_.startsWith(Warehouse.ForeignPrefix))
+      .map(_.stripPrefix(Warehouse.ForeignPrefix).split('/').take(3))
+      .collect { case Array(c, s, t) => TableRef(c, s, t) }.distinct
     val p = new Path(path(ref))
     fs(p).delete(p, true)
     // the JVM-wide log/manifest caches fingerprint by (len, mtime) —
@@ -2998,6 +3031,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     // ANOTHER process remains guarded only by the fingerprint.
     Warehouse.purgeCaches(path(ref))
     TableStatsRegistry.invalidate(path(ref))
+    pinSources.foreach { src =>
+      if (exists(src) && pinnedVersions(src).contains(ref.toString))
+        releasePin(src, ref)
+    }
   }
 
   /** Enumerate all tables as `$root/catalog/schema/table` directories

@@ -1360,7 +1360,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 17) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 18) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -1994,6 +1994,91 @@ object PipelineQueries {
     """SELECT o_orderkey, o_totalprice, TRUE AS clone_protocol
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  /** SHALLOW clone lifecycle (round 17's untested feature, proven here
+    * end-to-end): `CALL graft.system.clone(..., shallow => true)`
+    * commits a ZERO-COPY clone — version 1 lists the source snapshot's
+    * files as foreign `@cat/schema/table/<rel>` entries and the source
+    * gains a retention pin — then the gate CHURNS the source (full
+    * overwrite to a disjoint slice) and vacuums it to retention 1, and
+    * the emitted rows are the post-vacuum SQL read of the clone,
+    * hash-matched against DuckDB on the ORIGINAL slice:
+    *
+    *  - `shallow_zero_copy`: every clone snapshot entry is foreign and
+    *    the clone commit staged no data bytes (ledger witness), with
+    *    the pin recorded at the cloned version;
+    *  - the rows hash-match DuckDB — the foreign read resolves the
+    *    source's files correctly THROUGH the churn and the vacuum
+    *    (the pin keep-list is what kept them alive);
+    *  - the teardown exercises the release path: dropping the clone
+    *    releases the pin, after which the pinned SOURCE may drop.
+    *
+    * At 100 TB this is the cheap-experimentation contract: cloning a
+    * petabyte table costs O(files) log bytes and no data movement,
+    * and no maintenance job on the source can strand the clone.
+    */
+  def qCloneShallow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val srcTable = s"orders_shsrc_$n"
+    val dstTable = s"orders_shdst_$n"
+    val wh = new Warehouse(spark, root)
+    val src = TableRef("silver", "facts", srcTable)
+    val dst = TableRef("silver", "facts", dstTable)
+    wh.overwrite(src,
+      Tables.load(spark, dir, "orders")
+        .filter($"o_orderkey" <= 1000) // identical slice at every SF
+        .select($"o_orderkey", $"o_totalprice")
+        .repartitionByRange(4, $"o_orderkey"),
+      statsColumns = Seq("o_orderkey"))                               // v1
+    val pinnedV = wh.currentVersion(src).get
+    graft.util.PhaseTimer.time("clone.shallow") {
+      spark.sql(s"CALL $cat.system.clone('silver.facts.$srcTable', " +
+        s"'silver.facts.$dstTable', shallow => true)").collect()
+    }
+    val snap = wh.snapshot(dst).get
+    val zeroCopy = snap.files.nonEmpty &&
+      snap.files.forall(_.startsWith(Warehouse.ForeignPrefix)) &&
+      wh.pinnedVersions(src) == Map(dst.toString -> pinnedV) &&
+      wh.commitMeta(dst, 1L).get("graft.clone.shallow").contains("true")
+    // churn the source PAST the pinned version and vacuum to
+    // retention 1: only the pin keeps the clone's bytes alive now
+    graft.util.PhaseTimer.time("clone.churnvac") {
+      wh.overwrite(src,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" > 1000 && $"o_orderkey" <= 1100)
+          .select($"o_orderkey", $"o_totalprice"))
+      wh.vacuum(src, keepVersions = 1)
+    }
+    // the RESULT is the post-churn post-vacuum foreign read (SQL, via
+    // the optimizer's foreign rewrite arm) — the hash-match against
+    // DuckDB's original slice IS the survival proof
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$dstTable")
+      .withColumn("shallow_zero_copy", lit(zeroCopy))
+    val rows = out.collect()
+    // teardown = the release lifecycle: the pinned source refuses to
+    // drop until the clone goes (which releases the pin)
+    val guarded =
+      try { wh.drop(src); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("releasePin") }
+    wh.drop(dst)
+    val released = wh.pinnedVersions(src).isEmpty
+    wh.drop(src)
+    val schema = org.apache.spark.sql.types.StructType(out.schema.fields :+
+      org.apache.spark.sql.types.StructField("pin_lifecycle",
+        org.apache.spark.sql.types.BooleanType, nullable = false))
+    spark.createDataFrame(java.util.Arrays.asList(rows.map(r =>
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ (guarded && released))): _*), schema)
+  }
+
+  val qCloneShallowSql: String =
+    """SELECT o_orderkey, o_totalprice, TRUE AS shallow_zero_copy,
+      |       TRUE AS pin_lifecycle
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   /** CHECK constraints enforced by the commit protocol (round 15 —
     * Delta's `ALTER TABLE ADD CONSTRAINT` counterpart,
     * [[graft.catalog.Warehouse.setCheckConstraint]]): a carried-meta
@@ -2293,6 +2378,7 @@ object PipelineQueries {
     "q_merge_part" -> (qMergePart _),
     "q_rename_column" -> (qRenameColumn _),
     "q_clone_table" -> (qCloneTable _),
+    "q_clone_shallow" -> (qCloneShallow _),
     "q_check_constraint" -> (qCheckConstraint _),
     "q_add_column" -> (qAddColumn _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -2346,6 +2432,7 @@ object PipelineQueries {
     "q_merge_part" -> qMergePartSql,
     "q_rename_column" -> qRenameColumnSql,
     "q_clone_table" -> qCloneTableSql,
+    "q_clone_shallow" -> qCloneShallowSql,
     "q_check_constraint" -> qCheckConstraintSql,
     "q_add_column" -> qAddColumnSql,
     "q_sql_delete" -> qSqlDeleteSql,

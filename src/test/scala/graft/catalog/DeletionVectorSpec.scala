@@ -153,6 +153,31 @@ class DeletionVectorSpec extends SparkSpec {
       === "merged")
   }
 
+  test("time-travel metadata COUNT over a DV'd version never answers physical counts") {
+    import spark.implicits._
+    val root = tmpDir("wh-dv-ttmeta")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftdvtt"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "dv", "ttmeta")
+    wh.overwrite(ref, (1L to 50L).map(i => (i, s"n$i")).toDF("k", "name"),
+      statsColumns = Seq("k"))                                // v1
+    wh.setDeletionVectors(ref, enabled = true)                // v2
+    assert(wh.deleteWhere(ref, col("k") <= 10L) === 10L)      // v3, dv'd
+    val dvVersion = wh.currentVersion(ref).get
+    // RESTORE clears the CURRENT snapshot's dvMap while the files (and
+    // their stats-manifest rows) stay — the current-snapshot backstop
+    // alone would now let a time-travel COUNT answer the PHYSICAL 50
+    wh.restore(ref, 1L)
+    assert(wh.snapshot(ref).get.dvMap.isEmpty)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.silver.dv.ttmeta")
+      .head().getLong(0) === 50L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.silver.dv.ttmeta " +
+        s"VERSION AS OF $dvVersion").head().getLong(0) === 40L,
+      "metadata-only COUNT over a DV'd version counted deleted rows")
+  }
+
   test("replacePartitions over DV'd touched files never resurrects deleted rows") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-dv-replpart"))
