@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -16,20 +16,35 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * (Delta's reader-protocol-version model: never silently resurrect
   * deleted rows).
   *
-  * Scope: READ positions only. Row-level DML keeps its relation — the
-  * DELETE/UPDATE/MERGE target dispatches through `SupportsDelete` /
-  * the warehouse entry points, which are DV-aware themselves; a MERGE
-  * source still rewrites.
+  * Scope: READ positions only. Row-level DML keeps its TARGET relation
+  * — the DELETE/UPDATE/MERGE target dispatches through
+  * `SupportsDelete` / the warehouse entry points, which are DV-aware
+  * themselves — but everything the DML *reads* rewrites: a MERGE
+  * source, and any subquery in a DELETE/UPDATE condition or SET value
+  * (`DELETE ... WHERE k IN (SELECT k FROM dv_table)` must see the
+  * DV-applied rows, not the physical scan's refusal).
   */
 object DvReadRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    case d: DeleteFromTable => d
-    case u: UpdateTable => u
+    case d: DeleteFromTable =>
+      d.copy(condition = rewriteReads(d.condition))
+    case u: UpdateTable =>
+      u.copy(condition = u.condition.map(rewriteReads),
+        assignments = u.assignments.map(a =>
+          a.copy(value = rewriteReads(a.value))))
     case m: MergeIntoTable => m.copy(sourceTable = apply(m.sourceTable))
     case _ => plan.transformDownWithSubqueries {
       case r: DataSourceV2Relation if needsDv(r) => rewrite(r)
     }
+  }
+
+  /** Rewrite DV'd/foreign relations inside an expression's subquery
+    * plans (a DML condition or SET value) — the TARGET relation is not
+    * under these expressions, so it stays untouched.
+    */
+  private def rewriteReads(e: Expression): Expression = e.transform {
+    case s: SubqueryExpression => s.withNewPlan(apply(s.plan))
   }
 
   private def needsDv(r: DataSourceV2Relation): Boolean = r.table match {

@@ -2,8 +2,8 @@ package graft.catalog
 
 import org.apache.spark.sql.{Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, PlanExpression, And => CAnd}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, Not, PlanExpression, SubqueryExpression, And => CAnd}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -46,10 +46,54 @@ object SqlMerge {
       case m: MergeIntoTable if m.childrenResolved =>
         translate(m).getOrElse(plan)
       case u: UpdateTable if u.resolved =>
-        translateUpdate(u).getOrElse(plan)
+        translateUpdate(u).getOrElse {
+          // translateUpdate declines subqueries (no SQL rendering for
+          // a plan); Spark's fallback error names nothing useful, so
+          // refuse HERE with the workaround
+          val hasSub = u.condition.exists(
+              _.exists(_.isInstanceOf[PlanExpression[_]])) ||
+            u.assignments.exists(
+              _.value.exists(_.isInstanceOf[PlanExpression[_]]))
+          if (hasSub && graftTarget(u.table).isDefined)
+            throw new UnsupportedOperationException(
+              "UPDATE with a subquery is not supported on graft tables — " +
+                "rewrite as MERGE INTO (the subquery becomes the USING " +
+                "source) or precompute the key set into the WHERE clause")
+          plan
+        }
+      case d: DeleteFromTable if d.childrenResolved && d.condition.resolved =>
+        translateDelete(d).getOrElse(plan)
       case _ => plan
     }
   }
+
+  /** SQL `DELETE FROM t WHERE … (subquery …)` — the shape the native
+    * `SupportsDelete` path cannot carry (V1 filters hold no plans) and
+    * Delta refuses outright. Uncorrelated subqueries route to
+    * [[GraftSubqueryDeleteCommand]] (snapshot-consistent anti-filter
+    * overwrite); correlated ones refuse with the workaround.
+    * Subquery-free deletes stay on the file-pruned `SupportsDelete`
+    * path — this rule never touches them.
+    */
+  private def translateDelete(d: DeleteFromTable): Option[LogicalPlan] =
+    graftTarget(d.table).flatMap { case (_, table) =>
+      if (!d.condition.exists(_.isInstanceOf[PlanExpression[_]])) None
+      else {
+        if (SubqueryExpression.hasCorrelatedSubquery(d.condition))
+          throw new UnsupportedOperationException(
+            s"DELETE on ${table.snap.ref}: correlated subqueries are not " +
+              "supported — rewrite with an uncorrelated subquery or " +
+              "precompute the key set into the WHERE clause")
+        // the subquery condition must live under a FILTER (the one
+        // operator class CheckAnalysis allows IN/EXISTS in), never as
+        // a command expression — build the keep/deleted plans here
+        val matched = EqualNullSafe(d.condition, Literal(true))
+        Some(GraftSubqueryDeleteCommand(table.wh.root, table.snap.ref,
+          table.snap.version,
+          keep = Filter(Not(matched), d.table),
+          deleted = Filter(matched, d.table)))
+      }
+    }
 
   /** SQL `UPDATE t SET ... WHERE ...` → [[Warehouse.updateWhere]]
     * (file-pruned row-level rewrite). Assignment values and the
@@ -207,6 +251,52 @@ final case class GraftUpdateCommand(root: String, ref: TableRef,
     val wh = new Warehouse(session, root)
     wh.updateWhere(ref, condSql.map(expr).getOrElse(lit(true)),
       setSql.map { case (c, s) => c -> expr(s) })
+    Seq.empty
+  }
+}
+
+/** The routed subquery DELETE: a snapshot-consistent anti-filter
+  * OVERWRITE at execution time — read the target (deletion vectors and
+  * foreign entries applied), keep every row the condition does NOT
+  * match (three-valued logic: a NULL predicate keeps the row), commit
+  * with the partition layout and stats columns carried and the planned
+  * version CAS'd. The analyzed condition re-binds to the read plan's
+  * attributes BY NAME (its subquery plans ride along untouched — the
+  * optimizer's DV rewrite covers relations inside them). O(table)
+  * rewrite — the honest price of an arbitrary subquery predicate;
+  * filter-only deletes keep the pruned `SupportsDelete` path.
+  */
+final case class GraftSubqueryDeleteCommand(root: String, ref: TableRef,
+                                            plannedVersion: Long,
+                                            keep: LogicalPlan,
+                                            deleted: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(keep)
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val wh = new Warehouse(session, root)
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def rows(p: LogicalPlan) =
+      new org.apache.spark.sql.classic.Dataset[Row](classic, p,
+        Encoders.row(p.schema))
+    val kept = rows(keep)
+    val changes =
+      if (!wh.cdfEnabled(ref)) None
+      else Some(rows(deleted)
+        .withColumn(Warehouse.ChangeTypeCol, lit("delete")))
+    val partCols = wh.snapshot(ref).toSeq
+      .flatMap(s => Warehouse.partDirCols(s.files))
+    // CAS on the ANALYSIS-time version: the relation inside `keep` is
+    // pinned to that snapshot, so a concurrent commit must conflict
+    // loudly rather than be silently overwritten
+    wh.overwrite(ref, kept,
+      partitionBy = partCols.filter(kept.columns.contains),
+      statsColumns = wh.statColumns(ref).filter(kept.columns.contains),
+      expectedVersion = Some(plannedVersion),
+      meta = Map(Warehouse.OpMeta -> "DELETE"), changes = changes)
     Seq.empty
   }
 }

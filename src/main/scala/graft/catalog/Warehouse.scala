@@ -635,6 +635,25 @@ final class Warehouse(spark: SparkSession, val root: String,
       .select(declared.map(f => col(f.name)).toIndexedSeq: _*)
   }
 
+  /** [[readFiles]] with the merge-on-read position columns exposed:
+    * declared columns plus `__gdv_file` (table-relative path) and
+    * `__gdv_pos` (row index), live deletion vectors applied — the
+    * DV-mode merge's target read, whose superseded rows commit as
+    * positions ([[dvReplace]]) instead of a copy-on-write rewrite.
+    */
+  private[graft] def readFilesWithPos(ref: TableRef,
+                                      files: Seq[String]): DataFrame = {
+    val declared = schemaOf(ref)
+    val snap = snapshot(ref).getOrElse(
+      TableSnapshot(ref, -1L, declared.json, files.map(relKey(ref))))
+    val rels = files.map(relKey(ref))
+    val pseudo = snap.copy(schemaJson = declared.json, files = rels,
+      dvMap = snap.dvMap.view.filterKeys(rels.toSet).toMap)
+    readSubsetWithPos(pseudo, rels)
+      .select((declared.map(f => col(f.name)) ++
+        Seq(col("__gdv_file"), col("__gdv_pos"))).toIndexedSeq: _*)
+  }
+
   // ------------------------------------------------- deletion vectors
 
   /** Sidecar root: one parquet directory per DV-writing commit
@@ -2903,6 +2922,151 @@ final class Warehouse(spark: SparkSession, val root: String,
     perFile.values.sum
   }
 
+  /** MERGE-ON-READ replacement commit — the write-side primitive the
+    * DV-mode UPDATE and MERGE share (Delta's deletion-vector
+    * update/merge): the superseded rows' `(file, pos)` positions land
+    * in ONE sidecar (merged per file with any carried vector), the
+    * new/updated rows land as a small APPEND, and one commit publishes
+    * both — zero rewrite of unmatched bytes. A touched file whose
+    * EVERY live row is superseded retires as pure metadata instead of
+    * gaining an all-rows vector. At 100 TB this turns a scattered-key
+    * CDC upsert from O(touched files) data movement into O(changed
+    * rows) — the same economics [[deleteWhereDv]] bought for deletes.
+    *
+    * `positions` and `newRows`/`changes` MUST derive from one
+    * materialized classification (the callers localCheckpoint their
+    * merge join): this method evaluates them in separate actions, and
+    * un-pinned window tie-breaks could otherwise supersede one row and
+    * append another. CHECK constraints validate the staged new rows;
+    * CDF change files land atomically; the stats manifest drops
+    * retired files and gains the new files' entries.
+    */
+  private[graft] def dvReplace(ref: TableRef, planned: TableSnapshot,
+                               positions: DataFrame,
+                               newRows: Option[DataFrame],
+                               meta: Map[String, String],
+                               changes: Option[DataFrame]): Unit = {
+    // superseded-row counts per file (bounded driver action: one row
+    // per touched file) drive the metadata-retirement fast path
+    val perFileSup = positions.groupBy(col("file"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = perFileSup.keys.toSeq.sorted
+    if (touched.isEmpty && newRows.isEmpty) return
+    // live totals (existing vectors applied) over ONLY the touched
+    // files: a file whose every live row is superseded retires whole
+    val liveTotals =
+      if (touched.isEmpty) Map.empty[String, Long]
+      else readSubsetWithPos(planned, touched)
+        .groupBy(col("__gdv_file")).agg(count(lit(1)).as("__t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (dead, partial) = touched.partition(f =>
+      perFileSup(f) >= liveTotals(f))
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      val snap = ensureLogLocked(ref)
+      if (snap.version != planned.version)
+        throw new ConcurrentWriteException(
+          s"table $ref moved from version ${planned.version} to " +
+            s"${snap.version} since this DV write was planned — re-run")
+      val tablePath = new Path(path(ref))
+      val filesystem = fs(tablePath)
+      // sidecar: this commit's touched files' merged positions
+      // (previous vector ∪ superseded rows) — superseded dirs become
+      // vacuum garbage once no version references them
+      val newDvMap: Map[String, String] =
+        if (partial.isEmpty) snap.dvMap -- dead
+        else {
+          val dir = dvPath(ref, snap.version + 1)
+          filesystem.delete(dir, true) // a crashed predecessor's orphan
+          val newPositions = positions.filter(col("file").isin(partial: _*))
+            .select(col("file"), col("pos"))
+          val carried = partial.filter(snap.dvMap.contains)
+          val merged =
+            if (carried.isEmpty) newPositions
+            else newPositions.unionByName(dvRows(snap, carried))
+          merged.write.parquet(dir.toString)
+          val rel = f"$dvDir/v${snap.version + 1}%08d"
+          (snap.dvMap -- dead) ++ partial.map(_ -> rel)
+        }
+      // stage the new rows (partition layout honored), validate CHECK
+      // constraints over the staged bytes, journal, move in
+      val nonce = System.nanoTime().toString
+      val stage = new Path(path(ref) + s".tmp-dvwrite-$nonce")
+      val (adds, addMeta) = newRows match {
+        case None => (Seq.empty[String], Map.empty[String, (Long, Long)])
+        case Some(df) =>
+          val partCols = Warehouse.partDirCols(snap.files)
+          val missingParts = partCols.filterNot(df.columns.contains)
+          require(missingParts.isEmpty,
+            s"DV write to $ref needs partition column(s) " +
+              s"${missingParts.mkString(",")} in the new rows")
+          val writer =
+            if (partCols.isEmpty) df.write else df.write.partitionBy(partCols: _*)
+          writer.parquet(stage.toString)
+          validateConstraintsLocked(ref,
+            spark.read.schema(df.schema).parquet(stage.toString))
+          val staged = listDataFileStatuses(stage)
+          val stagedBase = filesystem.makeQualified(stage).toUri.getPath
+          val rels = staged.map(st =>
+            filesystem.makeQualified(st.getPath).toUri.getPath
+              .stripPrefix(stagedBase).stripPrefix("/"))
+          writeTxnJournal(ref, rels, Nil)
+          rels.zip(staged).foreach { case (r, st) =>
+            val dest = new Path(tablePath, r)
+            filesystem.mkdirs(dest.getParent)
+            if (!filesystem.rename(st.getPath, dest))
+              throw new RuntimeException(s"failed to move $r into $ref")
+          }
+          (rels, rels.zip(staged).map { case (r, st) =>
+            r -> (st.getLen, st.getModificationTime)
+          }.toMap)
+      }
+      try {
+        // CDF: atomic with the commit, same contract as every writer
+        val cdcMeta = changes.fold(Map.empty[String, String])(
+          stageCdcLocked(ref, snap.version, _))
+        val deadSet = dead.toSet
+        commitLocked(ref, snap.schemaJson,
+          snap.files.filterNot(deadSet.contains) ++ adds,
+          cdcMeta ++ meta,
+          (snap.fileMeta -- dead) ++ addMeta, dv = Some(newDvMap))
+        filesystem.delete(new Path(tablePath, txnFile), false)
+        // stats manifest: retired files leave; new files' entries join
+        // (post-commit, same crash contract as the append part path —
+        // missing rows only cost an honest fallback)
+        val statCols = statColumns(ref)
+        manifestDf(path(ref)).foreach { old =>
+          val kept = if (dead.isEmpty) old
+            else old.filter(!col("file").isin(dead: _*))
+          val oldBlooms = old.columns.toSeq
+            .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+          val next =
+            if (adds.isEmpty || statCols.isEmpty) kept
+            else {
+              val newStats = fileStats(
+                spark.read.parquet(adds.map(a =>
+                  new Path(tablePath, a).toString): _*),
+                path(ref), statCols, oldBlooms)
+              val common = old.columns.filter(newStats.columns.contains).toSeq
+              kept.select(common.map(col): _*)
+                .unionByName(newStats, allowMissingColumns = true)
+            }
+          val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
+          next.coalesce(1).write.parquet(tmp.toString)
+          val live = new Path(tablePath, statsDir)
+          filesystem.delete(live, true)
+          if (!filesystem.rename(tmp, live))
+            throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        }
+        TableStatsRegistry.invalidate(path(ref))
+      } finally {
+        filesystem.delete(stage, true)
+        ()
+      }
+    }
+  }
+
   /** Row-level UPDATE (Delta `UPDATE ... SET ... WHERE` semantics):
     * rewrite ONLY the files that contain a matching row — matched rows
     * get the SET columns re-evaluated, unmatched rows in the same file
@@ -2943,6 +3107,10 @@ final class Warehouse(spark: SparkSession, val root: String,
       s"updateWhere on $ref cannot SET ${badSet.mkString(",")}: not a " +
         "data column (partition columns are directory-encoded — a " +
         "partition-moving update is a delete + insert)")
+    // merge-on-read routing (same dispatch as deleteWhere): with the
+    // DV property on, matched rows supersede by position and the
+    // updated rows land as one small append — no touched-file rewrite
+    if (dvEnabled(ref)) return updateWhereDv(ref, matched, set, snap)
     // with live deletion vectors the read is an anti-join, where
     // input_file_name() no longer attributes — plan off the captured
     // metadata column instead (same pushed-predicate scan shape)
@@ -2995,6 +3163,44 @@ final class Warehouse(spark: SparkSession, val root: String,
           meta = Map(Warehouse.OpMeta -> "UPDATE"), changes = changes)
       }
     perFile.map(_.getLong(1)).sum
+  }
+
+  /** MERGE-ON-READ update — [[updateWhere]]'s body when the DV
+    * property is on: the matched rows' positions land in the sidecar
+    * and their SET-applied images land as one small append
+    * ([[dvReplace]]); unmatched rows in the same files never move.
+    * Change-feed rows (pre/postimage) commit atomically as usual.
+    */
+  private def updateWhereDv(ref: TableRef,
+                            matched: org.apache.spark.sql.Column,
+                            set: Seq[(String, org.apache.spark.sql.Column)],
+                            planned: TableSnapshot): Long = {
+    if (planned.files.isEmpty) return 0L
+    val setMap = set.toMap
+    // matched rows with positions, live vectors applied; the predicate
+    // pushes to the scan, so planning work tracks the files that could
+    // match. Deterministic (no window tie-breaks), so the separate
+    // actions below may re-evaluate it safely.
+    val eff = readSubsetWithPos(planned, planned.files).filter(matched)
+    val n = eff.count()
+    if (n == 0L) return 0L
+    val cols = eff.columns.toSeq
+      .filterNot(Set("__gdv_file", "__gdv_pos").contains)
+    val positions = eff
+      .select(col("__gdv_file").as("file"), col("__gdv_pos").as("pos"))
+    val newRows = eff.select(cols.map(c =>
+      setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    val changes =
+      if (!cdfEnabled(ref)) None
+      else {
+        val pre = eff.drop("__gdv_file", "__gdv_pos")
+        Some(pre.withColumn(Warehouse.ChangeTypeCol, lit("update_preimage"))
+          .unionByName(newRows.withColumn(Warehouse.ChangeTypeCol,
+            lit("update_postimage"))))
+      }
+    dvReplace(ref, planned, positions, Some(newRows),
+      Map(Warehouse.OpMeta -> "UPDATE"), changes)
+    n
   }
 
   /** K4 TRUNCATE (lib/checker_handler.py:119): keep the table, drop rows. */

@@ -152,6 +152,77 @@ object Merge {
           lit("update_postimage").as(ct): _*))
     (merged, changes)
   }
+
+  /** MERGE-ON-READ classification — the DV-mode merge's producer: same
+    * semantics as [[merge]]/[[mergeWithChanges]], but instead of the
+    * post-merge table contents it returns, off ONE materialized
+    * classification (localCheckpoint — separate downstream actions
+    * must share the window's tie-breaks):
+    *
+    *  - `sup` — the superseded target rows as `(file, pos)`: every
+    *    target row a source row replaced (these positions join the
+    *    deletion-vector sidecar);
+    *  - `adds` — the rows to APPEND: each replaced row's new values
+    *    plus the unmatched-source inserts (incl. the stale-row quirk);
+    *  - `changes` — CDF rows (insert / update_pre+postimage), or None.
+    *
+    * Target must carry `__gdv_file` / `__gdv_pos`
+    * ([[graft.catalog.Warehouse.readFilesWithPos]]). Unmatched target
+    * rows appear in NEITHER output — their bytes never move, which is
+    * the point: a scattered-key CDC batch costs O(changed rows), not
+    * O(touched files) of rewrite.
+    */
+  def mergeOnRead(target: DataFrame, source: DataFrame, keys: Seq[String],
+                  tsField: Option[String], wantChanges: Boolean)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    val carry = Seq("__gdv_file", "__gdv_pos")
+    val cols = target.columns.toSeq.filterNot(carry.contains)
+    require(source.columns.toSeq == cols,
+      s"merge schema mismatch: target ${cols.mkString(",")} vs source " +
+        source.columns.mkString(","))
+    val tgt = target.withColumn(TID, monotonically_increasing_id())
+    val src = cols.foldLeft(source)((d, c) => d.withColumnRenamed(c, SRC + c))
+      .withColumn(PRESENT, lit(true))
+    val keyCond = keys.map(k => col(k) === col(SRC + k)).reduce(_ && _)
+    val cond = tsField match {
+      case Some(ts) => keyCond && col(SRC + ts) >= col(ts)
+      case None => keyCond
+    }
+    val joined = tgt.join(src, cond, "full_outer")
+    val w = tsField match {
+      case Some(ts) =>
+        Window.partitionBy(TID).orderBy(col(SRC + ts).desc_nulls_last)
+      case None =>
+        Window.partitionBy(TID).orderBy(col(SRC + keys.head).asc_nulls_last)
+    }
+    val selectCols = cols.map(col) ++ cols.map(c => col(SRC + c)) ++
+      carry.map(col) :+ col(KIND)
+    // KEEP rows (target rows no source row won against) drop up front:
+    // their bytes never move, so they need no classification at all
+    val classified = joined.filter(col(TID).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(PRESENT))
+      .withColumn(KIND, lit("update"))
+      .select(selectCols: _*)
+      .unionByName(joined.filter(col(TID).isNull)
+        .withColumn(KIND, lit("insert")).select(selectCols: _*))
+      .localCheckpoint()
+    val sup = classified.filter(col(KIND) === "update")
+      .select(col("__gdv_file").as("file"), col("__gdv_pos").as("pos"))
+    val adds = classified.select(cols.map(c => col(SRC + c).as(c)): _*)
+    val ct = graft.catalog.Warehouse.ChangeTypeCol
+    val changes =
+      if (!wantChanges) None
+      else Some(classified.filter(col(KIND) === "insert")
+          .select(cols.map(c => col(SRC + c).as(c)) :+ lit("insert").as(ct): _*)
+        .unionByName(classified.filter(col(KIND) === "update")
+          .select(cols.map(col) :+ lit("update_preimage").as(ct): _*))
+        .unionByName(classified.filter(col(KIND) === "update")
+          .select(cols.map(c => col(SRC + c).as(c)) :+
+            lit("update_postimage").as(ct): _*)))
+    (sup, adds, changes)
+  }
 }
 
 /** A warehouse-backed merge target: Delta-`DeltaTable.forName` stand-in
@@ -451,6 +522,19 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
               s"source ${ssig.mkString(",")}")
           warehouse.replaceDataFiles(ref, touched, source,
             meta = Map(Warehouse.OpMeta -> "MERGE"))
+        } else if (warehouse.dvEnabled(ref)) {
+          // MERGE-ON-READ (the DV write path): superseded target rows
+          // commit as sidecar positions, replacement values + inserts
+          // land as one small append — unmatched bytes in the touched
+          // files never move. The same economics deleteWhere's DV path
+          // bought for deletes, here for the scattered-key CDC upsert.
+          val planned = warehouse.snapshot(ref).getOrElse(
+            throw new IllegalStateException(s"$ref vanished mid-merge"))
+          val (sup, adds, changes) = Merge.mergeOnRead(
+            warehouse.readFilesWithPos(ref, touched), source, keys, tsField,
+            wantChanges = cdfOn)
+          warehouse.dvReplace(ref, planned, sup, Some(adds),
+            Map(Warehouse.OpMeta -> "MERGE"), changes)
         } else if (cdfOn) {
           val (merged, changes) = Merge.mergeWithChanges(
             readTouched(touched), source, keys, tsField)

@@ -153,6 +153,86 @@ class DeletionVectorSpec extends SparkSpec {
       === "merged")
   }
 
+  test("DV-mode UPDATE is merge-on-read: positions + one small append, zero rewrite of unmatched bytes") {
+    import spark.implicits._
+    val (wh, ref) = freshTable("morupdate")
+    val before = wh.snapshot(ref).get.files.toSet
+    // scattered predicate: copy-on-write would rewrite every file
+    val n = wh.updateWhere(ref, col("k") % 10 === 3,
+      Seq("name" -> lit("upd")))
+    assert(n === 10L)
+    val snap = wh.snapshot(ref).get
+    assert(before.subsetOf(snap.files.toSet),
+      "a DV update must not retire any partially-live file")
+    val adds = snap.files.toSet -- before
+    assert(adds.nonEmpty && adds.forall(!_.contains("_graft_")),
+      "the updated rows must land as a fresh append")
+    assert(snap.dvMap.nonEmpty && snap.dvMap.keySet.subsetOf(before),
+      "the superseded positions must vector the ORIGINAL files")
+    val got = wh.read(ref)
+    assert(got.count() === 100L, "an update changes no row count")
+    assert(got.filter(col("name") === "upd").select("k").as[Long]
+      .collect().toSet === (1L to 100L).filter(_ % 10 == 3).toSet)
+    assert(got.select("k").distinct().count() === 100L,
+      "superseded originals must not survive beside their updates")
+    // composes with a DV delete, and compact materializes both away
+    assert(wh.deleteWhere(ref, col("k") % 10 === 7) === 10L)
+    wh.compact(ref)
+    assert(wh.snapshot(ref).get.dvMap.isEmpty)
+    assert(wh.read(ref).count() === 90L)
+    assert(wh.read(ref).filter(col("name") === "upd").count() === 10L)
+  }
+
+  test("DV-mode MERGE is merge-on-read: untouched bytes keep their files, updates + inserts append") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-dv-mormerge"))
+    val ref = TableRef("silver", "dv", "mormerge")
+    // range-clustered files so the merge's key-range prune leaves
+    // untouched files (the branch that rewrites is the one under test)
+    wh.overwrite(ref, (1L to 100L).map(i => (i, s"name$i", i % 10))
+        .toDF("k", "name", "bucket").repartitionByRange(4, col("k")),
+      statsColumns = Seq("k"))
+    wh.setDeletionVectors(ref, enabled = true)
+    wh.setChangeDataFeed(ref, enabled = true)
+    val before = wh.snapshot(ref).get.files.toSet
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((5L, "merged", 5L), (6L, "merged", 6L))
+      .toDF("k", "name", "bucket"))
+    val snap = wh.snapshot(ref).get
+    assert(before.subsetOf(snap.files.toSet),
+      "a DV merge must not rewrite the touched files")
+    assert((snap.files.toSet -- before).nonEmpty, "merge rows must append")
+    assert(snap.dvMap.nonEmpty, "superseded target rows must vector")
+    val got = wh.read(ref)
+    assert(got.count() === 100L)
+    assert(got.filter(col("name") === "merged").select("k").as[Long]
+      .collect().toSet === Set(5L, 6L))
+    assert(got.select("k").distinct().count() === 100L)
+    // the change feed renders the DV merge exactly like a rewrite merge
+    assert(wh.commitMeta(ref, snap.version).get("graft.cdc").contains("1"))
+    val feed = spark.read.parquet(wh.cdcPath(ref, snap.version).toString)
+      .select("k", Warehouse.ChangeTypeCol)
+      .as[(Long, String)].collect().toSet
+    assert(feed === Set((5L, "update_preimage"), (5L, "update_postimage"),
+      (6L, "update_preimage"), (6L, "update_postimage")))
+    // inserts ride the same append; a second merge composes vectors
+    mt.upsert(Seq((5L, "again", 5L), (101L, "new", 1L))
+      .toDF("k", "name", "bucket"))
+    val got2 = wh.read(ref)
+    assert(got2.count() === 101L)
+    assert(got2.filter(col("k") === 5L).select("name").as[String].head()
+      === "again")
+    assert(got2.select("k").distinct().count() === 101L)
+    // GDPR tail holds: compact + vacuum physically erase superseded rows
+    wh.compact(ref)
+    wh.vacuum(ref, keepVersions = 1)
+    assert(wh.snapshot(ref).get.dvMap.isEmpty)
+    val raw = spark.read.option("recursiveFileLookup", "true")
+      .parquet(wh.path(ref))
+    assert(raw.filter(col("k") === 5L).count() === 1L,
+      "superseded merge rows must be physically gone after compact+vacuum")
+  }
+
   test("time-travel metadata COUNT over a DV'd version never answers physical counts") {
     import spark.implicits._
     val root = tmpDir("wh-dv-ttmeta")
@@ -322,6 +402,59 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(c => Option(c.getMessage)
         .exists(_.contains("deletion vectors"))), s"got: $e2")
+  }
+
+  test("DML subqueries: DELETE ... IN (SELECT ...) reads DV'd and foreign truth; correlated + UPDATE refuse loudly") {
+    import spark.implicits._
+    val root = tmpDir("wh-dv-sub")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftdvsub"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val tgt = TableRef("silver", "dv", "subt")
+    val src = TableRef("silver", "dv", "subsrc")
+    wh.overwrite(tgt, (1L to 20L).map(i => (i, s"n$i")).toDF("k", "name"))
+    wh.overwrite(src, (1L to 10L).map(i => (i, s"s$i")).toDF("k", "name"),
+      statsColumns = Seq("k"))
+    wh.setDeletionVectors(src, enabled = true)
+    assert(wh.deleteWhere(src, col("k") <= 5L) === 5L) // live keys: 6-10
+    // the subquery must see the MERGE-ON-READ rows: keys 1-5 are
+    // deleted in subsrc, so they survive in the target
+    spark.sql(s"DELETE FROM $cat.silver.dv.subt WHERE k IN " +
+      s"(SELECT k FROM $cat.silver.dv.subsrc)")
+    assert(wh.read(tgt).select("k").as[Long].collect().toSet ===
+      ((1L to 5L) ++ (11L to 20L)).toSet,
+      "the DELETE subquery read physical (pre-DV) rows")
+    // a FOREIGN (shallow clone) subquery source resolves the same way
+    wh.cloneTable(src, TableRef("dev", "dv", "subclone"), shallow = true)
+    spark.sql(s"DELETE FROM $cat.silver.dv.subt WHERE k - 5 IN " +
+      s"(SELECT k FROM $cat.dev.dv.subclone WHERE k >= 9)")
+    assert(wh.read(tgt).select("k").as[Long].collect().toSet ===
+      ((1L to 5L) ++ (11L to 13L) ++ (16L to 20L)).toSet)
+    // three-valued logic: a NULL predicate keeps the row
+    wh.overwrite(TableRef("silver", "dv", "subnull"),
+      Seq((Some(6L), "a"), (None, "b"), (Some(99L), "c"))
+        .toDF("k", "name"))
+    spark.sql(s"DELETE FROM $cat.silver.dv.subnull WHERE k IN " +
+      s"(SELECT k FROM $cat.silver.dv.subsrc)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.silver.dv.subnull")
+      .head().getLong(0) === 2L, "NULL-key row must survive a subquery DELETE")
+    // correlated subqueries refuse with the workaround
+    val e1 = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.silver.dv.subt t WHERE EXISTS " +
+        s"(SELECT 1 FROM $cat.silver.dv.subsrc s WHERE s.k = t.k)")
+    }
+    assert(Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("correlated"))),
+      s"got: $e1")
+    // UPDATE with a subquery names MERGE INTO as the rewrite
+    val e2 = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.silver.dv.subt SET name = 'x' WHERE k IN " +
+        s"(SELECT k FROM $cat.silver.dv.subsrc)")
+    }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("MERGE INTO"))),
+      s"got: $e2")
   }
 
   test("DV read plans stay scan-shaped: predicate pushed below the anti-join, no rewrite jobs") {
