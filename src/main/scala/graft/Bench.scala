@@ -296,8 +296,18 @@ object Bench {
       graft.util.Scratch.drainTouched()
       (cold, warm)
     }
-    val gateRuns = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      runOne(name, () => fn(spark, sfDir).count())
+    // shared-fixture staging as its own timed entry, FIRST: the three
+    // big multi-gate fixtures (sqlfam / gold-MV churn / CDC churn)
+    // build here so consumer gates' cold numbers are their own
+    // operator work, not whichever gate ran first paying the family's
+    // build. Counted in the total — the work is real — with the
+    // per-fixture phases named in the artifact like any other build.
+    val prebuildRun =
+      if (args.nonEmpty) Nil // targeted runs keep lazy builds
+      else Seq(runOne("q_fixture_prebuild",
+        () => graft.queries.PipelineQueries.prebuildSharedFixtures(spark, sfDir)))
+    val gateRuns = prebuildRun ++ selected.toSeq.sortBy(_._1).map {
+      case (name, fn) => runOne(name, () => fn(spark, sfDir).count())
     }
     // operator-only variants over pre-built (untimed) fixtures;
     // selectable by name like gate queries (suffix _op) for targeted runs
@@ -402,16 +412,15 @@ object Bench {
     // is the stderr line above
     val warm = warmFull.take(12).mkString("{", ",", "}")
 
-    // Warm attribution (every >2 s warm entry): the 8 largest, 3
-    // phases each, so the artifact itself explains every significant
-    // warm number without a stderr excavation. "unattributed" marks a
-    // stateless recompute whose phases are all sub-threshold — its
-    // warm cost is the query's own plan, not a hidden fixture.
+    // Warm attribution: EVERY >2 s warm entry carries its phases (the
+    // r16/r17 take(6) cap left six >2 s entries unexplained in the
+    // artifact), 2 phases each. "unattributed" marks a stateless
+    // recompute whose phases are all sub-threshold — its warm cost is
+    // the query's own plan, not a hidden fixture.
     val warmPh =
       if (invertedWarmPhases.isEmpty) "{}"
       else invertedWarmPhases.toSeq
         .sortBy { case (n, _) => -warmResults.toMap.getOrElse(n, 0.0) }
-        .take(6)
         .map { case (n, ph) =>
           "\"" + n + "\":" + fmtMap(ph.toSeq.sortBy(-_._2).take(2))
         }.mkString("{", ",", "}")
@@ -440,7 +449,10 @@ object Bench {
     val (ioReads, ioBytes) = graft.catalog.Warehouse.LogIO.snapshot()
     val logIo = s"""{"reads":$ioReads,"bytes":$ioBytes}"""
 
-    val budget = 1700
+    // 1850 (was 1700): the uncapped warm attribution costs ~10 more
+    // entries; the driver's parse window is the LAST 2000 chars and
+    // sbt's [success] tail is ~60 — 1850 keeps the line safely inside
+    val budget = 1850
     val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","phases":$phases,"warm":$warm,"warm_phases":$warmPh,"caps":$caps,"log_io":$logIo,"queries":{"""
     val sb = new StringBuilder(head)
     var included = 0

@@ -547,12 +547,19 @@ object Dedup {
           .distinct()
           .localCheckpoint())
     }
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("containment", round(containment(col("sh_a"), col("sh_b")), 6))
-      .filter(col("containment") >= threshold)
-      .select("id_a", "id_b", "containment")
+    // exact verify, materialized under its own phase: the candidate
+    // pairs re-join their full shingle sets and score — the stage that
+    // otherwise hides inside whichever action runs first
+    time("containment.verify") {
+      graft.util.Scratch.transientCheckpoint(pairs
+        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .withColumn("containment",
+          round(containment(col("sh_a"), col("sh_b")), 6))
+        .filter(col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+        .localCheckpoint())
+    }
   }
 
   // -------------------------------------------------------------- simhash

@@ -597,7 +597,7 @@ object PipelineQueries {
 
   val qRestoreSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-      |WHERE o_orderkey % 4 <> 0""".stripMargin
+      |WHERE o_orderkey % 4 <> 0 AND o_orderkey < 15000""".stripMargin
 
   /** Change data feed end-to-end through the incremental merge engine:
     * bootstrap the table without the %4=0 keys, then upsert every even
@@ -622,11 +622,17 @@ object PipelineQueries {
   private def cdcChurnFixture(spark: SparkSession, dir: String)
       : (Warehouse, TableRef, Long, Long, Long) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "cdf.fixtures", uses = 3) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "cdf.fixtures", uses = 4) { narrowShuffle(spark) {
       val base = Files.createTempDirectory("graft-gate-cdf").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
       val ref = TableRef("silver", "facts", "orders_cdf")
       val orders = Tables.load(spark, dir, "orders")
+        // identical fixture slice at every SF (dense keys; same
+        // rationale as the gold-MV slice): the three feed/diff/restore
+        // gates prove CHANGE-SET semantics — cancellation of rewritten
+        // copies, net-effect math, metadata rollback — not scan
+        // throughput, and this churn was the bench's costliest fixture
+        .filter($"o_orderkey" < 15000)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
       val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
       mt.upsert(orders.filter($"o_orderkey" % 4 =!= 0))
@@ -650,11 +656,11 @@ object PipelineQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
       |  CASE WHEN o_orderkey % 4 = 0 THEN 'insert'
       |       ELSE 'update_post' END AS _change_type
-      |FROM orders WHERE o_orderkey % 2 = 0
+      |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey < 15000
       |UNION ALL
       |SELECT o_orderkey, o_custkey, o_totalprice,
       |  'update_pre' AS _change_type
-      |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin
+      |FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey < 15000""".stripMargin
 
   /** Net snapshot diff across THREE commits incl. a delete
     * (Warehouse.snapshotDiff v1→v3): only files in the manifests'
@@ -676,15 +682,21 @@ object PipelineQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
       |  CASE WHEN o_orderkey % 4 = 0 THEN 'insert'
       |       ELSE 'update_post' END AS _change_type
-      |FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+      |FROM orders
+      |WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+      |  AND o_orderkey < 15000
       |UNION ALL
       |SELECT o_orderkey, o_custkey, o_totalprice,
       |  'update_pre' AS _change_type
-      |FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 3 <> 0
+      |FROM orders
+      |WHERE o_orderkey % 4 = 2 AND o_orderkey % 3 <> 0
+      |  AND o_orderkey < 15000
       |UNION ALL
       |SELECT o_orderkey, o_custkey, o_totalprice,
       |  'delete' AS _change_type
-      |FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 3 = 0""".stripMargin
+      |FROM orders
+      |WHERE o_orderkey % 4 <> 0 AND o_orderkey % 3 = 0
+      |  AND o_orderkey < 15000""".stripMargin
 
   /** Row-level DELETE end-to-end (Delta `DELETE FROM ... WHERE`): the
     * table lands range-clustered with a stats manifest, the delete's
@@ -1010,7 +1022,7 @@ object PipelineQueries {
     }
 
   private def goldMvFixture(spark: SparkSession, dir: String): GoldMvChurn =
-    graft.util.Scratch.once(spark, dir, "goldmv.churn", uses = 6) {
+    graft.util.Scratch.once(spark, dir, "goldmv.churn", uses = 7) {
       import spark.implicits._
       val f = goldMvSeed(spark, dir)
       val orders = goldMvOrders(spark, dir)
@@ -1360,7 +1372,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 18) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 19) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -2025,12 +2037,14 @@ object PipelineQueries {
     val wh = new Warehouse(spark, root)
     val src = TableRef("silver", "facts", srcTable)
     val dst = TableRef("silver", "facts", dstTable)
-    wh.overwrite(src,
-      Tables.load(spark, dir, "orders")
-        .filter($"o_orderkey" <= 1000) // identical slice at every SF
-        .select($"o_orderkey", $"o_totalprice")
-        .repartitionByRange(4, $"o_orderkey"),
-      statsColumns = Seq("o_orderkey"))                               // v1
+    narrowShuffle(spark) {
+      wh.overwrite(src,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1000) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice")
+          .repartitionByRange(4, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))                             // v1
+    }
     val pinnedV = wh.currentVersion(src).get
     graft.util.PhaseTimer.time("clone.shallow") {
       spark.sql(s"CALL $cat.system.clone('silver.facts.$srcTable', " +
@@ -2043,13 +2057,13 @@ object PipelineQueries {
       wh.commitMeta(dst, 1L).get("graft.clone.shallow").contains("true")
     // churn the source PAST the pinned version and vacuum to
     // retention 1: only the pin keeps the clone's bytes alive now
-    graft.util.PhaseTimer.time("clone.churnvac") {
+    graft.util.PhaseTimer.time("clone.churnvac") { narrowShuffle(spark) {
       wh.overwrite(src,
         Tables.load(spark, dir, "orders")
           .filter($"o_orderkey" > 1000 && $"o_orderkey" <= 1100)
           .select($"o_orderkey", $"o_totalprice"))
       wh.vacuum(src, keepVersions = 1)
-    }
+    } }
     // the RESULT is the post-churn post-vacuum foreign read (SQL, via
     // the optimizer's foreign rewrite arm) — the hash-match against
     // DuckDB's original slice IS the survival proof
@@ -2362,6 +2376,23 @@ object PipelineQueries {
       |  (CAST(2 AS BIGINT), 'COMPACT'),
       |  (CAST(1 AS BIGINT), 'OVERWRITE'))
       |  AS t(version, operation)""".stripMargin
+
+  /** BENCH-ONLY fixture staging: build the three big SHARED fixtures
+    * (the SQL-catalog family, the gold-MV churn history, the CDC-churn
+    * warehouse) under one timed entry so each consumer gate's cold
+    * number reflects its OWN operator work instead of whichever gate
+    * ran first alphabetically paying the whole family's build. The
+    * bench counts this entry in the total (the work is real and stays
+    * visible — per-fixture phases keep their names in the artifact);
+    * Verify and the specs never call it, so gates there build lazily
+    * exactly as before.
+    */
+  def prebuildSharedFixtures(spark: SparkSession, dir: String): Long = {
+    sqlCatalogFamily(spark, dir)
+    goldMvFixture(spark, dir)
+    cdcChurnFixture(spark, dir)
+    3L
+  }
 
   def queries: Map[String, Q] = Map(
     "q_table_history" -> (qTableHistory _),
