@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, Not, PlanExpression, SubqueryExpression, And => CAnd}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -139,17 +139,84 @@ object SqlMerge {
       case _ => None
     }
 
-  private def translate(m: MergeIntoTable): Option[LogicalPlan] =
+  private def translate(m: MergeIntoTable): Option[LogicalPlan] = {
     for {
       (rel, table) <- graftTarget(m.targetTable)
       targetIds = rel.output.map(_.exprId).toSet
       sourceIds = m.sourceTable.output.map(_.exprId).toSet
       keys <- equiKeys(m.mergeCondition, targetIds, sourceIds)
+      cmd <- classicShape(m, rel, table, keys, sourceIds)
+        .orElse(clauseShape(m, rel, table, keys, sourceIds))
+    } yield cmd
+  }
+
+  /** The reference's merge shape — unconditional update-all +
+    * insert-all, no by-source — keeps its dedicated route
+    * ([[graft.sinks.MergeTable.upsert]]: DV-aware merge-on-read,
+    * latest-wins, schema evolution).
+    */
+  private def classicShape(m: MergeIntoTable, rel: DataSourceV2Relation,
+                           table: GraftSqlTable, keys: Seq[String],
+                           sourceIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Option[LogicalPlan] =
+    for {
       _ <- matchedIsUpdateAll(m.matchedActions, rel.output, sourceIds)
       _ <- notMatchedIsInsertAll(m.notMatchedActions, rel.output, sourceIds)
       if m.notMatchedBySourceActions.isEmpty
     } yield GraftMergeCommand(table.wh.root, table.snap.ref, keys,
       m.sourceTable)
+
+  /** The CLAUSE surface (Delta's conditional/delete/by-source merge):
+    * ordered `WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE`, at
+    * most one `WHEN NOT MATCHED [AND c] THEN INSERT *`, ordered
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`. Conditions
+    * re-render to SQL over the classified join's names (target bare,
+    * source under the `__src_` prefix); a non-renderable condition or
+    * an unsupported action shape declines — Spark then fails loudly.
+    */
+  private def clauseShape(m: MergeIntoTable, rel: DataSourceV2Relation,
+                          table: GraftSqlTable, keys: Seq[String],
+                          sourceIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+      : Option[LogicalPlan] = {
+    def sided(e: Expression): Option[String] =
+      if (!renderable(e)) None
+      else Some(e.transform {
+        case a: AttributeReference if sourceIds.contains(a.exprId) =>
+          UnresolvedAttribute.quoted(graft.sinks.Merge.SRC + a.name)
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      }.sql)
+    def condOf(c: Option[Expression]): Option[Option[String]] = c match {
+      case None => Some(None)
+      case Some(e) => sided(e).map(Some(_))
+    }
+    def matchedClause(a: MergeAction): Option[(Option[String], String)] =
+      a match {
+        case UpdateStarAction(c) => condOf(c).map(_ -> "update")
+        case UpdateAction(c, as, _)
+            if identityAssignments(as, rel.output, sourceIds) =>
+          condOf(c).map(_ -> "update")
+        case DeleteAction(c) => condOf(c).map(_ -> "delete")
+        case _ => None
+      }
+    val matched = m.matchedActions.map(matchedClause)
+    val insert: Option[Option[Option[String]]] = m.notMatchedActions match {
+      case Seq() => Some(None)
+      case Seq(InsertStarAction(c)) => condOf(c).map(Some(_))
+      case Seq(InsertAction(c, as))
+          if identityAssignments(as, rel.output, sourceIds) =>
+        condOf(c).map(Some(_))
+      case _ => None
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case DeleteAction(c) => condOf(c)
+      case _ => None
+    }
+    if (matched.exists(_.isEmpty) || insert.isEmpty ||
+        bySource.exists(_.isEmpty) ||
+        (matched.isEmpty && insert.get.isEmpty && bySource.isEmpty)) None
+    else Some(GraftMergeClausesCommand(table.wh.root, table.snap.ref, keys,
+      m.sourceTable, matched.flatten, insert.get, bySource.flatten))
+  }
 
   /** ON clause → key column names: every conjunct must be an equality
     * between a target attribute and a same-named source attribute.
@@ -251,6 +318,36 @@ final case class GraftUpdateCommand(root: String, ref: TableRef,
     val wh = new Warehouse(session, root)
     wh.updateWhere(ref, condSql.map(expr).getOrElse(lit(true)),
       setSql.map { case (c, s) => c -> expr(s) })
+    Seq.empty
+  }
+}
+
+/** The routed CLAUSE merge — conditions already rendered to SQL over
+  * the classified join's names; execution resolves the analyzed source
+  * plan back to a DataFrame and runs
+  * [[graft.sinks.MergeTable.upsertClauses]] (key-range pruned unless a
+  * by-source clause forces the full rewrite, writer lock, CDF, the
+  * MERGE commit stamp).
+  */
+final case class GraftMergeClausesCommand(root: String, ref: TableRef,
+                                          keys: Seq[String],
+                                          source: LogicalPlan,
+                                          matched: Seq[(Option[String], String)],
+                                          insert: Option[Option[String]],
+                                          bySource: Seq[Option[String]])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val df = new org.apache.spark.sql.classic.Dataset[Row](classic, source,
+      Encoders.row(source.schema))
+    val wh = new Warehouse(session, root)
+    new graft.sinks.MergeTable(session, wh, ref, keys, None)
+      .upsertClauses(df, matched, insert, bySource)
     Seq.empty
   }
 }

@@ -1372,7 +1372,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 19) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 20) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -2093,6 +2093,73 @@ object PipelineQueries {
       |       TRUE AS pin_lifecycle
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  /** MERGE clause surface end-to-end (Delta's conditional / DELETE /
+    * filtered-INSERT merge — the CDC-apply pattern every replication
+    * pipeline runs): one SQL MERGE whose source carries an `op` flag
+    * column the target lacks routes `op='D'` rows to DELETE, other
+    * matches to UPDATE SET *, and non-tombstone unmatched rows to
+    * INSERT *. The oracle recomputes the final state from the same
+    * deterministic batch construction. At 100 TB the plan shape
+    * matters as much as the semantics: the merge key-range-prunes the
+    * target exactly like the classic upsert, so a narrow CDC batch
+    * rewrites only the files its keys straddle.
+    */
+  def qMergeClauses(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_mc_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    narrowShuffle(spark) {
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 2000) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice")
+          .repartitionByRange(4, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))
+    }
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    // tombstones (%10=0), updates (+5 on surviving evens), inserts
+    orders.filter($"o_orderkey" <= 2000 && $"o_orderkey" % 10 === 0)
+      .withColumn("op", lit("D"))
+      .unionByName(orders
+        .filter($"o_orderkey" <= 2000 && $"o_orderkey" % 10 =!= 0 &&
+          $"o_orderkey" % 2 === 0)
+        .withColumn("o_totalprice", $"o_totalprice" + 5.0)
+        .withColumn("op", lit("U")))
+      .unionByName(orders
+        .filter($"o_orderkey" > 2000 && $"o_orderkey" <= 2100)
+        .withColumn("op", lit("I")))
+      .createOrReplaceTempView(s"cdc_batch_$n")
+    graft.util.PhaseTimer.time("mergeclauses.apply") {
+      spark.sql(
+        s"""MERGE INTO $cat.silver.facts.$table t
+           |USING cdc_batch_$n s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+    }
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qMergeClausesSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey <= 2000 AND o_orderkey % 10 <> 0
+      |  AND o_orderkey % 2 <> 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice + 5.0 AS o_totalprice FROM orders
+      |WHERE o_orderkey <= 2000 AND o_orderkey % 10 <> 0
+      |  AND o_orderkey % 2 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey > 2000 AND o_orderkey <= 2100""".stripMargin
+
   /** CHECK constraints enforced by the commit protocol (round 15 —
     * Delta's `ALTER TABLE ADD CONSTRAINT` counterpart,
     * [[graft.catalog.Warehouse.setCheckConstraint]]): a carried-meta
@@ -2410,6 +2477,7 @@ object PipelineQueries {
     "q_rename_column" -> (qRenameColumn _),
     "q_clone_table" -> (qCloneTable _),
     "q_clone_shallow" -> (qCloneShallow _),
+    "q_merge_clauses" -> (qMergeClauses _),
     "q_check_constraint" -> (qCheckConstraint _),
     "q_add_column" -> (qAddColumn _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -2464,6 +2532,7 @@ object PipelineQueries {
     "q_rename_column" -> qRenameColumnSql,
     "q_clone_table" -> qCloneTableSql,
     "q_clone_shallow" -> qCloneShallowSql,
+    "q_merge_clauses" -> qMergeClausesSql,
     "q_check_constraint" -> qCheckConstraintSql,
     "q_add_column" -> qAddColumnSql,
     "q_sql_delete" -> qSqlDeleteSql,

@@ -33,7 +33,9 @@ import graft.catalog.{TableRef, Warehouse}
 object Merge {
 
   private val TID = "__merge_tid"
-  private val SRC = "__src_"
+  // the clause-condition rendering in graft.catalog.SqlMerge maps
+  // source-side attributes to this prefix — keep the two in sync
+  private[graft] val SRC = "__src_"
   private val PRESENT = "__src_present"
 
   /** Pure merge on DataFrames: returns the post-merge table contents.
@@ -150,6 +152,91 @@ object Merge {
       .unionByName(classified.filter(col(KIND) === "update")
         .select(cols.map(c => col(SRC + c).as(c)) :+
           lit("update_postimage").as(ct): _*))
+    (merged, changes)
+  }
+
+  /** General MERGE clause application — the Delta clause surface
+    * beyond update-all/insert-all:
+    *
+    * {{{
+    * WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE      (in order)
+    * WHEN NOT MATCHED [AND c] THEN INSERT *
+    * WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE       (in order)
+    * }}}
+    *
+    * Clause conditions arrive as SQL text over the CLASSIFIED join's
+    * column names: target columns bare, source columns under the
+    * [[SRC]] prefix (the SqlMerge renderer produces exactly this; the
+    * Scala caller writes them directly). Declared order decides — the
+    * first matched clause whose condition holds applies, none → keep.
+    * The source may carry EXTRA columns (CDC op flags) beyond the
+    * target schema; they are joinable in conditions and dropped from
+    * the output. Multiple source matches resolve deterministically by
+    * the first key's source ordering (Delta aborts; deviation
+    * documented on [[merge]]). NULL keys never match: null-key source
+    * rows are insert candidates, null-key target rows are
+    * not-matched-by-source.
+    *
+    * Returns (post-merge rows of the target slice, CDF change rows
+    * when `wantChanges`) off ONE materialized classification.
+    */
+  def applyClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
+                   matched: Seq[(Option[String], String)],
+                   insert: Option[Option[String]],
+                   bySource: Seq[Option[String]],
+                   wantChanges: Boolean): (DataFrame, Option[DataFrame]) = {
+    require(keys.nonEmpty, "merge requires at least one key column")
+    require(matched.forall(c => c._2 == "update" || c._2 == "delete"),
+      s"matched clause actions must be update|delete: ${matched.map(_._2)}")
+    val cols = target.columns.toSeq
+    val missing = cols.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"merge source must carry every target column; missing ${missing.mkString(",")}")
+    val srcCols = source.columns.toSeq
+    val tgt = target.withColumn(TID, monotonically_increasing_id())
+    val src = srcCols.foldLeft(source)((d, c) => d.withColumnRenamed(c, SRC + c))
+      .withColumn(PRESENT, lit(true))
+    val keyCond = keys.map(k => col(k) === col(SRC + k)).reduce(_ && _)
+    val joined = tgt.join(src, keyCond, "full_outer")
+    val w = Window.partitionBy(TID).orderBy(col(SRC + keys.head).asc_nulls_last)
+    def condCol(c: Option[String]): Column =
+      c.map(s => expr(s) <=> lit(true)).getOrElse(lit(true))
+    val matchedKind = matched.foldRight(lit("keep"): Column) {
+      case ((c, act), els) => when(condCol(c), lit(act)).otherwise(els)
+    }
+    val bySourceKind = bySource.foldRight(lit("keep"): Column) {
+      case (c, els) => when(condCol(c), lit("delete")).otherwise(els)
+    }
+    val targetRows = joined.filter(col(TID).isNotNull)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn(KIND,
+        when(col(PRESENT), matchedKind).otherwise(bySourceKind))
+    val insertRows = insert match {
+      case None => None
+      case Some(c) => Some(joined.filter(col(TID).isNull)
+        .filter(condCol(c)).withColumn(KIND, lit("insert")))
+    }
+    val selectCols = cols.map(col) ++ srcCols.map(c => col(SRC + c)) :+ col(KIND)
+    val classified = graft.util.Scratch.transientCheckpoint(
+      insertRows.foldLeft(targetRows.select(selectCols: _*))(
+        (acc, ins) => acc.unionByName(ins.select(selectCols: _*)))
+        .localCheckpoint())
+    val merged = classified.filter(col(KIND) =!= "delete")
+      .select(cols.map(c =>
+        when(col(KIND) === "keep", col(c))
+          .otherwise(col(SRC + c)).as(c)): _*)
+    val ct = graft.catalog.Warehouse.ChangeTypeCol
+    val changes =
+      if (!wantChanges) None
+      else Some(classified.filter(col(KIND) === "insert")
+          .select(cols.map(c => col(SRC + c).as(c)) :+ lit("insert").as(ct): _*)
+        .unionByName(classified.filter(col(KIND) === "update")
+          .select(cols.map(col) :+ lit("update_preimage").as(ct): _*))
+        .unionByName(classified.filter(col(KIND) === "update")
+          .select(cols.map(c => col(SRC + c).as(c)) :+
+            lit("update_postimage").as(ct): _*))
+        .unionByName(classified.filter(col(KIND) === "delete")
+          .select(cols.map(col) :+ lit("delete").as(ct): _*)))
     (merged, changes)
   }
 
@@ -302,6 +389,86 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     * contention storms still surface to the caller instead of spinning.
     */
   def upsert(source: DataFrame): Unit = retryOnConflict(upsertOnce(source))
+
+  /** CLAUSE MERGE — the Delta surface beyond update-all/insert-all
+    * ([[Merge.applyClauses]] semantics; conditions are SQL text over
+    * bare target names and `__src_`-prefixed source names):
+    * `WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE`, one
+    * `WHEN NOT MATCHED [AND c] THEN INSERT *`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`. The CDC-apply
+    * shape (`s.op = 'D' → DELETE`, else update, inserts filtered) runs
+    * through here.
+    *
+    * Physical shape: without by-source clauses the target prunes to
+    * the source key range exactly like [[upsert]] — unmatched files
+    * keep their bytes; a by-source clause can touch ANY target row, so
+    * it pays the full rewrite (Delta's shape too). Clause merges are
+    * copy-on-write even in DV mode (the touched read still applies
+    * live vectors, and retiring a file retires its mapping — never a
+    * resurrection); CDF classification commits atomically as usual.
+    */
+  def upsertClauses(source: DataFrame,
+                    matched: Seq[(Option[String], String)],
+                    insert: Option[Option[String]],
+                    bySource: Seq[Option[String]] = Nil): Unit =
+    retryOnConflict(upsertClausesOnce(source, matched, insert, bySource))
+
+  private def upsertClausesOnce(source: DataFrame,
+                                matched: Seq[(Option[String], String)],
+                                insert: Option[Option[String]],
+                                bySource: Seq[Option[String]]): Unit = {
+    val meta = Map(Warehouse.OpMeta -> "MERGE")
+    require(warehouse.exists(ref),
+      s"clause merge needs an existing target table $ref (a WHEN MATCHED " +
+        "clause over nothing is meaningless — bootstrap with overwrite " +
+        "or the plain upsert)")
+    warehouse.recover(ref)
+    val snap = warehouse.snapshot(ref).getOrElse(throw new
+        IllegalArgumentException(s"$ref has no committed version"))
+    require(snap.files.forall(!_.startsWith(Warehouse.ForeignPrefix)),
+      s"clause merge on $ref: the table is a SHALLOW clone still " +
+        "referencing its source's files — materialize it first " +
+        "(overwrite(ref, read(ref)), then releasePin on the source)")
+    val baseVersion = warehouse.currentVersion(ref)
+    // the source must carry every target column AT the target's type
+    // (extra CDC flag columns ride along for the clause conditions)
+    val tsig = warehouse.schemaOf(ref).map(f => (f.name, f.dataType))
+    val ssig = source.schema.map(f => (f.name, f.dataType)).toMap
+    val bad = tsig.filterNot { case (n, t) => ssig.get(n).contains(t) }
+    require(bad.isEmpty,
+      s"clause merge schema mismatch on ${bad.map(_._1).mkString(",")}: " +
+        s"target ${tsig.mkString(",")} vs source ${source.schema.map(f =>
+          (f.name, f.dataType)).mkString(",")}")
+    val cdfOn = warehouse.cdfEnabled(ref)
+    val partCols: Seq[String] = Warehouse.partDirCols(snap.files)
+    val statCols =
+      if (collectStats) (warehouse.statColumns(ref) :+ pruneKey).distinct
+      else warehouse.statColumns(ref)
+    def fullRewrite(): Unit = {
+      val (merged, changes) = Merge.applyClauses(warehouse.read(ref),
+        source, keys, matched, insert, bySource, cdfOn)
+      warehouse.overwrite(ref, merged,
+        partitionBy = partCols.filter(merged.columns.contains),
+        statsColumns = statCols.filter(merged.columns.contains),
+        expectedVersion = baseVersion, meta = meta, changes = changes)
+    }
+    if (bySource.nonEmpty) { fullRewrite(); return }
+    val bounds = source
+      .agg(count(lit(1)), min(col(pruneKey)), max(col(pruneKey))).head()
+    if (bounds.getLong(0) == 0L) return // empty batch, no by-source: no-op
+    val split =
+      if (bounds.isNullAt(1)) // all-null keys: nothing can match
+        Some((Seq.empty[String], warehouse.dataFiles(ref)))
+      else warehouse.splitFilesByRange(ref, pruneKey, bounds.get(1), bounds.get(2))
+    split match {
+      case Some((touched, untouched)) if untouched.nonEmpty =>
+        val (merged, changes) = Merge.applyClauses(readTouched(touched),
+          source, keys, matched, insert, bySource, cdfOn)
+        warehouse.replaceDataFiles(ref, touched, merged, meta = meta,
+          changes = changes)
+      case _ => fullRewrite()
+    }
+  }
 
   /** Partition replace — Delta `replaceWhere` over a key IN-set: every
     * target row whose `keys` tuple appears in `partitionKeys` is
