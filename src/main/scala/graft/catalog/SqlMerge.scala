@@ -2,8 +2,8 @@ package graft.catalog
 
 import org.apache.spark.sql.{Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, Not, PlanExpression, SubqueryExpression, And => CAnd}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, NamedExpression, Not, PlanExpression, SubqueryExpression, And => CAnd}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, Union, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -46,26 +46,54 @@ object SqlMerge {
       case m: MergeIntoTable if m.childrenResolved =>
         translate(m).getOrElse(plan)
       case u: UpdateTable if u.resolved =>
-        translateUpdate(u).getOrElse {
-          // translateUpdate declines subqueries (no SQL rendering for
-          // a plan); Spark's fallback error names nothing useful, so
-          // refuse HERE with the workaround
-          val hasSub = u.condition.exists(
-              _.exists(_.isInstanceOf[PlanExpression[_]])) ||
-            u.assignments.exists(
-              _.value.exists(_.isInstanceOf[PlanExpression[_]]))
-          if (hasSub && graftTarget(u.table).isDefined)
-            throw new UnsupportedOperationException(
-              "UPDATE with a subquery is not supported on graft tables — " +
-                "rewrite as MERGE INTO (the subquery becomes the USING " +
-                "source) or precompute the key set into the WHERE clause")
-          plan
-        }
+        translateUpdate(u).orElse(translateSubqueryUpdate(u)).getOrElse(plan)
       case d: DeleteFromTable if d.childrenResolved && d.condition.resolved =>
         translateDelete(d).getOrElse(plan)
       case _ => plan
     }
   }
+
+  /** SQL `UPDATE t SET … WHERE … (subquery …)` — the shape
+    * [[translateUpdate]] declines (a plan cannot re-render to SQL
+    * text): translated like the subquery DELETE into a
+    * snapshot-consistent OVERWRITE whose plan carries the subqueries
+    * under Filter/Project (the operator classes CheckAnalysis allows
+    * them in): unmatched rows pass through, matched rows re-project
+    * with the SET applied. Uncorrelated subqueries only; O(table)
+    * rewrite — the price of an arbitrary subquery predicate
+    * (plain-filter updates keep the file-pruned updateWhere path).
+    */
+  private def translateSubqueryUpdate(u: UpdateTable): Option[LogicalPlan] =
+    graftTarget(u.table).flatMap { case (rel, table) =>
+      val hasSub = u.condition.exists(
+          _.exists(_.isInstanceOf[PlanExpression[_]])) ||
+        u.assignments.exists(
+          _.value.exists(_.isInstanceOf[PlanExpression[_]]))
+      val keysOk = u.assignments.forall(_.key.isInstanceOf[AttributeReference])
+      if (!hasSub || !keysOk) None
+      else {
+        val exprs = u.condition.toSeq ++ u.assignments.map(_.value)
+        if (exprs.exists(SubqueryExpression.hasCorrelatedSubquery))
+          throw new UnsupportedOperationException(
+            s"UPDATE on ${table.snap.ref}: correlated subqueries are not " +
+              "supported — rewrite as MERGE INTO (the subquery becomes " +
+              "the USING source)")
+        val matched = EqualNullSafe(
+          u.condition.getOrElse(Literal(true)), Literal(true))
+        val assigns: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
+          u.assignments.map(a =>
+            a.key.asInstanceOf[AttributeReference].exprId -> a.value).toMap
+        val projList: Seq[NamedExpression] = u.table.output.map(a =>
+          assigns.get(a.exprId)
+            .map(v => Alias(v, a.name)(): NamedExpression).getOrElse(a))
+        val pre = Filter(matched, u.table)
+        val post = Project(projList, Filter(matched, u.table))
+        Some(GraftSubqueryUpdateCommand(table.wh.root, table.snap.ref,
+          table.snap.version,
+          result = Union(Seq(Filter(Not(matched), u.table), post)),
+          pre = pre, post = post))
+      }
+    }
 
   /** SQL `DELETE FROM t WHERE … (subquery …)` — the shape the native
     * `SupportsDelete` path cannot carry (V1 filters hold no plans) and
@@ -348,6 +376,45 @@ final case class GraftMergeClausesCommand(root: String, ref: TableRef,
     val wh = new Warehouse(session, root)
     new graft.sinks.MergeTable(session, wh, ref, keys, None)
       .upsertClauses(df, matched, insert, bySource)
+    Seq.empty
+  }
+}
+
+/** The routed subquery UPDATE: kept rows union SET-projected matched
+  * rows, committed as one snapshot-consistent OVERWRITE with layout
+  * and stats carried and the analysis-time version CAS'd; CDF
+  * pre/postimage pairs commit atomically when the feed is on.
+  */
+final case class GraftSubqueryUpdateCommand(root: String, ref: TableRef,
+                                            plannedVersion: Long,
+                                            result: LogicalPlan,
+                                            pre: LogicalPlan,
+                                            post: LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(result)
+
+  override val output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val wh = new Warehouse(session, root)
+    val classic = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    def rows(p: LogicalPlan) =
+      new org.apache.spark.sql.classic.Dataset[Row](classic, p,
+        Encoders.row(p.schema))
+    val ct = Warehouse.ChangeTypeCol
+    val changes =
+      if (!wh.cdfEnabled(ref)) None
+      else Some(rows(pre).withColumn(ct, lit("update_preimage"))
+        .unionByName(rows(post).withColumn(ct, lit("update_postimage"))))
+    val updated = rows(result)
+    val partCols = wh.snapshot(ref).toSeq
+      .flatMap(s => Warehouse.partDirCols(s.files))
+    wh.overwrite(ref, updated,
+      partitionBy = partCols.filter(updated.columns.contains),
+      statsColumns = wh.statColumns(ref).filter(updated.columns.contains),
+      expectedVersion = Some(plannedVersion),
+      meta = Map(Warehouse.OpMeta -> "UPDATE"), changes = changes)
     Seq.empty
   }
 }

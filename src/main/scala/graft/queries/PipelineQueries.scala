@@ -1372,7 +1372,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 20) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 21) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -2093,6 +2093,68 @@ object PipelineQueries {
       |       TRUE AS pin_lifecycle
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  /** MERGE-ON-READ merge (the DV write path, round 18): with the DV
+    * property on, a scattered-key CDC upsert supersedes matched target
+    * rows by POSITION (sidecar) and appends the new values — zero
+    * rewrite of unmatched bytes. The gate pins the ledger witness
+    * (`dv_zero_rewrites`: every pre-merge file survives untouched, the
+    * merge added only fresh append files, and a vector map exists) and
+    * hash-matches the post-merge read against DuckDB's recompute —
+    * the merge-on-read read path (anti-join on positions) must agree
+    * with a plain engine. At 100 TB this is the CDC economics
+    * headline: a batch touching one row per file costs O(changed
+    * rows), not O(files straddled) of rewrite.
+    */
+  def qMergeDv(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_mdv_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    narrowShuffle(spark) {
+      wh.overwrite(ref,
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 2000) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice")
+          .repartitionByRange(4, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))
+      wh.setDeletionVectors(ref, enabled = true)
+    }
+    val before = wh.snapshot(ref).get.files.toSet
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    // %10=3 keys ≤1000 scatter across the LOWER range files (so the
+    // key-range prune leaves untouched files — the merge-on-read
+    // branch under test — while copy-on-write would still rewrite
+    // every straddled file whole)
+    val batch = orders
+      .filter($"o_orderkey" <= 1000 && $"o_orderkey" % 10 === 3)
+      .withColumn("o_totalprice", $"o_totalprice" + 7.0)
+    graft.util.PhaseTimer.time("mergedv.upsert") {
+      new graft.sinks.MergeTable(spark, wh, ref, Seq("o_orderkey"), None)
+        .upsert(batch)
+    }
+    val snap = wh.snapshot(ref).get
+    val zeroRewrites = before.subsetOf(snap.files.toSet) &&
+      (snap.files.toSet -- before).nonEmpty && snap.dvMap.nonEmpty
+    // post-merge read through the SQL DV arm, hash-matched by the gate
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("dv_zero_rewrites", lit(zeroRewrites))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qMergeDvSql: String =
+    """SELECT o_orderkey,
+      |       CASE WHEN o_orderkey % 10 = 3 AND o_orderkey <= 1000
+      |            THEN o_totalprice + 7.0
+      |            ELSE o_totalprice END AS o_totalprice,
+      |       TRUE AS dv_zero_rewrites
+      |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+
   /** MERGE clause surface end-to-end (Delta's conditional / DELETE /
     * filtered-INSERT merge — the CDC-apply pattern every replication
     * pipeline runs): one SQL MERGE whose source carries an `op` flag
@@ -2478,6 +2540,7 @@ object PipelineQueries {
     "q_clone_table" -> (qCloneTable _),
     "q_clone_shallow" -> (qCloneShallow _),
     "q_merge_clauses" -> (qMergeClauses _),
+    "q_merge_dv" -> (qMergeDv _),
     "q_check_constraint" -> (qCheckConstraint _),
     "q_add_column" -> (qAddColumn _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -2533,6 +2596,7 @@ object PipelineQueries {
     "q_clone_table" -> qCloneTableSql,
     "q_clone_shallow" -> qCloneShallowSql,
     "q_merge_clauses" -> qMergeClausesSql,
+    "q_merge_dv" -> qMergeDvSql,
     "q_check_constraint" -> qCheckConstraintSql,
     "q_add_column" -> qAddColumnSql,
     "q_sql_delete" -> qSqlDeleteSql,

@@ -447,14 +447,24 @@ class DeletionVectorSpec extends SparkSpec {
     assert(Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(c => Option(c.getMessage).exists(_.contains("correlated"))),
       s"got: $e1")
-    // UPDATE with a subquery names MERGE INTO as the rewrite
+    // UPDATE with a subquery works the same way (kept ∪ SET-projected
+    // matched, one CAS'd overwrite): live subsrc keys are 6-10, so
+    // k+5 IN (...) names exactly the surviving keys 1-5
+    spark.sql(s"UPDATE $cat.silver.dv.subt SET name = 'x' WHERE k + 5 IN " +
+      s"(SELECT k FROM $cat.silver.dv.subsrc)")
+    assert(spark.sql(s"SELECT k FROM $cat.silver.dv.subt WHERE name = 'x'")
+      .as[Long].collect().toSet === (1L to 5L).toSet,
+      "subquery UPDATE must apply the SET to exactly the matched rows")
+    assert(wh.commitMeta(tgt, wh.currentVersion(tgt).get)
+      .get(Warehouse.OpMeta).contains("UPDATE"))
+    // correlated subquery UPDATE still refuses with the MERGE rewrite
     val e2 = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.silver.dv.subt SET name = 'x' WHERE k IN " +
-        s"(SELECT k FROM $cat.silver.dv.subsrc)")
+      spark.sql(s"UPDATE $cat.silver.dv.subt t SET name = 'y' WHERE EXISTS " +
+        s"(SELECT 1 FROM $cat.silver.dv.subsrc s WHERE s.k = t.k)")
     }
     assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(c => Option(c.getMessage).exists(_.contains("MERGE INTO"))),
-      s"got: $e2")
+      .exists(c => Option(c.getMessage).exists(m =>
+        m.contains("correlated") && m.contains("MERGE INTO"))), s"got: $e2")
   }
 
   test("DV read plans stay scan-shaped: predicate pushed below the anti-join, no rewrite jobs") {
