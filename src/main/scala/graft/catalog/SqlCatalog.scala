@@ -214,13 +214,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       sparkReserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
         k == Warehouse.StatsColumnsMeta || k == Warehouse.BloomColumnsMeta ||
         k == Warehouse.CdfMeta || k == Warehouse.DvMeta ||
-        k.startsWith(Warehouse.CheckMetaPrefix)
+        k.startsWith(Warehouse.CheckMetaPrefix) ||
+        k.startsWith(Warehouse.GenMetaPrefix)
     }.toSeq.sorted
     require(ungoverned.isEmpty,
       s"graft CREATE TABLE TBLPROPERTIES governs " +
         s"${Warehouse.StatsColumnsMeta}, ${Warehouse.BloomColumnsMeta}, " +
-        s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta} and " +
-        s"${Warehouse.CheckMetaPrefix}<name> only; not governed: " +
+        s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta}, " +
+        s"${Warehouse.CheckMetaPrefix}<name> and " +
+        s"${Warehouse.GenMetaPrefix}<col> only; not governed: " +
         ungoverned.mkString(", "))
     def csv(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -239,6 +241,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (k, v) if k.startsWith(Warehouse.CheckMetaPrefix) =>
         warehouse.setCheckConstraint(ref,
           k.stripPrefix(Warehouse.CheckMetaPrefix), v)
+      case (k, v) if k.startsWith(Warehouse.GenMetaPrefix) =>
+        warehouse.setGeneratedColumn(ref,
+          k.stripPrefix(Warehouse.GenMetaPrefix), v)
       case _ => ()
     }
     flag(Warehouse.CdfMeta).foreach(warehouse.setChangeDataFeed(ref, _))
@@ -295,6 +300,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       (s.property, s.value) match {
         case (k, v) if k.startsWith(Warehouse.CheckMetaPrefix) =>
           wh.setCheckConstraint(ref, k.stripPrefix(Warehouse.CheckMetaPrefix), v)
+        case (k, v) if k.startsWith(Warehouse.GenMetaPrefix) =>
+          wh.setGeneratedColumn(ref, k.stripPrefix(Warehouse.GenMetaPrefix), v)
         case (Warehouse.CdfMeta, v) =>
           require(v == "true" || v == "false",
             s"${Warehouse.CdfMeta} takes true/false, got '$v'")
@@ -305,7 +312,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           wh.setDeletionVectors(ref, v.toBoolean)
         case (k, _) => throw new UnsupportedOperationException(
           s"graft SET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
-            s"<name>, ${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
+            s"<name>, ${Warehouse.GenMetaPrefix}<col>, " +
+            s"${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
             s"'$k' is not a governed table property")
       }
     }
@@ -313,11 +321,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       u.property match {
         case k if k.startsWith(Warehouse.CheckMetaPrefix) =>
           wh.dropCheckConstraint(ref, k.stripPrefix(Warehouse.CheckMetaPrefix))
+        case k if k.startsWith(Warehouse.GenMetaPrefix) =>
+          wh.dropGeneratedColumn(ref, k.stripPrefix(Warehouse.GenMetaPrefix))
         case Warehouse.CdfMeta => wh.setChangeDataFeed(ref, enabled = false)
         case Warehouse.DvMeta => wh.setDeletionVectors(ref, enabled = false)
         case k => throw new UnsupportedOperationException(
           s"graft UNSET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
-            s"<name>, ${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
+            s"<name>, ${Warehouse.GenMetaPrefix}<col>, " +
+            s"${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
             s"'$k' is not a governed table property")
       }
     }

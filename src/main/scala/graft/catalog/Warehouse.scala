@@ -1710,7 +1710,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     *        between the caller's read and this write would be silently
     *        lost. None = unconditional replace (plain loads).
     */
-  def overwrite(ref: TableRef, df: DataFrame, partitionBy: Seq[String] = Nil,
+  def overwrite(ref: TableRef, df0: DataFrame, partitionBy: Seq[String] = Nil,
                 statsColumns: Seq[String] = Nil,
                 bloomColumns: Seq[String] = Nil,
                 staticPartitions: Seq[(String, String)] = Nil,
@@ -1718,6 +1718,10 @@ final class Warehouse(spark: SparkSession, val root: String,
                 expectedVersion: Option[Long] = None,
                 meta: Map[String, String] = Map.empty,
                 changes: Option[DataFrame] = None): Unit = {
+    // GENERATED columns compute when the caller omits them (the write
+    // contract of Delta's GENERATED ALWAYS AS); supplied values
+    // validate in the staged constraint pass like any CHECK
+    val df = applyGenerated(ref, df0)
     require(partitionBy.isEmpty || staticPartitions.isEmpty,
       "partitionBy and staticPartitions are mutually exclusive")
     require(bloomColumns.forall(statsColumns.contains),
@@ -1884,8 +1888,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     * partition columns (the SQL table schema exposes them, so a SQL
     * INSERT always does). Returns the committed version.
     */
-  def append(ref: TableRef, df: DataFrame,
+  def append(ref: TableRef, df0: DataFrame,
              meta: Map[String, String] = Map.empty): Long = withWriterLock(ref) {
+    val df = applyGenerated(ref, df0) // omitted GENERATED columns compute
     recoverLocked(ref)
     require(exists(ref) || currentVersion(ref).nonEmpty,
       s"$ref does not exist — append needs a committed table (overwrite creates)")
@@ -2163,6 +2168,21 @@ final class Warehouse(spark: SparkSession, val root: String,
         s"dropColumns on $ref: CHECK constraint(s) " +
           s"${referenced.keys.mkString(",")} mention the column(s) — drop " +
           "the constraint first")
+      // same guard for GENERATED columns: dropping the generated
+      // column itself, or a column its expression reads, would leave a
+      // generation over nothing
+      val genTouched = generatedColumns(ref).filter { case (c, e) =>
+        dropNames.contains(c.toLowerCase) ||
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(e).collect {
+              case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+                a.nameParts.last.toLowerCase
+            }.exists(dropNames.contains)
+      }
+      require(genTouched.isEmpty,
+        s"dropColumns on $ref: GENERATED column(s) " +
+          s"${genTouched.keys.mkString(",")} are (or are derived from) the " +
+          "column(s) — drop the generation first (dropGeneratedColumn)")
       val dropSet = dropNames
       require(schema.count(f => !dropSet.contains(f.name.toLowerCase)) >= 1,
         s"dropColumns on $ref would leave no columns")
@@ -2472,6 +2492,62 @@ final class Warehouse(spark: SparkSession, val root: String,
   def dropCheckConstraint(ref: TableRef, name: String): Long =
     commitMetaOnly(ref, Map(Warehouse.checkMetaKey(name) -> ""))
 
+  /** GENERATED column (Delta `GENERATED ALWAYS AS (expr)`): declare
+    * that `column` is always `exprSql` of the row's other columns —
+    * carried meta `graft.generated.<col>`. Writers that OMIT the
+    * column get it computed ([[overwrite]]/[[append]], so SQL INSERT
+    * and CTAS through them too); writers that SUPPLY it are validated
+    * in the same staged one-pass aggregate as CHECK constraints —
+    * every write surface, because generation that only some paths
+    * honor is how derived columns silently drift from their source at
+    * 100 TB. Existing rows must already satisfy the generation (the
+    * have-always-held contract CHECK constraints carry). The common
+    * use is a derived partition column (`order_day` from a timestamp):
+    * the expression computes once at write time and the directory
+    * layout prunes on it forever after.
+    */
+  def setGeneratedColumn(ref: TableRef, column: String,
+                         exprSql: String): Long = {
+    require(exprSql.trim.nonEmpty &&
+      !exprSql.exists(c => c == '\t' || c == '\n'),
+      s"generation expression must be single-line SQL: $exprSql")
+    val schema = schemaOf(ref)
+    require(schema.fieldNames.contains(column),
+      s"cannot generate '$column' on $ref: not a declared column " +
+        s"(have ${schema.fieldNames.mkString(",")})")
+    val e = org.apache.spark.sql.functions.expr(exprSql) // parse now
+    val bad = read(ref).filter(!(col(column) <=> e)).count()
+    if (bad > 0)
+      throw new IllegalStateException(
+        s"cannot declare '$column' GENERATED AS ($exprSql) on $ref: " +
+          s"$bad existing row(s) differ — a generation that exists " +
+          "must have always held")
+    commitMetaOnly(ref, Map(Warehouse.genMetaKey(column) -> exprSql))
+  }
+
+  /** Drop a generation (empty tombstone, like constraints). */
+  def dropGeneratedColumn(ref: TableRef, column: String): Long =
+    commitMetaOnly(ref, Map(Warehouse.genMetaKey(column) -> ""))
+
+  /** Live generated columns (column → expression SQL). */
+  def generatedColumns(ref: TableRef): Map[String, String] =
+    currentVersion(ref).map(v => commitMeta(ref, v).collect {
+      case (k, e) if k.startsWith(Warehouse.GenMetaPrefix) && e.nonEmpty =>
+        k.stripPrefix(Warehouse.GenMetaPrefix) -> e
+    }).getOrElse(Map.empty)
+
+  /** Compute OMITTED generated columns onto a write frame (no-op for
+    * frames that carry them — those validate instead).
+    */
+  private def applyGenerated(ref: TableRef, df: DataFrame): DataFrame = {
+    if (currentVersion(ref).isEmpty) return df
+    val gens = generatedColumns(ref)
+      .filterNot { case (c, _) => df.columns.contains(c) }
+    gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      d.withColumn(c, org.apache.spark.sql.functions.expr(e))
+    }
+  }
+
   /** Live CHECK constraints (name → predicate) from the carried meta. */
   def checkConstraints(ref: TableRef): Map[String, String] =
     currentVersion(ref).map(v => commitMeta(ref, v).collect {
@@ -2487,17 +2563,30 @@ final class Warehouse(spark: SparkSession, val root: String,
   private def validateConstraintsLocked(ref: TableRef,
                                         staged: => DataFrame): Unit = {
     val checks = checkConstraints(ref)
-    if (checks.isEmpty) return
-    val aggs = checks.toSeq.map { case (n, p) =>
-      sum(when(org.apache.spark.sql.functions.expr(p) <=> lit(false), 1L)
-        .otherwise(0L)).as(n)
+    // GENERATED columns validate in the same pass: supplied values
+    // must EQUAL their generation (null-safe), or the derived column
+    // silently drifts from its source
+    val frame = staged
+    val gens = generatedColumns(ref)
+      .filter { case (c, _) => frame.columns.contains(c) }
+    if (checks.isEmpty && gens.isEmpty) return
+    val all: Seq[(String, String, Column)] =
+      checks.toSeq.map { case (n, p) =>
+        ("CHECK constraint", s"$n ($p)",
+          org.apache.spark.sql.functions.expr(p) <=> lit(false))
+      } ++ gens.toSeq.map { case (c, e) =>
+        ("GENERATED column", s"$c AS ($e)",
+          !(col(c) <=> org.apache.spark.sql.functions.expr(e)))
+      }
+    val aggs = all.zipWithIndex.map { case ((_, _, viol), i) =>
+      sum(when(viol, 1L).otherwise(0L)).as(s"__v$i")
     }
-    val row = staged.agg(aggs.head, aggs.tail: _*).head()
-    checks.toSeq.zipWithIndex.foreach { case ((n, p), i) =>
+    val row = frame.agg(aggs.head, aggs.tail: _*).head()
+    all.zipWithIndex.foreach { case ((kind, what, _), i) =>
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       if (bad > 0)
         throw new IllegalStateException(
-          s"write to $ref violates CHECK constraint '$n' ($p): " +
+          s"write to $ref violates $kind '$what': " +
             s"$bad row(s) fail — nothing was committed")
     }
   }
@@ -4867,6 +4956,14 @@ object Warehouse {
   val CheckMetaPrefix = "graft.check."
 
   def checkMetaKey(name: String): String = s"$CheckMetaPrefix$name"
+
+  /** Carried-meta prefix of GENERATED column expressions
+    * (`graft.generated.<col>` = single-line SQL over the row's other
+    * columns). Empty value = generation dropped (tombstone).
+    */
+  val GenMetaPrefix = "graft.generated."
+
+  def genMetaKey(column: String): String = s"$GenMetaPrefix$column"
 
   /** Carried-meta prefix of dropped-column tombstones
     * ([[Warehouse]].dropColumns' resurrection guard): cleared (blanked)

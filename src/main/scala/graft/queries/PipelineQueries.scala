@@ -1372,7 +1372,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 21) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 22) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -2093,6 +2093,47 @@ object PipelineQueries {
       |       TRUE AS pin_lifecycle
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  /** GENERATED columns end-to-end (Delta `GENERATED ALWAYS AS`): a
+    * CREATE TABLE declares `cents` generated from the price; the data
+    * write OMITS the column and the engine computes it at write time;
+    * the emitted rows (SQL read) hash-match DuckDB recomputing the
+    * same expression — write-time generation ≡ read-time recompute is
+    * the correctness contract. Enforcement (a supplied drifted value
+    * refuses on every write surface) is spec'd in GeneratedColumnSpec;
+    * at 100 TB the headline use is a derived partition column computed
+    * once at write and pruned on forever.
+    */
+  def qGeneratedCol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_gen_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    spark.sql(
+      s"""CREATE TABLE $cat.silver.facts.$table (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE, cents BIGINT)
+         |TBLPROPERTIES ('graft.stats_columns' = 'o_orderkey',
+         |  'graft.generated.cents' =
+         |    'CAST(round(o_totalprice * 100) AS BIGINT)')""".stripMargin)
+    narrowShuffle(spark) {
+      wh.append(ref, // the generated column is OMITTED: computed here
+        Tables.load(spark, dir, "orders")
+          .filter($"o_orderkey" <= 1500) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice"))
+    }
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice, cents FROM $cat.silver.facts.$table")
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qGeneratedColSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey <= 1500""".stripMargin
+
   /** MERGE-ON-READ merge (the DV write path, round 18): with the DV
     * property on, a scattered-key CDC upsert supersedes matched target
     * rows by POSITION (sidecar) and appends the new values — zero
@@ -2541,6 +2582,7 @@ object PipelineQueries {
     "q_clone_shallow" -> (qCloneShallow _),
     "q_merge_clauses" -> (qMergeClauses _),
     "q_merge_dv" -> (qMergeDv _),
+    "q_generated_col" -> (qGeneratedCol _),
     "q_check_constraint" -> (qCheckConstraint _),
     "q_add_column" -> (qAddColumn _),
     "q_sql_delete" -> (qSqlDelete _),
@@ -2597,6 +2639,7 @@ object PipelineQueries {
     "q_clone_shallow" -> qCloneShallowSql,
     "q_merge_clauses" -> qMergeClausesSql,
     "q_merge_dv" -> qMergeDvSql,
+    "q_generated_col" -> qGeneratedColSql,
     "q_check_constraint" -> qCheckConstraintSql,
     "q_add_column" -> qAddColumnSql,
     "q_sql_delete" -> qSqlDeleteSql,

@@ -1,0 +1,116 @@
+package graft.catalog
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** GENERATED columns (Delta `GENERATED ALWAYS AS`): declared as the
+  * carried property `graft.generated.<col>`, computed when a writer
+  * omits the column, validated (null-safe equality) in the staged
+  * constraint pass when a writer supplies it — on EVERY write surface,
+  * including the merge's file replacement.
+  */
+class GeneratedColumnSpec extends SparkSpec {
+
+  test("set validates existing rows; omitted column computes on append and overwrite; wrong values refuse") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-gen-basic"))
+    val ref = TableRef("silver", "g", "gen")
+    wh.overwrite(ref, Seq((1L, 2.5, 250L), (2L, 1.0, 100L))
+      .toDF("k", "price", "cents"), statsColumns = Seq("k"))
+    // a generation the current rows violate refuses (have-always-held)
+    intercept[IllegalStateException](
+      wh.setGeneratedColumn(ref, "cents", "CAST(round(price * 1000) AS BIGINT)"))
+    wh.setGeneratedColumn(ref, "cents", "CAST(round(price * 100) AS BIGINT)")
+    assert(wh.generatedColumns(ref) ===
+      Map("cents" -> "CAST(round(price * 100) AS BIGINT)"))
+    // append WITHOUT the column: computed
+    wh.append(ref, Seq((3L, 4.2)).toDF("k", "price"))
+    assert(wh.read(ref).filter(col("k") === 3L)
+      .select("cents").as[Long].head() === 420L)
+    // append WITH correct values: passes; with WRONG values: refused
+    wh.append(ref, Seq((4L, 1.5, 150L)).toDF("k", "price", "cents"))
+    val e = intercept[IllegalStateException](
+      wh.append(ref, Seq((5L, 1.5, 999L)).toDF("k", "price", "cents")))
+    assert(e.getMessage.contains("GENERATED column"))
+    assert(wh.read(ref).count() === 4L, "the refused batch must not land")
+    // overwrite computes omitted generations too
+    wh.overwrite(ref, Seq((9L, 3.0)).toDF("k", "price"))
+    assert(wh.read(ref).select("k", "cents").as[(Long, Long)]
+      .collect().toSeq === Seq((9L, 300L)))
+    // drop the generation: free-form values pass again
+    wh.dropGeneratedColumn(ref, "cents")
+    wh.append(ref, Seq((10L, 1.0, 77L)).toDF("k", "price", "cents"))
+    assert(wh.read(ref).count() === 2L)
+  }
+
+  test("merge file replacement validates generated values; dropColumns guards generation references") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-gen-merge"))
+    val ref = TableRef("silver", "g", "genm")
+    wh.overwrite(ref, (1L to 20L).map(i => (i, i * 1.0, i * 100L))
+      .toDF("k", "price", "cents"), statsColumns = Seq("k"))
+    wh.setGeneratedColumn(ref, "cents", "CAST(round(price * 100) AS BIGINT)")
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    // a merge source carrying a DRIFTED generated value refuses at the
+    // staged validation — the rewrite path enforces like any append.
+    // (MergeTable retries ConcurrentWriteException, not this.)
+    intercept[IllegalStateException](
+      mt.upsert(Seq((3L, 5.0, 123L)).toDF("k", "price", "cents")))
+    assert(wh.read(ref).filter(col("k") === 3L)
+      .select("cents").as[Long].head() === 300L)
+    // a consistent source lands
+    mt.upsert(Seq((3L, 5.0, 500L)).toDF("k", "price", "cents"))
+    assert(wh.read(ref).filter(col("k") === 3L)
+      .select("cents").as[Long].head() === 500L)
+    // dropColumns refuses on the generated column and on its source
+    val e1 = intercept[IllegalArgumentException](
+      wh.dropColumns(ref, Seq("cents")))
+    assert(e1.getMessage.contains("GENERATED"))
+    val e2 = intercept[IllegalArgumentException](
+      wh.dropColumns(ref, Seq("price")))
+    assert(e2.getMessage.contains("GENERATED"))
+    wh.dropGeneratedColumn(ref, "cents")
+    wh.dropColumns(ref, Seq("cents")) // fine once the generation is gone
+    assert(!wh.read(ref).columns.contains("cents"))
+  }
+
+  test("SQL surface: CREATE TABLE TBLPROPERTIES declares, SET/UNSET alters, partitioned derived day column") {
+    import spark.implicits._
+    val root = tmpDir("wh-gen-sql")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftgen"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(
+      s"""CREATE TABLE $cat.silver.g.events (
+         |  k BIGINT, ts TIMESTAMP, day STRING)
+         |PARTITIONED BY (day)
+         |TBLPROPERTIES (
+         |  'graft.generated.day' = "date_format(ts, 'yyyy-MM-dd')")""".stripMargin)
+    val ref = TableRef("silver", "g", "events")
+    assert(wh.generatedColumns(ref) ===
+      Map("day" -> "date_format(ts, 'yyyy-MM-dd')"))
+    // the derived PARTITION column computes at write time and the rows
+    // land inside their day directories — the 100 TB use of the feature
+    wh.append(ref, Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-02 11:00:00")))
+      .toDF("k", "ts"))
+    assert(wh.snapshot(ref).get.files.forall(_.contains("day=2024-03-0")),
+      s"generated partition values must shape the layout: " +
+        wh.snapshot(ref).get.files.mkString(","))
+    assert(spark.sql(
+        s"SELECT k FROM $cat.silver.g.events WHERE day = '2024-03-02'")
+      .as[Long].collect().toSeq === Seq(2L))
+    // SET re-declares (validating), UNSET drops
+    val e = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.silver.g.events SET TBLPROPERTIES " +
+        s"('graft.generated.day' = \"date_format(ts, 'yyyy')\")"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("differ"))))
+    spark.sql(s"ALTER TABLE $cat.silver.g.events UNSET TBLPROPERTIES " +
+      s"('graft.generated.day')")
+    assert(wh.generatedColumns(ref).isEmpty)
+  }
+}
