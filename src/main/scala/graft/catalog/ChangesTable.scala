@@ -151,6 +151,73 @@ private[catalog] final class GraftHistoryTable(spark: SparkSession,
     }
 }
 
+/** `graft.<c>.<s>.<t>.detail` — one-row table summary (Delta's
+  * `DESCRIBE DETAIL`): current version, live file count and recorded
+  * bytes, partition/stats layout, governed properties (CDF, DV,
+  * constraints, generated columns), deletion-vector'd and foreign
+  * (shallow-clone) file counts, and live retention pins — the
+  * operator's one-stop "what IS this table" answer, metadata-only.
+  */
+private[catalog] final class GraftDetailTable(spark: SparkSession,
+                                              wh: Warehouse,
+                                              snap: TableSnapshot)
+    extends Table with SupportsRead {
+
+  private val detailSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("num_files", LongType, nullable = false),
+    StructField("size_bytes", LongType),
+    StructField("partition_columns", StringType),
+    StructField("stats_columns", StringType),
+    StructField("num_dv_files", LongType, nullable = false),
+    StructField("num_foreign_files", LongType, nullable = false),
+    StructField("cdf_enabled", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("dv_enabled", org.apache.spark.sql.types.BooleanType,
+      nullable = false),
+    StructField("constraints", StringType),
+    StructField("generated_columns", StringType),
+    StructField("pinned_by", StringType)))
+
+  override def name(): String = s"${snap.ref}.detail"
+  override def schema(): StructType = detailSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = detailSchema
+      override def rows(): Array[InternalRow] = {
+        val ref = snap.ref
+        val sizes = snap.files.flatMap(f => snap.fileMeta.get(f).map(_._1))
+        def csvOrNull(xs: Iterable[String]): Any =
+          if (xs.isEmpty) null
+          else org.apache.spark.unsafe.types.UTF8String
+            .fromString(xs.toSeq.sorted.mkString(","))
+        Array(InternalRow.fromSeq(Seq(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ref.toString),
+          snap.version,
+          snap.files.size.toLong,
+          // recorded bytes only: a pre-sized-log file has no entry and
+          // a partial sum would read as the whole truth
+          if (sizes.size == snap.files.size) sizes.sum else null,
+          csvOrNull(Warehouse.partDirCols(snap.files)),
+          csvOrNull(wh.statColumns(ref)),
+          snap.dvMap.size.toLong,
+          snap.files.count(_.startsWith(Warehouse.ForeignPrefix)).toLong,
+          wh.cdfEnabled(ref),
+          wh.dvEnabled(ref),
+          csvOrNull(wh.checkConstraints(ref).keys),
+          csvOrNull(wh.generatedColumns(ref)
+            .map { case (c, e) => s"$c AS ($e)" }),
+          csvOrNull(wh.pinnedVersions(ref)
+            .map { case (c, v) => s"$c@v$v" }))))
+      }
+      override def description(): String = s"GraftDetailScan(${snap.ref})"
+    }
+}
+
 /** `graft.<c>.<s>.<t>.files` — the committed snapshot's FILE-LEVEL
   * layout as a SQL-readable metadata table (Iceberg's `files` table):
   * per live data file, its table-relative path, recorded size/mtime

@@ -100,17 +100,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // Iceberg-style metadata tables: `graft.<cat>.<sch>.<table>.<meta>`
     // where <meta> is `changes` (the CHANGE DATA FEED,
     // [[GraftChangesTable]] — batch and streaming), `history` (the
-    // operation ledger) or `files` (the live file-level layout).
+    // operation ledger), `files` (the live file-level layout) or
+    // `detail` (the one-row DESCRIBE DETAIL summary).
     // Unambiguous: real tables live in exactly two-level namespaces,
     // so a four-part identifier can only be a metadata suffix.
     if (ident.namespace().length == 3 &&
-        Seq("changes", "history", "files").contains(ident.name())) {
+        Seq("changes", "history", "files", "detail").contains(ident.name())) {
       val base = TableRef(ident.namespace()(0), ident.namespace()(1),
         ident.namespace()(2))
       val snap = wh.snapshot(base).getOrElse(throw new NoSuchTableException(ident))
       return ident.name() match {
         case "changes" => new GraftChangesTable(SparkSession.active, wh, snap)
         case "history" => new GraftHistoryTable(SparkSession.active, wh, base)
+        case "detail" => new GraftDetailTable(SparkSession.active, wh, snap)
         case _ => new GraftFilesTable(SparkSession.active, wh, snap)
       }
     }

@@ -836,16 +836,22 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) AS n FROM graftm.silver.g.m")
       .head().getLong(0) === 150L)
 
-    // an unroutable shape (conditional MATCHED clause) must fail
-    // loudly — never silently approximate
-    intercept[Exception](spark.sql(
+    // conditional MATCHED clauses route through the CLAUSE merge
+    // (round 18 — full semantics in MergeClausesSpec): only the rows
+    // the condition names change
+    Seq((100L, "cond100"), (130L, "cond130")).toDF("k", "v")
+      .createOrReplaceTempView("mcond")
+    spark.sql(
       """MERGE INTO graftm.silver.g.m t
-        |USING msrc s
+        |USING mcond s
         |ON t.k = s.k
-        |WHEN MATCHED AND s.k > 120 THEN UPDATE SET *
-        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+        |WHEN MATCHED AND s.k > 120 THEN UPDATE SET *""".stripMargin)
+    val after = spark.sql("SELECT k, v FROM graftm.silver.g.m " +
+      "WHERE k IN (100, 130)").as[(Long, String)].collect().toMap
+    assert(after === Map(100L -> "u100", 130L -> "cond130"),
+      "only the condition-matched row may change")
     assert(spark.sql("SELECT count(*) AS n FROM graftm.silver.g.m")
-      .head().getLong(0) === 150L, "a refused merge must touch nothing")
+      .head().getLong(0) === 150L)
   }
 
   test("SQL UPDATE rewrites only matching files; partitioned layouts and TVL honored") {

@@ -340,6 +340,53 @@ class GraftChangesSpec extends SparkSpec {
         |WHERE bytes < 1048576""".stripMargin).head().getLong(0) > 0L)
   }
 
+  test(".detail metadata table: the one-row DESCRIBE DETAIL summary") {
+    import spark.implicits._
+    val root = tmpDir("wh-meta-detail")
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "detailed")
+    wh.overwrite(ref,
+      (1L to 50L).map(i => (i, s"g${i % 2}", i * 1.0, i * 100L))
+        .toDF("k", "seg", "price", "cents").repartition(2),
+      partitionBy = Seq("seg"), statsColumns = Seq("k"))
+    wh.setChangeDataFeed(ref, enabled = true)
+    wh.setDeletionVectors(ref, enabled = true)
+    wh.setCheckConstraint(ref, "pos_price", "price > 0")
+    wh.setGeneratedColumn(ref, "cents", "CAST(round(price * 100) AS BIGINT)")
+    wh.deleteWhere(ref, $"k" === 3L) // one DV'd file
+    registerCatalog("graftmeta2", root)
+    val d = spark.sql("SELECT * FROM graftmeta2.silver.g.detailed.detail")
+      .collect()
+    assert(d.length === 1)
+    val r = d.head
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.getString(byName("name")) === "silver.g.detailed")
+    assert(r.getLong(byName("num_files")) ===
+      wh.snapshot(ref).get.files.size.toLong)
+    assert(r.getLong(byName("size_bytes")) > 0L)
+    assert(r.getString(byName("partition_columns")) === "seg")
+    assert(r.getString(byName("stats_columns")) === "k")
+    assert(r.getLong(byName("num_dv_files")) === 1L)
+    assert(r.getLong(byName("num_foreign_files")) === 0L)
+    assert(r.getBoolean(byName("cdf_enabled")))
+    assert(r.getBoolean(byName("dv_enabled")))
+    assert(r.getString(byName("constraints")) === "pos_price")
+    assert(r.getString(byName("generated_columns"))
+      .startsWith("cents AS ("))
+    assert(r.isNullAt(byName("pinned_by")))
+    // a shallow clone's detail reports its foreign entries, and the
+    // SOURCE's detail reports the pin (compact first: a shallow clone
+    // of a live-DV snapshot refuses by contract)
+    wh.compact(ref)
+    wh.cloneTable(ref, TableRef("dev", "g", "dcl"), shallow = true)
+    val cd = spark.sql("SELECT num_foreign_files, pinned_by " +
+      "FROM graftmeta2.dev.g.dcl.detail").head()
+    assert(cd.getLong(0) > 0L)
+    val sd = spark.sql("SELECT pinned_by " +
+      "FROM graftmeta2.silver.g.detailed.detail").head()
+    assert(sd.getString(0).startsWith("dev.g.dcl@v"))
+  }
+
   test("SHOW TBLPROPERTIES surfaces version, carried meta, and physical design") {
     import spark.implicits._
     val root = tmpDir("wh-tblprops")
