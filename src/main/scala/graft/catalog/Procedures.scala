@@ -94,15 +94,21 @@ private[catalog] object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
       paramWithDefault("zorder", BooleanType, "false"),
-      paramWithDefault("cluster_by", StringType, "NULL"))
+      paramWithDefault("cluster_by", StringType, "NULL"),
+      // OPTIMIZE ... WHERE: partition-scoped maintenance — a predicate
+      // over partition columns only; whole directories match or don't
+      paramWithDefault("where", StringType, "NULL"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val ref = TableRef.parse(input.getUTF8String(0).toString)
       val zorder = !input.isNullAt(1) && input.getBoolean(1)
       val clusterBy = Option(input.getUTF8String(2))
         .map(_.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty)
+      val where = Option(input.getUTF8String(3)).map(_.toString)
+        .filter(_.trim.nonEmpty)
       val wh = warehouse(root)
-      val n = wh.compact(ref, clusterBy = clusterBy, zOrder = zorder)
+      val n = wh.compact(ref, clusterBy = clusterBy, zOrder = zorder,
+        partitionFilter = where)
       single(
         StructType(Seq(StructField("table", StringType),
           StructField("files_compacted", IntegerType),

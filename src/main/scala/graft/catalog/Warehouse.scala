@@ -4600,10 +4600,20 @@ final class Warehouse(spark: SparkSession, val root: String,
     * after maintenance, where a linear sort only preserves its leading
     * column's selectivity.
     */
+  /** @param partitionFilter `OPTIMIZE ... WHERE` (Delta's
+    *        partition-scoped compaction): a SQL predicate over
+    *        PARTITION columns only — whole directories match or don't,
+    *        so scoping is exact and zero-scan. At 100 TB this is the
+    *        shape maintenance actually runs: compact yesterday's
+    *        partition after the late data lands, never the whole
+    *        table. Non-partition references refuse loudly (a data
+    *        predicate cannot scope whole files).
+    */
   def compact(ref: TableRef, smallFileBytes: Long = 32L << 20,
               targetFileBytes: Long = 128L << 20,
               clusterBy: Option[Seq[String]] = None,
-              zOrder: Boolean = false): Int = {
+              zOrder: Boolean = false,
+              partitionFilter: Option[String] = None): Int = {
     require(smallFileBytes >= 1 && targetFileBytes >= 1,
       s"byte thresholds must be positive: $smallFileBytes/$targetFileBytes")
     recover(ref) // compaction must not bin-pack a crashed half-replacement
@@ -4621,9 +4631,54 @@ final class Warehouse(spark: SparkSession, val root: String,
       Warehouse.log.info(s"compact($ref): skipping $foreignSkipped " +
         "foreign shallow-clone entries (materialize with overwrite to " +
         "compact them)")
-    val byDir = currentDataFiles(ref)
+    val byDirAll = currentDataFiles(ref)
       .map(p => p -> filesystem.getFileStatus(p).getLen)
       .groupBy(_._1.getParent)
+    val byDir = partitionFilter match {
+      case None => byDirAll
+      case Some(sql) =>
+        val partCols = snapshot(ref).toSeq
+          .flatMap(s => Warehouse.partDirCols(s.files))
+        require(partCols.nonEmpty,
+          s"compact($ref) with a partition filter needs a " +
+            "directory-partitioned table")
+        val refs = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(sql).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last.toLowerCase
+          }
+        val badRefs = refs.filterNot(partCols.map(_.toLowerCase).contains)
+        require(badRefs.isEmpty,
+          s"compact($ref) partition filter may reference partition " +
+            s"column(s) ${partCols.mkString(",")} only; got " +
+            badRefs.mkString(","))
+        val schema = schemaOf(ref)
+        val partFields = partCols.flatMap(c => schema.find(_.name == c))
+        // one tiny local frame: (partition values, dir) per directory,
+        // filtered by the predicate — whole-directory scoping, no scan
+        val dirRel: Map[Path, String] = byDirAll.keys.map(d =>
+          d -> filesystem.makeQualified(d).toString
+            .stripPrefix(qualifiedPrefix)).toMap
+        val rows = dirRel.toSeq.map { case (_, rel) =>
+          val vals = partFields.map(f => GraftScanBuilder
+            .partitionValueOf(s"$rel/_.parquet", f.name, f.dataType))
+          require(vals.forall(_.isDefined),
+            s"compact($ref): directory '$rel' carries no parseable " +
+              s"values for partition column(s) ${partCols.mkString(",")}")
+          org.apache.spark.sql.Row.fromSeq(
+            vals.map(_.get.orNull) :+ rel)
+        }
+        val rowList = new java.util.ArrayList[org.apache.spark.sql.Row](rows.size)
+        rows.foreach(rowList.add)
+        val frame = spark.createDataFrame(rowList,
+          org.apache.spark.sql.types.StructType(partFields :+
+            org.apache.spark.sql.types.StructField("__dir",
+              org.apache.spark.sql.types.StringType)))
+        val keep = frame
+          .filter(org.apache.spark.sql.functions.expr(sql) <=> lit(true))
+          .select("__dir").collect().map(_.getString(0)).toSet
+        byDirAll.filter { case (d, _) => keep.contains(dirRel(d)) }
+    }
     var compacted = 0
     byDir.foreach { case (dir, sized) =>
       def isDvd(p: Path): Boolean = snapDv.contains(relKey(ref)(p.toString))

@@ -628,6 +628,49 @@ class WarehouseSpec extends SparkSpec {
       .distinct().count() === 1)
   }
 
+  test("partition-scoped compact (OPTIMIZE WHERE): only matching directories pack") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-compact-where"))
+    val ref = TableRef("silver", "facts", "scoped_compact")
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("bucket", ($"id" % 2).cast("string"))
+      .repartition(4)
+    wh.overwrite(ref, df, partitionBy = Seq("bucket"), statsColumns = Seq("id"))
+    assert(wh.dataFiles(ref).size === 8)
+    val before = wh.read(ref).select($"id", $"bucket").collect().toSet
+    val untouchedBefore = wh.dataFiles(ref).filter(_.contains("bucket=1")).toSet
+
+    // scope to bucket=0: its 4 files pack to 1, bucket=1 keeps ALL its
+    // files byte-for-byte (the 100 TB contract: maintenance touches
+    // only the partition it was aimed at)
+    assert(wh.compact(ref, partitionFilter = Some("bucket = '0'")) === 4)
+    val after = wh.dataFiles(ref)
+    assert(after.count(_.contains("bucket=0")) === 1)
+    assert(after.filter(_.contains("bucket=1")).toSet === untouchedBefore,
+      "out-of-scope partition files must not move")
+    assert(wh.read(ref).select($"id", $"bucket").collect().toSet === before)
+
+    // a non-partition reference refuses loudly — a data predicate
+    // cannot scope whole files
+    val e = intercept[IllegalArgumentException](
+      wh.compact(ref, partitionFilter = Some("id > 100")))
+    assert(e.getMessage.contains("partition column"))
+
+    // the SQL surface: CALL ... where => '...'
+    val root2 = tmpDir("wh-compact-where-sql")
+    val wh2 = new Warehouse(spark, root2)
+    val cat = "graftoptwhere"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root2)
+    val ref2 = TableRef("silver", "facts", "scoped_sql")
+    wh2.overwrite(ref2, df, partitionBy = Seq("bucket"))
+    val out = spark.sql(s"CALL $cat.system.compact('silver.facts.scoped_sql', " +
+      "where => \"bucket = '1'\")").head()
+    assert(out.getInt(1) === 4)
+    assert(wh2.dataFiles(ref2).count(_.contains("bucket=1")) === 1)
+    assert(wh2.dataFiles(ref2).count(_.contains("bucket=0")) === 4)
+  }
+
   test("reader snapshot survives a concurrent compact; versions time travel; vacuum reclaims") {
     import spark.implicits._
     import graft.sinks.MergeTable
