@@ -127,15 +127,20 @@ private[catalog] object GraftProcedures {
       "delete data files only retired log history references"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
-      paramWithDefault("keep_versions", IntegerType, "1"))
+      paramWithDefault("keep_versions", IntegerType, "1"),
+      // DRY RUN: the blast-radius check before the only irreversible
+      // command — same math, zero changes
+      paramWithDefault("dry_run", BooleanType, "false"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val ref = TableRef.parse(input.getUTF8String(0).toString)
       val keep = if (input.isNullAt(1)) 1 else input.getInt(1)
-      val n = warehouse(root).vacuum(ref, keep)
+      val dry = !input.isNullAt(2) && input.getBoolean(2)
+      val n = warehouse(root).vacuum(ref, keep, dryRun = dry)
       single(
         StructType(Seq(StructField("table", StringType),
-          StructField("files_deleted", IntegerType))),
-        UTF8String.fromString(ref.toString), n)
+          StructField("files_deleted", IntegerType),
+          StructField("dry_run", BooleanType))),
+        UTF8String.fromString(ref.toString), n, dry)
     }
   }
 

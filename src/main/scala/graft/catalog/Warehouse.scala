@@ -1413,7 +1413,14 @@ final class Warehouse(spark: SparkSession, val root: String,
     * — so surviving deltas always resolve; data deletion itself stays
     * exact (GDPR: retired bytes are gone regardless of log shape).
     */
-  def vacuum(ref: TableRef, keepVersions: Int = 1): Int = {
+  /** @param dryRun report how many data files a real run WOULD delete
+    *        (same retention/pin/staged math, computed under the writer
+    *        lock) and change NOTHING — no horizon, no deletions, no
+    *        log pruning. Delta's `VACUUM ... DRY RUN`: the operator's
+    *        blast-radius check before the only irreversible command.
+    */
+  def vacuum(ref: TableRef, keepVersions: Int = 1,
+             dryRun: Boolean = false): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     withWriterLock(ref) {
       recoverLocked(ref)
@@ -1463,6 +1470,11 @@ final class Warehouse(spark: SparkSession, val root: String,
         val dead = listDataFiles(tablePath).filterNot { p =>
           keepFiles.contains(filesystem.makeQualified(p).toUri.getPath
             .stripPrefix(base).stripPrefix("/"))
+        }
+        if (dryRun) {
+          Warehouse.log.info(s"vacuum($ref) DRY RUN: ${dead.size} data " +
+            s"file(s) below retention $keepVersions would delete")
+          return dead.size
         }
         // horizon FIRST: once it lands, dropped versions refuse reads,
         // so the data deletions below never produce a readable version

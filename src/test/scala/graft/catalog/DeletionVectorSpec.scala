@@ -457,6 +457,24 @@ class DeletionVectorSpec extends SparkSpec {
       "subquery UPDATE must apply the SET to exactly the matched rows")
     assert(wh.commitMeta(tgt, wh.currentVersion(tgt).get)
       .get(Warehouse.OpMeta).contains("UPDATE"))
+    // a PARTITIONED target keeps its directory layout through the
+    // subquery DML's overwrite (flattening would silently kill pruning)
+    val part = TableRef("silver", "dv", "subpart")
+    wh.overwrite(part,
+      (1L to 20L).map(i => (i, s"g${i % 2}", s"n$i")).toDF("k", "seg", "name"),
+      partitionBy = Seq("seg"))
+    spark.sql(s"DELETE FROM $cat.silver.dv.subpart WHERE k IN " +
+      s"(SELECT k FROM $cat.silver.dv.subsrc)") // live keys 6-10
+    assert(wh.read(part).count() === 15L)
+    assert(wh.snapshot(part).get.files.forall(_.contains("seg=g")),
+      "subquery DELETE flattened the partition layout")
+    spark.sql(s"UPDATE $cat.silver.dv.subpart SET name = 'z' WHERE k IN " +
+      s"(SELECT k FROM $cat.silver.dv.subsrc WHERE k < 7)") // nothing: 6 deleted
+    spark.sql(s"UPDATE $cat.silver.dv.subpart SET name = 'z' WHERE k - 10 IN " +
+      s"(SELECT k FROM $cat.silver.dv.subsrc)") // keys 16-20
+    assert(wh.read(part).filter(col("name") === "z").count() === 5L)
+    assert(wh.snapshot(part).get.files.forall(_.contains("seg=g")),
+      "subquery UPDATE flattened the partition layout")
     // correlated subquery UPDATE still refuses with the MERGE rewrite
     val e2 = intercept[Exception] {
       spark.sql(s"UPDATE $cat.silver.dv.subt t SET name = 'y' WHERE EXISTS " +

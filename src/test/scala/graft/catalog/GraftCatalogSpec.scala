@@ -545,10 +545,30 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graftsqlc.system.restore('silver.g.maint', 1)")
     assert(wh.read(ref).count() === 400L)
 
-    // vacuum: reclaims files only retired history references
+    // vacuum DRY RUN first: reports the blast radius, changes nothing
+    val filesOnDisk = wh.path(ref)
+    def diskCount(): Int = {
+      val d = new java.io.File(filesOnDisk)
+      def walk(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet") &&
+          !f.getPath.contains("_graft_")) 1 else 0)
+        else Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      walk(d)
+    }
+    val onDiskBefore = diskCount()
+    val dryRow = spark.sql(
+      "CALL graftsqlc.system.vacuum('silver.g.maint', 1, dry_run => true)")
+      .head()
+    val wouldDelete = dryRow.getInt(1)
+    assert(wouldDelete > 0 && dryRow.getBoolean(2))
+    assert(diskCount() === onDiskBefore, "a dry run must delete nothing")
+    assert(wh.read(ref).count() === 400L)
+
+    // vacuum: reclaims files only retired history references — exactly
+    // the dry run's count
     val deleted = spark.sql(
       "CALL graftsqlc.system.vacuum('silver.g.maint', 1)").head().getInt(1)
-    assert(deleted > 0, "vacuum must reclaim the compacted-away files")
+    assert(deleted === wouldDelete, "the dry run must predict the real run")
     assert(wh.read(ref).count() === 400L, "vacuum never touches live data")
 
     // unknown procedures fail loudly (Spark wraps our listing message
