@@ -451,4 +451,31 @@ class SqlDdlSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("pricepos"))
   }
+
+  test("CREATE OR REPLACE TABLE AS SELECT: schema and data replace through the catalog") {
+    import spark.implicits._
+    val root = tmpDir("wh-ddl-rtas")
+    val wh = new Warehouse(spark, root)
+    val cat = catalogFor(root, "rtas")
+    val ref = TableRef("silver", "g", "r")
+    spark.sql(s"CREATE TABLE $cat.silver.g.r AS SELECT 1L AS k, 'a' AS v")
+    assert(wh.read(ref).count() === 1L)
+    // replace swaps BOTH the rows and the SCHEMA (Spark's non-atomic
+    // drop+create path over a plain TableCatalog — a reader between
+    // the two statements may see the table missing; the warehouse's
+    // own atomic-history alternative is overwrite, documented)
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.silver.g.r AS " +
+      "SELECT 2L AS k, 'b' AS v, CAST(3.5 AS DOUBLE) AS extra")
+    assert(spark.sql(s"SELECT k, v, extra FROM $cat.silver.g.r")
+      .as[(Long, String, Double)].collect().toSeq === Seq((2L, "b", 3.5)))
+    // the drop half enforces the pin guard: RTAS of a shallow-clone
+    // SOURCE refuses instead of silently stranding the clone
+    wh.cloneTable(ref, TableRef("dev", "g", "rc"), shallow = true)
+    val e = intercept[Exception](spark.sql(
+      s"CREATE OR REPLACE TABLE $cat.silver.g.r AS SELECT 9L AS k"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(c => Option(c.getMessage).exists(_.contains("releasePin"))))
+    assert(wh.read(TableRef("dev", "g", "rc")).count() === 1L,
+      "the refused replace must leave the clone readable")
+  }
 }
