@@ -145,7 +145,8 @@ object SqlMerge {
         a.key.asInstanceOf[AttributeReference].name -> render(a.value)))
 
   private def renderable(e: Expression): Boolean =
-    e.deterministic && !e.exists(_.isInstanceOf[PlanExpression[_]])
+    e.resolved && e.deterministic &&
+      !e.exists(_.isInstanceOf[PlanExpression[_]])
 
   /** Expression → re-parseable SQL with attributes as bare quoted
     * names (the rewrite frame carries the same columns).
@@ -194,18 +195,24 @@ object SqlMerge {
     } yield GraftMergeCommand(table.wh.root, table.snap.ref, keys,
       m.sourceTable)
 
-  /** The CLAUSE surface (Delta's conditional/delete/by-source merge):
-    * ordered `WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE`, at
-    * most one `WHEN NOT MATCHED [AND c] THEN INSERT *`, ordered
-    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`. Conditions
-    * re-render to SQL over the classified join's names (target bare,
-    * source under the `__src_` prefix); a non-renderable condition or
-    * an unsupported action shape declines — Spark then fails loudly.
+  /** The CLAUSE surface (Delta's conditional/expression/by-source
+    * merge): ordered `WHEN MATCHED [AND c] THEN UPDATE SET * |
+    * col = expr… | DELETE`, ordered `WHEN NOT MATCHED [AND c] THEN
+    * INSERT * | (cols) VALUES (exprs)` (several allowed, first match
+    * wins), ordered `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE
+    * SET … | DELETE`. Conditions and assignment values re-render to
+    * SQL over the classified join's names (target bare, source under
+    * the `__src_` prefix). Side discipline is validated here — INSERT
+    * values may reference only the source, by-source SET only the
+    * target (the other side is NULL there; Delta's rule too). A
+    * non-renderable expression or unsupported action shape declines —
+    * Spark then fails loudly.
     */
   private def clauseShape(m: MergeIntoTable, rel: DataSourceV2Relation,
                           table: GraftSqlTable, keys: Seq[String],
                           sourceIds: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
       : Option[LogicalPlan] = {
+    val targetIds = rel.output.map(_.exprId).toSet
     def sided(e: Expression): Option[String] =
       if (!renderable(e)) None
       else Some(e.transform {
@@ -217,33 +224,74 @@ object SqlMerge {
       case None => Some(None)
       case Some(e) => sided(e).map(Some(_))
     }
-    def matchedClause(a: MergeAction): Option[(Option[String], String)] =
+    /** Explicit assignments → rendered `col -> sqlExpr` pairs; every
+      * key must be a bare target column and every value's references
+      * must stay inside `allowed` (NULL-side discipline).
+      */
+    def renderSets(as: Seq[Assignment],
+                   allowed: Set[org.apache.spark.sql.catalyst.expressions.ExprId])
+        : Option[Seq[(String, String)]] = {
+      val rendered = as.map {
+        case Assignment(k: AttributeReference, v)
+            if targetIds.contains(k.exprId) &&
+              v.references.forall(r => allowed.contains(r.exprId)) =>
+          sided(v).map(k.name -> _)
+        case _ => None
+      }
+      if (rendered.forall(_.isDefined)) Some(rendered.flatten) else None
+    }
+    val bothSides = targetIds ++ sourceIds
+    def matchedClause(a: MergeAction): Option[graft.sinks.Merge.Clause] =
       a match {
-        case UpdateStarAction(c) => condOf(c).map(_ -> "update")
+        case UpdateStarAction(c) =>
+          condOf(c).map(graft.sinks.Merge.Clause(_, "update"))
         case UpdateAction(c, as, _)
             if identityAssignments(as, rel.output, sourceIds) =>
-          condOf(c).map(_ -> "update")
-        case DeleteAction(c) => condOf(c).map(_ -> "delete")
+          condOf(c).map(graft.sinks.Merge.Clause(_, "update"))
+        case UpdateAction(c, as, _) =>
+          for { cc <- condOf(c); sets <- renderSets(as, bothSides) }
+            yield graft.sinks.Merge.Clause(cc, "update", Some(sets))
+        case DeleteAction(c) =>
+          condOf(c).map(graft.sinks.Merge.Clause(_, "delete"))
+        case _ => None
+      }
+    def insertClause(a: MergeAction): Option[graft.sinks.Merge.Clause] =
+      a match {
+        case InsertStarAction(c) =>
+          condOf(c).map(graft.sinks.Merge.Clause(_, "insert"))
+        case InsertAction(c, as)
+            if identityAssignments(as, rel.output, sourceIds) =>
+          condOf(c).map(graft.sinks.Merge.Clause(_, "insert"))
+        case InsertAction(c, as) =>
+          // INSERT values evaluate where the target side is NULL —
+          // only source references are meaningful (Delta's rule)
+          for { cc <- condOf(c); sets <- renderSets(as, sourceIds) }
+            yield graft.sinks.Merge.Clause(cc, "insert", Some(sets))
+        case _ => None
+      }
+    def bySourceClause(a: MergeAction): Option[graft.sinks.Merge.Clause] =
+      a match {
+        case DeleteAction(c) =>
+          condOf(c).map(graft.sinks.Merge.Clause(_, "delete"))
+        case UpdateAction(c, as, _) =>
+          // the source side is NULL for by-source rows: SET (and the
+          // clause condition) may reference only the target
+          for {
+            cc <- condOf(c)
+            if c.forall(_.references.forall(r => targetIds.contains(r.exprId)))
+            sets <- renderSets(as, targetIds)
+          } yield graft.sinks.Merge.Clause(cc, "update", Some(sets))
         case _ => None
       }
     val matched = m.matchedActions.map(matchedClause)
-    val insert: Option[Option[Option[String]]] = m.notMatchedActions match {
-      case Seq() => Some(None)
-      case Seq(InsertStarAction(c)) => condOf(c).map(Some(_))
-      case Seq(InsertAction(c, as))
-          if identityAssignments(as, rel.output, sourceIds) =>
-        condOf(c).map(Some(_))
-      case _ => None
-    }
-    val bySource = m.notMatchedBySourceActions.map {
-      case DeleteAction(c) => condOf(c)
-      case _ => None
-    }
-    if (matched.exists(_.isEmpty) || insert.isEmpty ||
+    val inserts = m.notMatchedActions.map(insertClause)
+    val bySource = m.notMatchedBySourceActions.map(bySourceClause)
+    if (matched.exists(_.isEmpty) || inserts.exists(_.isEmpty) ||
         bySource.exists(_.isEmpty) ||
-        (matched.isEmpty && insert.get.isEmpty && bySource.isEmpty)) None
+        (matched.isEmpty && inserts.isEmpty && bySource.isEmpty)) None
     else Some(GraftMergeClausesCommand(table.wh.root, table.snap.ref, keys,
-      m.sourceTable, matched.flatten, insert.get, bySource.flatten))
+      m.sourceTable, graft.sinks.Merge.MergeClauses(
+        matched.flatten, inserts.flatten, bySource.flatten)))
   }
 
   /** ON clause → key column names: every conjunct must be an equality
@@ -350,19 +398,17 @@ final case class GraftUpdateCommand(root: String, ref: TableRef,
   }
 }
 
-/** The routed CLAUSE merge — conditions already rendered to SQL over
-  * the classified join's names; execution resolves the analyzed source
-  * plan back to a DataFrame and runs
+/** The routed CLAUSE merge — conditions and assignment values already
+  * rendered to SQL over the classified join's names; execution
+  * resolves the analyzed source plan back to a DataFrame and runs
   * [[graft.sinks.MergeTable.upsertClauses]] (key-range pruned unless a
-  * by-source clause forces the full rewrite, writer lock, CDF, the
-  * MERGE commit stamp).
+  * by-source clause forces the full rewrite, merge-on-read in DV mode,
+  * writer lock, CDF, the MERGE commit stamp).
   */
 final case class GraftMergeClausesCommand(root: String, ref: TableRef,
                                           keys: Seq[String],
                                           source: LogicalPlan,
-                                          matched: Seq[(Option[String], String)],
-                                          insert: Option[Option[String]],
-                                          bySource: Seq[Option[String]])
+                                          clauses: graft.sinks.Merge.MergeClauses)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -375,7 +421,7 @@ final case class GraftMergeClausesCommand(root: String, ref: TableRef,
       Encoders.row(source.schema))
     val wh = new Warehouse(session, root)
     new graft.sinks.MergeTable(session, wh, ref, keys, None)
-      .upsertClauses(df, matched, insert, bySource)
+      .upsertClauses(df, clauses)
     Seq.empty
   }
 }

@@ -644,6 +644,14 @@ final class Warehouse(spark: SparkSession, val root: String,
   private[graft] def readFilesWithPos(ref: TableRef,
                                       files: Seq[String]): DataFrame = {
     val declared = schemaOf(ref)
+    if (files.isEmpty) // insert-only clause merge: no touched bytes
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(declared.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("__gdv_file",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__gdv_pos",
+            org.apache.spark.sql.types.LongType))))
     val snap = snapshot(ref).getOrElse(
       TableSnapshot(ref, -1L, declared.json, files.map(relKey(ref))))
     val rels = files.map(relKey(ref))

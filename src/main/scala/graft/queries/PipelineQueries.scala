@@ -1372,7 +1372,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 22) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 24) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -2263,6 +2263,151 @@ object PipelineQueries {
       |SELECT o_orderkey, o_totalprice FROM orders
       |WHERE o_orderkey > 2000 AND o_orderkey <= 2100""".stripMargin
 
+  /** Expression-valued MERGE (round 19 — the incremental-aggregation
+    * merge every gold pipeline runs, the natural growth of the
+    * reference's scorecard upsert,
+    * /root/reference/lib/checker_handler.py:181-188): the target holds
+    * per-customer running aggregates, the batch arrives as per-customer
+    * DELTAS, and one SQL MERGE folds them in with
+    * `UPDATE SET t.cnt = t.cnt + s.delta_cnt, …` plus an explicit
+    * `INSERT (cols) VALUES (exprs)` projection for brand-new keys.
+    * The oracle recomputes the final aggregates from scratch over the
+    * union of both slices — write-time incremental fold ≡ read-time
+    * recompute is the correctness contract. Totals are integer CENTS so
+    * the fold is exact (a double sum would hash differently by add
+    * order). At 100 TB this is the aggregation-maintenance headline:
+    * the daily batch costs O(changed customers), never a rescan of the
+    * base, and the merge key-range-prunes the target like any upsert.
+    */
+  def qMergeAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"cust_totals_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+    narrowShuffle(spark) {
+      wh.overwrite(ref,
+        orders.filter($"o_orderkey" <= 2000) // identical slice at every SF
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("cnt"), sum($"cents").as("total"))
+          .repartitionByRange(4, $"o_custkey"),
+        statsColumns = Seq("o_custkey"))
+    }
+    orders.filter($"o_orderkey" > 2000 && $"o_orderkey" <= 4000)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("delta_cnt"), sum($"cents").as("delta_total"))
+      .createOrReplaceTempView(s"agg_deltas_$n")
+    graft.util.PhaseTimer.time("mergeagg.apply") {
+      spark.sql(
+        s"""MERGE INTO $cat.silver.facts.$table t
+           |USING agg_deltas_$n s ON t.o_custkey = s.o_custkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  t.cnt = t.cnt + s.delta_cnt,
+           |  t.total = t.total + s.delta_total
+           |WHEN NOT MATCHED THEN
+           |  INSERT (o_custkey, cnt, total)
+           |  VALUES (s.o_custkey, s.delta_cnt, s.delta_total)""".stripMargin)
+    }
+    val out = spark.sql(
+      s"SELECT o_custkey, cnt, total FROM $cat.silver.facts.$table")
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qMergeAggSql: String =
+    """SELECT o_custkey,
+      |       CAST(count(*) AS BIGINT) AS cnt,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS total
+      |FROM orders WHERE o_orderkey <= 4000
+      |GROUP BY o_custkey""".stripMargin
+
+  /** DESCRIBE DETAIL + partition-scoped OPTIMIZE, gated end-to-end
+    * (the round-18 spec-only surfaces, pinned per-round here): a
+    * partitioned table accumulates DV deletes and small-file appends,
+    * `CALL system.compact(..., where => "pb = 'e'")` bin-packs ONLY
+    * the named partition (zero-scan directory scoping — the other
+    * partition's files must survive byte-identical), and the `.detail`
+    * metadata table answers the operator's "what IS this table" row
+    * (version, layout, governance flags) without touching data. The
+    * emitted rows are the post-everything SQL read hash-matched
+    * against DuckDB — compaction and the DV delete must preserve
+    * exact contents — plus `detail_ok` (every .detail field matches
+    * the known lifecycle) and `scoped_ok` (the ledger witness of the
+    * scoping). At 100 TB scoped maintenance is the only affordable
+    * kind: compact yesterday's partition, never rescan the table.
+    */
+  def qSqlDetail(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_dtl_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        when($"o_orderkey" % 2 === 0, lit("e")).otherwise(lit("o")).as("pb"))
+    narrowShuffle(spark) {
+      wh.overwrite(ref,
+        orders.filter($"o_orderkey" <= 1200).repartition(2),
+        partitionBy = Seq("pb"), statsColumns = Seq("o_orderkey"))      // v1
+      wh.setDeletionVectors(ref, enabled = true)                        // v2
+      wh.setChangeDataFeed(ref, enabled = true)                         // v3
+      wh.setCheckConstraint(ref, "price_positive", "o_totalprice > 0")  // v4
+      // DV delete (odd keys only → the 'o' partition vectors)
+      wh.deleteWhere(ref, $"o_orderkey" % 4 === 1)                      // v5
+      // small-file churn in 'e' only, then compact ONLY 'e'
+      wh.append(ref, orders.filter($"o_orderkey" > 1200 &&
+        $"o_orderkey" <= 1300 && $"o_orderkey" % 2 === 0).repartition(1)) // v6
+      wh.append(ref, orders.filter($"o_orderkey" > 1300 &&
+        $"o_orderkey" <= 1400 && $"o_orderkey" % 2 === 0).repartition(1)) // v7
+    }
+    def partFiles(p: String): Set[String] =
+      wh.snapshot(ref).get.files.filter(_.startsWith(s"pb=$p/")).toSet
+    val oBefore = partFiles("o")
+    val eBefore = partFiles("e")
+    graft.util.PhaseTimer.time("detail.scopedcompact") {
+      spark.sql(s"CALL $cat.system.compact('silver.facts.$table', " +
+        s"""where => "pb = 'e'")""").collect()                          // v8
+    }
+    val scopedOk = partFiles("o") == oBefore && partFiles("e") != eBefore &&
+      partFiles("e").size < eBefore.size
+    val d = spark.sql(
+      s"SELECT * FROM $cat.silver.facts.$table.detail").head()
+    val detailOk =
+      d.getAs[String]("name") == ref.toString &&
+      d.getAs[Long]("version") == 8L &&
+      d.getAs[Long]("num_files") == partFiles("o").size + partFiles("e").size &&
+      d.getAs[String]("partition_columns") == "pb" &&
+      d.getAs[String]("stats_columns").contains("o_orderkey") &&
+      d.getAs[Long]("num_dv_files") > 0L &&
+      d.getAs[Long]("num_foreign_files") == 0L &&
+      d.getAs[Boolean]("cdf_enabled") && d.getAs[Boolean]("dv_enabled") &&
+      d.getAs[String]("constraints") == "price_positive" &&
+      d.getAs[String]("pinned_by") == null
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice, pb FROM $cat.silver.facts.$table")
+      .withColumn("detail_ok", lit(detailOk))
+      .withColumn("scoped_ok", lit(scopedOk))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qSqlDetailSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       CASE WHEN o_orderkey % 2 = 0 THEN 'e' ELSE 'o' END AS pb,
+      |       TRUE AS detail_ok, TRUE AS scoped_ok
+      |FROM orders
+      |WHERE (o_orderkey <= 1200 AND o_orderkey % 4 <> 1)
+      |   OR (o_orderkey > 1200 AND o_orderkey <= 1400
+      |       AND o_orderkey % 2 = 0)""".stripMargin
+
   /** CHECK constraints enforced by the commit protocol (round 15 —
     * Delta's `ALTER TABLE ADD CONSTRAINT` counterpart,
     * [[graft.catalog.Warehouse.setCheckConstraint]]): a carried-meta
@@ -2581,6 +2726,8 @@ object PipelineQueries {
     "q_clone_table" -> (qCloneTable _),
     "q_clone_shallow" -> (qCloneShallow _),
     "q_merge_clauses" -> (qMergeClauses _),
+    "q_merge_agg" -> (qMergeAgg _),
+    "q_sql_detail" -> (qSqlDetail _),
     "q_merge_dv" -> (qMergeDv _),
     "q_generated_col" -> (qGeneratedCol _),
     "q_check_constraint" -> (qCheckConstraint _),
@@ -2638,6 +2785,8 @@ object PipelineQueries {
     "q_clone_table" -> qCloneTableSql,
     "q_clone_shallow" -> qCloneShallowSql,
     "q_merge_clauses" -> qMergeClausesSql,
+    "q_merge_agg" -> qMergeAggSql,
+    "q_sql_detail" -> qSqlDetailSql,
     "q_merge_dv" -> qMergeDvSql,
     "q_generated_col" -> qGeneratedColSql,
     "q_check_constraint" -> qCheckConstraintSql,

@@ -155,43 +155,75 @@ object Merge {
     (merged, changes)
   }
 
-  /** General MERGE clause application — the Delta clause surface
-    * beyond update-all/insert-all:
+  /** One fully-rendered MERGE clause. Conditions and assignment values
+    * are SQL text over the classified join's names: target columns
+    * bare, source columns under the [[SRC]] prefix (the SqlMerge
+    * renderer produces exactly this; Scala callers write it directly).
     *
-    * {{{
-    * WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE      (in order)
-    * WHEN NOT MATCHED [AND c] THEN INSERT *
-    * WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE       (in order)
-    * }}}
-    *
-    * Clause conditions arrive as SQL text over the CLASSIFIED join's
-    * column names: target columns bare, source columns under the
-    * [[SRC]] prefix (the SqlMerge renderer produces exactly this; the
-    * Scala caller writes them directly). Declared order decides — the
-    * first matched clause whose condition holds applies, none → keep.
-    * The source may carry EXTRA columns (CDC op flags) beyond the
-    * target schema; they are joinable in conditions and dropped from
-    * the output. Multiple source matches resolve deterministically by
-    * the first key's source ordering (Delta aborts; deviation
-    * documented on [[merge]]). NULL keys never match: null-key source
-    * rows are insert candidates, null-key target rows are
-    * not-matched-by-source.
-    *
-    * Returns (post-merge rows of the target slice, CDF change rows
-    * when `wantChanges`) off ONE materialized classification.
+    * @param action `update` | `delete` | `insert`
+    * @param sets   `None` = star (`UPDATE SET *` / `INSERT *`: every
+    *               target column from its same-named source column);
+    *               `Some(assignments)` = explicit `col -> sqlExpr` —
+    *               an UPDATE keeps unassigned columns at their target
+    *               values, an INSERT nulls them (Delta's contract).
+    *               By-source UPDATE expressions may reference only
+    *               target columns (the source side is NULL there);
+    *               INSERT values only source columns — the engine
+    *               evaluates what it is given, the SQL route validates.
     */
-  def applyClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
-                   matched: Seq[(Option[String], String)],
-                   insert: Option[Option[String]],
-                   bySource: Seq[Option[String]],
-                   wantChanges: Boolean): (DataFrame, Option[DataFrame]) = {
+  final case class Clause(cond: Option[String], action: String,
+                          sets: Option[Seq[(String, String)]] = None)
+
+  /** The full clause surface of one MERGE statement, in declared
+    * order per list: `WHEN MATCHED` (update/delete), `WHEN NOT
+    * MATCHED` (ordered conditional inserts — Delta allows several),
+    * `WHEN NOT MATCHED BY SOURCE` (update/delete).
+    */
+  final case class MergeClauses(matched: Seq[Clause] = Nil,
+                                inserts: Seq[Clause] = Nil,
+                                bySource: Seq[Clause] = Nil) {
+    require(matched.forall(c => c.action == "update" || c.action == "delete"),
+      s"matched clause actions must be update|delete: ${matched.map(_.action)}")
+    require(inserts.forall(_.action == "insert"),
+      s"not-matched clause actions must be insert: ${inserts.map(_.action)}")
+    require(bySource.forall(c => c.action == "update" || c.action == "delete"),
+      s"by-source clause actions must be update|delete: ${bySource.map(_.action)}")
+    def isEmpty: Boolean = matched.isEmpty && inserts.isEmpty && bySource.isEmpty
+    /** Any star clause forces the source to carry every target column. */
+    def hasStar: Boolean = (matched ++ inserts).exists(c =>
+      c.action != "delete" && c.sets.isEmpty)
+  }
+
+  /** Compatibility constructor from the round-18 tuple shape. */
+  private[graft] def clausesOf(matched: Seq[(Option[String], String)],
+                               insert: Option[Option[String]],
+                               bySource: Seq[Option[String]]): MergeClauses =
+    MergeClauses(matched.map { case (c, a) => Clause(c, a) },
+      insert.toSeq.map(c => Clause(c, "insert")),
+      bySource.map(c => Clause(c, "delete")))
+
+  /** Classified-join plumbing shared by [[applyClauses]] and
+    * [[applyClausesOnRead]]: one full-outer join on the keys, one
+    * window to resolve multi-match, clause order folded into a KIND
+    * tag (`m<i>` matched, `s<i>` by-source, `i<i>` insert, `keep`),
+    * ONE materialization. `carry` columns (merge-on-read file/pos)
+    * ride through untouched. `keepKept=false` drops keep rows before
+    * the checkpoint — merge-on-read never needs them.
+    */
+  private def classifyClauses(target: DataFrame, source: DataFrame,
+                              keys: Seq[String], cl: MergeClauses,
+                              carry: Seq[String], keepKept: Boolean)
+      : DataFrame = {
     require(keys.nonEmpty, "merge requires at least one key column")
-    require(matched.forall(c => c._2 == "update" || c._2 == "delete"),
-      s"matched clause actions must be update|delete: ${matched.map(_._2)}")
-    val cols = target.columns.toSeq
-    val missing = cols.filterNot(source.columns.contains)
-    require(missing.isEmpty,
-      s"merge source must carry every target column; missing ${missing.mkString(",")}")
+    val cols = target.columns.toSeq.filterNot(carry.contains)
+    val missingKeys = keys.filterNot(source.columns.contains)
+    require(missingKeys.isEmpty,
+      s"merge source must carry the key column(s) ${missingKeys.mkString(",")}")
+    if (cl.hasStar) {
+      val missing = cols.filterNot(source.columns.contains)
+      require(missing.isEmpty, "star clauses need the source to carry " +
+        s"every target column; missing ${missing.mkString(",")}")
+    }
     val srcCols = source.columns.toSeq
     val tgt = target.withColumn(TID, monotonically_increasing_id())
     val src = srcCols.foldLeft(source)((d, c) => d.withColumnRenamed(c, SRC + c))
@@ -201,43 +233,176 @@ object Merge {
     val w = Window.partitionBy(TID).orderBy(col(SRC + keys.head).asc_nulls_last)
     def condCol(c: Option[String]): Column =
       c.map(s => expr(s) <=> lit(true)).getOrElse(lit(true))
-    val matchedKind = matched.foldRight(lit("keep"): Column) {
-      case ((c, act), els) => when(condCol(c), lit(act)).otherwise(els)
-    }
-    val bySourceKind = bySource.foldRight(lit("keep"): Column) {
-      case (c, els) => when(condCol(c), lit("delete")).otherwise(els)
-    }
-    val targetRows = joined.filter(col(TID).isNotNull)
+    def kindChain(clauses: Seq[Clause], tag: String): Column =
+      clauses.zipWithIndex.foldRight(lit("keep"): Column) {
+        case ((c, i), els) => when(condCol(c.cond), lit(s"$tag$i")).otherwise(els)
+      }
+    val matchedKind = kindChain(cl.matched, "m")
+    val bySourceKind = kindChain(cl.bySource, "s")
+    val insertKind = kindChain(cl.inserts, "i")
+    val targetRows0 = joined.filter(col(TID).isNotNull)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .withColumn(KIND,
         when(col(PRESENT), matchedKind).otherwise(bySourceKind))
-    val insertRows = insert match {
-      case None => None
-      case Some(c) => Some(joined.filter(col(TID).isNull)
-        .filter(condCol(c)).withColumn(KIND, lit("insert")))
-    }
-    val selectCols = cols.map(col) ++ srcCols.map(c => col(SRC + c)) :+ col(KIND)
-    val classified = graft.util.Scratch.transientCheckpoint(
-      insertRows.foldLeft(targetRows.select(selectCols: _*))(
-        (acc, ins) => acc.unionByName(ins.select(selectCols: _*)))
+    val targetRows =
+      if (keepKept) targetRows0 else targetRows0.filter(col(KIND) =!= "keep")
+    val insertRows = joined.filter(col(TID).isNull)
+      .withColumn(KIND, insertKind).filter(col(KIND) =!= "keep")
+    val selectCols = cols.map(col) ++ srcCols.map(c => col(SRC + c)) ++
+      carry.map(col) :+ col(KIND)
+    graft.util.Scratch.transientCheckpoint(
+      targetRows.select(selectCols: _*)
+        .unionByName(insertRows.select(selectCols: _*))
         .localCheckpoint())
-    val merged = classified.filter(col(KIND) =!= "delete")
-      .select(cols.map(c =>
-        when(col(KIND) === "keep", col(c))
-          .otherwise(col(SRC + c)).as(c)): _*)
+  }
+
+  /** Per-column output value of each clause kind, chained over the
+    * classified frame: star takes the same-named source column;
+    * explicit sets evaluate their expression CAST to the target type;
+    * unassigned columns keep the target value (update) or NULL
+    * (insert). The base of the chain is the keep row's own value.
+    */
+  private def postProjection(cols: Seq[String],
+                             types: Map[String, org.apache.spark.sql.types.DataType],
+                             cl: MergeClauses): Seq[Column] = {
+    val tagged: Seq[(String, Clause, Boolean)] =
+      cl.matched.zipWithIndex.map { case (c, i) => (s"m$i", c, false) } ++
+      cl.bySource.zipWithIndex.map { case (c, i) => (s"s$i", c, false) } ++
+      cl.inserts.zipWithIndex.map { case (c, i) => (s"i$i", c, true) }
+    cols.map { c =>
+      tagged.filter(_._2.action != "delete").foldRight(col(c)) {
+        case ((kind, clause, isInsert), els) =>
+          val v = clause.sets match {
+            case None => col(SRC + c)
+            case Some(sets) => sets.toMap.get(c) match {
+              case Some(sqlText) => expr(sqlText).cast(types(c))
+              case None if isInsert => lit(null).cast(types(c))
+              case None => col(c)
+            }
+          }
+          when(col(KIND) === kind, v).otherwise(els)
+      }.as(c)
+    }
+  }
+
+  private def kindsOf(cl: MergeClauses): (Seq[String], Seq[String], Seq[String]) = {
+    def pick(clauses: Seq[Clause], tag: String, act: String): Seq[String] =
+      clauses.zipWithIndex.collect { case (c, i) if c.action == act => s"$tag$i" }
+    val updates = pick(cl.matched, "m", "update") ++ pick(cl.bySource, "s", "update")
+    val deletes = pick(cl.matched, "m", "delete") ++ pick(cl.bySource, "s", "delete")
+    val inserts = cl.inserts.indices.map(i => s"i$i")
+    (updates, deletes, inserts)
+  }
+
+  private def inKinds(kinds: Seq[String]): Column =
+    if (kinds.isEmpty) lit(false) else col(KIND).isin(kinds: _*)
+
+  /** General MERGE clause application — the full Delta clause surface:
+    *
+    * {{{
+    * WHEN MATCHED [AND c] THEN UPDATE SET * | SET col = expr… | DELETE
+    * WHEN NOT MATCHED [AND c] THEN INSERT * | (cols) VALUES (exprs)   (ordered, several)
+    * WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE    (ordered)
+    * }}}
+    *
+    * Declared order decides — the first clause of the row's class
+    * whose condition holds applies, none → keep. The source may carry
+    * EXTRA columns (CDC op flags) beyond the target schema; they are
+    * usable in conditions/expressions and dropped from the output.
+    * Multiple source matches resolve deterministically by the first
+    * key's source ordering (Delta aborts; deviation documented on
+    * [[merge]]). NULL keys never match: null-key source rows are
+    * insert candidates, null-key target rows are
+    * not-matched-by-source.
+    *
+    * Returns (post-merge rows of the target slice, CDF change rows
+    * when `wantChanges`) off ONE materialized classification.
+    */
+  def applyClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
+                   cl: MergeClauses, wantChanges: Boolean)
+      : (DataFrame, Option[DataFrame]) = {
+    val cols = target.columns.toSeq
+    val types = target.schema.map(f => f.name -> f.dataType).toMap
+    val classified = classifyClauses(target, source, keys, cl,
+      carry = Nil, keepKept = true)
+    val (updateKinds, deleteKinds, insertKinds) = kindsOf(cl)
+    val post = classified.select(
+      postProjection(cols, types, cl) :+ col(KIND): _*)
+    val merged = post.filter(!inKinds(deleteKinds)).drop(KIND)
     val ct = graft.catalog.Warehouse.ChangeTypeCol
     val changes =
       if (!wantChanges) None
-      else Some(classified.filter(col(KIND) === "insert")
-          .select(cols.map(c => col(SRC + c).as(c)) :+ lit("insert").as(ct): _*)
-        .unionByName(classified.filter(col(KIND) === "update")
+      else Some(post.filter(inKinds(insertKinds)).drop(KIND)
+          .withColumn(ct, lit("insert"))
+        .unionByName(classified.filter(inKinds(updateKinds))
           .select(cols.map(col) :+ lit("update_preimage").as(ct): _*))
-        .unionByName(classified.filter(col(KIND) === "update")
-          .select(cols.map(c => col(SRC + c).as(c)) :+
-            lit("update_postimage").as(ct): _*))
-        .unionByName(classified.filter(col(KIND) === "delete")
+        .unionByName(post.filter(inKinds(updateKinds)).drop(KIND)
+          .withColumn(ct, lit("update_postimage")))
+        .unionByName(classified.filter(inKinds(deleteKinds))
           .select(cols.map(col) :+ lit("delete").as(ct): _*)))
     (merged, changes)
+  }
+
+  /** Round-18 tuple-shape adapter (star update/delete, one insert,
+    * by-source deletes) over the generalized [[applyClauses]].
+    */
+  def applyClauses(target: DataFrame, source: DataFrame, keys: Seq[String],
+                   matched: Seq[(Option[String], String)],
+                   insert: Option[Option[String]],
+                   bySource: Seq[Option[String]],
+                   wantChanges: Boolean): (DataFrame, Option[DataFrame]) =
+    applyClauses(target, source, keys, clausesOf(matched, insert, bySource),
+      wantChanges)
+
+  /** MERGE-ON-READ clause classification — [[applyClauses]] semantics
+    * with [[mergeOnRead]] economics: instead of the post-merge table
+    * contents it returns, off ONE materialized classification,
+    *
+    *  - `sup` — superseded target rows as `(file, pos)`: every matched
+    *    row an update OR delete clause claimed (these positions join
+    *    the deletion-vector sidecar);
+    *  - `adds` — rows to APPEND: each updated row's post-clause values
+    *    plus the accepted inserts (deletes append nothing);
+    *  - `changes` — CDF rows, or None.
+    *
+    * By-source clauses are REJECTED here — they can touch any target
+    * row, so they pay the copy-on-write rewrite (the caller routes).
+    * Target must carry `__gdv_file` / `__gdv_pos`
+    * ([[graft.catalog.Warehouse.readFilesWithPos]]); keep rows drop
+    * before the checkpoint — their bytes never move, which is the
+    * point: a clause-shaped CDC apply costs O(changed rows), not
+    * O(touched files) of rewrite.
+    */
+  def applyClausesOnRead(target: DataFrame, source: DataFrame,
+                         keys: Seq[String], cl: MergeClauses,
+                         wantChanges: Boolean)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    require(cl.bySource.isEmpty,
+      "by-source clauses can touch any target row — merge-on-read cannot " +
+        "route them; use the copy-on-write path")
+    val carry = Seq("__gdv_file", "__gdv_pos")
+    val cols = target.columns.toSeq.filterNot(carry.contains)
+    val types = target.schema.map(f => f.name -> f.dataType).toMap
+    val classified = classifyClauses(target, source, keys, cl,
+      carry = carry, keepKept = false)
+    val (updateKinds, deleteKinds, insertKinds) = kindsOf(cl)
+    val sup = classified.filter(inKinds(updateKinds ++ deleteKinds))
+      .select(col("__gdv_file").as("file"), col("__gdv_pos").as("pos"))
+    val post = classified.select(
+      postProjection(cols, types, cl) :+ col(KIND): _*)
+    val adds = post.filter(inKinds(updateKinds ++ insertKinds)).drop(KIND)
+    val ct = graft.catalog.Warehouse.ChangeTypeCol
+    val changes =
+      if (!wantChanges) None
+      else Some(post.filter(inKinds(insertKinds)).drop(KIND)
+          .withColumn(ct, lit("insert"))
+        .unionByName(classified.filter(inKinds(updateKinds))
+          .select(cols.map(col) :+ lit("update_preimage").as(ct): _*))
+        .unionByName(post.filter(inKinds(updateKinds)).drop(KIND)
+          .withColumn(ct, lit("update_postimage")))
+        .unionByName(classified.filter(inKinds(deleteKinds))
+          .select(cols.map(col) :+ lit("delete").as(ct): _*)))
+    (sup, adds, changes)
   }
 
   /** MERGE-ON-READ classification — the DV-mode merge's producer: same
@@ -391,32 +556,41 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
   def upsert(source: DataFrame): Unit = retryOnConflict(upsertOnce(source))
 
   /** CLAUSE MERGE — the Delta surface beyond update-all/insert-all
-    * ([[Merge.applyClauses]] semantics; conditions are SQL text over
-    * bare target names and `__src_`-prefixed source names):
-    * `WHEN MATCHED [AND c] THEN UPDATE SET * | DELETE`, one
-    * `WHEN NOT MATCHED [AND c] THEN INSERT *`, and
-    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`. The CDC-apply
-    * shape (`s.op = 'D' → DELETE`, else update, inserts filtered) runs
-    * through here.
+    * ([[Merge.applyClauses]] semantics; conditions and assignment
+    * values are SQL text over bare target names and `__src_`-prefixed
+    * source names): ordered `WHEN MATCHED [AND c] THEN UPDATE SET
+    * * | col = expr… | DELETE`, ordered conditional
+    * `WHEN NOT MATCHED THEN INSERT * | (cols) VALUES (exprs)`, and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … | DELETE`.
+    * The CDC-apply shape (`s.op = 'D' → DELETE`, else update, inserts
+    * filtered) and the incremental-aggregation merge
+    * (`SET t.total = t.total + s.delta`) both run through here.
     *
     * Physical shape: without by-source clauses the target prunes to
     * the source key range exactly like [[upsert]] — unmatched files
-    * keep their bytes; a by-source clause can touch ANY target row, so
-    * it pays the full rewrite (Delta's shape too). Clause merges are
-    * copy-on-write even in DV mode (the touched read still applies
-    * live vectors, and retiring a file retires its mapping — never a
-    * resurrection); CDF classification commits atomically as usual.
+    * keep their bytes — and with deletion vectors on
+    * (`graft.dv=true`) the merge goes MERGE-ON-READ: claimed rows
+    * supersede by position, updated values and inserts land as one
+    * small append, unmatched bytes in the touched files never move
+    * ([[Merge.applyClausesOnRead]] + `Warehouse.dvReplace`). A
+    * by-source clause can touch ANY target row, so it pays the full
+    * copy-on-write rewrite (Delta's shape too); CDF classification
+    * commits atomically as usual.
+    */
+  def upsertClauses(source: DataFrame, clauses: Merge.MergeClauses): Unit =
+    retryOnConflict(upsertClausesOnce(source, clauses))
+
+  /** Round-18 tuple-shape adapter (star update/delete, one insert,
+    * by-source deletes) over the generalized [[upsertClauses]].
     */
   def upsertClauses(source: DataFrame,
                     matched: Seq[(Option[String], String)],
                     insert: Option[Option[String]],
                     bySource: Seq[Option[String]] = Nil): Unit =
-    retryOnConflict(upsertClausesOnce(source, matched, insert, bySource))
+    upsertClauses(source, Merge.clausesOf(matched, insert, bySource))
 
   private def upsertClausesOnce(source: DataFrame,
-                                matched: Seq[(Option[String], String)],
-                                insert: Option[Option[String]],
-                                bySource: Seq[Option[String]]): Unit = {
+                                cl: Merge.MergeClauses): Unit = {
     val meta = Map(Warehouse.OpMeta -> "MERGE")
     require(warehouse.exists(ref),
       s"clause merge needs an existing target table $ref (a WHEN MATCHED " +
@@ -430,11 +604,15 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
         "referencing its source's files — materialize it first " +
         "(overwrite(ref, read(ref)), then releasePin on the source)")
     val baseVersion = warehouse.currentVersion(ref)
-    // the source must carry every target column AT the target's type
+    // star clauses copy source columns VERBATIM, so every target
+    // column must arrive at the target's type; explicit-assignment
+    // clauses cast their expressions, so only the join keys must align
     // (extra CDC flag columns ride along for the clause conditions)
     val tsig = warehouse.schemaOf(ref).map(f => (f.name, f.dataType))
     val ssig = source.schema.map(f => (f.name, f.dataType)).toMap
-    val bad = tsig.filterNot { case (n, t) => ssig.get(n).contains(t) }
+    val checked = if (cl.hasStar) tsig
+                  else tsig.filter { case (n, _) => keys.contains(n) }
+    val bad = checked.filterNot { case (n, t) => ssig.get(n).contains(t) }
     require(bad.isEmpty,
       s"clause merge schema mismatch on ${bad.map(_._1).mkString(",")}: " +
         s"target ${tsig.mkString(",")} vs source ${source.schema.map(f =>
@@ -446,13 +624,13 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
       else warehouse.statColumns(ref)
     def fullRewrite(): Unit = {
       val (merged, changes) = Merge.applyClauses(warehouse.read(ref),
-        source, keys, matched, insert, bySource, cdfOn)
+        source, keys, cl, cdfOn)
       warehouse.overwrite(ref, merged,
         partitionBy = partCols.filter(merged.columns.contains),
         statsColumns = statCols.filter(merged.columns.contains),
         expectedVersion = baseVersion, meta = meta, changes = changes)
     }
-    if (bySource.nonEmpty) { fullRewrite(); return }
+    if (cl.bySource.nonEmpty) { fullRewrite(); return }
     val bounds = source
       .agg(count(lit(1)), min(col(pruneKey)), max(col(pruneKey))).head()
     if (bounds.getLong(0) == 0L) return // empty batch, no by-source: no-op
@@ -461,9 +639,20 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
         Some((Seq.empty[String], warehouse.dataFiles(ref)))
       else warehouse.splitFilesByRange(ref, pruneKey, bounds.get(1), bounds.get(2))
     split match {
+      // MERGE-ON-READ (round 19): claimed rows supersede by position,
+      // updated values + accepted inserts land as one append — the
+      // same economics the classic upsert's DV branch bought, now for
+      // the clause-shaped CDC apply. Unlike the copy-on-write arm this
+      // needs no untouched file to beat the rewrite: even a batch
+      // whose key range straddles EVERY file costs O(claimed rows)
+      case Some((touched, _)) if warehouse.dvEnabled(ref) =>
+        val (sup, adds, changes) = Merge.applyClausesOnRead(
+          warehouse.readFilesWithPos(ref, touched), source, keys, cl,
+          wantChanges = cdfOn)
+        warehouse.dvReplace(ref, snap, sup, Some(adds), meta, changes)
       case Some((touched, untouched)) if untouched.nonEmpty =>
         val (merged, changes) = Merge.applyClauses(readTouched(touched),
-          source, keys, matched, insert, bySource, cdfOn)
+          source, keys, cl, cdfOn)
         warehouse.replaceDataFiles(ref, touched, merged, meta = meta,
           changes = changes)
       case _ => fullRewrite()
@@ -675,7 +864,12 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     // streaming-CDC hot path pays nothing
     val cdfOn = warehouse.cdfEnabled(ref)
     split match {
-      case Some((touched, untouched)) if untouched.nonEmpty =>
+      // merge-on-read needs no untouched file to beat the rewrite: a
+      // batch whose key range straddles EVERY file still costs
+      // O(claimed rows), so DV mode takes this arm whenever the
+      // manifest resolves at all
+      case Some((touched, untouched))
+          if untouched.nonEmpty || warehouse.dvEnabled(ref) =>
         if (touched.isEmpty) { // disjoint ranges: insert-only
           // name AND type must match — an insert-only batch bypasses
           // the join, so this is the last check before its rows land

@@ -129,6 +129,163 @@ class MergeClausesSpec extends SparkSpec {
       (5L, "delete"), (31L, "insert")))
   }
 
+  test("expression-valued SET: incremental aggregation through the Scala clause API") {
+    import spark.implicits._
+    val (wh, ref, mt) = fresh("exprset")
+    // source carries only (k, delta) — NOT the target schema: explicit
+    // assignments never require star coverage
+    val batch = Seq((3L, 10.0), (5L, 20.0), (31L, 31.5))
+      .toDF("k", "delta")
+    mt.upsertClauses(batch, Merge.MergeClauses(
+      matched = Seq(Merge.Clause(None, "update",
+        Some(Seq("v" -> "v + __src_delta")))),
+      inserts = Seq(Merge.Clause(None, "insert",
+        Some(Seq("k" -> "__src_k", "v" -> "__src_delta"))))))
+    val got = wh.read(ref).select("k", "name", "v")
+      .as[(Long, Option[String], Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(3L) === ((Some("n3"), 13.0)),
+      "matched SET must ADD the delta and keep unassigned columns")
+    assert(got(5L) === ((Some("n5"), 25.0)))
+    assert(got(31L) === ((None, 31.5)),
+      "explicit INSERT must null unassigned columns")
+    assert(got(7L) === ((Some("n7"), 7.0)), "unmatched rows keep values")
+    assert(got.size === 31)
+  }
+
+  test("SQL MERGE: expression SET, explicit INSERT projection, multiple ordered inserts") {
+    import spark.implicits._
+    val root = tmpDir("wh-clauses-exprsql")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftexprsql"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "cdc", "exprsql")
+    wh.overwrite(ref,
+      (1L to 20L).map(i => (i, s"n$i", i * 1.0)).toDF("k", "name", "v"),
+      statsColumns = Seq("k"))
+    Seq((3L, 10.0, "hot"), (21L, 21.0, "hot"), (22L, 22.0, "cold"))
+      .toDF("k", "delta", "tag").createOrReplaceTempView("agg_batch")
+    spark.sql(
+      s"""MERGE INTO $cat.silver.cdc.exprsql t
+         |USING agg_batch s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET t.v = t.v + s.delta
+         |WHEN NOT MATCHED AND s.tag = 'hot'
+         |  THEN INSERT (k, name, v) VALUES (s.k, concat('h', s.tag), s.delta)
+         |WHEN NOT MATCHED
+         |  THEN INSERT (k, name, v) VALUES (s.k, 'other', -1.0)""".stripMargin)
+    val got = spark.sql(s"SELECT k, name, v FROM $cat.silver.cdc.exprsql")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(3L) === (("n3", 13.0)),
+      "expression SET must add the source delta and keep other columns")
+    assert(got(21L) === (("hhot", 21.0)),
+      "first matching INSERT clause must project its VALUES")
+    assert(got(22L) === (("other", -1.0)),
+      "a non-hot unmatched row must fall to the second INSERT clause")
+    assert(got(7L) === (("n7", 7.0)))
+    assert(got.size === 22)
+    assert(wh.commitMeta(ref, wh.currentVersion(ref).get)
+      .get(Warehouse.OpMeta).contains("MERGE"))
+  }
+
+  test("NOT MATCHED BY SOURCE UPDATE: flag-stale replication instead of delete") {
+    import spark.implicits._
+    val root = tmpDir("wh-clauses-bsupd")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftbsupd"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "cdc", "bsupd")
+    wh.overwrite(ref,
+      (1L to 10L).map(i => (i, s"n$i", i * 1.0)).toDF("k", "name", "v"),
+      statsColumns = Seq("k"))
+    wh.setChangeDataFeed(ref, enabled = true)
+    // the source names the LIVE keys; vanished rows flag, not delete
+    Seq((2L, "s2", 2.2), (4L, "s4", 4.4)).toDF("k", "name", "v")
+      .createOrReplaceTempView("live_batch")
+    spark.sql(
+      s"""MERGE INTO $cat.silver.cdc.bsupd t
+         |USING live_batch s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.k > 5
+         |  THEN UPDATE SET t.name = concat('stale_', t.name)""".stripMargin)
+    val got = spark.sql(s"SELECT k, name, v FROM $cat.silver.cdc.bsupd")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size === 10, "by-source UPDATE deletes nothing")
+    assert(got(2L) === (("s2", 2.2)) && got(4L) === (("s4", 4.4)))
+    assert(got(7L) === (("stale_n7", 7.0)),
+      "vanished rows past the condition must flag stale")
+    assert(got(3L) === (("n3", 3.0)),
+      "vanished rows failing the condition keep their values")
+    // CDF renders the flagging as update pairs
+    val v = wh.currentVersion(ref).get
+    val feed = spark.sql(
+      s"SELECT k, ${Warehouse.ChangeTypeCol} FROM $cat.silver.cdc.bsupd.changes " +
+        s"WHERE _commit_version = $v").as[(Long, String)].collect()
+    assert(feed.count(_._2 == "update_postimage") === 7,
+      "2 matched + 5 flagged rows must postimage")
+    // a by-source SET referencing the (NULL) source side must refuse
+    // the engine route and fail loudly in Spark's fallback
+    val err = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.silver.cdc.bsupd t
+           |USING live_batch s ON t.k = s.k
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.name = s.name
+           |""".stripMargin)
+    }
+    assert(err != null)
+  }
+
+  test("DV-mode clause merge is merge-on-read: zero rewrites of unmatched bytes") {
+    import spark.implicits._
+    val (wh, ref, mt) = fresh("dvclauses", rows = 60L)
+    val cat = "graftdvclauses"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+    wh.setDeletionVectors(ref, enabled = true)
+    wh.setChangeDataFeed(ref, enabled = true)
+    val before = wh.snapshot(ref).get.files.toSet
+    val batch = Seq(
+      (3L, "u3", 3.3, "U"), (5L, "x", 0.0, "D"), (61L, "new", 61.0, "I"))
+      .toDF("k", "name", "v", "op")
+    mt.upsertClauses(batch,
+      matched = Seq(Some("__src_op = 'D'") -> "delete", None -> "update"),
+      insert = Some(Some("__src_op <> 'D'")))
+    val snap = wh.snapshot(ref).get
+    assert(before.subsetOf(snap.files.toSet),
+      "a DV clause merge must not rewrite any pre-merge file")
+    assert((snap.files.toSet -- before).nonEmpty,
+      "updated values + inserts must land as an append")
+    assert(snap.dvMap.nonEmpty,
+      "claimed rows (update AND delete clauses) must supersede by position")
+    val got = wh.read(ref).select("k", "name").as[(Long, String)]
+      .collect().toMap
+    assert(!got.contains(5L) && got(3L) === "u3" && got(61L) === "new" &&
+      got.size === 60 && got(40L) === "n40")
+    // CDF classification commits atomically with the DV write
+    val feed = spark.sql(
+      s"SELECT k, ${Warehouse.ChangeTypeCol} FROM " +
+        s"$cat.silver.cdc.dvclauses.changes " +
+        s"WHERE _commit_version = ${snap.version}")
+      .as[(Long, String)].collect().toSet
+    assert(feed === Set((3L, "update_preimage"), (3L, "update_postimage"),
+      (5L, "delete"), (61L, "insert")))
+    // expression SET rides merge-on-read too: positions + append only
+    val before2 = wh.snapshot(ref).get.files.toSet
+    mt.upsertClauses(Seq((7L, 100.0)).toDF("k", "delta"), Merge.MergeClauses(
+      matched = Seq(Merge.Clause(None, "update",
+        Some(Seq("v" -> "v + __src_delta"))))))
+    val snap2 = wh.snapshot(ref).get
+    assert(before2.subsetOf(snap2.files.toSet))
+    assert(wh.read(ref).filter(col("k") === 7L).select("v").as[Double]
+      .head() === 107.0)
+    // by-source clauses honestly pay the rewrite even in DV mode
+    mt.upsertClauses(Seq((3L, "only3", 3.0)).toDF("k", "name", "v"),
+      matched = Seq(None -> "update"), insert = None,
+      bySource = Seq(None))
+    assert(wh.read(ref).count() === 1L)
+  }
+
   test("SQL MERGE with conditional, delete, and by-source clauses routes to the engine") {
     import spark.implicits._
     val root = tmpDir("wh-clauses-sql")
