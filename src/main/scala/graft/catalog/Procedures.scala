@@ -130,12 +130,20 @@ private[catalog] object GraftProcedures {
       paramWithDefault("keep_versions", IntegerType, "1"),
       // DRY RUN: the blast-radius check before the only irreversible
       // command — same math, zero changes
-      paramWithDefault("dry_run", BooleanType, "false"))
+      paramWithDefault("dry_run", BooleanType, "false"),
+      // TIME-BASED retention (Delta's RETAIN n HOURS): keeps every
+      // version committed within the window by the durable commit
+      // clock; overrides keep_versions when set
+      paramWithDefault("keep_hours", org.apache.spark.sql.types.DoubleType,
+        "NULL"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val ref = TableRef.parse(input.getUTF8String(0).toString)
       val keep = if (input.isNullAt(1)) 1 else input.getInt(1)
       val dry = !input.isNullAt(2) && input.getBoolean(2)
-      val n = warehouse(root).vacuum(ref, keep, dryRun = dry)
+      val wh0 = warehouse(root)
+      val n = if (!input.isNullAt(3))
+        wh0.vacuumRetain(ref, input.getDouble(3), dryRun = dry)
+      else wh0.vacuum(ref, keep, dryRun = dry)
       single(
         StructType(Seq(StructField("table", StringType),
           StructField("files_deleted", IntegerType),

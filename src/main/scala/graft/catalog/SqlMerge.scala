@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{Encoders, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, NamedExpression, Not, PlanExpression, SubqueryExpression, And => CAnd}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, NamedExpression, Not, PlanExpression, And => CAnd}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, Union, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -59,9 +59,14 @@ object SqlMerge {
     * snapshot-consistent OVERWRITE whose plan carries the subqueries
     * under Filter/Project (the operator classes CheckAnalysis allows
     * them in): unmatched rows pass through, matched rows re-project
-    * with the SET applied. Uncorrelated subqueries only; O(table)
-    * rewrite — the price of an arbitrary subquery predicate
-    * (plain-filter updates keep the file-pruned updateWhere path).
+    * with the SET applied. CORRELATED subqueries translate too
+    * (round 19): `WHERE EXISTS (… s.k = t.k)` and the IN-correlated
+    * form live under the same Filter/Project operators, where Spark's
+    * existential-join rewrite plans them as semi/anti/existence joins
+    * — the MERGE the old refusal message told the user to write by
+    * hand, derived mechanically. O(table) rewrite — the price of an
+    * arbitrary subquery predicate (plain-filter updates keep the
+    * file-pruned updateWhere path).
     */
   private def translateSubqueryUpdate(u: UpdateTable): Option[LogicalPlan] =
     graftTarget(u.table).flatMap { case (rel, table) =>
@@ -72,12 +77,6 @@ object SqlMerge {
       val keysOk = u.assignments.forall(_.key.isInstanceOf[AttributeReference])
       if (!hasSub || !keysOk) None
       else {
-        val exprs = u.condition.toSeq ++ u.assignments.map(_.value)
-        if (exprs.exists(SubqueryExpression.hasCorrelatedSubquery))
-          throw new UnsupportedOperationException(
-            s"UPDATE on ${table.snap.ref}: correlated subqueries are not " +
-              "supported — rewrite as MERGE INTO (the subquery becomes " +
-              "the USING source)")
         val matched = EqualNullSafe(
           u.condition.getOrElse(Literal(true)), Literal(true))
         val assigns: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
@@ -97,9 +96,12 @@ object SqlMerge {
 
   /** SQL `DELETE FROM t WHERE … (subquery …)` — the shape the native
     * `SupportsDelete` path cannot carry (V1 filters hold no plans) and
-    * Delta refuses outright. Uncorrelated subqueries route to
-    * [[GraftSubqueryDeleteCommand]] (snapshot-consistent anti-filter
-    * overwrite); correlated ones refuse with the workaround.
+    * Delta refuses outright. Routes to [[GraftSubqueryDeleteCommand]]
+    * (snapshot-consistent anti-filter overwrite). CORRELATED
+    * subqueries translate too (round 19): the GDPR-time
+    * `WHERE EXISTS (… s.k = t.k)` / `NOT EXISTS` / correlated-IN
+    * shapes sit under a Filter, where Spark plans them as
+    * semi/anti/existence joins — no manual MERGE rewrite needed.
     * Subquery-free deletes stay on the file-pruned `SupportsDelete`
     * path — this rule never touches them.
     */
@@ -107,11 +109,6 @@ object SqlMerge {
     graftTarget(d.table).flatMap { case (_, table) =>
       if (!d.condition.exists(_.isInstanceOf[PlanExpression[_]])) None
       else {
-        if (SubqueryExpression.hasCorrelatedSubquery(d.condition))
-          throw new UnsupportedOperationException(
-            s"DELETE on ${table.snap.ref}: correlated subqueries are not " +
-              "supported — rewrite with an uncorrelated subquery or " +
-              "precompute the key set into the WHERE clause")
         // the subquery condition must live under a FILTER (the one
         // operator class CheckAnalysis allows IN/EXISTS in), never as
         // a command expression — build the keep/deleted plans here

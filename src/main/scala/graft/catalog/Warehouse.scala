@@ -1428,7 +1428,26 @@ final class Warehouse(spark: SparkSession, val root: String,
     *        blast-radius check before the only irreversible command.
     */
   def vacuum(ref: TableRef, keepVersions: Int = 1,
-             dryRun: Boolean = false): Int = {
+             dryRun: Boolean = false): Int =
+    vacuumCore(ref, keepVersions, None, dryRun)
+
+  /** TIME-BASED retention (Delta's `VACUUM … RETAIN n HOURS`, whose
+    * default is 7 days — operators think in retention windows, not
+    * version counts): keeps every version committed within the last
+    * `keepHours` by the DURABLE `graft.ts` commit clock (the same
+    * monotonic stamp `versionAsOf`/`versionSince` resolve by, so a
+    * filesystem-level log copy keeps the window honest), and always at
+    * least the current version. Pins, staged batches, dry-run, and the
+    * horizon/log/cdc/dv sweeps behave exactly as [[vacuum]].
+    */
+  def vacuumRetain(ref: TableRef, keepHours: Double,
+                   dryRun: Boolean = false): Int = {
+    require(keepHours >= 0, s"keepHours must be >= 0: $keepHours")
+    vacuumCore(ref, 1, Some((keepHours * 3600000.0).toLong), dryRun)
+  }
+
+  private def vacuumCore(ref: TableRef, keepVersions: Int,
+                         retainMs: Option[Long], dryRun: Boolean): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     withWriterLock(ref) {
       recoverLocked(ref)
@@ -1438,7 +1457,14 @@ final class Warehouse(spark: SparkSession, val root: String,
       if (!filesystem.exists(dir)) 0
       else {
         val versions = listVersions(ref)
-        val keep = versions.takeRight(keepVersions)
+        // time-based retention resolves to a version count UNDER the
+        // lock (the commit clock is monotonic, so the in-window
+        // versions are exactly a suffix)
+        val byTime = retainMs.fold(0) { ms =>
+          val cutoff = System.currentTimeMillis() - ms
+          commitClocks(ref).count(_._2 >= cutoff)
+        }
+        val keep = versions.takeRight(math.max(keepVersions, byTime))
         // staged (write-audit-publish) batches are live state awaiting
         // their audit: their files are referenced by no version yet but
         // must survive maintenance. They have no lease, so a crashed or

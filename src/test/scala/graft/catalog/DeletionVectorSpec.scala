@@ -404,7 +404,7 @@ class DeletionVectorSpec extends SparkSpec {
         .exists(_.contains("deletion vectors"))), s"got: $e2")
   }
 
-  test("DML subqueries: DELETE ... IN (SELECT ...) reads DV'd and foreign truth; correlated + UPDATE refuse loudly") {
+  test("DML subqueries: DELETE ... IN (SELECT ...) reads DV'd and foreign truth; correlated EXISTS/IN translate") {
     import spark.implicits._
     val root = tmpDir("wh-dv-sub")
     val wh = new Warehouse(spark, root)
@@ -439,14 +439,6 @@ class DeletionVectorSpec extends SparkSpec {
       s"(SELECT k FROM $cat.silver.dv.subsrc)")
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.silver.dv.subnull")
       .head().getLong(0) === 2L, "NULL-key row must survive a subquery DELETE")
-    // correlated subqueries refuse with the workaround
-    val e1 = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.silver.dv.subt t WHERE EXISTS " +
-        s"(SELECT 1 FROM $cat.silver.dv.subsrc s WHERE s.k = t.k)")
-    }
-    assert(Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(c => Option(c.getMessage).exists(_.contains("correlated"))),
-      s"got: $e1")
     // UPDATE with a subquery works the same way (kept ∪ SET-projected
     // matched, one CAS'd overwrite): live subsrc keys are 6-10, so
     // k+5 IN (...) names exactly the surviving keys 1-5
@@ -475,14 +467,31 @@ class DeletionVectorSpec extends SparkSpec {
     assert(wh.read(part).filter(col("name") === "z").count() === 5L)
     assert(wh.snapshot(part).get.files.forall(_.contains("seg=g")),
       "subquery UPDATE flattened the partition layout")
-    // correlated subquery UPDATE still refuses with the MERGE rewrite
-    val e2 = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.silver.dv.subt t SET name = 'y' WHERE EXISTS " +
-        s"(SELECT 1 FROM $cat.silver.dv.subsrc s WHERE s.k = t.k)")
-    }
-    assert(Iterator.iterate(e2: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(c => Option(c.getMessage).exists(m =>
-        m.contains("correlated") && m.contains("MERGE INTO"))), s"got: $e2")
+    // CORRELATED subqueries translate (round 19): EXISTS plans as a
+    // semi join under the command's Filter — the GDPR-time shape.
+    // subt here holds keys 1-5 ('x') ∪ 11-13 ∪ 16-20; live subsrc
+    // keys are 6-10, so s.k = t.k + 5 names exactly t.k ∈ 1-5
+    spark.sql(s"DELETE FROM $cat.silver.dv.subt t WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.silver.dv.subsrc s WHERE s.k = t.k + 5)")
+    assert(wh.read(tgt).select("k").as[Long].collect().toSet ===
+      ((11L to 13L) ++ (16L to 20L)).toSet,
+      "correlated EXISTS DELETE must remove exactly the matched keys")
+    // correlated UPDATE: s.k = t.k - 10 names t.k ∈ 16-20
+    spark.sql(s"UPDATE $cat.silver.dv.subt t SET name = 'y' WHERE EXISTS " +
+      s"(SELECT 1 FROM $cat.silver.dv.subsrc s WHERE s.k = t.k - 10)")
+    assert(spark.sql(s"SELECT k FROM $cat.silver.dv.subt WHERE name = 'y'")
+      .as[Long].collect().toSet === (16L to 20L).toSet,
+      "correlated EXISTS UPDATE must SET exactly the matched rows")
+    // NOT EXISTS null semantics: a NULL-key row has no match, so NOT
+    // EXISTS is TRUE for it (unlike NOT IN, which nulls out) — it
+    // deletes. subnull holds (null,'b') and (99,'c'); neither matches
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.silver.dv.subnull")
+      .head().getLong(0) === 2L)
+    spark.sql(s"DELETE FROM $cat.silver.dv.subnull t WHERE NOT EXISTS " +
+      s"(SELECT 1 FROM $cat.silver.dv.subsrc s WHERE s.k = t.k)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.silver.dv.subnull")
+      .head().getLong(0) === 0L,
+      "NOT EXISTS must delete unmatched rows INCLUDING the null key")
   }
 
   test("DV read plans stay scan-shaped: predicate pushed below the anti-join, no rewrite jobs") {

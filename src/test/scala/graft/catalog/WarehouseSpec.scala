@@ -288,6 +288,50 @@ class WarehouseSpec extends SparkSpec {
       "registry kept pre-delete stats after the table emptied")
   }
 
+  test("time-based vacuum retention: keepHours windows by the commit clock; dry-run and pins hold") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-vacretain"))
+    val ref = TableRef("silver", "t", "ret")
+    wh.overwrite(ref, (1L to 10L).toDF("k"))                          // v1
+    wh.overwrite(ref, (11L to 20L).toDF("k"))                        // v2
+    wh.overwrite(ref, (21L to 30L).toDF("k"))                        // v3
+    // every commit is inside a generous window: nothing deletes and
+    // history stays readable
+    assert(wh.vacuumRetain(ref, keepHours = 24.0) === 0)
+    assert(wh.readVersion(ref, 1L).count() === 10L)
+    // a zero-hour window: dry run names the blast radius, changes
+    // nothing; the real run keeps ONLY the current version
+    Thread.sleep(5) // the cutoff must fall after the last commit stamp
+    val would = wh.vacuumRetain(ref, keepHours = 0.0, dryRun = true)
+    assert(would > 0, "retired v1/v2 files must be in the blast radius")
+    assert(wh.readVersion(ref, 1L).count() === 10L, "dry run deleted data")
+    assert(wh.vacuumRetain(ref, keepHours = 0.0) === would)
+    assert(wh.read(ref).as[Long].collect().toSet === (21L to 30L).toSet)
+    intercept[Exception] { wh.readVersion(ref, 1L).count() }
+    // pins survive however far the window advances: a shallow clone's
+    // pinned version keeps resolving after a zero-hour vacuum
+    val src = TableRef("silver", "t", "retsrc")
+    wh.overwrite(src, (1L to 5L).toDF("k"))
+    val clone = TableRef("dev", "t", "retclone")
+    wh.cloneTable(src, clone, shallow = true)
+    wh.overwrite(src, (6L to 9L).toDF("k"))
+    Thread.sleep(5)
+    wh.vacuumRetain(src, keepHours = 0.0)
+    assert(wh.read(clone).as[Long].collect().toSet === (1L to 5L).toSet,
+      "the pinned clone must survive time-based retention")
+    // CALL surface: keep_hours rides the same procedure
+    val cat = "graftvacretain"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+    wh.overwrite(ref, (31L to 40L).toDF("k"))                        // v4
+    Thread.sleep(5)
+    val r = spark.sql(s"CALL $cat.system.vacuum('silver.t.ret', " +
+      "keep_hours => 0.0, dry_run => true)").head()
+    assert(r.getAs[Int]("files_deleted") > 0 && r.getAs[Boolean]("dry_run"))
+    assert(wh.readVersion(ref, 3L).count() === 10L,
+      "CALL dry run must not delete")
+  }
+
   test("bootstrap overwrite lands whole-dir: metadata leftovers cleared, logless data adopted") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-boot"))
