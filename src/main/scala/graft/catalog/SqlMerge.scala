@@ -453,9 +453,13 @@ final case class GraftSubqueryUpdateCommand(root: String, ref: TableRef,
     val updated = rows(result)
     val partCols = wh.snapshot(ref).toSeq
       .flatMap(s => Warehouse.partDirCols(s.files))
+    val statCols = wh.statColumns(ref).filter(updated.columns.contains)
     wh.overwrite(ref, updated,
       partitionBy = partCols.filter(updated.columns.contains),
-      statsColumns = wh.statColumns(ref).filter(updated.columns.contains),
+      statsColumns = statCols,
+      // carry live blooms (like replaceDataFiles' oldBlooms) or this
+      // rewrite silently sheds point-lookup pruning
+      bloomColumns = wh.bloomColumns(ref).filter(statCols.contains),
       expectedVersion = Some(plannedVersion),
       meta = Map(Warehouse.OpMeta -> "UPDATE"), changes = changes)
     Seq.empty
@@ -499,9 +503,11 @@ final case class GraftSubqueryDeleteCommand(root: String, ref: TableRef,
     // CAS on the ANALYSIS-time version: the relation inside `keep` is
     // pinned to that snapshot, so a concurrent commit must conflict
     // loudly rather than be silently overwritten
+    val statCols = wh.statColumns(ref).filter(kept.columns.contains)
     wh.overwrite(ref, kept,
       partitionBy = partCols.filter(kept.columns.contains),
-      statsColumns = wh.statColumns(ref).filter(kept.columns.contains),
+      statsColumns = statCols,
+      bloomColumns = wh.bloomColumns(ref).filter(statCols.contains),
       expectedVersion = Some(plannedVersion),
       meta = Map(Warehouse.OpMeta -> "DELETE"), changes = changes)
     Seq.empty

@@ -2583,15 +2583,42 @@ final class Warehouse(spark: SparkSession, val root: String,
     }).getOrElse(Map.empty)
 
   /** Compute OMITTED generated columns onto a write frame (no-op for
-    * frames that carry them — those validate instead).
+    * frames that carry them — those validate instead). Dependency
+    * order ([[Warehouse.topoGenerations]]): a generation reading
+    * another omitted generation resolves regardless of column naming —
+    * each `withColumn` stage sees its providers already computed.
     */
   private def applyGenerated(ref: TableRef, df: DataFrame): DataFrame = {
     if (currentVersion(ref).isEmpty) return df
     val gens = generatedColumns(ref)
       .filterNot { case (c, _) => df.columns.contains(c) }
-    gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+    Warehouse.topoGenerations(gens).foldLeft(df) { case (d, (c, e)) =>
       d.withColumn(c, org.apache.spark.sql.functions.expr(e))
     }
+  }
+
+  /** Generations to RECOMPUTE when the (lowercase) `setNames` columns
+    * change — transitively: a generation over a recomputed generation
+    * recomputes too. Excludes columns the writer assigns itself
+    * (those validate instead). Dependency-ordered.
+    */
+  private[graft] def generatedRecomputes(ref: TableRef,
+                                         setNames: Set[String])
+      : Seq[(String, String)] = {
+    val gens = generatedColumns(ref)
+      .filterNot { case (g, _) => setNames.contains(g.toLowerCase) }
+    if (gens.isEmpty) return Nil
+    var changed = setNames
+    var out = Map.empty[String, String]
+    var progress = true
+    while (progress) {
+      val add = gens.filter { case (g, e) => !out.contains(g) &&
+        Warehouse.exprRefs(e).intersect(changed).nonEmpty }
+      progress = add.nonEmpty
+      out ++= add
+      changed ++= add.keys.map(_.toLowerCase)
+    }
+    Warehouse.topoGenerations(out)
   }
 
   /** Live CHECK constraints (name → predicate) from the carried meta. */
@@ -3261,6 +3288,11 @@ final class Warehouse(spark: SparkSession, val root: String,
         .collect()
     if (perFile.isEmpty) return 0L
     val setMap = set.toMap
+    // generated columns whose expressions read a SET column recompute
+    // over the POST-SET image (transitively, dependency-ordered) —
+    // GENERATED ALWAYS AS semantics; carrying the stale value would
+    // bounce off the staged validation
+    val genX = generatedRecomputes(ref, set.map(_._1.toLowerCase).toSet)
     val cdfOn = cdfEnabled(ref)
     // rewrite per partition directory so replacement files land back
     // inside their partitions (compact's layout-preserving shape)
@@ -3273,11 +3305,21 @@ final class Warehouse(spark: SparkSession, val root: String,
         // never resurrect merge-on-read-deleted rows — and the
         // rewritten files' vector mappings die with the retirement.
         val slice = readFiles(ref, files)
-        val rewritten = slice
-          .select(dataCols.map(c =>
+        val allCols = slice.columns.toSeq
+        // stage 1: the user SET over the pre-image; stage 2: derived
+        // columns recompute over the post-SET image, gated on the SAME
+        // matched flag (re-evaluating the condition post-SET would
+        // answer a different question)
+        val postSet = slice.withColumn("__upd_m", matched)
+          .select(allCols.map(c =>
             setMap.get(c)
-              .map(v => when(matched, v).otherwise(col(c)).as(c))
-              .getOrElse(col(c))): _*)
+              .map(v => when(col("__upd_m"), v).otherwise(col(c)).as(c))
+              .getOrElse(col(c))) :+ col("__upd_m"): _*)
+        val regen = genX.foldLeft(postSet) { case (d, (g, e)) =>
+          d.withColumn(g, when(col("__upd_m"),
+            org.apache.spark.sql.functions.expr(e)).otherwise(col(g)))
+        }
+        val rewritten = regen.select(dataCols.map(col): _*)
         // CDF: this directory's matched rows, before and after the SET
         // (full table schema — change files stand alone), atomic with
         // the commit; O(updated rows) extra per directory
@@ -3285,13 +3327,15 @@ final class Warehouse(spark: SparkSession, val root: String,
           if (!cdfOn) None
           else {
             val pre = slice.filter(matched)
-            val allCols = slice.columns.toSeq
+            val post0 = pre.select(allCols.map(c =>
+              setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+            val post = genX.foldLeft(post0) { case (d, (g, e)) =>
+              d.withColumn(g, org.apache.spark.sql.functions.expr(e))
+            }
             Some(pre.withColumn(Warehouse.ChangeTypeCol,
                 lit("update_preimage"))
-              .unionByName(pre.select(allCols.map(c =>
-                  setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-                .withColumn(Warehouse.ChangeTypeCol,
-                  lit("update_postimage"))))
+              .unionByName(post.withColumn(Warehouse.ChangeTypeCol,
+                lit("update_postimage"))))
           }
         replaceDataFiles(ref, files, rewritten,
           subdir = if (subdir.isEmpty) None else Some(subdir),
@@ -3314,21 +3358,42 @@ final class Warehouse(spark: SparkSession, val root: String,
     val setMap = set.toMap
     // matched rows with positions, live vectors applied; the predicate
     // pushes to the scan, so planning work tracks the files that could
-    // match. Deterministic (no window tie-breaks), so the separate
-    // actions below may re-evaluate it safely.
+    // match
     val eff = readSubsetWithPos(planned, planned.files).filter(matched)
-    val n = eff.count()
-    if (n == 0L) return 0L
     val cols = eff.columns.toSeq
       .filterNot(Set("__gdv_file", "__gdv_pos").contains)
-    val positions = eff
+    // generated columns reading a SET column recompute over the
+    // post-SET image (references renamed onto the __post_ columns;
+    // dependency-ordered so a generation over a generation sees its
+    // provider fresh)
+    val genX = generatedRecomputes(ref, set.map(_._1.toLowerCase).toSet)
+    val renames = cols.map(c => c.toLowerCase -> s"`__post_$c`").toMap
+    val postSet = eff.select(cols.map(col) ++ cols.map(c =>
+        setMap.get(c).getOrElse(col(c)).as(s"__post_$c")) ++
+      Seq(col("__gdv_file"), col("__gdv_pos")): _*)
+    val regen = genX.foldLeft(postSet) { case (d, (g, e)) =>
+      d.withColumn(s"__post_$g", org.apache.spark.sql.functions.expr(
+        Warehouse.substituteSql(e, renames)))
+    }
+    // ONE materialized classification (dvReplace's documented
+    // contract) carrying pre-image, POST-SET image, and position per
+    // matched row: the ~6 downstream actions (count, per-file
+    // collects, sidecar write, staged append, CDC stage) all read this
+    // checkpoint, so a nondeterministic condition cannot supersede a
+    // row without appending its image, and a nondeterministic SET
+    // (current_timestamp()) commits exactly the postimage the CDF
+    // reports. O(matched rows), the same bound mergeOnRead pays.
+    val staged = graft.util.Scratch.transientCheckpoint(
+      regen.localCheckpoint())
+    val n = staged.count()
+    if (n == 0L) return 0L
+    val positions = staged
       .select(col("__gdv_file").as("file"), col("__gdv_pos").as("pos"))
-    val newRows = eff.select(cols.map(c =>
-      setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    val newRows = staged.select(cols.map(c => col(s"__post_$c").as(c)): _*)
     val changes =
       if (!cdfEnabled(ref)) None
       else {
-        val pre = eff.drop("__gdv_file", "__gdv_pos")
+        val pre = staged.select(cols.map(col): _*)
         Some(pre.withColumn(Warehouse.ChangeTypeCol, lit("update_preimage"))
           .unionByName(newRows.withColumn(Warehouse.ChangeTypeCol,
             lit("update_postimage"))))
@@ -3736,6 +3801,15 @@ final class Warehouse(spark: SparkSession, val root: String,
   def statColumns(ref: TableRef): Seq[String] =
     manifestDf(path(ref)).toSeq.flatMap(_.columns)
       .collect { case c if c.startsWith("min_") => c.stripPrefix("min_") }
+
+  /** Columns with bloom word-arrays in the table's manifest (empty =
+    * none) — full-rewrite callers must pass these back into
+    * [[overwrite]] or the rewrite silently drops point-lookup pruning
+    * until some later write restores it.
+    */
+  def bloomColumns(ref: TableRef): Seq[String] =
+    manifestDf(path(ref)).toSeq.flatMap(_.columns)
+      .collect { case c if c.startsWith("bloom_") => c.stripPrefix("bloom_") }
 
   /** Split the table's data files into (mayOverlap, provablyDisjoint)
     * for `[lo, hi]` on `column`, using the stats manifest. Conservative:
@@ -5049,6 +5123,65 @@ object Warehouse {
       f.split('/').dropRight(1).toSeq
         .takeWhile(_.contains('=')).map(_.takeWhile(_ != '='))
     }
+
+  /** Column names (last name part, lowercased) an expression SQL
+    * references — the dependency probe generated-column ordering,
+    * recompute targeting, and the drop guards share.
+    */
+  private[graft] def exprRefs(sql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.last.toLowerCase
+      }.toSet
+
+  /** Substitute assigned columns into an expression: every reference
+    * to a key of `sets` (lowercase name → replacement SQL) becomes
+    * that replacement's parsed expression — how a generation
+    * recomputes over a POST-assignment image when the evaluation frame
+    * only carries the pre-image under the original names.
+    */
+  private[graft] def substituteSql(sql: String,
+                                   sets: Map[String, String]): String =
+    // transformUp, NOT transform: the replacement must never be
+    // re-descended — a self-referential assignment (`price ->
+    // price + delta`) would loop, and its internal references mean the
+    // PRE-image by SET semantics anyway
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if sets.contains(a.nameParts.last.toLowerCase) =>
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sets(a.nameParts.last.toLowerCase))
+      }.sql
+
+  /** Dependency-order generations: a generation may read ANOTHER
+    * generated column, so compute providers first (alphabetical order
+    * broke on naming — the round-18 hazard). Cycles and self-reference
+    * refuse loudly instead of failing with an unresolved-column error
+    * that depends on column names.
+    */
+  private[graft] def topoGenerations(gens: Map[String, String])
+      : Seq[(String, String)] = {
+    val lcOf = gens.keys.map(k => k.toLowerCase -> k).toMap
+    var remaining = gens.toSeq.sortBy(_._1)
+    var done = Set.empty[String]
+    val out = Seq.newBuilder[(String, String)]
+    var progress = true
+    while (remaining.nonEmpty && progress) {
+      val (ready, blocked) = remaining.partition { case (_, e) =>
+        exprRefs(e).intersect(lcOf.keySet -- done).isEmpty
+      }
+      progress = ready.nonEmpty
+      out ++= ready
+      done ++= ready.map(_._1.toLowerCase)
+      remaining = blocked
+    }
+    require(remaining.isEmpty,
+      s"generated columns form a reference cycle: " +
+        remaining.map(_._1).mkString(","))
+    out.result()
+  }
 
   /** Carried-meta prefix of CHECK constraints
     * ([[Warehouse.setCheckConstraint]]): `graft.check.<name>` →

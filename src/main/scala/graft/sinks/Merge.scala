@@ -589,8 +589,47 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
                     bySource: Seq[Option[String]] = Nil): Unit =
     upsertClauses(source, Merge.clausesOf(matched, insert, bySource))
 
+  /** Extend explicit-assignment clauses with GENERATED-column
+    * recomputes: an UPDATE whose SET touches a generation's source
+    * recomputes the derived value over the post-assignment image
+    * (assigned references substituted textually — unassigned bare
+    * names already evaluate to the kept target value, or to NULL on
+    * insert rows, which is exactly the committed image); an explicit
+    * INSERT computes every omitted generation (compute-on-omit, the
+    * same contract as append/overwrite). Star clauses copy the
+    * source's generated values verbatim — those validate instead.
+    */
+  private def withGeneratedRecomputes(cl: Merge.MergeClauses)
+      : Merge.MergeClauses = {
+    val gens = warehouse.generatedColumns(ref)
+    if (gens.isEmpty) return cl
+    def extend(c: Merge.Clause, isInsert: Boolean): Merge.Clause =
+      c.sets match {
+        case Some(sets) if c.action != "delete" =>
+          var assigned = sets.map { case (n, e) => n.toLowerCase -> e }.toMap
+          val extra = Seq.newBuilder[(String, String)]
+          Warehouse.topoGenerations(gens
+            .filterNot { case (g, _) => assigned.contains(g.toLowerCase) })
+            .foreach { case (g, e) =>
+              if (isInsert ||
+                  Warehouse.exprRefs(e).intersect(assigned.keySet).nonEmpty) {
+                val sub = Warehouse.substituteSql(e, assigned)
+                extra += g -> sub
+                assigned += g.toLowerCase -> sub
+              }
+            }
+          val x = extra.result()
+          if (x.isEmpty) c else c.copy(sets = Some(sets ++ x))
+        case _ => c
+      }
+    Merge.MergeClauses(cl.matched.map(extend(_, isInsert = false)),
+      cl.inserts.map(extend(_, isInsert = true)),
+      cl.bySource.map(extend(_, isInsert = false)))
+  }
+
   private def upsertClausesOnce(source: DataFrame,
-                                cl: Merge.MergeClauses): Unit = {
+                                cl0: Merge.MergeClauses): Unit = {
+    val cl = withGeneratedRecomputes(cl0)
     val meta = Map(Warehouse.OpMeta -> "MERGE")
     require(warehouse.exists(ref),
       s"clause merge needs an existing target table $ref (a WHEN MATCHED " +
@@ -625,9 +664,11 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     def fullRewrite(): Unit = {
       val (merged, changes) = Merge.applyClauses(warehouse.read(ref),
         source, keys, cl, cdfOn)
+      val sc = statCols.filter(merged.columns.contains)
       warehouse.overwrite(ref, merged,
         partitionBy = partCols.filter(merged.columns.contains),
-        statsColumns = statCols.filter(merged.columns.contains),
+        statsColumns = sc,
+        bloomColumns = warehouse.bloomColumns(ref).filter(sc.contains),
         expectedVersion = baseVersion, meta = meta, changes = changes)
     }
     if (cl.bySource.nonEmpty) { fullRewrite(); return }
@@ -775,7 +816,9 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
           else warehouse.statColumns(ref)
         warehouse.overwrite(ref,
           dropAffected(warehouse.read(ref)).unionByName(replacement),
-          statsColumns = statCols, expectedVersion = baseVersion, meta = meta,
+          statsColumns = statCols,
+          bloomColumns = warehouse.bloomColumns(ref).filter(statCols.contains),
+          expectedVersion = baseVersion, meta = meta,
           changes = changesFor(keepAffected(warehouse.read(ref))))
     }
   }
@@ -842,9 +885,11 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
             val (m, c) = Merge.mergeWithChanges(wTarget, wSource, keys, tsField)
             (m, Some(c))
           } else (Merge.merge(wTarget, wSource, keys, tsField), None)
+        val sc = statCols.filter(merged.columns.contains)
         warehouse.overwrite(ref, merged,
           partitionBy = partCols.filter(merged.columns.contains),
-          statsColumns = statCols.filter(merged.columns.contains),
+          statsColumns = sc,
+          bloomColumns = warehouse.bloomColumns(ref).filter(sc.contains),
           expectedVersion = baseVersion,
           meta = Map(Warehouse.OpMeta -> "MERGE"), changes = changes)
         return
@@ -922,6 +967,7 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
         warehouse.overwrite(ref, merged,
           partitionBy = partCols.filter(merged.columns.contains),
           statsColumns = statCols,
+          bloomColumns = warehouse.bloomColumns(ref).filter(statCols.contains),
           expectedVersion = baseVersion,
           meta = Map(Warehouse.OpMeta -> "MERGE"), changes = changes)
     }

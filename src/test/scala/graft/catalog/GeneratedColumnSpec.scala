@@ -44,6 +44,66 @@ class GeneratedColumnSpec extends SparkSpec {
     assert(wh.read(ref).count() === 2L)
   }
 
+  test("UPDATE recomputes generations whose source changed: copy-on-write, DV, clause-merge paths") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-gen-upd"))
+    val ref = TableRef("silver", "g", "genupd")
+    wh.overwrite(ref, Seq((1L, 2.0, 200L), (2L, 3.0, 300L), (3L, 4.0, 400L))
+      .toDF("k", "price", "cents").repartitionByRange(3, col("k")),
+      statsColumns = Seq("k"))
+    wh.setGeneratedColumn(ref, "cents", "CAST(round(price * 100) AS BIGINT)")
+    // copy-on-write updateWhere: SET price must refresh cents, not
+    // bounce off the staged validation with the stale value
+    wh.updateWhere(ref, col("k") === 1L, Seq("price" -> lit(5.5)))
+    assert(wh.read(ref).filter(col("k") === 1L)
+      .select("price", "cents").as[(Double, Long)].head() === ((5.5, 550L)))
+    // merge-on-read (DV) update recomputes into the appended image
+    wh.setDeletionVectors(ref, enabled = true)
+    wh.updateWhere(ref, col("k") === 2L, Seq("price" -> lit(7.25)))
+    assert(wh.read(ref).filter(col("k") === 2L)
+      .select("price", "cents").as[(Double, Long)].head() === ((7.25, 725L)))
+    // explicitly SETTING the generated column to a drifted value still
+    // refuses — recompute never overrides an explicit assignment
+    intercept[IllegalStateException](
+      wh.updateWhere(ref, col("k") === 3L,
+        Seq("price" -> lit(9.0), "cents" -> lit(1L))))
+    // clause merge with expression SET recomputes too (and explicit
+    // INSERT computes the omitted generation)
+    wh.setDeletionVectors(ref, enabled = false)
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsertClauses(Seq((3L, 2.0), (9L, 6.0)).toDF("k", "delta"),
+      graft.sinks.Merge.MergeClauses(
+        matched = Seq(graft.sinks.Merge.Clause(None, "update",
+          Some(Seq("price" -> "price + __src_delta")))),
+        inserts = Seq(graft.sinks.Merge.Clause(None, "insert",
+          Some(Seq("k" -> "__src_k", "price" -> "__src_delta"))))))
+    val got = wh.read(ref).select("k", "price", "cents")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(3L) === ((6.0, 600L)),
+      "clause-merge SET must recompute the derived column")
+    assert(got(9L) === ((6.0, 600L)),
+      "explicit INSERT must compute the omitted generation")
+  }
+
+  test("generation over a generation: dependency order beats alphabetical; cycles refuse") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-gen-topo"))
+    val ref = TableRef("silver", "g", "gentopo")
+    // 'a_double' sorts BEFORE 'z_cents' alphabetically but DEPENDS on
+    // it — alphabetical application would hit an unresolved column
+    wh.overwrite(ref, Seq((1L, 2.0, 200L, 400L))
+      .toDF("k", "price", "z_cents", "a_double"), statsColumns = Seq("k"))
+    wh.setGeneratedColumn(ref, "z_cents", "CAST(round(price * 100) AS BIGINT)")
+    wh.setGeneratedColumn(ref, "a_double", "z_cents * 2")
+    wh.append(ref, Seq((2L, 3.0)).toDF("k", "price"))
+    assert(wh.read(ref).filter(col("k") === 2L)
+      .select("z_cents", "a_double").as[(Long, Long)].head() === ((300L, 600L)))
+    // transitive recompute: SET price refreshes BOTH derivations
+    wh.updateWhere(ref, col("k") === 2L, Seq("price" -> lit(5.0)))
+    assert(wh.read(ref).filter(col("k") === 2L)
+      .select("z_cents", "a_double").as[(Long, Long)].head() === ((500L, 1000L)))
+  }
+
   test("merge file replacement validates generated values; dropColumns guards generation references") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-gen-merge"))
