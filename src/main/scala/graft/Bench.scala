@@ -447,11 +447,18 @@ object Bench {
       if (invertedWarmPhases.isEmpty) "{}"
       else invertedWarmPhases.toSeq
         .sortBy { case (n, _) => -warmResults.toMap.getOrElse(n, 0.0) }
-        .map { case (n, ph) =>
-          // COVERAGE, not a fixed take(2) (round-18 verdict, next #4:
-          // the suite's slowest warm entry carried a ~2 s residual the
-          // cap had truncated): include phases largest-first until
-          // under 0.6 s of the entry is unnamed, max 5
+        // same 10 entries as the inline warm map — attribution beyond
+        // them lives on stderr ([bench-phases-warm]); 16 inline entries
+        // squeezed the per-query section to zero
+        .take(10)
+        .zipWithIndex
+        .map { case ((n, ph), rank) =>
+          // COVERAGE for the headline entries, not a fixed take(2)
+          // (round-18 verdict, next #4: the suite's slowest warm entry
+          // carried a ~2 s residual the cap had truncated): the 4
+          // slowest warm entries include phases largest-first until
+          // under 0.6 s is unnamed (max 5); the rest keep top-2 so the
+          // per-query section isn't squeezed out of the line budget
           val warmSec = warmResults.toMap.getOrElse(n, 0.0)
           val sorted = ph.toSeq.sortBy { case (k, v) => (-v, k) }
           var cum = 0.0
@@ -459,7 +466,7 @@ object Bench {
             val need = warmSec - cum > 0.6
             cum += v
             need
-          }.take(5)
+          }.take(if (rank < 4) 5 else 2)
           "\"" + n + "\":" + fmtMap(keep)
         }.mkString("{", ",", "}")
 

@@ -2289,14 +2289,14 @@ object PipelineQueries {
     val orders = Tables.load(spark, dir, "orders")
       .select($"o_custkey", $"o_orderkey",
         round($"o_totalprice" * 100).cast("long").as("cents"))
-    narrowShuffle(spark) {
+    graft.util.PhaseTimer.time("mergeagg.seed") { narrowShuffle(spark) {
       wh.overwrite(ref,
         orders.filter($"o_orderkey" <= 2000) // identical slice at every SF
           .groupBy($"o_custkey")
           .agg(count(lit(1)).as("cnt"), sum($"cents").as("total"))
           .repartitionByRange(4, $"o_custkey"),
         statsColumns = Seq("o_custkey"))
-    }
+    } }
     orders.filter($"o_orderkey" > 2000 && $"o_orderkey" <= 4000)
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("delta_cnt"), sum($"cents").as("delta_total"))
@@ -2352,7 +2352,7 @@ object PipelineQueries {
     val orders = Tables.load(spark, dir, "orders")
       .select($"o_orderkey", $"o_totalprice",
         when($"o_orderkey" % 2 === 0, lit("e")).otherwise(lit("o")).as("pb"))
-    narrowShuffle(spark) {
+    graft.util.PhaseTimer.time("detail.lifecycle") { narrowShuffle(spark) {
       wh.overwrite(ref,
         orders.filter($"o_orderkey" <= 1200).repartition(2),
         partitionBy = Seq("pb"), statsColumns = Seq("o_orderkey"))      // v1
@@ -2366,7 +2366,7 @@ object PipelineQueries {
         $"o_orderkey" <= 1300 && $"o_orderkey" % 2 === 0).repartition(1)) // v6
       wh.append(ref, orders.filter($"o_orderkey" > 1300 &&
         $"o_orderkey" <= 1400 && $"o_orderkey" % 2 === 0).repartition(1)) // v7
-    }
+    } }
     def partFiles(p: String): Set[String] =
       wh.snapshot(ref).get.files.filter(_.startsWith(s"pb=$p/")).toSet
     val oBefore = partFiles("o")
