@@ -745,11 +745,169 @@ private[catalog] final class GraftFileIndex(spark: SparkSession,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val base = super.listFiles(partitionFilters, dataFilters)
+    val base = super.listFiles(
+      partitionFilters ++ derivedPartitionFilters(dataFilters), dataFilters)
     val excluded = excludedNames(dataFilters)
     if (excluded.isEmpty) base
     else base.map(pd => pd.copy(files =
       pd.files.filterNot(f => excluded.contains(relOf(f.getPath)))))
+  }
+
+  /** GENERATED-PARTITION pruning (Delta's generated-column partition
+    * filter derivation): a partition column declared `GENERATED AS
+    * f(src)` where `f` is a recognized shape lets a pushed filter on
+    * the SOURCE column imply a partition filter — `WHERE ts BETWEEN a
+    * AND b` prunes a `day = CAST(ts AS DATE)` layout without the user
+    * naming `day`. Point predicates (=, IN) derive for any recognized
+    * single-source shape (determinism is enough); range predicates
+    * derive only for MONOTONE shapes (cast-to-date, to_date,
+    * date_trunc, date_format with a significance-ordered pattern,
+    * year, prefix substring), widening strict bounds to non-strict.
+    * The 100 TB headline: the operator partitions by a derived day
+    * and every timestamp-range query prunes directories for free.
+    */
+  private def derivedPartitionFilters(dataFilters: Seq[Expression])
+      : Seq[Expression] = {
+    if (generatedPartitions.isEmpty) Nil
+    else dataFilters.flatMap(deriveFor)
+  }
+
+  /** partition column → (source column lc, generation SQL, monotone,
+    * partition type) for generations this index can derive through.
+    */
+  private lazy val generatedPartitions
+      : Map[String, (String, String, Boolean)] = {
+    val partType = partitionSchema.fields.map(f => f.name -> f.dataType).toMap
+    if (partType.isEmpty || snap.version < 0) Map.empty
+    else wh.commitMeta(snap.ref, snap.version).iterator.collect {
+      case (k, e) if k.startsWith(Warehouse.GenMetaPrefix) && e.nonEmpty &&
+          partType.contains(k.stripPrefix(Warehouse.GenMetaPrefix)) =>
+        k.stripPrefix(Warehouse.GenMetaPrefix) -> e
+    }.flatMap { case (p, genSql) =>
+      classifyGeneration(genSql).map { case (src, monotone) =>
+        src -> (p, genSql, monotone)
+      }
+    }.toMap // keyed by SOURCE column (lowercase) for filter lookup
+  }
+
+  /** (source column lc, monotone) when the generation is a recognized
+    * single-source shape; None = never derive. Monotone whitelist is
+    * deliberately narrow — month/day/hour of a timestamp are NOT
+    * monotone, date_format only is when the pattern orders fields by
+    * significance.
+    */
+  private def classifyGeneration(genSql: String): Option[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val parsed =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(genSql)
+      catch { case _: Exception => return None }
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last.toLowerCase)
+      case _ => None
+    }
+    val monotoneFormats =
+      Set("yyyy-MM-dd", "yyyy-MM", "yyyy", "yyyy-MM-dd HH")
+    parsed match {
+      case Cast(child, dt, _, _) if attrOf(child).isDefined &&
+          (dt == org.apache.spark.sql.types.DateType ||
+            dt == org.apache.spark.sql.types.StringType) =>
+        attrOf(child).map(_ -> true)
+      case f: UnresolvedFunction =>
+        val name = f.nameParts.last.toLowerCase
+        (name, f.arguments) match {
+          case ("to_date", Seq(a)) => attrOf(a).map(_ -> true)
+          case ("date_trunc", Seq(Literal(_, _), a)) => attrOf(a).map(_ -> true)
+          case ("date_format", Seq(a, Literal(fmt, _)))
+              if fmt != null && monotoneFormats.contains(fmt.toString) =>
+            attrOf(a).map(_ -> true)
+          case ("year", Seq(a)) => attrOf(a).map(_ -> true)
+          case ("substring" | "substr", Seq(a, Literal(pos, _), Literal(_, _)))
+              if pos == 1 => attrOf(a).map(_ -> true)
+          // deterministic-but-not-monotone shapes still derive point
+          // predicates: month/day/hour, abs, pmod bucketing
+          case ("month" | "day" | "dayofmonth" | "hour" | "abs" | "pmod",
+                args) if args.nonEmpty && attrOf(args.head).isDefined =>
+            attrOf(args.head).map(_ -> false)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  // per-(generation, literal) probe memo: one tiny driver-side eval
+  // per distinct bound per query plan
+  private val genEvalMemo =
+    scala.collection.mutable.Map[(String, String), Option[Any]]()
+
+  /** Evaluate the generation at a literal bound, CAST to the partition
+    * column's type — constant-folded driver-side (no jobs). None when
+    * the result is NULL (deriving `p >= NULL` would prune everything).
+    */
+  private def genAt(partCol: String, genSql: String,
+                    lit: Literal): Option[Literal] = {
+    val pt = partitionSchema.fields.find(_.name == partCol).get.dataType
+    val litSql =
+      try lit.sql catch { case _: Exception => return None }
+    val probe = Warehouse.substituteSql(genSql,
+      generatedPartitions.collect {
+        case (src, (p, _, _)) if p == partCol => src -> litSql
+      })
+    genEvalMemo.getOrElseUpdate((partCol + "|" + probe, litSql), {
+      try {
+        val v = spark.sql(s"SELECT CAST(($probe) AS ${pt.sql})").head().get(0)
+        Option(v)
+      } catch { case _: Exception => None }
+    }).map(v => Literal.create(v, pt))
+  }
+
+  /** Derived partition predicates for ONE pushed data filter. */
+  private def deriveFor(filter: Expression): Seq[Expression] = {
+    def partAttr(p: String): AttributeReference =
+      AttributeReference(p,
+        partitionSchema.fields.find(_.name == p).get.dataType)()
+    def onSrc(a: AttributeReference): Option[(String, String, Boolean)] =
+      generatedPartitions.get(a.name.toLowerCase)
+    def eq(a: AttributeReference, l: Literal): Seq[Expression] =
+      if (l.value == null) Nil
+      else onSrc(a).toSeq.flatMap { case (p, g, _) =>
+        genAt(p, g, l).map(EqualTo(partAttr(p), _))
+      }
+    def bound(a: AttributeReference, l: Literal,
+              lower: Boolean): Seq[Expression] =
+      if (l.value == null) Nil
+      else onSrc(a).toSeq.flatMap { case (p, g, monotone) =>
+        if (!monotone) None
+        else genAt(p, g, l).map(v =>
+          if (lower) GreaterThanOrEqual(partAttr(p), v)
+          else LessThanOrEqual(partAttr(p), v))
+      }
+    filter match {
+      case And(lf, rf) => deriveFor(lf) ++ deriveFor(rf)
+      case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
+      case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
+      case EqualNullSafe(a: AttributeReference, l: Literal) => eq(a, l)
+      case EqualNullSafe(l: Literal, a: AttributeReference) => eq(a, l)
+      case GreaterThan(a: AttributeReference, l: Literal) => bound(a, l, lower = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => bound(a, l, lower = true)
+      case LessThan(a: AttributeReference, l: Literal) => bound(a, l, lower = false)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => bound(a, l, lower = false)
+      case GreaterThan(l: Literal, a: AttributeReference) => bound(a, l, lower = false)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => bound(a, l, lower = false)
+      case LessThan(l: Literal, a: AttributeReference) => bound(a, l, lower = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => bound(a, l, lower = true)
+      case In(a: AttributeReference, list)
+          if list.size <= inListCap && list.forall {
+            case l: Literal => l.value != null; case _ => false } =>
+        onSrc(a).toSeq.flatMap { case (p, g, _) =>
+          val vs = list.map { case l: Literal => genAt(p, g, l) }
+          // every member must evaluate, or the IN under-covers
+          if (vs.forall(_.isDefined)) Some(In(partAttr(p), vs.flatten))
+          else None
+        }
+      case _ => Nil
+    }
   }
 
   /** Manifest keys (table-relative paths) PROVABLY excluded by some pushed predicate — pruning by

@@ -1372,7 +1372,7 @@ object PipelineQueries {
     */
   private def sqlCatalogFamily(spark: SparkSession, dir: String): (String, String) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 24) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "sqlfam.fixtures", uses = 25) { narrowShuffle(spark) {
       val root = Files.createTempDirectory("graft-gate-sqlfam").toString + "/wh"
       val wh = new Warehouse(spark, root)
       val slice = Tables.load(spark, dir, "orders")
@@ -2408,6 +2408,59 @@ object PipelineQueries {
       |   OR (o_orderkey > 1200 AND o_orderkey <= 1400
       |       AND o_orderkey % 2 = 0)""".stripMargin
 
+  /** GENERATED-PARTITION pruning end-to-end (round 19 — Delta's
+    * generated-column partition filter derivation): the table
+    * partitions by a `day` column GENERATED AS `CAST(ts AS DATE)`,
+    * the query filters ONLY on the source timestamp, and the scan
+    * still prunes day directories — the derivation turns the ts bound
+    * into `day >= DATE'...'` at planning time. Emitted rows are the
+    * filtered read hash-matched against DuckDB (the derivation must
+    * never change results) plus `gen_pruned`, the executed-plan
+    * witness that fewer files than the table holds were ever planned.
+    * At 100 TB this is why derived day-partition layouts exist: every
+    * timestamp-range query prunes for free, with nobody remembering
+    * to name the partition column.
+    */
+  def qGenPartitionPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"events_gpp_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val ev = Tables.load(spark, dir, "events")
+      .filter($"ts" < "2024-01-08") // 7 daily partitions
+      .select($"event_id", $"user_id", $"ts")
+      .withColumn("day", to_date($"ts"))
+    narrowShuffle(spark) {
+      wh.overwrite(ref, ev.repartition(2), partitionBy = Seq("day"),
+        statsColumns = Seq("event_id"))
+    }
+    wh.setGeneratedColumn(ref, "day", "CAST(ts AS DATE)")
+    val total = wh.dataFiles(ref).size
+    val q = spark.sql(
+      s"""SELECT event_id, user_id, unix_micros(ts) AS ts_us
+         |FROM $cat.silver.facts.$table
+         |WHERE ts >= TIMESTAMP'2024-01-05 00:00:00'""".stripMargin)
+    val planned = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.flatMap(_.partitions.flatten).flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString).toSeq
+      case _ => Seq.empty
+    }.distinct.size
+    val out = q.withColumn("gen_pruned", lit(planned > 0 && planned < total))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qGenPartitionPruneSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS ts_us, TRUE AS gen_pruned
+      |FROM events
+      |WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+      |  AND ts >= TIMESTAMP '2024-01-05 00:00:00'""".stripMargin
+
   /** CHECK constraints enforced by the commit protocol (round 15 —
     * Delta's `ALTER TABLE ADD CONSTRAINT` counterpart,
     * [[graft.catalog.Warehouse.setCheckConstraint]]): a carried-meta
@@ -2728,6 +2781,7 @@ object PipelineQueries {
     "q_merge_clauses" -> (qMergeClauses _),
     "q_merge_agg" -> (qMergeAgg _),
     "q_sql_detail" -> (qSqlDetail _),
+    "q_gen_partition_prune" -> (qGenPartitionPrune _),
     "q_merge_dv" -> (qMergeDv _),
     "q_generated_col" -> (qGeneratedCol _),
     "q_check_constraint" -> (qCheckConstraint _),
@@ -2787,6 +2841,7 @@ object PipelineQueries {
     "q_merge_clauses" -> qMergeClausesSql,
     "q_merge_agg" -> qMergeAggSql,
     "q_sql_detail" -> qSqlDetailSql,
+    "q_gen_partition_prune" -> qGenPartitionPruneSql,
     "q_merge_dv" -> qMergeDvSql,
     "q_generated_col" -> qGeneratedColSql,
     "q_check_constraint" -> qCheckConstraintSql,

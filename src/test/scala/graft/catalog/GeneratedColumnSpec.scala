@@ -104,6 +104,61 @@ class GeneratedColumnSpec extends SparkSpec {
       .select("z_cents", "a_double").as[(Long, Long)].head() === ((500L, 1000L)))
   }
 
+  test("generated day partition derives pruning from source-timestamp predicates") {
+    import spark.implicits._
+    val root = tmpDir("wh-gen-prune")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftgenprune"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "g", "genprune")
+    // 3 daily partitions, 2 files each; `day` physically generated
+    val rows = (0 until 300).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i % 3}%02d ${i % 24}%02d:00:00"))
+    }.toDF("k", "ts").withColumn("day", to_date(col("ts")))
+    wh.overwrite(ref, rows.repartition(2), partitionBy = Seq("day"),
+      statsColumns = Seq("k"))
+    wh.setGeneratedColumn(ref, "day", "CAST(ts AS DATE)")
+    val total = wh.dataFiles(ref).size
+    def planned(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.flatMap(_.partitions.flatten).flatMap {
+        case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+          fp.files.map(_.filePath.toString).toSeq
+        case _ => Seq.empty
+      }.distinct.size
+    // range on ts ONLY — no day predicate anywhere in the query
+    val q = spark.sql(
+      s"""SELECT k FROM $cat.silver.g.genprune
+         |WHERE ts >= TIMESTAMP'2024-01-03 00:00:00'""".stripMargin)
+    assert(q.count() === 100L, "day-3 rows")
+    assert(planned(q) < total && planned(q) > 0,
+      s"a ts range must prune generated day partitions: " +
+        s"planned ${planned(q)} of $total")
+    // equality and IN derive too
+    val qe = spark.sql(s"SELECT k FROM $cat.silver.g.genprune " +
+      "WHERE ts = TIMESTAMP'2024-01-02 01:00:00'")
+    assert(planned(qe) < total)
+    assert(qe.count() ===
+      rows.filter($"ts" === "2024-01-02 01:00:00").count())
+    // correctness under the derivation: full scan agrees
+    val all = spark.sql(s"SELECT k FROM $cat.silver.g.genprune " +
+      "WHERE ts >= TIMESTAMP'2024-01-02 00:00:00'")
+    assert(all.count() === 200L)
+    // a NON-monotone generation (month) must not derive range bounds
+    // but still derives equality
+    val ref2 = TableRef("silver", "g", "genprune2")
+    wh.overwrite(ref2, rows.drop("day")
+      .withColumn("m", month(col("ts"))).repartition(2),
+      partitionBy = Seq("m"), statsColumns = Seq("k"))
+    wh.setGeneratedColumn(ref2, "m", "month(ts)")
+    val q2 = spark.sql(s"SELECT k FROM $cat.silver.g.genprune2 " +
+      "WHERE ts >= TIMESTAMP'2024-01-03 00:00:00'")
+    assert(q2.count() === 100L, "month is not monotone — no wrong pruning")
+  }
+
   test("merge file replacement validates generated values; dropColumns guards generation references") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-gen-merge"))
