@@ -178,7 +178,9 @@ private[catalog] final class GraftDetailTable(spark: SparkSession,
       nullable = false),
     StructField("constraints", StringType),
     StructField("generated_columns", StringType),
-    StructField("pinned_by", StringType)))
+    StructField("pinned_by", StringType),
+    StructField("identity_columns", StringType),
+    StructField("default_columns", StringType)))
 
   override def name(): String = s"${snap.ref}.detail"
   override def schema(): StructType = detailSchema
@@ -212,7 +214,11 @@ private[catalog] final class GraftDetailTable(spark: SparkSession,
           csvOrNull(wh.generatedColumns(ref)
             .map { case (c, e) => s"$c AS ($e)" }),
           csvOrNull(wh.pinnedVersions(ref)
-            .map { case (c, v) => s"$c@v$v" }))))
+            .map { case (c, v) => s"$c@v$v" }),
+          csvOrNull(wh.identityColumns(ref)
+            .map { case (c, (st, sp)) => s"$c IDENTITY($st,$sp)" }),
+          csvOrNull(wh.columnDefaults(ref)
+            .map { case (c, e) => s"$c DEFAULT ($e)" }))))
       }
       override def description(): String = s"GraftDetailScan(${snap.ref})"
     }

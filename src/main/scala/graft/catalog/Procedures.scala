@@ -42,6 +42,7 @@ private[catalog] object GraftProcedures {
     name match {
       case "release_pin" => Some(ReleasePinProcedure(root))
       case "compact" => Some(CompactProcedure(root))
+      case "reorg" => Some(ReorgProcedure(root))
       case "vacuum" => Some(VacuumProcedure(root))
       case "restore" => Some(RestoreProcedure(root))
       case "history" => Some(HistoryProcedure(root))
@@ -112,6 +113,31 @@ private[catalog] object GraftProcedures {
       single(
         StructType(Seq(StructField("table", StringType),
           StructField("files_compacted", IntegerType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString), n,
+        wh.currentVersion(ref).getOrElse(-1L))
+    }
+  }
+
+  /** Materialize deletion vectors away (`REORG ... APPLY (PURGE)`):
+    * rewrite ONLY DV'd files — [[Warehouse.reorgPurge]] through SQL.
+    */
+  private final case class ReorgProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "reorg"
+    override def description(): String =
+      "rewrite only the files carrying deletion vectors (APPLY PURGE)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      paramWithDefault("where", StringType, "NULL"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val where = Option(input.getUTF8String(1)).map(_.toString)
+        .filter(_.trim.nonEmpty)
+      val wh = warehouse(root)
+      val n = wh.reorgPurge(ref, partitionFilter = where)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("files_rewritten", IntegerType),
           StructField("version", LongType))),
         UTF8String.fromString(ref.toString), n,
         wh.currentVersion(ref).getOrElse(-1L))

@@ -217,14 +217,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         k == Warehouse.StatsColumnsMeta || k == Warehouse.BloomColumnsMeta ||
         k == Warehouse.CdfMeta || k == Warehouse.DvMeta ||
         k.startsWith(Warehouse.CheckMetaPrefix) ||
-        k.startsWith(Warehouse.GenMetaPrefix)
+        k.startsWith(Warehouse.GenMetaPrefix) ||
+        k.startsWith(Warehouse.DefaultMetaPrefix) ||
+        k.startsWith(Warehouse.IdentityMetaPrefix)
     }.toSeq.sorted
     require(ungoverned.isEmpty,
       s"graft CREATE TABLE TBLPROPERTIES governs " +
         s"${Warehouse.StatsColumnsMeta}, ${Warehouse.BloomColumnsMeta}, " +
         s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta}, " +
-        s"${Warehouse.CheckMetaPrefix}<name> and " +
-        s"${Warehouse.GenMetaPrefix}<col> only; not governed: " +
+        s"${Warehouse.CheckMetaPrefix}<name>, " +
+        s"${Warehouse.GenMetaPrefix}<col>, " +
+        s"${Warehouse.DefaultMetaPrefix}<col> and " +
+        s"${Warehouse.IdentityMetaPrefix}<col> only; not governed: " +
         ungoverned.mkString(", "))
     def csv(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -246,6 +250,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (k, v) if k.startsWith(Warehouse.GenMetaPrefix) =>
         warehouse.setGeneratedColumn(ref,
           k.stripPrefix(Warehouse.GenMetaPrefix), v)
+      case (k, v) if k.startsWith(Warehouse.DefaultMetaPrefix) =>
+        warehouse.setColumnDefault(ref,
+          k.stripPrefix(Warehouse.DefaultMetaPrefix), v)
+      case (k, v) if k.startsWith(Warehouse.IdentityMetaPrefix) =>
+        val Array(st, sp) = (if (v.contains(',')) v else s"$v,1").split(',')
+        warehouse.setIdentityColumn(ref,
+          k.stripPrefix(Warehouse.IdentityMetaPrefix),
+          st.trim.toLong, sp.trim.toLong)
       case _ => ()
     }
     flag(Warehouse.CdfMeta).foreach(warehouse.setChangeDataFeed(ref, _))
@@ -304,6 +316,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           wh.setCheckConstraint(ref, k.stripPrefix(Warehouse.CheckMetaPrefix), v)
         case (k, v) if k.startsWith(Warehouse.GenMetaPrefix) =>
           wh.setGeneratedColumn(ref, k.stripPrefix(Warehouse.GenMetaPrefix), v)
+        case (k, v) if k.startsWith(Warehouse.DefaultMetaPrefix) =>
+          wh.setColumnDefault(ref, k.stripPrefix(Warehouse.DefaultMetaPrefix), v)
+        case (k, v) if k.startsWith(Warehouse.IdentityMetaPrefix) =>
+          // `'graft.identity.<col>' = 'start,step'` (bare start => step 1)
+          val Array(st, sp) = (if (v.contains(',')) v else s"$v,1").split(',')
+          wh.setIdentityColumn(ref, k.stripPrefix(Warehouse.IdentityMetaPrefix),
+            st.trim.toLong, sp.trim.toLong)
         case (Warehouse.CdfMeta, v) =>
           require(v == "true" || v == "false",
             s"${Warehouse.CdfMeta} takes true/false, got '$v'")
@@ -315,6 +334,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         case (k, _) => throw new UnsupportedOperationException(
           s"graft SET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
             s"<name>, ${Warehouse.GenMetaPrefix}<col>, " +
+            s"${Warehouse.DefaultMetaPrefix}<col>, " +
+            s"${Warehouse.IdentityMetaPrefix}<col>, " +
             s"${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
             s"'$k' is not a governed table property")
       }
@@ -325,11 +346,17 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           wh.dropCheckConstraint(ref, k.stripPrefix(Warehouse.CheckMetaPrefix))
         case k if k.startsWith(Warehouse.GenMetaPrefix) =>
           wh.dropGeneratedColumn(ref, k.stripPrefix(Warehouse.GenMetaPrefix))
+        case k if k.startsWith(Warehouse.DefaultMetaPrefix) =>
+          wh.dropColumnDefault(ref, k.stripPrefix(Warehouse.DefaultMetaPrefix))
+        case k if k.startsWith(Warehouse.IdentityMetaPrefix) =>
+          wh.dropIdentityColumn(ref, k.stripPrefix(Warehouse.IdentityMetaPrefix))
         case Warehouse.CdfMeta => wh.setChangeDataFeed(ref, enabled = false)
         case Warehouse.DvMeta => wh.setDeletionVectors(ref, enabled = false)
         case k => throw new UnsupportedOperationException(
           s"graft UNSET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
             s"<name>, ${Warehouse.GenMetaPrefix}<col>, " +
+            s"${Warehouse.DefaultMetaPrefix}<col>, " +
+            s"${Warehouse.IdentityMetaPrefix}<col>, " +
             s"${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
             s"'$k' is not a governed table property")
       }

@@ -77,6 +77,15 @@ object SqlMerge {
       val keysOk = u.assignments.forall(_.key.isInstanceOf[AttributeReference])
       if (!hasSub || !keysOk) None
       else {
+        val ids = table.wh.identityColumns(table.snap.ref)
+        val idAssigned = u.assignments.map(_.key).collect {
+          case k: AttributeReference
+              if ids.keys.exists(_.equalsIgnoreCase(k.name)) => k.name
+        }
+        require(idAssigned.isEmpty,
+          s"UPDATE on ${table.snap.ref} cannot SET IDENTITY column(s) " +
+            s"${idAssigned.mkString(",")} — engine-assigned values " +
+            "never change")
         val matched = EqualNullSafe(
           u.condition.getOrElse(Literal(true)), Literal(true))
         val assigns: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
@@ -461,7 +470,9 @@ final case class GraftSubqueryUpdateCommand(root: String, ref: TableRef,
       // rewrite silently sheds point-lookup pruning
       bloomColumns = wh.bloomColumns(ref).filter(statCols.contains),
       expectedVersion = Some(plannedVersion),
-      meta = Map(Warehouse.OpMeta -> "UPDATE"), changes = changes)
+      meta = Map(Warehouse.OpMeta -> "UPDATE"), changes = changes,
+      // kept rows carry committed identity values through verbatim
+      internalRewrite = true)
     Seq.empty
   }
 }
@@ -509,7 +520,9 @@ final case class GraftSubqueryDeleteCommand(root: String, ref: TableRef,
       statsColumns = statCols,
       bloomColumns = wh.bloomColumns(ref).filter(statCols.contains),
       expectedVersion = Some(plannedVersion),
-      meta = Map(Warehouse.OpMeta -> "DELETE"), changes = changes)
+      meta = Map(Warehouse.OpMeta -> "DELETE"), changes = changes,
+      // kept rows carry committed identity values through verbatim
+      internalRewrite = true)
     Seq.empty
   }
 }

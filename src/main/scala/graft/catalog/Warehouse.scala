@@ -1180,6 +1180,14 @@ final class Warehouse(spark: SparkSession, val root: String,
     val filesystem = fs(target)
     filesystem.mkdirs(target)
     recoverLocked(ref)
+    // WAP staging writes files NOW but allocates no commit: identity
+    // assignment (whose high-water advance IS a commit-meta line)
+    // cannot ride it — refuse rather than publish silently-NULL ids
+    require(identityColumns(ref).isEmpty,
+      s"stageOverwrite on $ref: GENERATED ALWAYS AS IDENTITY column(s) " +
+        s"${identityColumns(ref).keys.mkString(",")} need their " +
+        "high-water advance committed with the allocating write — use " +
+        "overwrite/append directly")
     val id = java.util.UUID.randomUUID().toString.take(12)
     val tmp = new Path(path(ref) + s".stage-$id")
     // the data write runs FIRST, into a sibling dir no reader lists: a
@@ -1763,11 +1771,20 @@ final class Warehouse(spark: SparkSession, val root: String,
                 onlyIfAbsent: Boolean = false,
                 expectedVersion: Option[Long] = None,
                 meta: Map[String, String] = Map.empty,
-                changes: Option[DataFrame] = None): Unit = {
-    // GENERATED columns compute when the caller omits them (the write
-    // contract of Delta's GENERATED ALWAYS AS); supplied values
-    // validate in the staged constraint pass like any CHECK
-    val df = applyGenerated(ref, df0)
+                changes: Option[DataFrame] = None,
+                internalRewrite: Boolean = false): Unit = {
+    // DEFAULT columns materialize, then GENERATED columns compute,
+    // when the caller omits them (the write contract of Delta's
+    // GENERATED ALWAYS AS); supplied values validate in the staged
+    // constraint pass like any CHECK. `internalRewrite` is for
+    // INTERNAL full rewrites (renameColumn, subquery DML) whose frame
+    // is already the complete committed truth: compute-on-omit skips
+    // (a renamed-away column must not resurrect under its old name)
+    // and supplied identity values carry through instead of refusing —
+    // constraint/generation VALIDATION still runs either way.
+    val df =
+      if (internalRewrite) df0
+      else applyGenerated(ref, applyDefaults(ref, df0))
     require(partitionBy.isEmpty || staticPartitions.isEmpty,
       "partitionBy and staticPartitions are mutually exclusive")
     require(bloomColumns.forall(statsColumns.contains),
@@ -1807,13 +1824,18 @@ final class Warehouse(spark: SparkSession, val root: String,
     val bootstrap = currentVersion(ref).isEmpty &&
       (!filesystem.exists(target) || listDataFiles(target).isEmpty)
     if (!bootstrap && currentVersion(ref).isEmpty) ensureLogLocked(ref)
+    // IDENTITY columns assign inside the lock: the high-water read and
+    // its advance ride THIS commit's meta line (no-op on bootstrap —
+    // nothing is committed yet, so no declaration can exist)
+    val (dfI, hwMeta) = applyIdentityLocked(ref, df,
+      allowSupplied = internalRewrite)
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
     val writeDir =
       if (staticPartitions.isEmpty) tmp
       else new Path(tmp,
         staticPartitions.map { case (k, v) => s"$k=$v" }.mkString("/"))
-    val writer = if (partitionBy.isEmpty) df.write else df.write.partitionBy(partitionBy: _*)
+    val writer = if (partitionBy.isEmpty) dfI.write else dfI.write.partitionBy(partitionBy: _*)
     writer.mode("overwrite").parquet(writeDir.toString)
     try {
       // bloom presence is a durable table property: requested once via
@@ -1828,7 +1850,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       if (statsColumns.nonEmpty) {
         val priorBlooms = manifestDf(path(ref)).toSeq.flatMap(
           _.columns.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
-        val (carryable, lapsed) = priorBlooms.partition(df.columns.contains)
+        val (carryable, lapsed) = priorBlooms.partition(dfI.columns.contains)
         if (lapsed.nonEmpty)
           Warehouse.log.warn(s"$ref: bloom column(s) " +
             s"${lapsed.mkString(",")} left the schema; their equality " +
@@ -1841,7 +1863,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       // declared schema keeps an empty TRUNCATE stage readable); a
       // bootstrap has no committed meta, so no constraints can exist
       validateConstraintsLocked(ref,
-        spark.read.schema(df.schema).parquet(tmp.toString))
+        spark.read.schema(dfI.schema).parquet(tmp.toString))
       val stagedStatuses = listDataFileStatuses(tmp)
       val staged = stagedStatuses.map(_.getPath)
       val stagedBase = filesystem.makeQualified(tmp).toUri.getPath
@@ -1863,8 +1885,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           throw new RuntimeException(s"failed to move staged bootstrap into $ref")
         // crash between rename and commit leaves a COMPLETE logless
         // dir: plain reads see all rows, the next writer adopts it
-        commitLocked(ref, df.schema.json, rels,
-          Warehouse.withOp(meta, "OVERWRITE"), relMeta)
+        commitLocked(ref, dfI.schema.json, rels,
+          Warehouse.withOp(meta ++ hwMeta, "OVERWRITE"), relMeta)
         if (statsColumns.nonEmpty) registerStatsAt(path(ref))
         else TableStatsRegistry.invalidate(path(ref))
       } else {
@@ -1891,8 +1913,8 @@ final class Warehouse(spark: SparkSession, val root: String,
             .filter(_.startsWith(Warehouse.DroppedMetaPrefix))
             .map(_ -> "").toMap)
           .getOrElse(Map.empty[String, String])
-        commitLocked(ref, df.schema.json, rels,
-          clearDropped ++ Warehouse.withOp(meta ++ cdcMeta, "OVERWRITE"),
+        commitLocked(ref, dfI.schema.json, rels,
+          clearDropped ++ Warehouse.withOp(meta ++ hwMeta ++ cdcMeta, "OVERWRITE"),
           relMeta)
         // manifest follows the commit; a crash in between leaves a stale
         // manifest, which pruning tolerates by construction (entries for
@@ -1936,7 +1958,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   def append(ref: TableRef, df0: DataFrame,
              meta: Map[String, String] = Map.empty): Long = withWriterLock(ref) {
-    val df = applyGenerated(ref, df0) // omitted GENERATED columns compute
+    // omitted DEFAULT columns materialize, then omitted GENERATED
+    // columns compute (a generation may read a defaulted column)
+    val df = applyGenerated(ref, applyDefaults(ref, df0))
     recoverLocked(ref)
     require(exists(ref) || currentVersion(ref).nonEmpty,
       s"$ref does not exist — append needs a committed table (overwrite creates)")
@@ -1955,15 +1979,18 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(missingParts.isEmpty,
       s"append to $ref needs partition column(s) ${missingParts.mkString(",")} " +
         "in the frame (the table is directory-partitioned on them)")
+    // IDENTITY columns assign here, inside the lock: the high-water
+    // read and its advance ride THIS commit's meta line
+    val (dfI, hwMeta) = applyIdentityLocked(ref, df, allowSupplied = false)
     val nonce = System.nanoTime().toString
     val stage = new Path(path(ref) + s".tmp-append-$nonce")
     try {
       val writer =
-        if (partCols.isEmpty) df.write else df.write.partitionBy(partCols: _*)
+        if (partCols.isEmpty) dfI.write else dfI.write.partitionBy(partCols: _*)
       writer.parquet(stage.toString)
       // CHECK constraints validate the staged batch before any move
       validateConstraintsLocked(ref,
-        spark.read.schema(df.schema).parquet(stage.toString))
+        spark.read.schema(dfI.schema).parquet(stage.toString))
       val stagedStatuses = listDataFileStatuses(stage)
       val stagedBase = filesystem.makeQualified(stage).toUri.getPath
       val rels = stagedStatuses.map(st =>
@@ -1981,7 +2008,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         if (snap.files.nonEmpty) Nil
         else metaColumns(ref, Warehouse.StatsColumnsMeta)
       val statCols = (statColumns(ref) ++ declaredStats).distinct
-        .filter(df.columns.contains)
+        .filter(dfI.columns.contains)
       val oldManifest =
         if (statCols.isEmpty || rels.isEmpty) None else manifestDf(path(ref))
       val oldBlooms = oldManifest.toSeq.flatMap(_.columns
@@ -2023,7 +2050,7 @@ final class Warehouse(spark: SparkSession, val root: String,
           throw new RuntimeException(s"failed to move $r into $ref")
       }
       val v = commitLocked(ref, snap.schemaJson, snap.files ++ rels,
-        Warehouse.withOp(meta, "APPEND"),
+        Warehouse.withOp(meta ++ hwMeta, "APPEND"),
         snap.fileMeta ++ rels.zip(stagedStatuses).map { case (r, st) =>
           r -> (st.getLen, st.getModificationTime)
         })
@@ -2229,6 +2256,17 @@ final class Warehouse(spark: SparkSession, val root: String,
         s"dropColumns on $ref: GENERATED column(s) " +
           s"${genTouched.keys.mkString(",")} are (or are derived from) the " +
           "column(s) — drop the generation first (dropGeneratedColumn)")
+      val idTouched = identityColumns(ref).keys
+        .filter(c => dropNames.contains(c.toLowerCase))
+      require(idTouched.isEmpty,
+        s"dropColumns on $ref: IDENTITY column(s) " +
+          s"${idTouched.mkString(",")} — drop the identity first " +
+          "(dropIdentityColumn)")
+      // a dropped column's DEFAULT dies with it (tombstoned in the
+      // same commit), so a later same-name re-add starts clean
+      val deadDefaults = columnDefaults(ref).keys
+        .filter(c => dropNames.contains(c.toLowerCase))
+        .map(c => Warehouse.defaultMetaKey(c) -> "").toMap
       val dropSet = dropNames
       require(schema.count(f => !dropSet.contains(f.name.toLowerCase)) >= 1,
         s"dropColumns on $ref would leave no columns")
@@ -2239,7 +2277,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       // column mapping exists for) — [[addColumns]] refuses tombstoned
       // names until a full rewrite replaces every physical file
       commitLocked(ref, narrowed.json, snap.files,
-        Map(Warehouse.OpMeta -> "DROP_COLUMNS") ++
+        Map(Warehouse.OpMeta -> "DROP_COLUMNS") ++ deadDefaults ++
           names.map(n => Warehouse.droppedMetaKey(n.toLowerCase) -> "1"),
         snap.fileMeta)
     }
@@ -2291,6 +2329,38 @@ final class Warehouse(spark: SparkSession, val root: String,
       s"renameColumn on $ref: CHECK constraint(s) " +
         s"${referenced.keys.mkString(",")} reference '$from' — drop the " +
         "constraint first (re-add it against the new name after)")
+    // GENERATED columns refuse the same way: renaming the generated
+    // column or one its expression reads would leave the carried
+    // generation dangling (the next write fails unresolved)
+    val genTouched = generatedColumns(ref).filter { case (c, e) =>
+      c.equalsIgnoreCase(from) ||
+        Warehouse.exprRefs(e).contains(from.toLowerCase)
+    }
+    require(genTouched.isEmpty,
+      s"renameColumn on $ref: GENERATED column(s) " +
+        s"${genTouched.keys.mkString(",")} are (or read) '$from' — drop " +
+        "the generation first (re-add it against the new name after)")
+    // IDENTITY and DEFAULT declarations FOLLOW the rename: their meta
+    // keys re-key in the same rewrite commit (old key tombstoned), and
+    // the identity high-water carries so the sequence never restarts
+    val idMeta: Map[String, String] =
+      identityColumns(ref).find(_._1.equalsIgnoreCase(from)) match {
+        case Some((c, (start, step))) =>
+          val hw = commitMeta(ref, snap.version)
+            .get(Warehouse.identityHwKey(c))
+          Map(Warehouse.identityMetaKey(c) -> "",
+            Warehouse.identityMetaKey(to) -> s"$start,$step",
+            Warehouse.identityHwKey(c) -> "") ++
+            hw.map(Warehouse.identityHwKey(to) -> _)
+        case None => Map.empty
+      }
+    val defMeta: Map[String, String] =
+      columnDefaults(ref).find(_._1.equalsIgnoreCase(from)) match {
+        case Some((c, e)) =>
+          Map(Warehouse.defaultMetaKey(c) -> "",
+            Warehouse.defaultMetaKey(to) -> e)
+        case None => Map.empty
+      }
     def follow(cols: Seq[String]): Seq[String] =
       cols.map(c => if (c.equalsIgnoreCase(field.name)) to else c)
     val statCols = follow(statColumns(ref))
@@ -2302,7 +2372,9 @@ final class Warehouse(spark: SparkSession, val root: String,
       statsColumns = statCols.filter(df.columns.contains),
       bloomColumns = blooms.filter(df.columns.contains),
       expectedVersion = Some(snap.version),
-      meta = Map(Warehouse.OpMeta -> "RENAME_COLUMN"))
+      meta = idMeta ++ defMeta ++ Map(Warehouse.OpMeta -> "RENAME_COLUMN"),
+      // the frame is the complete committed truth under the new name
+      internalRewrite = true)
     currentVersion(ref).get
   }
 
@@ -2561,6 +2633,19 @@ final class Warehouse(spark: SparkSession, val root: String,
     require(schema.fieldNames.contains(column),
       s"cannot generate '$column' on $ref: not a declared column " +
         s"(have ${schema.fieldNames.mkString(",")})")
+    // identity interplay refuses BOTH ways: an identity column is
+    // engine-assigned (never derived), and a generation cannot read
+    // one (generations compute before identity assignment)
+    val ids = identityColumns(ref)
+    require(!ids.keys.exists(_.equalsIgnoreCase(column)),
+      s"'$column' on $ref is a GENERATED ALWAYS AS IDENTITY column — " +
+        "the engine assigns it; a generation cannot")
+    val idRead = ids.keys.filter(c =>
+      Warehouse.exprRefs(exprSql).contains(c.toLowerCase))
+    require(idRead.isEmpty,
+      s"generation for '$column' on $ref reads IDENTITY column(s) " +
+        s"${idRead.mkString(",")} — generations compute before identity " +
+        "assignment, so they can never see the assigned value")
     val e = org.apache.spark.sql.functions.expr(exprSql) // parse now
     val bad = read(ref).filter(!(col(column) <=> e)).count()
     if (bad > 0)
@@ -2581,6 +2666,215 @@ final class Warehouse(spark: SparkSession, val root: String,
       case (k, e) if k.startsWith(Warehouse.GenMetaPrefix) && e.nonEmpty =>
         k.stripPrefix(Warehouse.GenMetaPrefix) -> e
     }).getOrElse(Map.empty)
+
+  /** Column DEFAULT (`ALTER TABLE ... SET DEFAULT`): declare that a
+    * writer OMITTING `column` gets `exprSql` materialized into the new
+    * rows — carried meta `graft.default.<col>`, applied by
+    * [[overwrite]]/[[append]] (so SQL CTAS and the ingest surface too)
+    * and by explicit-projection MERGE INSERT clauses. The expression
+    * must be CONSTANT (no column references — a row-dependent default
+    * is a GENERATED column) and is cast to the column's declared type.
+    * Existing rows are untouched (Delta's semantics: a default applies
+    * to future inserts only; historical rows keep NULL). Granularity
+    * is the FRAME: a supplied column is the caller's truth even where
+    * it holds NULLs — per-row NULL replacement would corrupt explicit
+    * NULLs, which SQL DEFAULT never does either.
+    */
+  def setColumnDefault(ref: TableRef, column: String, exprSql: String): Long = {
+    require(exprSql.trim.nonEmpty &&
+      !exprSql.exists(c => c == '\t' || c == '\n'),
+      s"default expression must be single-line SQL: $exprSql")
+    val schema = schemaOf(ref)
+    val field = schema.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot default '$column' on $ref: not a declared column " +
+          s"(have ${schema.fieldNames.mkString(",")})"))
+    require(Warehouse.exprRefs(exprSql).isEmpty,
+      s"DEFAULT for '$column' on $ref must be a constant expression " +
+        s"(no column references): ($exprSql) — a row-dependent default " +
+        "is a GENERATED column (setGeneratedColumn)")
+    require(!generatedColumns(ref).keys.exists(_.equalsIgnoreCase(column)),
+      s"'$column' on $ref is GENERATED — a generation computes when " +
+        "omitted already; a default would shadow it")
+    require(!identityColumns(ref).keys.exists(_.equalsIgnoreCase(column)),
+      s"'$column' on $ref is an IDENTITY column — the engine assigns it")
+    // evaluate once now: an unfoldable or mistyped default must refuse
+    // at declaration, not at some future write
+    spark.range(1)
+      .select(org.apache.spark.sql.functions.expr(exprSql)
+        .cast(field.dataType)).head()
+    commitMetaOnly(ref, Map(Warehouse.defaultMetaKey(field.name) -> exprSql))
+  }
+
+  /** Drop a column default (empty tombstone, like constraints). */
+  def dropColumnDefault(ref: TableRef, column: String): Long = {
+    val key = columnDefaults(ref).keys
+      .find(_.equalsIgnoreCase(column)).getOrElse(column)
+    commitMetaOnly(ref, Map(Warehouse.defaultMetaKey(key) -> ""))
+  }
+
+  /** Live column defaults (column → constant expression SQL). */
+  def columnDefaults(ref: TableRef): Map[String, String] =
+    currentVersion(ref).map(v => commitMeta(ref, v).collect {
+      case (k, e) if k.startsWith(Warehouse.DefaultMetaPrefix) && e.nonEmpty =>
+        k.stripPrefix(Warehouse.DefaultMetaPrefix) -> e
+    }).getOrElse(Map.empty)
+
+  /** Materialize declared defaults onto a write frame for columns the
+    * caller omitted (no-op for frames that carry them). Runs BEFORE
+    * [[applyGenerated]] so a generation may read a defaulted column.
+    */
+  private def applyDefaults(ref: TableRef, df: DataFrame): DataFrame = {
+    if (currentVersion(ref).isEmpty) return df
+    val defs = columnDefaults(ref)
+      .filterNot { case (c, _) => df.columns.exists(_.equalsIgnoreCase(c)) }
+    if (defs.isEmpty) return df
+    val schema = schemaOf(ref)
+    defs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      val t = schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"default on $ref names '$c', which left the schema — " +
+            "dropColumnDefault it"))
+      d.withColumn(c, org.apache.spark.sql.functions.expr(e).cast(t))
+    }
+  }
+
+  /** IDENTITY column (Delta `GENERATED ALWAYS AS IDENTITY (START WITH
+    * s INCREMENT BY k)`): the ENGINE assigns `column` on every
+    * append/overwrite that omits it — contiguous values in the staged
+    * frame's row order, continuing from a durable high-water mark that
+    * advances inside the allocating commit itself
+    * ([[Warehouse.identityHwKey]]), so ids survive crashes and are
+    * never reused. ALWAYS semantics: a write SUPPLYING the column
+    * refuses (internal full rewrites — rename-column, subquery DML —
+    * carry committed ids through explicitly), UPDATE cannot SET it,
+    * and MERGE/replacePartitions refuse identity targets outright (a
+    * merge would forge or drift engine-assigned ids; Delta's original
+    * contract). Assignment is two-phase distributed — per-partition
+    * counts then a prefix-sum offset map — never a global window.
+    *
+    * Declared on an EMPTY column only: existing rows must all be NULL
+    * for it (a fresh table, or one just widened by [[addColumns]] —
+    * those historical NULLs stay, exactly like any widening backfill).
+    * The column must be a declared BIGINT non-partition column without
+    * a generation or default.
+    */
+  def setIdentityColumn(ref: TableRef, column: String,
+                        start: Long = 1L, step: Long = 1L): Long = {
+    require(step != 0L, s"identity step on $ref.$column must be non-zero")
+    val schema = schemaOf(ref)
+    val field = schema.find(_.name.equalsIgnoreCase(column)).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot make '$column' IDENTITY on $ref: not a declared column " +
+          s"(have ${schema.fieldNames.mkString(",")})"))
+    require(field.dataType == org.apache.spark.sql.types.LongType,
+      s"identity column '$column' on $ref must be BIGINT " +
+        s"(100 TB of rows outgrows anything narrower); got ${field.dataType}")
+    val snap = snapshot(ref)
+    val partCols = snap.toSeq.flatMap(s => Warehouse.partDirCols(s.files)) ++
+      metaColumns(ref, Warehouse.PartitionByMeta)
+    require(!partCols.exists(_.equalsIgnoreCase(column)),
+      s"identity column '$column' on $ref cannot be a partition column — " +
+        "engine-assigned values would explode the directory layout")
+    require(!generatedColumns(ref).keys.exists(_.equalsIgnoreCase(column)),
+      s"'$column' on $ref is GENERATED — drop the generation first")
+    require(!columnDefaults(ref).keys.exists(_.equalsIgnoreCase(column)),
+      s"'$column' on $ref has a DEFAULT — drop it first")
+    val reading = generatedColumns(ref).filter { case (_, e) =>
+      Warehouse.exprRefs(e).contains(field.name.toLowerCase) }
+    require(reading.isEmpty,
+      s"generation(s) ${reading.keys.mkString(",")} on $ref read " +
+        s"'$column' — generations compute before identity assignment, " +
+        "so they can never see the assigned value")
+    val nonNull = read(ref).filter(col(field.name).isNotNull).count()
+    require(nonNull == 0L,
+      s"cannot make '$column' IDENTITY on $ref: $nonNull existing row(s) " +
+        "carry values the engine did not assign — identity declares " +
+        "engine ownership from the start (historical NULLs are fine)")
+    commitMetaOnly(ref,
+      Map(Warehouse.identityMetaKey(field.name) -> s"$start,$step"))
+  }
+
+  /** Drop an identity declaration (empty tombstone; the high-water
+    * meta stays behind harmlessly — a later re-declaration starts a
+    * fresh sequence from its own `start`).
+    */
+  def dropIdentityColumn(ref: TableRef, column: String): Long = {
+    val key = identityColumns(ref).keys
+      .find(_.equalsIgnoreCase(column)).getOrElse(column)
+    commitMetaOnly(ref, Map(Warehouse.identityMetaKey(key) -> ""))
+  }
+
+  /** Live identity columns (column → (start, step)). */
+  def identityColumns(ref: TableRef): Map[String, (Long, Long)] =
+    currentVersion(ref).map(v => commitMeta(ref, v).collect {
+      case (k, v0) if k.startsWith(Warehouse.IdentityMetaPrefix) &&
+          v0.nonEmpty =>
+        val Array(s, st) = v0.split(',')
+        k.stripPrefix(Warehouse.IdentityMetaPrefix) -> (s.toLong, st.toLong)
+    }).getOrElse(Map.empty)
+
+  /** Assign identity values onto a write frame (writer lock held —
+    * the high-water read and its advance must be one atomic commit).
+    * Two-phase, 100 TB-shaped: `zipWithIndex` runs one count job over
+    * the staged partitions, the driver folds per-partition offsets
+    * (O(#partitions)), and the map side adds `hw + step·(idx+1)` —
+    * no global sort, no single-partition window. The frame is
+    * localCheckpointed first so the count pass, the id pass, and the
+    * staged file write all see ONE materialization (a re-evaluated
+    * nondeterministic source would shear ids from rows).
+    *
+    * Returns the frame (declared column order restored) and the
+    * high-water meta advance to merge into the allocating commit.
+    * Supplying the column refuses unless `allowSupplied` (internal
+    * full rewrites carrying already-committed ids).
+    */
+  private def applyIdentityLocked(ref: TableRef, df: DataFrame,
+                                  allowSupplied: Boolean)
+      : (DataFrame, Map[String, String]) = {
+    if (currentVersion(ref).isEmpty) return (df, Map.empty)
+    val ids = identityColumns(ref)
+    if (ids.isEmpty) return (df, Map.empty)
+    val supplied = ids.keys.filter(c =>
+      df.columns.exists(_.equalsIgnoreCase(c)))
+    if (supplied.nonEmpty) {
+      require(allowSupplied,
+        s"write to $ref supplies GENERATED ALWAYS AS IDENTITY column(s) " +
+          s"${supplied.mkString(",")} — the engine assigns them; omit " +
+          "the column(s) from the frame")
+      return (df, Map.empty)
+    }
+    val meta = commitMeta(ref, currentVersion(ref).get)
+    val ordered = ids.toSeq.sortBy(_._1)
+    val hws: Seq[(String, Long, Long)] = ordered.map { case (c, (start, step)) =>
+      val hw = meta.get(Warehouse.identityHwKey(c)).map(_.toLong)
+        .getOrElse(start - step)
+      (c, hw, step)
+    }
+    val src = df.localCheckpoint()
+    val outSchema = org.apache.spark.sql.types.StructType(
+      src.schema ++ ordered.map { case (c, _) =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType, nullable = true)
+      })
+    val rdd = src.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(
+        row.toSeq ++ hws.map { case (_, hw, step) => hw + step * (i + 1L) })
+    }
+    val withIds = spark.createDataFrame(rdd, outSchema)
+    // declared column order, so a full overwrite's committed schema
+    // keeps the table's shape instead of pushing identity to the end
+    val declared = schemaOf(ref).fieldNames.toSeq
+      .filter(n => withIds.columns.exists(_.equalsIgnoreCase(n)))
+    val extras = withIds.columns.toSeq.filterNot(c =>
+      declared.exists(_.equalsIgnoreCase(c)))
+    val out = withIds.select((declared ++ extras).map(col): _*)
+    val n = src.count()
+    val hwMeta = hws.map { case (c, hw, step) =>
+      Warehouse.identityHwKey(c) -> (hw + step * n).toString
+    }.toMap
+    (out, hwMeta)
+  }
 
   /** Compute OMITTED generated columns onto a write frame (no-op for
     * frames that carry them — those validate instead). Dependency
@@ -3269,6 +3563,11 @@ final class Warehouse(spark: SparkSession, val root: String,
       s"updateWhere on $ref cannot SET ${badSet.mkString(",")}: not a " +
         "data column (partition columns are directory-encoded — a " +
         "partition-moving update is a delete + insert)")
+    val idSet = set.map(_._1).filter(n =>
+      identityColumns(ref).keys.exists(_.equalsIgnoreCase(n)))
+    require(idSet.isEmpty,
+      s"updateWhere on $ref cannot SET IDENTITY column(s) " +
+        s"${idSet.mkString(",")} — engine-assigned values never change")
     // merge-on-read routing (same dispatch as deleteWhere): with the
     // DV property on, matched rows supersede by position and the
     // updated rows land as one small append — no touched-file rewrite
@@ -4729,6 +5028,20 @@ final class Warehouse(spark: SparkSession, val root: String,
     *        table. Non-partition references refuse loudly (a data
     *        predicate cannot scope whole files).
     */
+  /** REORG ... APPLY (PURGE) (Delta's DV-materialization verb):
+    * rewrite ONLY the files carrying live deletion vectors — deleted
+    * rows drop physically, the vectors clear, and every healthy file
+    * keeps its bytes untouched regardless of size. The GDPR closer: a
+    * merge-on-read erasure leaves the "deleted" bytes inside live
+    * files until this (or a compact) rewrites them and [[vacuum]]
+    * reclaims. Scoped like OPTIMIZE via `partitionFilter`. Implemented
+    * as [[compact]] with the small-file threshold floored: DV'd files
+    * rewrite unconditionally there, so a 1-byte threshold selects
+    * exactly them.
+    */
+  def reorgPurge(ref: TableRef, partitionFilter: Option[String] = None): Int =
+    compact(ref, smallFileBytes = 1L, partitionFilter = partitionFilter)
+
   def compact(ref: TableRef, smallFileBytes: Long = 32L << 20,
               targetFileBytes: Long = 128L << 20,
               clusterBy: Option[Seq[String]] = None,
@@ -5198,6 +5511,33 @@ object Warehouse {
   val GenMetaPrefix = "graft.generated."
 
   def genMetaKey(column: String): String = s"$GenMetaPrefix$column"
+
+  /** Carried-meta prefix of column DEFAULT expressions
+    * (`graft.default.<col>` = single-line constant SQL). Writers that
+    * OMIT the column get the default materialized; empty value =
+    * default dropped (tombstone).
+    */
+  val DefaultMetaPrefix = "graft.default."
+
+  def defaultMetaKey(column: String): String = s"$DefaultMetaPrefix$column"
+
+  /** Carried-meta prefix of IDENTITY column declarations
+    * (`graft.identity.<col>` = `start,step`, GENERATED ALWAYS AS
+    * IDENTITY). Deliberately NOT a prefix of [[IdentityHwPrefix]] —
+    * the two key families must never shadow each other's parses.
+    */
+  val IdentityMetaPrefix = "graft.identity."
+
+  def identityMetaKey(column: String): String = s"$IdentityMetaPrefix$column"
+
+  /** Carried-meta prefix of identity HIGH-WATER marks: the LAST value
+    * the engine allocated for the column. Advances atomically inside
+    * the allocating commit (same meta line, same rename), so a crashed
+    * write can never reuse ids a committed version handed out.
+    */
+  val IdentityHwPrefix = "graft.identityhw."
+
+  def identityHwKey(column: String): String = s"$IdentityHwPrefix$column"
 
   /** Carried-meta prefix of dropped-column tombstones
     * ([[Warehouse]].dropColumns' resurrection guard): cleared (blanked)

@@ -2327,6 +2327,101 @@ object PipelineQueries {
       |FROM orders WHERE o_orderkey <= 4000
       |GROUP BY o_custkey""".stripMargin
 
+  /** GENERATED ALWAYS AS IDENTITY (round 19): the engine assigns
+    * `row_id` on every append that omits it — contiguous in the staged
+    * frame's row order off a durable high-water mark that advances
+    * INSIDE the allocating commit (crash-safe, never reused). The gate
+    * stages two key-range batches, each laid out in global key order
+    * (range partitioning + in-partition sort), so the engine's
+    * assignment is exactly DuckDB's `row_number() OVER (ORDER BY
+    * o_orderkey)` — a VALUE check of both the assignment mechanics and
+    * the cross-commit high-water continuation. Assignment is two-phase
+    * distributed (per-partition counts, driver prefix sums): no global
+    * window, the 100 TB shape.
+    */
+  def qIdentity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_id_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    spark.sql(
+      s"""CREATE TABLE $cat.silver.facts.$table (
+         |  row_id BIGINT, o_orderkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('graft.identity.row_id' = '1,1')""".stripMargin)
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    graft.util.PhaseTimer.time("identity.appends") { narrowShuffle(spark) {
+      // two commits prove the high water carries: batch 2's ids start
+      // exactly after batch 1's, and within each batch the range+sort
+      // layout makes partition-ordered indices global key order
+      wh.append(ref, orders.filter($"o_orderkey" <= 1000)
+        .repartitionByRange(4, $"o_orderkey")
+        .sortWithinPartitions("o_orderkey"))
+      wh.append(ref,
+        orders.filter($"o_orderkey" > 1000 && $"o_orderkey" <= 2000)
+          .repartitionByRange(4, $"o_orderkey")
+          .sortWithinPartitions("o_orderkey"))
+    } }
+    val out = spark.sql(
+      s"SELECT row_id, o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qIdentitySql: String =
+    """SELECT CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+      |         AS row_id,
+      |       o_orderkey, o_totalprice
+      |FROM orders WHERE o_orderkey <= 2000""".stripMargin
+
+  /** Column DEFAULT values (round 19): `graft.default.<col>` declares
+    * a constant expression materialized whenever a writer OMITS the
+    * column (append/overwrite/CTAS and explicit MERGE INSERT clauses);
+    * a supplied column is the caller's truth, explicit NULLs included.
+    * The gate declares two defaults at CREATE, appends one batch
+    * omitting both and one batch supplying `channel` while still
+    * omitting `priority` — the read-back must interleave declared
+    * defaults with caller values exactly as DuckDB recomputes them.
+    */
+  def qDefaultCol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_def_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    spark.sql(
+      s"""CREATE TABLE $cat.silver.facts.$table (
+         |  o_orderkey BIGINT, o_totalprice DOUBLE,
+         |  channel STRING, priority BIGINT)
+         |TBLPROPERTIES ('graft.default.channel' = "'web'",
+         |  'graft.default.priority' = 'CAST(7 AS BIGINT)')""".stripMargin)
+    val orders = Tables.load(spark, dir, "orders")
+    graft.util.PhaseTimer.time("defaultcol.appends") { narrowShuffle(spark) {
+      wh.append(ref, orders.filter($"o_orderkey" <= 1200)
+        .select($"o_orderkey", $"o_totalprice")) // both defaults fill
+      wh.append(ref,
+        orders.filter($"o_orderkey" > 1200 && $"o_orderkey" <= 2400)
+          .select($"o_orderkey", $"o_totalprice",
+            lit("store").as("channel"))) // supplied wins; priority fills
+    } }
+    val out = spark.sql(s"SELECT o_orderkey, o_totalprice, channel, " +
+      s"priority FROM $cat.silver.facts.$table")
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qDefaultColSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       CASE WHEN o_orderkey <= 1200 THEN 'web' ELSE 'store' END
+      |         AS channel,
+      |       CAST(7 AS BIGINT) AS priority
+      |FROM orders WHERE o_orderkey <= 2400""".stripMargin
+
   /** DESCRIBE DETAIL + partition-scoped OPTIMIZE, gated end-to-end
     * (the round-18 spec-only surfaces, pinned per-round here): a
     * partitioned table accumulates DV deletes and small-file appends,
@@ -2781,6 +2876,8 @@ object PipelineQueries {
     "q_merge_clauses" -> (qMergeClauses _),
     "q_merge_agg" -> (qMergeAgg _),
     "q_sql_detail" -> (qSqlDetail _),
+    "q_identity" -> (qIdentity _),
+    "q_default_col" -> (qDefaultCol _),
     "q_gen_partition_prune" -> (qGenPartitionPrune _),
     "q_merge_dv" -> (qMergeDv _),
     "q_generated_col" -> (qGeneratedCol _),
@@ -2841,6 +2938,8 @@ object PipelineQueries {
     "q_merge_clauses" -> qMergeClausesSql,
     "q_merge_agg" -> qMergeAggSql,
     "q_sql_detail" -> qSqlDetailSql,
+    "q_identity" -> qIdentitySql,
+    "q_default_col" -> qDefaultColSql,
     "q_gen_partition_prune" -> qGenPartitionPruneSql,
     "q_merge_dv" -> qMergeDvSql,
     "q_generated_col" -> qGeneratedColSql,

@@ -599,6 +599,41 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     * same contract as append/overwrite). Star clauses copy the
     * source's generated values verbatim — those validate instead.
     */
+  /** Merges cannot target IDENTITY tables: a star clause would copy
+    * forged source values into an engine-assigned column, and an
+    * insert clause would mint rows without ids — Delta's original
+    * contract too. Route inserts through `Warehouse.append` (which
+    * assigns) or drop the identity first.
+    */
+  private def requireNoIdentity(): Unit = {
+    if (!warehouse.exists(ref)) return
+    val ids = warehouse.identityColumns(ref)
+    require(ids.isEmpty,
+      s"MERGE/replacePartitions into $ref: GENERATED ALWAYS AS IDENTITY " +
+        s"column(s) ${ids.keys.mkString(",")} are engine-assigned — a " +
+        "merge would forge or drift them; append new rows through the " +
+        "warehouse (ids assign there) or dropIdentityColumn first")
+  }
+
+  /** Explicit INSERT clauses fill OMITTED defaulted columns with their
+    * declared DEFAULT instead of NULL (compute-on-omit parity with
+    * append/overwrite); runs BEFORE the generated extension so a
+    * generation may read a defaulted column's value.
+    */
+  private def withDefaultFills(cl: Merge.MergeClauses): Merge.MergeClauses = {
+    val defs = warehouse.columnDefaults(ref)
+    if (defs.isEmpty) return cl
+    def fill(c: Merge.Clause): Merge.Clause = c.sets match {
+      case Some(sets) =>
+        val assigned = sets.map(_._1.toLowerCase).toSet
+        val extra = defs.toSeq.sortBy(_._1)
+          .filterNot { case (n, _) => assigned.contains(n.toLowerCase) }
+        if (extra.isEmpty) c else c.copy(sets = Some(sets ++ extra))
+      case _ => c
+    }
+    cl.copy(inserts = cl.inserts.map(fill))
+  }
+
   private def withGeneratedRecomputes(cl: Merge.MergeClauses)
       : Merge.MergeClauses = {
     val gens = warehouse.generatedColumns(ref)
@@ -629,7 +664,8 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
 
   private def upsertClausesOnce(source: DataFrame,
                                 cl0: Merge.MergeClauses): Unit = {
-    val cl = withGeneratedRecomputes(cl0)
+    requireNoIdentity()
+    val cl = withGeneratedRecomputes(withDefaultFills(cl0))
     val meta = Map(Warehouse.OpMeta -> "MERGE")
     require(warehouse.exists(ref),
       s"clause merge needs an existing target table $ref (a WHEN MATCHED " +
@@ -745,6 +781,7 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
   private def replacePartitionsOnce(partitionKeys: DataFrame,
                                     replacement: DataFrame,
                                     rawMeta: Map[String, String] = Map.empty): Unit = {
+    requireNoIdentity()
     // one MERGE stamp covers bootstrap, pruned replace, and full
     // rewrite (callers' meta still rides; an explicit op wins)
     val meta = Warehouse.withOp(rawMeta, "MERGE")
@@ -841,6 +878,7 @@ final class MergeTable(spark: SparkSession, warehouse: Warehouse, ref: TableRef,
     warehouse.readFiles(ref, touched)
 
   private def upsertOnce(source: DataFrame): Unit = {
+    requireNoIdentity()
     if (!warehouse.exists(ref)) {
       // onlyIfAbsent: if another writer bootstraps between the exists
       // check and our lock acquisition, this throws (nothing written)
