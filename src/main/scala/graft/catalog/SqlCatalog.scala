@@ -185,6 +185,64 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * from those keys. `LOCATION`/`EXTERNAL` are refused — the
     * warehouse owns the physical layout.
     */
+  /** Spark 4 native column syntax — `id BIGINT GENERATED ALWAYS AS
+    * IDENTITY (START WITH s INCREMENT BY k)`, `c STRING DEFAULT
+    * '<const>'`, `g BIGINT GENERATED ALWAYS AS (expr)` — declared
+    * acceptable via [[capabilities]], delivered here as per-column
+    * specs, and routed through the SAME governed Warehouse entry
+    * points as the TBLPROPERTIES spelling (it IS the same
+    * declaration). The committed schema stays PLAIN (name, type,
+    * nullability): specs live in governed carried meta, never as
+    * schema-field metadata a reader would have to strip.
+    */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
+                           properties: util.Map[String, String]): Table = {
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(),
+        c.nullable())))
+    createTable(ident, schema, partitions, properties)
+    val ref = refOf(ident)
+    val specs = columns.filter(c => c.identityColumnSpec() != null ||
+      c.defaultValue() != null || c.generationExpression() != null)
+    try {
+      specs.foreach { c =>
+        Option(c.identityColumnSpec()).foreach { s =>
+          require(!s.isAllowExplicitInsert,
+            s"graft identity column '${c.name()}' must be GENERATED " +
+              "ALWAYS — BY DEFAULT (explicit inserts allowed) would let " +
+              "callers forge engine-assigned ids")
+          warehouse.setIdentityColumn(ref, c.name(), s.getStart, s.getStep)
+        }
+        Option(c.defaultValue()).foreach { d =>
+          require(d.getSql != null,
+            s"graft DEFAULT on '${c.name()}' needs its SQL text")
+          warehouse.setColumnDefault(ref, c.name(), d.getSql)
+        }
+        Option(c.generationExpression()).foreach { g =>
+          warehouse.setGeneratedColumn(ref, c.name(), g)
+        }
+      }
+    } catch {
+      case t: Throwable =>
+        // CREATE TABLE is atomic: a refused column spec must not leave
+        // the half-declared empty table behind
+        warehouse.drop(ref)
+        throw t
+    }
+    loadTable(ident)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
                            properties: util.Map[String, String]): Table = {
@@ -285,15 +343,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val unsets = changes.collect { case u: TableChange.RemoveProperty => u }
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val defaults = changes.collect {
+      case u: TableChange.UpdateColumnDefaultValue => u }
     require(adds.size + drops.size + sets.size + unsets.size +
-        renames.size == changes.size,
-      s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMNS and SET-UNSET " +
-        s"TBLPROPERTIES only; got " +
+        renames.size + defaults.size == changes.size,
+      s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMNS, ALTER COLUMN " +
+        s"SET/DROP DEFAULT and SET-UNSET TBLPROPERTIES only; got " +
         changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
           c.isInstanceOf[TableChange.DeleteColumn] ||
           c.isInstanceOf[TableChange.SetProperty] ||
           c.isInstanceOf[TableChange.RemoveProperty] ||
-          c.isInstanceOf[TableChange.RenameColumn]).mkString(", "))
+          c.isInstanceOf[TableChange.RenameColumn] ||
+          c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
+          .mkString(", "))
+    // `ALTER COLUMN c SET DEFAULT <const>` / `DROP DEFAULT` — the ANSI
+    // spelling of the governed graft.default.<col> property
+    defaults.foreach { u =>
+      require(u.fieldNames().length == 1,
+        s"graft SET DEFAULT takes top-level columns, not nested field " +
+          s"${u.fieldNames().mkString(".")}")
+      val sql = Option(u.newDefaultValue()).map(_.trim).filter(_.nonEmpty)
+      sql match {
+        case Some(s) => wh.setColumnDefault(ref, u.fieldNames()(0), s)
+        case None => wh.dropColumnDefault(ref, u.fieldNames()(0))
+      }
+    }
     // RENAME COLUMN is a guarded full rewrite (Warehouse.renameColumn):
     // name-based files make a metadata-only rename unsound, so the verb
     // is honest about its O(data) cost instead of refusing
@@ -372,6 +446,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(a.isNullable,
           s"new column ${a.fieldNames()(0)} must be nullable: every " +
             "existing row lacks a value for it")
+        require(a.defaultValue() == null,
+          s"graft ADD COLUMN ${a.fieldNames()(0)} cannot take DEFAULT: " +
+            "ANSI promises EXISTING rows the default, but historical " +
+            "files cannot serve it (metadata-only widening backfills " +
+            "NULL) — add the column, then ALTER COLUMN ... SET DEFAULT " +
+            "(future inserts only)")
         org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType(), nullable = true)
       }
@@ -544,6 +624,47 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
 
   override def name(): String = snap.ref.toString
   override def schema(): StructType = StructType(dataFields ++ partitionFields)
+
+  /** Column-level view with declared DEFAULTs attached, so the
+    * analyzer's default-column resolution fills `INSERT INTO t (a, b)
+    * VALUES ...` for omitted defaulted columns at ANALYSIS time — the
+    * per-row granularity the warehouse's frame-level fill cannot see.
+    * The default's literal evaluates driver-side from its declared
+    * constant SQL; an unevaluable default (e.g. `current_date()`)
+    * simply falls back to the write-time frame fill.
+    */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    val defs = wh.columnDefaults(snap.ref)
+    if (defs.isEmpty) return super.columns()
+    schema().fields.map { f =>
+      val dv = defs.find(_._1.equalsIgnoreCase(f.name)).flatMap {
+        case (_, sql) =>
+          try {
+            val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+                .parseExpression(sql),
+              f.dataType,
+              Option(spark.sessionState.conf.sessionLocalTimeZone))
+            if (!cast.foldable) None
+            else {
+              val v = cast.eval(null)
+              Some(new org.apache.spark.sql.connector.catalog
+                .ColumnDefaultValue(sql,
+                  new org.apache.spark.sql.connector.expressions.Literal[Any] {
+                    override def value(): Any = v
+                    override def dataType(): DataType = f.dataType
+                  }))
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+      }
+      dv match {
+        case Some(d) => org.apache.spark.sql.connector.catalog.Column
+          .create(f.name, f.dataType, f.nullable, null, d, null)
+        case None => org.apache.spark.sql.connector.catalog.Column
+          .create(f.name, f.dataType, f.nullable)
+      }
+    }
+  }
 
   /** The directory-encoded layout as identity transforms — DESCRIBE /
     * SHOW TBLPROPERTIES fidelity and what a CTAS-created table reports

@@ -2836,14 +2836,28 @@ final class Warehouse(spark: SparkSession, val root: String,
     val ids = identityColumns(ref)
     if (ids.isEmpty) return (df, Map.empty)
     val supplied = ids.keys.filter(c =>
-      df.columns.exists(_.equalsIgnoreCase(c)))
-    if (supplied.nonEmpty) {
-      require(allowSupplied,
-        s"write to $ref supplies GENERATED ALWAYS AS IDENTITY column(s) " +
-          s"${supplied.mkString(",")} — the engine assigns them; omit " +
-          "the column(s) from the frame")
-      return (df, Map.empty)
-    }
+      df.columns.exists(_.equalsIgnoreCase(c))).toSeq.sorted
+    val base =
+      if (supplied.isEmpty) df
+      else if (allowSupplied) return (df, Map.empty)
+      else {
+        // SQL INSERT resolves against the FULL table schema, so an
+        // omitted identity column can arrive as an all-NULL placeholder
+        // — that IS an omission (strip and assign). Any real value is a
+        // forgery of an engine-assigned id and refuses. One bounded
+        // aggregate over the batch decides.
+        val aggs = supplied.map(c => sum(when(col(c).isNotNull, 1L)
+          .otherwise(0L)).as(s"__id_$c"))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        val real = supplied.zipWithIndex.filter { case (_, i) =>
+          !row.isNullAt(i) && row.getLong(i) > 0L }.map(_._1)
+        require(real.isEmpty,
+          s"write to $ref supplies GENERATED ALWAYS AS IDENTITY " +
+            s"column(s) ${real.mkString(",")} — the engine assigns " +
+            "them; omit the column(s) from the frame (an all-NULL " +
+            "placeholder column is accepted as omission)")
+        df.drop(supplied: _*)
+      }
     val meta = commitMeta(ref, currentVersion(ref).get)
     val ordered = ids.toSeq.sortBy(_._1)
     val hws: Seq[(String, Long, Long)] = ordered.map { case (c, (start, step)) =>
@@ -2851,7 +2865,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         .getOrElse(start - step)
       (c, hw, step)
     }
-    val src = df.localCheckpoint()
+    val src = base.localCheckpoint()
     val outSchema = org.apache.spark.sql.types.StructType(
       src.schema ++ ordered.map { case (c, _) =>
         org.apache.spark.sql.types.StructField(c,

@@ -203,6 +203,14 @@ class IdentityDefaultSpec extends SparkSpec {
     assert(wh.read(ref).orderBy("k").select("rid", "channel")
       .as[(Long, String)].collect().toSeq ===
       Seq((10L, "web"), (12L, "web")))
+    // ANSI column-list INSERT: the analyzer fills the omitted
+    // defaulted column from the table's column metadata
+    // (GraftSqlTable.columns), and the omitted identity arrives as a
+    // NULL placeholder the engine assigns
+    spark.sql(s"INSERT INTO $cat.silver.d.gov (k) VALUES (3)")
+    assert(wh.read(ref).filter(col("k") === 3L)
+      .select("rid", "channel").as[(Long, String)].head() ===
+      ((14L, "web")))
     // .detail lists both declarations
     val d = spark.sql(s"SELECT * FROM $cat.silver.d.gov.detail").head()
     assert(d.getAs[String]("identity_columns") === "rid IDENTITY(10,2)")
@@ -213,6 +221,61 @@ class IdentityDefaultSpec extends SparkSpec {
     assert(wh.identityColumns(ref).isEmpty && wh.columnDefaults(ref).isEmpty)
     intercept[Exception](spark.sql(
       s"ALTER TABLE $cat.silver.d.gov SET TBLPROPERTIES ('free.form' = '1')"))
+  }
+
+  test("native SQL column syntax: IDENTITY/DEFAULT/GENERATED AS clauses, ALTER SET DEFAULT, NULL-placeholder INSERT") {
+    import spark.implicits._
+    val root = tmpDir("wh-native")
+    val cat = "natcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new Warehouse(spark, root)
+    spark.sql(
+      s"""CREATE TABLE $cat.silver.n.t (
+         |  rid BIGINT GENERATED ALWAYS AS IDENTITY
+         |    (START WITH 10 INCREMENT BY 2),
+         |  k BIGINT,
+         |  price DOUBLE,
+         |  channel STRING DEFAULT 'web',
+         |  cents BIGINT GENERATED ALWAYS AS
+         |    (CAST(round(price * 100) AS BIGINT)))""".stripMargin)
+    val ref = TableRef("silver", "n", "t")
+    assert(wh.identityColumns(ref) === Map("rid" -> ((10L, 2L))))
+    assert(wh.columnDefaults(ref) === Map("channel" -> "'web'"))
+    assert(wh.generatedColumns(ref).keySet === Set("cents"))
+    // Scala append omitting every engine-owned column
+    wh.append(ref, Seq((1L, 2.5)).toDF("k", "price"))
+    assert(wh.read(ref).select("rid", "k", "channel", "cents")
+      .as[(Long, Long, String, Long)].collect().toSeq ===
+      Seq((10L, 1L, "web", 250L)))
+    // full-schema SQL INSERT: a NULL identity placeholder IS an
+    // omission (assigned), supplied generated value validates
+    spark.sql(s"INSERT INTO $cat.silver.n.t VALUES " +
+      "(CAST(NULL AS BIGINT), 3, 2.0, 'x', 200)")
+    assert(wh.read(ref).filter($"k" === 3L).select("rid", "channel")
+      .as[(Long, String)].head() === ((12L, "x")))
+    // a REAL supplied identity value still refuses through SQL
+    val e = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.silver.n.t VALUES (999, 4, 1.0, 'y', 100)"))
+    assert(e.getMessage.contains("IDENTITY"))
+    // ALTER COLUMN SET/DROP DEFAULT (the ANSI spelling)
+    spark.sql(s"ALTER TABLE $cat.silver.n.t ALTER COLUMN channel " +
+      "SET DEFAULT 'store'")
+    assert(wh.columnDefaults(ref) === Map("channel" -> "'store'"))
+    wh.append(ref, Seq((5L, 4.0)).toDF("k", "price"))
+    assert(wh.read(ref).filter($"k" === 5L).select("channel")
+      .as[String].head() === "store")
+    spark.sql(s"ALTER TABLE $cat.silver.n.t ALTER COLUMN channel " +
+      "DROP DEFAULT")
+    assert(wh.columnDefaults(ref) === Map.empty[String, String])
+    // GENERATED BY DEFAULT refuses, and the refused CREATE is atomic:
+    // no half-declared empty table lingers
+    intercept[Exception](spark.sql(
+      s"""CREATE TABLE $cat.silver.n.bad (
+         |  rid BIGINT GENERATED BY DEFAULT AS IDENTITY,
+         |  k BIGINT)""".stripMargin))
+    assert(!wh.exists(TableRef("silver", "n", "bad")) &&
+      wh.snapshot(TableRef("silver", "n", "bad")).isEmpty)
   }
 
   test("REORG APPLY PURGE rewrites only DV'd files; healthy bytes never move") {
