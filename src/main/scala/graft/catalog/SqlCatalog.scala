@@ -202,7 +202,43 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
         .SUPPORT_COLUMN_DEFAULT_VALUE,
       org.apache.spark.sql.connector.catalog.TableCatalogCapability
-        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE with inline ANSI constraints (`CONSTRAINT name
+    * CHECK (pred)`): CHECK routes through the same governed
+    * [[Warehouse.setCheckConstraint]] as the TBLPROPERTIES and CALL
+    * spellings; UNIQUE / PRIMARY KEY / FOREIGN KEY refuse loudly —
+    * graft ENFORCES what it declares, and those are informational
+    * elsewhere (a declared-but-unenforced key is how lakes lie).
+    */
+  override def createTable(ident: Identifier,
+                           info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    createTable(ident, info.columns(), info.partitions(), info.properties())
+    val cs = Option(info.constraints()).getOrElse(Array.empty)
+    if (cs.isEmpty) loadTable(ident)
+    else {
+      val ref = refOf(ident)
+      try {
+        cs.foreach {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+              s"CHECK constraint ${c.name()} carries no predicate SQL")
+            warehouse.setCheckConstraint(ref, c.name(), c.predicateSql())
+          case other => throw new UnsupportedOperationException(
+            s"graft enforces CHECK constraints only; '${other.toDDL}' " +
+              "would be informational (unenforced) — refusing rather " +
+              "than silently not enforcing it")
+        }
+      } catch {
+        case t: Throwable =>
+          warehouse.drop(ref) // atomic CREATE: no half-declared table
+          throw t
+      }
+      loadTable(ident)
+    }
+  }
 
   override def createTable(ident: Identifier,
                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -345,8 +381,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val renames = changes.collect { case r: TableChange.RenameColumn => r }
     val defaults = changes.collect {
       case u: TableChange.UpdateColumnDefaultValue => u }
+    val addCs = changes.collect { case a: TableChange.AddConstraint => a }
+    val dropCs = changes.collect { case d: TableChange.DropConstraint => d }
     require(adds.size + drops.size + sets.size + unsets.size +
-        renames.size + defaults.size == changes.size,
+        renames.size + defaults.size + addCs.size + dropCs.size ==
+        changes.size,
       s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMNS, ALTER COLUMN " +
         s"SET/DROP DEFAULT and SET-UNSET TBLPROPERTIES only; got " +
         changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
@@ -354,8 +393,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           c.isInstanceOf[TableChange.SetProperty] ||
           c.isInstanceOf[TableChange.RemoveProperty] ||
           c.isInstanceOf[TableChange.RenameColumn] ||
-          c.isInstanceOf[TableChange.UpdateColumnDefaultValue])
+          c.isInstanceOf[TableChange.UpdateColumnDefaultValue] ||
+          c.isInstanceOf[TableChange.AddConstraint] ||
+          c.isInstanceOf[TableChange.DropConstraint])
           .mkString(", "))
+    // ANSI `ALTER TABLE ... ADD CONSTRAINT name CHECK (pred)` /
+    // `DROP CONSTRAINT [IF EXISTS] name` — the same governed entry
+    // points as the TBLPROPERTIES and CALL spellings (existing rows
+    // validate at ADD time; non-CHECK kinds refuse, unenforced)
+    addCs.foreach { a =>
+      a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+            s"CHECK constraint ${c.name()} carries no predicate SQL")
+          wh.setCheckConstraint(ref, c.name(), c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft enforces CHECK constraints only; '${other.toDDL}' " +
+            "would be informational (unenforced) — refusing rather " +
+            "than silently not enforcing it")
+      }
+    }
+    dropCs.foreach { d =>
+      val known = wh.checkConstraints(ref).keys
+        .find(_.equalsIgnoreCase(d.name()))
+      known match {
+        case Some(n) => wh.dropCheckConstraint(ref, n)
+        case None =>
+          if (!d.ifExists()) throw new IllegalArgumentException(
+            s"no CHECK constraint named '${d.name()}' on $ref (have: " +
+              s"${wh.checkConstraints(ref).keys.mkString(",")})")
+      }
+    }
     // `ALTER COLUMN c SET DEFAULT <const>` / `DROP DEFAULT` — the ANSI
     // spelling of the governed graft.default.<col> property
     defaults.foreach { u =>
@@ -624,6 +692,21 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
 
   override def name(): String = snap.ref.toString
   override def schema(): StructType = StructType(dataFields ++ partitionFields)
+
+  /** Live CHECK constraints as connector constraints (DESCRIBE
+    * fidelity, and Spark's analyzer pre-enforces them on SQL writes —
+    * per-row errors BEFORE the staged aggregate validation, which
+    * still guards every non-SQL surface). VALID: graft validates
+    * existing rows at declaration (have-always-held).
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    wh.checkConstraints(snap.ref).toSeq.sortBy(_._1).map { case (n, p) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(p).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   /** Column-level view with declared DEFAULTs attached, so the
     * analyzer's default-column resolution fills `INSERT INTO t (a, b)

@@ -77,6 +77,52 @@ class ConstraintSpec extends SparkSpec {
     assert(wh.checkConstraints(ref) === Map.empty)
   }
 
+  test("native ANSI constraint DDL: inline CHECK at CREATE, ADD/DROP CONSTRAINT, unenforced kinds refuse") {
+    import spark.implicits._
+    val root = tmpDir("wh-check-ansi")
+    val cat = "chkansi"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "g", "ansi")
+    // inline CHECK at CREATE routes through setCheckConstraint
+    spark.sql(s"CREATE TABLE $cat.silver.g.ansi " +
+      "(k BIGINT, v BIGINT, CONSTRAINT v_cap CHECK (v < 1000))")
+    assert(wh.checkConstraints(ref) === Map("v_cap" -> "v < 1000"))
+    spark.sql(s"INSERT INTO $cat.silver.g.ansi VALUES (1, 10)")
+    val e1 = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.silver.g.ansi VALUES (2, 5000)"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).toSeq.flatMap(c => Option(c.getMessage))
+    assert(chain(e1).exists(_.contains("v_cap")))
+    assert(wh.read(ref).count() === 1L)
+    // ALTER TABLE ADD CONSTRAINT validates existing rows first
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.silver.g.ansi ADD CONSTRAINT k_big CHECK (k > 5)"))
+    assert(chain(e2).exists(_.contains("existing row")))
+    spark.sql(s"ALTER TABLE $cat.silver.g.ansi " +
+      "ADD CONSTRAINT k_pos CHECK (k > 0)")
+    assert(wh.checkConstraints(ref).contains("k_pos"))
+    intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.silver.g.ansi VALUES (-1, 1)"))
+    // DROP CONSTRAINT (and IF EXISTS quietness / unknown loudness)
+    spark.sql(s"ALTER TABLE $cat.silver.g.ansi DROP CONSTRAINT k_pos")
+    assert(!wh.checkConstraints(ref).contains("k_pos"))
+    spark.sql(s"ALTER TABLE $cat.silver.g.ansi " +
+      "DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.silver.g.ansi DROP CONSTRAINT nope"))
+    // unenforced kinds refuse — and a refused inline CREATE is atomic
+    intercept[Exception](spark.sql(s"CREATE TABLE $cat.silver.g.ansi2 " +
+      "(k BIGINT, CONSTRAINT pk PRIMARY KEY (k) RELY)"))
+    assert(wh.snapshot(TableRef("silver", "g", "ansi2")).isEmpty)
+    // the table reports its live constraints (DESCRIBE surface)
+    val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.silver.g.ansi")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(ddl.contains("v_cap"))
+  }
+
   test("SQL INSERT and the streaming sink enforce constraints") {
     import spark.implicits._
     val root = tmpDir("wh-check-sql")
