@@ -777,11 +777,18 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
     if (statCols.nonEmpty) m.put("graft.stats_columns", statCols.mkString(","))
     m
   }
+  // AUTOMATIC_SCHEMA_EVOLUTION: `MERGE ... WITH SCHEMA EVOLUTION`
+  // auto-widens the target via the analyzer's alterTable ADD COLUMNS —
+  // which is graft's METADATA-ONLY addColumns (null backfill, dropped-
+  // name resurrection guard, one log append); evolution beyond
+  // widening (type changes) hits alterTable's loud refusals. A plain
+  // MERGE without the clause still refuses schema drift.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // reader gating, shallow-clone edition (mirrors the DV refusal in

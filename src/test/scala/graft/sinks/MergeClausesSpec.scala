@@ -188,6 +188,46 @@ class MergeClausesSpec extends SparkSpec {
       .get(Warehouse.OpMeta).contains("MERGE"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source columns widen the target (metadata-only), plain MERGE still refuses drift") {
+    import spark.implicits._
+    val root = tmpDir("wh-clauses-evolve")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftevolve"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "cdc", "evolve")
+    wh.overwrite(ref,
+      (1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      statsColumns = Seq("k"))
+    val filesBefore = wh.snapshot(ref).get.files.toSet
+    // source carries a NEW column `tag`
+    Seq((3L, 30.0, "hot"), (21L, 21.0, "cold"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("evolve_batch")
+    // without the clause: schema drift refuses (no silent evolution)
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.silver.cdc.evolve t
+         |USING evolve_batch s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(wh.schemaOf(ref).fieldNames.toSeq === Seq("k", "v"),
+      s"plain MERGE must not evolve the schema (got $e)")
+    // WITH SCHEMA EVOLUTION: the analyzer widens via the governed
+    // metadata-only addColumns, then the merge lands normally
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.silver.cdc.evolve t
+         |USING evolve_batch s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(wh.schemaOf(ref).fieldNames.toSeq === Seq("k", "v", "tag"))
+    val got = spark.sql(s"SELECT k, v, tag FROM $cat.silver.cdc.evolve")
+      .as[(Long, Double, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(3L) === ((30.0, Some("hot"))), "matched row takes the new column")
+    assert(got(21L) === ((21.0, Some("cold"))), "insert carries the new column")
+    assert(got(7L) === ((7.0, None)), "historical rows read NULL for the widened column")
+    assert(got.size === 21)
+  }
+
   test("NOT MATCHED BY SOURCE UPDATE: flag-stale replication instead of delete") {
     import spark.implicits._
     val root = tmpDir("wh-clauses-bsupd")
