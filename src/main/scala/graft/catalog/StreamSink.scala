@@ -87,6 +87,17 @@ private[catalog] final class GraftStreamingWrite(spark: SparkSession,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    // identity columns cannot ride this sink: tasks write files
+    // directly and the epoch commit adopts them, so there is no
+    // assignment pass — a stream frame would land forged or NULL ids
+    // silently. Refuse at query start; foreachBatch + Warehouse.append
+    // is the streaming shape that assigns.
+    val ids = wh.identityColumns(ref)
+    require(ids.isEmpty,
+      s"streaming write to $ref: GENERATED ALWAYS AS IDENTITY " +
+        s"column(s) ${ids.keys.mkString(",")} are engine-assigned and " +
+        "this sink adopts task files verbatim — use foreachBatch with " +
+        "Warehouse.append (ids assign there) or dropIdentityColumn")
     val missing = partCols.filterNot(writeSchema.fieldNames.contains)
     require(missing.isEmpty,
       s"streaming write to $ref needs partition column(s) " +

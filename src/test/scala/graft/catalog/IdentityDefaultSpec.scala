@@ -60,6 +60,27 @@ class IdentityDefaultSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException](
       wh.stageOverwrite(ref, Seq((70L, "h")).toDF("k", "v")))
     assert(e5.getMessage.contains("IDENTITY"))
+    // the streaming sink refuses identity targets at query start:
+    // tasks write files verbatim, so no assignment pass could run
+    val cat6 = "idstream"
+    spark.conf.set(s"spark.sql.catalog.$cat6", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat6.root",
+      wh.root)
+    val in = tmpDir("id-sink-in")
+    val ckpt = tmpDir("id-sink-ckpt")
+    Seq((1L, 70L, "s")).toDF("row_id", "k", "v")
+      .write.mode("append").parquet(in)
+    val q = spark.readStream.schema("row_id LONG, k LONG, v STRING")
+      .parquet(in).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat6.silver.i.ids")
+    val e6 = intercept[Exception](q.awaitTermination())
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t.asInstanceOf[Throwable])(_.getCause)
+        .takeWhile(_ != null).toSeq.flatMap(c => Option(c.getMessage))
+    assert(chain(e6).exists(_.contains("IDENTITY")))
+    assert(wh.read(ref).count() === 1L, "the refused stream wrote nothing")
     // dropping the identity frees the column
     wh.dropIdentityColumn(ref, "row_id")
     wh.append(ref, Seq((77L, 80L, "i")).toDF("row_id", "k", "v"))
