@@ -2422,6 +2422,52 @@ object PipelineQueries {
       |       CAST(7 AS BIGINT) AS priority
       |FROM orders WHERE o_orderkey <= 2400""".stripMargin
 
+  /** `MERGE ... WITH SCHEMA EVOLUTION` (round 19): the analyzer widens
+    * the target with the source's new column through the catalog's
+    * metadata-only ADD COLUMNS (AUTOMATIC_SCHEMA_EVOLUTION
+    * capability), then the star merge lands through the normal
+    * file-pruned upsert. The read-back pins the whole contract:
+    * untouched rows read NULL for the widened column (no rewrite of
+    * their files), matched rows take the update, new keys insert with
+    * the column populated.
+    */
+  def qMergeEvolve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_ev_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val orders = Tables.load(spark, dir, "orders")
+    graft.util.PhaseTimer.time("mergeevolve.seed") { narrowShuffle(spark) {
+      wh.overwrite(ref,
+        orders.filter($"o_orderkey" <= 1500) // identical slice at every SF
+          .select($"o_orderkey", $"o_totalprice")
+          .repartitionByRange(4, $"o_orderkey"),
+        statsColumns = Seq("o_orderkey"))
+    } }
+    orders.filter($"o_orderkey" > 1000 && $"o_orderkey" <= 2500)
+      .select($"o_orderkey", $"o_totalprice", lit("upd").as("channel"))
+      .createOrReplaceTempView(s"evolve_src_$n")
+    graft.util.PhaseTimer.time("mergeevolve.apply") {
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.silver.facts.$table t
+           |USING evolve_src_$n s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice, channel FROM $cat.silver.facts.$table")
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qMergeEvolveSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       CASE WHEN o_orderkey > 1000 THEN 'upd' END AS channel
+      |FROM orders WHERE o_orderkey <= 2500""".stripMargin
+
   /** DESCRIBE DETAIL + partition-scoped OPTIMIZE, gated end-to-end
     * (the round-18 spec-only surfaces, pinned per-round here): a
     * partitioned table accumulates DV deletes and small-file appends,
@@ -2878,6 +2924,7 @@ object PipelineQueries {
     "q_sql_detail" -> (qSqlDetail _),
     "q_identity" -> (qIdentity _),
     "q_default_col" -> (qDefaultCol _),
+    "q_merge_evolve" -> (qMergeEvolve _),
     "q_gen_partition_prune" -> (qGenPartitionPrune _),
     "q_merge_dv" -> (qMergeDv _),
     "q_generated_col" -> (qGeneratedCol _),
@@ -2940,6 +2987,7 @@ object PipelineQueries {
     "q_sql_detail" -> qSqlDetailSql,
     "q_identity" -> qIdentitySql,
     "q_default_col" -> qDefaultColSql,
+    "q_merge_evolve" -> qMergeEvolveSql,
     "q_gen_partition_prune" -> qGenPartitionPruneSql,
     "q_merge_dv" -> qMergeDvSql,
     "q_generated_col" -> qGeneratedColSql,
