@@ -1827,7 +1827,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // IDENTITY columns assign inside the lock: the high-water read and
     // its advance ride THIS commit's meta line (no-op on bootstrap —
     // nothing is committed yet, so no declaration can exist)
-    val (dfI, hwMeta) = applyIdentityLocked(ref, df,
+    val (dfI, hwMeta, idCleanup) = applyIdentityLocked(ref, df,
       allowSupplied = internalRewrite)
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
@@ -1932,6 +1932,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         filesystem.delete(new Path(target, txnFile), false)
       }
     } finally {
+      idCleanup()
       filesystem.delete(tmp, true)
       ()
     }
@@ -1981,7 +1982,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         "in the frame (the table is directory-partitioned on them)")
     // IDENTITY columns assign here, inside the lock: the high-water
     // read and its advance ride THIS commit's meta line
-    val (dfI, hwMeta) = applyIdentityLocked(ref, df, allowSupplied = false)
+    val (dfI, hwMeta, idCleanup) =
+      applyIdentityLocked(ref, df, allowSupplied = false)
     val nonce = System.nanoTime().toString
     val stage = new Path(path(ref) + s".tmp-append-$nonce")
     try {
@@ -2079,6 +2081,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       filesystem.delete(new Path(tablePath, txnFile), false)
       v
     } finally {
+      idCleanup()
       filesystem.delete(stage, true)
       ()
     }
@@ -2824,22 +2827,25 @@ final class Warehouse(spark: SparkSession, val root: String,
     * staged file write all see ONE materialization (a re-evaluated
     * nondeterministic source would shear ids from rows).
     *
-    * Returns the frame (declared column order restored) and the
-    * high-water meta advance to merge into the allocating commit.
+    * Returns the frame (declared column order restored), the
+    * high-water meta advance to merge into the allocating commit, and
+    * a cleanup thunk the caller runs once the staged write has landed
+    * (unpersists the checkpoint blocks — a no-op otherwise).
     * Supplying the column refuses unless `allowSupplied` (internal
     * full rewrites carrying already-committed ids).
     */
   private def applyIdentityLocked(ref: TableRef, df: DataFrame,
                                   allowSupplied: Boolean)
-      : (DataFrame, Map[String, String]) = {
-    if (currentVersion(ref).isEmpty) return (df, Map.empty)
+      : (DataFrame, Map[String, String], () => Unit) = {
+    val noop = () => ()
+    if (currentVersion(ref).isEmpty) return (df, Map.empty, noop)
     val ids = identityColumns(ref)
-    if (ids.isEmpty) return (df, Map.empty)
+    if (ids.isEmpty) return (df, Map.empty, noop)
     val supplied = ids.keys.filter(c =>
       df.columns.exists(_.equalsIgnoreCase(c))).toSeq.sorted
     val base =
       if (supplied.isEmpty) df
-      else if (allowSupplied) return (df, Map.empty)
+      else if (allowSupplied) return (df, Map.empty, noop)
       else {
         // SQL INSERT resolves against the FULL table schema, so an
         // omitted identity column can arrive as an all-NULL placeholder
@@ -2887,7 +2893,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     val hwMeta = hws.map { case (c, hw, step) =>
       Warehouse.identityHwKey(c) -> (hw + step * n).toString
     }.toMap
-    (out, hwMeta)
+    (out, hwMeta, () => { src.unpersist(); () })
   }
 
   /** Compute OMITTED generated columns onto a write frame (no-op for
