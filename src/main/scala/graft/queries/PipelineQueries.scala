@@ -2468,6 +2468,77 @@ object PipelineQueries {
       |       CASE WHEN o_orderkey > 1000 THEN 'upd' END AS channel
       |FROM orders WHERE o_orderkey <= 2500""".stripMargin
 
+  /** REORG ... APPLY (PURGE) + time-based VACUUM, gated end-to-end
+    * (the round-19 maintenance pair, pinned per-round the way
+    * q_sql_detail pins scoped OPTIMIZE): a two-file table takes a
+    * merge-on-read delete (DV sidecar, zero rewrites), `CALL
+    * system.reorg` rewrites ONLY the DV'd file (ledger witness: the
+    * healthy file survives byte-identical, the vector map clears),
+    * and `vacuumRetain(keepHours = 0)` reclaims the retired bytes
+    * (witness: the purged file is physically gone, the healthy one
+    * still on disk). The read-back hash-matches DuckDB on the
+    * surviving rows — the GDPR close-out lifecycle at its 100 TB
+    * shape: delete O(matches), purge O(DV'd files), reclaim O(retired).
+    */
+  def qReorgVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val n = sqlCallNonce.incrementAndGet()
+    val table = s"orders_rv_$n"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val orders = Tables.load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    graft.util.PhaseTimer.time("reorgvac.lifecycle") { narrowShuffle(spark) {
+      wh.overwrite(ref,
+        orders.filter($"o_orderkey" <= 1000).coalesce(1),            // v1 f1
+        statsColumns = Seq("o_orderkey"))
+      wh.append(ref,
+        orders.filter($"o_orderkey" > 1000 && $"o_orderkey" <= 2000)
+          .coalesce(1))                                              // v2 f2
+      wh.setDeletionVectors(ref, enabled = true)                     // v3
+      wh.deleteWhere(ref,                                            // v4 DVs
+        $"o_orderkey" > 1000 && $"o_orderkey" % 5 === 2)               // f2 only
+    } }
+    val snap0 = wh.snapshot(ref).get
+    val dvd = snap0.dvMap.keySet
+    val healthy = snap0.files.filterNot(dvd.contains).toSet
+    val dvOk = dvd.nonEmpty && healthy.nonEmpty
+    val purged = graft.util.PhaseTimer.time("reorgvac.reorg") {
+      spark.sql(s"CALL $cat.system.reorg('silver.facts.$table')").head()
+        .getAs[Int]("files_rewritten")
+    }
+    val snap1 = wh.snapshot(ref).get
+    val reorgOk = purged == dvd.size && snap1.dvMap.isEmpty &&
+      healthy.subsetOf(snap1.files.toSet) &&
+      dvd.forall(f => !snap1.files.contains(f))
+    val fs = new org.apache.hadoop.fs.Path(wh.path(ref))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def onDisk(rel: String): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(wh.path(ref) + "/" + rel))
+    val retiredStillOnDisk = dvd.forall(onDisk) // snapshot-isolated
+    val swept = graft.util.PhaseTimer.time("reorgvac.vacuum") {
+      wh.vacuumRetain(ref, keepHours = 0.0)
+    }
+    val vacuumOk = retiredStillOnDisk && swept > 0 &&
+      dvd.forall(f => !onDisk(f)) && healthy.forall(onDisk)
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $cat.silver.facts.$table")
+      .withColumn("dv_ok", lit(dvOk))
+      .withColumn("reorg_ok", lit(reorgOk))
+      .withColumn("vacuum_ok", lit(vacuumOk))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qReorgVacuumSql: String =
+    """SELECT o_orderkey, o_totalprice,
+      |       TRUE AS dv_ok, TRUE AS reorg_ok, TRUE AS vacuum_ok
+      |FROM orders
+      |WHERE o_orderkey <= 2000
+      |  AND NOT (o_orderkey > 1000 AND o_orderkey % 5 = 2)""".stripMargin
+
   /** DESCRIBE DETAIL + partition-scoped OPTIMIZE, gated end-to-end
     * (the round-18 spec-only surfaces, pinned per-round here): a
     * partitioned table accumulates DV deletes and small-file appends,
@@ -2925,6 +2996,7 @@ object PipelineQueries {
     "q_identity" -> (qIdentity _),
     "q_default_col" -> (qDefaultCol _),
     "q_merge_evolve" -> (qMergeEvolve _),
+    "q_reorg_vacuum" -> (qReorgVacuum _),
     "q_gen_partition_prune" -> (qGenPartitionPrune _),
     "q_merge_dv" -> (qMergeDv _),
     "q_generated_col" -> (qGeneratedCol _),
@@ -2988,6 +3060,7 @@ object PipelineQueries {
     "q_identity" -> qIdentitySql,
     "q_default_col" -> qDefaultColSql,
     "q_merge_evolve" -> qMergeEvolveSql,
+    "q_reorg_vacuum" -> qReorgVacuumSql,
     "q_gen_partition_prune" -> qGenPartitionPruneSql,
     "q_merge_dv" -> qMergeDvSql,
     "q_generated_col" -> qGeneratedColSql,
