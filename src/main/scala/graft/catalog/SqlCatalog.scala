@@ -348,10 +348,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         warehouse.setColumnDefault(ref,
           k.stripPrefix(Warehouse.DefaultMetaPrefix), v)
       case (k, v) if k.startsWith(Warehouse.IdentityMetaPrefix) =>
-        val Array(st, sp) = (if (v.contains(',')) v else s"$v,1").split(',')
+        val (st, sp) = Warehouse.parseIdentitySpec(k, v)
         warehouse.setIdentityColumn(ref,
-          k.stripPrefix(Warehouse.IdentityMetaPrefix),
-          st.trim.toLong, sp.trim.toLong)
+          k.stripPrefix(Warehouse.IdentityMetaPrefix), st, sp)
       case _ => ()
     }
     flag(Warehouse.CdfMeta).foreach(warehouse.setChangeDataFeed(ref, _))
@@ -462,9 +461,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           wh.setColumnDefault(ref, k.stripPrefix(Warehouse.DefaultMetaPrefix), v)
         case (k, v) if k.startsWith(Warehouse.IdentityMetaPrefix) =>
           // `'graft.identity.<col>' = 'start,step'` (bare start => step 1)
-          val Array(st, sp) = (if (v.contains(',')) v else s"$v,1").split(',')
+          val (st, sp) = Warehouse.parseIdentitySpec(k, v)
           wh.setIdentityColumn(ref, k.stripPrefix(Warehouse.IdentityMetaPrefix),
-            st.trim.toLong, sp.trim.toLong)
+            st, sp)
         case (Warehouse.CdfMeta, v) =>
           require(v == "true" || v == "false",
             s"${Warehouse.CdfMeta} takes true/false, got '$v'")
@@ -783,6 +782,12 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
   // name resurrection guard, one log append); evolution beyond
   // widening (type changes) hits alterTable's loud refusals. A plain
   // MERGE without the clause still refuses schema drift.
+  // ATOMICITY: Spark commits the widening at ANALYSIS time, before
+  // merge execution. Statically-knowable refusals (identity targets)
+  // are caught BEFORE the widening by SqlMerge.preEvolutionGuard
+  // (hint batch); a merge that fails at RUNTIME after analysis can
+  // still leave the widened schema behind — inherent to the
+  // analysis-time capability, documented rather than hidden.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,

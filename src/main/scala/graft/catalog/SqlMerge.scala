@@ -1,7 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.{Encoders, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualNullSafe, EqualTo, Expression, Literal, NamedExpression, Not, PlanExpression, And => CAnd}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, SubqueryAlias, Union, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -163,6 +164,75 @@ object SqlMerge {
     }.sql
 
   /** Unwrap alias layers to the DSv2 relation over a graft table. */
+  /** PRE-ANALYSIS guard, registered in the HINT batch — which runs
+    * BEFORE the Resolution batch where Spark's schema-evolution rule
+    * widens the target via `alterTable` (a real commit, at analysis
+    * time). A `MERGE ... WITH SCHEMA EVOLUTION` onto an
+    * IDENTITY-carrying graft table can NEVER run (the merge path
+    * refuses identity targets outright), so refusing here keeps the
+    * widening atomic with the merge: the table is not left widened by
+    * a merge that cannot execute. Runtime clause failures AFTER
+    * analysis can still leave a widened schema — that residual
+    * non-atomicity is inherent to Spark committing evolution at
+    * analysis time and is documented at the capability declaration
+    * (SqlCatalog AUTOMATIC_SCHEMA_EVOLUTION); this guard closes the
+    * statically-knowable case.
+    */
+  def preEvolutionGuard(session: SparkSession): Rule[LogicalPlan] =
+    new Rule[LogicalPlan] {
+      override def apply(plan: LogicalPlan): LogicalPlan = {
+        plan.foreach {
+          case m: MergeIntoTable if m.withSchemaEvolution =>
+            namedGraftTable(session, m.targetTable).foreach {
+              case (ref, wh) =>
+                val ids = wh.identityColumns(ref)
+                require(ids.isEmpty,
+                  s"MERGE WITH SCHEMA EVOLUTION into $ref: the target " +
+                    "carries GENERATED ALWAYS AS IDENTITY column(s) " +
+                    s"${ids.keys.mkString(",")} and merge refuses identity " +
+                    "targets — refusing BEFORE schema evolution so the " +
+                    "table is never widened by a merge that can never run")
+            }
+          case _ => ()
+        }
+        plan
+      }
+    }
+
+  /** Name-based graft-table lookup for the pre-analysis guard: the
+    * target is still an [[UnresolvedRelation]] in the hint batch, so
+    * the identifier resolves through the session's catalog manager by
+    * hand (explicit `graft.cat.schema.tbl` or the current catalog).
+    * Best-effort — anything unresolvable returns None and the normal
+    * resolution-time refusals still apply.
+    */
+  private def namedGraftTable(session: SparkSession, plan: LogicalPlan)
+      : Option[(TableRef, Warehouse)] = plan match {
+    case SubqueryAlias(_, child) => namedGraftTable(session, child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable => Some((t.snap.ref, t.wh))
+      case _ => None
+    }
+    case u: UnresolvedRelation =>
+      val parts = u.multipartIdentifier
+      val cm = session.sessionState.catalogManager
+      val (cat, rest) =
+        if (parts.length > 1 && cm.isCatalogRegistered(parts.head))
+          (cm.catalog(parts.head), parts.tail)
+        else (cm.currentCatalog, parts)
+      cat match {
+        case g: GraftCatalog if rest.length >= 2 =>
+          try g.loadTable(Identifier.of(rest.init.toArray, rest.last)) match {
+            case t: GraftSqlTable => Some((t.snap.ref, t.wh))
+            case _ => None
+          } catch {
+            case _: NoSuchTableException | _: NoSuchNamespaceException => None
+          }
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def graftTarget(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftSqlTable)] =
     plan match {
       case SubqueryAlias(_, child) => graftTarget(child)

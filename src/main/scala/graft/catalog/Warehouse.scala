@@ -74,12 +74,15 @@ final case class TableSnapshot(ref: TableRef, version: Long,
   *  - old versions stay readable ([[readVersion]] — Delta-style time
   *    travel) until vacuumed.
   *
-  * Each commit stores the FULL file list (checkpoint-per-commit): O(files)
-  * per commit, trivial for this engine's table sizes; at Delta scale
-  * (millions of files) the log would switch to delta entries + periodic
-  * checkpoints — same read semantics, cheaper appends. Directories
-  * without a log (e.g. bucketed saveAsTable layouts) fall back to plain
-  * directory reads.
+  * The log is DELTA-ENCODED (Delta/Iceberg-style): most commits record
+  * only their add/retire churn against version v-1 (O(churn) per
+  * commit, not O(files)), every [[Warehouse.checkpointEvery]]-th
+  * version writes a full-file-list CHECKPOINT bounding chain depth, and
+  * snapshot resolution walks checkpoint + tail with a fingerprinted
+  * cache — a 1M-file table committing hourly writes O(churn)/commit,
+  * not ~GB/day of repeated file lists. Directories without a log
+  * (e.g. bucketed saveAsTable layouts) fall back to plain directory
+  * reads.
   *
   * A second IN-FLIGHT writer is DETECTED, not merged: every mutating
   * path ([[overwrite]], [[replaceDataFiles]] and everything built on
@@ -2794,8 +2797,15 @@ final class Warehouse(spark: SparkSession, val root: String,
       s"cannot make '$column' IDENTITY on $ref: $nonNull existing row(s) " +
         "carry values the engine did not assign — identity declares " +
         "engine ownership from the start (historical NULLs are fine)")
+    // Reset the high-water IN THE SAME COMMIT: a prior declaration on
+    // this column (dropped, then data truncated / column re-added)
+    // leaves its high-water meta behind, and a stale hw would silently
+    // override the declared `start`. Re-declaration means "fresh
+    // sequence from MY start" — the hw seeds to start - step so the
+    // first assigned value is exactly `start`.
     commitMetaOnly(ref,
-      Map(Warehouse.identityMetaKey(field.name) -> s"$start,$step"))
+      Map(Warehouse.identityMetaKey(field.name) -> s"$start,$step",
+        Warehouse.identityHwKey(field.name) -> (start - step).toString))
   }
 
   /** Drop an identity declaration (empty tombstone; the high-water
@@ -2813,8 +2823,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     currentVersion(ref).map(v => commitMeta(ref, v).collect {
       case (k, v0) if k.startsWith(Warehouse.IdentityMetaPrefix) &&
           v0.nonEmpty =>
-        val Array(s, st) = v0.split(',')
-        k.stripPrefix(Warehouse.IdentityMetaPrefix) -> (s.toLong, st.toLong)
+        k.stripPrefix(Warehouse.IdentityMetaPrefix) ->
+          Warehouse.parseIdentitySpec(k, v0)
     }).getOrElse(Map.empty)
 
   /** Assign identity values onto a write frame (writer lock held —
@@ -2838,6 +2848,13 @@ final class Warehouse(spark: SparkSession, val root: String,
                                   allowSupplied: Boolean)
       : (DataFrame, Map[String, String], () => Unit) = {
     val noop = () => ()
+    // Internal full rewrites (renameColumn, subquery DML) carry
+    // already-committed ids through — they NEVER mint. Short-circuit
+    // before inspecting columns: a rename of the table's ONLY identity
+    // column presents a frame where the old name is absent, and
+    // falling through would resurrect the old column populated with
+    // freshly minted ids (and re-advance its tombstoned high-water).
+    if (allowSupplied) return (df, Map.empty, noop)
     if (currentVersion(ref).isEmpty) return (df, Map.empty, noop)
     val ids = identityColumns(ref)
     if (ids.isEmpty) return (df, Map.empty, noop)
@@ -2845,7 +2862,6 @@ final class Warehouse(spark: SparkSession, val root: String,
       df.columns.exists(_.equalsIgnoreCase(c))).toSeq.sorted
     val base =
       if (supplied.isEmpty) df
-      else if (allowSupplied) return (df, Map.empty, noop)
       else {
         // SQL INSERT resolves against the FULL table schema, so an
         // omitted identity column can arrive as an all-NULL placeholder
@@ -2867,8 +2883,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     val meta = commitMeta(ref, currentVersion(ref).get)
     val ordered = ids.toSeq.sortBy(_._1)
     val hws: Seq[(String, Long, Long)] = ordered.map { case (c, (start, step)) =>
-      val hw = meta.get(Warehouse.identityHwKey(c)).map(_.toLong)
-        .getOrElse(start - step)
+      val hw = meta.get(Warehouse.identityHwKey(c)).filter(_.nonEmpty)
+        .map(_.toLong).getOrElse(start - step)
       (c, hw, step)
     }
     val src = base.localCheckpoint()
@@ -5558,6 +5574,24 @@ object Warehouse {
   val IdentityHwPrefix = "graft.identityhw."
 
   def identityHwKey(column: String): String = s"$IdentityHwPrefix$column"
+
+  /** Parse a governed identity property value: `'start,step'`, or a
+    * bare `'start'` meaning step 1. Malformed shapes ('1,2,3',
+    * non-numeric pieces, empties) refuse loudly naming the key and
+    * the expected format — never a bare MatchError.
+    */
+  def parseIdentitySpec(key: String, value: String): (Long, Long) = {
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"$key expects 'start,step' (two integers) or a bare integer " +
+        s"start; got '$value'")
+    def num(s: String): Long =
+      try s.trim.toLong catch { case _: NumberFormatException => bad() }
+    value.split(",", -1).map(_.trim) match {
+      case Array(st) if st.nonEmpty => (num(st), 1L)
+      case Array(st, sp) if st.nonEmpty && sp.nonEmpty => (num(st), num(sp))
+      case _ => bad()
+    }
+  }
 
   /** Carried-meta prefix of dropped-column tombstones
     * ([[Warehouse]].dropColumns' resurrection guard): cleared (blanked)

@@ -186,5 +186,11 @@ class GraftOptimizations extends (SparkSessionExtensions => Unit) {
     // Delta-style analyzer claim; unsupported shapes fall through to
     // Spark's loud row-level-operation error)
     ext.injectResolutionRule(session => graft.catalog.SqlMerge.rule(session))
+    // MERGE WITH SCHEMA EVOLUTION onto an identity-carrying target
+    // refuses in the HINT batch — before Spark's evolution rule
+    // commits the widening — so evolution stays atomic with a merge
+    // that is statically known to refuse
+    ext.injectHintResolutionRule(session =>
+      graft.catalog.SqlMerge.preEvolutionGuard(session))
   }
 }

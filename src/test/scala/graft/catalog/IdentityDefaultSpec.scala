@@ -299,6 +299,67 @@ class IdentityDefaultSpec extends SparkSpec {
       wh.snapshot(TableRef("silver", "n", "bad")).isEmpty)
   }
 
+  test("renaming a table's SOLE identity column never resurrects it with fresh ids") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-id-solerename"))
+    val ref = TableRef("silver", "i", "solere")
+    wh.createTable(ref, StructType(Seq(
+      StructField("rid", LongType), StructField("k", LongType))))
+    wh.setIdentityColumn(ref, "rid", start = 10L, step = 2L)
+    wh.append(ref, Seq(100L, 200L).toDF("k").coalesce(1)
+      .sortWithinPartitions("k"))
+    // the ONLY identity column renames: the internal full rewrite's
+    // frame carries the column under the NEW name, so a fresh-assign
+    // fallback keyed on the old name would add `rid` back populated
+    // with newly minted ids (round-19 advice, high)
+    wh.renameColumn(ref, "rid", "row_id")
+    assert(wh.schemaOf(ref).fieldNames.toSeq === Seq("row_id", "k"),
+      "the old identity name must NOT reappear in the schema")
+    assert(wh.identityColumns(ref).keySet === Set("row_id"))
+    assert(wh.read(ref).orderBy("k").select("row_id").as[Long]
+      .collect().toSeq === Seq(10L, 12L), "committed ids carry unchanged")
+    // the sequence continues from the carried high-water
+    wh.append(ref, Seq(300L).toDF("k"))
+    assert(wh.read(ref).filter(col("k") === 300L).select("row_id")
+      .as[Long].head() === 14L)
+  }
+
+  test("re-declaring identity resets the sequence to the declared start") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-id-redeclare"))
+    val ref = TableRef("silver", "i", "redecl")
+    wh.createTable(ref, StructType(Seq(
+      StructField("rid", LongType), StructField("k", LongType))))
+    wh.setIdentityColumn(ref, "rid", start = 1L, step = 1L)
+    wh.append(ref, (1L to 5L).toDF("k").coalesce(1).sortWithinPartitions("k"))
+    // drop the declaration, truncate the data, re-declare from 100:
+    // the stale high-water (5) must NOT silently continue the old
+    // sequence — re-declaration means "fresh from MY start"
+    // (round-19 advice, medium)
+    wh.dropIdentityColumn(ref, "rid")
+    wh.truncate(ref)
+    wh.setIdentityColumn(ref, "rid", start = 100L, step = 5L)
+    wh.append(ref, Seq(10L, 20L).toDF("k").coalesce(1)
+      .sortWithinPartitions("k"))
+    assert(wh.read(ref).orderBy("k").select("rid").as[Long]
+      .collect().toSeq === Seq(100L, 105L),
+      "the re-declared sequence must start at the declared start")
+  }
+
+  test("malformed identity property values refuse loudly, naming the key") {
+    // governed-property parse: '1,2,3', non-numerics, and empties are
+    // user typos that must produce the same loud shape as every other
+    // governed property — never a bare MatchError (round-19 advice)
+    assert(Warehouse.parseIdentitySpec("graft.identity.c", "7") === ((7L, 1L)))
+    assert(Warehouse.parseIdentitySpec("graft.identity.c", " 7 , -2 ") ===
+      ((7L, -2L)))
+    for (bad <- Seq("1,2,3", "x", "1,y", "", ",", "1,"))
+      assert(intercept[IllegalArgumentException](
+        Warehouse.parseIdentitySpec("graft.identity.c", bad))
+        .getMessage.contains("graft.identity.c"),
+        s"value '$bad' must refuse naming the key")
+  }
+
   test("REORG APPLY PURGE rewrites only DV'd files; healthy bytes never move") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-reorg"))

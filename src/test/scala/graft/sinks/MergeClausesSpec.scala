@@ -2,6 +2,8 @@ package graft.sinks
 
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
 import graft.SparkSpec
 import graft.catalog.{GraftCatalog, TableRef, Warehouse}
 
@@ -226,6 +228,39 @@ class MergeClausesSpec extends SparkSpec {
     assert(got(21L) === ((21.0, Some("cold"))), "insert carries the new column")
     assert(got(7L) === ((7.0, None)), "historical rows read NULL for the widened column")
     assert(got.size === 21)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION onto an identity target refuses BEFORE widening") {
+    import spark.implicits._
+    val root = tmpDir("wh-clauses-evguard")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftevguard"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "cdc", "evguard")
+    wh.createTable(ref, StructType(Seq(
+      StructField("rid", LongType), StructField("k", LongType),
+      StructField("v", DoubleType))))
+    wh.setIdentityColumn(ref, "rid")
+    wh.append(ref, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    val vBefore = wh.currentVersion(ref).get
+    Seq((1L, 10.0, "hot")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("evguard_batch")
+    // merge refuses identity targets; WITH SCHEMA EVOLUTION commits
+    // the widening at ANALYSIS time — the hint-batch guard must
+    // refuse BEFORE that commit, or the table is widened by a merge
+    // that can never run (round-19 advice)
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.silver.cdc.evguard t
+         |USING evguard_batch s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("IDENTITY"),
+      s"refusal must name the identity cause, got: ${e.getMessage}")
+    assert(wh.schemaOf(ref).fieldNames.toSeq === Seq("rid", "k", "v"),
+      "the target must NOT be widened by the refused merge")
+    assert(wh.currentVersion(ref).get === vBefore,
+      "no commit of any kind may land for the refused merge")
   }
 
   test("NOT MATCHED BY SOURCE UPDATE: flag-stale replication instead of delete") {
