@@ -55,6 +55,29 @@ private[catalog] object GraftProcedures {
       case _ => None
     }
 
+  /** Accepts ISO-8601 instants (`2026-08-16T05:00:00Z`), the SQL
+    * `yyyy-MM-dd HH:mm:ss[.SSS]` form (read as UTC — the commit clock
+    * is UTC wall time), and bare dates (UTC midnight).
+    */
+  private def parseTimestampMillis(s: String): Long = {
+    val t = s.trim
+    try java.time.Instant.parse(t).toEpochMilli
+    catch { case _: java.time.format.DateTimeParseException =>
+      try java.time.LocalDateTime
+        .parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        try java.time.LocalDate.parse(t).atStartOfDay
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        catch { case _: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"timestamp => '$s' is not ISO-8601, 'yyyy-MM-dd HH:mm:ss', " +
+              "or 'yyyy-MM-dd'")
+        }
+      }
+    }
+  }
+
   private def param(name: String, dt: DataType): ProcedureParameter =
     ProcedureParameter.in(name, dt).build()
 
@@ -179,23 +202,36 @@ private[catalog] object GraftProcedures {
   }
 
   /** Roll a table back to a historical version as pure metadata —
-    * [[Warehouse.restore]] through SQL.
+    * [[Warehouse.restore]] through SQL. `RESTORE ... TIMESTAMP AS OF`
+    * rides the SAME monotonic commit clock as time-travel reads:
+    * `timestamp => '...'` resolves through [[Warehouse.versionAsOf]]
+    * (latest version committed at or before the stamp), then restores
+    * to that version — exactly one of `version`/`timestamp` is given.
     */
   private final case class RestoreProcedure(root: String) extends MaintenanceProcedure {
     override def name(): String = "restore"
     override def description(): String =
-      "metadata-only rollback to a committed version"
+      "metadata-only rollback to a committed version or timestamp"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
-      param("version", LongType))
+      paramWithDefault("version", LongType, "NULL"),
+      paramWithDefault("timestamp", StringType, "NULL"))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val ref = TableRef.parse(input.getUTF8String(0).toString)
-      val newVersion = warehouse(root).restore(ref, input.getLong(1))
+      val wh = warehouse(root)
+      val ver = if (input.isNullAt(1)) None else Some(input.getLong(1))
+      val ts = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.trim.nonEmpty)
+      require(ver.isDefined != ts.isDefined,
+        "restore takes exactly ONE of version => N or timestamp => '...'")
+      val target = ver.getOrElse(
+        wh.versionAsOf(ref, parseTimestampMillis(ts.get)))
+      val newVersion = wh.restore(ref, target)
       single(
         StructType(Seq(StructField("table", StringType),
           StructField("restored_version", LongType),
           StructField("new_version", LongType))),
-        UTF8String.fromString(ref.toString), input.getLong(1), newVersion)
+        UTF8String.fromString(ref.toString), target, newVersion)
     }
   }
 

@@ -599,6 +599,33 @@ object PipelineQueries {
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |WHERE o_orderkey % 4 <> 0 AND o_orderkey < 15000""".stripMargin
 
+  /** `RESTORE ... TIMESTAMP AS OF` through the CALL surface (round-19
+    * verdict, next #8): v1's durable `graft.ts` commit stamp resolves
+    * back to v1 via [[Warehouse.versionAsOf]] (latest version at or
+    * before the stamp — the same monotonic clock time-travel reads
+    * use), and the rollback is the same pure-metadata commit as
+    * q_restore. The read-back must be exactly the v1 content; a clock
+    * that drifted from the version it stamped, or an at-or-before
+    * boundary that excluded its own commit, surfaces as a mismatch.
+    */
+  def qRestoreTs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wh, ref, v1, _, _) = cdcChurnFixture(spark, dir)
+    val tsMillis = wh.commitMeta(ref, v1)(Warehouse.TsMeta).toLong
+    val cat = "graftrestts"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+    graft.util.PhaseTimer.time("restore.ts.rollback") {
+      spark.sql(s"CALL $cat.system.restore('${ref.catalog}.${ref.schema}" +
+        s".${ref.table}', timestamp => " +
+        s"'${java.time.Instant.ofEpochMilli(tsMillis)}')").collect()
+    }
+    wh.read(ref).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val qRestoreTsSql: String = qRestoreSql
+
   /** Change data feed end-to-end through the incremental merge engine:
     * bootstrap the table without the %4=0 keys, then upsert every even
     * key at a bumped price — the feed between those two commits must be
@@ -622,7 +649,7 @@ object PipelineQueries {
   private def cdcChurnFixture(spark: SparkSession, dir: String)
       : (Warehouse, TableRef, Long, Long, Long) = {
     import spark.implicits._
-    graft.util.Scratch.once(spark, dir, "cdf.fixtures", uses = 4) { narrowShuffle(spark) {
+    graft.util.Scratch.once(spark, dir, "cdf.fixtures", uses = 5) { narrowShuffle(spark) {
       val base = Files.createTempDirectory("graft-gate-cdf").toString
       val wh = new Warehouse(spark, s"$base/warehouse")
       val ref = TableRef("silver", "facts", "orders_cdf")
@@ -3025,6 +3052,7 @@ object PipelineQueries {
     "q_zorder_compact" -> (qZorderCompact _),
     "q_time_travel" -> (qTimeTravel _),
     "q_restore" -> (qRestore _),
+    "q_restore_ts" -> (qRestoreTs _),
     "q_wap_publish" -> (qWapPublish _),
     "q_wap_atomic" -> (qWapAtomic _),
     "q_change_feed" -> (qChangeFeed _),
@@ -3083,6 +3111,7 @@ object PipelineQueries {
     "q_zorder_compact" -> qZorderCompactSql,
     "q_time_travel" -> qTimeTravelSql,
     "q_restore" -> qRestoreSql,
+    "q_restore_ts" -> qRestoreTsSql,
     "q_wap_publish" -> qWapPublishSql,
     "q_wap_atomic" -> qWapAtomicSql,
     "q_change_feed" -> qChangeFeedSql,

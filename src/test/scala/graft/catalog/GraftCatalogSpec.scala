@@ -545,6 +545,29 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("CALL graftsqlc.system.restore('silver.g.maint', 1)")
     assert(wh.read(ref).count() === 400L)
 
+    // RESTORE TIMESTAMP AS OF: v2's durable commit stamp resolves back
+    // to v2 through versionAsOf (at-or-before, same clock as
+    // time-travel reads) — count drops to the post-delete content
+    val v2ts = wh.commitMeta(ref, 2L)(Warehouse.TsMeta).toLong
+    val tsRow = spark.sql(
+      s"""CALL graftsqlc.system.restore('silver.g.maint',
+         |  timestamp => '${java.time.Instant.ofEpochMilli(v2ts)}')"""
+        .stripMargin).head()
+    assert(tsRow.getAs[Long]("restored_version") === 2L)
+    assert(wh.read(ref).count() === 300L)
+    // exactly one of version/timestamp: both and neither refuse
+    intercept[Exception](spark.sql(
+      "CALL graftsqlc.system.restore('silver.g.maint', 1, timestamp => '2026-01-01')"))
+    intercept[Exception](spark.sql(
+      "CALL graftsqlc.system.restore('silver.g.maint')"))
+    // a garbage timestamp names the accepted formats
+    val badTs = intercept[Exception](spark.sql(
+      "CALL graftsqlc.system.restore('silver.g.maint', timestamp => 'not-a-time')"))
+    assert(badTs.getMessage.contains("ISO-8601"))
+    // put the table back where the rest of the arm expects it
+    spark.sql("CALL graftsqlc.system.restore('silver.g.maint', version => 1)")
+    assert(wh.read(ref).count() === 400L)
+
     // vacuum DRY RUN first: reports the blast radius, changes nothing
     val filesOnDisk = wh.path(ref)
     def diskCount(): Int = {
