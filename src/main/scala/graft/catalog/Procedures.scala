@@ -36,7 +36,7 @@ private[catalog] object GraftProcedures {
   val names: Seq[String] =
     Seq("compact", "vacuum", "restore", "history", "set_cdf",
       "add_constraint", "drop_constraint", "add_columns", "drop_columns",
-      "clone", "release_pin")
+      "clone", "release_pin", "copy_into")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -52,6 +52,7 @@ private[catalog] object GraftProcedures {
       case "add_columns" => Some(AddColumnsProcedure(root))
       case "drop_columns" => Some(DropColumnsProcedure(root))
       case "clone" => Some(CloneProcedure(root))
+      case "copy_into" => Some(CopyIntoProcedure(root))
       case _ => None
     }
 
@@ -232,6 +233,37 @@ private[catalog] object GraftProcedures {
           StructField("restored_version", LongType),
           StructField("new_version", LongType))),
         UTF8String.fromString(ref.toString), target, newVersion)
+    }
+  }
+
+  /** Idempotent file-level batch ingestion — [[Warehouse.copyInto]]
+    * through SQL: `CALL graft.system.copy_into('silver.raw.t', '/dir',
+    * format => 'json', force => false)`. A re-run loads zero files; a
+    * new crawl shard loads exactly its own rows.
+    */
+  private final case class CopyIntoProcedure(root: String) extends MaintenanceProcedure {
+    override def name(): String = "copy_into"
+    override def description(): String =
+      "load only source files not already loaded (exactly-once file ledger)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("source", StringType),
+      paramWithDefault("format", StringType, "'parquet'"),
+      paramWithDefault("force", BooleanType, "false"))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ref = TableRef.parse(input.getUTF8String(0).toString)
+      val source = input.getUTF8String(1).toString
+      val format = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty).getOrElse("parquet")
+      val force = !input.isNullAt(3) && input.getBoolean(3)
+      val (files, rows, version) =
+        warehouse(root).copyInto(ref, source, format, force = force)
+      single(
+        StructType(Seq(StructField("table", StringType),
+          StructField("files_loaded", IntegerType),
+          StructField("rows_loaded", LongType),
+          StructField("version", LongType))),
+        UTF8String.fromString(ref.toString), files, rows, version)
     }
   }
 

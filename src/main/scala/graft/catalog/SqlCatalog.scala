@@ -382,11 +382,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case u: TableChange.UpdateColumnDefaultValue => u }
     val addCs = changes.collect { case a: TableChange.AddConstraint => a }
     val dropCs = changes.collect { case d: TableChange.DropConstraint => d }
+    val widens = changes.collect { case w: TableChange.UpdateColumnType => w }
     require(adds.size + drops.size + sets.size + unsets.size +
-        renames.size + defaults.size + addCs.size + dropCs.size ==
-        changes.size,
+        renames.size + defaults.size + addCs.size + dropCs.size +
+        widens.size == changes.size,
       s"graft ALTER TABLE supports ADD/DROP/RENAME COLUMNS, ALTER COLUMN " +
-        s"SET/DROP DEFAULT and SET-UNSET TBLPROPERTIES only; got " +
+        s"TYPE (widening), ALTER COLUMN SET/DROP DEFAULT and SET-UNSET " +
+        s"TBLPROPERTIES only; got " +
         changes.filterNot(c => c.isInstanceOf[TableChange.AddColumn] ||
           c.isInstanceOf[TableChange.DeleteColumn] ||
           c.isInstanceOf[TableChange.SetProperty] ||
@@ -394,8 +396,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           c.isInstanceOf[TableChange.RenameColumn] ||
           c.isInstanceOf[TableChange.UpdateColumnDefaultValue] ||
           c.isInstanceOf[TableChange.AddConstraint] ||
-          c.isInstanceOf[TableChange.DropConstraint])
+          c.isInstanceOf[TableChange.DropConstraint] ||
+          c.isInstanceOf[TableChange.UpdateColumnType])
           .mkString(", "))
+    // `ALTER TABLE ... ALTER COLUMN c TYPE <wider>` — the metadata-only
+    // type widening (Warehouse.widenColumnType: narrowing refuses,
+    // stats manifest follows, old blooms null out)
+    widens.foreach { w =>
+      require(w.fieldNames().length == 1,
+        s"graft ALTER COLUMN TYPE takes top-level columns, not nested " +
+          s"field ${w.fieldNames().mkString(".")}")
+      wh.widenColumnType(ref, w.fieldNames()(0), w.newDataType())
+    }
     // ANSI `ALTER TABLE ... ADD CONSTRAINT name CHECK (pred)` /
     // `DROP CONSTRAINT [IF EXISTS] name` — the same governed entry
     // points as the TBLPROPERTIES and CALL spellings (existing rows

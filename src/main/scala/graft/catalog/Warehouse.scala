@@ -1140,10 +1140,19 @@ final class Warehouse(spark: SparkSession, val root: String,
   def restore(ref: TableRef, version: Long): Long = withWriterLock(ref) {
     recoverLocked(ref) // never re-commit files of a half-healed replacement
     val snap = snapshotAt(ref, version)
+    // the copyInto loaded-files ledger rolls back WITH the data:
+    // carried meta otherwise flows forward (identity high-waters must
+    // NEVER roll back — ids would be reused), but a ledger claiming
+    // files whose rows were just rolled away would make the next
+    // copyInto silently skip them. Ledger files are never deleted, so
+    // the restored pointer still resolves.
+    val ledgerAt = commitMeta(ref, version)
+      .getOrElse(Warehouse.CopyLedgerMeta, "")
     // the restored version's deletion vectors restore WITH it (its
     // sidecars survive on disk for the same reason its files do)
     val v = commitLocked(ref, snap.schemaJson, snap.files,
-      Map(Warehouse.OpMeta -> "RESTORE"), snap.fileMeta,
+      Map(Warehouse.OpMeta -> "RESTORE",
+        Warehouse.CopyLedgerMeta -> ledgerAt), snap.fileMeta,
       dv = Some(snap.dvMap))
     // current content just changed shape — JVM-wide cardinality stats
     // must not keep describing the rolled-back state
@@ -2020,7 +2029,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
       val appendPart = oldManifest.exists(old =>
         canAppendManifestPart(tablePath, old.columns.toSeq,
-          statsColumnsOf(statCols, oldBlooms)))
+          statsColumnsOf(statCols, oldBlooms)) &&
+          manifestTypesMatch(old, dfI.schema, statCols))
       val manifestTmp =
         if (appendPart) None
         else oldManifest match {
@@ -2029,9 +2039,7 @@ final class Warehouse(spark: SparkSession, val root: String,
             // committed rel paths — the move preserves them
             val newStats = fileStats(spark.read.parquet(stage.toString),
               stage.toString, statCols, oldBlooms)
-            val common = old.columns.filter(newStats.columns.contains).toSeq
-            val next = old.select(common.map(col): _*)
-              .unionByName(newStats, allowMissingColumns = true)
+            val next = unionManifest(old, newStats)
             val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
             next.coalesce(1).write.parquet(tmp.toString)
             Some(tmp)
@@ -2102,6 +2110,121 @@ final class Warehouse(spark: SparkSession, val root: String,
       case _ => Map.empty
     }
 
+  /** Idempotent FILE-LEVEL batch ingestion (Delta's `COPY INTO`): load
+    * from `sourceDir` only the files no previous [[copyInto]] into
+    * this table has loaded — exactly once, recorded in a durable
+    * per-table ledger. The reference's daily-crawl raw-zone load
+    * (lib/ingestors.py:78-79) re-reads the WHOLE glob every run and
+    * re-overwrites; the streaming source tails commits; this is the
+    * middle gear — a re-runnable batch load where a re-run is a no-op
+    * and a new crawl shard loads exactly its own rows.
+    *
+    * Ledger: `_graft_ingest/ledger-<nanos>.txt` under the table dir,
+    * one `size TAB mtime TAB path` line per loaded file, written
+    * whole (tmp + rename) BEFORE the data commit and pointed at by
+    * that commit's carried meta ([[Warehouse.CopyLedgerMeta]]) — a
+    * crash in between leaves an orphan file no meta references
+    * (never consulted; superseded ledgers are kept so RESTORE to an
+    * old version also restores its ledger pointer, and the re-runs
+    * after a rollback re-load exactly the rolled-back files).
+    *
+    * An already-loaded path whose (size, mtime) CHANGED refuses
+    * loudly — re-loading would double its rows, skipping would
+    * silently drop the new bytes; `force = true` re-loads such files
+    * (the caller declares the duplication intended). The first copy
+    * into a nonexistent table CREATES it ([[createTable]] from the
+    * batch's schema, then the load); every load runs through the
+    * normal [[append]] path, so constraints, defaults, identity and
+    * stats maintenance all apply and the ledger pointer commits
+    * atomically with the data. Returns (filesLoaded, rowsLoaded,
+    * version).
+    */
+  def copyInto(ref: TableRef, sourceDir: String,
+               format: String = "parquet",
+               options: Map[String, String] = Map.empty,
+               force: Boolean = false): (Int, Long, Long) = {
+    val srcPath = new Path(sourceDir)
+    val sfs = fs(srcPath)
+    require(sfs.exists(srcPath),
+      s"copyInto $ref: source '$sourceDir' does not exist")
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      sfs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
+    val listed = walk(srcPath)
+    val ledger = copyLedger(ref)
+    def key(s: org.apache.hadoop.fs.FileStatus): String =
+      sfs.makeQualified(s.getPath).toUri.getPath
+    val fresh = listed.filterNot { s =>
+      ledger.get(key(s)).exists { case (sz, mt) =>
+        sz == s.getLen && mt == s.getModificationTime }
+    }
+    if (!force) {
+      val changed = fresh.filter(s => ledger.contains(key(s)))
+      require(changed.isEmpty,
+        s"copyInto $ref: already-loaded file(s) changed in place: " +
+          s"${changed.map(_.getPath.getName).take(5).mkString(",")} — " +
+          "re-loading would double their rows, skipping would drop the " +
+          "new bytes; pass force = true to re-load them deliberately")
+    }
+    if (fresh.isEmpty) return (0, 0L, currentVersion(ref).getOrElse(-1L))
+    val df = spark.read.options(options).format(format)
+      .load(fresh.map(_.getPath.toString): _*)
+    val rows = df.count()
+    // bootstrap = createTable + append, NOT overwrite: the overwrite
+    // bootstrap clears metadata-only leftovers in the target dir (the
+    // ledger included), while an append's commit carries the ledger
+    // pointer atomically WITH the data — a crash after createTable
+    // leaves an empty table and no ledger, and the re-run loads
+    // everything exactly once
+    if (currentVersion(ref).isEmpty && !exists(ref))
+      createTable(ref, df.schema)
+    // ledger first (an orphan is harmless), then the data commit
+    // carries the pointer — the two become visible atomically with it
+    val entries = ledger ++ fresh.map(s =>
+      key(s) -> ((s.getLen, s.getModificationTime)))
+    val ledgerName = s"ledger-${System.nanoTime()}.txt"
+    val ingestPath = new Path(path(ref), Warehouse.IngestDir)
+    val tfs = fs(ingestPath)
+    tfs.mkdirs(ingestPath)
+    val tmp = new Path(ingestPath, s".$ledgerName.tmp")
+    val out = tfs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1).map { case (p, (sz, mt)) =>
+      s"$sz\t$mt\t$p\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!tfs.rename(tmp, new Path(ingestPath, ledgerName)))
+      throw new RuntimeException(s"copyInto $ref: ledger write failed")
+    val meta = Map(Warehouse.CopyLedgerMeta -> ledgerName,
+      Warehouse.OpMeta -> "COPY_INTO")
+    val v = append(ref, df, meta)
+    (fresh.size, rows, v)
+  }
+
+  /** The table's loaded-files ledger (absolute path → (size, mtime));
+    * empty when no [[copyInto]] has run. Resolved through the CURRENT
+    * commit's carried pointer, so orphan ledger files from a crashed
+    * copy are never consulted and RESTORE rolls the ledger back with
+    * the data.
+    */
+  def copyLedger(ref: TableRef): Map[String, (Long, Long)] =
+    currentVersion(ref).flatMap(v =>
+      commitMeta(ref, v).get(Warehouse.CopyLedgerMeta).filter(_.nonEmpty))
+      .map { name =>
+        val f = new Path(new Path(path(ref), Warehouse.IngestDir), name)
+        val filesystem = fs(f)
+        if (!filesystem.exists(f)) Map.empty[String, (Long, Long)]
+        else {
+          val in = filesystem.open(f)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).map { line =>
+              val Array(sz, mt, p) = line.split("\t", 3)
+              p -> ((sz.toLong, mt.toLong))
+            }.toMap
+          finally in.close()
+        }
+      }.getOrElse(Map.empty)
+
   /** CREATE TABLE without data — the SQL catalog's DDL entry (plain
     * `CREATE TABLE` and the metadata half of CTAS): commit VERSION 1
     * with the declared schema and an EMPTY file list (readable
@@ -2157,6 +2280,104 @@ final class Warehouse(spark: SparkSession, val root: String,
   private[catalog] def metaColumns(ref: TableRef, key: String): Seq[String] =
     currentVersion(ref).toSeq.flatMap(v => commitMeta(ref, v).get(key))
       .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+
+  /** METADATA-ONLY declared-type widening (Delta's type widening,
+    * `ALTER TABLE ... ALTER COLUMN ... TYPE`): byte→short→int→long,
+    * any of those →double, float→double, and decimal PRECISION growth
+    * at the same scale. One log append, zero data movement — reads are
+    * declared-schema and Spark's vectorized parquet reader up-casts
+    * narrower physical values on the fly, so old files keep their
+    * narrow bytes while new writes land wide (the 100 TB shape: the
+    * first int counter to overflow costs one metadata commit, not a
+    * table rewrite). NARROWING refuses loudly, as does any decimal
+    * SCALE change — parquet decimals store unscaled integers, and
+    * reinterpreting them under another scale silently multiplies
+    * every historical value.
+    *
+    * The stats manifest FOLLOWS in the same operation: `min_/max_`
+    * rows re-cast to the new type, and the column's BLOOM word arrays
+    * are NULLED for existing files — a bloom hashes the value's
+    * physical width (`xxhash64(int)` ≠ `xxhash64(long)` for the same
+    * value), so narrow-width words probed at the wide width would
+    * FALSELY SKIP files containing the value. NULL blooms degrade
+    * those files to range-only pruning, never to wrong answers; later
+    * rewrites rebuild blooms at the new width. A crash between the
+    * schema commit and the manifest swap stays safe: probes derive
+    * their hash width from the MANIFEST's own dtype (still narrow),
+    * and the next manifest union heals the drift (see
+    * [[unionManifest]]).
+    *
+    * Refused for partition columns (the directory string is typed by
+    * the declared schema — reinterpreting the layout is not a
+    * metadata operation) and for columns a GENERATED column reads or
+    * is (the generation's expression re-types with its inputs; its
+    * committed values would silently disagree with recomputation).
+    */
+  def widenColumnType(ref: TableRef, column: String,
+                      newType: org.apache.spark.sql.types.DataType): Long =
+    withWriterLock(ref) {
+      recoverLocked(ref)
+      val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+        s"$ref has no committed version — widenColumnType alters an existing table"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val field = schema.find(_.name.equalsIgnoreCase(column)).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenColumnType on $ref: no column '$column' " +
+            s"(have ${schema.fieldNames.mkString(",")})"))
+      require(Warehouse.isTypeWidening(field.dataType, newType),
+        s"ALTER COLUMN TYPE on $ref.${field.name}: ${field.dataType.sql} -> " +
+          s"${newType.sql} is not a sanctioned widening " +
+          "(byte->short->int->long, integral->double, float->double, " +
+          "decimal precision growth at the same scale) — narrowing or " +
+          "reinterpreting would corrupt committed values")
+      val partCols = (Warehouse.partDirCols(snap.files) ++
+        metaColumns(ref, Warehouse.PartitionByMeta)).toSet
+      require(!partCols.exists(_.equalsIgnoreCase(column)),
+        s"widenColumnType on $ref cannot alter partition column " +
+          s"'${field.name}' — the directory layout is typed by it")
+      val genTouched = generatedColumns(ref).filter { case (c, e) =>
+        c.equalsIgnoreCase(column) ||
+          Warehouse.exprRefs(e).contains(field.name.toLowerCase)
+      }
+      require(genTouched.isEmpty,
+        s"widenColumnType on $ref: GENERATED column(s) " +
+          s"${genTouched.keys.mkString(",")} are (or read) '${field.name}' " +
+          "— drop the generation first (re-add it after)")
+      val widened = org.apache.spark.sql.types.StructType(schema.map(f =>
+        if (f.name.equalsIgnoreCase(field.name)) f.copy(dataType = newType)
+        else f))
+      val v = commitLocked(ref, widened.json, snap.files,
+        Map(Warehouse.OpMeta -> "WIDEN_COLUMN"), snap.fileMeta)
+      // manifest follows, swapped post-commit (tmp + rename): cast the
+      // column's min/max to the new type, NULL its blooms
+      val tablePath = new Path(path(ref))
+      val filesystem = fs(tablePath)
+      manifestDf(path(ref)).foreach { old =>
+        if (old.columns.contains(s"min_${field.name}")) {
+          var next = old
+            .withColumn(s"min_${field.name}",
+              col(s"min_${field.name}").cast(newType))
+            .withColumn(s"max_${field.name}",
+              col(s"max_${field.name}").cast(newType))
+          if (old.columns.contains(s"bloom_${field.name}"))
+            next = next.withColumn(s"bloom_${field.name}",
+              lit(null).cast(org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.LongType)))
+          val tmp = new Path(tablePath,
+            s"$statsDir.tmp-${System.nanoTime()}")
+          next.coalesce(1).write.parquet(tmp.toString)
+          val live = new Path(tablePath, statsDir)
+          filesystem.delete(live, true)
+          if (!filesystem.rename(tmp, live))
+            throw new RuntimeException(
+              s"failed to swap stats manifest for $ref")
+          if (!registerStatsAt(path(ref)))
+            TableStatsRegistry.invalidate(path(ref))
+        }
+      }
+      v
+    }
 
   /** METADATA-ONLY column addition (Delta's `ALTER TABLE ADD COLUMNS`):
     * widen the committed schema with new NULLABLE fields — one log
@@ -3184,16 +3405,14 @@ final class Warehouse(spark: SparkSession, val root: String,
         val newStats = fileStats(newData, path(ref), statCols, oldBlooms)
         val appendPart = !replaceAll && oldManifest.exists(old =>
           canAppendManifestPart(tablePath, old.columns.toSeq,
-            statsColumnsOf(statCols, oldBlooms)))
+            statsColumnsOf(statCols, oldBlooms)) &&
+            manifestTypesMatch(old, newData.schema, statCols))
         if (appendPart) appendManifestPart(tablePath, newStats)
         else {
           val next =
             if (replaceAll) newStats
-            else oldManifest.map { old =>
-              val common = old.columns.filter(newStats.columns.contains).toSeq
-              old.select(common.map(col): _*)
-                .unionByName(newStats, allowMissingColumns = true)
-            }.getOrElse(newStats)
+            else oldManifest.map(unionManifest(_, newStats))
+              .getOrElse(newStats)
           val nonce = System.nanoTime().toString
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
           next.coalesce(1).write.parquet(tmp.toString)
@@ -3564,9 +3783,7 @@ final class Warehouse(spark: SparkSession, val root: String,
                 spark.read.parquet(adds.map(a =>
                   new Path(tablePath, a).toString): _*),
                 path(ref), statCols, oldBlooms)
-              val common = old.columns.filter(newStats.columns.contains).toSeq
-              kept.select(common.map(col): _*)
-                .unionByName(newStats, allowMissingColumns = true)
+              unionManifest(kept, newStats)
             }
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
           next.coalesce(1).write.parquet(tmp.toString)
@@ -4817,7 +5034,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
       val appendPart = replacedRels.isEmpty && newFiles.nonEmpty &&
         oldManifest.exists(old => canAppendManifestPart(tablePath,
-          old.columns.toSeq, statsColumnsOf(statCols, oldBlooms)))
+          old.columns.toSeq, statsColumnsOf(statCols, oldBlooms)) &&
+          manifestTypesMatch(old, replacement.schema, statCols))
       val manifestTmp =
         if (appendPart) None
         else oldManifest.map { old =>
@@ -4833,12 +5051,10 @@ final class Warehouse(spark: SparkSession, val root: String,
               // the partition subdir, and the manifest key must match
               val newStats = fileStats(spark.read.parquet(stage.toString),
                 stage.toString, statCols, oldBlooms, relPrefix = subdir)
-              // keep only columns the new stats also carry (dropped stat
-              // columns fall away); allowMissingColumns backfills nulls on
-              // pre-rows/ndv manifests — registerStats refuses partial sums
-              val common = old.columns.filter(newStats.columns.contains).toSeq
-              kept0.select(common.map(col): _*)
-                .unionByName(newStats, allowMissingColumns = true)
+              // unionManifest keeps only columns the new stats also
+              // carry (dropped stat columns fall away), null-backfills
+              // pre-rows/ndv manifests, and heals declared-type drift
+              unionManifest(kept0, newStats)
             }
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
           next.coalesce(1).write.parquet(tmp.toString)
@@ -4950,6 +5166,47 @@ final class Warehouse(spark: SparkSession, val root: String,
       Seq(s"min_$c", s"max_$c", s"ndv_$c", s"nulls_$c") ++
         (if (blooms.contains(c)) Seq(s"bloom_$c") else Nil))
   }
+
+  /** Union a (possibly pre-filtered) manifest with fresh per-file
+    * stats, HEALING declared-type drift (the crash window of
+    * [[widenColumnType]]'s manifest swap): `unionByName` promotes
+    * `min_/max_` to the common wider type, and any column whose dtype
+    * differs between the two sides gets its bloom words NULLED on
+    * BOTH — words built at the narrow width probed at the wide width
+    * would falsely SKIP files holding the value. NULL blooms degrade
+    * to range-only pruning, never to wrong answers; later rewrites
+    * rebuild them at the settled width.
+    */
+  private def unionManifest(kept: DataFrame, newStats: DataFrame): DataFrame = {
+    val common = kept.columns.filter(newStats.columns.contains).toSeq
+    val drifted = common.filter(c => c.startsWith("min_") &&
+      kept.schema(c).dataType != newStats.schema(c).dataType)
+      .map(_.stripPrefix("min_"))
+    val u = kept.select(common.map(col): _*)
+      .unionByName(newStats, allowMissingColumns = true)
+    drifted.foldLeft(u) { (d, c) =>
+      if (d.columns.contains(s"bloom_$c"))
+        d.withColumn(s"bloom_$c", lit(null).cast(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType)))
+      else d
+    }
+  }
+
+  /** Whether the write frame's stat columns carry the SAME dtypes the
+    * live manifest stores — the TYPE half of the append-part fast-path
+    * decision ([[canAppendManifestPart]] is the name half). False
+    * right after [[widenColumnType]] until the manifest settles,
+    * forcing the [[unionManifest]] path, which promotes and heals.
+    */
+  private def manifestTypesMatch(old: DataFrame,
+                                 data: org.apache.spark.sql.types.StructType,
+                                 statCols: Seq[String]): Boolean =
+    statCols.forall { c =>
+      !old.columns.contains(s"min_$c") ||
+        data.find(_.name.equalsIgnoreCase(c))
+          .forall(f => f.dataType == old.schema(s"min_$c").dataType)
+    }
 
   private def appendManifestPart(tablePath: Path, newStats: DataFrame): Unit =
     newStats.coalesce(1).write.mode("append")
@@ -5399,6 +5656,14 @@ object Warehouse {
     */
   val OpMeta = "graft.op"
 
+  /** Carried-meta pointer to the [[Warehouse.copyInto]] loaded-files
+    * ledger (a filename under [[IngestDir]]). Carried so RESTORE
+    * rolls the ledger back with the data.
+    */
+  val CopyLedgerMeta = "graft.copyinto.ledger"
+
+  private[catalog] val IngestDir = "_graft_ingest"
+
   /** Commit-meta key holding the commit's wall-clock (epoch millis),
     * stamped by [[Warehouse]].commitLocked at write time. `TIMESTAMP
     * AS OF` prefers this over the version file's modification time, so
@@ -5598,6 +5863,29 @@ object Warehouse {
   val IdentityHwPrefix = "graft.identityhw."
 
   def identityHwKey(column: String): String = s"$IdentityHwPrefix$column"
+
+  /** Sanctioned declared-type widenings ([[Warehouse.widenColumnType]]):
+    * the pairs Spark's vectorized parquet reader up-casts losslessly
+    * on the fly. byte→short→int→long, any of those →double,
+    * float→double, decimal precision growth at the SAME scale.
+    * Everything else — narrowing, scale changes, cross-family
+    * reinterpretation — is not a widening.
+    */
+  def isTypeWidening(from: org.apache.spark.sql.types.DataType,
+                     to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => false // not a change at all
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (LongType, DoubleType) => false // loses precision past 2^53
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
 
   /** Parse a governed identity property value: `'start,step'`, or a
     * bare `'start'` meaning step 1. Malformed shapes ('1,2,3',

@@ -2799,6 +2799,102 @@ object PipelineQueries {
       |       TRUE AS metadata_only
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  /** `COPY INTO` — idempotent file-level batch ingestion (round-19
+    * verdict, next #3): two crawl shards load, a RE-RUN loads zero
+    * files and zero rows, a third shard appearing later loads exactly
+    * its own rows. The ledger lives under the table and rides commit
+    * meta, so the three invariants are pinned as literal columns next
+    * to the VALUE-checked final table content.
+    */
+  def qCopyInto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-gate-copyinto").toString
+    val srcDir = new java.io.File(s"$base/src"); srcDir.mkdirs()
+    val wh = new Warehouse(spark, s"$base/wh")
+    val ref = TableRef("silver", "raw", "crawl")
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" <= 600) // identical slice at every SF
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    def shard(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = s"$base/tmp_$name"
+      li.filter($"l_orderkey" > lo && $"l_orderkey" <= hi)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(srcDir, s"$name.parquet").toPath)
+    }
+    shard(-1, 200, "day1"); shard(200, 400, "day2") // keys start at 0
+    val (f1, _, _) = wh.copyInto(ref, srcDir.toString)
+    val (f2, r2, _) = wh.copyInto(ref, srcDir.toString) // re-run: no-op
+    shard(400, 600, "day3")
+    val (f3, _, _) = wh.copyInto(ref, srcDir.toString) // only the new shard
+    val out = wh.read(ref)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .withColumn("first_files", lit(f1))
+      .withColumn("rerun_files", lit(f2))
+      .withColumn("rerun_rows", lit(r2))
+      .withColumn("incr_files", lit(f3))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qCopyIntoSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |       2 AS first_files, 0 AS rerun_files,
+      |       CAST(0 AS BIGINT) AS rerun_rows, 1 AS incr_files
+      |FROM lineitem WHERE l_orderkey <= 600""".stripMargin
+
+  /** `ALTER COLUMN ... TYPE` widening end-to-end (round-19 verdict,
+    * next #2): bootstrap INT/FLOAT columns, widen to BIGINT/DOUBLE
+    * through the SQL ALTER surface (metadata-only — `metadata_only`
+    * pins the zero-rewrite claim), then append values only the wide
+    * types can hold (keys past 2^33). The read-back must surface old
+    * narrow-file values up-cast bit-exactly next to the wide batch;
+    * the untouched `ln` column proves neighbors are unharmed.
+    */
+  def qWidenType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"lineitem_wt_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    val narrow = Tables.load(spark, dir, "lineitem")
+      .filter($"l_orderkey" <= 500) // identical slice at every SF
+      .select($"l_orderkey".cast("int").as("k"),
+        $"l_linenumber".cast("int").as("ln"),
+        $"l_quantity".cast("float").as("q"))
+    wh.overwrite(ref, narrow.repartitionByRange(4, $"k"),
+      statsColumns = Seq("k"), bloomColumns = Seq("k"))               // v1
+    val filesBefore = wh.dataFiles(ref).toSet
+    spark.sql(s"ALTER TABLE $cat.silver.facts.$table " +
+      "ALTER COLUMN k TYPE BIGINT")                                   // v2
+    spark.sql(s"ALTER TABLE $cat.silver.facts.$table " +
+      "ALTER COLUMN q TYPE DOUBLE")                                   // v3
+    val metadataOnly = wh.dataFiles(ref).toSet == filesBefore
+    wh.append(ref, Tables.load(spark, dir, "lineitem")              // v4
+      .filter($"l_orderkey" <= 500)
+      .select(($"l_orderkey" + 10000000000L).as("k"),
+        $"l_linenumber".cast("int").as("ln"),
+        ($"l_quantity" * 2.0).as("q")))
+    val out = spark.sql(s"SELECT k, ln, q FROM $cat.silver.facts.$table")
+      .withColumn("metadata_only", lit(metadataOnly))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qWidenTypeSql: String =
+    """SELECT CAST(l_orderkey AS BIGINT) AS k, CAST(l_linenumber AS INT) AS ln,
+      |       CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS q,
+      |       TRUE AS metadata_only
+      |FROM lineitem WHERE l_orderkey <= 500
+      |UNION ALL
+      |SELECT l_orderkey + 10000000000 AS k, CAST(l_linenumber AS INT) AS ln,
+      |       l_quantity * 2.0 AS q, TRUE AS metadata_only
+      |FROM lineitem WHERE l_orderkey <= 500""".stripMargin
+
   /** SQL row-level DELETE ([[graft.catalog.GraftSqlTable]]'s
     * `SupportsDelete`): `DELETE FROM graft... WHERE ...` routes
     * through [[Warehouse.deleteWhere]] — the same file-pruned rewrite
@@ -3029,6 +3125,8 @@ object PipelineQueries {
     "q_generated_col" -> (qGeneratedCol _),
     "q_check_constraint" -> (qCheckConstraint _),
     "q_add_column" -> (qAddColumn _),
+    "q_widen_type" -> (qWidenType _),
+    "q_copy_into" -> (qCopyInto _),
     "q_sql_delete" -> (qSqlDelete _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_update" -> (qSqlUpdate _),
@@ -3094,6 +3192,8 @@ object PipelineQueries {
     "q_generated_col" -> qGeneratedColSql,
     "q_check_constraint" -> qCheckConstraintSql,
     "q_add_column" -> qAddColumnSql,
+    "q_widen_type" -> qWidenTypeSql,
+    "q_copy_into" -> qCopyIntoSql,
     "q_sql_delete" -> qSqlDeleteSql,
     "q_sql_merge" -> qSqlMergeSql,
     "q_sql_update" -> qSqlUpdateSql,

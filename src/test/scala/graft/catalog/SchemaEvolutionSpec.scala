@@ -131,4 +131,108 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(wh.read(ref).as[(Long, String, Option[Long])].collect().sorted
       === Seq((1L, "a", None), (2L, "b", Some(7L))))
   }
+
+  test("ALTER COLUMN TYPE widens metadata-only; old files up-cast; wide appends land") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-widen"))
+    val ref = TableRef("silver", "w", "widen")
+    wh.overwrite(ref,
+      (1 to 100).map(i => (i, i.toFloat / 2)).toDF("k", "q")
+        .repartitionByRange(2, col("k")),
+      statsColumns = Seq("k"), bloomColumns = Seq("k"))
+    val filesBefore = wh.dataFiles(ref).toSet
+    wh.widenColumnType(ref, "k", LongType)
+    wh.widenColumnType(ref, "q", DoubleType)
+    assert(wh.dataFiles(ref).toSet === filesBefore,
+      "widening is metadata-only — no file may move")
+    assert(wh.schemaOf(ref)("k").dataType === LongType)
+    assert(wh.schemaOf(ref)("q").dataType === DoubleType)
+    // old narrow files read up-cast
+    assert(wh.read(ref).filter(col("k") === 7L).select("q")
+      .as[Double].head() === 3.5)
+    // values only the wide type can hold append and read back
+    wh.append(ref, Seq((10_000_000_000L, 9.75)).toDF("k", "q"))
+    assert(wh.read(ref).filter(col("k") > Int.MaxValue.toLong)
+      .as[(Long, Double)].collect().toSeq === Seq((10_000_000_000L, 9.75)))
+    assert(wh.read(ref).count() === 101L)
+    // stats manifest followed: the column still stat-prunes, and a
+    // value PRESENT in an old narrow file is never excluded (the old
+    // int-width blooms are nulled, not probed at the wrong width)
+    assert(wh.statColumns(ref).contains("k"))
+    val excl = wh.excludedByValues(ref, "k", Seq(7L)).get
+    val holding = wh.dataFiles(ref).toSet -- excl
+    assert(holding.nonEmpty, "some file must survive pruning for k=7")
+    assert(wh.readPrunedEq(ref, "k", 7L).filter(col("k") === 7L)
+      .count() === 1L,
+      "bloom-backed point lookup must still find the row after widening")
+    // time travel below the widening keeps the narrow schema
+    assert(org.apache.spark.sql.types.DataType
+      .fromJson(wh.snapshotAt(ref, 1L).schemaJson)
+      .asInstanceOf[StructType]("k").dataType === IntegerType)
+  }
+
+  test("ALTER COLUMN TYPE refusal arms: narrowing, scale change, partition, generated") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-widen-refuse"))
+    val ref = TableRef("silver", "w", "refuse")
+    wh.overwrite(ref, Seq((1L, 1, "a")).toDF("k", "n", "p"))
+    // narrowing refuses
+    val e1 = intercept[IllegalArgumentException](
+      wh.widenColumnType(ref, "k", IntegerType))
+    assert(e1.getMessage.contains("not a sanctioned widening"))
+    // same-type no-op refuses (not a change)
+    intercept[IllegalArgumentException](
+      wh.widenColumnType(ref, "k", LongType))
+    // long→double refuses (loses precision past 2^53)
+    intercept[IllegalArgumentException](
+      wh.widenColumnType(ref, "k", DoubleType))
+    // unknown column refuses naming the schema
+    val e2 = intercept[IllegalArgumentException](
+      wh.widenColumnType(ref, "zzz", LongType))
+    assert(e2.getMessage.contains("no column"))
+    // generated interplay: a column a generation reads refuses while
+    // the generation is live, widens once it is dropped
+    val gref = TableRef("silver", "w", "genref")
+    wh.createTable(gref, StructType(Seq(
+      StructField("n", IntegerType), StructField("n2", IntegerType))))
+    wh.setGeneratedColumn(gref, "n2", "n * 2")
+    val e3 = intercept[IllegalArgumentException](
+      wh.widenColumnType(gref, "n", LongType))
+    assert(e3.getMessage.contains("GENERATED"))
+    wh.dropGeneratedColumn(gref, "n2")
+    wh.widenColumnType(gref, "n", LongType)
+    assert(wh.schemaOf(gref)("n").dataType === LongType)
+    // SQL surface: ALTER COLUMN TYPE routes to the same entry point
+    val cat = "graftwiden"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", wh.root)
+    spark.sql(s"ALTER TABLE $cat.silver.w.refuse ALTER COLUMN n TYPE BIGINT")
+    assert(wh.schemaOf(ref)("n").dataType === LongType)
+    // SQL narrowing refuses too — Spark's analyzer rejects the
+    // non-up-cast before the catalog is even reached; either loud
+    // refusal leaves the schema untouched
+    intercept[Exception](spark.sql(
+      s"ALTER TABLE $cat.silver.w.refuse ALTER COLUMN k TYPE INT"))
+    assert(wh.schemaOf(ref)("k").dataType === LongType)
+    // partition columns refuse
+    val pref = TableRef("silver", "w", "prefuse")
+    wh.overwrite(pref, Seq((1, 10L)).toDF("p", "x"),
+      partitionBy = Seq("p"))
+    val e4 = intercept[IllegalArgumentException](
+      wh.widenColumnType(pref, "p", LongType))
+    assert(e4.getMessage.contains("partition"))
+    // decimal: precision growth at same scale widens; scale change refuses
+    val dref = TableRef("silver", "w", "dec")
+    wh.overwrite(dref, Seq(BigDecimal("123.45")).toDF("d")
+      .select(col("d").cast(DecimalType(5, 2)).as("d")))
+    wh.widenColumnType(dref, "d", DecimalType(12, 2))
+    assert(wh.read(dref).select(col("d").cast("string"))
+      .as[String].head() === "123.45")
+    intercept[IllegalArgumentException](
+      wh.widenColumnType(dref, "d", DecimalType(14, 4)))
+  }
 }
