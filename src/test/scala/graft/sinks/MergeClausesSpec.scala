@@ -311,6 +311,48 @@ class MergeClausesSpec extends SparkSpec {
     assert(err != null)
   }
 
+  test("by-source UPDATE touching a generation source recomputes on CoW AND DV routes") {
+    import spark.implicits._
+    // round-19 verdict, next #7: by-source clauses pay a full rewrite
+    // on BOTH routes (merge-on-read has no untouched-file advantage
+    // when every target row is a candidate), and generated columns
+    // must recompute identically whichever route the table's DV
+    // property selects — a derived value that survives its source's
+    // update is silent corruption.
+    for (dv <- Seq(false, true)) {
+      val root = tmpDir(s"wh-clauses-bsgen$dv")
+      val wh = new Warehouse(spark, root)
+      val cat = s"graftbsgen$dv"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val ref = TableRef("silver", "cdc", "bsgen")
+      wh.createTable(ref, StructType(Seq(
+        StructField("k", LongType), StructField("v", DoubleType),
+        StructField("g", DoubleType))))
+      wh.setGeneratedColumn(ref, "g", "v * 2")
+      if (dv) wh.setDeletionVectors(ref, enabled = true)
+      wh.append(ref, (1L to 6L).map(i => (i, i * 1.0)).toDF("k", "v"))
+      Seq((2L, 20.0)).toDF("k", "v").createOrReplaceTempView(s"bsgen_src$dv")
+      spark.sql(
+        s"""MERGE INTO $cat.silver.cdc.bsgen t
+           |USING bsgen_src$dv s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |WHEN NOT MATCHED BY SOURCE AND t.k > 4
+           |  THEN UPDATE SET t.v = t.v + 100""".stripMargin)
+      val got = spark.sql(s"SELECT k, v, g FROM $cat.silver.cdc.bsgen")
+        .as[(Long, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(2L) === ((20.0, 40.0)),
+        s"matched SET must recompute the generation (dv=$dv)")
+      assert(got(5L) === ((105.0, 210.0)),
+        s"by-source SET must recompute the generation (dv=$dv)")
+      assert(got(6L) === ((106.0, 212.0)))
+      assert(got(1L) === ((1.0, 2.0)),
+        s"untouched rows keep their derived values (dv=$dv)")
+      assert(got.size === 6)
+    }
+  }
+
   test("DV-mode clause merge is merge-on-read: zero rewrites of unmatched bytes") {
     import spark.implicits._
     val (wh, ref, mt) = fresh("dvclauses", rows = 60L)
