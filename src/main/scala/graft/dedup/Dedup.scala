@@ -549,7 +549,13 @@ object Dedup {
     }
     // exact verify, materialized under its own phase: the candidate
     // pairs re-join their full shingle sets and score — the stage that
-    // otherwise hides inside whichever action runs first
+    // otherwise hides inside whichever action runs first. Deliberately
+    // ONE pass: a join-vs-score sub-split was tried (round-20) and
+    // cost 3-10× — the barrier materializes every candidate pair with
+    // BOTH full shingle arrays, hundreds of MB the single-pass plan
+    // streams through the intersect expression without storing.
+    // Attribution inside the phase comes from the per-query A/B
+    // recorded in BASELINE.md, not from a barrier.
     time("containment.verify") {
       graft.util.Scratch.transientCheckpoint(pairs
         .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

@@ -672,17 +672,32 @@ object TextQueries {
   def qCurateCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
-    graft.dedup.Dedup.exactDedup(docs, "text", "doc_id")
-      .withColumn("lang_pred", TextFunctions.langId($"text"))
-      .withColumn("quality", TextFunctions.qualityScore($"text"))
-      .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
-      .withColumn("dup_token_frac", TextFunctions.dupTokenFrac($"text"))
-      .withColumn("top_token_frac", TextFunctions.topTokenFrac($"text"))
-      .filter($"lang_pred" === "en" && $"quality" >= 0.9 &&
-        $"dup_token_frac" <= 0.6 && $"top_token_frac" <= 0.12)
-      .select($"doc_id", $"quality", $"n_tokens",
-        $"dup_token_frac", $"top_token_frac",
-        TextFunctions.redactPii($"text").as("text_redacted"))
+    // stage attribution (round-19 verdict, next #1): the two heavy
+    // stages materialize under named phases so BENCH's phase map
+    // partitions this gate's cost from the artifact alone — the
+    // residual after `curate.dedup` (the normalize+window dedup) and
+    // `curate.score` (per-row langid/quality/repetition + gates) is
+    // the PII-redact projection and result emit. Values are
+    // unchanged; the checkpoints are barriers, not transforms.
+    val deduped = graft.util.PhaseTimer.time("curate.dedup") {
+      graft.util.Scratch.transientCheckpoint(
+        graft.dedup.Dedup.exactDedup(docs, "text", "doc_id")
+          .localCheckpoint())
+    }
+    val kept = graft.util.PhaseTimer.time("curate.score") {
+      graft.util.Scratch.transientCheckpoint(deduped
+        .withColumn("lang_pred", TextFunctions.langId($"text"))
+        .withColumn("quality", TextFunctions.qualityScore($"text"))
+        .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
+        .withColumn("dup_token_frac", TextFunctions.dupTokenFrac($"text"))
+        .withColumn("top_token_frac", TextFunctions.topTokenFrac($"text"))
+        .filter($"lang_pred" === "en" && $"quality" >= 0.9 &&
+          $"dup_token_frac" <= 0.6 && $"top_token_frac" <= 0.12)
+        .localCheckpoint())
+    }
+    kept.select($"doc_id", $"quality", $"n_tokens",
+      $"dup_token_frac", $"top_token_frac",
+      TextFunctions.redactPii($"text").as("text_redacted"))
   }
 
   val qCurateCorpusSql: String = {
