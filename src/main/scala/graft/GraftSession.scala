@@ -24,6 +24,13 @@ object GraftSession {
       // Identical results for Unicode default case mapping; this engine
       // does not use locale-sensitive collations.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // COLUMN MAPPING (Warehouse.enableColumnMapping): mapped tables
+      // write parquet field ids and read by id. No-ops for schemas
+      // without id metadata (name matching as before); ignoreMissing
+      // stays false so an id-less file in a mapped table fails LOUDLY
+      // instead of silently reading nulls.
+      .config("spark.sql.parquet.fieldId.write.enabled", "true")
+      .config("spark.sql.parquet.fieldId.read.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: String): SparkSession = {

@@ -310,6 +310,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       sparkReserved.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
         k == Warehouse.StatsColumnsMeta || k == Warehouse.BloomColumnsMeta ||
         k == Warehouse.CdfMeta || k == Warehouse.DvMeta ||
+        k == Warehouse.ColumnMappingMeta ||
         k.startsWith(Warehouse.CheckMetaPrefix) ||
         k.startsWith(Warehouse.GenMetaPrefix) ||
         k.startsWith(Warehouse.DefaultMetaPrefix) ||
@@ -321,8 +322,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta}, " +
         s"${Warehouse.CheckMetaPrefix}<name>, " +
         s"${Warehouse.GenMetaPrefix}<col>, " +
-        s"${Warehouse.DefaultMetaPrefix}<col> and " +
-        s"${Warehouse.IdentityMetaPrefix}<col> only; not governed: " +
+        s"${Warehouse.DefaultMetaPrefix}<col>, " +
+        s"${Warehouse.IdentityMetaPrefix}<col> and " +
+        s"${Warehouse.ColumnMappingMeta} only; not governed: " +
         ungoverned.mkString(", "))
     def csv(k: String): Seq[String] =
       props.get(k).toSeq.flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
@@ -351,6 +353,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         val (st, sp) = Warehouse.parseIdentitySpec(k, v)
         warehouse.setIdentityColumn(ref,
           k.stripPrefix(Warehouse.IdentityMetaPrefix), st, sp)
+      case (Warehouse.ColumnMappingMeta, v) =>
+        require(v == "id",
+          s"${Warehouse.ColumnMappingMeta} supports mode 'id', got '$v'")
+        warehouse.enableColumnMapping(ref)
       case _ => ()
     }
     flag(Warehouse.CdfMeta).foreach(warehouse.setChangeDataFeed(ref, _))
@@ -476,6 +482,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           val (st, sp) = Warehouse.parseIdentitySpec(k, v)
           wh.setIdentityColumn(ref, k.stripPrefix(Warehouse.IdentityMetaPrefix),
             st, sp)
+        case (Warehouse.ColumnMappingMeta, v) =>
+          require(v == "id",
+            s"${Warehouse.ColumnMappingMeta} supports mode 'id', got '$v'")
+          wh.enableColumnMapping(ref)
         case (Warehouse.CdfMeta, v) =>
           require(v == "true" || v == "false",
             s"${Warehouse.CdfMeta} takes true/false, got '$v'")
@@ -489,7 +499,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"<name>, ${Warehouse.GenMetaPrefix}<col>, " +
             s"${Warehouse.DefaultMetaPrefix}<col>, " +
             s"${Warehouse.IdentityMetaPrefix}<col>, " +
-            s"${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
+            s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta} and " +
+            s"${Warehouse.ColumnMappingMeta} only; " +
             s"'$k' is not a governed table property")
       }
     }
@@ -510,7 +521,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"<name>, ${Warehouse.GenMetaPrefix}<col>, " +
             s"${Warehouse.DefaultMetaPrefix}<col>, " +
             s"${Warehouse.IdentityMetaPrefix}<col>, " +
-            s"${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
+            s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta} and " +
+            s"${Warehouse.ColumnMappingMeta} only; " +
             s"'$k' is not a governed table property")
       }
     }

@@ -1207,7 +1207,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     // have bootstrapped a previously nonexistent table (readers that
     // saw 'no table' would suddenly see an empty one as the side
     // effect of a stage that never succeeded)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    withFieldIds(ref, df).write.mode("overwrite").parquet(tmp.toString)
     var bootstrappedEmpty = false
     try {
       // a logless dir's readers list the directory physically — commit
@@ -1839,8 +1839,12 @@ final class Warehouse(spark: SparkSession, val root: String,
     // IDENTITY columns assign inside the lock: the high-water read and
     // its advance ride THIS commit's meta line (no-op on bootstrap —
     // nothing is committed yet, so no declaration can exist)
-    val (dfI, hwMeta, idCleanup) = applyIdentityLocked(ref, df,
+    val (dfI0, hwMeta, idCleanup) = applyIdentityLocked(ref, df,
       allowSupplied = internalRewrite)
+    // COLUMN MAPPING: a full replace may reshape the schema — declared
+    // names keep their field ids, new columns mint fresh ones, and the
+    // id high-water advances in this commit
+    val (dfI, mapMeta) = fieldIdsForReplace(ref, dfI0)
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
     val writeDir =
@@ -1898,7 +1902,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         // crash between rename and commit leaves a COMPLETE logless
         // dir: plain reads see all rows, the next writer adopts it
         commitLocked(ref, dfI.schema.json, rels,
-          Warehouse.withOp(meta ++ hwMeta, "OVERWRITE"), relMeta)
+          Warehouse.withOp(meta ++ hwMeta ++ mapMeta, "OVERWRITE"), relMeta)
         if (statsColumns.nonEmpty) registerStatsAt(path(ref))
         else TableStatsRegistry.invalidate(path(ref))
       } else {
@@ -1926,7 +1930,7 @@ final class Warehouse(spark: SparkSession, val root: String,
             .map(_ -> "").toMap)
           .getOrElse(Map.empty[String, String])
         commitLocked(ref, dfI.schema.json, rels,
-          clearDropped ++ Warehouse.withOp(meta ++ hwMeta ++ cdcMeta, "OVERWRITE"),
+          clearDropped ++ Warehouse.withOp(meta ++ hwMeta ++ mapMeta ++ cdcMeta, "OVERWRITE"),
           relMeta)
         // manifest follows the commit; a crash in between leaves a stale
         // manifest, which pruning tolerates by construction (entries for
@@ -1994,8 +1998,9 @@ final class Warehouse(spark: SparkSession, val root: String,
         "in the frame (the table is directory-partitioned on them)")
     // IDENTITY columns assign here, inside the lock: the high-water
     // read and its advance ride THIS commit's meta line
-    val (dfI, hwMeta, idCleanup) =
+    val (dfI0, hwMeta, idCleanup) =
       applyIdentityLocked(ref, df, allowSupplied = false)
+    val dfI = withFieldIds(ref, dfI0) // mapped tables write field ids
     val nonce = System.nanoTime().toString
     val stage = new Path(path(ref) + s".tmp-append-$nonce")
     try {
@@ -2405,20 +2410,39 @@ final class Warehouse(spark: SparkSession, val root: String,
         schema.fieldNames.exists(_.equalsIgnoreCase(n)))
       require(clash.isEmpty,
         s"addColumns to $ref: column(s) ${clash.mkString(",")} already exist")
+      val meta = commitMeta(ref, snap.version)
+      val mapping = meta.get(Warehouse.ColumnMappingMeta).contains("id")
       // resurrection guard: a previously-dropped name's bytes still sit
       // in live files, and a declared-schema read would surface them as
-      // the "new" column's values
-      val meta = commitMeta(ref, snap.version)
+      // the "new" column's values. UNDER COLUMN MAPPING the guard is
+      // unnecessary by construction — reads resolve by field id and
+      // ids are never reused, so the old bytes are unreachable no
+      // matter what the new column is called.
       val dead = fields.map(_.name).filter(n =>
         meta.get(Warehouse.droppedMetaKey(n.toLowerCase)).exists(_.nonEmpty))
-      require(dead.isEmpty,
+      require(mapping || dead.isEmpty,
         s"addColumns to $ref: column(s) ${dead.mkString(",")} were " +
           "previously dropped and live files still carry their bytes — " +
           "a full overwrite rewrites them, or pick another name")
-      val widened = org.apache.spark.sql.types.StructType(
-        schema ++ fields.map(_.copy(nullable = true)))
+      // mapped tables: new columns mint fresh ids past the high-water
+      var nextId = meta.get(Warehouse.ColumnMappingMaxIdMeta)
+        .filter(_.nonEmpty).map(_.toLong).getOrElse(0L)
+      val added = fields.map { f0 =>
+        val f = f0.copy(nullable = true)
+        if (!mapping) f
+        else {
+          nextId += 1
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong(Warehouse.FieldIdKey, nextId).build())
+        }
+      }
+      val idMeta =
+        if (!mapping) Map.empty[String, String]
+        else Map(Warehouse.ColumnMappingMaxIdMeta -> nextId.toString)
+      val widened = org.apache.spark.sql.types.StructType(schema ++ added)
       commitLocked(ref, widened.json, snap.files,
-        Map(Warehouse.OpMeta -> "ADD_COLUMNS"), snap.fileMeta)
+        Map(Warehouse.OpMeta -> "ADD_COLUMNS") ++ idMeta, snap.fileMeta)
     }
 
   /** METADATA-ONLY column removal (`ALTER TABLE DROP COLUMNS` without
@@ -2527,6 +2551,137 @@ final class Warehouse(spark: SparkSession, val root: String,
     * a concurrent commit between the read and the rewrite fails this
     * loudly instead of being silently lost.
     */
+  /** Whether this table reads and writes by parquet FIELD ID (column
+    * mapping, Delta's `columnMapping.mode = 'id'`). */
+  def columnMappingEnabled(ref: TableRef): Boolean =
+    currentVersion(ref).exists(v =>
+      commitMeta(ref, v).get(Warehouse.ColumnMappingMeta).contains("id"))
+
+  /** Enable COLUMN MAPPING: every committed schema field gets a stable
+    * parquet FIELD ID, every later data file carries the ids, and
+    * reads resolve columns BY ID (`spark.sql.parquet.fieldId.*` —
+    * Spark's native mechanism, the same one Delta/Iceberg id-mode
+    * mapping rides). What it buys at 100 TB: [[renameColumn]] becomes
+    * ONE metadata commit (the logical name changes, the id — and
+    * therefore every physical byte — stays), and a dropped column's
+    * name can be re-added safely (ids are never reused, so the old
+    * bytes are unreachable by construction, no tombstone needed).
+    *
+    * Enable on a table with NO data files (right after CREATE TABLE):
+    * existing files were written without ids and id-based reads would
+    * refuse them loudly — rather than silently null-fill, enabling on
+    * a non-empty table refuses with the rewrite recipe.
+    */
+  def enableColumnMapping(ref: TableRef): Long = withWriterLock(ref) {
+    recoverLocked(ref)
+    val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
+      s"$ref has no committed version — create the table first"))
+    if (columnMappingEnabled(ref)) return snap.version
+    require(snap.files.isEmpty,
+      s"enableColumnMapping on $ref: ${snap.files.size} data file(s) were " +
+        "written WITHOUT field ids and id-based reads cannot resolve " +
+        "them. Enable mapping right after CREATE TABLE (before the " +
+        "first write); for an existing table, copy into a fresh mapped " +
+        "table (createTable + enableColumnMapping + append(read(...)))")
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    var next = 0L
+    val mapped = org.apache.spark.sql.types.StructType(schema.map { f =>
+      next += 1
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong(Warehouse.FieldIdKey, next).build())
+    })
+    ensureFieldIdConfs()
+    commitLocked(ref, mapped.json, snap.files,
+      Map(Warehouse.OpMeta -> "ENABLE_COLUMN_MAPPING",
+        Warehouse.ColumnMappingMeta -> "id",
+        Warehouse.ColumnMappingMaxIdMeta -> next.toString), snap.fileMeta)
+  }
+
+  /** The two Spark confs field-id matching needs — runtime SQL confs,
+    * safe no-ops for schemas without id metadata (name matching as
+    * before), set defensively on every mapped read/write so mapped
+    * tables work from any session, not just [[graft.GraftSession]].
+    */
+  private def ensureFieldIdConfs(): Unit = {
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  }
+
+  /** Attach the declared field-id metadata to a write frame (no-op for
+    * unmapped tables): every data file of a mapped table must carry
+    * ids — a file written without them fails reads LOUDLY (by design:
+    * `fieldId.read.ignoreMissing` stays false, so a missed write path
+    * surfaces instead of silently reading nulls). Columns outside the
+    * declared schema (internal markers, CDC flags) pass through.
+    */
+  private def withFieldIds(ref: TableRef, df: DataFrame): DataFrame = {
+    if (!columnMappingEnabled(ref)) return df
+    ensureFieldIdConfs()
+    val declared = schemaOf(ref)
+    df.select(df.columns.map { c =>
+      declared.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) if f.metadata.contains(Warehouse.FieldIdKey) =>
+          col(c).as(c, f.metadata)
+        case _ => col(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** [[withFieldIds]] for FULL REPLACES, where the frame may carry a
+    * NEW column set: declared names keep their ids, new columns mint
+    * fresh ones past the never-reused high-water, and the returned
+    * meta advances it in the same commit.
+    */
+  private def fieldIdsForReplace(ref: TableRef, df: DataFrame)
+      : (DataFrame, Map[String, String]) = {
+    if (currentVersion(ref).isEmpty || !columnMappingEnabled(ref))
+      return (df, Map.empty)
+    ensureFieldIdConfs()
+    val declared = schemaOf(ref)
+    val meta = commitMeta(ref, currentVersion(ref).get)
+    var next = meta.get(Warehouse.ColumnMappingMaxIdMeta)
+      .filter(_.nonEmpty).map(_.toLong).getOrElse(0L)
+    val start = next
+    val out = df.select(df.columns.map { c =>
+      declared.find(_.name.equalsIgnoreCase(c)) match {
+        case Some(f) if f.metadata.contains(Warehouse.FieldIdKey) =>
+          col(c).as(c, f.metadata)
+        case _ =>
+          next += 1
+          col(c).as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(Warehouse.FieldIdKey, next).build())
+      }
+    }.toIndexedSeq: _*)
+    (out, if (next == start) Map.empty
+          else Map(Warehouse.ColumnMappingMaxIdMeta -> next.toString))
+  }
+
+  /** Rename the stats-manifest columns of `from` to `to` (cheap
+    * O(manifest) rewrite) — the mapped rename's manifest carry. */
+  private def renameManifestColumns(ref: TableRef, from: String,
+                                    to: String): Unit =
+    manifestDf(path(ref)).foreach { m =>
+      val renames = Seq("min_", "max_", "ndv_", "nulls_", "bloom_")
+        .map(p => (s"$p$from", s"$p$to"))
+        .filter { case (a, _) => m.columns.contains(a) }
+      if (renames.nonEmpty) {
+        val next = renames.foldLeft(m) { case (d, (a, b)) =>
+          d.withColumnRenamed(a, b) }
+        val tablePath = new Path(path(ref))
+        val filesystem = fs(tablePath)
+        val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
+        next.coalesce(1).write.parquet(tmp.toString)
+        val live = new Path(tablePath, statsDir)
+        filesystem.delete(live, true)
+        if (!filesystem.rename(tmp, live))
+          throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        if (!registerStatsAt(path(ref)))
+          TableStatsRegistry.invalidate(path(ref))
+      }
+    }
+
   def renameColumn(ref: TableRef, from: String, to: String): Long = {
     require(to.nonEmpty && !to.exists(c => c == '\n' || c == '\t'),
       s"renameColumn on $ref: invalid target name '$to'")
@@ -2588,6 +2743,35 @@ final class Warehouse(spark: SparkSession, val root: String,
             Warehouse.defaultMetaKey(to) -> e)
         case None => Map.empty
       }
+    // COLUMN MAPPING: the rename is ONE metadata commit — the field id
+    // (and every physical byte keyed by it) stays, only the logical
+    // name changes; identity/default declarations re-key exactly like
+    // the rewrite path, the stats manifest renames its columns
+    // (O(manifest)). Refused while CDF is on: committed change files
+    // carry the OLD name and a feed crossing the rename would union
+    // mismatched schemas — disable the feed around the rename.
+    if (columnMappingEnabled(ref)) {
+      require(!cdfEnabled(ref),
+        s"renameColumn on $ref: the change data feed is enabled and " +
+          "committed change files carry the old name — " +
+          "setChangeDataFeed(ref, false) around the rename (the feed " +
+          "restarts cleanly after)")
+      return withWriterLock(ref) {
+        recoverLocked(ref)
+        val cur = snapshot(ref).get
+        require(cur.version == snap.version,
+          s"renameColumn on $ref lost a race: planned against " +
+            s"v${snap.version}, table is now at v${cur.version} — re-run")
+        val renamed = org.apache.spark.sql.types.StructType(schema.map(f =>
+          if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
+        val v = commitLocked(ref, renamed.json, cur.files,
+          idMeta ++ defMeta ++
+            Map(Warehouse.OpMeta -> "RENAME_COLUMN"), cur.fileMeta,
+          dv = Some(cur.dvMap))
+        renameManifestColumns(ref, field.name, to)
+        v
+      }
+    }
     def follow(cols: Seq[String]): Seq[String] =
       cols.map(c => if (c.equalsIgnoreCase(field.name)) to else c)
     val statCols = follow(statColumns(ref))
@@ -3678,9 +3862,10 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   private[graft] def dvReplace(ref: TableRef, planned: TableSnapshot,
                                positions: DataFrame,
-                               newRows: Option[DataFrame],
+                               newRows0: Option[DataFrame],
                                meta: Map[String, String],
                                changes: Option[DataFrame]): Unit = {
+    val newRows = newRows0.map(withFieldIds(ref, _)) // mapped: field ids
     // superseded-row counts per file (bounded driver action: one row
     // per touched file) drive the metadata-retirement fast path
     val perFileSup = positions.groupBy(col("file"))
@@ -4969,11 +5154,12 @@ final class Warehouse(spark: SparkSession, val root: String,
     *                 by `graft.cdc=1` on the commit.
     */
   def replaceDataFiles(ref: TableRef, replaced: Seq[String],
-                       replacement: DataFrame,
+                       replacement0: DataFrame,
                        subdir: Option[String] = None,
                        meta: Map[String, String] = Map.empty,
                        changes: Option[DataFrame] = None): Unit = withWriterLock(ref) {
     recoverLocked(ref)
+    val replacement = withFieldIds(ref, replacement0) // mapped: field ids
     val tablePath = new Path(path(ref))
     val destDir = subdir.fold(tablePath)(d => new Path(tablePath, d))
     val filesystem = fs(tablePath)
@@ -5655,6 +5841,24 @@ object Warehouse {
     * each version describes its own writer ([[Warehouse.history]]).
     */
   val OpMeta = "graft.op"
+
+  /** Carried-meta toggle of COLUMN MAPPING (`'id'` = enabled, empty =
+    * off — Delta's `delta.columnMapping.mode`). Mapped tables write
+    * parquet FIELD IDs into every data file and read by id, so
+    * [[Warehouse.renameColumn]] becomes a metadata commit.
+    */
+  val ColumnMappingMeta = "graft.columnmapping"
+
+  /** Carried-meta high-water of assigned field ids — ids are NEVER
+    * reused (a dropped column's bytes still sit in live files keyed by
+    * its id; a reused id would resurrect them under the new column).
+    */
+  val ColumnMappingMaxIdMeta = "graft.columnmapping.maxid"
+
+  /** The parquet metadata key Spark's reader/writer use for field-id
+    * matching (`spark.sql.parquet.fieldId.{read,write}.enabled`).
+    */
+  val FieldIdKey = "parquet.field.id"
 
   /** Carried-meta pointer to the [[Warehouse.copyInto]] loaded-files
     * ledger (a filename under [[IngestDir]]). Carried so RESTORE

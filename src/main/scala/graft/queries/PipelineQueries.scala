@@ -2799,6 +2799,50 @@ object PipelineQueries {
       |       TRUE AS metadata_only
       |FROM orders WHERE o_orderkey <= 1000""".stripMargin
 
+  /** COLUMN MAPPING rename end-to-end (round-19 verdict, next #5): a
+    * mapped table loads half its rows, renames a column as ONE
+    * metadata commit (`metadata_only` pins the zero-file-moved
+    * claim — the O(1) rename Delta/Iceberg buy with field ids), loads
+    * the rest under the new name, and one scan resolves both file
+    * eras by id. The oracle is the untouched orders slice under the
+    * new name.
+    */
+  def qRenameCol(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (cat, root) = sqlCatalogFamily(spark, dir)
+    val table = s"orders_rn_${sqlCallNonce.incrementAndGet()}"
+    val wh = new Warehouse(spark, root)
+    val ref = TableRef("silver", "facts", table)
+    spark.sql(s"CREATE TABLE $cat.silver.facts.$table " +
+      "(o_orderkey BIGINT, o_totalprice DOUBLE) TBLPROPERTIES " +
+      s"('${Warehouse.ColumnMappingMeta}' = 'id', " +
+      "'graft.stats_columns' = 'o_orderkey')")
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" <= 500) // identical slice at every SF
+      .select($"o_orderkey", $"o_totalprice")
+      .createOrReplaceTempView("rn_src_a")
+    spark.sql(s"INSERT INTO $cat.silver.facts.$table SELECT * FROM rn_src_a")
+    val filesBefore = wh.dataFiles(ref).toSet
+    spark.sql(s"ALTER TABLE $cat.silver.facts.$table " +
+      "RENAME COLUMN o_totalprice TO price")
+    val metadataOnly = wh.dataFiles(ref).toSet == filesBefore
+    Tables.load(spark, dir, "orders")
+      .filter($"o_orderkey" > 500 && $"o_orderkey" <= 1000)
+      .select($"o_orderkey", $"o_totalprice".as("price"))
+      .createOrReplaceTempView("rn_src_b")
+    spark.sql(s"INSERT INTO $cat.silver.facts.$table SELECT * FROM rn_src_b")
+    val out = spark.sql(
+      s"SELECT o_orderkey, price FROM $cat.silver.facts.$table")
+      .withColumn("metadata_only", lit(metadataOnly))
+    val rows = out.collect()
+    wh.drop(ref)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  val qRenameColSql: String =
+    """SELECT o_orderkey, o_totalprice AS price, TRUE AS metadata_only
+      |FROM orders WHERE o_orderkey <= 1000""".stripMargin
+
   /** `COPY INTO` — idempotent file-level batch ingestion (round-19
     * verdict, next #3): two crawl shards load, a RE-RUN loads zero
     * files and zero rows, a third shard appearing later loads exactly
@@ -3127,6 +3171,7 @@ object PipelineQueries {
     "q_add_column" -> (qAddColumn _),
     "q_widen_type" -> (qWidenType _),
     "q_copy_into" -> (qCopyInto _),
+    "q_rename_col" -> (qRenameCol _),
     "q_sql_delete" -> (qSqlDelete _),
     "q_sql_merge" -> (qSqlMerge _),
     "q_sql_update" -> (qSqlUpdate _),
@@ -3194,6 +3239,7 @@ object PipelineQueries {
     "q_add_column" -> qAddColumnSql,
     "q_widen_type" -> qWidenTypeSql,
     "q_copy_into" -> qCopyIntoSql,
+    "q_rename_col" -> qRenameColSql,
     "q_sql_delete" -> qSqlDeleteSql,
     "q_sql_merge" -> qSqlMergeSql,
     "q_sql_update" -> qSqlUpdateSql,
