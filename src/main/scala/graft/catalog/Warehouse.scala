@@ -3465,7 +3465,10 @@ final class Warehouse(spark: SparkSession, val root: String,
         changes.columns.mkString(","))
     val dir = cdcPath(ref, current + 1)
     fs(dir).delete(dir, true) // a crashed predecessor's orphan
-    changes.write.parquet(dir.toString)
+    // mapped tables: the feed scans change files with the id-carrying
+    // committed schema, so data columns must carry their ids here too
+    // (the change-type column matches by name — it has no declared id)
+    withFieldIds(ref, changes).write.parquet(dir.toString)
     Map(Warehouse.CdcMeta -> "1")
   }
 

@@ -111,6 +111,41 @@ class ColumnMappingSpec extends SparkSpec {
     assert(wh.read(ref).select("count").as[Long].head() === 7L)
   }
 
+  test("mapped table with CDF: merge/delete change files stay readable through .changes") {
+    import spark.implicits._
+    val root = tmpDir("wh-colmap-cdf")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftcolmapcdf"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "m", "cdffeed")
+    wh.createTable(ref, StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    wh.enableColumnMapping(ref)
+    wh.setChangeDataFeed(ref, enabled = true)
+    wh.append(ref, (1L to 10L).map(i => (i, i * 1.0)).toDF("k", "v"))
+    // a DELETE writes persisted change files; a mapped table's feed
+    // must read them (the scan plans with the id-carrying committed
+    // schema — the change files must resolve under it)
+    wh.deleteWhere(ref, col("k") <= 3L)
+    val v = wh.currentVersion(ref).get
+    val feed = spark.sql(s"SELECT k, ${Warehouse.ChangeTypeCol} " +
+      s"FROM $cat.silver.m.cdffeed.changes WHERE _commit_version = $v")
+      .as[(Long, String)].collect().sorted
+    assert(feed.toSeq === Seq((1L, "delete"), (2L, "delete"), (3L, "delete")),
+      "the mapped table's change feed must surface the deleted rows")
+    // merge-driven update pair too
+    val mt = new graft.sinks.MergeTable(spark, wh, ref, Seq("k"), None)
+    mt.upsert(Seq((5L, 50.0)).toDF("k", "v"))
+    val v2 = wh.currentVersion(ref).get
+    val pair = spark.sql(s"SELECT k, v, ${Warehouse.ChangeTypeCol} " +
+      s"FROM $cat.silver.m.cdffeed.changes WHERE _commit_version = $v2")
+      .as[(Long, Double, String)].collect().sortBy(_._3)
+    assert(pair.toSeq === Seq((5L, 50.0, "update_postimage"),
+      (5L, 5.0, "update_preimage")),
+      "a mapped merge's update pair must read back through the feed")
+  }
+
   test("refusal arms: non-empty enable, CDF rename, identity/default follow") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-colmap-refuse"))
