@@ -2185,24 +2185,37 @@ final class Warehouse(spark: SparkSession, val root: String,
     // everything exactly once
     if (currentVersion(ref).isEmpty && !exists(ref))
       createTable(ref, df.schema)
+    // the pointer this batch built on — the heal below detects a
+    // concurrent copyInto that slipped between the ledger read and
+    // the append's serialized commit
+    val basePointer = currentVersion(ref).flatMap(v =>
+      commitMeta(ref, v).get(Warehouse.CopyLedgerMeta)).getOrElse("")
     // ledger first (an orphan is harmless), then the data commit
     // carries the pointer — the two become visible atomically with it
-    val entries = ledger ++ fresh.map(s =>
-      key(s) -> ((s.getLen, s.getModificationTime)))
+    val added = fresh.map(s =>
+      key(s) -> ((s.getLen, s.getModificationTime))).toMap
     val ledgerName = s"ledger-${System.nanoTime()}.txt"
-    val ingestPath = new Path(path(ref), Warehouse.IngestDir)
-    val tfs = fs(ingestPath)
-    tfs.mkdirs(ingestPath)
-    val tmp = new Path(ingestPath, s".$ledgerName.tmp")
-    val out = tfs.create(tmp, true)
-    try out.write(entries.toSeq.sortBy(_._1).map { case (p, (sz, mt)) =>
-      s"$sz\t$mt\t$p\n" }.mkString.getBytes("UTF-8"))
-    finally out.close()
-    if (!tfs.rename(tmp, new Path(ingestPath, ledgerName)))
-      throw new RuntimeException(s"copyInto $ref: ledger write failed")
+    writeCopyLedger(ref, ledgerName, ledger ++ added)
     val meta = Map(Warehouse.CopyLedgerMeta -> ledgerName,
       Warehouse.OpMeta -> "COPY_INTO")
     val v = append(ref, df, meta)
+    // LOST-UPDATE HEAL: appends serialize on the writer lock, but the
+    // ledger read above ran outside it — if the version directly
+    // below ours carries a different pointer than this batch built
+    // on, a concurrent copyInto landed in between and our committed
+    // pointer is missing its files (a later re-run would re-load
+    // them, duplicating rows). Merge the predecessor's ledger with
+    // this batch's additions and re-point; pairwise heals converge
+    // the chain.
+    val prevPointer = commitMeta(ref, v - 1)
+      .getOrElse(Warehouse.CopyLedgerMeta, "")
+    if (prevPointer != basePointer && prevPointer.nonEmpty) {
+      val healName = s"ledger-${System.nanoTime()}.txt"
+      writeCopyLedger(ref, healName,
+        readCopyLedger(ref, prevPointer) ++ ledger ++ added)
+      commitMetaOnly(ref, Map(Warehouse.CopyLedgerMeta -> healName,
+        Warehouse.OpMeta -> "COPY_INTO_HEAL"))
+    }
     (fresh.size, rows, v)
   }
 
@@ -2215,20 +2228,37 @@ final class Warehouse(spark: SparkSession, val root: String,
   def copyLedger(ref: TableRef): Map[String, (Long, Long)] =
     currentVersion(ref).flatMap(v =>
       commitMeta(ref, v).get(Warehouse.CopyLedgerMeta).filter(_.nonEmpty))
-      .map { name =>
-        val f = new Path(new Path(path(ref), Warehouse.IngestDir), name)
-        val filesystem = fs(f)
-        if (!filesystem.exists(f)) Map.empty[String, (Long, Long)]
-        else {
-          val in = filesystem.open(f)
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .filter(_.nonEmpty).map { line =>
-              val Array(sz, mt, p) = line.split("\t", 3)
-              p -> ((sz.toLong, mt.toLong))
-            }.toMap
-          finally in.close()
-        }
-      }.getOrElse(Map.empty)
+      .map(readCopyLedger(ref, _)).getOrElse(Map.empty)
+
+  private def readCopyLedger(ref: TableRef,
+                             name: String): Map[String, (Long, Long)] = {
+    val f = new Path(new Path(path(ref), Warehouse.IngestDir), name)
+    val filesystem = fs(f)
+    if (!filesystem.exists(f)) Map.empty
+    else {
+      val in = filesystem.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map { line =>
+          val Array(sz, mt, p) = line.split("\t", 3)
+          p -> ((sz.toLong, mt.toLong))
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  private def writeCopyLedger(ref: TableRef, name: String,
+                              entries: Map[String, (Long, Long)]): Unit = {
+    val ingestPath = new Path(path(ref), Warehouse.IngestDir)
+    val tfs = fs(ingestPath)
+    tfs.mkdirs(ingestPath)
+    val tmp = new Path(ingestPath, s".$name.tmp")
+    val out = tfs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1).map { case (p, (sz, mt)) =>
+      s"$sz\t$mt\t$p\n" }.mkString.getBytes("UTF-8"))
+    finally out.close()
+    if (!tfs.rename(tmp, new Path(ingestPath, name)))
+      throw new RuntimeException(s"copyInto $ref: ledger write failed")
+  }
 
   /** CREATE TABLE without data — the SQL catalog's DDL entry (plain
     * `CREATE TABLE` and the metadata half of CTAS): commit VERSION 1
@@ -2576,17 +2606,23 @@ final class Warehouse(spark: SparkSession, val root: String,
     recoverLocked(ref)
     val snap = snapshot(ref).getOrElse(throw new IllegalArgumentException(
       s"$ref has no committed version — create the table first"))
-    if (columnMappingEnabled(ref)) return snap.version
+    // idempotent ONLY when the current schema actually carries ids: a
+    // RESTORE below the enable point leaves the meta on over an
+    // id-less schema, and re-enabling must re-assign (subject to the
+    // same empty-table requirement)
+    val cur = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (columnMappingEnabled(ref) &&
+        cur.forall(_.metadata.contains(Warehouse.FieldIdKey)))
+      return snap.version
     require(snap.files.isEmpty,
       s"enableColumnMapping on $ref: ${snap.files.size} data file(s) were " +
         "written WITHOUT field ids and id-based reads cannot resolve " +
         "them. Enable mapping right after CREATE TABLE (before the " +
         "first write); for an existing table, copy into a fresh mapped " +
         "table (createTable + enableColumnMapping + append(read(...)))")
-    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
     var next = 0L
-    val mapped = org.apache.spark.sql.types.StructType(schema.map { f =>
+    val mapped = org.apache.spark.sql.types.StructType(cur.map { f =>
       next += 1
       f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
         .withMetadata(f.metadata)
@@ -2750,7 +2786,13 @@ final class Warehouse(spark: SparkSession, val root: String,
     // (O(manifest)). Refused while CDF is on: committed change files
     // carry the OLD name and a feed crossing the rename would union
     // mismatched schemas — disable the feed around the rename.
-    if (columnMappingEnabled(ref)) {
+    // The field must actually CARRY its id: a RESTORE below the
+    // enable point resurrects a pre-mapping schema while the mapping
+    // meta still reads on — a metadata rename there would orphan the
+    // old-name bytes (silent NULLs); such tables take the honest
+    // rewrite below instead.
+    if (columnMappingEnabled(ref) &&
+        field.metadata.contains(Warehouse.FieldIdKey)) {
       require(!cdfEnabled(ref),
         s"renameColumn on $ref: the change data feed is enabled and " +
           "committed change files carry the old name — " +

@@ -146,6 +146,56 @@ class ColumnMappingSpec extends SparkSpec {
       "a mapped merge's update pair must read back through the feed")
   }
 
+  test("mapping composes: type widening, partitioned layout, restore below the enable point") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-colmap-compose"))
+    // WIDENING × MAPPING: id matching and parquet type promotion stack
+    val ref = TableRef("silver", "m", "widemap")
+    wh.createTable(ref, StructType(Seq(
+      StructField("k", IntegerType), StructField("v", FloatType))))
+    wh.enableColumnMapping(ref)
+    wh.append(ref, Seq((1, 1.5f), (2, 2.5f)).toDF("k", "v"))
+    wh.widenColumnType(ref, "k", LongType)
+    wh.widenColumnType(ref, "v", DoubleType)
+    wh.renameColumn(ref, "k", "key") // metadata-only, id + wide type
+    assert(wh.read(ref).orderBy("key").as[(Long, Double)].collect().toSeq
+      === Seq((1L, 1.5), (2L, 2.5)),
+      "narrow-file values must read under the new name AND wide types")
+    wh.append(ref, Seq((10_000_000_000L, 9.0)).toDF("key", "v"))
+    assert(wh.read(ref).count() === 3L)
+    // PARTITIONED × MAPPING: dir-encoded partition values resolve by
+    // name while data columns resolve by id through a rename
+    val pref = TableRef("silver", "m", "partmap")
+    wh.createTable(pref, StructType(Seq(
+      StructField("seg", StringType), StructField("k", LongType),
+      StructField("v", DoubleType))), partitionBy = Seq("seg"))
+    wh.enableColumnMapping(pref)
+    wh.append(pref, Seq(("a", 1L, 1.0), ("b", 2L, 2.0)).toDF("seg", "k", "v"))
+    wh.renameColumn(pref, "v", "price")
+    assert(wh.read(pref).filter(col("seg") === "a")
+      .select("k", "price").as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0)))
+    wh.append(pref, Seq(("a", 3L, 3.0)).toDF("seg", "k", "price"))
+    assert(wh.read(pref).count() === 3L)
+    // RESTORE below the enable point: schema loses its ids while the
+    // mapping meta stays on — renames must stay safe (the metadata
+    // path requires the field to CARRY its id) and re-enabling
+    // re-assigns on the empty table
+    val rref = TableRef("silver", "m", "restmap")
+    wh.createTable(rref, StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))) // v1
+    wh.enableColumnMapping(rref)                                  // v2
+    wh.append(rref, Seq((1L, 1.0)).toDF("k", "v"))                // v3
+    wh.restore(rref, 1L)                                          // v4: id-less
+    wh.renameColumn(rref, "v", "price") // must not orphan anything
+    assert(wh.schemaOf(rref).fieldNames.toSeq === Seq("k", "price"))
+    wh.enableColumnMapping(rref) // re-assigns ids (empty table)
+    wh.append(rref, Seq((5L, 5.5)).toDF("k", "price"))
+    wh.renameColumn(rref, "price", "cost") // metadata path again
+    assert(wh.read(rref).as[(Long, Double)].collect().toSeq ===
+      Seq((5L, 5.5)))
+  }
+
   test("refusal arms: non-empty enable, CDF rename, identity/default follow") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-colmap-refuse"))
