@@ -196,6 +196,39 @@ class ColumnMappingSpec extends SparkSpec {
       Seq((5L, 5.5)))
   }
 
+  test("mapped tables stream and shallow-clone: renamed columns resolve by id everywhere") {
+    import spark.implicits._
+    val root = tmpDir("wh-colmap-stream")
+    val wh = new Warehouse(spark, root)
+    val cat = "graftcolmapstr"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ref = TableRef("silver", "m", "streammap")
+    wh.createTable(ref, StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType))))
+    wh.enableColumnMapping(ref)
+    wh.append(ref, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"))
+    wh.renameColumn(ref, "v", "price")
+    wh.append(ref, Seq((3L, 3.0)).toDF("k", "price"))
+    // streaming source: both file eras replay under the new name
+    val q = spark.readStream.table(s"$cat.silver.m.streammap")
+      .writeStream.format("memory").queryName("colmap_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.table("colmap_stream").select("k", "price")
+      .as[(Long, Double)].collect().sorted.toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      "the stream must surface pre-rename files under the new name")
+    // shallow clone: foreign entries resolve the mapped source's files
+    val dst = TableRef("silver", "m", "streamclone")
+    wh.cloneTable(ref, dst, shallow = true)
+    val got = spark.sql(s"SELECT k, price FROM $cat.silver.m.streamclone")
+      .as[(Long, Double)].collect().sorted
+    assert(got.toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      "a shallow clone of a mapped table must read its source by id")
+  }
+
   test("refusal arms: non-empty enable, CDF rename, identity/default follow") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-colmap-refuse"))
