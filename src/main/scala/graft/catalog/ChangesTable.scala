@@ -362,6 +362,8 @@ private[catalog] final class GraftCdfResolver(spark: SparkSession,
           "foreign files — materialize the clone (overwrite) before " +
           "reading its feed")
       val pseudo = TableSnapshot(ref, v, snap.schemaJson, files, meta)
+      if (baseSchema.exists(_.metadata.contains(Warehouse.FieldIdKey)))
+        wh.ensureFieldIdConfs() // mapped: id-resolved feed scans
       val b = ParquetScanBuilder(spark, new GraftFileIndex(spark, wh, pseudo),
         baseSchema, dataFields, options)
       b.pruneColumns(requiredBase)

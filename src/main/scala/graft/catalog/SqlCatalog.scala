@@ -516,13 +516,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           wh.dropIdentityColumn(ref, k.stripPrefix(Warehouse.IdentityMetaPrefix))
         case Warehouse.CdfMeta => wh.setChangeDataFeed(ref, enabled = false)
         case Warehouse.DvMeta => wh.setDeletionVectors(ref, enabled = false)
+        case Warehouse.ColumnMappingMeta =>
+          throw new UnsupportedOperationException(
+            s"${Warehouse.ColumnMappingMeta} cannot be unset: committed " +
+              "data files carry field ids and name-based reads would " +
+              "silently misread renamed columns — copy into a fresh " +
+              "unmapped table instead")
         case k => throw new UnsupportedOperationException(
           s"graft UNSET TBLPROPERTIES governs ${Warehouse.CheckMetaPrefix}" +
             s"<name>, ${Warehouse.GenMetaPrefix}<col>, " +
             s"${Warehouse.DefaultMetaPrefix}<col>, " +
             s"${Warehouse.IdentityMetaPrefix}<col>, " +
-            s"${Warehouse.CdfMeta}, ${Warehouse.DvMeta} and " +
-            s"${Warehouse.ColumnMappingMeta} only; " +
+            s"${Warehouse.CdfMeta} and ${Warehouse.DvMeta} only; " +
             s"'$k' is not a governed table property")
       }
     }
@@ -830,6 +835,11 @@ private[catalog] final class GraftSqlTable(spark: SparkSession,
         "optimizer extensions " +
         "(spark.sql.extensions=graft.plans.GraftOptimizations) or a " +
         "materializing overwrite first")
+    // mapped tables resolve columns by field id — make sure the read
+    // conf is on in THIS session (a plain SparkSession defaults it off
+    // and name-matching would silently NULL renamed columns)
+    if (committedSchema.exists(_.metadata.contains(Warehouse.FieldIdKey)))
+      wh.ensureFieldIdConfs()
     new GraftScanBuilder(spark, wh, snap, schema(), dataFields,
       ParquetScanBuilder(spark, index, schema(), dataFields, options), options)
   }

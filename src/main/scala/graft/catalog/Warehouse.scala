@@ -577,6 +577,12 @@ final class Warehouse(spark: SparkSession, val root: String,
       // (metadata columns do not survive a later projection)
       def pos(df: DataFrame): DataFrame =
         if (!withPos) df else capturePos(s.ref, df)
+      // mapped tables resolve columns by field id — the read conf must
+      // be on in THIS session too (a plain SparkSession defaults it
+      // off, and name-matching would silently NULL renamed columns)
+      if (committed.exists(_.exists(
+          _.metadata.contains(Warehouse.FieldIdKey))))
+        ensureFieldIdConfs()
       committed match {
         case Some(schema) if pathParts.forall(schema.fieldNames.contains) =>
           // DECLARED-SCHEMA read — the schema rides the snapshot:
@@ -2176,7 +2182,6 @@ final class Warehouse(spark: SparkSession, val root: String,
     if (fresh.isEmpty) return (0, 0L, currentVersion(ref).getOrElse(-1L))
     val df = spark.read.options(options).format(format)
       .load(fresh.map(_.getPath.toString): _*)
-    val rows = df.count()
     // bootstrap = createTable + append, NOT overwrite: the overwrite
     // bootstrap clears metadata-only leftovers in the target dir (the
     // ledger included), while an append's commit carries the ledger
@@ -2199,20 +2204,45 @@ final class Warehouse(spark: SparkSession, val root: String,
     val meta = Map(Warehouse.CopyLedgerMeta -> ledgerName,
       Warehouse.OpMeta -> "COPY_INTO")
     val v = append(ref, df, meta)
-    // LOST-UPDATE HEAL: appends serialize on the writer lock, but the
-    // ledger read above ran outside it — if the version directly
-    // below ours carries a different pointer than this batch built
-    // on, a concurrent copyInto landed in between and our committed
-    // pointer is missing its files (a later re-run would re-load
-    // them, duplicating rows). Merge the predecessor's ledger with
-    // this batch's additions and re-point; pairwise heals converge
-    // the chain.
+    // loaded-row count from the COMMITTED files' parquet footers (a
+    // metadata read) — counting the source frame up front would scan
+    // (and for json/csv, parse) every fresh byte a second time
+    val rows = versionChanges(ref, v).map { case (adds2, _, _) =>
+      if (adds2.isEmpty) 0L
+      else spark.read.parquet(
+        adds2.map(r => s"${path(ref)}/$r"): _*).count()
+    }.getOrElse(-1L)
+    // CONCURRENT-COPY DETECTION: appends serialize on the writer
+    // lock, but the ledger read above ran outside it. If the version
+    // directly below ours carries a different pointer than this batch
+    // built on, a concurrent copyInto landed in between.
     val prevPointer = commitMeta(ref, v - 1)
       .getOrElse(Warehouse.CopyLedgerMeta, "")
     if (prevPointer != basePointer && prevPointer.nonEmpty) {
+      val theirs = readCopyLedger(ref, prevPointer)
+      val overlap = added.keySet.intersect(theirs.keySet)
+      if (overlap.nonEmpty) {
+        // the interloper already loaded some of OUR files — our
+        // append just committed their rows a second time. Roll our
+        // commit back (pure metadata; the restored version's pointer
+        // IS the interloper's healed ledger) and re-run: the retry
+        // sees those files as loaded and loads only the rest.
+        require(currentVersion(ref).contains(v),
+          s"copyInto $ref: detected a double-load of " +
+            s"${overlap.size} file(s) racing another copyInto, but a " +
+            "third commit landed before rollback — resolve manually " +
+            s"(restore to version ${v - 1}, then re-run copyInto)")
+        restore(ref, v - 1)
+        return copyInto(ref, sourceDir, format, options, force)
+      }
+      // disjoint interleave: only the POINTER lost the other batch's
+      // entries (a later re-run would re-load them, duplicating
+      // rows). Merge this batch's additions into the LATEST pointer —
+      // merging into latest (not our own v-1) makes out-of-order
+      // heals converge to the union.
+      val latest = copyLedger(ref)
       val healName = s"ledger-${System.nanoTime()}.txt"
-      writeCopyLedger(ref, healName,
-        readCopyLedger(ref, prevPointer) ++ ledger ++ added)
+      writeCopyLedger(ref, healName, latest ++ theirs ++ ledger ++ added)
       commitMetaOnly(ref, Map(Warehouse.CopyLedgerMeta -> healName,
         Warehouse.OpMeta -> "COPY_INTO_HEAL"))
     }
@@ -2386,8 +2416,6 @@ final class Warehouse(spark: SparkSession, val root: String,
         Map(Warehouse.OpMeta -> "WIDEN_COLUMN"), snap.fileMeta)
       // manifest follows, swapped post-commit (tmp + rename): cast the
       // column's min/max to the new type, NULL its blooms
-      val tablePath = new Path(path(ref))
-      val filesystem = fs(tablePath)
       manifestDf(path(ref)).foreach { old =>
         if (old.columns.contains(s"min_${field.name}")) {
           var next = old
@@ -2399,16 +2427,7 @@ final class Warehouse(spark: SparkSession, val root: String,
             next = next.withColumn(s"bloom_${field.name}",
               lit(null).cast(org.apache.spark.sql.types.ArrayType(
                 org.apache.spark.sql.types.LongType)))
-          val tmp = new Path(tablePath,
-            s"$statsDir.tmp-${System.nanoTime()}")
-          next.coalesce(1).write.parquet(tmp.toString)
-          val live = new Path(tablePath, statsDir)
-          filesystem.delete(live, true)
-          if (!filesystem.rename(tmp, live))
-            throw new RuntimeException(
-              s"failed to swap stats manifest for $ref")
-          if (!registerStatsAt(path(ref)))
-            TableStatsRegistry.invalidate(path(ref))
+          swapManifest(ref, next)
         }
       }
       v
@@ -2441,7 +2460,12 @@ final class Warehouse(spark: SparkSession, val root: String,
       require(clash.isEmpty,
         s"addColumns to $ref: column(s) ${clash.mkString(",")} already exist")
       val meta = commitMeta(ref, snap.version)
-      val mapping = meta.get(Warehouse.ColumnMappingMeta).contains("id")
+      // mapping counts only when the schema actually CARRIES ids (a
+      // restore below the enable point leaves the meta on over an
+      // id-less schema — there, reads resolve by name and the
+      // resurrection guard must hold exactly as for unmapped tables)
+      val mapping = meta.get(Warehouse.ColumnMappingMeta).contains("id") &&
+        schema.forall(_.metadata.contains(Warehouse.FieldIdKey))
       // resurrection guard: a previously-dropped name's bytes still sit
       // in live files, and a declared-schema read would surface them as
       // the "new" column's values. UNDER COLUMN MAPPING the guard is
@@ -2640,7 +2664,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     * before), set defensively on every mapped read/write so mapped
     * tables work from any session, not just [[graft.GraftSession]].
     */
-  private def ensureFieldIdConfs(): Unit = {
+  private[catalog] def ensureFieldIdConfs(): Unit = {
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
   }
@@ -2694,6 +2718,23 @@ final class Warehouse(spark: SparkSession, val root: String,
           else Map(Warehouse.ColumnMappingMaxIdMeta -> next.toString))
   }
 
+  /** Swap a freshly-built manifest frame into place (tmp write +
+    * delete + rename + stats re-registration) — the crash-ordering-
+    * sensitive sequence the metadata-only schema changes share.
+    */
+  private def swapManifest(ref: TableRef, next: DataFrame): Unit = {
+    val tablePath = new Path(path(ref))
+    val filesystem = fs(tablePath)
+    val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
+    next.coalesce(1).write.parquet(tmp.toString)
+    val live = new Path(tablePath, statsDir)
+    filesystem.delete(live, true)
+    if (!filesystem.rename(tmp, live))
+      throw new RuntimeException(s"failed to swap stats manifest for $ref")
+    if (!registerStatsAt(path(ref)))
+      TableStatsRegistry.invalidate(path(ref))
+  }
+
   /** Rename the stats-manifest columns of `from` to `to` (cheap
     * O(manifest) rewrite) — the mapped rename's manifest carry. */
   private def renameManifestColumns(ref: TableRef, from: String,
@@ -2702,20 +2743,9 @@ final class Warehouse(spark: SparkSession, val root: String,
       val renames = Seq("min_", "max_", "ndv_", "nulls_", "bloom_")
         .map(p => (s"$p$from", s"$p$to"))
         .filter { case (a, _) => m.columns.contains(a) }
-      if (renames.nonEmpty) {
-        val next = renames.foldLeft(m) { case (d, (a, b)) =>
-          d.withColumnRenamed(a, b) }
-        val tablePath = new Path(path(ref))
-        val filesystem = fs(tablePath)
-        val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
-        next.coalesce(1).write.parquet(tmp.toString)
-        val live = new Path(tablePath, statsDir)
-        filesystem.delete(live, true)
-        if (!filesystem.rename(tmp, live))
-          throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        if (!registerStatsAt(path(ref)))
-          TableStatsRegistry.invalidate(path(ref))
-      }
+      if (renames.nonEmpty)
+        swapManifest(ref, renames.foldLeft(m) { case (d, (a, b)) =>
+          d.withColumnRenamed(a, b) })
     }
 
   def renameColumn(ref: TableRef, from: String, to: String): Long = {
@@ -2806,12 +2836,19 @@ final class Warehouse(spark: SparkSession, val root: String,
             s"v${snap.version}, table is now at v${cur.version} — re-run")
         val renamed = org.apache.spark.sql.types.StructType(schema.map(f =>
           if (f.name.equalsIgnoreCase(from)) f.copy(name = to) else f))
-        val v = commitLocked(ref, renamed.json, cur.files,
+        // manifest FIRST, commit second: a crash in between leaves the
+        // schema un-renamed with a new-named manifest — pruning
+        // degrades conservatively (no min_<old> column matches) and
+        // RE-RUNNING the rename heals (the manifest pass is a no-op,
+        // the commit lands). Commit-first would strand an old-named
+        // manifest forever: statColumns would keep returning the old
+        // name, every later write would filter it out, and stats for
+        // the column would silently stop.
+        renameManifestColumns(ref, field.name, to)
+        commitLocked(ref, renamed.json, cur.files,
           idMeta ++ defMeta ++
             Map(Warehouse.OpMeta -> "RENAME_COLUMN"), cur.fileMeta,
           dv = Some(cur.dvMap))
-        renameManifestColumns(ref, field.name, to)
-        v
       }
     }
     def follow(cols: Seq[String]): Seq[String] =
