@@ -221,8 +221,17 @@ object SqlMerge {
           (cm.catalog(parts.head), parts.tail)
         else (cm.currentCatalog, parts)
       cat match {
-        case g: GraftCatalog if rest.length >= 2 =>
-          try g.loadTable(Identifier.of(rest.init.toArray, rest.last)) match {
+        case g: GraftCatalog =>
+          // the common unqualified spelling (MERGE INTO tbl under a
+          // USE'd graft namespace) arrives with a bare name — resolve
+          // it against the session's current namespace, exactly as
+          // Spark's analyzer would, so the guard fires there too
+          val full =
+            if (rest.length >= 2) rest
+            else cm.currentNamespace.toSeq ++ rest
+          if (full.length < 2) None
+          else try g.loadTable(
+              Identifier.of(full.init.toArray, full.last)) match {
             case t: GraftSqlTable => Some((t.snap.ref, t.wh))
             case _ => None
           } catch {

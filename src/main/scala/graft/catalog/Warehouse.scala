@@ -2150,6 +2150,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     * atomically with the data. Returns (filesLoaded, rowsLoaded,
     * version).
     */
+  /** Test-only interleave hook for [[copyInto]] — see the seam inside. */
+  private[catalog] var copyIntoInterleave: () => Unit = () => ()
+
   def copyInto(ref: TableRef, sourceDir: String,
                format: String = "parquet",
                options: Map[String, String] = Map.empty,
@@ -2164,7 +2167,17 @@ final class Warehouse(spark: SparkSession, val root: String,
           s.getPath.getName.startsWith("."))
         .flatMap(s => if (s.isDirectory) walk(s.getPath) else Seq(s))
     val listed = walk(srcPath)
-    val ledger = copyLedger(ref)
+    // ONE snapshot read drives both the ledger this batch builds on and
+    // the base pointer the post-commit race detection compares against:
+    // reading them separately (ledger here, pointer after createTable)
+    // left a window where a concurrent copyInto's commit made
+    // prevPointer == basePointer and the heal never fired — its ledger
+    // entries silently dropped from the committed pointer.
+    val basePointer = currentVersion(ref).flatMap(v =>
+      commitMeta(ref, v).get(Warehouse.CopyLedgerMeta)).getOrElse("")
+    val ledger =
+      if (basePointer.isEmpty) Map.empty[String, (Long, Long)]
+      else readCopyLedger(ref, basePointer)
     def key(s: org.apache.hadoop.fs.FileStatus): String =
       sfs.makeQualified(s.getPath).toUri.getPath
     val fresh = listed.filterNot { s =>
@@ -2180,6 +2193,15 @@ final class Warehouse(spark: SparkSession, val root: String,
           "new bytes; pass force = true to re-load them deliberately")
     }
     if (fresh.isEmpty) return (0, 0L, currentVersion(ref).getOrElse(-1L))
+    // test seam (CopyIntoSpec race arms): fires once, AFTER the ledger
+    // snapshot this batch builds on and BEFORE its data commit — the
+    // window a concurrent copyInto can land in. Cleared before running
+    // so the rollback-retry recursion re-enters clean.
+    locally {
+      val hook = copyIntoInterleave
+      copyIntoInterleave = () => ()
+      hook()
+    }
     val df = spark.read.options(options).format(format)
       .load(fresh.map(_.getPath.toString): _*)
     // bootstrap = createTable + append, NOT overwrite: the overwrite
@@ -2190,11 +2212,6 @@ final class Warehouse(spark: SparkSession, val root: String,
     // everything exactly once
     if (currentVersion(ref).isEmpty && !exists(ref))
       createTable(ref, df.schema)
-    // the pointer this batch built on — the heal below detects a
-    // concurrent copyInto that slipped between the ledger read and
-    // the append's serialized commit
-    val basePointer = currentVersion(ref).flatMap(v =>
-      commitMeta(ref, v).get(Warehouse.CopyLedgerMeta)).getOrElse("")
     // ledger first (an orphan is harmless), then the data commit
     // carries the pointer — the two become visible atomically with it
     val added = fresh.map(s =>
@@ -2828,6 +2845,21 @@ final class Warehouse(spark: SparkSession, val root: String,
           "committed change files carry the old name — " +
           "setChangeDataFeed(ref, false) around the rename (the feed " +
           "restarts cleanly after)")
+      // the DECLARED-layout meta (CREATE TABLE's stats/bloom/partition
+      // comma-lists) follows the rename too: on a still-empty mapped
+      // table the first append reads these to bootstrap its manifest,
+      // and a stale old name would silently never seed stats/blooms
+      // for the renamed column
+      def followMeta(key: String): Map[String, String] = {
+        val cols = metaColumns(ref, key)
+        if (cols.exists(_.equalsIgnoreCase(from)))
+          Map(key -> cols.map(c =>
+            if (c.equalsIgnoreCase(from)) to else c).mkString(","))
+        else Map.empty
+      }
+      val layoutMeta = followMeta(Warehouse.StatsColumnsMeta) ++
+        followMeta(Warehouse.BloomColumnsMeta) ++
+        followMeta(Warehouse.PartitionByMeta)
       return withWriterLock(ref) {
         recoverLocked(ref)
         val cur = snapshot(ref).get
@@ -2846,7 +2878,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         // the column would silently stop.
         renameManifestColumns(ref, field.name, to)
         commitLocked(ref, renamed.json, cur.files,
-          idMeta ++ defMeta ++
+          idMeta ++ defMeta ++ layoutMeta ++
             Map(Warehouse.OpMeta -> "RENAME_COLUMN"), cur.fileMeta,
           dv = Some(cur.dvMap))
       }
@@ -3392,13 +3424,21 @@ final class Warehouse(spark: SparkSession, val root: String,
     val offsets: Array[Long] = counts.scanLeft(0L)(_ + _).init
     // phase 2: ids as a codegen'd column — the projection evaluates in
     // checkpoint scan order, so `monotonically_increasing_id`'s low
-    // 33 bits ARE the 0-based row index within the pinned partition
+    // 33 bits ARE the 0-based row index within the pinned partition.
+    // The nondeterministic id expression is materialized ONCE into a
+    // temp column and every identity column derives from that
+    // attribute: reusing the same expression instance per identity
+    // column was codegen-safe (each occurrence gets its own counter)
+    // but the interpreted-projection fallback shares one incrementing
+    // instance across occurrences — multiple identity columns would
+    // shear. CollapseProject cannot re-inline it (nondeterministic).
     val rowIdx = monotonically_increasing_id()
       .bitwiseAND(lit((1L << 33) - 1))
     val offCol = element_at(lit(offsets), spark_partition_id() + lit(1))
-    val withIds0 = hws.foldLeft(src) { case (d, (c, hw, step)) =>
-      d.withColumn(c, lit(hw) + lit(step) * (offCol + rowIdx + lit(1L)))
-    }
+    val withIdx = src.withColumn("__graft_idx", offCol + rowIdx + lit(1L))
+    val withIds0 = hws.foldLeft(withIdx) { case (d, (c, hw, step)) =>
+      d.withColumn(c, lit(hw) + lit(step) * col("__graft_idx"))
+    }.drop("__graft_idx")
     // identity columns stay NULLABLE in the committed schema (historical
     // rows of a widened-then-declared table hold NULLs) — the literal
     // arithmetic above would tighten them to NOT NULL on full overwrites

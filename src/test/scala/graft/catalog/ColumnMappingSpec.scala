@@ -229,6 +229,37 @@ class ColumnMappingSpec extends SparkSpec {
       "a shallow clone of a mapped table must read its source by id")
   }
 
+  test("declared stats/bloom/partition layout follows a mapped rename on a still-empty table") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmpDir("wh-colmap-layout"))
+    val ref = TableRef("silver", "m", "layoutmap")
+    wh.createTable(ref, StructType(Seq(
+      StructField("seg", StringType), StructField("k", LongType),
+      StructField("v", DoubleType))),
+      partitionBy = Seq("seg"),
+      statsColumns = Seq("k"), bloomColumns = Seq("k"))
+    wh.enableColumnMapping(ref)
+    // rename the declared stats/bloom column BEFORE any data lands:
+    // the declared-layout meta must re-key, or the first append
+    // filters the stale name out and never bootstraps stats/blooms
+    // (pruning silently degrades). A declared PARTITION column rename
+    // still refuses — the directory layout is the column.
+    wh.renameColumn(ref, "k", "key")
+    val e = intercept[IllegalArgumentException](
+      wh.renameColumn(ref, "seg", "segment"))
+    assert(e.getMessage.contains("partition column"))
+    wh.append(ref, Seq(("a", 1L, 1.0), ("b", 200L, 2.0))
+      .toDF("seg", "key", "v").repartition(2, col("key")))
+    assert(wh.statColumns(ref) === Seq("key"),
+      "the declared stats column must follow the mapped rename")
+    val manifest = spark.read.parquet(s"${wh.path(ref)}/_graft_stats")
+    assert(manifest.columns.contains("min_key") &&
+      manifest.columns.contains("bloom_key"),
+      "the first append must bootstrap stats AND blooms under the new name")
+    assert(wh.read(ref).filter(col("key") === 200L)
+      .select("v").as[Double].head() === 2.0)
+  }
+
   test("refusal arms: non-empty enable, CDF rename, identity/default follow") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmpDir("wh-colmap-refuse"))

@@ -91,6 +91,94 @@ class CopyIntoSpec extends SparkSpec {
     assert(wh.read(ref).as[Long].collect().sorted.toSeq === (1L to 20L))
   }
 
+  test("concurrent copyInto, FULL overlap: detect the double-load, roll back, retry is a no-op") {
+    import spark.implicits._
+    val base = new File(tmpDir("wh-copyinto-race-ovl"))
+    val srcDir = new File(base, "src"); srcDir.mkdirs()
+    val wh = new Warehouse(spark, s"$base/wh")
+    val ref = TableRef("silver", "raw", "race_ovl")
+    writeShard((1L to 10L).toDF("k"), srcDir, "a")
+    wh.copyInto(ref, srcDir.toString) // seed: shard a loaded
+    writeShard((11L to 20L).toDF("k"), srcDir, "b")
+    writeShard((21L to 25L).toDF("k"), srcDir, "c")
+    // interleave: a concurrent copyInto of the SAME source lands after
+    // our ledger snapshot (which saw only shard a loaded) and before
+    // our commit — it loads b and c first, so our commit double-loads
+    wh.copyIntoInterleave = () => {
+      val (fi, ri, _) = new Warehouse(spark, s"$base/wh")
+        .copyInto(ref, srcDir.toString)
+      assert(fi === 2 && ri === 15L, "interloper loads b and c")
+    }
+    val (f, r, _) = wh.copyInto(ref, srcDir.toString)
+    assert(f === 0 && r === 0L,
+      "retry after rollback must load nothing — the interloper " +
+        "already landed both shards")
+    assert(wh.read(ref).as[Long].collect().sorted.toSeq === (1L to 25L),
+      "every row exactly once despite the race")
+    val (f2, r2, _) = wh.copyInto(ref, srcDir.toString)
+    assert(f2 === 0 && r2 === 0L, "re-run stays a no-op")
+  }
+
+  test("concurrent copyInto, PARTIAL overlap: rollback-retry lands only the remainder") {
+    import spark.implicits._
+    val base = new File(tmpDir("wh-copyinto-race-part"))
+    val srcDir = new File(base, "src"); srcDir.mkdirs()
+    val wh = new Warehouse(spark, s"$base/wh")
+    val ref = TableRef("silver", "raw", "race_part")
+    writeShard((1L to 10L).toDF("k"), srcDir, "a")
+    wh.copyInto(ref, srcDir.toString)
+    writeShard((11L to 20L).toDF("k"), srcDir, "b")
+    writeShard((21L to 25L).toDF("k"), srcDir, "c")
+    // the interloper sees only shard b (c is parked outside its listing
+    // for the duration of its run), so the overlap is partial: our
+    // rollback-retry must land exactly the non-overlapping shard c
+    wh.copyIntoInterleave = () => {
+      val c = new File(srcDir, "c.parquet")
+      val hidden = new File(base, "c.hold")
+      JFiles.move(c.toPath, hidden.toPath)
+      try {
+        val (fi, ri, _) = new Warehouse(spark, s"$base/wh")
+          .copyInto(ref, srcDir.toString)
+        assert(fi === 1 && ri === 10L, "interloper loads only b")
+      } finally JFiles.move(hidden.toPath, c.toPath)
+    }
+    val (f, r, _) = wh.copyInto(ref, srcDir.toString)
+    assert(f === 1 && r === 5L,
+      "retry after rollback must land exactly the non-overlapping shard c")
+    assert(wh.read(ref).as[Long].collect().sorted.toSeq === (1L to 25L),
+      "b exactly once (interloper's), c exactly once (our retry)")
+  }
+
+  test("concurrent copyInto, DISJOINT files: the heal merges both ledgers into the latest pointer") {
+    import spark.implicits._
+    val base = new File(tmpDir("wh-copyinto-race-dis"))
+    val srcOurs = new File(base, "ours"); srcOurs.mkdirs()
+    val srcTheirs = new File(base, "theirs"); srcTheirs.mkdirs()
+    val wh = new Warehouse(spark, s"$base/wh")
+    val ref = TableRef("silver", "raw", "race_dis")
+    writeShard((1L to 10L).toDF("k"), srcOurs, "a")
+    wh.copyInto(ref, srcOurs.toString)
+    writeShard((11L to 20L).toDF("k"), srcOurs, "b")
+    writeShard((21L to 30L).toDF("k"), srcTheirs, "d")
+    wh.copyIntoInterleave = () => {
+      val (fi, ri, _) = new Warehouse(spark, s"$base/wh")
+        .copyInto(ref, srcTheirs.toString)
+      assert(fi === 1 && ri === 10L, "interloper loads d")
+    }
+    val (f, r, _) = wh.copyInto(ref, srcOurs.toString)
+    assert(f === 1 && r === 10L, "our copy lands b")
+    assert(wh.read(ref).as[Long].collect().sorted.toSeq === (1L to 30L))
+    // the heal commit merged the interloper's entries into the latest
+    // pointer: a re-run of EITHER source loads nothing
+    assert(wh.commitMeta(ref, wh.currentVersion(ref).get)
+      .get(Warehouse.OpMeta).contains("COPY_INTO_HEAL"),
+      "disjoint interleave must leave a heal commit on top")
+    val (f2, r2, _) = wh.copyInto(ref, srcOurs.toString)
+    val (f3, r3, _) = wh.copyInto(ref, srcTheirs.toString)
+    assert(f2 === 0 && r2 === 0L && f3 === 0 && r3 === 0L,
+      "the healed ledger must cover both batches — re-runs are no-ops")
+  }
+
   test("CALL graft.system.copy_into: SQL surface, json format option") {
     import spark.implicits._
     val base = new File(tmpDir("wh-copyinto-sql"))
