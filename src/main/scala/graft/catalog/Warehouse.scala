@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{approx_count_distinct, array, col, concat, count, countDistinct, element_at, expr, input_file_name, lit, max, min, monotonically_increasing_id, spark_partition_id, split, substring, sum, when, xxhash64}
 
 /** Three-level table reference, mirroring the reference's
@@ -963,7 +963,8 @@ final class Warehouse(spark: SparkSession, val root: String,
                            files: Seq[String],
                            meta: Map[String, String] = Map.empty,
                            fileMeta: Map[String, (Long, Long)] = Map.empty,
-                           dv: Option[Map[String, String]] = None): Long = {
+                           dv: Option[Map[String, String]] = None): Long =
+    graft.util.PhaseTimer.time("wh.commit") {
     val dir = logDirPath(ref)
     val filesystem = fs(dir)
     filesystem.mkdirs(dir)
@@ -1051,7 +1052,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     if (!filesystem.rename(tmp, live))
       throw new RuntimeException(s"failed to commit version $next for $ref")
     next
-  }
+    }
 
   /** Application metadata carried by a version commit (`meta\tk=v`
     * lines — e.g. an MV refresher records the base version its output
@@ -1858,7 +1859,9 @@ final class Warehouse(spark: SparkSession, val root: String,
       else new Path(tmp,
         staticPartitions.map { case (k, v) => s"$k=$v" }.mkString("/"))
     val writer = if (partitionBy.isEmpty) dfI.write else dfI.write.partitionBy(partitionBy: _*)
-    writer.mode("overwrite").parquet(writeDir.toString)
+    graft.util.PhaseTimer.time("wh.data") {
+      writer.mode("overwrite").parquet(writeDir.toString)
+    }
     try {
       // bloom presence is a durable table property: requested once via
       // bloomColumns, preserved by every later stats-maintaining write
@@ -1869,7 +1872,7 @@ final class Warehouse(spark: SparkSession, val root: String,
       // into it (blooms ride on min/max rows), so equality skipping
       // never lapses silently — only a column leaving the SCHEMA ends
       // its bloom, and that is warned.
-      if (statsColumns.nonEmpty) {
+      val stagedStats = if (statsColumns.isEmpty) None else {
         val priorBlooms = manifestDf(path(ref)).toSeq.flatMap(
           _.columns.filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_")))
         val (carryable, lapsed) = priorBlooms.partition(dfI.columns.contains)
@@ -1909,8 +1912,11 @@ final class Warehouse(spark: SparkSession, val root: String,
         // dir: plain reads see all rows, the next writer adopts it
         commitLocked(ref, dfI.schema.json, rels,
           Warehouse.withOp(meta ++ hwMeta ++ mapMeta, "OVERWRITE"), relMeta)
-        if (statsColumns.nonEmpty) registerStatsAt(path(ref))
-        else TableStatsRegistry.invalidate(path(ref))
+        if (statsColumns.nonEmpty) {
+          stagedStats.foreach { case (sch, rows) =>
+            seedManifestCache(path(ref), sch, rows) }
+          registerStatsAt(path(ref))
+        } else TableStatsRegistry.invalidate(path(ref))
       } else {
         // precise change files (when the caller computed them — e.g. a
         // merge falling back to a full rewrite) land before the moves;
@@ -1946,6 +1952,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           filesystem.delete(liveManifest, true)
           if (!filesystem.rename(new Path(tmp, statsDir), liveManifest))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
+          stagedStats.foreach { case (sch, rows) =>
+            seedManifestCache(path(ref), sch, rows) }
           registerStatsAt(path(ref))
         } else {
           filesystem.delete(liveManifest, true) // described retired files only
@@ -2012,7 +2020,9 @@ final class Warehouse(spark: SparkSession, val root: String,
     try {
       val writer =
         if (partCols.isEmpty) dfI.write else dfI.write.partitionBy(partCols: _*)
-      writer.parquet(stage.toString)
+      graft.util.PhaseTimer.time("wh.data") {
+        writer.parquet(stage.toString)
+      }
       // CHECK constraints validate the staged batch before any move
       validateConstraintsLocked(ref,
         spark.read.schema(dfI.schema).parquet(stage.toString))
@@ -2052,8 +2062,10 @@ final class Warehouse(spark: SparkSession, val root: String,
               stage.toString, statCols, oldBlooms)
             val next = unionManifest(old, newStats)
             val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
-            next.coalesce(1).write.parquet(tmp.toString)
-            Some(tmp)
+            val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+              writeManifestTo(next, tmp, (snap.files.size + rels.size).toLong)
+            }
+            Some((tmp, seeded))
           case None if declaredStats.nonEmpty && statCols.nonEmpty
               && rels.nonEmpty =>
             // manifest bootstrap for a createTable-declared layout
@@ -2062,8 +2074,10 @@ final class Warehouse(spark: SparkSession, val root: String,
             val newStats = fileStats(spark.read.parquet(stage.toString),
               stage.toString, statCols, blooms)
             val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
-            newStats.coalesce(1).write.parquet(tmp.toString)
-            Some(tmp)
+            val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+              writeManifestTo(newStats, tmp, rels.size.toLong)
+            }
+            Some((tmp, seeded))
           case None => None
         }
       writeTxnJournal(ref, rels, Nil)
@@ -2086,15 +2100,19 @@ final class Warehouse(spark: SparkSession, val root: String,
           spark.read.parquet(rels.map(r =>
             new Path(tablePath, r).toString): _*),
           path(ref), statCols, oldBlooms)
-        appendManifestPart(tablePath, finalStats)
+        graft.util.PhaseTimer.time("wh.manifest") {
+          appendManifestPart(tablePath, finalStats)
+        }
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
       }
-      manifestTmp.foreach { tmp =>
+      manifestTmp.foreach { case (tmp, seeded) =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        seeded.foreach { case (sch, rows) =>
+          seedManifestCache(path(ref), sch, rows) }
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
       }
@@ -2743,11 +2761,16 @@ final class Warehouse(spark: SparkSession, val root: String,
     val tablePath = new Path(path(ref))
     val filesystem = fs(tablePath)
     val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
-    next.coalesce(1).write.parquet(tmp.toString)
+    val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+      writeManifestTo(next, tmp,
+        snapshot(ref).map(_.files.size.toLong).getOrElse(Long.MaxValue))
+    }
     val live = new Path(tablePath, statsDir)
     filesystem.delete(live, true)
     if (!filesystem.rename(tmp, live))
       throw new RuntimeException(s"failed to swap stats manifest for $ref")
+    seeded.foreach { case (sch, rows) =>
+      seedManifestCache(path(ref), sch, rows) }
     if (!registerStatsAt(path(ref)))
       TableStatsRegistry.invalidate(path(ref))
   }
@@ -3521,6 +3544,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     val gens = generatedColumns(ref)
       .filter { case (c, _) => frame.columns.contains(c) }
     if (checks.isEmpty && gens.isEmpty) return
+    graft.util.PhaseTimer.time("wh.validate") {
     val all: Seq[(String, String, Column)] =
       checks.toSeq.map { case (n, p) =>
         ("CHECK constraint", s"$n ($p)",
@@ -3539,6 +3563,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         throw new IllegalStateException(
           s"write to $ref violates $kind '$what': " +
             s"$bad row(s) fail — nothing was committed")
+    }
     }
   }
 
@@ -3721,11 +3746,17 @@ final class Warehouse(spark: SparkSession, val root: String,
               .getOrElse(newStats)
           val nonce = System.nanoTime().toString
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
-          next.coalesce(1).write.parquet(tmp.toString)
+          val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+            writeManifestTo(next, tmp,
+              (if (replaceAll) 0L else snap.files.size.toLong) +
+                stagedRels.size.toLong)
+          }
           val live = new Path(tablePath, statsDir)
           filesystem.delete(live, true)
           if (!filesystem.rename(tmp, live))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
+          seeded.foreach { case (sch, rows) =>
+            seedManifestCache(path(ref), sch, rows) }
         }
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
@@ -3950,11 +3981,15 @@ final class Warehouse(spark: SparkSession, val root: String,
         manifest.foreach { old =>
           val next = old.filter(!col("file").isin(dead: _*))
           val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
-          next.coalesce(1).write.parquet(tmp.toString)
+          val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+            writeManifestTo(next, tmp, snap.files.size.toLong)
+          }
           val live = new Path(tablePath, statsDir)
           filesystem.delete(live, true)
           if (!filesystem.rename(tmp, live))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
+          seeded.foreach { case (sch, rows) =>
+            seedManifestCache(path(ref), sch, rows) }
         }
       }
       // row counts changed shape for the planner either way
@@ -4093,11 +4128,16 @@ final class Warehouse(spark: SparkSession, val root: String,
               unionManifest(kept, newStats)
             }
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
-          next.coalesce(1).write.parquet(tmp.toString)
+          val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+            writeManifestTo(next, tmp,
+              snap.files.size.toLong + adds.size.toLong)
+          }
           val live = new Path(tablePath, statsDir)
           filesystem.delete(live, true)
           if (!filesystem.rename(tmp, live))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
+          seeded.foreach { case (sch, rows) =>
+            seedManifestCache(path(ref), sch, rows) }
         }
         TableStatsRegistry.invalidate(path(ref))
       } finally {
@@ -4471,17 +4511,46 @@ final class Warehouse(spark: SparkSession, val root: String,
     * distinct files into one row — killing per-file pruning and the
     * metadata-aggregate provability exactly on partitioned tables.
     */
+  /** Compute per-file stats for the staged files under `dir` and write
+    * the manifest into `dir/_graft_stats`. Returns the manifest
+    * (schema, rows) when it was produced through the driver-local
+    * write path, so the caller can seed the manifest cache post-commit
+    * instead of paying a read-back job; None when the distributed
+    * fallback wrote it (oversized commit).
+    */
   private def writeStats(dir: String, statsColumns: Seq[String],
-                         bloomColumns: Seq[String]): Unit = {
-    val data = spark.read.parquet(dir)
-    val missing = statsColumns.filterNot(data.columns.contains)
-    require(missing.isEmpty,
-      s"stats column(s) not in table: ${missing.mkString(",")} " +
-        "(partition columns carry no file stats — prune on the partition instead)")
-    fileStats(data, dir, statsColumns, bloomColumns)
-      .coalesce(1) // one manifest row per data file: always tiny
-      .write.mode("overwrite").parquet(s"$dir/$statsDir")
-  }
+                         bloomColumns: Seq[String])
+      : Option[(org.apache.spark.sql.types.StructType, Seq[Row])] =
+    graft.util.PhaseTimer.time("wh.stats") {
+      val data = spark.read.parquet(dir)
+      val missing = statsColumns.filterNot(data.columns.contains)
+      require(missing.isEmpty,
+        s"stats column(s) not in table: ${missing.mkString(",")} " +
+          "(partition columns carry no file stats — prune on the partition instead)")
+      writeManifestTo(fileStats(data, dir, statsColumns, bloomColumns),
+        new Path(s"$dir/$statsDir"),
+        expectRows = listDataFileStatuses(new Path(dir)).size.toLong)
+    }
+
+  /** Write a manifest frame as one part file under `dir`: collected
+    * and written FROM THE DRIVER when `expectRows` (the caller's known
+    * post-commit file count) stays within
+    * [[Warehouse.manifestLocalWriteRows]] — no Spark write job, and
+    * the returned rows let the caller seed the manifest cache — else
+    * through the distributed single-task write as before.
+    */
+  private def writeManifestTo(manifest: DataFrame, dir: Path, expectRows: Long)
+      : Option[(org.apache.spark.sql.types.StructType, Seq[Row])] =
+    if (expectRows > Warehouse.manifestLocalWriteRows) {
+      manifest.coalesce(1) // one manifest row per data file: always tiny
+        .write.mode("overwrite").parquet(dir.toString)
+      None
+    } else {
+      val rows = manifest.collect().toSeq
+      ManifestIO.writeLocalParquet(spark, manifest.schema, rows,
+        new Path(dir, s"part-00000-${java.util.UUID.randomUUID()}.parquet"))
+      Some((manifest.schema, rows))
+    }
 
   /** Per-file bloom sizing: 4096 bits (64 longs ≈ 0.5 KB per file per
     * column), k = 2 probe positions per value from one xxhash64. The
@@ -4597,23 +4666,55 @@ final class Warehouse(spark: SparkSession, val root: String,
     * every read of a stats-less table).
     */
   private def registerStatsAt(tablePath: String): Boolean =
+    graft.util.PhaseTimer.time("wh.registry") {
     manifestDf(tablePath).exists { m =>
       if (!m.columns.contains("rows")) false
       else {
         val ndvCols = m.columns.filter(_.startsWith("ndv_")).toSeq
-        val aggs = Seq(count(lit(1)).as("nfiles"), count(col("rows")).as("nrows"),
-          sum(col("rows")).as("rows")) ++ ndvCols.map(c => sum(col(c)).as(c))
-        val r = m.agg(aggs.head, aggs.tail: _*).head()
-        if (r.getLong(0) > 0 && r.getLong(0) == r.getLong(1)) {
-          val ndv = ndvCols.zipWithIndex.flatMap { case (c, i) =>
-            if (r.isNullAt(i + 3)) None
-            else Some(c.stripPrefix("ndv_") -> r.getLong(i + 3))
-          }.toMap
-          TableStatsRegistry.put(tablePath,
-            TableStatsRegistry.TableStats(r.getLong(2), ndv))
-          true
-        } else false
+        // DRIVER-SIDE sums for cached-local manifests: small manifests
+        // are served as collected LocalRelations (manifestDf), and an
+        // `agg(...).head()` over one still schedules a Spark job — a
+        // fixed ~0.2-0.4 s tax EVERY stats-bearing commit paid. The
+        // fold below is the same arithmetic over the same rows with
+        // zero jobs; parquet-backed (oversized) manifests keep the
+        // distributed aggregate.
+        m.queryExecution.analyzed match {
+          case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+            val sch = m.schema
+            val rowsIx = sch.fieldIndex("rows")
+            val rows = m.collect() // LocalTableScan: no job
+            val nfiles = rows.length.toLong
+            val nrows = rows.count(!_.isNullAt(rowsIx)).toLong
+            if (nfiles > 0 && nfiles == nrows) {
+              val rowsSum = rows.iterator
+                .map(_.getAs[Number](rowsIx).longValue).sum
+              val ndv = ndvCols.flatMap { c =>
+                val ix = sch.fieldIndex(c)
+                val vs = rows.iterator.filterNot(_.isNullAt(ix))
+                  .map(_.getAs[Number](ix).longValue).toSeq
+                if (vs.isEmpty) None // sum over all-null = null: skip
+                else Some(c.stripPrefix("ndv_") -> vs.sum)
+              }.toMap
+              TableStatsRegistry.put(tablePath,
+                TableStatsRegistry.TableStats(rowsSum, ndv))
+              true
+            } else false
+          case _ =>
+            val aggs = Seq(count(lit(1)).as("nfiles"), count(col("rows")).as("nrows"),
+              sum(col("rows")).as("rows")) ++ ndvCols.map(c => sum(col(c)).as(c))
+            val r = m.agg(aggs.head, aggs.tail: _*).head()
+            if (r.getLong(0) > 0 && r.getLong(0) == r.getLong(1)) {
+              val ndv = ndvCols.zipWithIndex.flatMap { case (c, i) =>
+                if (r.isNullAt(i + 3)) None
+                else Some(c.stripPrefix("ndv_") -> r.getLong(i + 3))
+              }.toMap
+              TableStatsRegistry.put(tablePath,
+                TableStatsRegistry.TableStats(r.getLong(2), ndv))
+              true
+            } else false
+        }
       }
+    }
     }
 
   /** The manifest as a DataFrame, when present and non-empty.
@@ -4678,6 +4779,38 @@ final class Warehouse(spark: SparkSession, val root: String,
         Warehouse.manifestCache.put(key, (fingerprint, local))
         Some(local)
     }
+  }
+
+  /** Seed [[Warehouse.manifestCache]] with manifest rows the writer
+    * already holds, so the post-commit [[registerStatsAt]] (and every
+    * later pruning read) resolves driver-locally instead of paying a
+    * read-back Spark job per commit. The fingerprint comes from one
+    * listStatus of the LIVE manifest dir — the same one a cache-miss
+    * read would have done — so freshness stays self-validating: if a
+    * concurrent writer swaps the manifest after this listing, its
+    * fingerprint no longer matches and the cache rebuilds from disk.
+    * No-op (a later read rebuilds normally) when the manifest is
+    * oversized or the listing is empty.
+    */
+  private def seedManifestCache(tablePath: String,
+                                schema: org.apache.spark.sql.types.StructType,
+                                rows: Seq[Row]): Unit = {
+    val manifestPath = new Path(s"$tablePath/$statsDir")
+    val filesystem = fs(manifestPath)
+    if (!filesystem.exists(manifestPath)) return
+    val statuses = filesystem.listStatus(manifestPath)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    if (statuses.isEmpty) return
+    if (statuses.map(_.getLen).sum > Warehouse.manifestLocalBytes) return
+    val fingerprint = statuses.map(s =>
+        s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|")
+    val key = s"${System.identityHashCode(spark)}:$tablePath"
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), ManifestIO.relaxedNullability(schema))
+    if (Warehouse.manifestCache.size >= Warehouse.manifestCacheMax)
+      Warehouse.manifestCache.clear()
+    Warehouse.manifestCache.put(key, (fingerprint, local))
   }
 
   /** Columns with min/max stats in the table's manifest (empty = none). */
@@ -5223,11 +5356,15 @@ final class Warehouse(spark: SparkSession, val root: String,
       manifest.foreach { old =>
         val next = old.filter(!col("file").isin(replacedRels: _*))
         val tmp = new Path(tablePath, s"$statsDir.tmp-${System.nanoTime()}")
-        next.coalesce(1).write.parquet(tmp.toString)
+        val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+          writeManifestTo(next, tmp, snap.files.size.toLong)
+        }
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        seeded.foreach { case (sch, rows) =>
+          seedManifestCache(path(ref), sch, rows) }
         // fresh registration — and when retirement emptied the table,
         // the zero-row manifest is unregistrable: drop the registry
         // entry rather than keep serving the pre-retire rowcount/NDVs
@@ -5318,7 +5455,9 @@ final class Warehouse(spark: SparkSession, val root: String,
       val writer =
         if (partCols.isEmpty) replacement.write
         else replacement.write.partitionBy(partCols: _*)
-      writer.parquet(stage.toString)
+      graft.util.PhaseTimer.time("wh.data") {
+        writer.parquet(stage.toString)
+      }
       val newStatuses = listDataFileStatuses(stage)
       val newFiles = newStatuses.map(_.getPath)
       val stagedBase = filesystem.makeQualified(stage).toUri.getPath
@@ -5365,8 +5504,13 @@ final class Warehouse(spark: SparkSession, val root: String,
               unionManifest(kept0, newStats)
             }
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
-          next.coalesce(1).write.parquet(tmp.toString)
-          tmp
+          val seeded = graft.util.PhaseTimer.time("wh.manifest") {
+            // upper bound on post-commit manifest rows: survivors + adds
+            writeManifestTo(next, tmp,
+              (snap.files.size - replacedRels.size).max(0).toLong +
+                newFiles.size.toLong)
+          }
+          (tmp, seeded)
         }
       // CHECK constraints validate the staged replacement before any
       // move — except maintenance rewrites (compact / z-order), which
@@ -5422,11 +5566,13 @@ final class Warehouse(spark: SparkSession, val root: String,
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
       }
-      manifestTmp.foreach { tmp =>
+      manifestTmp.foreach { case (tmp, seeded) =>
         val live = new Path(tablePath, statsDir)
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
+        seeded.foreach { case (sch, rows) =>
+          seedManifestCache(path(ref), sch, rows) }
         // same write-path contract as retireDataFiles: an unregistrable
         // swapped manifest must not leave pre-replace stats live
         if (!registerStatsAt(path(ref)))
@@ -5517,8 +5663,38 @@ final class Warehouse(spark: SparkSession, val root: String,
     }
 
   private def appendManifestPart(tablePath: Path, newStats: DataFrame): Unit =
-    newStats.coalesce(1).write.mode("append")
-      .parquet(new Path(tablePath, statsDir).toString)
+    graft.util.PhaseTimer.time("wh.manifest")(
+      appendManifestPartImpl(tablePath, newStats))
+
+  /** Extend the manifest with one new part. When the existing manifest
+    * is driver-local (the common, small case) the part is collected
+    * and written from the driver — no Spark job — made visible
+    * atomically by rename, and the cache is seeded with old+new rows
+    * so the post-commit registry read needs no job either. Oversized
+    * manifests keep the distributed append write.
+    */
+  private def appendManifestPartImpl(tablePath: Path, newStats: DataFrame): Unit = {
+    val tp = tablePath.toString
+    val dir = new Path(tablePath, statsDir)
+    manifestLocalDf(tp) match {
+      case Some(old) =>
+        // align the part to the old column order (the append-part gate
+        // already proved the name/type sets match) so one schema
+        // serves both the part file and the seeded union
+        val aligned = newStats.select(old.columns.map(col).toIndexedSeq: _*)
+        val rows = aligned.collect().toSeq
+        val uuid = java.util.UUID.randomUUID()
+        val tmp = new Path(dir, s".part-$uuid.tmp") // invisible: no .parquet suffix
+        val dest = new Path(dir, s"part-00000-$uuid.parquet")
+        ManifestIO.writeLocalParquet(spark,
+          ManifestIO.relaxedNullability(old.schema), rows, tmp)
+        if (!fs(dir).rename(tmp, dest))
+          throw new RuntimeException(s"failed to publish manifest part $dest")
+        seedManifestCache(tp, old.schema, old.collect().toSeq ++ rows)
+      case None =>
+        newStats.coalesce(1).write.mode("append").parquet(dir.toString)
+    }
+  }
 
   private val txnFile = "_graft_txn"
 
@@ -5945,6 +6121,14 @@ object Warehouse {
     * keeps driver memory bounded).
     */
   private val manifestLocalBytes = 64L << 20
+
+  /** Manifests with at most this many rows are WRITTEN from the driver
+    * ([[ManifestIO.writeLocalParquet]] — no Spark job) and their rows
+    * seeded straight into [[manifestCache]]; larger ones keep the
+    * distributed `coalesce(1).write` path. With blooms ≈ 0.6 KB/row
+    * this bounds the driver-held frame to ~6 MB.
+    */
+  private[catalog] val manifestLocalWriteRows = 10000
 
   /** (sessionId:tablePath) → (part-file fingerprint, LocalRelation
     * manifest). See [[Warehouse]].manifestDf. Flushed whole when it

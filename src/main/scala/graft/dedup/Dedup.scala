@@ -547,6 +547,28 @@ object Dedup {
           .distinct()
           .localCheckpoint())
     }
+    // SIZE-BOUND pre-filter (guide §3.2 shape — drop provably
+    // non-matching pairs before the expensive join): containment
+    // |a∩b|/|a| is bounded above by min(|a|,|b|)/|a|, so an ordered
+    // pair with |b| too small CANNOT reach the threshold. The bound is
+    // computed from a THIN (id, size) projection of the checkpointed
+    // shingle table — two cheap narrow joins — and uses the IDENTICAL
+    // when/round shape as the exact score, so round monotonicity
+    // guarantees zero false drops (actual ≤ bound ⇒ round(actual) ≤
+    // round(bound)). Most candidates are sub-threshold (a quote is
+    // contained in its host, not vice versa; random shared-shingle
+    // pairs differ in size), so the verify join attaches full arrays
+    // for an output-scale survivor set instead of every candidate.
+    val sizes = sh.select(col("id"), size(col("sh")).as("__n"))
+    val plausible = pairs
+      .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .filter(
+        when(col("__na") === 0, lit(0.0))
+          .otherwise(round(
+            least(col("__na"), col("__nb")).cast("double") / col("__na"), 6))
+          >= threshold)
+      .select("id_a", "id_b")
     // exact verify, materialized under its own phase: the candidate
     // pairs re-join their full shingle sets and score — the stage that
     // otherwise hides inside whichever action runs first. Deliberately
@@ -557,7 +579,7 @@ object Dedup {
     // Attribution inside the phase comes from the per-query A/B
     // recorded in BASELINE.md, not from a barrier.
     time("containment.verify") {
-      graft.util.Scratch.transientCheckpoint(pairs
+      graft.util.Scratch.transientCheckpoint(plausible
         .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .withColumn("containment",

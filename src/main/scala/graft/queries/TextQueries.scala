@@ -685,14 +685,21 @@ object TextQueries {
           .localCheckpoint())
     }
     val kept = graft.util.PhaseTimer.time("curate.score") {
+      // tokenize ONCE into a column and score over the attribute: the
+      // HOF-based scores evaluate interpreted, so inline `tokens(text)`
+      // arguments re-run the regex split per reference (langId alone
+      // holds one per language). CollapseProject keeps the multi-use,
+      // non-cheap token array materialized in its own projection.
       graft.util.Scratch.transientCheckpoint(deduped
-        .withColumn("lang_pred", TextFunctions.langId($"text"))
-        .withColumn("quality", TextFunctions.qualityScore($"text"))
-        .withColumn("n_tokens", TextFunctions.tokenCount($"text"))
-        .withColumn("dup_token_frac", TextFunctions.dupTokenFrac($"text"))
-        .withColumn("top_token_frac", TextFunctions.topTokenFrac($"text"))
+        .withColumn("__toks", TextFunctions.tokens($"text"))
+        .withColumn("lang_pred", TextFunctions.langIdOf($"__toks"))
+        .withColumn("quality", TextFunctions.qualityScoreOf($"text", $"__toks"))
+        .withColumn("n_tokens", size($"__toks"))
+        .withColumn("dup_token_frac", TextFunctions.dupTokenFracOf($"__toks"))
+        .withColumn("top_token_frac", TextFunctions.topTokenFracOf($"__toks"))
         .filter($"lang_pred" === "en" && $"quality" >= 0.9 &&
           $"dup_token_frac" <= 0.6 && $"top_token_frac" <= 0.12)
+        .drop("__toks")
         .localCheckpoint())
     }
     kept.select($"doc_id", $"quality", $"n_tokens",

@@ -46,35 +46,52 @@ object TextFunctions {
       .otherwise(regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double") / length(c))
 
   /** Fraction of tokens that are in `stopwords` (lower-cased compare). */
-  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    stopwordRatioOf(tokens(c), stopwords)
+
+  /** [[stopwordRatio]] over a pre-tokenized array. The `Of` variants
+    * exist because higher-order functions evaluate INTERPRETED: an
+    * inline `tokens(c)` argument re-runs its regex split at every
+    * reference, so a projection composing several text scores pays the
+    * split 10-20× per row. Tokenize ONCE into a column and feed the
+    * attribute here — identical values, one split.
+    */
+  def stopwordRatioOf(toks: Column, stopwords: Seq[String]): Column = {
     val sw = stopwords.map(_.toLowerCase)
-    val toks = tokens(c)
     when(size(toks) === 0, lit(0.0)).otherwise(
       size(filter(toks, t => lower(t).isInCollection(sw))).cast("double") / size(toks))
   }
 
   /** Mean token length (0 for empty). */
-  def meanTokenLength(c: Column): Column = {
-    val toks = tokens(c)
+  def meanTokenLength(c: Column): Column = meanTokenLengthOf(tokens(c))
+
+  /** [[meanTokenLength]] over a pre-tokenized array. */
+  def meanTokenLengthOf(toks: Column): Column =
     when(size(toks) === 0, lit(0.0)).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
-  }
 
   /** Heuristic quality score in [0,1] — the standard pre-training
     * filters (length band, punctuation sanity, stopword presence,
     * word-length sanity) blended with fixed weights. Deterministic;
     * thresholds follow common C4/Gopher-style rules.
     */
-  def qualityScore(c: Column, stopwords: Seq[String] = Stopwords.english): Column = {
-    val nTok = tokenCount(c).cast("double")
+  def qualityScore(c: Column, stopwords: Seq[String] = Stopwords.english): Column =
+    qualityScoreOf(c, tokens(c), stopwords)
+
+  /** [[qualityScore]] with the token array precomputed (the raw text
+    * column still feeds the character-level regex signals).
+    */
+  def qualityScoreOf(c: Column, toks: Column,
+                     stopwords: Seq[String] = Stopwords.english): Column = {
+    val nTok = size(toks).cast("double")
     val lengthScore = when(nTok >= 5 && nTok <= 10000, lit(1.0))
       .when(nTok > 0, lit(0.5)).otherwise(lit(0.0))
     val punct = punctRatio(c)
     val punctScore = when(punct <= 0.2, lit(1.0))
       .when(punct <= 0.4, lit(0.5)).otherwise(lit(0.0))
-    val sw = stopwordRatio(c, stopwords)
+    val sw = stopwordRatioOf(toks, stopwords)
     val swScore = when(sw >= 0.05 && sw <= 0.6, lit(1.0)).otherwise(lit(0.3))
-    val mwl = meanTokenLength(c)
+    val mwl = meanTokenLengthOf(toks)
     val wordScore = when(mwl >= 2.0 && mwl <= 12.0, lit(1.0)).otherwise(lit(0.3))
     // alphabetic density: symbol soup scores near zero here even when
     // its token statistics look plausible
@@ -91,11 +108,16 @@ object TextFunctions {
     * [[Stopwords.languages]] (deterministic). Returns the language code,
     * or "und" when nothing scores.
     */
-  def langId(c: Column): Column = {
+  def langId(c: Column): Column = langIdOf(tokens(c))
+
+  /** [[langId]] over a pre-tokenized array — one split instead of one
+    * per language.
+    */
+  def langIdOf(toks: Column): Column = {
     val n = Stopwords.languages.size
     val scored = Stopwords.languages.zipWithIndex.map { case ((code, words), i) =>
       struct(
-        stopwordRatio(c, words).as("score"),
+        stopwordRatioOf(toks, words).as("score"),
         lit(n - i).as("prio"), // earlier list position wins ties
         lit(code).as("lang"))
     }
@@ -158,12 +180,13 @@ object TextFunctions {
     * `1 - distinct/total` (0 for empty docs). Degenerate spam — "buy
     * buy buy …" — scores near 1; the standard repetition filter signal.
     */
-  def dupTokenFrac(c: Column): Column = {
-    val toks = tokens(c)
+  def dupTokenFrac(c: Column): Column = dupTokenFracOf(tokens(c))
+
+  /** [[dupTokenFrac]] over a pre-tokenized array. */
+  def dupTokenFracOf(toks: Column): Column =
     when(size(toks) > 0,
       lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
       .otherwise(lit(0.0))
-  }
 
   /** Fraction of non-empty LINES that repeat an earlier line — the
     * boilerplate/navigation-chrome signal.
@@ -183,8 +206,10 @@ object TextFunctions {
     * state, per the HOF discipline (heavy subtrees only in argument
     * positions).
     */
-  def topTokenFrac(c: Column): Column = {
-    val toks = tokens(c)
+  def topTokenFrac(c: Column): Column = topTokenFracOf(tokens(c))
+
+  /** [[topTokenFrac]] over a pre-tokenized array. */
+  def topTokenFracOf(toks: Column): Column = {
     val best = aggregate(
       array_sort(toks),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),

@@ -17,9 +17,14 @@ object DevWriteProfile {
   @volatile private var jobs = 0
   private def time[A](label: String)(f: => A): A = {
     val j0 = jobs
+    val p0 = graft.util.PhaseTimer.snapshot
     val t0 = System.nanoTime()
     val r = f
-    System.err.println(f"[wprofile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2fs  jobs=${jobs - j0}")
+    val ph = graft.util.PhaseTimer.snapshot.toSeq.flatMap { case (k, v) =>
+      val d = v - p0.getOrElse(k, 0.0)
+      if (d > 0.005) Some(f"$k=$d%.2f") else None
+    }.sorted.mkString(" ")
+    System.err.println(f"[wprofile] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2fs  jobs=${jobs - j0}  $ph")
     r
   }
 
