@@ -15,6 +15,8 @@ object Explain {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    // checkpoint-barrier operators print their internal stage plans too
+    spark.conf.set("spark.graft.explainStages", "true")
     names.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         println(s"\n========== $name ==========")

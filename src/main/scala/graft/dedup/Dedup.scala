@@ -536,39 +536,38 @@ object Dedup {
         h.filter(col("n") > maxPostings).count())
       h
     }
+    // SIZE-BOUND pre-filter (guide §3.2 shape — drop provably
+    // non-matching pairs before anything expensive): containment
+    // |a∩b|/|a| is bounded above by min(|a|,|b|)/|a|, so an ordered
+    // pair whose right side is too small CANNOT reach the threshold.
+    // Posting rows carry their document's shingle-set size (one thin
+    // join against the checkpointed shingle table), and the bound sits
+    // IN the candidate self-join condition — sub-threshold pairs never
+    // reach the distinct, and the verify join attaches full arrays for
+    // an output-scale survivor set instead of every shared-shingle
+    // pair. The bound uses the IDENTICAL when/round shape as the exact
+    // score, so round monotonicity guarantees zero false drops
+    // (actual ≤ bound ⇒ round(actual) ≤ round(bound)).
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
     val bounded = postings.join(
-      hist.filter(col("n") <= maxPostings).select("g"), Seq("g"), "left_semi")
+        hist.filter(col("n") <= maxPostings).select("g"), Seq("g"), "left_semi")
+      .join(sizes, Seq("id"))
     val pairs = time("containment.pairs") {
-      graft.util.Scratch.transientCheckpoint(
+      graft.util.Scratch.transientCheckpoint(graft.util.StagePlans.dump(
+        "containment.pairs (size-bound prefilter inside the self-join)",
         bounded.as("l")
           .join(bounded.as("r"),
-            col("l.g") === col("r.g") && col("l.id") =!= col("r.id"))
+            col("l.g") === col("r.g") && col("l.id") =!= col("r.id") &&
+              (when(col("l.n_sh") === 0, lit(0.0))
+                .otherwise(round(
+                  least(col("l.n_sh"), col("r.n_sh")).cast("double") /
+                    col("l.n_sh"), 6))
+                >= threshold))
           .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-          .distinct()
-          .localCheckpoint())
+          .distinct())
+        .localCheckpoint())
     }
-    // SIZE-BOUND pre-filter (guide §3.2 shape — drop provably
-    // non-matching pairs before the expensive join): containment
-    // |a∩b|/|a| is bounded above by min(|a|,|b|)/|a|, so an ordered
-    // pair with |b| too small CANNOT reach the threshold. The bound is
-    // computed from a THIN (id, size) projection of the checkpointed
-    // shingle table — two cheap narrow joins — and uses the IDENTICAL
-    // when/round shape as the exact score, so round monotonicity
-    // guarantees zero false drops (actual ≤ bound ⇒ round(actual) ≤
-    // round(bound)). Most candidates are sub-threshold (a quote is
-    // contained in its host, not vice versa; random shared-shingle
-    // pairs differ in size), so the verify join attaches full arrays
-    // for an output-scale survivor set instead of every candidate.
-    val sizes = sh.select(col("id"), size(col("sh")).as("__n"))
     val plausible = pairs
-      .join(sizes.select(col("id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
-      .filter(
-        when(col("__na") === 0, lit(0.0))
-          .otherwise(round(
-            least(col("__na"), col("__nb")).cast("double") / col("__na"), 6))
-          >= threshold)
-      .select("id_a", "id_b")
     // exact verify, materialized under its own phase: the candidate
     // pairs re-join their full shingle sets and score — the stage that
     // otherwise hides inside whichever action runs first. Deliberately
@@ -579,13 +578,15 @@ object Dedup {
     // Attribution inside the phase comes from the per-query A/B
     // recorded in BASELINE.md, not from a barrier.
     time("containment.verify") {
-      graft.util.Scratch.transientCheckpoint(plausible
-        .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .withColumn("containment",
-          round(containment(col("sh_a"), col("sh_b")), 6))
-        .filter(col("containment") >= threshold)
-        .select("id_a", "id_b", "containment")
+      graft.util.Scratch.transientCheckpoint(graft.util.StagePlans.dump(
+        "containment.verify (size-bound prefilter + array join)",
+        plausible
+          .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("containment",
+            round(containment(col("sh_a"), col("sh_b")), 6))
+          .filter(col("containment") >= threshold)
+          .select("id_a", "id_b", "containment"))
         .localCheckpoint())
     }
   }

@@ -689,22 +689,29 @@ object TextQueries {
       // HOF-based scores evaluate interpreted, so inline `tokens(text)`
       // arguments re-run the regex split per reference (langId alone
       // holds one per language). CollapseProject keeps the multi-use,
-      // non-cheap token array materialized in its own projection.
-      graft.util.Scratch.transientCheckpoint(deduped
-        .withColumn("__toks", TextFunctions.tokens($"text"))
-        .withColumn("lang_pred", TextFunctions.langIdOf($"__toks"))
-        .withColumn("quality", TextFunctions.qualityScoreOf($"text", $"__toks"))
-        .withColumn("n_tokens", size($"__toks"))
-        .withColumn("dup_token_frac", TextFunctions.dupTokenFracOf($"__toks"))
-        .withColumn("top_token_frac", TextFunctions.topTokenFracOf($"__toks"))
-        .filter($"lang_pred" === "en" && $"quality" >= 0.9 &&
-          $"dup_token_frac" <= 0.6 && $"top_token_frac" <= 0.12)
-        .drop("__toks")
+      // non-cheap token array materialized in its own projection. The
+      // gate FILTER applies above the checkpoint barrier: filtering
+      // inside the scored projection lets predicate pushdown clone the
+      // scoring expressions below it, evaluating langid/quality twice
+      // per row — here every row scores exactly once and the filter
+      // compares materialized columns.
+      graft.util.Scratch.transientCheckpoint(graft.util.StagePlans.dump(
+        "curate.score (tokenize-once scoring projection)",
+        deduped
+          .withColumn("__toks", TextFunctions.tokens($"text"))
+          .withColumn("lang_pred", TextFunctions.langIdOf($"__toks"))
+          .withColumn("quality", TextFunctions.qualityScoreOf($"text", $"__toks"))
+          .withColumn("n_tokens", size($"__toks"))
+          .withColumn("dup_token_frac", TextFunctions.dupTokenFracOf($"__toks"))
+          .withColumn("top_token_frac", TextFunctions.topTokenFracOf($"__toks"))
+          .drop("__toks"))
         .localCheckpoint())
     }
-    kept.select($"doc_id", $"quality", $"n_tokens",
-      $"dup_token_frac", $"top_token_frac",
-      TextFunctions.redactPii($"text").as("text_redacted"))
+    kept.filter($"lang_pred" === "en" && $"quality" >= 0.9 &&
+        $"dup_token_frac" <= 0.6 && $"top_token_frac" <= 0.12)
+      .select($"doc_id", $"quality", $"n_tokens",
+        $"dup_token_frac", $"top_token_frac",
+        TextFunctions.redactPii($"text").as("text_redacted"))
   }
 
   val qCurateCorpusSql: String = {
