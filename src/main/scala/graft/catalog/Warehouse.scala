@@ -4546,11 +4546,39 @@ final class Warehouse(spark: SparkSession, val root: String,
         .write.mode("overwrite").parquet(dir.toString)
       None
     } else {
-      val rows = manifest.collect().toSeq
+      val rows = tinyMetaQuery { manifest.collect().toSeq }
       ManifestIO.writeLocalParquet(spark, manifest.schema, rows,
         new Path(dir, s"part-00000-${java.util.UUID.randomUUID()}.parquet"))
       Some((manifest.schema, rows))
     }
+
+  /** Run a commit-scale INTERNAL metadata aggregate (a stats manifest
+    * holds one row per data file) without the adaptive-execution job
+    * multiplication: AQE materializes each query stage as its own job
+    * to re-optimize between them, which for a ≤10k-row aggregate is
+    * pure fixed overhead (2-3 scheduled jobs where one suffices), and
+    * its re-optimization has nothing to improve on a plan this size.
+    * The shuffle width follows the known output bound instead of the
+    * session width — one reduce task per ~1000 manifest rows, a
+    * DATA-derived width (not a core-count-derived one), valid at any
+    * scale because callers only enter here under the
+    * [[Warehouse.manifestLocalWriteRows]] gate. Conf flips are scoped
+    * and restored; commits are serialized by the writer lock.
+    */
+  private def tinyMetaQuery[T](body: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey)
+    val prevSp = spark.conf.get(spKey)
+    val width = math.max(1, math.min(8, prevSp.toInt))
+    spark.conf.set(aqeKey, "false")
+    spark.conf.set(spKey, width.toString)
+    try body
+    finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(spKey, prevSp)
+    }
+  }
 
   /** Per-file bloom sizing: 4096 bits (64 longs ≈ 0.5 KB per file per
     * column), k = 2 probe positions per value from one xxhash64. The
@@ -5682,7 +5710,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         // already proved the name/type sets match) so one schema
         // serves both the part file and the seeded union
         val aligned = newStats.select(old.columns.map(col).toIndexedSeq: _*)
-        val rows = aligned.collect().toSeq
+        val rows = tinyMetaQuery { aligned.collect().toSeq }
         val uuid = java.util.UUID.randomUUID()
         val tmp = new Path(dir, s".part-$uuid.tmp") // invisible: no .parquet suffix
         val dest = new Path(dir, s"part-00000-$uuid.parquet")
