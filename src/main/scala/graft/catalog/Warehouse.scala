@@ -1913,8 +1913,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         commitLocked(ref, dfI.schema.json, rels,
           Warehouse.withOp(meta ++ hwMeta ++ mapMeta, "OVERWRITE"), relMeta)
         if (statsColumns.nonEmpty) {
-          stagedStats.foreach { case (sch, rows) =>
-            seedManifestCache(path(ref), sch, rows) }
+          stagedStats.foreach { case (sch, rows, part) =>
+            seedManifestCache(path(ref), sch, rows, Set(part)) }
           registerStatsAt(path(ref))
         } else TableStatsRegistry.invalidate(path(ref))
       } else {
@@ -1952,8 +1952,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           filesystem.delete(liveManifest, true)
           if (!filesystem.rename(new Path(tmp, statsDir), liveManifest))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
-          stagedStats.foreach { case (sch, rows) =>
-            seedManifestCache(path(ref), sch, rows) }
+          stagedStats.foreach { case (sch, rows, part) =>
+            seedManifestCache(path(ref), sch, rows, Set(part)) }
           registerStatsAt(path(ref))
         } else {
           filesystem.delete(liveManifest, true) // described retired files only
@@ -2111,8 +2111,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        seeded.foreach { case (sch, rows) =>
-          seedManifestCache(path(ref), sch, rows) }
+        seeded.foreach { case (sch, rows, part) =>
+          seedManifestCache(path(ref), sch, rows, Set(part)) }
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
       }
@@ -2769,8 +2769,8 @@ final class Warehouse(spark: SparkSession, val root: String,
     filesystem.delete(live, true)
     if (!filesystem.rename(tmp, live))
       throw new RuntimeException(s"failed to swap stats manifest for $ref")
-    seeded.foreach { case (sch, rows) =>
-      seedManifestCache(path(ref), sch, rows) }
+    seeded.foreach { case (sch, rows, part) =>
+      seedManifestCache(path(ref), sch, rows, Set(part)) }
     if (!registerStatsAt(path(ref)))
       TableStatsRegistry.invalidate(path(ref))
   }
@@ -3755,8 +3755,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           filesystem.delete(live, true)
           if (!filesystem.rename(tmp, live))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
-          seeded.foreach { case (sch, rows) =>
-            seedManifestCache(path(ref), sch, rows) }
+          seeded.foreach { case (sch, rows, part) =>
+            seedManifestCache(path(ref), sch, rows, Set(part)) }
         }
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
@@ -3988,8 +3988,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           filesystem.delete(live, true)
           if (!filesystem.rename(tmp, live))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
-          seeded.foreach { case (sch, rows) =>
-            seedManifestCache(path(ref), sch, rows) }
+          seeded.foreach { case (sch, rows, part) =>
+            seedManifestCache(path(ref), sch, rows, Set(part)) }
         }
       }
       // row counts changed shape for the planner either way
@@ -4136,8 +4136,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           filesystem.delete(live, true)
           if (!filesystem.rename(tmp, live))
             throw new RuntimeException(s"failed to swap stats manifest for $ref")
-          seeded.foreach { case (sch, rows) =>
-            seedManifestCache(path(ref), sch, rows) }
+          seeded.foreach { case (sch, rows, part) =>
+            seedManifestCache(path(ref), sch, rows, Set(part)) }
         }
         TableStatsRegistry.invalidate(path(ref))
       } finally {
@@ -4520,7 +4520,7 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   private def writeStats(dir: String, statsColumns: Seq[String],
                          bloomColumns: Seq[String])
-      : Option[(org.apache.spark.sql.types.StructType, Seq[Row])] =
+      : Option[(org.apache.spark.sql.types.StructType, Seq[Row], String)] =
     graft.util.PhaseTimer.time("wh.stats") {
       val data = spark.read.parquet(dir)
       val missing = statsColumns.filterNot(data.columns.contains)
@@ -4540,16 +4540,17 @@ final class Warehouse(spark: SparkSession, val root: String,
     * through the distributed single-task write as before.
     */
   private def writeManifestTo(manifest: DataFrame, dir: Path, expectRows: Long)
-      : Option[(org.apache.spark.sql.types.StructType, Seq[Row])] =
+      : Option[(org.apache.spark.sql.types.StructType, Seq[Row], String)] =
     if (expectRows > Warehouse.manifestLocalWriteRows) {
       manifest.coalesce(1) // one manifest row per data file: always tiny
         .write.mode("overwrite").parquet(dir.toString)
       None
     } else {
       val rows = tinyMetaQuery { manifest.collect().toSeq }
+      val part = s"part-00000-${java.util.UUID.randomUUID()}.parquet"
       ManifestIO.writeLocalParquet(spark, manifest.schema, rows,
-        new Path(dir, s"part-00000-${java.util.UUID.randomUUID()}.parquet"))
-      Some((manifest.schema, rows))
+        new Path(dir, part))
+      Some((manifest.schema, rows, part))
     }
 
   /** Run a commit-scale INTERNAL metadata aggregate (a stats manifest
@@ -4822,13 +4823,21 @@ final class Warehouse(spark: SparkSession, val root: String,
     */
   private def seedManifestCache(tablePath: String,
                                 schema: org.apache.spark.sql.types.StructType,
-                                rows: Seq[Row]): Unit = {
+                                rows: Seq[Row],
+                                expectParts: Set[String]): Unit = {
     val manifestPath = new Path(s"$tablePath/$statsDir")
     val filesystem = fs(manifestPath)
     if (!filesystem.exists(manifestPath)) return
     val statuses = filesystem.listStatus(manifestPath)
       .filter(_.getPath.getName.endsWith(".parquet"))
     if (statuses.isEmpty) return
+    // the listing must be EXACTLY the part set this writer just
+    // published: a cross-process writer swapping the manifest between
+    // our rename and this listing would otherwise pair OUR rows with
+    // ITS files' fingerprint — a stale cache entry that self-validates.
+    // On mismatch, skip: the next read rebuilds from disk, which is
+    // always correct.
+    if (statuses.map(_.getPath.getName).toSet != expectParts) return
     if (statuses.map(_.getLen).sum > Warehouse.manifestLocalBytes) return
     val fingerprint = statuses.map(s =>
         s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
@@ -5391,8 +5400,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        seeded.foreach { case (sch, rows) =>
-          seedManifestCache(path(ref), sch, rows) }
+        seeded.foreach { case (sch, rows, part) =>
+          seedManifestCache(path(ref), sch, rows, Set(part)) }
         // fresh registration — and when retirement emptied the table,
         // the zero-row manifest is unregistrable: drop the registry
         // entry rather than keep serving the pre-retire rowcount/NDVs
@@ -5599,8 +5608,8 @@ final class Warehouse(spark: SparkSession, val root: String,
         filesystem.delete(live, true)
         if (!filesystem.rename(tmp, live))
           throw new RuntimeException(s"failed to swap stats manifest for $ref")
-        seeded.foreach { case (sch, rows) =>
-          seedManifestCache(path(ref), sch, rows) }
+        seeded.foreach { case (sch, rows, part) =>
+          seedManifestCache(path(ref), sch, rows, Set(part)) }
         // same write-path contract as retireDataFiles: an unregistrable
         // swapped manifest must not leave pre-replace stats live
         if (!registerStatsAt(path(ref)))
@@ -5711,6 +5720,9 @@ final class Warehouse(spark: SparkSession, val root: String,
         // serves both the part file and the seeded union
         val aligned = newStats.select(old.columns.map(col).toIndexedSeq: _*)
         val rows = tinyMetaQuery { aligned.collect().toSeq }
+        val priorParts = fs(dir).listStatus(dir)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName).toSet
         val uuid = java.util.UUID.randomUUID()
         val tmp = new Path(dir, s".part-$uuid.tmp") // invisible: no .parquet suffix
         val dest = new Path(dir, s"part-00000-$uuid.parquet")
@@ -5718,7 +5730,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           ManifestIO.relaxedNullability(old.schema), rows, tmp)
         if (!fs(dir).rename(tmp, dest))
           throw new RuntimeException(s"failed to publish manifest part $dest")
-        seedManifestCache(tp, old.schema, old.collect().toSeq ++ rows)
+        seedManifestCache(tp, old.schema, old.collect().toSeq ++ rows,
+          priorParts + dest.getName)
       case None =>
         newStats.coalesce(1).write.mode("append").parquet(dir.toString)
     }
