@@ -54,8 +54,10 @@ private[catalog] object ManifestIO {
   private def writeConf(spark: SparkSession, schema: StructType): Configuration = {
     val conf = spark.sessionState.newHadoopConf()
     ParquetWriteSupport.setSchema(schema, conf)
-    def mirror(key: String): Unit =
-      conf.set(key, spark.conf.get(key)) // ConfigEntry default when unset
+    def mirror(key: String): Unit = // ConfigEntry default when unset; a
+      // key this Spark build doesn't register is skipped rather than
+      // failing the commit (spark.conf.get throws on unknown keys)
+      spark.conf.getOption(key).foreach(conf.set(key, _))
     mirror("spark.sql.parquet.writeLegacyFormat")
     mirror("spark.sql.parquet.outputTimestampType")
     mirror("spark.sql.parquet.fieldId.write.enabled")

@@ -1791,7 +1791,8 @@ final class Warehouse(spark: SparkSession, val root: String,
                 expectedVersion: Option[Long] = None,
                 meta: Map[String, String] = Map.empty,
                 changes: Option[DataFrame] = None,
-                internalRewrite: Boolean = false): Unit = {
+                internalRewrite: Boolean = false,
+                ndvColumns: Seq[String] = Nil): Unit = {
     // DEFAULT columns materialize, then GENERATED columns compute,
     // when the caller omits them (the write contract of Delta's
     // GENERATED ALWAYS AS); supplied values validate in the staged
@@ -1851,7 +1852,13 @@ final class Warehouse(spark: SparkSession, val root: String,
     // COLUMN MAPPING: a full replace may reshape the schema — declared
     // names keep their field ids, new columns mint fresh ones, and the
     // id high-water advances in this commit
-    val (dfI, mapMeta) = fieldIdsForReplace(ref, dfI0)
+    val (dfI, mapMeta0) = fieldIdsForReplace(ref, dfI0)
+    // NDV declaration rides the commit as carried meta: one overwrite
+    // declaring it keeps every later stats commit collecting per-file
+    // NDV (the scan job) for the table's life — see [[ndvStatsLive]]
+    val mapMeta =
+      if (ndvColumns.isEmpty) mapMeta0
+      else mapMeta0 + (Warehouse.NdvColumnsMeta -> ndvColumns.mkString(","))
     val nonce = System.nanoTime().toString
     val tmp = new Path(path(ref) + s".tmp-$nonce")
     val writeDir =
@@ -1880,8 +1887,8 @@ final class Warehouse(spark: SparkSession, val root: String,
           Warehouse.log.warn(s"$ref: bloom column(s) " +
             s"${lapsed.mkString(",")} left the schema; their equality " +
             "skipping lapses with this overwrite")
-        writeStats(tmp.toString, (statsColumns ++ carryable).distinct,
-          (bloomColumns ++ carryable).distinct)
+        writeStats(ref, tmp.toString, (statsColumns ++ carryable).distinct,
+          (bloomColumns ++ carryable).distinct, ndvColumns)
       }
       // CHECK constraints validate the staged files before anything
       // moves (partition dirs under tmp restore their columns; the
@@ -2058,8 +2065,11 @@ final class Warehouse(spark: SparkSession, val root: String,
           case Some(old) =>
             // staged rel paths (partitionBy subdirs included) equal the
             // committed rel paths — the move preserves them
-            val newStats = fileStats(spark.read.parquet(stage.toString),
-              stage.toString, statCols, oldBlooms)
+            val newStats = footerOrScan(ref, rels,
+              stagedStatuses.map(_.getPath), statCols, oldBlooms) {
+              fileStats(spark.read.parquet(stage.toString),
+                stage.toString, statCols, oldBlooms)
+            }
             val next = unionManifest(old, newStats)
             val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
             val seeded = graft.util.PhaseTimer.time("wh.manifest") {
@@ -2071,8 +2081,11 @@ final class Warehouse(spark: SparkSession, val root: String,
             // manifest bootstrap for a createTable-declared layout
             val blooms = metaColumns(ref, Warehouse.BloomColumnsMeta)
               .filter(statCols.contains)
-            val newStats = fileStats(spark.read.parquet(stage.toString),
-              stage.toString, statCols, blooms)
+            val newStats = footerOrScan(ref, rels,
+              stagedStatuses.map(_.getPath), statCols, blooms) {
+              fileStats(spark.read.parquet(stage.toString),
+                stage.toString, statCols, blooms)
+            }
             val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
             val seeded = graft.util.PhaseTimer.time("wh.manifest") {
               writeManifestTo(newStats, tmp, rels.size.toLong)
@@ -2096,10 +2109,13 @@ final class Warehouse(spark: SparkSession, val root: String,
         // stats over the files at their FINAL rel paths; a crash
         // before this write leaves missing rows, which consumers
         // treat conservatively (keep-the-file / scan fallback)
-        val finalStats = fileStats(
-          spark.read.parquet(rels.map(r =>
-            new Path(tablePath, r).toString): _*),
-          path(ref), statCols, oldBlooms)
+        val finalStats = footerOrScan(ref, rels,
+          rels.map(r => new Path(tablePath, r)), statCols, oldBlooms) {
+          fileStats(
+            spark.read.parquet(rels.map(r =>
+              new Path(tablePath, r).toString): _*),
+            path(ref), statCols, oldBlooms)
+        }
         graft.util.PhaseTimer.time("wh.manifest") {
           appendManifestPart(tablePath, finalStats)
         }
@@ -3731,13 +3747,21 @@ final class Warehouse(spark: SparkSession, val root: String,
       // fast path when schema-compatible, else a rewrite mirroring
       // append's; a replace swaps in a fresh manifest
       if (statCols.nonEmpty && stagedRels.nonEmpty) {
-        val newData = spark.read.parquet(stagedRels.map(r =>
-          new Path(tablePath, r).toString): _*)
-        val newStats = fileStats(newData, path(ref), statCols, oldBlooms)
+        val newStats = footerOrScan(ref, stagedRels,
+          stagedRels.map(r => new Path(tablePath, r)), statCols, oldBlooms) {
+          fileStats(spark.read.parquet(stagedRels.map(r =>
+            new Path(tablePath, r).toString): _*),
+            path(ref), statCols, oldBlooms)
+        }
+        // type check against the manifest frame itself (min_ types ==
+        // the staged data's column types on both derivation paths) —
+        // avoids materializing a read just for its schema
         val appendPart = !replaceAll && oldManifest.exists(old =>
           canAppendManifestPart(tablePath, old.columns.toSeq,
             statsColumnsOf(statCols, oldBlooms)) &&
-            manifestTypesMatch(old, newData.schema, statCols))
+            statCols.forall(c => !old.columns.contains(s"min_$c") ||
+              newStats.schema(s"min_$c").dataType ==
+                old.schema(s"min_$c").dataType))
         if (appendPart) appendManifestPart(tablePath, newStats)
         else {
           val next =
@@ -4121,10 +4145,13 @@ final class Warehouse(spark: SparkSession, val root: String,
           val next =
             if (adds.isEmpty || statCols.isEmpty) kept
             else {
-              val newStats = fileStats(
-                spark.read.parquet(adds.map(a =>
-                  new Path(tablePath, a).toString): _*),
-                path(ref), statCols, oldBlooms)
+              val newStats = footerOrScan(ref, adds,
+                adds.map(a => new Path(tablePath, a)), statCols, oldBlooms) {
+                fileStats(
+                  spark.read.parquet(adds.map(a =>
+                    new Path(tablePath, a).toString): _*),
+                  path(ref), statCols, oldBlooms)
+              }
               unionManifest(kept, newStats)
             }
           val tmp = new Path(tablePath, s"$statsDir.tmp-$nonce")
@@ -4518,18 +4545,91 @@ final class Warehouse(spark: SparkSession, val root: String,
     * instead of paying a read-back job; None when the distributed
     * fallback wrote it (oversized commit).
     */
-  private def writeStats(dir: String, statsColumns: Seq[String],
-                         bloomColumns: Seq[String])
+  private def writeStats(ref: TableRef, dir: String, statsColumns: Seq[String],
+                         bloomColumns: Seq[String],
+                         ndvColumns: Seq[String] = Nil)
       : Option[(org.apache.spark.sql.types.StructType, Seq[Row], String)] =
     graft.util.PhaseTimer.time("wh.stats") {
-      val data = spark.read.parquet(dir)
-      val missing = statsColumns.filterNot(data.columns.contains)
-      require(missing.isEmpty,
-        s"stats column(s) not in table: ${missing.mkString(",")} " +
-          "(partition columns carry no file stats — prune on the partition instead)")
-      writeManifestTo(fileStats(data, dir, statsColumns, bloomColumns),
-        new Path(s"$dir/$statsDir"),
-        expectRows = listDataFileStatuses(new Path(dir)).size.toLong)
+      val statuses = listDataFileStatuses(new Path(dir))
+      val basePath = new Path(dir)
+      val base = fs(basePath).makeQualified(basePath).toUri.getPath
+        .stripSuffix("/")
+      val keys = statuses.map(st =>
+        fs(st.getPath).makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(base).stripPrefix("/"))
+      val manifest = footerOrScan(ref, keys, statuses.map(_.getPath),
+        statsColumns, bloomColumns, ndvColumns) {
+        val data = spark.read.parquet(dir)
+        val missing = statsColumns.filterNot(data.columns.contains)
+        require(missing.isEmpty,
+          s"stats column(s) not in table: ${missing.mkString(",")} " +
+            "(partition columns carry no file stats — prune on the partition instead)")
+        fileStats(data, dir, statsColumns, bloomColumns)
+      }
+      writeManifestTo(manifest, new Path(s"$dir/$statsDir"),
+        expectRows = statuses.size.toLong)
+    }
+
+  /** Per-file stats for freshly written files: derived DRIVER-SIDE from
+    * their parquet footers ([[FooterStats]] — zero Spark jobs) when the
+    * commit qualifies, else the column-pruned `scan` job as before.
+    * Footer derivation requires: no bloom columns (their word
+    * aggregates need the data), no live NDV declaration for the table
+    * ([[ndvStatsLive]] — footers carry no distinct counts), a
+    * commit-scale file count, and every stat column footer-provable
+    * (FooterStats falls back on float/double, INT96, missing
+    * statistics, …). `keys` are the manifest `file` keys for
+    * `absPaths`, in order — the exact strings the scan's
+    * input_file_name arithmetic would produce.
+    */
+  private def footerOrScan(ref: TableRef, keys: Seq[String],
+                           absPaths: Seq[Path], statsColumns: Seq[String],
+                           bloomColumns: Seq[String],
+                           ndvColumns: Seq[String] = Nil)
+                          (scan: => DataFrame): DataFrame = {
+    val footer =
+      if (bloomColumns.nonEmpty || ndvColumns.nonEmpty || keys.isEmpty ||
+          keys.size > Warehouse.manifestLocalWriteRows || ndvStatsLive(ref))
+        None
+      else FooterStats.derive(spark.sessionState.newHadoopConf(),
+        keys.zip(absPaths), statsColumns)
+    footer match {
+      case Some((schema, rows)) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None => scan
+    }
+  }
+
+  /** Whether stats commits on this table must keep collecting per-file
+    * NDV (forcing the scan job): declared via
+    * [[Warehouse.NdvColumnsMeta]] (the `ndvColumns` overwrite param —
+    * carried meta, so one declaration covers the table's life), or the
+    * live manifest already holds non-null ndv values (legacy tables
+    * keep the planning signal they were written with). NDV feeds ONLY
+    * planning (the row_number→top-k skip, CBO column stats), never
+    * query answers, so tables that don't declare it simply plan
+    * without a cardinality signal — measured across every declared
+    * gate at sf0.01 and sf0.1: none relies on it.
+    */
+  private def ndvStatsLive(ref: TableRef): Boolean =
+    metaColumns(ref, Warehouse.NdvColumnsMeta).nonEmpty || {
+      val tp = path(ref)
+      manifestDfImpl(tp, localOnly = true) match {
+        case Some(m) =>
+          val ndvIx = m.schema.fields.zipWithIndex
+            .collect { case (f, i) if f.name.startsWith("ndv_") => i }
+          // LocalRelation rows — zero jobs
+          ndvIx.nonEmpty &&
+            m.collect().exists(r => ndvIx.exists(i => !r.isNullAt(i)))
+        case None =>
+          // absent manifest → no legacy signal; OVERSIZED manifest
+          // (past the local cutoff) → conservative: keep the scan job
+          val manifestPath = new Path(s"$tp/$statsDir")
+          val filesystem = fs(manifestPath)
+          filesystem.exists(manifestPath) &&
+            filesystem.listStatus(manifestPath)
+              .exists(_.getPath.getName.endsWith(".parquet"))
+      }
     }
 
   /** Write a manifest frame as one part file under `dir`: collected
@@ -4546,7 +4646,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         .write.mode("overwrite").parquet(dir.toString)
       None
     } else {
-      val rows = tinyMetaQuery { manifest.collect().toSeq }
+      val rows = metaFrame(manifest).collect().toSeq
       val part = s"part-00000-${java.util.UUID.randomUUID()}.parquet"
       ManifestIO.writeLocalParquet(spark, manifest.schema, rows,
         new Path(dir, part))
@@ -4563,23 +4663,22 @@ final class Warehouse(spark: SparkSession, val root: String,
     * session width — one reduce task per ~1000 manifest rows, a
     * DATA-derived width (not a core-count-derived one), valid at any
     * scale because callers only enter here under the
-    * [[Warehouse.manifestLocalWriteRows]] gate. Conf flips are scoped
-    * and restored; commits are serialized by the writer lock.
+    * [[Warehouse.manifestLocalWriteRows]] gate.
+    *
+    * The overrides live on a DEDICATED META SESSION (one per
+    * underlying session, JVM-wide), never on the shared session: the
+    * round-21 implementation get/set/restored the session conf around
+    * the collect, so a concurrent reader planning an unrelated query
+    * mid-commit silently inherited AQE-off/width-8 (a thread-local
+    * SQLConf override does not work either — AQE's
+    * InsertAdaptiveSparkPlan reads the SESSION conf directly). The
+    * frame's analyzed plan is re-bound to the meta session for
+    * execution; plans are session-independent. MetaSessionSpec asserts
+    * isolation, plan shape, and value identity.
     */
-  private def tinyMetaQuery[T](body: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val prevAqe = spark.conf.get(aqeKey)
-    val prevSp = spark.conf.get(spKey)
-    val width = math.max(1, math.min(8, prevSp.toInt))
-    spark.conf.set(aqeKey, "false")
-    spark.conf.set(spKey, width.toString)
-    try body
-    finally {
-      spark.conf.set(aqeKey, prevAqe)
-      spark.conf.set(spKey, prevSp)
-    }
-  }
+  private[catalog] def metaFrame(df: DataFrame): DataFrame =
+    org.apache.spark.sql.GraftMetaExec.onSession(
+      Warehouse.metaSessionFor(spark), df)
 
   /** Per-file bloom sizing: 4096 bits (64 longs ≈ 0.5 KB per file per
     * column), k = 2 probe positions per value from one xxhash64. The
@@ -4721,7 +4820,10 @@ final class Warehouse(spark: SparkSession, val root: String,
                 val ix = sch.fieldIndex(c)
                 val vs = rows.iterator.filterNot(_.isNullAt(ix))
                   .map(_.getAs[Number](ix).longValue).toSeq
-                if (vs.isEmpty) None // sum over all-null = null: skip
+                // EVERY file must carry the column's ndv or it sits
+                // out: a mixed footer/scan-era manifest would otherwise
+                // register a partial sum as the table's cardinality
+                if (vs.size != rows.length) None
                 else Some(c.stripPrefix("ndv_") -> vs.sum)
               }.toMap
               TableStatsRegistry.put(tablePath,
@@ -4730,12 +4832,17 @@ final class Warehouse(spark: SparkSession, val root: String,
             } else false
           case _ =>
             val aggs = Seq(count(lit(1)).as("nfiles"), count(col("rows")).as("nrows"),
-              sum(col("rows")).as("rows")) ++ ndvCols.map(c => sum(col(c)).as(c))
+              sum(col("rows")).as("rows")) ++ ndvCols.flatMap(c =>
+              Seq(sum(col(c)).as(c), count(col(c)).as(s"__n_$c")))
             val r = m.agg(aggs.head, aggs.tail: _*).head()
             if (r.getLong(0) > 0 && r.getLong(0) == r.getLong(1)) {
               val ndv = ndvCols.zipWithIndex.flatMap { case (c, i) =>
-                if (r.isNullAt(i + 3)) None
-                else Some(c.stripPrefix("ndv_") -> r.getLong(i + 3))
+                // same full-accounting rule as the local arm: a
+                // partially-null ndv column (mixed footer/scan eras)
+                // must not register a partial sum
+                if (r.isNullAt(3 + i * 2) ||
+                    r.getLong(3 + i * 2 + 1) != r.getLong(0)) None
+                else Some(c.stripPrefix("ndv_") -> r.getLong(3 + i * 2))
               }.toMap
               TableStatsRegistry.put(tablePath,
                 TableStatsRegistry.TableStats(r.getLong(2), ndv))
@@ -5533,8 +5640,13 @@ final class Warehouse(spark: SparkSession, val root: String,
             else {
               // staged files sit flat; their committed rel paths gain
               // the partition subdir, and the manifest key must match
-              val newStats = fileStats(spark.read.parquet(stage.toString),
-                stage.toString, statCols, oldBlooms, relPrefix = subdir)
+              val keys = newFiles.map(f =>
+                subdir.fold(stagedRel(f))(d => s"$d/${stagedRel(f)}"))
+              val newStats = footerOrScan(ref, keys, newFiles,
+                statCols, oldBlooms) {
+                fileStats(spark.read.parquet(stage.toString),
+                  stage.toString, statCols, oldBlooms, relPrefix = subdir)
+              }
               // unionManifest keeps only columns the new stats also
               // carry (dropped stat columns fall away), null-backfills
               // pre-rows/ndv manifests, and heals declared-type drift
@@ -5595,10 +5707,13 @@ final class Warehouse(spark: SparkSession, val root: String,
         // gone); rel keys derive from the table base directly. A crash
         // before this write leaves missing manifest rows — consumers
         // keep unknown files and metadata aggregates fall back.
-        val finalStats = fileStats(
-          spark.read.parquet(adds.map(a =>
-            new Path(tablePath, a).toString): _*),
-          path(ref), statCols, oldBlooms)
+        val finalStats = footerOrScan(ref, adds,
+          adds.map(a => new Path(tablePath, a)), statCols, oldBlooms) {
+          fileStats(
+            spark.read.parquet(adds.map(a =>
+              new Path(tablePath, a).toString): _*),
+            path(ref), statCols, oldBlooms)
+        }
         appendManifestPart(tablePath, finalStats)
         if (!registerStatsAt(path(ref)))
           TableStatsRegistry.invalidate(path(ref))
@@ -5719,7 +5834,7 @@ final class Warehouse(spark: SparkSession, val root: String,
         // already proved the name/type sets match) so one schema
         // serves both the part file and the seeded union
         val aligned = newStats.select(old.columns.map(col).toIndexedSeq: _*)
-        val rows = tinyMetaQuery { aligned.collect().toSeq }
+        val rows = metaFrame(aligned).collect().toSeq
         val priorParts = fs(dir).listStatus(dir)
           .filter(_.getPath.getName.endsWith(".parquet"))
           .map(_.getPath.getName).toSet
@@ -6176,6 +6291,24 @@ object Warehouse {
     * reaches [[manifestCacheMax]] entries so long-lived drivers (and
     * test JVMs cycling hundreds of temp tables) stay bounded.
     */
+  /** One isolated session per underlying session for internal
+    * commit-scale metadata aggregates ([[Warehouse.metaFrame]]): AQE
+    * off (its per-stage re-optimization jobs are pure overhead on
+    * ≤10k-row frames) and a fixed data-derived shuffle width. Keyed by
+    * the session object; sessions live for the JVM's life in this
+    * engine, so entries are bounded by session count.
+    */
+  private val metaSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private[catalog] def metaSessionFor(spark: SparkSession): SparkSession =
+    metaSessions.computeIfAbsent(spark, s => {
+      val m = s.newSession()
+      m.conf.set("spark.sql.adaptive.enabled", "false")
+      m.conf.set("spark.sql.shuffle.partitions", "8")
+      m
+    })
+
   private val manifestCache =
     scala.collection.concurrent.TrieMap[String, (String, DataFrame)]()
 
@@ -6276,6 +6409,15 @@ object Warehouse {
     */
   val StatsColumnsMeta = "graft.stats_columns"
   val BloomColumnsMeta = "graft.bloom_columns"
+
+  /** Carried-meta declaration that this table's planning depends on
+    * per-file NDV (the row_number→top-k skip, CBO column statistics):
+    * stats commits keep running the scan job to collect it. Undeclared
+    * tables derive commit stats from parquet FOOTERS driver-side —
+    * footers carry no distinct counts, and NDV feeds only planning,
+    * never query answers.
+    */
+  val NdvColumnsMeta = "graft.ndv_columns"
 
   /** File-list entries beginning with this prefix reference ANOTHER
     * table's data file inside the same warehouse

@@ -696,8 +696,11 @@ class GraftCatalogSpec extends SparkSpec {
     val root = tmpDir("wh-sqlcbo")
     val wh = new Warehouse(spark, root)
     val ref = TableRef("silver", "g", "cbo")
+    // ndvColumns: per-file NDV is opt-in since the footer-stats change —
+    // this spec exercises exactly the declared-NDV planning surface
     wh.overwrite(ref, (1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v")
-      .repartitionByRange(8, $"k"), statsColumns = Seq("k"))
+      .repartitionByRange(8, $"k"), statsColumns = Seq("k"),
+      ndvColumns = Seq("k"))
     spark.conf.set("spark.sql.catalog.graftcbo", classOf[GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graftcbo.root", root)
 

@@ -98,10 +98,13 @@ class RowNumberTopKRewriteSpec extends SparkSpec {
     val uniq = TableRef("silver", "t", "uniq")
     val dup = TableRef("silver", "t", "dup")
     val n = 5000
+    // ndvColumns: per-file NDV is opt-in since the footer-stats change
+    // (undeclared tables derive commit stats from parquet footers,
+    // which carry no distinct counts) — the skip under test needs it
     wh.overwrite(uniq, (1 to n).map(i => (i.toLong, i.toDouble)).toDF("k", "v"),
-      statsColumns = Seq("k"))
+      statsColumns = Seq("k"), ndvColumns = Seq("k"))
     wh.overwrite(dup, (1 to n).map(i => ((i % 20).toLong, i.toDouble)).toDF("k", "v"),
-      statsColumns = Seq("k"))
+      statsColumns = Seq("k"), ndvColumns = Seq("k"))
     def q(df: DataFrame) = {
       val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
       df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
