@@ -117,17 +117,31 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                         threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    // thin repartition BEFORE the per-row signature work: source tables
-    // often arrive as few fat partitions (one parquet file = one task),
-    // and signature compute — not IO — is the bottleneck to spread
-    val spread = spreadThin(df, idCol, textCol)
-    val sigs = spread.select(
-      col(idCol).as("id"),
-      minhashSignature(toks, k, numHashes).as("sig"))
-    val exploded = sigs
-      .select(col("id"), explode(bandKeys(col("sig"), bands, numHashes)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    import graft.util.PhaseTimer.time
+    // ONE tokenize pass for signatures AND verify shingles (the round-21
+    // curate lesson applied here): __toks materializes in its own
+    // projection (CollapseProject keeps multi-use non-cheap arrays), the
+    // signature and the hashed shingle set both read the attribute, and
+    // the checkpointed (id, sig, sh, n_sh) frame feeds every later stage
+    // — the old shape re-ran the regex split + shingle assembly in two
+    // separate plan branches (bands, verify) per row. n_sh rides along
+    // for the size-bound prefilter below.
+    val base = time("minhash.base") {
+      graft.util.Scratch.transientCheckpoint(
+        spreadThin(df, idCol, textCol)
+          .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+          .select(col(idCol).as("id"),
+            minhashSignature(col("__toks"), k, numHashes).as("sig"),
+            transform(Shingles.shingles(col("__toks"), k),
+              s => xxhash64(s)).as("sh"))
+          .withColumn("n_sh", size(col("sh")))
+          .localCheckpoint())
+    }
+    val exploded = base
+      .select(col("id"), col("n_sh"),
+        explode(bandKeys(col("sig"), bands, numHashes)).as("bk"))
+      .select(col("id"), col("n_sh"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
     // guard: cap bucket size before the quadratic self-join. The
     // histogram (one thin row per shared (band, bucket)) is eagerly
@@ -143,10 +157,23 @@ object Dedup {
     val bucketCounts = hist.filter(col("n") <= maxBucket)
     val bounded = exploded.join(bucketCounts, Seq("band", "bucket"), "left_semi")
 
+    // SIZE-BOUND pre-filter in the candidate join (the containment
+    // round-21 trick, §3.2 shape): Jaccard |a∩b|/|a∪b| is bounded above
+    // by min(|a|,|b|)/max(|a|,|b|), so a pair whose set sizes are too
+    // far apart CANNOT reach the threshold — it dies here instead of
+    // surviving the distinct and paying the fat-array verify join. The
+    // bound mirrors the exact score's when/round shape exactly (the
+    // empty-set arm included), so round monotonicity guarantees zero
+    // false drops: actual ≤ bound ⇒ round(actual) ≤ round(bound).
     val pairs = bounded.as("l")
       .join(bounded.as("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-          col("l.id") < col("r.id"))
+          col("l.id") < col("r.id") &&
+          (when(greatest(col("l.n_sh"), col("r.n_sh")) === 0, lit(0.0))
+            .otherwise(round(
+              least(col("l.n_sh"), col("r.n_sh")).cast("double") /
+                greatest(col("l.n_sh"), col("r.n_sh")), 6))
+            >= threshold))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
 
@@ -154,16 +181,17 @@ object Dedup {
     // pattern): the only wide rows of the plan move 8-byte longs, not
     // space-joined token strings; Jaccard on the hashed sets equals
     // Jaccard on the string sets absent a 2^-64 collision, which the
-    // string-side DuckDB oracle (q_minhash_pairs) certifies per corpus
-    val shingleSets = spread.select(
-      col(idCol).as("id"),
-      transform(Shingles.shingles(toks, k), s => xxhash64(s)).as("sh"))
-    pairs
-      .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // string-side DuckDB oracle (q_minhash_pairs) certifies per corpus.
+    // The arrays come off the checkpointed base — no recompute.
+    val shingleSets = base.select(col("id"), col("sh"))
+    graft.util.StagePlans.dump(
+      "minhash.verify (size-bound prefilter + checkpointed base)",
+      pairs
+        .join(shingleSets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shingleSets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"))
   }
 
   /** Round-robin repartition of just (id, text) to the session's
@@ -232,10 +260,21 @@ object Dedup {
                                k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                                threshold: Double = 0.7,
                                maxBucket: Int = 1000): DataFrame = {
-    // the batch band rows feed both the width count and the candidate
-    // join; Spark's exchange reuse dedups the repeated subtree at
-    // runtime (measured: an explicit localCheckpoint bought nothing)
-    val batchBands = minhashBandTable(batch, idCol, textCol, k, numHashes, bands)
+    // ONE tokenize pass over the batch for bands AND verify shingles
+    // (the checkpointed-base shape of [[minhashCandidates]]): the old
+    // plan re-ran the regex split + shingle assembly in a second
+    // branch for the verify join
+    val batchBase = graft.util.Scratch.transientCheckpoint(
+      spreadThin(batch, idCol, textCol)
+        .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+        .select(col(idCol).as("id"),
+          minhashSignature(col("__toks"), k, numHashes).as("sig"),
+          transform(Shingles.shingles(col("__toks"), k),
+            s => xxhash64(s)).as("sh"))
+        .localCheckpoint())
+    val batchBands = batchBase
+      .select(col("id"), explode(bandKeys(col("sig"), bands, numHashes)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // shared-bucket histogram materialized (thin, aggregated) so the
     // dropped-cap diagnostic costs one count, not a batch re-hash;
     // singleton buckets filter out (a one-member bucket cannot produce
@@ -254,25 +293,37 @@ object Dedup {
     }
     val bb = batchBands.join(widths, Seq("band", "bucket"), "left_semi")
     val kb = keptBands.join(widths, Seq("band", "bucket"), "left_semi")
-    val cands = bb.as("l").join(kb.as("r"),
-        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
-      .select(col("l.id").as("batch_id"), col("r.id").as("kept_id"))
-      .distinct()
+    // candidate pairs MATERIALIZED (thin ids): they gate the verify
+    // below, and only a checkpointed frame lets the kept side be
+    // semi-join-pruned BEFORE its shingle compute
+    val cands = graft.util.Scratch.transientCheckpoint(
+      bb.as("l").join(kb.as("r"),
+          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+        .select(col("l.id").as("batch_id"), col("r.id").as("kept_id"))
+        .distinct()
+        .localCheckpoint())
     // hashed-shingle verify — same width cut (and same 2^-64 caveat)
     // as minhashCandidates; the incremental gates' oracles stay on
-    // string shingles and certify the equivalence
-    val batchSh = spreadThin(batch, idCol, textCol).select(
-      col(idCol).as("batch_id"),
-      transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
-        s => xxhash64(s)).as("__sh_b"))
-    val keptSh = spreadThin(kept, idCol, textCol).select(
-      col(idCol).as("kept_id"),
-      transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
-        s => xxhash64(s)).as("__sh_k"))
-    cands.join(batchSh, "batch_id").join(keptSh, "kept_id")
-      .withColumn("jaccard", round(jaccard(col("__sh_b"), col("__sh_k")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("batch_id", "kept_id", "jaccard")
+    // string shingles and certify the equivalence. CANDIDATE-PRUNED
+    // (§2.3 — don't compute what you throw away): only kept documents
+    // that actually appear in a candidate pair pay tokenize + shingle
+    // + hash — the old shape re-shingled the ENTIRE kept corpus as the
+    // verify join's input on every batch (every micro-batch, for the
+    // streaming twin), discarding all but the candidates' arrays.
+    val batchSh = batchBase.select(col("id").as("batch_id"),
+      col("sh").as("__sh_b"))
+    val keptIds = cands.select(col("kept_id").as(idCol)).distinct()
+    val keptSh = spreadThin(
+        kept.join(keptIds, Seq(idCol), "left_semi"), idCol, textCol)
+      .select(col(idCol).as("kept_id"),
+        transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
+          s => xxhash64(s)).as("__sh_k"))
+    graft.util.StagePlans.dump(
+      "minhash_against.verify (candidate-pruned kept shingles)",
+      cands.join(batchSh, "batch_id").join(keptSh, "kept_id")
+        .withColumn("jaccard", round(jaccard(col("__sh_b"), col("__sh_k")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("batch_id", "kept_id", "jaccard"))
   }
 
   /** Incremental dedup of a new batch against the kept corpus: exact

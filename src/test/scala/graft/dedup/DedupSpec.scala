@@ -248,7 +248,17 @@ class DedupSpec extends SparkSpec {
     // (and the width aggregate) shuffles
     val wh = new Warehouse(spark, tmpDir("wh-bands-bkt"))
     val ref = TableRef("silver", "dedup", "bands_bkt")
-    val bandTable = Dedup.minhashBandTable(docs, "doc_id", "text",
+    // RUNTIME recompute witness (the checkpoint barriers inside
+    // minhashCandidatesAgainst hide its stage plans from the top-level
+    // executedPlan string, so plan-text counting can no longer see the
+    // signature operator): every evaluation of the corpus band pipeline
+    // must pass this accumulator-counting filter over the corpus text
+    val corpusReads = spark.sparkContext.longAccumulator("corpusBandReads")
+    val counted = org.apache.spark.sql.functions.udf { (s: String) =>
+      corpusReads.add(1); true
+    }
+    val countingDocs = docs.filter(counted($"text"))
+    val bandTable = Dedup.minhashBandTable(countingDocs, "doc_id", "text",
       k = 3, numHashes = 32, bands = 8)
     wh.overwriteBucketed(ref, bandTable, Seq("band", "bucket"), 8)
     val batch = docs.withColumn("doc_id", $"doc_id" + 100L)
@@ -257,35 +267,29 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashCandidatesAgainst(batch, docs, bands, "doc_id", "text",
         3, 32, 8, 0.5, 1000)
 
-    val viaBucketed = cands(wh.readBucketed(ref))
-    val viaPlain = cands(bandTable)
     // identical candidates either way
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select("batch_id", "kept_id", "jaccard")
         .as[(Long, Long, Double)].collect().toSet
-    val got = rows(viaBucketed)
-    assert(got === rows(viaPlain))
+    val beforeBucketed = corpusReads.value
+    val got = rows(cands(wh.readBucketed(ref)))
+    val bucketedReads = corpusReads.value - beforeBucketed
+    val beforePlain = corpusReads.value
+    assert(got === rows(cands(bandTable)))
+    val plainReads = corpusReads.value - beforePlain
     assert(got.map(p => (p._1, p._2)).contains((101L, 1L))) // planted near-dup found
     // the persisted side contributes NO signature compute: the corpus
-    // minhash pipeline (xxhash64 over shingles) appears only for the
-    // thin batch in the bucketed plan — at 100 TB that is the daily
-    // saving (corpus band rows are read, never recomputed), and with
-    // sort-merge candidate joins the bucketed scan also arrives
+    // band pipeline (tokenize → minhash → band explode) re-runs over
+    // the corpus text only for the PLAIN lazy frame; the bucketed scan
+    // reads persisted rows — at 100 TB that is the daily saving, and
+    // with sort-merge candidate joins the bucketed scan also arrives
     // pre-partitioned on (band, bucket) (WarehouseSpec proves the
     // exchange elimination for bucketed scans; tiny spec inputs
     // broadcast here, so shuffle counts tie)
-    val prevFields = spark.conf.getOption("spark.sql.debug.maxToStringFields")
-    spark.conf.set("spark.sql.debug.maxToStringFields", 100000)
-    try {
-      // signature compute renders as the native graft_minhash expression
-      def sigOps(df: org.apache.spark.sql.DataFrame) =
-        "graft_minhash".r.findAllIn(df.queryExecution.executedPlan.toString).length
-      assert(sigOps(viaBucketed) < sigOps(viaPlain),
-        s"bucketed=${sigOps(viaBucketed)} plain=${sigOps(viaPlain)}")
-    } finally prevFields match {
-      case Some(v) => spark.conf.set("spark.sql.debug.maxToStringFields", v)
-      case None => spark.conf.unset("spark.sql.debug.maxToStringFields")
-    }
+    assert(bucketedReads === 0L,
+      s"persisted bands must not re-read the corpus (saw $bucketedReads)")
+    assert(plainReads > 0L,
+      "witness lost its teeth: the plain variant never touched the corpus")
   }
 
   test("dupGroups fast path survives a descending 100k-edge chain (iterative find)") {
