@@ -317,6 +317,11 @@ object Bench {
     // per-query load-average samples for retried warm outliers — the
     // in-artifact contention witness (round-20 verdict, next #3)
     val warmLoads = scala.collection.mutable.Map[String, Double]()
+    // FIRST-pass warm timing for retried queries (r21 ADVICE: the
+    // artifact reports the min, which can mask a bimodal regression —
+    // the first/min pair distinguishes contention collapse from plan
+    // cost without the stderr log)
+    val warmFirsts = scala.collection.mutable.Map[String, Double]()
     val warmAttrSec = 2.0
     def runOne(name: String, thunk: () => Long): ((String, Double), Option[(String, Double)]) = {
       val s0 = graft.util.PhaseTimer.snapshot
@@ -352,6 +357,7 @@ object Bench {
               f"[bench-warm-retry] $name first=${w0._2}%.3f " +
                 f"second=${w2._2}%.3f load=$load%.2f")
             warmLoads(name) = math.max(load, 0.0)
+            warmFirsts(name) = w0._2
             if (w2._2 < w0._2) (w2, warmD2) else (w0, warmD0)
           }
         if (w._2 > warmAttrSec ||
@@ -554,7 +560,12 @@ object Bench {
     val loads = warmLoads.toSeq.sortBy { case (k, v) => (-v, k) }.take(5)
       .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","env":$env,"phases":$phases,"warm":$warm,"warm_phases":$warmPh,"warm_loads":$loads,"caps":$caps,"log_io":$logIo,"queries":{"""
+    // retried queries' FIRST warm pass (same 5-entry cap as the load
+    // witness; the min is already the `warm` entry)
+    val retries = warmFirsts.toSeq.sortBy { case (k, v) => (-v, k) }.take(5)
+      .map { case (k, v) => "\"" + k + "\":" + jnum(v) }
+      .mkString("{", ",", "}")
+    val head = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","sf":"$sfDir","env":$env,"phases":$phases,"warm":$warm,"warm_phases":$warmPh,"warm_loads":$loads,"warm_first":$retries,"caps":$caps,"log_io":$logIo,"queries":{"""
     val sb = new StringBuilder(head)
     var included = 0
     var restN = 0

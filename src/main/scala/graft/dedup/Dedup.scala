@@ -260,21 +260,12 @@ object Dedup {
                                k: Int = 3, numHashes: Int = 64, bands: Int = 16,
                                threshold: Double = 0.7,
                                maxBucket: Int = 1000): DataFrame = {
-    // ONE tokenize pass over the batch for bands AND verify shingles
-    // (the checkpointed-base shape of [[minhashCandidates]]): the old
-    // plan re-ran the regex split + shingle assembly in a second
-    // branch for the verify join
-    val batchBase = graft.util.Scratch.transientCheckpoint(
-      spreadThin(batch, idCol, textCol)
-        .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-        .select(col(idCol).as("id"),
-          minhashSignature(col("__toks"), k, numHashes).as("sig"),
-          transform(Shingles.shingles(col("__toks"), k),
-            s => xxhash64(s)).as("sh"))
-        .localCheckpoint())
-    val batchBands = batchBase
-      .select(col("id"), explode(bandKeys(col("sig"), bands, numHashes)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // the batch band rows feed both the width count and the candidate
+    // join; Spark's exchange reuse dedups the repeated subtree at
+    // runtime (measured r21: an explicit localCheckpoint bought
+    // nothing; re-measured r22: a checkpointed batch base cost MORE
+    // per micro-batch than the saved tokenize pass)
+    val batchBands = minhashBandTable(batch, idCol, textCol, k, numHashes, bands)
     // shared-bucket histogram materialized (thin, aggregated) so the
     // dropped-cap diagnostic costs one count, not a batch re-hash;
     // singleton buckets filter out (a one-member bucket cannot produce
@@ -293,37 +284,33 @@ object Dedup {
     }
     val bb = batchBands.join(widths, Seq("band", "bucket"), "left_semi")
     val kb = keptBands.join(widths, Seq("band", "bucket"), "left_semi")
-    // candidate pairs MATERIALIZED (thin ids): they gate the verify
-    // below, and only a checkpointed frame lets the kept side be
-    // semi-join-pruned BEFORE its shingle compute
-    val cands = graft.util.Scratch.transientCheckpoint(
-      bb.as("l").join(kb.as("r"),
-          col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
-        .select(col("l.id").as("batch_id"), col("r.id").as("kept_id"))
-        .distinct()
-        .localCheckpoint())
+    val cands = bb.as("l").join(kb.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket"))
+      .select(col("l.id").as("batch_id"), col("r.id").as("kept_id"))
+      .distinct()
     // hashed-shingle verify — same width cut (and same 2^-64 caveat)
     // as minhashCandidates; the incremental gates' oracles stay on
-    // string shingles and certify the equivalence. CANDIDATE-PRUNED
-    // (§2.3 — don't compute what you throw away): only kept documents
-    // that actually appear in a candidate pair pay tokenize + shingle
-    // + hash — the old shape re-shingled the ENTIRE kept corpus as the
-    // verify join's input on every batch (every micro-batch, for the
-    // streaming twin), discarding all but the candidates' arrays.
-    val batchSh = batchBase.select(col("id").as("batch_id"),
-      col("sh").as("__sh_b"))
-    val keptIds = cands.select(col("kept_id").as(idCol)).distinct()
-    val keptSh = spreadThin(
-        kept.join(keptIds, Seq(idCol), "left_semi"), idCol, textCol)
-      .select(col(idCol).as("kept_id"),
-        transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
-          s => xxhash64(s)).as("__sh_k"))
-    graft.util.StagePlans.dump(
-      "minhash_against.verify (candidate-pruned kept shingles)",
-      cands.join(batchSh, "batch_id").join(keptSh, "kept_id")
-        .withColumn("jaccard", round(jaccard(col("__sh_b"), col("__sh_k")), 6))
-        .filter(col("jaccard") >= threshold)
-        .select("batch_id", "kept_id", "jaccard"))
+    // string shingles and certify the equivalence. A candidate-pruned
+    // kept side (semi-join on candidate ids before the shingle
+    // projection) was BUILT AND MEASURED in r22 — checkpointed and
+    // lazy variants both — and did not pay at any demonstrable scale
+    // (DevDedupScale, up to 300k kept docs: the candidate band join
+    // dominates; the prune's extra distinct/semi-join/repartition
+    // stages cancel the saved shingle pass, and the per-micro-batch
+    // barrier variant measured strictly slower). Deliberately kept in
+    // the r21 shape.
+    val batchSh = spreadThin(batch, idCol, textCol).select(
+      col(idCol).as("batch_id"),
+      transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
+        s => xxhash64(s)).as("__sh_b"))
+    val keptSh = spreadThin(kept, idCol, textCol).select(
+      col(idCol).as("kept_id"),
+      transform(Shingles.shingles(TextFunctions.tokens(col(textCol)), k),
+        s => xxhash64(s)).as("__sh_k"))
+    cands.join(batchSh, "batch_id").join(keptSh, "kept_id")
+      .withColumn("jaccard", round(jaccard(col("__sh_b"), col("__sh_k")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "kept_id", "jaccard")
   }
 
   /** Incremental dedup of a new batch against the kept corpus: exact

@@ -3134,10 +3134,32 @@ object PipelineQueries {
     * Verify and the specs never call it, so gates there build lazily
     * exactly as before.
     */
+  /** The three multi-gate fixture families are INDEPENDENT (separate
+    * temp warehouses, separate Scratch keys), so they build on a small
+    * pool (guide §2.6 — overlap independent jobs): each family's
+    * driver-sequential commit chain leaves most of local[32] idle, and
+    * overlapping them back-fills the tail. Scratch.once memoizes on a
+    * concurrent map, PhaseTimer is a TrieMap with a thread-local
+    * stack, and narrowShuffle is depth-counted per session, so
+    * concurrent builds compose; job descriptions stay per-thread.
+    */
   def prebuildSharedFixtures(spark: SparkSession, dir: String): Long = {
-    sqlCatalogFamily(spark, dir)
-    goldMvFixture(spark, dir)
-    cdcChurnFixture(spark, dir)
+    val builders = Seq[(String, () => Unit)](
+      ("sqlfam", () => { sqlCatalogFamily(spark, dir); () }),
+      ("goldmv", () => { goldMvFixture(spark, dir); () }),
+      ("cdf", () => { cdcChurnFixture(spark, dir); () }))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val futures = builders.map { case (name, build) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            spark.sparkContext.setJobDescription(s"prebuild: $name")
+            try build() finally spark.sparkContext.setJobDescription(null)
+          }
+        })
+      }
+      futures.foreach(_.get()) // propagate the first failure
+    } finally pool.shutdown()
     3L
   }
 

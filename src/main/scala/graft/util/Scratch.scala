@@ -76,14 +76,31 @@ object Scratch {
     * (merge joins, stats-manifest aggregates) into 32 near-empty tasks
     * of pure scheduling overhead. Explicit `repartition(n)` calls are
     * unaffected — file-count witnesses keep their layout; only
-    * defaulted exchanges narrow. Restored in a finally; the bench and
-    * Verify run queries sequentially on one driver thread.
+    * defaulted exchanges narrow.
+    *
+    * REENTRANT ACROSS THREADS per session (depth-counted): the bench's
+    * fixture prebuild overlaps independent builds on a small pool
+    * (guide §2.6), and the naive set/restore raced — an interleaved
+    * finally could capture another build's width as "prev" and leave
+    * the SESSION narrowed for every later gate. First entry captures
+    * and narrows, last exit restores; all callers use the same width.
     */
+  private final class NarrowState { var depth = 0; var prev: String = _ }
+  private val narrowStates =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, NarrowState]()
+
   def narrowShuffle[T](spark: SparkSession, width: Int = 8)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, width.toString)
-    try body finally spark.conf.set(key, prev)
+    val st = narrowStates.computeIfAbsent(spark, _ => new NarrowState)
+    st.synchronized {
+      if (st.depth == 0) { st.prev = spark.conf.get(key)
+        spark.conf.set(key, width.toString) }
+      st.depth += 1
+    }
+    try body finally st.synchronized {
+      st.depth -= 1
+      if (st.depth == 0) spark.conf.set(key, st.prev)
+    }
   }
 
   /** Register a per-invocation materialized frame (or any structure of
