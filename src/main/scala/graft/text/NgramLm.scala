@@ -54,27 +54,10 @@ object NgramLm {
     */
   /** A trained model: bigram counts, context counts, and the 1-row
     * vocabulary size — three batch frames a scorer (batch OR streaming
-    * stream-static join) composes against. `bigramRows`/`contextRows`
-    * are the count tables' MEASURED row counts (one cheap action each
-    * over the already-checkpointed frames at train time): checkpointed
-    * frames carry no size statistics, so without them every score pass
-    * planned the count joins as sort-merge — two exchanges + sorts of
-    * the fat per-document bigram stream per score (per MICRO-BATCH for
-    * the streaming twin). A measured size lets the scorer broadcast a
-    * model that provably fits. −1 = unmeasured (never broadcast).
+    * stream-static join) composes against.
     */
   final case class Model(bigramCounts: DataFrame, contextCounts: DataFrame,
-                         vocabSize: DataFrame,
-                         bigramRows: Long = -1L, contextRows: Long = -1L)
-
-  /** Row cap for broadcasting a measured model table: sized so the
-    * built hash relation stays in the regime the guide calls
-    * comfortably broadcastable (~tens of MB at the observed ~40-60 B
-    * per (w1, w2, count) row — well under the 8 GB/512M-row hard cap).
-    * Conf-overridable for clusters that want it higher or off (0).
-    */
-  private val BroadcastMaxRowsKey = "spark.graft.lm.broadcastMaxRows"
-  private val BroadcastMaxRowsDefault = 1000000L
+                         vocabSize: DataFrame)
 
   /** Train the count model on a corpus. The corpus is tokenized ONCE
     * (the regex split is the expensive per-row stage): the materialized
@@ -95,14 +78,11 @@ object NgramLm {
     // here (eager checkpoints: the counts no longer reference them);
     // the returned Model is the CALLER's storage to release (the gate
     // queries memoize it via Scratch.once, so the bench drain frees it).
-    val bc = tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint()
-    val cc = tb.groupBy("w1").agg(count(lit(1)).as("c1")).localCheckpoint()
-    val m = Model(bc, cc,
+    val m = Model(
+      tb.groupBy("w1", "w2").agg(count(lit(1)).as("c12")).localCheckpoint(),
+      tb.groupBy("w1").agg(count(lit(1)).as("c1")).localCheckpoint(),
       toks.select(explode(col("__toks")).as("w"))
-        .agg(count_distinct(col("w")).as("v")).localCheckpoint(),
-      // measured sizes over the materialized checkpoints (cheap local
-      // counts) — what lets scoreWithModel pick broadcast deliberately
-      bigramRows = bc.count(), contextRows = cc.count())
+        .agg(count_distinct(col("w")).as("v")).localCheckpoint())
     graft.util.Scratch.release(tb)
     graft.util.Scratch.release(toks)
     m
@@ -113,19 +93,10 @@ object NgramLm {
     * per-doc aggregate is the caller's sink concern in streaming.
     */
   def scoreWithModel(scoreDocs: DataFrame, model: Model,
-                     idCol: String, textCol: String): DataFrame = {
-    // deliberate join strategy (guide §3.1): a checkpointed count table
-    // has no size stats, so the planner defaulted to sort-merge —
-    // broadcast when the MEASURED row count provably fits, keeping the
-    // fat bigram stream unshuffled and unsorted
-    val maxRows = scoreDocs.sparkSession.conf
-      .getOption(BroadcastMaxRowsKey).map(_.toLong)
-      .getOrElse(BroadcastMaxRowsDefault)
-    def sized(df: DataFrame, rows: Long): DataFrame =
-      if (rows >= 0 && rows <= maxRows) broadcast(df) else df
+                     idCol: String, textCol: String): DataFrame =
     bigrams(scoreDocs, idCol, textCol)
-      .join(sized(model.bigramCounts, model.bigramRows), Seq("w1", "w2"), "left")
-      .join(sized(model.contextCounts, model.contextRows), Seq("w1"), "left")
+      .join(model.bigramCounts, Seq("w1", "w2"), "left")
+      .join(model.contextCounts, Seq("w1"), "left")
       // constant-key equi join instead of crossJoin: same 1-row
       // broadcast in batch, but ALSO legal as a stream-static join
       .withColumn("__vk", lit(1))
@@ -138,7 +109,6 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("__unats")).as("logprob_unats"))
       .select(col("__doc").as(idCol), col("n_bigrams"), col("logprob_unats"))
-  }
 
   /** One-shot convenience: train + score. The transient model is
     * registered for bench-drain release; callers that reuse a model
