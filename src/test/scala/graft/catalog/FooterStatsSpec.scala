@@ -216,6 +216,42 @@ class FooterStatsSpec extends SparkSpec {
     checkManifestMatchesScan(wh, ref, Seq("k", "s"))
   }
 
+  test("multi-row-group files merge per-group statistics exactly") {
+    // gate-scale files hold ONE row group, so the per-file reduce over
+    // group statistics (parquet's typed comparators) otherwise never
+    // runs — force tiny row groups and prove the merged extrema still
+    // match the scan aggregate, strings included
+    val wh = new Warehouse(spark, tmpDir("wh-footer-rg"))
+    val ref = TableRef("silver", "fs", "rowgroups")
+    val prev = spark.conf.getOption("spark.hadoop.parquet.block.size")
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 1024)
+    try {
+      val df = (1 to 20000).map(i =>
+        ((i.toLong * 48271) % 99991,
+          if (i == 777) "￿" else if (i == 1234) "😀" else s"s${i % 797}"))
+        .toDF("k", "s")
+      wh.overwrite(ref, df.repartition(2), statsColumns = Seq("k", "s"))
+      // witness that the multi-group path actually ran
+      val conf = spark.sparkContext.hadoopConfiguration
+      val groups = wh.dataFiles(ref).map { p =>
+        org.apache.parquet.hadoop.ParquetFileReader.readFooter(conf,
+          new org.apache.hadoop.fs.Path(p),
+          org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+          .getBlocks.size()
+      }
+      assert(groups.forall(_ > 1), s"row groups per file: $groups — the " +
+        "merge path was not exercised; shrink parquet.block.size further")
+      val got = manifestRows(wh, ref)
+      assert(got.forall(r => r.isNullAt(r.fieldIndex("ndv_k"))),
+        "expected the footer derivation")
+      checkManifestMatchesScan(wh, ref, Seq("k", "s"))
+    } finally {
+      spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
+      prev.foreach(v => spark.sparkContext.hadoopConfiguration
+        .set("parquet.block.size", v))
+    }
+  }
+
   test("range pruning stays correct over footer-derived manifests") {
     val wh = new Warehouse(spark, tmpDir("wh-footer-prune"))
     val ref = TableRef("silver", "fs", "pruned")
